@@ -1,0 +1,286 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operators from SURVEY.md §2.2/§2.5/§2.7/§2.8, each
+  * re-expressed as a declarative DataFrame plan so Catalyst gets
+  * pushdown / pruning / broadcast decisions for free.
+  *
+  * Money/quantity aggregates are computed in DECIMAL and only cast to
+  * DOUBLE at the output edge: decimal addition is exact and associative,
+  * so the result is bit-identical regardless of partitioning — a
+  * plain double sum would drift vs the DuckDB oracle under parallel
+  * aggregation.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Exact, order-independent money column: cast to decimal up front. */
+  private def d(c: org.apache.spark.sql.Column) = c.cast(dec)
+
+  val defs: Map[String, Q] = Map(
+
+    // Minute-bucket metrics aggregation — reference
+    // enterprise/reporting/reporting.go:264-335 (A1): GROUP BY dims on
+    // minute buckets with SUM counters. Map-side partial agg + single
+    // shuffle on (bucket, event_type); scales linearly with input.
+    "a1_minute_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(unix_micros(date_trunc("minute", col("ts"))).as("minute_us"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(d(col("value"))).cast("double").as("sum_value"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+
+    // Pile-up counts — jobsdb/jobsdb.go:151-153 (A3).
+    "a3_pileup_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Distinct parameter values — jobsdb/jobsdb.go:155-161 (A4).
+    // distinct() is a shuffle on user_id only after column pruning; at
+    // scale the parquet scan reads one column.
+    "a4_distinct_values" -> ((s, dir) => {
+      Tables.events(s, dir).select(col("user_id")).distinct()
+    }),
+
+    // TPC-H-Q1-shaped pricing aggregate (reporting-style wide agg, A1
+    // analog on batch data).
+    "q01_pricing_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(d(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(d(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum((d(col("l_extendedprice")) * (lit(1).cast(dec) - d(col("l_discount")))).cast(DecimalType(30, 4)))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Filter + projection — the preprocess drop stage
+    // (processor/processor.go:2004-2191, T2/T3/T4): predicates reach the
+    // parquet scan as PushedFilters; only 3 columns are read.
+    "q02_filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1996-01-01").cast("timestamp") &&
+                col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // Multi-way join + agg — destination fan-out join shape
+    // (processor/processor.go:2373-2453, T11). nation/region are tiny
+    // dims → broadcast; only orders⋈customer shuffles.
+    "q03_join_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(d(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // Top-k with deterministic tiebreak — error-index sort-before-write
+    // (enterprise/reporting/error_index/worker.go:269-277). Spark plans
+    // TakeOrderedAndProject: per-partition heap + driver merge, no full
+    // sort at scale.
+    "q04_topk_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Latest-status-per-key — jobsdb DISTINCT ON/LATERAL LIMIT 1 scan
+    // (jobsdb/jobsdb_get.go:104-128, S5): row_number window, single
+    // shuffle on the partition key.
+    "q05_latest_per_user" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+    }),
+
+    // Dedup-on-load window — the reference's single most important
+    // analytic op (postgres load.go:300-309, snowflake.go:481-490, L6):
+    // keep latest row per natural key.
+    "q06_dedup_load" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+    }),
+
+    // Suppression anti-join — GDPR user suppression
+    // (gateway/handle.go:574-603, T1). The suppression list is small →
+    // Spark broadcasts the build side of the anti-join (no shuffle of
+    // the event stream).
+    "q07_suppression_anti_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val suppressed = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .select(col("user_id"))
+      ev.join(suppressed, Seq("user_id"), "left_anti")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Semi-join — destination availability / integrations gate shape
+    // (processor/eventfilter, T12).
+    "q08_purchaser_semi_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val buyers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      ev.join(buyers, Seq("user_id"), "left_semi")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Destination fan-out — one event row → N (event × destination)
+    // rows for enabled destinations (processor/processor.go:2373-2453,
+    // T11). Config dim is broadcast; fan-out is a map-side 1-to-N join.
+    "q09_destination_fanout" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val conns = Seq(
+        ("purchase", "warehouse"), ("purchase", "webhook"), ("purchase", "kafka"),
+        ("click", "warehouse"), ("click", "webhook"),
+        ("view", "warehouse"),
+        ("signup", "warehouse"), ("signup", "kafka"),
+        ("error", "warehouse")).toDF("event_type", "destination")
+      Tables.events(s, dir)
+        .join(broadcast(conns), Seq("event_type"))
+        .groupBy(col("destination"))
+        .agg(count(lit(1)).as("n"), sum(d(col("value"))).cast("double").as("sum_value"))
+    }),
+
+    // Union — users ∪ identifies staging shape (postgres/load.go:436-459).
+    "q10_union_distinct" -> ((s, dir) => {
+      Tables.events(s, dir).select(col("user_id").as("id"))
+        .union(Tables.orders(s, dir).select(col("o_custkey").as("id")))
+        .distinct()
+    }),
+
+    // Users latest-trait aggregation — for each user take latest
+    // non-null trait by received_at (postgres load.go:380-470, L7).
+    "q11_users_latest_traits" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+    }),
+
+    // Grouped having — rsources completion predicate shape
+    // (services/rsources, A5): per key, in == out + failed.
+    "q12_rsources_stats" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_in"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_failed"),
+          sum(when(col("event_type") =!= "error", 1).otherwise(0)).as("n_out"))
+        .filter(col("n_in") >= 20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_minute_agg" ->
+      """SELECT epoch_us(date_trunc('minute', ts)) AS minute_us, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         MAX(event_id) AS max_event_id
+         FROM events GROUP BY 1, 2""",
+    "a3_pileup_counts" ->
+      "SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2",
+    "a4_distinct_values" ->
+      "SELECT DISTINCT user_id FROM events",
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate <  TIMESTAMP '1996-01-01'
+           AND l_quantity > 30""",
+    "q03_join_revenue" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q05_latest_per_user" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1""",
+    "q06_dedup_load" ->
+      """SELECT user_id, event_type, event_id FROM (
+           SELECT user_id, event_type, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1""",
+    "q07_suppression_anti_join" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+         WHERE user_id NOT IN (
+           SELECT user_id FROM events WHERE event_type = 'error'
+           GROUP BY user_id HAVING COUNT(*) >= 5)
+         GROUP BY event_type""",
+    "q08_purchaser_semi_join" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+         WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         GROUP BY event_type""",
+    "q09_destination_fanout" ->
+      """SELECT destination, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         JOIN (VALUES
+           ('purchase','warehouse'),('purchase','webhook'),('purchase','kafka'),
+           ('click','warehouse'),('click','webhook'),
+           ('view','warehouse'),
+           ('signup','warehouse'),('signup','kafka'),
+           ('error','warehouse')) AS conns(event_type, destination)
+         USING (event_type)
+         GROUP BY destination""",
+    "q10_union_distinct" ->
+      "SELECT user_id AS id FROM events UNION SELECT o_custkey AS id FROM orders",
+    "q11_users_latest_traits" ->
+      """SELECT user_id, event_type AS last_event_type, value AS last_value FROM (
+           SELECT user_id, event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1""",
+    "q12_rsources_stats" ->
+      """SELECT user_id, COUNT(*) AS n_in,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+         CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+         FROM events GROUP BY user_id HAVING COUNT(*) >= 20"""
+  )
+}
