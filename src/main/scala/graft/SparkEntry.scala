@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (operators.Relational.defs, operators.Relational.oracles)
+    (operators.Relational.defs, operators.Relational.oracles),
+    (operators.Warehouse.defs, operators.Warehouse.oracles),
+    (operators.Identity.defs, operators.Identity.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

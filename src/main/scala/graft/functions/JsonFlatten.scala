@@ -1,0 +1,99 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Recursive JSON flattening with a depth cap — the reference's core
+  * warehouse transform (reference: processor/internal/transformer/
+  * destination_transformer/embedded/warehouse/set.go:15-156, W2):
+  * nested objects become `prefix_key` entries, empty keys are skipped,
+  * values keep a scalar string form (arrays/deep objects are kept as
+  * JSON strings, mirroring the reference's JSON-path passthrough W3).
+  *
+  * Type inference follows datatype.go:11-48 (§1.2): whole numbers →
+  * int, other numbers → float, booleans → boolean, timestamp-shaped
+  * strings → datetime, everything else → string; non-scalars → json.
+  *
+  * Exposed as UDFs returning MapType — per-row work is pure and
+  * allocation-light, so it distributes trivially; at 100 TB this runs
+  * map-side with no shuffle.
+  */
+object JsonFlatten {
+
+  private val mapper = new ObjectMapper()
+
+  private val timestampRe =
+    ("^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?" +
+      "(Z|[+-]\\d{2}:?\\d{2})?)?$").r
+
+  /** Flatten a JSON object string to path→scalar-string map. */
+  def flatten(json: String, maxDepth: Int = 3): Map[String, String] = {
+    if (json == null) return null
+    val root =
+      try mapper.readTree(json)
+      catch { case _: Exception => return Map.empty }
+    if (root == null || !root.isObject) return Map.empty
+    val out = mutable.LinkedHashMap[String, String]()
+    def walk(node: JsonNode, prefix: String, depth: Int): Unit = {
+      node.properties().asScala.foreach { e =>
+        val key = e.getKey
+        if (key.nonEmpty) {
+          val path = if (prefix.isEmpty) key else s"${prefix}_$key"
+          val v = e.getValue
+          if (v.isObject && depth < maxDepth) walk(v, path, depth + 1)
+          else if (v.isNull) ()
+          else if (v.isValueNode) out(path) = v.asText()
+          else out(path) = v.toString // array / too-deep object → JSON passthrough
+        }
+      }
+    }
+    walk(root, "", 1)
+    out.toMap
+  }
+
+  /** Flatten with inferred warehouse types (path → type). */
+  def flattenTypes(json: String, maxDepth: Int = 3): Map[String, String] = {
+    if (json == null) return null
+    val root =
+      try mapper.readTree(json)
+      catch { case _: Exception => return Map.empty }
+    if (root == null || !root.isObject) return Map.empty
+    val out = mutable.LinkedHashMap[String, String]()
+    def walk(node: JsonNode, prefix: String, depth: Int): Unit = {
+      node.properties().asScala.foreach { e =>
+        val key = e.getKey
+        if (key.nonEmpty) {
+          val path = if (prefix.isEmpty) key else s"${prefix}_$key"
+          val v = e.getValue
+          if (v.isObject && depth < maxDepth) walk(v, path, depth + 1)
+          else if (v.isNull) ()
+          else out(path) = inferType(v)
+        }
+      }
+    }
+    walk(root, "", 1)
+    out.toMap
+  }
+
+  /** Warehouse type of a JSON value — datatype.go:11-48 semantics. */
+  def inferType(v: JsonNode): String = {
+    if (v.isBoolean) "boolean"
+    else if (v.isIntegralNumber) "int"
+    else if (v.isNumber) {
+      // JSON numbers are float64 in the reference; integral floats
+      // reclassify as int (datatype.go getFloatType :39-48)
+      val d = v.asDouble()
+      if (d == Math.floor(d) && !d.isInfinite && Math.abs(d) < 1e15) "int" else "float"
+    } else if (v.isTextual) {
+      if (timestampRe.findFirstIn(v.asText()).isDefined) "datetime" else "string"
+    } else "json"
+  }
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("flatten_json", (s: String) => flatten(s))
+    spark.udf.register("flatten_json_types", (s: String) => flattenTypes(s))
+  }
+}

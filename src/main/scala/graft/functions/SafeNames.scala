@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Warehouse-safe identifier mangling, re-expressing the semantics of
+  * the reference's safe-name rules (reference: processor/internal/
+  * transformer/destination_transformer/embedded/warehouse/safe.go:33-277
+  * and internal/snakecase/): snake_case conversion, digit-start
+  * prefixing, reserved-word escaping.
+  *
+  * Pure string functions so they can run inside codegen'd expressions
+  * (registered as a UDF) and be mirrored exactly by the DuckDB oracle's
+  * regexp chain.
+  */
+object SafeNames {
+
+  /** Reserved words that get a leading underscore (subset of the
+    * reference's internal/reservedkeywords list common to warehouses).
+    */
+  val reserved: Set[String] = Set(
+    "select", "from", "where", "group", "order", "by", "table", "column",
+    "insert", "update", "delete", "join", "union", "all", "and", "or",
+    "not", "null", "true", "false", "case", "when", "then", "else", "end",
+    "user", "partition", "default", "primary", "key", "index", "view")
+
+  /** camelCase / free-text → snake_case identifier.
+    * Steps mirror the oracle SQL exactly:
+    *   1. boundary underscore between [a-z0-9] and [A-Z]
+    *   2. non-alphanumeric runs → '_'
+    *   3. lowercase
+    *   4. digit-start → '_' prefix
+    *   5. reserved word → '_' prefix
+    */
+  def toSafeName(raw: String): String = {
+    if (raw == null) return null
+    var s = raw.trim
+    s = s.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+    s = s.replaceAll("[^a-zA-Z0-9]+", "_")
+    s = s.toLowerCase
+    if (s.nonEmpty && s.charAt(0).isDigit) s = "_" + s
+    if (reserved.contains(s)) s = "_" + s
+    s
+  }
+
+  /** Table name from an event name — same mangling, the reference also
+    * caps length (safe.go name-length rules); we cap at 127.
+    */
+  def toSafeTableName(raw: String): String = {
+    val s = toSafeName(raw)
+    if (s != null && s.length > 127) s.substring(0, 127) else s
+  }
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("safe_name", (s: String) => toSafeName(s))
+    spark.udf.register("safe_table_name", (s: String) => toSafeTableName(s))
+  }
+}

@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{JsonFlatten, SafeNames}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse transformation operators — SURVEY.md §2.4/§2.5: the
+  * event→relational core of the reference (processor/internal/
+  * transformer/destination_transformer/embedded/warehouse/ and
+  * warehouse/slave/worker.go).
+  *
+  * Everything here is a narrow map/projection (no shuffle) except the
+  * schema-inference aggregate, exactly like the reference's per-event
+  * Go loop — but declarative, so at 100 TB it fuses into one
+  * whole-stage-codegen pass over the scan.
+  */
+object Warehouse {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Shared inline fixture of gnarly identifiers for the name-mangling
+    * op — mirrored verbatim in the oracle SQL VALUES list.
+    */
+  private val nameFixture = Seq(
+    "userId", "camelCaseColumn", "context.screen.density", "1invalid",
+    "select", "group", "with  spaces", "trailing-dash-", "UPPERCASE",
+    "mixedUPPERCase", "a", "42", "email-address", "revenue($)")
+
+  val defs: Map[String, Q] = Map(
+
+    // W1+W7: event-type dispatch + multi-table fan-out — track events
+    // produce a `tracks` row AND a per-event-name table row
+    // (events.go:17-164). One scan → explode of (table, id) structs;
+    // map-side only, no shuffle before the final count.
+    "w7_multitable_fanout" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(explode(array(
+          struct(lit("tracks").as("table_name"), col("event_id")),
+          struct(col("event_type").as("table_name"), col("event_id"))))
+          .as("row"))
+        .select(col("row.table_name"), col("row.event_id"))
+        .groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    }),
+
+    // W2: recursive JSON flatten of the event payload (set.go:15-156).
+    // Flatten UDF → explode map → typed columns.
+    "w2_flatten_props" -> ((s, dir) => {
+      JsonFlatten.register(s)
+      Tables.events(s, dir)
+        .select(col("event_id"), explode(callUDF("flatten_json", col("props"))).as(Seq("key", "val")))
+        .select(col("event_id"), col("key"), col("val"), col("val").cast("long").as("val_int"))
+    }),
+
+    // W4: column-rule projection — reserved column extraction
+    // (internal/rules/rules.go:19-172): id←messageId, received_at,
+    // event_text←event, context_ip←coalesce(...).
+    "w4_column_rules" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id").as("id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("received_at_us"),
+        col("event_type").as("event_text"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+    }),
+
+    // W5/E1: type inference over flattened payload + schema capture
+    // aggregate (datatype.go:11-48; schema-forwarder/internal/
+    // transformer/transformer.go:69-163). groupBy(event key) over the
+    // inferred (key, type) pairs — the shuffle carries only the tiny
+    // schema tuples, never payloads.
+    "e1_schema_inference" -> ((s, dir) => {
+      JsonFlatten.register(s)
+      Tables.events(s, dir)
+        .select(col("event_type"), explode(callUDF("flatten_json_types", col("props"))).as(Seq("key", "type")))
+        .groupBy(col("event_type"), col("key"), col("type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // W6: safe name mangling (safe.go:33-277) on an inline fixture of
+    // hostile identifiers, mirrored by the oracle's regexp chain.
+    "w6_safe_names" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      SafeNames.register(s)
+      nameFixture.toDF("raw")
+        .select(col("raw"), callUDF("safe_name", col("raw")).as("safe"))
+    }),
+
+    // W8: merge-rule emission — identity edges from (anonId, userId)
+    // pairs (idresolution.go:15-141). Deterministic synthetic anon id
+    // derived from the event row.
+    "w8_merge_rules" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(
+          concat(lit("anon_"), (col("user_id") % 37).cast("string")).as("merge_property_1"),
+          concat(lit("user_"), col("user_id").cast("string")).as("merge_property_2"))
+        .distinct()
+    }),
+
+    // W9: column-count guard — reject events whose schema exceeds the
+    // column cap (transformer.go:251-277; cap 1600, here 2 to exercise
+    // the reject path on the small fixture).
+    "w9_column_guard" -> ((s, dir) => {
+      JsonFlatten.register(s)
+      Tables.events(s, dir)
+        .select(col("event_id"), size(map_keys(callUDF("flatten_json", col("props")))).as("n_cols"))
+        .groupBy(col("n_cols")).agg(count(lit(1)).as("n_events"))
+    }),
+
+    // L4: load-file type coercion with discards side-output
+    // (warehouse/slave/worker.go:404-448 + HandleSchemaChange :637-696):
+    // values that can't coerce to the target schema type are routed to
+    // rudder_discards instead of silently dropped. Here: `value` must
+    // coerce to int (integral doubles pass, fractional discard).
+    "l4_coercion_discards" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("value") === floor(col("value")), col("value").cast("long")).as("value_int"))
+        .withColumn("status", when(col("value_int").isNull, lit("discarded")).otherwise(lit("loaded")))
+        .groupBy(col("event_type"), col("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // L3: schema consolidation — first-seen-type-wins merge across
+    // staging schemas (warehouse/schema/schema.go:294-313): per key,
+    // the type of the earliest event wins; text dominates string.
+    "l3_schema_consolidation" -> ((s, dir) => {
+      JsonFlatten.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), explode(callUDF("flatten_json_types", col("props"))).as(Seq("key", "type")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key"), col("type").as("winning_type"), col("event_id").as("first_seen_event"))
+    }),
+
+    // W10: full-event capture — rudder_event JSON column
+    // (set.go:189-228): canonical JSON of selected fields.
+    "w10_full_event" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          concat(lit("{\"event_id\":"), col("event_id").cast("string"),
+            lit(",\"event_type\":\""), col("event_type"), lit("\"}")).as("rudder_event"))
+        .orderBy(col("event_id")).limit(100)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w7_multitable_fanout" ->
+      """SELECT table_name, COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         FROM (
+           SELECT 'tracks' AS table_name, event_id FROM events
+           UNION ALL
+           SELECT event_type AS table_name, event_id FROM events) t
+         GROUP BY table_name""",
+    "w2_flatten_props" ->
+      """SELECT event_id, 'k' AS key, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS val_int,
+                regexp_extract(props, '"k":\s*(-?\d+)', 1) AS val
+         FROM events WHERE props LIKE '%"k"%'""",
+    "w4_column_rules" ->
+      """SELECT event_id AS id, user_id, epoch_us(ts) AS received_at_us,
+                event_type AS event_text, COALESCE(value, 0.0) AS value
+         FROM events""",
+    "e1_schema_inference" ->
+      """SELECT event_type, 'k' AS key,
+                CASE WHEN regexp_matches(regexp_extract(props, '"k":\s*(-?\d+(\.\d+)?)', 1), '^-?\d+$')
+                     THEN 'int' ELSE 'float' END AS type,
+                COUNT(*) AS n
+         FROM events WHERE props LIKE '%"k"%'
+         GROUP BY 1, 2, 3""",
+    "w6_safe_names" ->
+      """SELECT raw,
+           CASE WHEN mangled IN ('select','from','where','group','order','by','table','column',
+                                 'insert','update','delete','join','union','all','and','or',
+                                 'not','null','true','false','case','when','then','else','end',
+                                 'user','partition','default','primary','key','index','view')
+                  OR regexp_matches(mangled, '^[0-9]')
+                THEN '_' || mangled ELSE mangled END AS safe
+         FROM (
+           SELECT raw, lower(regexp_replace(regexp_replace(trim(raw),
+                    '([a-z0-9])([A-Z])', '\1_\2', 'g'), '[^a-zA-Z0-9]+', '_', 'g')) AS mangled
+           FROM (VALUES ('userId'),('camelCaseColumn'),('context.screen.density'),('1invalid'),
+                        ('select'),('group'),('with  spaces'),('trailing-dash-'),('UPPERCASE'),
+                        ('mixedUPPERCase'),('a'),('42'),('email-address'),('revenue($)')) v(raw)) t""",
+    "w8_merge_rules" ->
+      """SELECT DISTINCT 'anon_' || CAST(user_id % 37 AS VARCHAR) AS merge_property_1,
+                         'user_' || CAST(user_id AS VARCHAR) AS merge_property_2
+         FROM events""",
+    "w9_column_guard" ->
+      """SELECT 1 AS n_cols, COUNT(*) AS n_events FROM events WHERE props LIKE '%"k"%'""",
+    "l4_coercion_discards" ->
+      """SELECT event_type,
+                CASE WHEN value = floor(value) THEN 'loaded' ELSE 'discarded' END AS status,
+                COUNT(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "l3_schema_consolidation" ->
+      """SELECT 'k' AS key,
+                CASE WHEN regexp_matches(regexp_extract(props, '"k":\s*(-?\d+(\.\d+)?)', 1), '^-?\d+$')
+                     THEN 'int' ELSE 'float' END AS winning_type,
+                event_id AS first_seen_event
+         FROM events WHERE props LIKE '%"k"%'
+         ORDER BY event_id LIMIT 1""",
+    "w10_full_event" ->
+      """SELECT event_id,
+                '{"event_id":' || CAST(event_id AS VARCHAR) || ',"event_type":"' || event_type || '"}' AS rudder_event
+         FROM events ORDER BY event_id LIMIT 100"""
+  )
+}
