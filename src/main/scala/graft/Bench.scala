@@ -13,15 +13,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // (time, rows, error) per query — a query that throws is reported
+    // as an error, never silently benched green.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (rows, err) =
+        try (fn(spark, sfDir).count(), None)
+        catch { case e: Throwable => (-1L, Some(e.toString.takeWhile(_ != '\n').take(200))) }
+      (name, (System.nanoTime() - t0) / 1e9, rows, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rowCounts = results.map { case (k, _, r, _) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowCounts,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

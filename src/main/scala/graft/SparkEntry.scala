@@ -14,7 +14,10 @@ object SparkEntry {
   private def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (operators.Relational.defs, operators.Relational.oracles),
     (operators.Warehouse.defs, operators.Warehouse.oracles),
-    (operators.Identity.defs, operators.Identity.oracles)
+    (operators.Identity.defs, operators.Identity.oracles),
+    (operators.Dedup.defs, operators.Dedup.oracles),
+    (operators.Similarity.defs, operators.Similarity.oracles),
+    (operators.TextAnalysis.defs, operators.TextAnalysis.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators over the `documents` table —
+  * the LLM-pipeline extensions the brief demands beyond the reference's
+  * own surface (SURVEY §7.1 step 9): exact dedup, MinHash-LSH near-dup,
+  * SimHash near-dup, and exact n-gram Jaccard.
+  *
+  * All hashing is md5-on-UTF8 so the DuckDB oracle computes the exact
+  * same signatures — correctness checks verify the *algorithm*, not
+  * just row counts.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup: one hash-shuffle on content hash, map-side partial
+  *     agg; never compares texts pairwise.
+  *   - MinHash: shingling + signature mins are map-side (one shuffle on
+  *     doc_id carrying only 16 hex strings per doc); candidate pairs
+  *     come from a *band-bucket* self-join (shuffle on band key — the
+  *     LSH bucket shuffle), never an all-pairs cartesian.
+  *   - SimHash: candidate pairs from 4-bit-chunk pigeonhole buckets;
+  *     hamming<=3 implies at least one of 4 chunks equal, so bucketed
+  *     candidate generation has recall 1.0 by construction — the
+  *     brute-force oracle is provably equivalent.
+  *   - n-gram Jaccard: inverted-index join on shingle (docs sharing no
+  *     shingle have J=0 and are never paired); at larger scale add
+  *     prefix filtering on rare shingles to cap bucket fan-out.
+  */
+object Dedup {
+
+  /** Simulated two-crawl corpus: the base documents plus a second crawl
+    * of the same pages. `perturb=false` duplicates texts exactly (exact
+    * dedup input); `perturb=true` drops the first word of each copy
+    * (near-dup input). Mirrored verbatim in the oracle SQL.
+    */
+  private[operators] def corpus(s: SparkSession, dir: String, perturb: Boolean): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val copy =
+      if (perturb)
+        d.select((col("doc_id") + 10000L).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      else
+        d.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    d.unionByName(copy)
+  }
+
+  private val corpusSqlExact =
+    """(SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 10000, text FROM documents)"""
+
+  private val corpusSqlPerturbed =
+    """(SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1) FROM documents)"""
+
+  /** Distinct word-3-gram shingles of `text`, exploded to one row per
+    * (doc_id, shingle). Narrow (map-side) transformation.
+    */
+  private[operators] def shingles(df: DataFrame): DataFrame =
+    df.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+          .as("sh"))
+
+  private val shinglesSql = // mirrors shingles(): 1-based list indexing
+    """SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+       WHERE len(w) >= 3"""
+
+  private val nSig = 16 // MinHash signature length; 4 bands x 4 rows
+
+  /** MinHash signatures: per doc, min md5("<i>:" + shingle) per seed i.
+    * One shuffle on doc_id; partial min aggregation runs map-side.
+    */
+  private[operators] def minhashSignatures(sh: DataFrame): DataFrame = {
+    val aggs = (0 until nSig).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"s$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** 16-bit SimHash of the word multiset: bit i set when the sum of
+    * (+1 if hex digit i of md5(word) >= 8 else -1) over words is > 0.
+    */
+  private[operators] def simhash(df: DataFrame): DataFrame = {
+    val words = df.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val contribs = (0 until 16).map(i =>
+      sum(when(conv(substring(md5(col("w")), i + 1, 1), 16, 10).cast("int") >= 8, 1)
+        .otherwise(-1)).as(s"c$i"))
+    words.groupBy(col("doc_id")).agg(contribs.head, contribs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(i =>
+          when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // Exact dedup: content-hash groupBy. The canonical 100 TB dedup —
+    // a single shuffle on md5(text), no pairwise comparison ever.
+    "ll1_exact_dedup" -> ((s, dir) => {
+      corpus(s, dir, perturb = false)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+    }),
+
+    // MinHash-LSH near-dup: shingle -> 16 minhashes -> 4 band keys ->
+    // band-bucket self-join for candidates -> signature-overlap verify.
+    "ll2_minhash_neardup" -> ((s, dir) => {
+      val sigs = minhashSignatures(shingles(corpus(s, dir, perturb = true)))
+      val banded = sigs.select(col("doc_id") +: (0 until 4).map(b =>
+        md5(concat_ws(",", (0 until 4).map(r => col(s"s${4 * b + r}")): _*)).as(s"b$b")): _*)
+      val bandRows = banded.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"b$b")): _*)).as(Seq("band", "bkey")))
+      val cand = bandRows.as("x").join(bandRows.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sigs.as("A"), col("doc_a") === col("A.doc_id"))
+        .join(sigs.as("B"), col("doc_b") === col("B.doc_id"))
+        .withColumn("n_match",
+          (0 until nSig).map(i =>
+            when(col(s"A.s$i") === col(s"B.s$i"), 1).otherwise(0)).reduce(_ + _).cast("long"))
+        .filter(col("n_match") >= 8)
+        .select(col("doc_a"), col("doc_b"), col("n_match"),
+          (col("n_match") / lit(16.0)).as("est_sim"))
+    }),
+
+    // SimHash near-dup: 16-bit fingerprints, candidates from 4-bit
+    // chunk buckets (pigeonhole: hamming<=3 => >=1 chunk equal, so
+    // recall is exactly 1.0 vs the oracle's brute force).
+    "ll5_simhash_neardup" -> ((s, dir) => {
+      val sh = simhash(corpus(s, dir, perturb = true))
+      val nib = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), 4 * c).bitwiseAND(lit(15L))): _*)).as(Seq("chunk", "nibble")))
+      nib.as("x").join(nib.as("y"),
+          col("x.chunk") === col("y.chunk") && col("x.nibble") === col("y.nibble") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+        .distinct()
+        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
+
+    // Exact n-gram Jaccard near-dup via inverted-index join: pairs are
+    // generated only for docs sharing a shingle (J>0), never all-pairs.
+    "ll6_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingles(corpus(s, dir, perturb = true))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .withColumn("jaccard",
+          col("n_common") / (col("za.sz") + col("zb.sz") - col("n_common")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+    })
+  )
+
+  private def sigSelect(prefix: String): String =
+    (0 until nSig).map(i => s"min(md5('$i:' || sh)) AS $prefix$i").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "ll1_exact_dedup" ->
+      s"""SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+          FROM $corpusSqlExact GROUP BY 1""",
+    "ll2_minhash_neardup" -> {
+      val bandSql = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(" +
+          (0 until 4).map(r => s"s${4 * b + r}").mkString(" || ',' || ") +
+          ") AS bkey FROM sig").mkString("\n UNION ALL ")
+      val matchSql = (0 until nSig)
+        .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH corpus AS $corpusSqlPerturbed,
+          sh AS ($shinglesSql),
+          sig AS (SELECT doc_id, ${sigSelect("s")} FROM sh GROUP BY doc_id),
+          band AS ($bandSql),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM band x JOIN band y
+                     ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          v AS (SELECT doc_a, doc_b, CAST($matchSql AS BIGINT) AS n_match
+                FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id)
+          SELECT doc_a, doc_b, n_match, n_match / 16.0 AS est_sim
+          FROM v WHERE n_match >= 8"""
+    },
+    "ll5_simhash_neardup" -> {
+      val contribSql = (0 until 16).map(i =>
+        s"SUM(CASE WHEN CAST('0x' || substr(md5(w), ${i + 1}, 1) AS BIGINT) >= 8 THEN 1 ELSE -1 END) AS c$i")
+        .mkString(", ")
+      val bitsSql = (0 until 16).map(i =>
+        s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH corpus AS $corpusSqlPerturbed,
+          sums AS (SELECT doc_id, $contribSql
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+                   GROUP BY doc_id),
+          sh AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM sums)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    },
+    "ll6_ngram_jaccard" ->
+      s"""WITH corpus AS $corpusSqlPerturbed,
+          sh AS ($shinglesSql),
+          sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+          inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+                    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, n_common,
+                 n_common / (za.sz + zb.sz - n_common) AS jaccard
+          FROM inter
+          JOIN sz za ON doc_a = za.doc_id
+          JOIN sz zb ON doc_b = zb.doc_id
+          WHERE n_common / (za.sz + zb.sz - n_common) >= 0.6"""
+  )
+}

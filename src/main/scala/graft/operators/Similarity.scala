@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors)
+  * — the ANN half of the LLM-pipeline extensions.
+  *
+  * Three strategies, from exact baseline to scale path:
+  *   - ll3 brute-force top-k: broadcast the (small) query set against
+  *     the corpus scan; per-corpus-row dot products fuse into one
+  *     codegen'd map stage; top-k per query via window row_number.
+  *     At 100 TB the corpus side streams — this is the exact-recall
+  *     baseline, linear in corpus size.
+  *   - ll4 IVF: identical scoring, but the corpus scan is restricted to
+  *     the query's cell (here the pre-assigned `label` column stands in
+  *     for the coarse quantizer's cell id). On a partitioned-by-cell
+  *     layout this is partition pruning: only 1/k of the corpus is read.
+  *   - ll7 random-hyperplane LSH: 8 deterministic md5-derived {-1,+1}
+  *     hyperplanes hash each vector to an 8-bit bucket; search only
+  *     compares within-bucket candidates (expected corpus/256 per
+  *     probe). Bucketing is a narrow map; the only shuffle is the
+  *     groupBy bucket.
+  *
+  * All arithmetic is float->double elementwise products summed in
+  * element order, mirrored exactly by the oracle's list_sum over
+  * list_transform, so similarity values are bit-comparable.
+  */
+object Similarity {
+
+  /** Sum of elementwise double products, sequential fold in element
+    * order (deterministic, bit-identical to the oracle's list_sum).
+    */
+  private def dotExpr(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm",
+      expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+
+  /** Deterministic {-1,+1} hyperplane component: +1 iff the first hex
+    * digit of md5("h<j>:<i>") is >= 8. Same formula in the oracle SQL.
+    */
+  private[operators] def hyperplane(j: Int, dim: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val h = md.digest(s"h$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) >= 8) 1 else -1
+    }.toArray
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // Brute-force cosine top-5 for queries vec_id < 10. Exact baseline.
+    "ll3_ann_topk" -> ((s, dir) => {
+      val e = withNorm(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")).filter(col("query_id") < 10)
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("dot", dotExpr("q_emb", "embedding"))
+        .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+      topK(scored, 5)
+    }),
+
+    // IVF-style cell-restricted search: only candidates in the query's
+    // cell (label) are scored — partition pruning at scale.
+    "ll4_ann_ivf" -> ((s, dir) => {
+      val e = withNorm(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label")))
+      val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label")).filter(col("query_id") < 10)
+      val scored = e.join(broadcast(q),
+          col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+        .withColumn("dot", dotExpr("q_emb", "embedding"))
+        .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+      topK(scored, 5)
+    }),
+
+    // Random-hyperplane LSH bucketing: 8-bit signature per vector.
+    // Output is the bucket histogram (the candidate-generation side of
+    // LSH ANN; within-bucket rerank then mirrors ll3 on ~1/256 of the
+    // corpus per query).
+    "ll7_ann_lsh_buckets" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val dims = 64
+      val withDots = (0 until 8).foldLeft(e) { (df, j) =>
+        df.withColumn(s"d$j", dotExpr("embedding", s"array(${hyperplane(j, dims).mkString(",")})"))
+      }
+      withDots
+        .withColumn("bucket",
+          (0 until 8).map(j =>
+            when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
+    })
+  )
+
+  private val normSql =
+    "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  private def annOracle(cellFilter: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding, label, $normSql AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label, nrm AS q_nrm
+              FROM e WHERE vec_id < 10),
+        p AS (SELECT query_id, vec_id,
+                list_sum(list_transform(range(1, 65),
+                  i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS dot,
+                q_nrm, nrm
+              FROM q, e WHERE vec_id <> query_id $cellFilter),
+        r AS (SELECT query_id, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY dot / sqrt(q_nrm * nrm) DESC, vec_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+        FROM r WHERE rank <= 5"""
+
+  val oracles: Map[String, String] = Map(
+    "ll3_ann_topk" -> annOracle(""),
+    "ll4_ann_ivf" -> annOracle("AND label = q_label"),
+    "ll7_ann_lsh_buckets" -> {
+      val bitsSql = (0 until 8).map(j =>
+        s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      val dotsSql = (0 until 8).map { j =>
+        val hv = hyperplane(j, 64)
+        s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * hv$j[i])) AS d$j"
+      }.mkString(", ")
+      val hvDefs = (0 until 8).map { j =>
+        s"[${hyperplane(j, 64).mkString(", ")}]::DOUBLE[] AS hv$j"
+      }.mkString(", ")
+      s"""WITH h AS (SELECT $hvDefs),
+          d AS (SELECT vec_id, $dotsSql FROM embeddings, h),
+          b AS (SELECT vec_id, CAST($bitsSql AS BIGINT) AS bucket FROM d)
+          SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+          FROM b GROUP BY bucket"""
+    }
+  )
+}

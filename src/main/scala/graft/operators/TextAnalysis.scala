@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators over the `documents` table — the remaining
+  * LLM-pipeline extensions: language ID, quality scoring, token
+  * counting, and winnowing-style document fingerprinting.
+  *
+  * Every operator is a narrow per-document map (plus at most one
+  * doc_id-keyed aggregation), so all of them scale embarrassingly:
+  * at 100 TB they run as one codegen'd pass over the text column with
+  * no cross-document shuffle (the fingerprint op shuffles only the
+  * per-doc fingerprint hashes, never text).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic. Fixed and mirrored in the oracle — the
+    * check verifies the scoring pipeline, not linguistic truth.
+    */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "de", "et"))
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val defs: Map[String, Q] = Map(
+
+    // Language ID: score = stopword hits per language; prediction =
+    // first language (in fixed order) achieving the max score, or
+    // 'unknown' when all scores are 0.
+    "ta1_lang_id" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+      val scored = stopwords.foldLeft(base) { case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang",
+          expr(s"CAST(size(filter(ws, w -> w IN ${inList(words)})) AS BIGINT)"))
+      }
+      val best = greatest(stopwords.map { case (l, _) => col(s"s_$l") }: _*)
+      // first-match-wins in list order, like the oracle's CASE chain
+      val predFirst = stopwords.reverse.foldLeft(lit("unknown")) { case (acc, (lang, _)) =>
+        when(best > 0 && col(s"s_$lang") === best, lit(lang)).otherwise(acc)
+      }
+      scored.select(col("doc_id") +: col("lang").as("labeled_lang") +:
+        stopwords.map { case (l, _) => col(s"s_$l") } :+ predFirst.as("predicted"): _*)
+    }),
+
+    // Quality scoring: length / word-shape / stopword-ratio heuristics
+    // with a keep/flag verdict.
+    "ta2_quality_score" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("avg_word_len",
+          (col("n_chars") - (col("n_words") - 1)) / col("n_words"))
+        .withColumn("stop_hits",
+          expr(s"CAST(size(filter(ws, w -> w IN ${inList(stopwords.head._2)})) AS BIGINT)"))
+        .withColumn("stop_ratio", col("stop_hits") / col("n_words"))
+        .withColumn("verdict",
+          when(col("n_words").between(20, 100) && col("avg_word_len") < 8 &&
+            col("stop_ratio") >= 0.02, lit("keep")).otherwise(lit("flag")))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("avg_word_len"), col("stop_ratio"), col("verdict"))
+    }),
+
+    // Token counting: whitespace tokens and a BPE-ish regex token
+    // count (letter runs / digit runs / single other chars).
+    "ta3_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+            .as("n_re_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+    }),
+
+    // Winnowing fingerprint: md5 of word bigrams, min-hash per sliding
+    // window of 4 positions, distinct mins = the document fingerprint.
+    "ta4_fingerprint" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 5)
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, size(ws) - 2), i -> md5(concat_ws(' ', ws[i], ws[i+1])))"))
+            .as(Seq("pos", "h")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, 3)
+      val n = Window.partitionBy(col("doc_id"))
+      grams
+        .withColumn("fp", min(col("h")).over(w))
+        .withColumn("n_grams", count(lit(1)).over(n))
+        .filter(col("pos") <= col("n_grams") - 4)
+        .select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ta1_lang_id" -> {
+      val scoreSql = stopwords.map { case (l, ws) =>
+        s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      val bestSql = "greatest(" + stopwords.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val predSql = "CASE " + stopwords.map { case (l, _) =>
+        s"WHEN $bestSql > 0 AND s_$l = $bestSql THEN '$l'"
+      }.mkString(" ") + " ELSE 'unknown' END"
+      s"""SELECT doc_id, labeled_lang, ${stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")},
+            $predSql AS predicted
+          FROM (SELECT doc_id, lang AS labeled_lang, $scoreSql FROM documents)"""
+    },
+    "ta2_quality_score" ->
+      s"""SELECT doc_id, n_words, n_chars,
+            (n_chars - (n_words - 1)) / n_words AS avg_word_len,
+            stop_hits / n_words AS stop_ratio,
+            CASE WHEN n_words BETWEEN 20 AND 100
+                  AND (n_chars - (n_words - 1)) / n_words < 8
+                  AND stop_hits / n_words >= 0.02
+                 THEN 'keep' ELSE 'flag' END AS verdict
+          FROM (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ${inList(stopwords.head._2)})) AS BIGINT) AS stop_hits
+                FROM documents)""",
+    "ta3_token_stats" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents""",
+    "ta4_fingerprint" ->
+      """WITH grams AS (
+           SELECT doc_id, i - 1 AS pos, md5(w[i] || ' ' || w[i + 1]) AS h
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE len(string_split(text, ' ')) >= 5))),
+         fps AS (
+           SELECT doc_id, pos,
+                  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+           FROM grams)
+         SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp
+         FROM (SELECT DISTINCT doc_id, fp FROM fps WHERE pos <= n_grams - 4)
+         GROUP BY doc_id"""
+  )
+}
