@@ -15,6 +15,7 @@ object SparkEntry {
     (operators.Relational.defs, operators.Relational.oracles),
     (operators.Warehouse.defs, operators.Warehouse.oracles),
     (operators.Identity.defs, operators.Identity.oracles),
+    (operators.WarehouseNested.defs, operators.WarehouseNested.oracles),
     (operators.Dedup.defs, operators.Dedup.oracles),
     (operators.Similarity.defs, operators.Similarity.oracles),
     (operators.TextAnalysis.defs, operators.TextAnalysis.oracles)

@@ -54,8 +54,13 @@ object JsonFlatten {
     out.toMap
   }
 
-  /** Flatten with inferred warehouse types (path → type). */
-  def flattenTypes(json: String, maxDepth: Int = 3): Map[String, String] = {
+  /** Flatten with inferred warehouse types (path → type).
+    * @param redshiftText apply the Redshift `text` override: strings
+    *   longer than 512 UTF-16 units become `text` (datatype.go:68-96,
+    *   limit transformer.go:32).
+    */
+  def flattenTypes(json: String, maxDepth: Int = 3,
+                   redshiftText: Boolean = false): Map[String, String] = {
     if (json == null) return null
     val root =
       try mapper.readTree(json)
@@ -70,7 +75,7 @@ object JsonFlatten {
           val v = e.getValue
           if (v.isObject && depth < maxDepth) walk(v, path, depth + 1)
           else if (v.isNull) ()
-          else out(path) = inferType(v)
+          else out(path) = inferType(v, redshiftText)
         }
       }
     }
@@ -79,21 +84,28 @@ object JsonFlatten {
   }
 
   /** Warehouse type of a JSON value — datatype.go:11-48 semantics. */
-  def inferType(v: JsonNode): String = {
+  def inferType(v: JsonNode, redshiftText: Boolean = false): String = {
     if (v.isBoolean) "boolean"
     else if (v.isIntegralNumber) "int"
     else if (v.isNumber) {
       // JSON numbers are float64 in the reference; integral floats
-      // reclassify as int (datatype.go getFloatType :39-48)
-      val d = v.asDouble()
-      if (d == Math.floor(d) && !d.isInfinite && Math.abs(d) < 1e15) "int" else "float"
+      // reclassify as int via an exact big-decimal integrality test
+      // with no magnitude cap (datatype.go getFloatType :39-48 uses
+      // big.Float.IsInt — 1e16 is int there, so it is here too).
+      val bd = v.decimalValue().stripTrailingZeros()
+      if (bd.scale() <= 0) "int" else "float"
     } else if (v.isTextual) {
-      if (timestampRe.findFirstIn(v.asText()).isDefined) "datetime" else "string"
+      val s = v.asText()
+      if (timestampRe.findFirstIn(s).isDefined) "datetime"
+      else if (redshiftText && s.length > 512) "text"
+      else "string"
     } else "json"
   }
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("flatten_json", (s: String) => flatten(s))
     spark.udf.register("flatten_json_types", (s: String) => flattenTypes(s))
+    spark.udf.register("flatten_json_types_redshift",
+      (s: String) => flattenTypes(s, redshiftText = true))
   }
 }

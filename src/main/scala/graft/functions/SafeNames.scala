@@ -23,18 +23,26 @@ object SafeNames {
     "not", "null", "true", "false", "case", "when", "then", "else", "end",
     "user", "partition", "default", "primary", "key", "index", "view")
 
-  /** camelCase / free-text → snake_case identifier.
-    * Steps mirror the oracle SQL exactly:
-    *   1. boundary underscore between [a-z0-9] and [A-Z]
-    *   2. non-alphanumeric runs → '_'
-    *   3. lowercase
-    *   4. digit-start → '_' prefix
-    *   5. reserved word → '_' prefix
+  /** camelCase / free-text → snake_case identifier, with the lodash
+    * snakecase boundary rules the reference uses (internal/snakecase +
+    * safe.go): "HTMLParser"→"html_parser", "abc123"→"abc_123",
+    * "v2Test"→"v_2_test". Steps mirror the oracle SQL exactly:
+    *   1. boundary between [a-z] and [A-Z]           (camelCase)
+    *   2. boundary between ALLCAPS run and Word       (HTMLParser)
+    *   3. boundary between letter and digit           (abc123)
+    *   4. boundary between digit and letter           (2Test / 2test)
+    *   5. non-alphanumeric runs → '_'
+    *   6. lowercase
+    *   7. digit-start → '_' prefix
+    *   8. reserved word → '_' prefix
     */
   def toSafeName(raw: String): String = {
     if (raw == null) return null
     var s = raw.trim
-    s = s.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+    s = s.replaceAll("([a-z])([A-Z])", "$1_$2")
+    s = s.replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
+    s = s.replaceAll("([A-Za-z])([0-9])", "$1_$2")
+    s = s.replaceAll("([0-9])([A-Za-z])", "$1_$2")
     s = s.replaceAll("[^a-zA-Z0-9]+", "_")
     s = s.toLowerCase
     if (s.nonEmpty && s.charAt(0).isDigit) s = "_" + s

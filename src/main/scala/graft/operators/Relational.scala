@@ -175,18 +175,31 @@ object Relational {
         .distinct()
     }),
 
-    // Users latest-trait aggregation — for each user take latest
-    // non-null trait by received_at (postgres load.go:380-470, L7).
+    // Users latest-trait aggregation — for EACH trait column
+    // independently, the latest non-null value per user (postgres
+    // load.go:413-431: per-column `ORDER BY received_at WHERE x IS NOT
+    // NULL LIMIT 1` subquery — NOT latest-row-wins). Trait columns are
+    // derived sparsely from the event stream so most rows carry nulls
+    // in most traits, exercising the per-column semantics: a user
+    // whose newest event lacks a trait keeps the older non-null value.
+    // One shuffle on user_id; last(ignoreNulls) over an unbounded
+    // frame computes all columns in a single window pass.
     "q11_users_latest_traits" -> ((s, dir) => {
+      val traits = Tables.events(s, dir).select(
+        col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", col("value")).as("trait_view_value"),
+        when(col("event_type") === "click", get_json_object(col("props"), "$.k"))
+          .as("trait_click_k"),
+        when(col("event_type") === "purchase", col("value")).as("trait_purchase_value"))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      Tables.events(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      traits.select(
           col("user_id"),
-          col("event_type").as("last_event_type"),
-          col("value").as("last_value"))
+          last(col("trait_view_value"), ignoreNulls = true).over(w).as("trait_view_value"),
+          last(col("trait_click_k"), ignoreNulls = true).over(w).as("trait_click_k"),
+          last(col("trait_purchase_value"), ignoreNulls = true).over(w).as("trait_purchase_value"))
+        .distinct()
     }),
 
     // Grouped having — rsources completion predicate shape
@@ -273,10 +286,18 @@ object Relational {
     "q10_union_distinct" ->
       "SELECT user_id AS id FROM events UNION SELECT o_custkey AS id FROM orders",
     "q11_users_latest_traits" ->
-      """SELECT user_id, event_type AS last_event_type, value AS last_value FROM (
-           SELECT user_id, event_type, value,
-                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-           FROM events) t WHERE rn = 1""",
+      """SELECT DISTINCT user_id,
+           last_value(trait_view_value IGNORE NULLS) OVER w AS trait_view_value,
+           last_value(trait_click_k IGNORE NULLS) OVER w AS trait_click_k,
+           last_value(trait_purchase_value IGNORE NULLS) OVER w AS trait_purchase_value
+         FROM (
+           SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN value END AS trait_view_value,
+             CASE WHEN event_type = 'click' THEN json_extract_string(props, '$.k') END AS trait_click_k,
+             CASE WHEN event_type = 'purchase' THEN value END AS trait_purchase_value
+           FROM events) t
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "q12_rsources_stats" ->
       """SELECT user_id, COUNT(*) AS n_in,
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,

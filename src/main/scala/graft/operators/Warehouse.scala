@@ -25,7 +25,9 @@ object Warehouse {
   private val nameFixture = Seq(
     "userId", "camelCaseColumn", "context.screen.density", "1invalid",
     "select", "group", "with  spaces", "trailing-dash-", "UPPERCASE",
-    "mixedUPPERCase", "a", "42", "email-address", "revenue($)")
+    "mixedUPPERCase", "a", "42", "email-address", "revenue($)",
+    "HTMLParser", "abc123", "v2Test", "XMLHttpRequest", "SCREAMING_SNAKE",
+    "order")
 
   val defs: Map[String, Q] = Map(
 
@@ -181,11 +183,17 @@ object Warehouse {
                   OR regexp_matches(mangled, '^[0-9]')
                 THEN '_' || mangled ELSE mangled END AS safe
          FROM (
-           SELECT raw, lower(regexp_replace(regexp_replace(trim(raw),
-                    '([a-z0-9])([A-Z])', '\1_\2', 'g'), '[^a-zA-Z0-9]+', '_', 'g')) AS mangled
+           SELECT raw, lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim(raw),
+                    '([a-z])([A-Z])', '\1_\2', 'g'),
+                    '([A-Z]+)([A-Z][a-z])', '\1_\2', 'g'),
+                    '([A-Za-z])([0-9])', '\1_\2', 'g'),
+                    '([0-9])([A-Za-z])', '\1_\2', 'g'),
+                    '[^a-zA-Z0-9]+', '_', 'g')) AS mangled
            FROM (VALUES ('userId'),('camelCaseColumn'),('context.screen.density'),('1invalid'),
                         ('select'),('group'),('with  spaces'),('trailing-dash-'),('UPPERCASE'),
-                        ('mixedUPPERCase'),('a'),('42'),('email-address'),('revenue($)')) v(raw)) t""",
+                        ('mixedUPPERCase'),('a'),('42'),('email-address'),('revenue($)'),
+                        ('HTMLParser'),('abc123'),('v2Test'),('XMLHttpRequest'),('SCREAMING_SNAKE'),
+                        ('order')) v(raw)) t""",
     "w8_merge_rules" ->
       """SELECT DISTINCT 'anon_' || CAST(user_id % 37 AS VARCHAR) AS merge_property_1,
                          'user_' || CAST(user_id AS VARCHAR) AS merge_property_2
