@@ -16,6 +16,9 @@ object SparkEntry {
     (operators.Warehouse.defs, operators.Warehouse.oracles),
     (operators.Identity.defs, operators.Identity.oracles),
     (operators.WarehouseNested.defs, operators.WarehouseNested.oracles),
+    (operators.WarehouseRows.defs, operators.WarehouseRows.oracles),
+    (operators.Transforms.defs, operators.Transforms.oracles),
+    (operators.Coercion.defs, operators.Coercion.oracles),
     (operators.Dedup.defs, operators.Dedup.oracles),
     (operators.Similarity.defs, operators.Similarity.oracles),
     (operators.TextAnalysis.defs, operators.TextAnalysis.oracles)

@@ -1,0 +1,257 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-level transform operators — SURVEY §2.2: the preprocess-stage
+  * gates the reference applies per event before fan-out. Each is a
+  * declarative filter/join so Catalyst pushes the predicates to the
+  * scan and the drops happen before any shuffle (PushDownPredicates —
+  * the reference's "short-circuit before fan-out" optimization is free
+  * here, SURVEY §4).
+  *
+  * Identity fields are synthesized deterministically from the event
+  * stream (the generated testdata has no anonymousId/messageId
+  * columns); the synthesis is mirrored verbatim in the oracle SQL, so
+  * the checks verify the operator semantics over a non-degenerate
+  * input distribution.
+  */
+object Transforms {
+
+  private def k = get_json_object(col("props"), "$.k").cast("long")
+
+  val defs: Map[String, Q] = Map(
+
+    // T2: event blocking filter — drop events whose (eventType) is in
+    // the workspace blocklist (gateway/handle.go:604-634, drop at
+    // processor.go:2038-2063). Broadcast anti-join shape.
+    "t2_event_blocking" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val blocklist = Seq("error", "signup").toDF("event_type")
+      Tables.events(s, dir)
+        .join(broadcast(blocklist), Seq("event_type"), "left_anti")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // T3: non-identifiable reject — events with neither anonymousId
+    // nor userId are rejected (gateway/handle.go:555-573).
+    "t3_nonidentifiable_reject" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("uid",
+          when(col("event_id") % 2 === 0, concat(lit("user_"), col("user_id"))))
+        .withColumn("anon",
+          when(col("event_id") % 3 === 0, concat(lit("anon_"), col("user_id") % 37)))
+        .withColumn("status",
+          when(coalesce(col("uid"), col("anon")).isNotNull, lit("accepted"))
+            .otherwise(lit("rejected")))
+        .groupBy(col("event_type"), col("status")).agg(count(lit(1)).as("n"))
+    }),
+
+    // T4: bot enrichment/flag — stamp is_bot/bot_name from context
+    // (internal/enricher/bot.go:23-58); here derived from the payload.
+    "t4_bot_flag" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("is_bot", k % 7 === 0)
+        .withColumn("bot_name",
+          when(col("is_bot"), concat(lit("bot_"), k % 3)))
+        .groupBy(col("event_type"), col("is_bot"), col("bot_name"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // T6: exactly-once dedup keyed on (messageId, jobRunId) — first
+    // occurrence wins (services/dedup/dedup.go:43-106; key
+    // processor.go:1941-1944). Batch form: row_number over the key,
+    // ordered by arrival; streaming form is
+    // dropDuplicatesWithinWatermark (graft.streaming).
+    "t6_exactly_once_dedup" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("message_id"), col("job_run_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("message_id", concat(lit("msg_"), col("event_id") % 4000))
+        .withColumn("job_run_id", concat(lit("jr_"), col("event_id") % 2))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("message_id"), col("job_run_id"), col("event_id").as("first_event_id"))
+    }),
+
+    // T7: timestamp normalization / clock-skew correction
+    // (processor.go:1026-1054): corrected = receivedAt - sentAt +
+    // originalTimestamp. All arithmetic in integer microseconds.
+    "t7_timestamp_skew" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("original_us", unix_micros(col("ts")))
+        .withColumn("sent_us", col("original_us") + (col("event_id") % 300) * 1000000L)
+        .withColumn("received_us", col("original_us") + 120000000L)
+        .select(col("event_id"),
+          col("received_us"),
+          (col("received_us") - col("sent_us") + col("original_us")).as("corrected_us"))
+    }),
+
+    // T9: consent gate — drop (event, destination) pairs whose denied
+    // consent category matches the destination's required category
+    // (processor/consent.go:44-95; the and/or resolution strategies
+    // reduce to this arrays_overlap predicate per destination).
+    "t9_consent_filter" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val dests = Seq(
+        ("webhook", Some("cat0")), ("warehouse", Some("cat1")),
+        ("kafka", Some("cat2")), ("braze", None))
+        .toDF("destination", "required_consent")
+      Tables.events(s, dir)
+        .withColumn("denied_consent", concat(lit("cat"), k % 3))
+        .join(broadcast(dests))
+        .filter(col("required_consent").isNull ||
+          col("required_consent") =!= col("denied_consent"))
+        .groupBy(col("destination")).agg(count(lit(1)).as("n_delivered"))
+    }),
+
+    // T10: client-side integrations gate —
+    // coalesce(integrations[dest], integrations['All'], true)
+    // (processor.go:2380, integrations.FilterClientIntegrations).
+    "t10_integrations_filter" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val dests = Seq("webhook", "warehouse").toDF("destination")
+      Tables.events(s, dir)
+        .withColumn("all_flag", k % 2 === 0)
+        .join(broadcast(dests))
+        // webhook has an explicit entry for k%3 in {0,1}; warehouse never
+        .withColumn("dest_flag",
+          when(col("destination") === "webhook" && k % 3 === 0, lit(true))
+            .when(col("destination") === "webhook" && k % 3 === 1, lit(false)))
+        .filter(coalesce(col("dest_flag"), col("all_flag"), lit(true)))
+        .groupBy(col("destination")).agg(count(lit(1)).as("n_allowed"))
+    }),
+
+    // T12: per-destination message-type allowlist
+    // (processor/eventfilter/eventfilter.go:24-126).
+    "t12_message_type_filter" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val allowed = Seq(
+        ("warehouse", "purchase"), ("warehouse", "click"), ("warehouse", "view"),
+        ("warehouse", "signup"), ("warehouse", "error"),
+        ("webhook", "purchase"), ("webhook", "click"),
+        ("kafka", "view")).toDF("destination", "event_type")
+      Tables.events(s, dir)
+        .join(broadcast(allowed), Seq("event_type"))
+        .groupBy(col("destination")).agg(count(lit(1)).as("n"))
+    }),
+
+    // A2: tracked-users cardinality — |identified| + |anon| -
+    // |identified-anon pairs| per group
+    // (enterprise/trackedusers/users_reporter.go:104-190, cardinality
+    // trick :152-162). Exact distinct here (oracle-checkable); the
+    // mergeable-HLL variant is a2b (rows-only) + the HLL spec.
+    "a2_tracked_users" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("uid",
+          when(col("event_id") % 2 === 0, concat(lit("user_"), col("user_id"))))
+        .withColumn("anon",
+          when(col("event_id") % 3 === 0, concat(lit("anon_"), col("user_id") % 37)))
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("uid")).as("n_users"),
+          countDistinct(col("anon")).as("n_anons"),
+          countDistinct(when(col("uid").isNotNull && col("anon").isNotNull,
+            concat(col("uid"), lit("|"), col("anon")))).as("n_pairs"))
+        .withColumn("tracked_users",
+          col("n_users") + col("n_anons") - col("n_pairs"))
+    }),
+
+    // A2b: the same metric with mergeable HLL sketches
+    // (approx_count_distinct = Spark's HyperLogLog++). No DuckDB
+    // oracle (different HLL implementations) — rows-only check; the
+    // sketch error bound is asserted in HllSpec.
+    "a2b_tracked_users_hll" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("uid",
+          when(col("event_id") % 2 === 0, concat(lit("user_"), col("user_id"))))
+        .withColumn("anon",
+          when(col("event_id") % 3 === 0, concat(lit("anon_"), col("user_id") % 37)))
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("uid"), 0.02).as("n_users_hll"),
+          approx_count_distinct(col("anon"), 0.02).as("n_anons_hll"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t2_event_blocking" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+         WHERE event_type NOT IN ('error', 'signup')
+         GROUP BY event_type""",
+    "t3_nonidentifiable_reject" ->
+      """SELECT event_type,
+           CASE WHEN COALESCE(
+                  CASE WHEN event_id % 2 = 0 THEN 'user_' || user_id END,
+                  CASE WHEN event_id % 3 = 0 THEN 'anon_' || (user_id % 37) END)
+                IS NOT NULL THEN 'accepted' ELSE 'rejected' END AS status,
+           COUNT(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "t4_bot_flag" ->
+      """SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0 AS is_bot,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+                THEN 'bot_' || (CAST(json_extract_string(props, '$.k') AS BIGINT) % 3) END AS bot_name,
+           COUNT(*) AS n
+         FROM events GROUP BY 1, 2, 3""",
+    "t6_exactly_once_dedup" ->
+      """SELECT message_id, job_run_id, event_id AS first_event_id FROM (
+           SELECT 'msg_' || (event_id % 4000) AS message_id,
+                  'jr_' || (event_id % 2) AS job_run_id,
+                  event_id,
+                  ROW_NUMBER() OVER (PARTITION BY event_id % 4000, event_id % 2
+                                     ORDER BY ts ASC, event_id ASC) AS rn
+           FROM events) t WHERE rn = 1""",
+    "t7_timestamp_skew" ->
+      """SELECT event_id,
+           epoch_us(ts) + 120000000 AS received_us,
+           (epoch_us(ts) + 120000000) - (epoch_us(ts) + (event_id % 300) * 1000000)
+             + epoch_us(ts) AS corrected_us
+         FROM events""",
+    "t9_consent_filter" ->
+      """SELECT destination, COUNT(*) AS n_delivered
+         FROM events
+         CROSS JOIN (VALUES ('webhook', 'cat0'), ('warehouse', 'cat1'),
+                            ('kafka', 'cat2'), ('braze', NULL))
+           AS d(destination, required_consent)
+         WHERE required_consent IS NULL
+            OR required_consent <> 'cat' || (CAST(json_extract_string(props, '$.k') AS BIGINT) % 3)
+         GROUP BY destination""",
+    "t10_integrations_filter" ->
+      """SELECT destination, COUNT(*) AS n_allowed
+         FROM (
+           SELECT d.destination,
+             COALESCE(
+               CASE WHEN d.destination = 'webhook' AND kk % 3 = 0 THEN TRUE
+                    WHEN d.destination = 'webhook' AND kk % 3 = 1 THEN FALSE END,
+               kk % 2 = 0, TRUE) AS allowed
+           FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk FROM events)
+           CROSS JOIN (VALUES ('webhook'), ('warehouse')) AS d(destination)) t
+         WHERE allowed GROUP BY destination""",
+    "t12_message_type_filter" ->
+      """SELECT destination, COUNT(*) AS n
+         FROM events
+         JOIN (VALUES ('warehouse','purchase'),('warehouse','click'),('warehouse','view'),
+                      ('warehouse','signup'),('warehouse','error'),
+                      ('webhook','purchase'),('webhook','click'),
+                      ('kafka','view')) AS a(destination, event_type)
+         USING (event_type)
+         GROUP BY destination""",
+    "a2_tracked_users" ->
+      """SELECT event_type, n_users, n_anons, n_pairs,
+                n_users + n_anons - n_pairs AS tracked_users
+         FROM (
+           SELECT event_type,
+             COUNT(DISTINCT CASE WHEN event_id % 2 = 0 THEN 'user_' || user_id END) AS n_users,
+             COUNT(DISTINCT CASE WHEN event_id % 3 = 0 THEN 'anon_' || (user_id % 37) END) AS n_anons,
+             COUNT(DISTINCT CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
+                   THEN 'user_' || user_id || '|' || 'anon_' || (user_id % 37) END) AS n_pairs
+           FROM events GROUP BY event_type) t"""
+  )
+}

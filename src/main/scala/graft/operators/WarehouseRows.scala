@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.{JsonFlatten, SafeNames}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Real W7 multi-table fan-out: canonical gateway events (track /
+  * identify / page / screen / group / alias / extract) → actual typed
+  * rows per canonical table with the per-event-type column rules —
+  * not (table, count) pairs.
+  *
+  * Rules re-expressed from the reference (events.go:17-638,
+  * internal/rules/rules.go:19-172):
+  *   - defaults: id←messageId, anonymous_id, user_id,
+  *     context_ip←firstValid(context.ip, request_ip), received_at
+  *   - track → `tracks` row (event_text←event) + `<safe(event)>` row
+  *   - identify → `identifies` + `users` (users only when userId
+  *     present, users.id←userId — events.go:357-415)
+  *   - page/screen → name←firstValid(name, properties.name)
+  *   - group → group_id←groupId; alias → previous_id←previousId
+  *   - extract → `<safe(event)>` with id←recordId
+  *
+  * The whole fan-out is one narrow projection + explode (map-side,
+  * no shuffle): at 100 TB each event row expands to 1–3 table rows
+  * inside a single codegen stage, then a `partitionBy(table_name)`
+  * write splits tables without a shuffle per table.
+  */
+object WarehouseRows {
+
+  /** Inline canonical-event fixture (FIXTURES.md §1 shape). */
+  private val gw: Seq[(Long, String)] = Seq(
+    1L -> """{"type":"track","event":"Order Completed","messageId":"m1","anonymousId":"a1","userId":"u1","channel":"web","request_ip":"9.9.9.9","context":{"ip":"1.2.3.4"},"properties":{"plan":"pro","amount":49.99},"receivedAt":"2024-01-01T00:00:01Z"}""",
+    2L -> """{"type":"track","event":"cartViewed","messageId":"m2","anonymousId":"a2","request_ip":"8.8.8.8","receivedAt":"2024-01-01T00:00:02Z"}""",
+    3L -> """{"type":"identify","messageId":"m3","anonymousId":"a3","userId":"u3","traits":{"email":"x@y.z","age":33},"context":{"ip":"2.3.4.5"},"receivedAt":"2024-01-01T00:00:03Z"}""",
+    4L -> """{"type":"identify","messageId":"m4","anonymousId":"a4","traits":{"email":"q@r.s"},"receivedAt":"2024-01-01T00:00:04Z"}""",
+    5L -> """{"type":"page","name":"Home","messageId":"m5","userId":"u5","properties":{"path":"/"},"receivedAt":"2024-01-01T00:00:05Z"}""",
+    6L -> """{"type":"screen","messageId":"m6","userId":"u6","properties":{"name":"Main Screen"},"receivedAt":"2024-01-01T00:00:06Z"}""",
+    7L -> """{"type":"group","groupId":"g7","messageId":"m7","userId":"u7","traits":{"tier":"gold"},"receivedAt":"2024-01-01T00:00:07Z"}""",
+    8L -> """{"type":"alias","previousId":"old8","messageId":"m8","userId":"u8","receivedAt":"2024-01-01T00:00:08Z"}""",
+    9L -> """{"type":"extract","event":"sync_event","recordId":"r9","receivedAt":"2024-01-01T00:00:09Z"}""")
+
+  private val gwSql: String =
+    gw.map { case (id, js) => s"($id, '${js.replace("'", "''")}')" }
+      .mkString("(VALUES ", ", ", ")")
+
+  /** DuckDB mirror of SafeNames.toSafeName (w6 oracle chain). */
+  private def sqlSafe(e: String): String =
+    s"""lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim($e),
+        '([a-z])([A-Z])', '\\1_\\2', 'g'),
+        '([A-Z]+)([A-Z][a-z])', '\\1_\\2', 'g'),
+        '([A-Za-z])([0-9])', '\\1_\\2', 'g'),
+        '([0-9])([A-Za-z])', '\\1_\\2', 'g'),
+        '[^a-zA-Z0-9]+', '_', 'g'))"""
+
+  val defs: Map[String, Q] = Map(
+
+    "w7b_table_rows" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      SafeNames.register(s)
+      val df = gw.toDF("msg", "js")
+      def j(path: String): Column = get_json_object(col("js"), s"$$.$path")
+      def nz(c: Column): Column = when(c =!= "", c) // firstValidValue skips ""
+      val t = j("type")
+      val mid = j("messageId")
+      val uid = j("userId")
+      val anon = j("anonymousId")
+      val cip = coalesce(nz(j("context.ip")), nz(j("request_ip")))
+      val rcv = j("receivedAt")
+      val ev = j("event")
+      val safeEv = callUDF("safe_name", ev)
+      def row(table: Column, rowId: Column, altName: String, altVal: Column): Column =
+        struct(table.as("table_name"), rowId.as("row_id"), uid.as("user_id"),
+          anon.as("anonymous_id"), cip.as("context_ip"), rcv.as("received_at"),
+          lit(altName).as("alt_name"), altVal.as("alt_val"))
+      val rows = array(
+        when(t === "track", row(lit("tracks"), mid, "event_text", ev)),
+        when(t === "track", row(safeEv, mid, "event", safeEv)),
+        when(t === "identify", row(lit("identifies"), mid, "traits_email", j("traits.email"))),
+        when(t === "identify" && uid.isNotNull,
+          row(lit("users"), uid, "traits_email", j("traits.email"))),
+        when(t === "page", row(lit("pages"), mid, "name",
+          coalesce(nz(j("name")), nz(j("properties.name"))))),
+        when(t === "screen", row(lit("screens"), mid, "name",
+          coalesce(nz(j("name")), nz(j("properties.name"))))),
+        when(t === "group", row(lit("groups"), mid, "group_id", j("groupId"))),
+        when(t === "alias", row(lit("aliases"), mid, "previous_id", j("previousId"))),
+        when(t === "extract", row(safeEv, j("recordId"), "record_id", j("recordId"))))
+      df.withColumn("rows", rows)
+        .select(col("msg"),
+          explode(filter(col("rows"), r => r.isNotNull)).as("r"))
+        .select(col("msg"), col("r.*"))
+    }),
+
+    // T17: PII strip — drop configured trait keys (here: email) from
+    // the flattened traits map (processor.go:1010-1024 shape;
+    // map_filter in Spark terms).
+    "t17_pii_strip" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      JsonFlatten.register(s)
+      gw.toDF("msg", "js")
+        .filter(get_json_object(col("js"), "$.type") === "identify")
+        .select(col("msg"),
+          explode(expr(
+            "map_filter(flatten_json(get_json_object(js, '$.traits')), (k, v) -> k NOT IN ('email'))"))
+            .as(Seq("key", "val")))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w7b_table_rows" -> {
+      val base =
+        s"""SELECT msg, js,
+              json_extract_string(js, '$$.type') AS t,
+              json_extract_string(js, '$$.messageId') AS mid,
+              json_extract_string(js, '$$.userId') AS uid,
+              json_extract_string(js, '$$.anonymousId') AS anon,
+              COALESCE(nullif(json_extract_string(js, '$$.context.ip'), ''),
+                       nullif(json_extract_string(js, '$$.request_ip'), '')) AS cip,
+              json_extract_string(js, '$$.receivedAt') AS rcv,
+              json_extract_string(js, '$$.event') AS ev
+            FROM $gwSql AS g(msg, js)"""
+      s"""WITH e AS ($base)
+          SELECT msg, 'tracks' AS table_name, mid AS row_id, uid AS user_id,
+                 anon AS anonymous_id, cip AS context_ip, rcv AS received_at,
+                 'event_text' AS alt_name, ev AS alt_val
+          FROM e WHERE t = 'track'
+          UNION ALL
+          SELECT msg, ${sqlSafe("ev")}, mid, uid, anon, cip, rcv, 'event', ${sqlSafe("ev")}
+          FROM e WHERE t = 'track'
+          UNION ALL
+          SELECT msg, 'identifies', mid, uid, anon, cip, rcv, 'traits_email',
+                 json_extract_string(js, '$$.traits.email')
+          FROM e WHERE t = 'identify'
+          UNION ALL
+          SELECT msg, 'users', uid, uid, anon, cip, rcv, 'traits_email',
+                 json_extract_string(js, '$$.traits.email')
+          FROM e WHERE t = 'identify' AND uid IS NOT NULL
+          UNION ALL
+          SELECT msg, 'pages', mid, uid, anon, cip, rcv, 'name',
+                 COALESCE(nullif(json_extract_string(js, '$$.name'), ''),
+                          nullif(json_extract_string(js, '$$.properties.name'), ''))
+          FROM e WHERE t = 'page'
+          UNION ALL
+          SELECT msg, 'screens', mid, uid, anon, cip, rcv, 'name',
+                 COALESCE(nullif(json_extract_string(js, '$$.name'), ''),
+                          nullif(json_extract_string(js, '$$.properties.name'), ''))
+          FROM e WHERE t = 'screen'
+          UNION ALL
+          SELECT msg, 'groups', mid, uid, anon, cip, rcv, 'group_id',
+                 json_extract_string(js, '$$.groupId')
+          FROM e WHERE t = 'group'
+          UNION ALL
+          SELECT msg, 'aliases', mid, uid, anon, cip, rcv, 'previous_id',
+                 json_extract_string(js, '$$.previousId')
+          FROM e WHERE t = 'alias'
+          UNION ALL
+          SELECT msg, ${sqlSafe("ev")}, json_extract_string(js, '$$.recordId'), uid, anon,
+                 cip, rcv, 'record_id', json_extract_string(js, '$$.recordId')
+          FROM e WHERE t = 'extract'"""
+    },
+    "t17_pii_strip" ->
+      s"""SELECT msg, k AS key,
+            json_extract_string(js, '$$.traits.' || k) AS val
+          FROM (SELECT msg, js, unnest(json_keys(js, '$$.traits')) AS k
+                FROM $gwSql AS g(msg, js)
+                WHERE json_extract_string(js, '$$.type') = 'identify')
+          WHERE k NOT IN ('email')"""
+  )
+}
