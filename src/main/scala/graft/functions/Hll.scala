@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable HyperLogLog sketch as a typed Spark Aggregator — the
+  * stored-sketch form of A2 tracked-users (reference:
+  * enterprise/trackedusers/users_reporter.go:44-46,104-190 keeps
+  * per-(workspace, source, idType) HLL sketch bytes so downstream
+  * consumers can merge across reports; `approx_count_distinct` alone
+  * cannot do that because Spark never exposes its internal buffer).
+  *
+  * Standard HLL (Flajolet et al.): 2^p byte registers, register index
+  * from the top p bits of a 64-bit md5-derived hash, rank = leading
+  * zeros of the remaining bits + 1, estimate = bias-corrected harmonic
+  * mean with linear counting for the small range.
+  *
+  * The reduce/merge buffers are register-wise max, so partial
+  * aggregation is exact: merge(sketch(A), sketch(B)) ==
+  * sketch(A ∪ B) register-for-register — the property HllSpec asserts.
+  * At 100 TB the shuffle carries 2^p bytes per group instead of the
+  * distinct id set.
+  */
+class HllAggregator(p: Int = 12) extends Aggregator[String, Array[Byte], Long] {
+  private val m = 1 << p
+
+  private def hash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  override def zero: Array[Byte] = new Array[Byte](m)
+
+  override def reduce(buf: Array[Byte], value: String): Array[Byte] = {
+    if (value != null) {
+      val h = hash64(value)
+      val idx = (h >>> (64 - p)).toInt
+      val rest = h << p
+      val rank = (if (rest == 0L) 64 - p + 1
+                  else java.lang.Long.numberOfLeadingZeros(rest) + 1).toByte
+      if (rank > buf(idx)) buf(idx) = rank
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Byte]): Long = HllAggregator.estimate(buf)
+
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+object HllAggregator {
+  /** Bias-corrected HLL estimate with linear-counting small range. */
+  def estimate(registers: Array[Byte]): Long = {
+    val m = registers.length
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      invSum += java.lang.Math.pow(2.0, -registers(i).toDouble)
+      if (registers(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m / invSum
+    val corrected =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    math.round(corrected)
+  }
+}

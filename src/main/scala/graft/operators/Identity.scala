@@ -2,34 +2,76 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Identity resolution — connected components over the merge-rule edge
   * list (reference: warehouse/identity/identity.go:79-262, L8: an
   * incremental union-find over rudder_identity_merge_rules producing
   * the rudder_identity_mappings table).
   *
-  * Spark-first re-expression: iterative min-label propagation over the
-  * edge DataFrame (the classic "hash-to-min" CC). Each iteration is one
-  * shuffle on the node id; iterations = graph diameter, which for
-  * identity graphs is small (users ↔ devices alternate, so components
-  * are shallow stars chained by shared devices). At 100 TB the edge
-  * list is partitioned by node and AQE handles skewed mega-components;
-  * label tables are checkpoint-truncated each round so the plan doesn't
-  * grow with iterations.
+  * Spark-first re-expression: min-label propagation with pointer
+  * jumping over the edge DataFrame. Cluster-grade harness:
+  *   - merge-property strings are dictionary-encoded to dense longs up
+  *     front (one sort + row_number), so every CC shuffle carries
+  *     8-byte keys instead of strings — the right layout for a 100 TB
+  *     identity graph — and the original values are joined back once
+  *     at the end;
+  *   - per-round label tables are RELIABLY checkpointed
+  *     (sc.setCheckpointDir + checkpoint(), not localCheckpoint, which
+  *     stores blocks on executors and dies with one executor loss);
+  *   - `gathered` is persisted before the shortcut self-join (it feeds
+  *     the join twice) and unpersisted after the round, so executor
+  *     storage stays O(1) in the iteration count;
+  *   - convergence is read from the SAME action that materializes the
+  *     round: labels only decrease under min-propagation, so
+  *     sum(comp) is strictly monotone until fixpoint — no extra
+  *     join-and-count job per round.
+  * Pointer jumping halves label-chain length per round →
+  * O(log diameter) shuffles (IdentitySpec asserts ≤ 14 rounds on a
+  * 1000-hop path).
   */
 object Identity {
 
-  /** Min-label-propagation connected components.
+  /** Min-label connected components over any orderable node type.
     * @param edges two-column DataFrame (src, dst), undirected.
-    * @return (node, component) where component = min node id reachable.
+    * @return ((node, comp) DataFrame in the input value domain where
+    *         comp = min reachable node, iterations run)
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val e = edges.toDF("a", "b")
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .localCheckpoint(true)
+  def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-checkpoints")
+
+    val e = edges.toDF("sa", "sb")
+    // Dictionary-encode nodes to dense longs, ordered so that
+    // min(nid) <=> min(original value) and the final comp maps back to
+    // the smallest original node of the component. Range-partitioned
+    // sort + zipWithIndex keeps the encoding fully parallel (a global
+    // row_number window would funnel every node through one partition).
+    val distinctNodes = e.select(col("sa").as("s"))
+      .union(e.select(col("sb").as("s"))).distinct().orderBy(col("s"))
+    val nodes = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.LongType
+      val schema = distinctNodes.schema.add("nid", LongType)
+      spark.createDataFrame(
+        distinctNodes.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i + 1L) },
+        schema)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val enc = e
+      .join(nodes.withColumnRenamed("s", "sa").withColumnRenamed("nid", "a"), "sa")
+      .join(nodes.withColumnRenamed("s", "sb").withColumnRenamed("nid", "b"), "sb")
+      .select(col("a"), col("b"))
+    val sym = enc.union(enc.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
+      .checkpoint()
+    var prevSum = labels.agg(sum(col("comp"))).first().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -39,24 +81,30 @@ object Identity {
         .select(col("a").as("node"), col("comp"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-      // shortcut (pointer jumping): comp(n) := comp(comp(n)). Halves the
-      // label-chain length each round → O(log diameter) convergence
-      // instead of O(diameter) — the difference between 8 and 300
-      // shuffles on a 100 TB identity graph.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // shortcut (pointer jumping): comp(n) := comp(comp(n))
       val next = gathered.alias("l")
         .join(gathered.select(col("node").as("c_node"), col("comp").as("c_comp")),
           col("l.comp") === col("c_node"), "left")
         .select(col("l.node").as("node"),
           least(col("l.comp"), coalesce(col("c_comp"), col("l.comp"))).as("comp"))
-        .localCheckpoint(true) // truncate lineage each round
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("node"))
-        .filter(col("comp") =!= col("old")).limit(1).count()
+        .checkpoint() // reliable; truncates lineage each round
+      val newSum = next.agg(sum(col("comp"))).first().getLong(0)
+      gathered.unpersist()
       labels = next
-      converged = changed == 0
+      converged = newSum == prevSum // min-propagation: sum strictly decreases until fixpoint
+      prevSum = newSum
       i += 1
     }
-    labels
+    val decoded = labels
+      .join(nodes.withColumnRenamed("nid", "node"), "node")
+      .join(nodes.select(col("nid").as("comp"), col("s").as("comp_s")), "comp")
+      .select(col("s").as("node"), col("comp_s").as("comp"))
+    (decoded, i)
   }
+
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =
+    connectedComponentsWithStats(edges, maxIter)._1
 
   val defs: Map[String, Q] = Map(
     // l8: edges derived deterministically from events — each user links
@@ -70,6 +118,21 @@ object Identity {
       connectedComponents(edges)
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+    }),
+
+    // l8b: CC over REAL string merge-property edges (the W8
+    // rudder_identity_merge_rules shape: anonymousId <-> userId string
+    // pairs, idresolution.go:15-141), producing the
+    // rudder_identity_mappings rollup per resolved rudder_id.
+    "l8b_identity_mappings" -> ((s, dir) => {
+      val edges = Tables.events(s, dir)
+        .select(
+          concat(lit("anon_"), (col("user_id") % 37).cast("string")).as("src"),
+          concat(lit("user_"), col("user_id").cast("string")).as("dst"))
+        .distinct()
+      connectedComponents(edges)
+        .groupBy(col("comp").as("rudder_id"))
+        .agg(count(lit(1)).as("n_properties"), max(col("node")).as("max_property"))
     })
   )
 
@@ -91,6 +154,22 @@ object Identity {
          labels AS (
            SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
          SELECT comp, COUNT(*) AS n_nodes, MAX(node) AS max_node
+         FROM labels GROUP BY comp""",
+    "l8b_identity_mappings" ->
+      """WITH RECURSIVE
+         base_edges AS (
+           SELECT DISTINCT 'anon_' || CAST(user_id % 37 AS VARCHAR) AS src,
+                           'user_' || CAST(user_id AS VARCHAR) AS dst
+           FROM events),
+         sym AS (SELECT src AS a, dst AS b FROM base_edges
+                 UNION SELECT dst AS a, src AS b FROM base_edges),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         labels AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+         SELECT comp AS rudder_id, COUNT(*) AS n_properties, MAX(node) AS max_property
          FROM labels GROUP BY comp"""
   )
 }

@@ -177,6 +177,20 @@ object Transforms {
         .agg(
           approx_count_distinct(col("uid"), 0.02).as("n_users_hll"),
           approx_count_distinct(col("anon"), 0.02).as("n_anons_hll"))
+    }),
+
+    // A2c: the custom mergeable-sketch form — graft.functions.
+    // HllAggregator keeps the raw registers so sketches can be stored
+    // and merged across reports like the reference's hll.Hll bytes.
+    // Rows-only check (sketch internals differ from DuckDB's approx);
+    // the error bound and merge exactness are asserted in HllSpec.
+    "a2c_tracked_users_sketch" -> ((s, dir) => {
+      val hll = udaf(new graft.functions.HllAggregator(12))
+      Tables.events(s, dir)
+        .withColumn("uid",
+          when(col("event_id") % 2 === 0, concat(lit("user_"), col("user_id"))))
+        .groupBy(col("event_type"))
+        .agg(hll(col("uid")).as("n_users_sketch"))
     })
   )
 

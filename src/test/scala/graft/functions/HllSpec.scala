@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** HLL sketch invariants: accuracy envelope, exact mergeability
+  * (merge(sketch(A), sketch(B)) == sketch(A ∪ B) register-for-
+  * register — what lets the reference store and later merge sketch
+  * bytes, users_reporter.go:104-190), and the Spark udaf surface.
+  */
+class HllSpec extends SparkSpec {
+
+  private val agg = new HllAggregator(12)
+
+  private def sketch(values: Seq[String]) =
+    values.foldLeft(agg.zero)(agg.reduce)
+
+  test("estimate within 5% at 50k distinct") {
+    val est = HllAggregator.estimate(sketch((1 to 50000).map("v" + _)))
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.05, s"estimate $est")
+  }
+
+  test("small-range linear counting is near-exact") {
+    val est = HllAggregator.estimate(sketch((1 to 100).map("v" + _)))
+    assert(math.abs(est - 100.0) <= 3, s"estimate $est")
+  }
+
+  test("merge is exact: sketch(A union B) == merge(sketch(A), sketch(B))") {
+    val a = (1 to 10000).map("a" + _)
+    val b = (1 to 10000).map("b" + _) ++ (1 to 5000).map("a" + _) // overlap
+    val merged = agg.merge(sketch(a), sketch(b))
+    val direct = sketch(a ++ b)
+    assert(merged.toSeq === direct.toSeq, "register-wise max must be associative/idempotent")
+  }
+
+  test("duplicates don't move the estimate") {
+    val once = sketch((1 to 1000).map("v" + _))
+    val thrice = sketch((1 to 1000).flatMap(i => Seq.fill(3)("v" + i)))
+    assert(once.toSeq === thrice.toSeq)
+  }
+
+  test("udaf surface: groupBy sketch counts track exact distincts") {
+    val sess = spark
+    import sess.implicits._
+    val df = (1 to 20000).map(i => (s"g${i % 4}", s"user_${i % 3000}")).toDF("g", "uid")
+    val hll = udaf(new HllAggregator(12))
+    val rows = df.groupBy("g").agg(hll(col("uid")).as("est"), countDistinct(col("uid")).as("exact"))
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact.toDouble) / exact < 0.05, s"group ${r.getString(0)}: $est vs $exact")
+    }
+  }
+}

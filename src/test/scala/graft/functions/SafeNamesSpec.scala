@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Table-driven cases mirroring the reference's safe_test.go /
+  * internal/snakecase behavior (safe.go:33-277).
+  */
+class SafeNamesSpec extends AnyFunSuite {
+
+  private val cases = Seq(
+    "userId" -> "user_id",
+    "camelCaseColumn" -> "camel_case_column",
+    "HTMLParser" -> "html_parser",
+    "XMLHttpRequest" -> "xml_http_request",
+    "abc123" -> "abc_123",
+    "v2Test" -> "v_2_test",
+    "mixedUPPERCase" -> "mixed_upper_case",
+    "UPPERCASE" -> "uppercase",
+    "SCREAMING_SNAKE" -> "screaming_snake",
+    "context.screen.density" -> "context_screen_density",
+    "with  spaces" -> "with_spaces",
+    "email-address" -> "email_address",
+    "revenue($)" -> "revenue_",
+    "1invalid" -> "_1_invalid",
+    "42" -> "_42",
+    "a" -> "a",
+    "select" -> "_select",
+    "group" -> "_group",
+    "order" -> "_order",
+    "Order Completed" -> "order_completed",
+    "cartViewed" -> "cart_viewed",
+    "sync_event" -> "sync_event")
+
+  for ((in, out) <- cases)
+    test(s"toSafeName($in) == $out") {
+      assert(SafeNames.toSafeName(in) === out)
+    }
+
+  test("null passes through") {
+    assert(SafeNames.toSafeName(null) === null)
+  }
+
+  test("table names cap at 127 chars") {
+    val long = "a" * 300
+    assert(SafeNames.toSafeTableName(long).length === 127)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Near-dup operator invariants, including the pigeonhole-recall
+  * property that justifies the bucketed candidate generation at scale.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docsDf(docs: Seq[(Long, String)]) = {
+    val sess = spark
+    import sess.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  test("shingles: distinct word 3-grams, short docs dropped") {
+    val sh = Dedup.shingles(docsDf(Seq(
+        1L -> "a b c d",
+        2L -> "a b"))) // too short
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.toSet === Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("minhash: identical texts share all 16 signature components") {
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(docsDf(Seq(
+        1L -> "w1 w2 w3 w4 w5",
+        2L -> "w1 w2 w3 w4 w5",
+        3L -> "z1 z2 z3 z4 z5"))))
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getString(i))).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("simhash: identical word multisets collide, disjoint vocab differs") {
+    val sh = Dedup.simhash(docsDf(Seq(
+        1L -> "alpha beta gamma delta",
+        2L -> "delta gamma beta alpha", // same multiset, different order
+        3L -> "zeta eta theta iota kappa lambda mu nu xi")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("pigeonhole recall: bucketed simhash candidates find every hamming<=3 pair") {
+    // Deterministic pseudo-random corpus: 40 docs over a 12-word vocab
+    // (heavy simhash clustering, like real near-dup corpora).
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "pink",
+      "gold", "gray", "jade", "plum", "rust", "sand")
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 40L).map(i =>
+      i -> Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val sh = Dedup.simhash(docsDf(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+
+    // brute force over all pairs
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+
+    // bucketed: candidates share at least one 4-bit nibble
+    val bucketed = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if (0 until 4).exists(c => ((ha >> (4 * c)) & 15) == ((hb >> (4 * c)) & 15))
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    assert(bucketed === brute, "hamming<=3 implies >=1 of 4 nibbles equal (pigeonhole)")
+  }
+}

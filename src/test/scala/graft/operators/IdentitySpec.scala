@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Connected-components invariants: known graphs, the FIXTURES.md §6
+  * merge semantics, pointer-jumping round bound on a 1000-hop path,
+  * and a skewed hub.
+  */
+class IdentitySpec extends SparkSpec {
+
+  private def comps(edges: Seq[(String, String)]): (Map[String, String], Int) = {
+    val sess = spark
+    import sess.implicits._
+    val (df, iters) = Identity.connectedComponentsWithStats(edges.toDF("src", "dst"))
+    (df.collect().map(r => r.getString(0) -> r.getString(1)).toMap, iters)
+  }
+
+  test("two components resolve to their min nodes") {
+    val (m, _) = comps(Seq("1" -> "2", "2" -> "3", "x" -> "y"))
+    assert(m("1") === "1" && m("2") === "1" && m("3") === "1")
+    assert(m("x") === "x" && m("y") === "x")
+  }
+
+  test("FIXTURES §6: anon/user/alias merge rules") {
+    val (m, _) = comps(Seq("a1" -> "u1", "a1" -> "u2", "u3" -> "u3_prev"))
+    assert(Set(m("a1"), m("u1"), m("u2")).size === 1)
+    assert(m("u3") === m("u3_prev"))
+    assert(m("a1") !== m("u3"))
+  }
+
+  test("1000-hop path: single component within O(log diameter) rounds") {
+    val sess = spark
+    import sess.implicits._
+    val edges = (0 until 1000).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val (df, iters) = Identity.connectedComponentsWithStats(edges)
+    val labels = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length === 1001)
+    assert(labels.forall(_._2 === 0L))
+    assert(iters <= 14, s"pointer jumping should converge in ~log2(1000)+c rounds, took $iters")
+  }
+
+  test("skewed hub: star with 500 leaves converges fast") {
+    val sess = spark
+    import sess.implicits._
+    val edges = (1 to 500).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val (df, iters) = Identity.connectedComponentsWithStats(edges)
+    assert(df.collect().forall(_.getLong(1) === 0L))
+    assert(iters <= 4, s"star graph has diameter 2, took $iters rounds")
+  }
+}
