@@ -19,6 +19,7 @@ object SparkEntry {
     (operators.WarehouseRows.defs, operators.WarehouseRows.oracles),
     (operators.Transforms.defs, operators.Transforms.oracles),
     (operators.Coercion.defs, operators.Coercion.oracles),
+    (operators.Lifecycle.defs, operators.Lifecycle.oracles),
     (operators.Dedup.defs, operators.Dedup.oracles),
     (operators.Similarity.defs, operators.Similarity.oracles),
     (operators.TextAnalysis.defs, operators.TextAnalysis.oracles)

@@ -1,0 +1,78 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write paths — SURVEY §2.5/§2.6.
+  *
+  * All sinks are partitioned writes: splitting a multi-table batch by
+  * `partitionBy` is a single pass with no shuffle (each task writes
+  * the partitions it holds), which is how one stream fans out to
+  * dozens of warehouse tables at 100 TB without N jobs.
+  */
+object Sinks {
+
+  /** L5: load-file encoder — per-table split, load-time columns
+    * uuid_ts/loaded_at stamped like the reference's encoders
+    * (warehouse/encoding/encoding.go:39-85). `loadTs` is injected so
+    * loads are reproducible/idempotent across retries (the reference
+    * stamps slave-side per upload attempt).
+    */
+  def writeLoadFiles(df: DataFrame, dir: String, format: String,
+                     loadTs: java.sql.Timestamp): Unit = {
+    val stamped = df
+      .withColumn("uuid_ts", lit(loadTs))
+      .withColumn("loaded_at", lit(loadTs))
+    val w = stamped.write.mode("overwrite").partitionBy("table_name")
+    format match {
+      case "csv" => w.option("header", "true").option("compression", "gzip").csv(dir)
+      case "json" => w.option("compression", "gzip").json(dir)
+      case "parquet" => w.parquet(dir)
+      case other => throw new IllegalArgumentException(s"unknown load-file format: $other")
+    }
+  }
+
+  /** D4: batch object-storage sink — gzip JSON-lines partitioned by
+    * (source, destination), the `<ts>.<src>.<uuid>.json.gz` layout of
+    * router/batchrouter/handle.go:240-452 expressed as directory
+    * partitions.
+    */
+  def batchObjectSink(df: DataFrame, dir: String): Unit =
+    df.write.mode("append")
+      .partitionBy("source_id", "destination_id")
+      .option("compression", "gzip")
+      .json(dir)
+
+  /** D7: error stash — dead-letter table sorted by failed_at inside
+    * each file for range-skippable parquet
+    * (enterprise/reporting/error_index/worker.go:242-295).
+    */
+  def errorStash(df: DataFrame, dir: String): Unit =
+    df.sortWithinPartitions(col("failed_at"))
+      .write.mode("append")
+      .partitionBy("failed_date")
+      .parquet(dir)
+
+  /** L9: retention delete — `DELETE FROM t WHERE <predicate>` as a
+    * filtered rewrite (postgres.go:278 / snowflake.go:304; on a Delta
+    * sink this is a metadata-only `replaceWhere`).
+    */
+  def retentionDelete(spark: SparkSession, path: String, deleteWhere: String): Long = {
+    val current = spark.read.parquet(path)
+    val keep = current.filter(s"NOT ($deleteWhere)").cache()
+    val kept = keep.count()
+    keep.write.mode("overwrite").parquet(path)
+    keep.unpersist()
+    kept
+  }
+
+  /** L10: datalake sink — date-partitioned columnar layout
+    * (warehouse/integrations/datalake/): partition pruning on
+    * event_date is what makes downstream time-range scans cheap.
+    */
+  def datalakeWrite(df: DataFrame, dir: String): Unit =
+    df.withColumn("event_date", to_date(col("ts")))
+      .write.mode("append")
+      .partitionBy("event_date")
+      .parquet(dir)
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source scans — SURVEY §2.1.
+  *
+  * S6 staging-file scan: the reference's slave workers stream gzip
+  * JSON-lines staging files line by line
+  * (warehouse/slave/worker.go:246-313); Spark's json source reads
+  * .gz transparently and splits files across executors.
+  * S7 load-file readers: CSV/JSON/Parquet
+  * (warehouse/encoding/{csvreader,jsonreader}.go).
+  *
+  * Always pass an explicit schema in production: schema inference
+  * costs a full extra pass over 100 TB and can widen types
+  * inconsistently between files; the schema registry (L3) is the
+  * source of truth, exactly like the reference resolves the upload
+  * schema before generating load files.
+  */
+object Readers {
+
+  /** S6: gzip JSON-lines staging scan. */
+  def stagingScan(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  /** S7: CSV load files (header row, explicit schema). */
+  def csvLoadFiles(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S7: JSON load files. */
+  def jsonLoadFiles(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** S7: Parquet load files (schema from footer). */
+  def parquetLoadFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

