@@ -20,6 +20,8 @@ object SparkEntry {
     (operators.Transforms.defs, operators.Transforms.oracles),
     (operators.Coercion.defs, operators.Coercion.oracles),
     (operators.Lifecycle.defs, operators.Lifecycle.oracles),
+    (operators.Ingest.defs, operators.Ingest.oracles),
+    (operators.Router.defs, operators.Router.oracles),
     (operators.Dedup.defs, operators.Dedup.oracles),
     (operators.Similarity.defs, operators.Similarity.oracles),
     (operators.TextAnalysis.defs, operators.TextAnalysis.oracles)

@@ -29,8 +29,14 @@ object JsonFlatten {
     ("^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?" +
       "(Z|[+-]\\d{2}:?\\d{2})?)?$").r
 
-  /** Flatten a JSON object string to path→scalar-string map. */
-  def flatten(json: String, maxDepth: Int = 3): Map[String, String] = {
+  /** Flatten a JSON object string to path→scalar-string map.
+    * @param keepJsonPaths configured JSON-path passthrough (W3,
+    *   jsonpaths.go:1-42 / set.go:103-120): subtrees rooted at these
+    *   underscore-joined paths stay single JSON-string values instead
+    *   of being flattened.
+    */
+  def flatten(json: String, maxDepth: Int = 3,
+              keepJsonPaths: Set[String] = Set.empty): Map[String, String] = {
     if (json == null) return null
     val root =
       try mapper.readTree(json)
@@ -43,7 +49,8 @@ object JsonFlatten {
         if (key.nonEmpty) {
           val path = if (prefix.isEmpty) key else s"${prefix}_$key"
           val v = e.getValue
-          if (v.isObject && depth < maxDepth) walk(v, path, depth + 1)
+          if (keepJsonPaths.contains(path)) out(path) = v.toString
+          else if (v.isObject && depth < maxDepth) walk(v, path, depth + 1)
           else if (v.isNull) ()
           else if (v.isValueNode) out(path) = v.asText()
           else out(path) = v.toString // array / too-deep object → JSON passthrough
@@ -107,5 +114,8 @@ object JsonFlatten {
     spark.udf.register("flatten_json_types", (s: String) => flattenTypes(s))
     spark.udf.register("flatten_json_types_redshift",
       (s: String) => flattenTypes(s, redshiftText = true))
+    spark.udf.register("flatten_json_paths",
+      (s: String, keep: Seq[String]) =>
+        flatten(s, keepJsonPaths = Option(keep).map(_.toSet).getOrElse(Set.empty)))
   }
 }

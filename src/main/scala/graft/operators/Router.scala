@@ -1,0 +1,335 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.JsonFlatten
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Delivery-side and upload-lifecycle operators — SURVEY §2.6/§2.5:
+  * the event-order barrier, throttling, staging batching, upload state
+  * machine, and DDL diff, plus enrichment/validation transforms (T5
+  * geo, T8 tracking plan, T13 user-transform surface, T15 hydration)
+  * and A6 stats.
+  */
+object Router {
+
+  private def k = get_json_object(col("props"), "$.k").cast("long")
+
+  /** Upload state-machine log fixture (upload.go:366-404 states). */
+  private val uploadLog: Seq[(String, Long, String)] = Seq(
+    ("u1", 1L, "waiting"), ("u1", 2L, "generating_load_files"),
+    ("u1", 3L, "exporting_data"), ("u1", 4L, "exported_data"),
+    ("u2", 1L, "waiting"), ("u2", 2L, "generating_load_files"), ("u2", 3L, "aborted"),
+    ("u3", 1L, "waiting"), ("u3", 2L, "exporting_data"), ("u3", 3L, "exporting_data_failed"))
+
+  private val uploadLogSql: String = uploadLog
+    .map { case (u, s, st) => s"('$u', $s, '$st')" }.mkString("(VALUES ", ", ", ")")
+
+  /** Schema-registry fixture for the DDL diff: warehouse (live) vs
+    * consolidated staging schema (schema.go:205-263 ColumnMap /
+    * AlteredColumnMap).
+    */
+  private val whSchema: Seq[(String, String, String)] = Seq(
+    ("tracks", "id", "string"), ("tracks", "event", "string"),
+    ("tracks", "bio", "string"), ("users", "id", "string"))
+  private val stagingSchema: Seq[(String, String, String)] = Seq(
+    ("tracks", "id", "string"), ("tracks", "event", "string"),
+    ("tracks", "bio", "text"), ("tracks", "plan", "string"),
+    ("users", "id", "string"), ("users", "age", "int"))
+
+  private def schemaSql(rows: Seq[(String, String, String)]) =
+    rows.map { case (t, c, ty) => s"('$t', '$c', '$ty')" }.mkString("(VALUES ", ", ", ")")
+
+  /** Broadcastable geo IP ranges (services/geolocation shape). */
+  private val geoRanges: Seq[(Long, Long, String)] = Seq(
+    (0L, 12499L, "US"), (12500L, 24999L, "DE"), (25000L, 49999L, "IN"),
+    (50000L, 74999L, "BR"), (75000L, 99999L, "JP"))
+
+  private val geoRangesSql: String =
+    geoRanges.map { case (a, b, c) => s"($a, $b, '$c')" }.mkString("(VALUES ", ", ", ")")
+
+  val defs: Map[String, Q] = Map(
+
+    // D2: event-order barrier — per (userId, destination) at most one
+    // in-flight failing job; successors stay blocked until it resolves
+    // (router/internal/eventorder/eventorder.go). Batch semantics:
+    // jobs before the first failure are delivered, the failure
+    // retries, everything after it is blocked. One window min per key.
+    "d2_event_order_barrier" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("destination"))
+      Tables.events(s, dir)
+        .withColumn("destination", col("event_type"))
+        .withColumn("failed", k % 11 === 0)
+        .withColumn("first_failed",
+          min(when(col("failed"), col("event_id"))).over(w))
+        .withColumn("delivery_state",
+          when(col("first_failed").isNull || col("event_id") < col("first_failed"), "delivered")
+            .when(col("event_id") === col("first_failed"), "retrying")
+            .otherwise("blocked"))
+        .groupBy(col("destination"), col("delivery_state"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // D3: throttling — deliver at most 5 events per (destination,
+    // minute), defer the rest (router/throttler GCRA shape reduced to
+    // a per-window cap; the adaptive part is a config knob).
+    "d3_throttle" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("event_type"), col("minute_us"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("minute_us", unix_micros(date_trunc("minute", col("ts"))))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("status", when(col("rn") <= 5, "delivered").otherwise("throttled"))
+        .groupBy(col("event_type"), col("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // L1: staging-file batching — group files into upload jobs of 960
+    // per destination (router.go:629-713).
+    "l1_staging_batches" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_no", floor((col("rn") - 1) / 960).cast("long"))
+        .groupBy(col("event_type"), col("batch_no"))
+        .agg(count(lit(1)).as("n_files"),
+          min(col("event_id")).as("first_file"), max(col("event_id")).as("last_file"))
+    }),
+
+    // L2: upload state machine — resumable state log; the current
+    // state is the latest row, terminality decides redrive
+    // (upload.go:285-493).
+    "l2_upload_states" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val w = Window.partitionBy(col("upload_id")).orderBy(col("seq").desc)
+      uploadLog.toDF("upload_id", "seq", "state")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("upload_id"), col("state").as("current_state"),
+          col("state").isin("exported_data", "aborted").as("terminal"))
+    }),
+
+    // L11: DDL diff — columns to ADD (in staging, not in warehouse)
+    // and to ALTER string→text (schema.go:294-342 precedence diff);
+    // the apply side is Delta mergeSchema / ALTER TABLE.
+    "l11_schema_diff" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val wh = whSchema.toDF("table_name", "column_name", "wh_type")
+      val st = stagingSchema.toDF("table_name", "column_name", "st_type")
+      st.join(wh, Seq("table_name", "column_name"), "left")
+        .withColumn("action",
+          when(col("wh_type").isNull, lit("add"))
+            .when(col("wh_type") === "string" && col("st_type") === "text",
+              lit("alter_to_text")))
+        .filter(col("action").isNotNull)
+        .select(col("table_name"), col("column_name"), col("st_type").as("column_type"),
+          col("action"))
+    }),
+
+    // T5: geolocation enrichment — broadcast range join of a numeric
+    // ip against [start, end] buckets (internal/enricher/geolocation.
+    // go:68-143). At 100 TB: bucket both sides by ip>>16 so the range
+    // join stays a co-partitioned equi-join + local between.
+    "t5_geo_enrich" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val ranges = geoRanges.toDF("ip_start", "ip_end", "country")
+      Tables.events(s, dir)
+        .withColumn("ip_int", (col("user_id") * 997 + k) % 100000)
+        .join(broadcast(ranges),
+          col("ip_int").between(col("ip_start"), col("ip_end")), "left")
+        .groupBy(col("country")).agg(count(lit(1)).as("n"))
+    }),
+
+    // T8: tracking-plan validation — required keys + expected types
+    // against the flattened event schema; violations keep the event
+    // flowing to a violations output, not an exception
+    // (processor/trackingplan.go:69-168).
+    "t8_tracking_plan" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      JsonFlatten.register(s)
+      val plan = Seq(("a", "int"), ("b_c", "float"), ("t", "datetime"))
+        .toDF("plan_key", "expected_type")
+      val fixture = Seq(
+        1L -> """{"a":1,"b":{"c":2.5},"t":"2024-03-05T10:11:12Z"}""",
+        2L -> """{"a":"oops","b":{"c":2.5}}""",
+        3L -> """{"b":{"c":"xx"},"t":"2024-01-01"}""").toDF("id", "js")
+      val actual = fixture
+        .select(col("id").as("aid"),
+          explode(callUDF("flatten_json_types", col("js"))).as(Seq("key", "type")))
+      fixture.select(col("id").as("event_id")).crossJoin(plan)
+        .join(actual,
+          col("event_id") === col("aid") && col("plan_key") === col("key"), "left")
+        .withColumn("violation",
+          when(col("type").isNull, lit("missing-required"))
+            .when(col("type") =!= col("expected_type"), lit("type-mismatch")))
+        .filter(col("violation").isNotNull)
+        .select(col("event_id"), col("plan_key"), col("violation"))
+    }),
+
+    // T13: user-transformation surface — a named registry of pure
+    // transforms with the 1→0 / 1→1 / 1→N contract of JS user
+    // transformations (user_transformer.go:242-511): errors dropped,
+    // purchases split into order + receipt rows, others tagged.
+    "t13_user_transform" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type") =!= "error") // 1→0
+        .withColumn("out_type",
+          explode(when(col("event_type") === "purchase",
+            array(lit("purchase_order"), lit("purchase_receipt"))) // 1→N
+            .otherwise(array(concat(lit("app_"), col("event_type")))))) // 1→1
+        .groupBy(col("out_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // T15: source hydration — broadcast lookup enriching events with
+    // source account config (processor/src_hydration_stage.go shape).
+    "t15_source_hydration" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val accounts = Seq(
+        (0L, "acme"), (1L, "globex"), (2L, "initech"), (3L, "umbrella"), (4L, "stark"))
+        .toDF("source_id", "account_name")
+      Tables.events(s, dir)
+        .withColumn("source_id", col("user_id") % 5)
+        .join(broadcast(accounts), Seq("source_id"))
+        .groupBy(col("account_name")).agg(count(lit(1)).as("n"))
+    }),
+
+    // A6: per-source event stats (processor.go:1609-1650).
+    "a6_source_event_stats" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("source_id", col("user_id") % 5)
+        .groupBy(col("source_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // W3: configured JSON-path passthrough — subtree `b` stays one
+    // JSON string column instead of flattening (jsonpaths.go:1-42).
+    "w3_jsonpath_passthrough" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      JsonFlatten.register(s)
+      Seq(
+        1L -> """{"a":1,"b":{"c":2.5,"d":{"e":"x"}},"z":"w"}""",
+        2L -> """{"b":{"only":true},"q":7}""").toDF("id", "js")
+        .select(col("id"),
+          explode(callUDF("flatten_json_paths", col("js"), array(lit("b"))))
+            .as(Seq("key", "val")))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d2_event_order_barrier" ->
+      """SELECT destination,
+           CASE WHEN first_failed IS NULL OR event_id < first_failed THEN 'delivered'
+                WHEN event_id = first_failed THEN 'retrying'
+                ELSE 'blocked' END AS delivery_state,
+           COUNT(*) AS n
+         FROM (
+           SELECT event_type AS destination, event_id,
+             MIN(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 11 = 0
+                      THEN event_id END)
+               OVER (PARTITION BY user_id, event_type) AS first_failed
+           FROM events) t
+         GROUP BY 1, 2""",
+    "d3_throttle" ->
+      """SELECT event_type, status, COUNT(*) AS n FROM (
+           SELECT event_type,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY event_type, date_trunc('minute', ts)
+                    ORDER BY ts ASC, event_id ASC) <= 5
+                  THEN 'delivered' ELSE 'throttled' END AS status
+           FROM events) t GROUP BY 1, 2""",
+    "l1_staging_batches" ->
+      """SELECT event_type, batch_no, COUNT(*) AS n_files,
+                MIN(event_id) AS first_file, MAX(event_id) AS last_file
+         FROM (
+           SELECT event_type, event_id,
+             CAST(floor((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id ASC) - 1) / 960) AS BIGINT) AS batch_no
+           FROM events) t
+         GROUP BY 1, 2""",
+    "l2_upload_states" ->
+      s"""SELECT upload_id, state AS current_state,
+            state IN ('exported_data', 'aborted') AS terminal
+          FROM (
+            SELECT upload_id, state,
+              ROW_NUMBER() OVER (PARTITION BY upload_id ORDER BY seq DESC) AS rn
+            FROM $uploadLogSql AS l(upload_id, seq, state)) t
+          WHERE rn = 1""",
+    "l11_schema_diff" ->
+      s"""SELECT st.table_name, st.column_name, st.st_type AS column_type,
+            CASE WHEN wh.wh_type IS NULL THEN 'add'
+                 WHEN wh.wh_type = 'string' AND st.st_type = 'text' THEN 'alter_to_text'
+            END AS action
+          FROM ${schemaSql(stagingSchema)} AS st(table_name, column_name, st_type)
+          LEFT JOIN ${schemaSql(whSchema)} AS wh(table_name, column_name, wh_type)
+            USING (table_name, column_name)
+          WHERE wh.wh_type IS NULL
+             OR (wh.wh_type = 'string' AND st.st_type = 'text')""",
+    "t5_geo_enrich" ->
+      s"""SELECT country, COUNT(*) AS n
+          FROM (SELECT (user_id * 997 + CAST(json_extract_string(props, '$$.k') AS BIGINT)) % 100000 AS ip_int
+                FROM events) e
+          LEFT JOIN ${geoRangesSql} AS g(ip_start, ip_end, country)
+            ON e.ip_int BETWEEN g.ip_start AND g.ip_end
+          GROUP BY country""",
+    "t8_tracking_plan" ->
+      """WITH fixture(id, js) AS (VALUES
+           (1, '{"a":1,"b":{"c":2.5},"t":"2024-03-05T10:11:12Z"}'),
+           (2, '{"a":"oops","b":{"c":2.5}}'),
+           (3, '{"b":{"c":"xx"},"t":"2024-01-01"}')),
+         plan(plan_key, expected_type) AS (VALUES
+           ('a', 'int'), ('b_c', 'float'), ('t', 'datetime')),
+         actual AS (
+           SELECT id, k AS key,
+             CASE json_type(json_extract(js, p))
+               WHEN 'BOOLEAN' THEN 'boolean'
+               WHEN 'UBIGINT' THEN 'int' WHEN 'BIGINT' THEN 'int'
+               WHEN 'DOUBLE' THEN (CASE WHEN CAST(json_extract(js, p) AS DOUBLE)
+                     = floor(CAST(json_extract(js, p) AS DOUBLE)) THEN 'int' ELSE 'float' END)
+               WHEN 'VARCHAR' THEN (CASE WHEN regexp_matches(json_extract_string(js, p),
+                     '^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:?\d{2})?)?$')
+                     THEN 'datetime' ELSE 'string' END)
+               ELSE 'json' END AS type
+           FROM (
+             SELECT f.id, f.js, x.k,
+               CASE x.k WHEN 'b_c' THEN '$.b.c' ELSE '$.' || x.k END AS p
+             FROM fixture f CROSS JOIN (VALUES ('a'), ('b_c'), ('t')) x(k))
+           WHERE json_extract(js, p) IS NOT NULL)
+         SELECT f.id AS event_id, p.plan_key,
+           CASE WHEN a.type IS NULL THEN 'missing-required'
+                WHEN a.type <> p.expected_type THEN 'type-mismatch' END AS violation
+         FROM fixture f CROSS JOIN plan p
+         LEFT JOIN actual a ON f.id = a.id AND p.plan_key = a.key
+         WHERE a.type IS NULL OR a.type <> p.expected_type""",
+    "t13_user_transform" ->
+      """SELECT out_type, COUNT(*) AS n FROM (
+           SELECT CASE WHEN event_type = 'purchase' THEN x.t
+                       ELSE 'app_' || event_type END AS out_type
+           FROM events
+           CROSS JOIN (VALUES ('purchase_order'), ('purchase_receipt')) x(t)
+           WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT 'app_' || event_type
+           FROM events WHERE event_type NOT IN ('purchase', 'error')) t
+         GROUP BY out_type""",
+    "t15_source_hydration" ->
+      """SELECT account_name, COUNT(*) AS n
+         FROM events
+         JOIN (VALUES (0, 'acme'), (1, 'globex'), (2, 'initech'),
+                      (3, 'umbrella'), (4, 'stark')) a(source_id, account_name)
+           ON user_id % 5 = a.source_id
+         GROUP BY account_name""",
+    "a6_source_event_stats" ->
+      """SELECT user_id % 5 AS source_id, event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "w3_jsonpath_passthrough" ->
+      """SELECT id, key, val FROM (VALUES
+           (1, 'a', '1'), (1, 'b', '{"c":2.5,"d":{"e":"x"}}'), (1, 'z', 'w'),
+           (2, 'b', '{"only":true}'), (2, 'q', '7')) v(id, key, val)"""
+  )
+}
