@@ -83,17 +83,22 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** 16-bit SimHash of the word multiset: bit i set when the sum of
+  private[operators] val simhashBits = 32 // md5 hex chars used; 4 chunks x 8 bits
+
+  /** 32-bit SimHash of the word multiset: bit i set when the sum of
     * (+1 if hex digit i of md5(word) >= 8 else -1) over words is > 0.
+    * 16 bits is too coarse past ~1k docs of a shared vocabulary — the
+    * hamming<=3 ball swallows the corpus; 32 bits keeps the near-dup
+    * band selective at bench scale and beyond.
     */
   private[operators] def simhash(df: DataFrame): DataFrame = {
     val words = df.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val contribs = (0 until 16).map(i =>
+    val contribs = (0 until simhashBits).map(i =>
       sum(when(conv(substring(md5(col("w")), i + 1, 1), 16, 10).cast("int") >= 8, 1)
         .otherwise(-1)).as(s"c$i"))
     words.groupBy(col("doc_id")).agg(contribs.head, contribs.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(i =>
+        (0 until simhashBits).map(i =>
           when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
@@ -131,14 +136,14 @@ object Dedup {
           (col("n_match") / lit(16.0)).as("est_sim"))
     }),
 
-    // SimHash near-dup: 16-bit fingerprints, candidates from 4-bit
-    // chunk buckets (pigeonhole: hamming<=3 => >=1 chunk equal, so
-    // recall is exactly 1.0 vs the oracle's brute force).
+    // SimHash near-dup: 32-bit fingerprints, candidates from 8-bit
+    // chunk buckets (pigeonhole: hamming<=3 => >=1 of 4 chunks equal,
+    // so bucketed recall is exactly 1.0 vs the oracle's brute force).
     "ll5_simhash_neardup" -> ((s, dir) => {
       val sh = simhash(corpus(s, dir, perturb = true))
       val nib = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
-          shiftright(col("simhash"), 4 * c).bitwiseAND(lit(15L))): _*)).as(Seq("chunk", "nibble")))
+          shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L))): _*)).as(Seq("chunk", "nibble")))
       nib.as("x").join(nib.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.nibble") === col("y.nibble") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -195,10 +200,10 @@ object Dedup {
           FROM v WHERE n_match >= 8"""
     },
     "ll5_simhash_neardup" -> {
-      val contribSql = (0 until 16).map(i =>
+      val contribSql = (0 until simhashBits).map(i =>
         s"SUM(CASE WHEN CAST('0x' || substr(md5(w), ${i + 1}, 1) AS BIGINT) >= 8 THEN 1 ELSE -1 END) AS c$i")
         .mkString(", ")
-      val bitsSql = (0 until 16).map(i =>
+      val bitsSql = (0 until simhashBits).map(i =>
         s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
       s"""WITH corpus AS $corpusSqlPerturbed,
           sums AS (SELECT doc_id, $contribSql

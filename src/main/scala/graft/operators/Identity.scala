@@ -46,25 +46,33 @@ object Identity {
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-checkpoints")
 
     val e = edges.toDF("sa", "sb")
-    // Dictionary-encode nodes to dense longs, ordered so that
-    // min(nid) <=> min(original value) and the final comp maps back to
-    // the smallest original node of the component. Range-partitioned
-    // sort + zipWithIndex keeps the encoding fully parallel (a global
-    // row_number window would funnel every node through one partition).
-    val distinctNodes = e.select(col("sa").as("s"))
-      .union(e.select(col("sb").as("s"))).distinct().orderBy(col("s"))
-    val nodes = {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.LongType
-      val schema = distinctNodes.schema.add("nid", LongType)
-      spark.createDataFrame(
-        distinctNodes.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i + 1L) },
-        schema)
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    val enc = e
-      .join(nodes.withColumnRenamed("s", "sa").withColumnRenamed("nid", "a"), "sa")
-      .join(nodes.withColumnRenamed("s", "sb").withColumnRenamed("nid", "b"), "sb")
-      .select(col("a"), col("b"))
+    // Numeric node ids propagate as-is; everything else (merge-
+    // property strings) is dictionary-encoded to dense longs so every
+    // CC shuffle carries 8-byte keys. Encoding order preserves value
+    // order (min(nid) <=> min(original)), via a range-partitioned sort
+    // + zipWithIndex — fully parallel, unlike a global row_number
+    // window which would funnel all nodes through one partition.
+    val numericInput = e.schema.fields.forall(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val nodes =
+      if (numericInput) null
+      else {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.LongType
+        val distinctNodes = e.select(col("sa").as("s"))
+          .union(e.select(col("sb").as("s"))).distinct().orderBy(col("s"))
+        val schema = distinctNodes.schema.add("nid", LongType)
+        spark.createDataFrame(
+          distinctNodes.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i + 1L) },
+          schema).persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    val enc =
+      if (numericInput)
+        e.select(col("sa").cast("long").as("a"), col("sb").cast("long").as("b"))
+      else e
+        .join(nodes.withColumnRenamed("s", "sa").withColumnRenamed("nid", "a"), "sa")
+        .join(nodes.withColumnRenamed("s", "sb").withColumnRenamed("nid", "b"), "sb")
+        .select(col("a"), col("b"))
     val sym = enc.union(enc.select(col("b").as("a"), col("a").as("b"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -96,11 +104,16 @@ object Identity {
       prevSum = newSum
       i += 1
     }
-    val decoded = labels
-      .join(nodes.withColumnRenamed("nid", "node"), "node")
-      .join(nodes.select(col("nid").as("comp"), col("s").as("comp_s")), "comp")
-      .select(col("s").as("node"), col("comp_s").as("comp"))
-    (decoded, i)
+    val decoded =
+      if (numericInput) labels
+      else labels
+        .join(nodes.withColumnRenamed("nid", "node"), "node")
+        .join(nodes.select(col("nid").as("comp"), col("s").as("comp_s")), "comp")
+        .select(col("s").as("node"), col("comp_s").as("comp"))
+    val out = decoded.checkpoint() // reliable; materialize before freeing inputs
+    sym.unpersist()
+    if (nodes != null) nodes.unpersist()
+    (out, i)
   }
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =

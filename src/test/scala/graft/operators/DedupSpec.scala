@@ -59,10 +59,10 @@ class DedupSpec extends SparkSpec {
       if java.lang.Long.bitCount(ha ^ hb) <= 3
     } yield (a, b)).toSet
 
-    // bucketed: candidates share at least one 4-bit nibble
+    // bucketed: candidates share at least one 8-bit chunk
     val bucketed = (for {
       (a, ha) <- sh; (b, hb) <- sh if a < b
-      if (0 until 4).exists(c => ((ha >> (4 * c)) & 15) == ((hb >> (4 * c)) & 15))
+      if (0 until 4).exists(c => ((ha >> (8 * c)) & 255) == ((hb >> (8 * c)) & 255))
       if java.lang.Long.bitCount(ha ^ hb) <= 3
     } yield (a, b)).toSet
 
