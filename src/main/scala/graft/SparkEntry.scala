@@ -22,6 +22,7 @@ object SparkEntry {
     (operators.Lifecycle.defs, operators.Lifecycle.oracles),
     (operators.Ingest.defs, operators.Ingest.oracles),
     (operators.Router.defs, operators.Router.oracles),
+    (operators.Multimodal.defs, operators.Multimodal.oracles),
     (operators.Dedup.defs, operators.Dedup.oracles),
     (operators.Similarity.defs, operators.Similarity.oracles),
     (operators.TextAnalysis.defs, operators.TextAnalysis.oracles)

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads
+  * with typed metadata — the LLM-pipeline pattern for media at 100 TB.
+  *
+  * The Spark-side plumbing is real: binary columns, typed metadata
+  * structs, per-partition batch processing (`mapPartitions` over a
+  * typed Dataset — the Scala analog of `mapInPandas` batches), and
+  * oracle-checked metadata/frame arithmetic. The actual pixel/sample
+  * DECODE is a deterministic fake, clearly marked below: this
+  * container has no image/audio codecs, and a real deployment would
+  * swap `decodeMeta`'s body for a JNI/javacv binding without touching
+  * any schema, partitioning, or call-site.
+  *
+  * Payloads here are synthesized from `documents.text` bytes so the
+  * DuckDB oracle can mirror every derived quantity exactly.
+  */
+object Multimodal {
+
+  /** Typed media metadata (the schema a real decoder would fill). */
+  case class MediaMeta(width: Int, height: Int, nFrames: Int, nBytes: Long)
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  private val frameBytes = 64 // fake fixed frame size
+
+  /** STUB DECODER — deterministic fake. A real implementation binds an
+    * image/audio library here (and ONLY here); everything downstream
+    * consumes the same MediaMeta.
+    */
+  def decodeMeta(payload: Array[Byte]): MediaMeta = {
+    val w = 1 + (payload(0) & 0x7f)
+    val h = 1 + (payload(Math.min(1, payload.length - 1)) & 0x7f)
+    MediaMeta(w, h, payload.length / frameBytes, payload.length.toLong)
+  }
+
+  /** Batch feature extraction: 16-bin byte histogram per payload,
+    * computed per-partition over the typed Dataset — the batch shape
+    * (iterator-of-rows per partition) a vectorized decoder needs.
+    */
+  def byteHistograms(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < r.payload.length) { hist((r.payload(i) & 0xff) / 16) += 1; i += 1 }
+        (r.media_id, hist.toSeq)
+      }
+    }.toDF("media_id", "hist16")
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size window of the
+    * payload, as (media_id, frame_no, frame binary) rows.
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("n_frames", (length(col("payload")) / frameBytes).cast("int"))
+      .withColumn("frame_no", explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride))))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame", expr(s"substring(payload, frame_no * $frameBytes + 1, $frameBytes)"))
+      .select(col("media_id"), col("frame_no"), col("frame"))
+
+  /** The synthesized media table: text bytes as fake payloads. */
+  def mediaTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"))
+
+  val defs: Map[String, Q] = Map(
+
+    // Decoded-metadata rollup per media kind: the decode UDF runs over
+    // the binary column; widths/heights/frame counts and payload
+    // hashes are all oracle-checked.
+    "mm1_media_metadata" -> ((s, dir) => {
+      val decode = udf((p: Array[Byte]) => decodeMeta(p))
+      mediaTable(s, dir)
+        .withColumn("meta", decode(col("payload")))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("meta.nBytes")).as("total_bytes"),
+          sum(col("meta.width").cast("long")).as("sum_width"),
+          sum(col("meta.nFrames").cast("long")).as("sum_frames"),
+          countDistinct(md5(col("payload"))).as("n_distinct_payloads"))
+    }),
+
+    // Frame sampling arithmetic (stride 4) — the scan shape of video
+    // frame extraction; counts per kind are exact.
+    "mm2_frame_sample" -> ((s, dir) => {
+      sampleFrames(mediaTable(s, dir), stride = 4)
+        .join(mediaTable(s, dir).select(col("media_id"), col("kind")), "media_id")
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_sampled_frames"),
+          countDistinct(col("media_id")).as("n_media"),
+          sum(length(col("frame")).cast("long")).as("sampled_bytes"))
+    })
+  )
+
+  private val kindSql =
+    """CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
+
+  val oracles: Map[String, String] = Map(
+    "mm1_media_metadata" ->
+      s"""SELECT $kindSql AS kind, COUNT(*) AS n_media,
+            CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+            CAST(SUM(1 + (ascii(substr(text, 1, 1)) & 127)) AS BIGINT) AS sum_width,
+            CAST(SUM(length(text) // $frameBytes) AS BIGINT) AS sum_frames,
+            COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+          FROM documents GROUP BY 1""",
+    "mm2_frame_sample" ->
+      s"""SELECT $kindSql AS kind,
+            CAST(SUM(n_sampled) AS BIGINT) AS n_sampled_frames,
+            COUNT(*) AS n_media,
+            CAST(SUM(bytes) AS BIGINT) AS sampled_bytes
+          FROM (
+            SELECT doc_id,
+              CASE WHEN length(text) // $frameBytes > 0
+                   THEN ((length(text) // $frameBytes - 1) // 4) + 1 ELSE 0 END AS n_sampled,
+              -- every sampled frame is a full $frameBytes window except
+              -- possibly none: substring is within payload by construction
+              (CASE WHEN length(text) // $frameBytes > 0
+                    THEN ((length(text) // $frameBytes - 1) // 4) + 1 ELSE 0 END) * $frameBytes AS bytes
+            FROM documents) t
+          WHERE n_sampled > 0
+          GROUP BY 1""",
+    // byteHistograms has no SQL mirror (binary loop): covered by
+    // MultimodalSpec invariants instead.
+  )
+}
