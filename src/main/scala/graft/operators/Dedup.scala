@@ -115,7 +115,10 @@ object Dedup {
     // MinHash-LSH near-dup: shingle -> 16 minhashes -> 4 band keys ->
     // band-bucket self-join for candidates -> signature-overlap verify.
     "ll2_minhash_neardup" -> ((s, dir) => {
+      // signatures feed the band explode AND both verify joins —
+      // persist so the text scan + shingling + 16 mins run once
       val sigs = minhashSignatures(shingles(corpus(s, dir, perturb = true)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sigs.select(col("doc_id") +: (0 until 4).map(b =>
         md5(concat_ws(",", (0 until 4).map(r => col(s"s${4 * b + r}")): _*)).as(s"b$b")): _*)
       val bandRows = banded.select(col("doc_id"),
@@ -144,6 +147,7 @@ object Dedup {
       val nib = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
           shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L))): _*)).as(Seq("chunk", "nibble")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds both sides of the bucket self-join
       nib.as("x").join(nib.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.nibble") === col("y.nibble") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -159,6 +163,7 @@ object Dedup {
     // generated only for docs sharing a shingle (J>0), never all-pairs.
     "ll6_ngram_jaccard" -> ((s, dir) => {
       val sh = shingles(corpus(s, dir, perturb = true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sizes + both join sides
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       sh.as("x").join(sh.as("y"),
           col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))

@@ -202,6 +202,22 @@ object Relational {
         .distinct()
     }),
 
+    // Skew-resilient two-phase aggregation: salt the hot key, partial
+    // agg per (key, salt), then merge the partials. Result is
+    // bit-identical to a plain groupBy (decimal sums are associative)
+    // but the first shuffle spreads a hot key over 16 reducers — the
+    // manual form of AQE skew-join handling, for aggregations, which
+    // AQE does not rebalance. At 100 TB a single whale user no longer
+    // serializes one reducer.
+    "q13_salted_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("salt", col("event_id") % 16)
+        .groupBy(col("user_id"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(d(col("value"))).as("psum"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("sum_value"))
+    }),
+
     // Grouped having — rsources completion predicate shape
     // (services/rsources, A5): per key, in == out + failed.
     "q12_rsources_stats" -> ((s, dir) => {
@@ -298,6 +314,10 @@ object Relational {
            FROM events) t
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q13_salted_agg" ->
+      """SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY user_id""",
     "q12_rsources_stats" ->
       """SELECT user_id, COUNT(*) AS n_in,
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,

@@ -169,7 +169,8 @@ object Warehouse {
          FROM events""",
     "e1_schema_inference" ->
       """SELECT event_type, 'k' AS key,
-                CASE WHEN regexp_matches(regexp_extract(props, '"k":\s*(-?\d+(\.\d+)?)', 1), '^-?\d+$')
+                CASE WHEN TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+(\.\d+)?)', 1) AS DOUBLE)
+                       = floor(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+(\.\d+)?)', 1) AS DOUBLE))
                      THEN 'int' ELSE 'float' END AS type,
                 COUNT(*) AS n
          FROM events WHERE props LIKE '%"k"%'
@@ -207,7 +208,8 @@ object Warehouse {
          FROM events GROUP BY 1, 2""",
     "l3_schema_consolidation" ->
       """SELECT 'k' AS key,
-                CASE WHEN regexp_matches(regexp_extract(props, '"k":\s*(-?\d+(\.\d+)?)', 1), '^-?\d+$')
+                CASE WHEN TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+(\.\d+)?)', 1) AS DOUBLE)
+                       = floor(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+(\.\d+)?)', 1) AS DOUBLE))
                      THEN 'int' ELSE 'float' END AS winning_type,
                 event_id AS first_seen_event
          FROM events WHERE props LIKE '%"k"%'
