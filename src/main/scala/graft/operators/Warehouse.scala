@@ -56,6 +56,16 @@ object Warehouse {
         .select(col("event_id"), col("key"), col("val"), col("val").cast("long").as("val_int"))
     }),
 
+    // W2 via the native Catalyst expression (FlattenJsonExpr): same
+    // semantics as w2, but the flatten participates in whole-stage
+    // codegen instead of breaking the stage at a UDF boundary.
+    "w2c_flatten_native" -> ((s, dir) => {
+      graft.functions.FlattenJsonExpr.register(s)
+      Tables.events(s, dir)
+        .select(col("event_id"), explode(expr("flatten_json_native(props)")).as(Seq("key", "val")))
+        .select(col("event_id"), col("key"), col("val"), col("val").cast("long").as("val_int"))
+    }),
+
     // W4: column-rule projection — reserved column extraction
     // (internal/rules/rules.go:19-172): id←messageId, received_at,
     // event_text←event, context_ip←coalesce(...).
@@ -160,6 +170,10 @@ object Warehouse {
            SELECT event_type AS table_name, event_id FROM events) t
          GROUP BY table_name""",
     "w2_flatten_props" ->
+      """SELECT event_id, 'k' AS key, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS val_int,
+                regexp_extract(props, '"k":\s*(-?\d+)', 1) AS val
+         FROM events WHERE props LIKE '%"k"%'""",
+    "w2c_flatten_native" ->
       """SELECT event_id, 'k' AS key, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS val_int,
                 regexp_extract(props, '"k":\s*(-?\d+)', 1) AS val
          FROM events WHERE props LIKE '%"k"%'""",
