@@ -76,8 +76,11 @@ object Identity {
     val sym = enc.union(enc.select(col("b").as("a"), col("a").as("b"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // Initial labels already fold in the first gather round:
+    // comp0(n) = min(n, neighbors(n)) — one fewer loop iteration.
+    var labels = sym.select(col("a").as("node"), col("b").as("comp"))
+      .union(sym.select(col("a").as("node"), col("a").as("comp")))
+      .groupBy(col("node")).agg(min(col("comp")).as("comp"))
       .checkpoint()
     var prevSum = labels.agg(sum(col("comp"))).first().getLong(0)
     var converged = false
