@@ -58,8 +58,47 @@ object SafeNames {
     if (s != null && s.length > 127) s.substring(0, 127) else s
   }
 
+  /** ANSI-core reserved words common to the per-provider lists
+    * (internal/reservedkeywords/tablescolumns.json — full lists are
+    * drop-in data; this carries the shared core).
+    */
+  private val ansiCore: Set[String] = reserved.map(_.toUpperCase)
+
+  /** Provider-specific additions beyond the ANSI core (subset of the
+    * reference's per-provider lists, enough to exercise divergence).
+    */
+  val providerExtra: Map[String, Set[String]] = Map(
+    "POSTGRES" -> Set("ANALYZE", "FREEZE", "ILIKE", "LATERAL", "VERBOSE"),
+    "SNOWFLAKE" -> Set("CONNECT", "GSCLUSTER", "ISSUE", "MINUS", "QUALIFY", "REGEXP"),
+    "BQ" -> Set("ASSERT_ROWS_MODIFIED", "HASH", "RANGE", "STRUCT", "WINDOW"),
+    "RS" -> Set("AES128", "BACKUP", "DELTA", "ENCODE", "GLOBALDICT256", "WALLET"),
+    "S3_DATALAKE" -> Set("PREORDER", "OVERLAY"),
+    "DELTALAKE" -> Set("ANTI", "SEMI", "MINUS"))
+
+  private val datalakeProviders = Set("S3_DATALAKE", "GCS_DATALAKE", "AZURE_DATALAKE")
+
+  /** Provider-aware final name pass — safe.go:140-157 `safeName`:
+    * Snowflake uppercases; Postgres truncates to its 63-byte
+    * identifier limit BEFORE lowercasing; everyone else lowercases;
+    * reserved keywords (per-provider list) get a '_' prefix; datalake
+    * providers skip the final 127 cap.
+    */
+  def safeNameFor(provider: String, name: String): String = {
+    if (name == null) return null
+    var s = provider match {
+      case "SNOWFLAKE" => name.toUpperCase
+      case "POSTGRES" => (if (name.length > 63) name.substring(0, 63) else name).toLowerCase
+      case _ => name.toLowerCase
+    }
+    val words = ansiCore ++ providerExtra.getOrElse(provider, Set.empty)
+    if (words.contains(s.toUpperCase)) s = "_" + s
+    if (!datalakeProviders.contains(provider) && s.length > 127) s = s.substring(0, 127)
+    s
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("safe_name", (s: String) => toSafeName(s))
     spark.udf.register("safe_table_name", (s: String) => toSafeTableName(s))
+    spark.udf.register("safe_name_for", (p: String, s: String) => safeNameFor(p, s))
   }
 }

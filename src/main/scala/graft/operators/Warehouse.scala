@@ -101,6 +101,22 @@ object Warehouse {
         .select(col("raw"), callUDF("safe_name", col("raw")).as("safe"))
     }),
 
+    // W6 provider pass: case rules (Snowflake upper, Postgres
+    // truncate-63-then-lower), per-provider reserved lists, datalake
+    // no-truncation (safe.go:140-157 safeName).
+    "w6b_safe_names_provider" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      SafeNames.register(s)
+      val providers = Seq("POSTGRES", "SNOWFLAKE", "BQ", "RS", "S3_DATALAKE", "DELTALAKE")
+        .toDF("provider")
+      val names = Seq("event", "select", "range", "qualify", "ilike", "UserProfile",
+        "a" * 70, "b" * 140).toDF("raw")
+      providers.crossJoin(names)
+        .select(col("provider"), col("raw"),
+          callUDF("safe_name_for", col("provider"), col("raw")).as("safe"))
+    }),
+
     // W8: merge-rule emission — identity edges from (anonId, userId)
     // pairs (idresolution.go:15-141). Deterministic synthetic anon id
     // derived from the event row.
@@ -209,6 +225,31 @@ object Warehouse {
                         ('mixedUPPERCase'),('a'),('42'),('email-address'),('revenue($)'),
                         ('HTMLParser'),('abc123'),('v2Test'),('XMLHttpRequest'),('SCREAMING_SNAKE'),
                         ('order')) v(raw)) t""",
+    "w6b_safe_names_provider" -> {
+      import graft.functions.SafeNames.{providerExtra, reserved}
+      def inList(ws: Iterable[String]) = ws.toSeq.sorted.map(w => s"'$w'").mkString("(", ", ", ")")
+      val core = inList(reserved.map(_.toUpperCase))
+      val extraCond = providerExtra.map { case (p, ws) =>
+        s"(provider = '$p' AND upper(cased) IN ${inList(ws)})"
+      }.mkString(" OR ")
+      s"""WITH providers(provider) AS (VALUES ('POSTGRES'), ('SNOWFLAKE'), ('BQ'), ('RS'),
+                                              ('S3_DATALAKE'), ('DELTALAKE')),
+          names(raw) AS (VALUES ('event'), ('select'), ('range'), ('qualify'), ('ilike'),
+                                ('UserProfile'), (repeat('a', 70)), (repeat('b', 140))),
+          pn AS (SELECT provider, raw,
+                   CASE provider WHEN 'SNOWFLAKE' THEN upper(raw)
+                                 WHEN 'POSTGRES' THEN lower(substr(raw, 1, 63))
+                                 ELSE lower(raw) END AS cased
+                 FROM providers CROSS JOIN names),
+          esc AS (SELECT provider, raw,
+                    CASE WHEN upper(cased) IN $core OR $extraCond
+                         THEN '_' || cased ELSE cased END AS e
+                  FROM pn)
+          SELECT provider, raw,
+            CASE WHEN provider IN ('S3_DATALAKE', 'GCS_DATALAKE', 'AZURE_DATALAKE')
+                 THEN e ELSE substr(e, 1, 127) END AS safe
+          FROM esc"""
+    },
     "w8_merge_rules" ->
       """SELECT DISTINCT 'anon_' || CAST(user_id % 37 AS VARCHAR) AS merge_property_1,
                          'user_' || CAST(user_id AS VARCHAR) AS merge_property_2

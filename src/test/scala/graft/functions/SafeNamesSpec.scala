@@ -44,4 +44,19 @@ class SafeNamesSpec extends AnyFunSuite {
     val long = "a" * 300
     assert(SafeNames.toSafeTableName(long).length === 127)
   }
+
+  test("provider pass: case rules, per-provider reserved words, length caps") {
+    assert(SafeNames.safeNameFor("SNOWFLAKE", "event") === "EVENT")
+    assert(SafeNames.safeNameFor("SNOWFLAKE", "qualify") === "_QUALIFY")
+    assert(SafeNames.safeNameFor("POSTGRES", "qualify") === "qualify")
+    assert(SafeNames.safeNameFor("POSTGRES", "ilike") === "_ilike")
+    assert(SafeNames.safeNameFor("BQ", "range") === "_range")
+    assert(SafeNames.safeNameFor("POSTGRES", "range") === "range")
+    assert(SafeNames.safeNameFor("POSTGRES", "select") === "_select")
+    // postgres truncates to its 63-byte identifier limit pre-lowercase
+    assert(SafeNames.safeNameFor("POSTGRES", "A" * 70) === "a" * 63)
+    // datalakes skip the 127 cap, warehouses apply it
+    assert(SafeNames.safeNameFor("S3_DATALAKE", "b" * 140).length === 140)
+    assert(SafeNames.safeNameFor("DELTALAKE", "b" * 140).length === 127)
+  }
 }
