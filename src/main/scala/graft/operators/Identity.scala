@@ -122,6 +122,33 @@ object Identity {
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =
     connectedComponentsWithStats(edges, maxIter)._1
 
+  /** Incremental identity resolution — the reference's applyRule/
+    * addRules contract (identity.go:79-262): fold a batch of new merge
+    * rules into an existing mappings table WITHOUT re-running CC over
+    * the whole graph. Only components touched by the new edges are
+    * recomputed: each affected member contributes a star edge to its
+    * old representative (preserving prior connectivity), the new edges
+    * are unioned in, and CC runs on that (small) delta subgraph.
+    * Untouched components pass through unchanged — at 100 TB the cost
+    * scales with the batch's neighborhood, not the graph.
+    *
+    * @param mappings existing (node, comp) table; comp = min member.
+    * @param newEdges batch of new merge-rule edges (src, dst).
+    * @return updated (node, comp) table.
+    */
+  def addRules(mappings: DataFrame, newEdges: DataFrame): DataFrame = {
+    val m = mappings.toDF("node", "comp")
+    val e = newEdges.toDF("src", "dst")
+    val touched = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val touchedComps = m.join(touched, "node").select(col("comp")).distinct()
+    val affected = m.join(touchedComps, "comp") // all members of touched comps
+    val starEdges = affected.select(col("node").as("src"), col("comp").as("dst"))
+    val delta = connectedComponents(e.union(starEdges)).toDF("node", "comp")
+    val untouched = m.join(touchedComps, Seq("comp"), "left_anti")
+    untouched.unionByName(delta).select(col("node"), col("comp"))
+  }
+
   val defs: Map[String, Q] = Map(
     // l8: edges derived deterministically from events — each user links
     // to two synthetic device/email hash nodes (%37, %53), chaining

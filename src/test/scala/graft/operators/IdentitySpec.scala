@@ -39,6 +39,28 @@ class IdentitySpec extends SparkSpec {
     assert(iters <= 14, s"pointer jumping should converge in ~log2(1000)+c rounds, took $iters")
   }
 
+  test("incremental addRules merges touched components, leaves the rest alone") {
+    val sess = spark
+    import sess.implicits._
+    // existing graph: {a1,u1,u2} | {u3,u3p} | {x,y}
+    val base = Identity.connectedComponents(
+      Seq("a1" -> "u1", "a1" -> "u2", "u3" -> "u3p", "x" -> "y").toDF("src", "dst"))
+    // new rule bridges u2 and u3 -> first two components merge; {x,y} untouched
+    val updated = Identity.addRules(base, Seq("u2" -> "u3").toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set("a1", "u1", "u2", "u3", "u3p").map(updated) === Set("a1"))
+    assert(updated("x") === "x" && updated("y") === "x")
+    assert(updated.size === 7)
+    // brand-new nodes in a later batch form their own component
+    val withNew = Identity.addRules(
+      Seq("a1" -> "u1", "a1" -> "u2").toDF("src", "dst")
+        .transform(Identity.connectedComponents(_)),
+      Seq("p" -> "q").toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(withNew("p") === "p" && withNew("q") === "p")
+    assert(withNew("a1") === "a1")
+  }
+
   test("skewed hub: star with 500 leaves converges fast") {
     val sess = spark
     import sess.implicits._
