@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FlattenJsonExpr
+
+/** Production injection point: register the engine's native Catalyst
+  * expressions at session build time —
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * so every session (including Thrift/Connect-served ones) sees
+  * `flatten_json_native` without imperative registration calls.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("flatten_json_native"),
+      new ExpressionInfo(classOf[FlattenJsonExpr].getName, "flatten_json_native"),
+      (children: Seq[Expression]) => FlattenJsonExpr(children.head)))
+  }
+}

@@ -94,6 +94,46 @@ object EventStream {
     staged.unpersist()
   }
 
+  /** Per-(user, destination) delivery attempt. */
+  case class JobAttempt(user_id: String, destination: String, job_id: Long, ok: Boolean)
+
+  /** D2: the event-order barrier as a custom stateful streaming op
+    * (router/internal/eventorder/eventorder.go) — the one reference
+    * operator with no Catalyst analog (SURVEY §4). Per
+    * (userId, destinationId) key: jobs deliver in job_id order until
+    * one fails; the failure "retries" and every successor is blocked —
+    * across micro-batches — until a later attempt for the SAME job id
+    * succeeds, which lifts the barrier. State = the blocking job id,
+    * held in the state store (RocksDB-backed on a cluster).
+    */
+  def orderBarrier(attempts: org.apache.spark.sql.Dataset[JobAttempt])
+    : org.apache.spark.sql.Dataset[(String, String, Long, String)] = {
+    import attempts.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    attempts
+      .groupByKey(a => (a.user_id, a.destination))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, String), it: Iterator[JobAttempt], state: GroupState[Long]) => {
+          var blocked: Option[Long] = state.getOption
+          val out = it.toSeq.sortBy(_.job_id).map { a =>
+            val status = blocked match {
+              case Some(b) if a.job_id == b && a.ok => blocked = None; "delivered" // retry succeeded, barrier lifts
+              case Some(b) if a.job_id == b => "retrying"
+              case Some(_) => "blocked"
+              case None if a.ok => "delivered"
+              case None => blocked = Some(a.job_id); "retrying"
+            }
+            (a.user_id, a.destination, a.job_id, status)
+          }
+          blocked match {
+            case Some(b) => state.update(b)
+            case None if state.exists => state.remove()
+            case None =>
+          }
+          out.iterator
+        })
+  }
+
   /** End-to-end slice: stream → preprocess → tracks → MERGE sink. */
   def startTracksPipeline(events: DataFrame, tablePath: String,
                           checkpointDir: String): StreamingQuery =

@@ -32,6 +32,11 @@ class FlattenJsonExprSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injection point applies cleanly") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // builder-time injection path
+  }
+
   test("null input yields null map") {
     val sess = spark
     import sess.implicits._

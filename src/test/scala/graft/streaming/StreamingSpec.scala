@@ -92,4 +92,39 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === expected)
     } finally q.stop()
   }
+
+  test("D2 order barrier: failure blocks successors across batches until retried OK") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    import EventStream.JobAttempt
+    val input = MemoryStream[JobAttempt]
+    val q = EventStream.orderBarrier(input.toDS())
+      .toDF("user_id", "destination", "job_id", "status")
+      .writeStream.format("memory").queryName("barrier_out").outputMode("append").start()
+    try {
+      input.addData(
+        JobAttempt("u1", "web", 1L, ok = true),
+        JobAttempt("u1", "web", 2L, ok = false), // fails -> barrier
+        JobAttempt("u1", "web", 3L, ok = true),  // blocked behind 2
+        JobAttempt("u2", "web", 1L, ok = true))  // other key unaffected
+      q.processAllAvailable()
+      input.addData(
+        JobAttempt("u1", "web", 4L, ok = true))  // still blocked: barrier state carries across batches
+      q.processAllAvailable()
+      input.addData(
+        JobAttempt("u1", "web", 2L, ok = true),  // retry succeeds -> lifts (processed in job order)
+        JobAttempt("u1", "web", 5L, ok = true))  // delivers after lift
+      q.processAllAvailable()
+      val rows = spark.table("barrier_out")
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSet
+      assert(rows.contains(("u1", 1L, "delivered")))
+      assert(rows.contains(("u1", 2L, "retrying")))
+      assert(rows.contains(("u1", 3L, "blocked")))
+      assert(rows.contains(("u2", 1L, "delivered")))
+      assert(rows.contains(("u1", 4L, "blocked"))) // batch 2, barrier still up
+      assert(rows.contains(("u1", 2L, "delivered"))) // batch 3 retry
+      assert(rows.contains(("u1", 5L, "delivered"))) // after lift
+    } finally q.stop()
+  }
 }
