@@ -42,6 +42,24 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) !== sh(3L))
   }
 
+  test("prefix-filtered Jaccard == naive inverted-index Jaccard on a skewed corpus") {
+    // df-skewed fixture: shared rare/frequent shingles + near-dup pairs
+    val vocab = (1 to 40).map(i => s"w$i")
+    val rnd = new scala.util.Random(7)
+    val base = (1L to 25L).map(i =>
+      i -> Seq.fill(12 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = base ++ base.map { case (i, t) => // near-dup copies (drop first word)
+      (i + 100L) -> t.split(" ").drop(1).mkString(" ")
+    }
+    val sh = Dedup.shingles(docsDf(docs))
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = collectPairs(Dedup.jaccardFromShingles(sh))
+    val filtered = collectPairs(Dedup.prefixFilteredJaccard(sh))
+    assert(naive.nonEmpty, "fixture should contain J>=0.6 pairs")
+    assert(filtered === naive, "prefix filtering must not change the result set")
+  }
+
   test("pigeonhole recall: bucketed simhash candidates find every hamming<=3 pair") {
     // Deterministic pseudo-random corpus: 40 docs over a 12-word vocab
     // (heavy simhash clustering, like real near-dup corpora).
