@@ -40,6 +40,51 @@ object Lifecycle {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     }),
 
+    // D7: error-stash roundtrip — failed events written to the
+    // dead-letter layout (sorted by failed_at, partitioned by date),
+    // read back and rolled up against the oracle on the source table.
+    "d7_error_stash_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_d7").toString
+      val failed = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts").as("failed_at"),
+          to_date(col("ts")).cast("string").as("failed_date"))
+      graft.sinks.Sinks.errorStash(failed, tmp)
+      Readers.parquetLoadFiles(s, tmp)
+        // partition discovery re-infers the dir value as DATE; pin string
+        .groupBy(col("failed_date").cast("string").as("failed_date"))
+        .agg(count(lit(1)).as("n_failed"),
+          min(col("event_id")).as("first_error"), max(col("event_id")).as("last_error"))
+    }),
+
+    // D8: archiver — raw events archived to object storage (json.gz,
+    // partitioned) THEN deleted from the live table; the check reads
+    // the archive back and proves live+archived == original.
+    "d8_archiver" -> ((s, dir) => {
+      val base = Files.createTempDirectory("graft_d8").toString
+      val live = s"$base/live"
+      val archive = s"$base/archive"
+      val cutoff = "2024-01-15 00:00:00"
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("string").as("ts_str"),
+          col("user_id").cast("string").as("source_id"),
+          col("event_type").as("destination_id"))
+      ev.write.mode("overwrite").parquet(live)
+      // archive the aged slice, then delete it from the live table
+      graft.sinks.Sinks.batchObjectSink(
+        s.read.parquet(live).filter(col("ts_str") < cutoff), archive)
+      graft.sinks.Sinks.retentionDelete(s, live, s"ts_str < '$cutoff'")
+      val archived = s.read.json(archive)
+        .select(lit("archived").as("side"), col("event_id"))
+      val remaining = s.read.parquet(live)
+        .select(lit("live").as("side"), col("event_id"))
+      archived.unionByName(remaining)
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    }),
+
     // S6: gzip JSON-lines staging file scan — events serialized to
     // the staging shape, written .json.gz, scanned back.
     "s6_staging_scan" -> ((s, dir) => {
@@ -65,6 +110,15 @@ object Lifecycle {
     "s6_staging_scan" ->
       """SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    "d7_error_stash_roundtrip" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS failed_date, COUNT(*) AS n_failed,
+           MIN(event_id) AS first_error, MAX(event_id) AS last_error
+         FROM events WHERE event_type = 'error' GROUP BY 1""",
+    "d8_archiver" ->
+      """SELECT CASE WHEN CAST(ts AS VARCHAR) < '2024-01-15 00:00:00'
+                     THEN 'archived' ELSE 'live' END AS side,
+           COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
          FROM events GROUP BY 1"""
   )
 }

@@ -37,6 +37,26 @@ object Relational {
           max(col("event_id")).as("max_event_id"))
     }),
 
+    // A1 sample fidelity: the reporting aggregation also carries the
+    // LATEST NON-EMPTY sample payload per bucket (reporting.go:264-283
+    // ARRAY_AGG(... ORDER BY id DESC) FILTER (...)): last(ignoreNulls)
+    // over the bucket window, samples nulled out deterministically to
+    // exercise the skip-empties path.
+    "a1b_reporting_sample" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val w = Window
+        .partitionBy(col("minute_us"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .withColumn("minute_us", unix_micros(date_trunc("minute", col("ts"))))
+        .withColumn("sample", when(k % 5 =!= 0, col("props")))
+        .select(col("minute_us"), col("event_type"),
+          count(lit(1)).over(w).as("n"),
+          last(col("sample"), ignoreNulls = true).over(w).as("last_sample"))
+        .distinct()
+    }),
+
     // Pile-up counts — jobsdb/jobsdb.go:151-153 (A3).
     "a3_pileup_counts" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -238,6 +258,15 @@ object Relational {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          MAX(event_id) AS max_event_id
          FROM events GROUP BY 1, 2""",
+    "a1b_reporting_sample" ->
+      """SELECT DISTINCT epoch_us(date_trunc('minute', ts)) AS minute_us, event_type,
+           COUNT(*) OVER w AS n,
+           last_value(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 <> 0
+                           THEN props END IGNORE NULLS) OVER w AS last_sample
+         FROM events
+         WINDOW w AS (PARTITION BY date_trunc('minute', ts), event_type
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "a3_pileup_counts" ->
       "SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2",
     "a4_distinct_values" ->
