@@ -70,6 +70,51 @@ object Router {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // D1: router delivery response classification + retry backoff —
+    // the analytic core of router/worker.go:357-745 (the HTTP hop
+    // itself is out of env): 2xx delivered, 429/5xx retryable with
+    // exponential backoff capped at 300s, other 4xx aborted.
+    "d1_router_delivery" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("status_code",
+          when(k % 10 < 6, 200).when(k % 10 === 6, 201)
+            .when(k % 10 === 7, 429).when(k % 10 === 8, 500).otherwise(400))
+        .withColumn("attempt", (k % 4).cast("int"))
+        .withColumn("job_state",
+          when(col("status_code") < 300, "succeeded")
+            .when(col("status_code") === 429 || col("status_code") >= 500, "waiting_retry")
+            .otherwise("aborted"))
+        .withColumn("backoff_s",
+          when(col("job_state") === "waiting_retry",
+            least(pow(lit(2), col("attempt")) * 10, lit(300)).cast("long")).otherwise(0L))
+        .groupBy(col("job_state"))
+        .agg(count(lit(1)).as("n"), sum(col("backoff_s")).as("total_backoff_s"))
+    }),
+
+    // S4: internal retl/extract ingest — recordId validation per
+    // extractRecordID (rules.go:154-172): empty, object and array
+    // record ids are rejected with the reference's error classes.
+    "s4_retl_ingest" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      Seq(
+        (1L, """{"recordId":"r1","event":"sync"}"""),
+        (2L, """{"recordId":"","event":"sync"}"""),
+        (3L, """{"recordId":{"a":1},"event":"sync"}"""),
+        (4L, """{"recordId":[1,2],"event":"sync"}"""),
+        (5L, """{"event":"sync"}"""),
+        (6L, """{"recordId":"r6","event":"sync"}""")).toDF("job_id", "js")
+        .withColumn("record_raw", get_json_object(col("js"), "$.recordId"))
+        .withColumn("status",
+          when(col("record_raw").isNull || col("record_raw") === "", "err_record_id_empty")
+            .when(col("record_raw").startsWith("{"), "err_record_id_object")
+            .when(col("record_raw").startsWith("["), "err_record_id_array")
+            .otherwise("ok"))
+        .select(col("job_id"),
+          when(col("status") === "ok", col("record_raw")).as("record_id"),
+          col("status"))
+    }),
+
     // D3: throttling — deliver at most 5 events per (destination,
     // minute), defer the rest (router/throttler GCRA shape reduced to
     // a per-window cap; the adaptive part is a config knob).
@@ -236,6 +281,40 @@ object Router {
                OVER (PARTITION BY user_id, event_type) AS first_failed
            FROM events) t
          GROUP BY 1, 2""",
+    "d1_router_delivery" ->
+      """SELECT job_state, COUNT(*) AS n,
+           CAST(SUM(backoff_s) AS BIGINT) AS total_backoff_s
+         FROM (
+           SELECT CASE WHEN code < 300 THEN 'succeeded'
+                       WHEN code = 429 OR code >= 500 THEN 'waiting_retry'
+                       ELSE 'aborted' END AS job_state,
+                  CASE WHEN code = 429 OR code >= 500
+                       THEN CAST(least(power(2, kk % 4) * 10, 300) AS BIGINT)
+                       ELSE 0 END AS backoff_s
+           FROM (
+             SELECT kk, CASE WHEN kk % 10 < 6 THEN 200 WHEN kk % 10 = 6 THEN 201
+                             WHEN kk % 10 = 7 THEN 429 WHEN kk % 10 = 8 THEN 500
+                             ELSE 400 END AS code
+             FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk
+                   FROM events))) t
+         GROUP BY job_state""",
+    "s4_retl_ingest" ->
+      """SELECT job_id,
+           CASE WHEN status = 'ok' THEN record_raw END AS record_id, status
+         FROM (
+           SELECT job_id, json_extract_string(js, '$.recordId') AS record_raw,
+             CASE WHEN json_extract(js, '$.recordId') IS NULL
+                    OR json_extract_string(js, '$.recordId') = '' THEN 'err_record_id_empty'
+                  WHEN json_type(js, '$.recordId') = 'OBJECT' THEN 'err_record_id_object'
+                  WHEN json_type(js, '$.recordId') = 'ARRAY' THEN 'err_record_id_array'
+                  ELSE 'ok' END AS status
+           FROM (VALUES
+             (1, '{"recordId":"r1","event":"sync"}'),
+             (2, '{"recordId":"","event":"sync"}'),
+             (3, '{"recordId":{"a":1},"event":"sync"}'),
+             (4, '{"recordId":[1,2],"event":"sync"}'),
+             (5, '{"event":"sync"}'),
+             (6, '{"recordId":"r6","event":"sync"}')) v(job_id, js))""",
     "d3_throttle" ->
       """SELECT event_type, status, COUNT(*) AS n FROM (
            SELECT event_type,
