@@ -30,7 +30,7 @@ object WarehouseRows {
 
   /** Inline canonical-event fixture (FIXTURES.md §1 shape). */
   private val gw: Seq[(Long, String)] = Seq(
-    1L -> """{"type":"track","event":"Order Completed","messageId":"m1","anonymousId":"a1","userId":"u1","channel":"web","request_ip":"9.9.9.9","context":{"ip":"1.2.3.4"},"properties":{"plan":"pro","amount":49.99},"receivedAt":"2024-01-01T00:00:01Z"}""",
+    1L -> """{"type":"track","event":"Order Completed","messageId":"m1","anonymousId":"a1","userId":"u1","channel":"web","request_ip":"9.9.9.9","context":{"ip":"1.2.3.4","locale":"en-US"},"properties":{"plan":"pro","amount":49.99,"received_at":"boom","category":"","nested":{"a":{"b":2}}},"receivedAt":"2024-01-01T00:00:01Z"}""",
     2L -> """{"type":"track","event":"cartViewed","messageId":"m2","anonymousId":"a2","request_ip":"8.8.8.8","receivedAt":"2024-01-01T00:00:02Z"}""",
     3L -> """{"type":"identify","messageId":"m3","anonymousId":"a3","userId":"u3","traits":{"email":"x@y.z","age":33},"context":{"ip":"2.3.4.5"},"receivedAt":"2024-01-01T00:00:03Z"}""",
     4L -> """{"type":"identify","messageId":"m4","anonymousId":"a4","traits":{"email":"q@r.s"},"receivedAt":"2024-01-01T00:00:04Z"}""",
@@ -91,6 +91,45 @@ object WarehouseRows {
         .select(col("msg"),
           explode(filter(col("rows"), r => r.isNotNull)).as("r"))
         .select(col("msg"), col("r.*"))
+    }),
+
+    // W7 property columns: flattened payload columns per target table
+    // with the reference's prefix rules (events.go prefixInfo usage):
+    // track properties → BARE column names in the <event> table,
+    // track context → context_* in tracks, identify traits → bare in
+    // identifies, identify context.traits → context_traits_*.
+    // Values colliding with rule-reserved columns are DROPPED
+    // (rules.go:128-142 — e.g. properties.received_at, context.ip),
+    // and empty-string values are skipped (set.go IsEmptyString).
+    "w7c_event_properties" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      JsonFlatten.register(s)
+      SafeNames.register(s)
+      val df = gw.toDF("msg", "js")
+      val t = get_json_object(col("js"), "$.type")
+      val safeEv = callUDF("safe_name", get_json_object(col("js"), "$.event"))
+      def rows(cond: org.apache.spark.sql.Column, table: org.apache.spark.sql.Column,
+               path: String, prefix: String) =
+        df.filter(cond)
+          .select(col("msg"), table.as("target_table"),
+            explode(expr(
+              s"""map_zip_with(flatten_json(get_json_object(js, '$$.$path')),
+                              flatten_json_types(get_json_object(js, '$$.$path')),
+                              (k, v, ty) -> named_struct('v', v, 'ty', ty))"""))
+              .as(Seq("k", "vt")))
+          .select(col("msg"), col("target_table"),
+            concat(lit(prefix), col("k")).as("column_name"),
+            col("vt.v").as("column_value"), col("vt.ty").as("col_type"))
+      val reservedCols = Seq("id", "anonymous_id", "user_id", "sent_at", "timestamp",
+        "received_at", "original_timestamp", "channel", "context_ip",
+        "context_request_ip", "context_passed_ip", "event_text", "record_id")
+      rows(t === "track", safeEv, "properties", "")
+        .unionByName(rows(t === "track", lit("tracks"), "context", "context_"))
+        .unionByName(rows(t === "identify", lit("identifies"), "traits", ""))
+        .unionByName(rows(t === "identify", lit("identifies"), "context.traits", "context_traits_"))
+        .filter(col("column_value") =!= "")
+        .filter(!col("column_name").isin(reservedCols: _*))
     }),
 
     // T17: PII strip — drop configured trait keys (here: email) from
@@ -160,6 +199,56 @@ object WarehouseRows {
           SELECT msg, ${sqlSafe("ev")}, json_extract_string(js, '$$.recordId'), uid, anon,
                  cip, rcv, 'record_id', json_extract_string(js, '$$.recordId')
           FROM e WHERE t = 'extract'"""
+    },
+    "w7c_event_properties" -> {
+      val timestampReSql =
+        """^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:?\d{2})?)?$"""
+      val typeSql =
+        s"""CASE json_type(v)
+             WHEN 'BOOLEAN' THEN 'boolean'
+             WHEN 'UBIGINT' THEN 'int' WHEN 'BIGINT' THEN 'int'
+             WHEN 'DOUBLE' THEN (CASE WHEN CAST(v AS DOUBLE) = floor(CAST(v AS DOUBLE)) THEN 'int' ELSE 'float' END)
+             WHEN 'VARCHAR' THEN (CASE WHEN regexp_matches(json_extract_string(v, '$$'), '$timestampReSql') THEN 'datetime' ELSE 'string' END)
+             ELSE 'json' END"""
+      val reservedSql = Seq("id", "anonymous_id", "user_id", "sent_at", "timestamp",
+        "received_at", "original_timestamp", "channel", "context_ip",
+        "context_request_ip", "context_passed_ip", "event_text", "record_id")
+        .map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH RECURSIVE g(msg, js) AS $gwSql,
+          srcs AS (
+            SELECT msg, ${sqlSafe("json_extract_string(js, '$.event')")} AS target_table,
+                   '' AS prefix, json_extract(js, '$$.properties') AS obj
+            FROM g WHERE json_extract_string(js, '$$.type') = 'track'
+            UNION ALL
+            SELECT msg, 'tracks', 'context_', json_extract(js, '$$.context')
+            FROM g WHERE json_extract_string(js, '$$.type') = 'track'
+            UNION ALL
+            SELECT msg, 'identifies', '', json_extract(js, '$$.traits')
+            FROM g WHERE json_extract_string(js, '$$.type') = 'identify'
+            UNION ALL
+            SELECT msg, 'identifies', 'context_traits_', json_extract(js, '$$.context.traits')
+            FROM g WHERE json_extract_string(js, '$$.type') = 'identify'),
+          flat AS (
+            SELECT msg, target_table, prefix, k AS path,
+                   json_extract(obj, '$$."' || k || '"') AS v, 1 AS depth
+            FROM (SELECT msg, target_table, prefix, obj, unnest(json_keys(obj)) AS k
+                  FROM srcs WHERE obj IS NOT NULL AND json_type(obj) = 'OBJECT')
+            WHERE k <> ''
+            UNION ALL
+            SELECT msg, target_table, prefix, path || '_' || k,
+                   json_extract(v, '$$."' || k || '"'), depth + 1
+            FROM (SELECT msg, target_table, prefix, path, v, depth, unnest(json_keys(v)) AS k
+                  FROM flat WHERE json_type(v) = 'OBJECT' AND depth < 3)
+            WHERE k <> '')
+          SELECT msg, target_table, prefix || path AS column_name,
+            CASE WHEN json_type(v) IN ('OBJECT', 'ARRAY') THEN CAST(v AS VARCHAR)
+                 ELSE json_extract_string(v, '$$') END AS column_value,
+            $typeSql AS col_type
+          FROM flat
+          WHERE NOT (json_type(v) = 'OBJECT' AND depth < 3)
+            AND json_type(v) <> 'NULL'
+            AND (json_type(v) <> 'VARCHAR' OR json_extract_string(v, '$$') <> '')
+            AND prefix || path NOT IN $reservedSql"""
     },
     "t17_pii_strip" ->
       s"""SELECT msg, k AS key,
