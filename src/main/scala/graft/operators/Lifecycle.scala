@@ -91,6 +91,14 @@ object Lifecycle {
           max(col("event_id")).as("max_id"))
     }),
 
+    // L12: reverse-ETL source — warehouse table rows lifted into
+    // extract events with record ids, aggregated per status.
+    "l12_retl_source" -> ((s, dir) => {
+      Readers.retlSource(s, s"$dir/orders.parquet", "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_records"), min(col("record_id")).as("first_record"))
+    }),
+
     // S6: gzip JSON-lines staging file scan — events serialized to
     // the staging shape, written .json.gz, scanned back.
     "s6_staging_scan" -> ((s, dir) => {
@@ -117,6 +125,10 @@ object Lifecycle {
       """SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
+    "l12_retl_source" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_records,
+           MIN('rec_' || CAST(o_orderkey AS VARCHAR)) AS first_record
+         FROM orders GROUP BY 1""",
     "d7_error_stash_roundtrip" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS failed_date, COUNT(*) AS n_failed,
            MIN(event_id) AS first_error, MAX(event_id) AS last_error

@@ -43,6 +43,20 @@ object Sinks {
       .option("compression", "gzip")
       .json(dir)
 
+  /** D6: streaming destination — a streaming DataFrame delivered
+    * continuously to the (source, destination)-partitioned object
+    * sink via foreachBatch. Swapping the body for
+    * `batch.write.format("kafka")...` (or Kinesis/EventHub) is a
+    * config-level change; the checkpointing, batching and partition
+    * layout stay identical (services/streammanager shape).
+    */
+  def startStreamingObjectSink(stream: DataFrame, dir: String,
+                               checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => batchObjectSink(batch, dir) }
+      .start()
+
   /** D7: error stash — dead-letter table sorted by failed_at inside
     * each file for range-skippable parquet
     * (enterprise/reporting/error_index/worker.go:242-295).

@@ -37,4 +37,18 @@ object Readers {
   /** S7: Parquet load files (schema from footer). */
   def parquetLoadFiles(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** L12: reverse-ETL source job — reads a warehouse table and lifts
+    * each row into an extract event carrying a recordId
+    * (warehouse/source/source.go; gateway /internal/v1/retl). The
+    * local stand-in reads parquet; against a live warehouse this is
+    * `spark.read.jdbc(url, table, props)` with the same downstream.
+    */
+  def retlSource(spark: SparkSession, path: String,
+                 recordIdCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .withColumn("record_id", concat(lit("rec_"), col(recordIdCol)))
+      .withColumn("event_type", lit("extract"))
+  }
 }

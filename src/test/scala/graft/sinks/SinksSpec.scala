@@ -59,6 +59,26 @@ class SinksSpec extends SparkSpec {
     assert(back.count() === 3)
   }
 
+  test("D6 streaming object sink delivers micro-batches to the partitioned layout") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmp("d6")
+    val ckpt = tmp("d6ckpt")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, String)]
+    val q = Sinks.startStreamingObjectSink(
+      input.toDF().toDF("source_id", "destination_id", "payload"), dir, ckpt)
+    try {
+      input.addData(("s1", "d1", "p1"), ("s1", "d2", "p2"))
+      q.processAllAvailable()
+      input.addData(("s2", "d1", "p3"))
+      q.processAllAvailable()
+      assert(Files.exists(Paths.get(s"$dir/source_id=s1/destination_id=d1")))
+      assert(Files.exists(Paths.get(s"$dir/source_id=s2/destination_id=d1")))
+      assert(spark.read.json(dir).count() === 3)
+    } finally q.stop()
+  }
+
   test("D7 error stash partitions by failed_date") {
     val sess = spark
     import sess.implicits._
