@@ -83,8 +83,11 @@ object Identity {
       .groupBy(col("node")).agg(min(col("comp")).as("comp"))
       .checkpoint()
     var prevSum = labels.agg(sum(col("comp"))).first().getLong(0)
+    var prevCached: DataFrame = null
     var converged = false
     var i = 0
+    val ckptInterval = 3 // reliable checkpoint every N rounds (GraphX-style);
+                         // persisted rounds in between keep lineage <= 2N joins
     while (!converged && i < maxIter) {
       // gather: candidate label = min(own, neighbors' labels)
       val gathered = sym
@@ -94,14 +97,18 @@ object Identity {
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // shortcut (pointer jumping): comp(n) := comp(comp(n))
-      val next = gathered.alias("l")
+      val nextRaw = gathered.alias("l")
         .join(gathered.select(col("node").as("c_node"), col("comp").as("c_comp")),
           col("l.comp") === col("c_node"), "left")
         .select(col("l.node").as("node"),
           least(col("l.comp"), coalesce(col("c_comp"), col("l.comp"))).as("comp"))
-        .checkpoint() // reliable; truncates lineage each round
-      val newSum = next.agg(sum(col("comp"))).first().getLong(0)
+      val next =
+        if ((i + 1) % ckptInterval == 0) nextRaw.checkpoint()
+        else nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
+      val newSum = next.agg(sum(col("comp"))).first().getLong(0) // materializes next
       gathered.unpersist()
+      if (prevCached != null) { prevCached.unpersist(); prevCached = null }
+      if ((i + 1) % ckptInterval != 0) prevCached = next
       labels = next
       converged = newSum == prevSum // min-propagation: sum strictly decreases until fixpoint
       prevSum = newSum
@@ -116,6 +123,7 @@ object Identity {
     val out = decoded.checkpoint() // reliable; materialize before freeing inputs
     sym.unpersist()
     if (nodes != null) nodes.unpersist()
+    if (prevCached != null) prevCached.unpersist()
     (out, i)
   }
 
