@@ -85,6 +85,40 @@ object Similarity {
       topK(scored, 5)
     }),
 
+    // Embedding-cosine near-dup: candidate pairs from identical LSH
+    // buckets (8 hyperplane bits), exact-cosine verified at >= 0.8.
+    // The oracle mirrors the bucket computation, so both sides build
+    // the same candidate set — the check verifies the bucketed
+    // algorithm, which at 100 TB touches ~corpus/256 pairs per bucket
+    // instead of the n^2 cross join.
+    "ll8_embedding_neardup" -> ((s, dir) => {
+      // two-crawl corpus: each vector plus a copy with its first 32
+      // dims scaled 1.1x — cosine ~0.99 to the original, so true
+      // near-dup pairs exist (random vectors alone never clear 0.8)
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val perturbed = base.select((col("vec_id") + 10000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i < 32, CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT), x))")
+          .as("embedding"))
+      val e = withNorm(base.unionByName(perturbed))
+      val dims = 64
+      val withDots = (0 until 8).foldLeft(e) { (df, j) =>
+        df.withColumn(s"d$j", dotExpr("embedding", s"array(${hyperplane(j, dims).mkString(",")})"))
+      }
+      val bucketed = withDots
+        .withColumn("bucket",
+          (0 until 8).map(j =>
+            when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bucketed.as("x").join(bucketed.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .withColumn("dot", dotExpr("x.embedding", "y.embedding"))
+        .withColumn("sim", col("dot") / sqrt(col("x.nrm") * col("y.nrm")))
+        .filter(col("sim") >= 0.8)
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          col("x.bucket").as("bucket"))
+    }),
+
     // Random-hyperplane LSH bucketing: 8-bit signature per vector.
     // Output is the bucket histogram (the candidate-generation side of
     // LSH ANN; within-bucket rerank then mirrors ll3 on ~1/256 of the
@@ -126,6 +160,35 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ll3_ann_topk" -> annOracle(""),
     "ll4_ann_ivf" -> annOracle("AND label = q_label"),
+    "ll8_embedding_neardup" -> {
+      val bitsSql = (0 until 8).map(j =>
+        s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      val dotsSql = (0 until 8).map { j =>
+        s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * hv$j[i])) AS d$j"
+      }.mkString(", ")
+      val hvDefs = (0 until 8).map { j =>
+        s"[${hyperplane(j, 64).mkString(", ")}]::DOUBLE[] AS hv$j"
+      }.mkString(", ")
+      s"""WITH h AS (SELECT $hvDefs),
+          corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000,
+              list_transform(range(1, 65),
+                i -> CASE WHEN i <= 32
+                          THEN CAST(CAST(embedding[i] AS DOUBLE) * 1.1 AS FLOAT)
+                          ELSE embedding[i] END)
+            FROM embeddings),
+          d AS (SELECT vec_id, embedding, $normSql AS nrm, $dotsSql
+                FROM corpus, h),
+          b AS (SELECT vec_id, embedding, nrm,
+                  CAST($bitsSql AS BIGINT) AS bucket FROM d)
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE list_sum(list_transform(range(1, 65),
+                  i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                / sqrt(x.nrm * y.nrm) >= 0.8"""
+    },
     "ll7_ann_lsh_buckets" -> {
       val bitsSql = (0 until 8).map(j =>
         s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
