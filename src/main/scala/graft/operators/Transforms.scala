@@ -23,6 +23,22 @@ object Transforms {
 
   val defs: Map[String, Q] = Map(
 
+    // T1: suppression against an explicit regulation list — the
+    // synced suppression KV broadcast as a small DataFrame, events
+    // dropped via left_anti (gateway/handle.go:574-603,
+    // enterprise/suppress-user). At 100 TB the list stays broadcast
+    // (or becomes a bloom-filter pushdown) — the event stream never
+    // shuffles for it.
+    "t1b_suppression_list" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val suppressed = (0L until 150L by 7L).map(i => s"user_$i").toDF("suppressed_uid")
+      Tables.events(s, dir)
+        .withColumn("uid", concat(lit("user_"), col("user_id")))
+        .join(broadcast(suppressed), col("uid") === col("suppressed_uid"), "left_anti")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
     // T2: event blocking filter — drop events whose (eventType) is in
     // the workspace blocklist (gateway/handle.go:604-634, drop at
     // processor.go:2038-2063). Broadcast anti-join shape.
@@ -195,6 +211,12 @@ object Transforms {
   )
 
   val oracles: Map[String, String] = Map(
+    "t1b_suppression_list" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+         WHERE 'user_' || user_id NOT IN (
+           SELECT 'user_' || CAST(i AS VARCHAR)
+           FROM generate_series(0, 149, 7) t(i))
+         GROUP BY event_type""",
     "t2_event_blocking" ->
       """SELECT event_type, COUNT(*) AS n FROM events
          WHERE event_type NOT IN ('error', 'signup')
