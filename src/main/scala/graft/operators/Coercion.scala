@@ -51,7 +51,7 @@ object Coercion {
     s"($id, '$t', '$c', '$e', '$i', '$r')"
   }.mkString("(VALUES ", ", ", ")")
 
-  val defs: Map[String, Q] = Map(
+  private val matrixDefs: Map[String, Q] = Map(
     "l4b_coercion_matrix" -> ((s, dir) => {
       val sess = s
       import sess.implicits._
@@ -88,7 +88,59 @@ object Coercion {
     })
   )
 
+  /** Datetime-shaped strings for the convertValIfDateTime path. */
+  private val dtFixture: Seq[(Long, String)] = Seq(
+    (1L, "2024-03-05T10:11:12Z"),
+    (2L, "2024-03-05 10:11:12"),
+    (3L, "2024-03-05"),
+    (4L, "2024-03-05T10:11:12.500Z"),
+    (5L, "2024-03-05T10:11:12+05:30"),
+    (6L, "not a date"))
+
+  private val dtSql = dtFixture.map { case (id, v) => s"($id, '$v')" }
+    .mkString("(VALUES ", ", ", ")")
+
+  private val dtDefs: Map[String, Q] = Map(
+    // W5 convertValIfDateTime (datatype.go:98-103): values inferred as
+    // datetime are normalized to a canonical instant on load. Output
+    // as unix micros so timezone rendering can't diverge; unparseable
+    // values stay strings (type inference already routed them).
+    "l4c_datetime_convert" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      dtFixture.toDF("id", "raw")
+        // canonicalize the Zulu suffix: strptime-style parsers take
+        // numeric offsets only (mirrored in the oracle)
+        .withColumn("norm", regexp_replace(col("raw"), "Z$", "+00:00"))
+        .withColumn("parsed_us", unix_micros(coalesce(
+          try_to_timestamp(col("norm"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+          try_to_timestamp(col("norm"), lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+          try_to_timestamp(col("norm"), lit("yyyy-MM-dd HH:mm:ss")),
+          try_to_timestamp(col("norm"), lit("yyyy-MM-dd")))))
+        .withColumn("status",
+          when(col("parsed_us").isNotNull, lit("datetime")).otherwise(lit("string")))
+        .select(col("id"), col("parsed_us"), col("status"))
+    })
+  )
+
+  val defs: Map[String, Q] = matrixDefs ++ dtDefs
+
   val oracles: Map[String, String] = Map(
+    "l4c_datetime_convert" ->
+      s"""SELECT id,
+            epoch_us(COALESCE(
+              try_strptime(norm, '%Y-%m-%dT%H:%M:%S.%g%z'),
+              try_strptime(norm, '%Y-%m-%dT%H:%M:%S%z'),
+              try_strptime(norm, '%Y-%m-%d %H:%M:%S'),
+              try_strptime(norm, '%Y-%m-%d'))) AS parsed_us,
+            CASE WHEN COALESCE(
+              try_strptime(norm, '%Y-%m-%dT%H:%M:%S.%g%z'),
+              try_strptime(norm, '%Y-%m-%dT%H:%M:%S%z'),
+              try_strptime(norm, '%Y-%m-%d %H:%M:%S'),
+              try_strptime(norm, '%Y-%m-%d')) IS NOT NULL
+                 THEN 'datetime' ELSE 'string' END AS status
+          FROM (SELECT id, regexp_replace(raw, 'Z$$', '+00:00') AS norm
+                FROM $dtSql AS f(id, raw))""",
     "l4b_coercion_matrix" ->
       s"""WITH f(row_id, table_name, column_name, existing_type, inferred_type, raw) AS $fixtureSql,
           c AS (

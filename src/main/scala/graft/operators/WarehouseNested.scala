@@ -128,6 +128,26 @@ object WarehouseNested {
             .otherwise(col("first_type")).as("final_type"))
     }),
 
+    // E1 caps: the schema forwarder truncates identifiers to 100
+    // chars and drops events past 500 keys (schema-forwarder/internal/
+    // transformer/transformer.go:35-36). The long-key fixture row
+    // exercises the truncation; key counting exercises the guard.
+    "e1c_schema_caps" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      JsonFlatten.register(s)
+      val longKey = "k" * 120
+      val capped = Seq(
+        1L -> s"""{"$longKey":1,"ok":2}""",
+        2L -> """{"a":{"b":{"c":"x"}}}""").toDF("id", "js")
+      capped
+        .select(col("id"), explode(callUDF("flatten_json_types", col("js"))).as(Seq("key", "type")))
+        .select(col("id"),
+          substring(col("key"), 1, 100).as("identifier"),
+          length(col("key")).cast("long").as("raw_len"),
+          col("type"))
+    }),
+
     // W9 column guard with a real reject path: events flattening to
     // more than 4 columns are rejected (cap 1600 in the reference;
     // 4 here so the fixture exercises both branches).
@@ -167,6 +187,16 @@ object WarehouseNested {
             CASE WHEN arg_min(type, file_id) = 'string' AND bool_or(type = 'text')
                  THEN 'text' ELSE arg_min(type, file_id) END AS final_type
           FROM typed GROUP BY key""",
+    "e1c_schema_caps" -> {
+      val longKey = "k" * 120
+      s"""SELECT id, substr(k, 1, 100) AS identifier,
+            CAST(length(k) AS BIGINT) AS raw_len,
+            CASE WHEN k = 'a_b_c' THEN 'string' ELSE 'int' END AS type
+          FROM (
+            SELECT 1 AS id, unnest(['$longKey', 'ok']) AS k
+            UNION ALL
+            SELECT 2, 'a_b_c')"""
+    },
     "w9b_column_guard_reject" ->
       s"""WITH RECURSIVE $flatCte
           SELECT id, COUNT(*) AS n_cols,

@@ -80,6 +80,20 @@ object Sinks {
     kept
   }
 
+  /** Compaction — the jobsdb dataset-compaction analog
+    * (jobsdb/jobsdb_compaction.go:26-70; Delta OPTIMIZE at a real
+    * datalake): rewrite a small-files table into `targetFiles`
+    * well-sized files. Staged through cache so a failure mid-rewrite
+    * never truncates the live table.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Long = {
+    val df = spark.read.parquet(path).repartition(targetFiles).cache()
+    val n = df.count()
+    df.write.mode("overwrite").parquet(path)
+    df.unpersist()
+    n
+  }
+
   /** L10: datalake sink — date-partitioned columnar layout
     * (warehouse/integrations/datalake/): partition pruning on
     * event_date is what makes downstream time-range scans cheap.

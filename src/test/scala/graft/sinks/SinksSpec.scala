@@ -104,6 +104,20 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("compaction rewrites small files into the target count, preserving rows") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp("compact") + "/t"
+    (1 to 1000).toDF("id").repartition(20).write.parquet(dir)
+    def parquetFiles = Files.list(Paths.get(dir)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(parquetFiles === 20)
+    val n = Sinks.compact(spark, dir, 2)
+    assert(n === 1000)
+    assert(parquetFiles === 2)
+    assert(spark.read.parquet(dir).count() === 1000)
+  }
+
   test("L10 datalake write partitions by event date") {
     val sess = spark
     import sess.implicits._
