@@ -238,6 +238,28 @@ object Relational {
         .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("sum_value"))
     }),
 
+    // Rollup totals — free with the declarative SQL surface (§2.8:
+    // the reference has no grouping sets; Catalyst provides them).
+    "q14_rollup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("source_id", col("user_id") % 5)
+        .rollup(col("event_type"), col("source_id"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // The engine is a SQL surface too: canonical tables registered as
+    // views, queries in plain Spark SQL.
+    "q15_sql_surface" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT e.event_type, COUNT(*) AS n_events,
+                  COUNT(DISTINCT o.o_orderkey) AS n_orders
+           FROM events_v e
+           LEFT JOIN orders_v o ON o.o_custkey = e.user_id
+           GROUP BY e.event_type""")
+    }),
+
     // Grouped having — rsources completion predicate shape
     // (services/rsources, A5): per key, in == out + failed.
     "q12_rsources_stats" -> ((s, dir) => {
@@ -347,6 +369,16 @@ object Relational {
       """SELECT user_id, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY user_id""",
+    "q14_rollup" ->
+      """SELECT event_type, source_id, COUNT(*) AS n
+         FROM (SELECT event_type, user_id % 5 AS source_id FROM events)
+         GROUP BY ROLLUP(event_type, source_id)""",
+    "q15_sql_surface" ->
+      """SELECT e.event_type, COUNT(*) AS n_events,
+                COUNT(DISTINCT o.o_orderkey) AS n_orders
+         FROM events e
+         LEFT JOIN orders o ON o.o_custkey = e.user_id
+         GROUP BY e.event_type""",
     "q12_rsources_stats" ->
       """SELECT user_id, COUNT(*) AS n_in,
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
