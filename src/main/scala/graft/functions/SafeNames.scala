@@ -36,13 +36,24 @@ object SafeNames {
     *   7. digit-start → '_' prefix
     *   8. reserved word → '_' prefix
     */
-  def toSafeName(raw: String): String = {
+  def toSafeName(raw: String): String = toSafeName(raw, divideNumbers = true)
+
+  /** @param divideNumbers the reference's `underscoreDivideNumbers`
+    *   destination option (safe.go transformTableName: snakecase.
+    *   ToSnakeCase vs ToSnakeCaseWithNumbers): when false, letter↔digit
+    *   boundaries do NOT split — "abc123" stays "abc123".
+    */
+  def toSafeName(raw: String, divideNumbers: Boolean): String = {
     if (raw == null) return null
     var s = raw.trim
-    s = s.replaceAll("([a-z])([A-Z])", "$1_$2")
+    // when numbers don't divide, a digit still ends a lowercase run
+    // before an uppercase boundary ("v2Test" -> v2_test)
+    s = s.replaceAll(if (divideNumbers) "([a-z])([A-Z])" else "([a-z0-9])([A-Z])", "$1_$2")
     s = s.replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
-    s = s.replaceAll("([A-Za-z])([0-9])", "$1_$2")
-    s = s.replaceAll("([0-9])([A-Za-z])", "$1_$2")
+    if (divideNumbers) {
+      s = s.replaceAll("([A-Za-z])([0-9])", "$1_$2")
+      s = s.replaceAll("([0-9])([A-Za-z])", "$1_$2")
+    }
     s = s.replaceAll("[^a-zA-Z0-9]+", "_")
     s = s.toLowerCase
     if (s.nonEmpty && s.charAt(0).isDigit) s = "_" + s
@@ -100,5 +111,7 @@ object SafeNames {
     spark.udf.register("safe_name", (s: String) => toSafeName(s))
     spark.udf.register("safe_table_name", (s: String) => toSafeTableName(s))
     spark.udf.register("safe_name_for", (p: String, s: String) => safeNameFor(p, s))
+    spark.udf.register("safe_name_nodivide",
+      (s: String) => toSafeName(s, divideNumbers = false))
   }
 }

@@ -45,6 +45,13 @@ class SafeNamesSpec extends AnyFunSuite {
     assert(SafeNames.toSafeTableName(long).length === 127)
   }
 
+  test("underscoreDivideNumbers=false keeps letter-digit runs together") {
+    assert(SafeNames.toSafeName("abc123", divideNumbers = false) === "abc123")
+    assert(SafeNames.toSafeName("v2Test", divideNumbers = false) === "v2_test")
+    assert(SafeNames.toSafeName("HTMLParser", divideNumbers = false) === "html_parser")
+    assert(SafeNames.toSafeName("abc123", divideNumbers = true) === "abc_123")
+  }
+
   test("provider pass: case rules, per-provider reserved words, length caps") {
     assert(SafeNames.safeNameFor("SNOWFLAKE", "event") === "EVENT")
     assert(SafeNames.safeNameFor("SNOWFLAKE", "qualify") === "_QUALIFY")
