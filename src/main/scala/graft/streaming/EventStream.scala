@@ -134,6 +134,41 @@ object EventStream {
         })
   }
 
+  /** D2 on the transformWithState API (Spark 4's arbitrary-state
+    * replacement for flatMapGroupsWithState): same barrier semantics,
+    * state held in a typed ValueState — the forward-looking form for
+    * state-schema evolution and RocksDB-backed stores.
+    */
+  class OrderBarrierProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (String, String), JobAttempt, (String, String, Long, String)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var blockedJob: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      blockedJob = getHandle.getValueState[Long]("blockedJob", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: (String, String), rows: Iterator[JobAttempt],
+                                 timers: TimerValues): Iterator[(String, String, Long, String)] = {
+      var blocked: Option[Long] = if (blockedJob.exists()) Some(blockedJob.get()) else None
+      val out = rows.toSeq.sortBy(_.job_id).map { a =>
+        val status = blocked match {
+          case Some(b) if a.job_id == b && a.ok => blocked = None; "delivered"
+          case Some(b) if a.job_id == b => "retrying"
+          case Some(_) => "blocked"
+          case None if a.ok => "delivered"
+          case None => blocked = Some(a.job_id); "retrying"
+        }
+        (a.user_id, a.destination, a.job_id, status)
+      }
+      blocked match {
+        case Some(b) => blockedJob.update(b)
+        case None => blockedJob.clear()
+      }
+      out.iterator
+    }
+  }
+
   /** End-to-end slice: stream → preprocess → tracks → MERGE sink. */
   def startTracksPipeline(events: DataFrame, tablePath: String,
                           checkpointDir: String): StreamingQuery =

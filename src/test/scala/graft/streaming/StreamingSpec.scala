@@ -93,6 +93,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D2 order barrier on transformWithState matches the fMGWS semantics") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    import EventStream.JobAttempt
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // transformWithState requires the RocksDB-backed state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[JobAttempt]
+    val q = input.toDS()
+      .groupByKey(a => (a.user_id, a.destination))
+      .transformWithState(new EventStream.OrderBarrierProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "destination", "job_id", "status")
+      .writeStream.format("memory").queryName("tws_out").outputMode("append").start()
+    try {
+      input.addData(
+        JobAttempt("u1", "web", 1L, ok = true),
+        JobAttempt("u1", "web", 2L, ok = false),
+        JobAttempt("u1", "web", 3L, ok = true))
+      q.processAllAvailable()
+      input.addData(JobAttempt("u1", "web", 4L, ok = true)) // barrier persists in ValueState
+      q.processAllAvailable()
+      input.addData(JobAttempt("u1", "web", 2L, ok = true)) // retry lifts
+      q.processAllAvailable()
+      val rows = spark.table("tws_out")
+        .collect().map(r => (r.getLong(2), r.getString(3))).toSet
+      assert(rows === Set((1L, "delivered"), (2L, "retrying"), (3L, "blocked"),
+        (4L, "blocked"), (2L, "delivered")))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("D2 order barrier: failure blocks successors across batches until retried OK") {
     val sess = spark
     import sess.implicits._
