@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   * same signatures — correctness checks verify the *algorithm*, not
   * just row counts.
   *
+  * Algorithms per the published literature: MinHash resemblance
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * LSH banding (Leskovec/Rajaraman/Ullman, Mining of Massive
+  * Datasets ch.3), SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002; Manku et al.,
+  * WWW 2007 for the chunk-pigeonhole hamming search), prefix-filtered
+  * similarity joins (Xiao et al., "Efficient similarity joins for
+  * near duplicate detection", WWW 2008).
+  *
   * Scale design (100 TB):
   *   - exact dedup: one hash-shuffle on content hash, map-side partial
   *     agg; never compares texts pairwise.
