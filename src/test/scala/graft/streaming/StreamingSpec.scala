@@ -65,6 +65,32 @@ class StreamingSpec extends SparkSpec {
     assert(row(0).getAs[Double]("value") === 99.0)
   }
 
+  test("bounded dedup state: post-watermark duplicate is caught by the MERGE sink") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tableDir = Files.createTempDirectory("tracks_wm").toString + "/tracks"
+    val ckpt = Files.createTempDirectory("ckpt_wm").toString
+    val q = EventStream.startTracksPipeline(input.toDF(), tableDir, ckpt)
+    try {
+      input.addData(ev("m1", "2024-01-01 00:00:10", "u1", "purchase", 10.0))
+      q.processAllAvailable()
+      // push the watermark far past m1 (10-minute delay threshold)
+      input.addData(ev("m2", "2024-01-01 03:00:00", "u2", "click", 1.0))
+      q.processAllAvailable()
+      // m1's dedup state is evictable now; the replayed duplicate may
+      // pass dropDuplicatesWithinWatermark — the idempotent MERGE by id
+      // is the second line of defense (the reference's dedup-at-ingest
+      // PLUS idempotent-load contract, SURVEY §2.10)
+      input.addData(ev("m1", "2024-01-01 00:00:10", "u1", "purchase", 10.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(tableDir)
+      assert(rows.count() === 2, "one m1 row and one m2 row")
+      assert(rows.filter(col("id") === "m1").count() === 1)
+    } finally q.stop()
+  }
+
   test("watermarked minute agg matches the batch plan") {
     val sess = spark
     import sess.implicits._
