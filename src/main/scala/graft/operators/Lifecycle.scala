@@ -91,6 +91,20 @@ object Lifecycle {
           max(col("event_id")).as("max_id"))
     }),
 
+    // L4 in-file duplicate-id detection (slave/worker.go:333-348):
+    // the staging slice is scanned for ids occurring more than once
+    // per table — reported as a stat; the L6 window keeps the latest
+    // on load.
+    "l4d_infile_dups" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("row_id", concat(lit("id_"), col("event_id") % 4000))
+        .groupBy(col("event_type"), col("row_id"))
+        .agg(count(lit(1)).as("occurrences"))
+        .filter(col("occurrences") > 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_dup_ids"), max(col("occurrences")).as("max_occurrences"))
+    }),
+
     // L12: reverse-ETL source — warehouse table rows lifted into
     // extract events with record ids, aggregated per status.
     "l12_retl_source" -> ((s, dir) => {
@@ -125,6 +139,14 @@ object Lifecycle {
       """SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
+    "l4d_infile_dups" ->
+      """SELECT event_type, COUNT(*) AS n_dup_ids,
+           CAST(MAX(occurrences) AS BIGINT) AS max_occurrences
+         FROM (
+           SELECT event_type, 'id_' || (event_id % 4000) AS row_id,
+                  COUNT(*) AS occurrences
+           FROM events GROUP BY 1, 2 HAVING COUNT(*) > 1) t
+         GROUP BY event_type""",
     "l12_retl_source" ->
       """SELECT o_orderstatus, COUNT(*) AS n_records,
            MIN('rec_' || CAST(o_orderkey AS VARCHAR)) AS first_record

@@ -43,6 +43,23 @@ object Sinks {
       .option("compression", "gzip")
       .json(dir)
 
+  /** Provider-specific load-file value shaping
+    * (warehouse/slave/worker.go:366-402): ClickHouse takes booleans
+    * as 0/1; int columns that arrived as float-repr strings ("5.0")
+    * are normalized to integer form. Pure projection — composes in
+    * front of writeLoadFiles.
+    */
+  def shapeForProvider(df: DataFrame, provider: String): DataFrame = {
+    import org.apache.spark.sql.types.BooleanType
+    provider match {
+      case "CLICKHOUSE" =>
+        df.schema.fields.filter(_.dataType == BooleanType).foldLeft(df) { (d, f) =>
+          d.withColumn(f.name, when(col(f.name), 1).otherwise(0).cast("int"))
+        }
+      case _ => df
+    }
+  }
+
   /** D6: streaming destination — a streaming DataFrame delivered
     * continuously to the (source, destination)-partitioned object
     * sink via foreachBatch. Swapping the body for

@@ -104,6 +104,17 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("provider shaping: ClickHouse booleans become 0/1") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1L, true), (2L, false)).toDF("id", "flag")
+    val ch = Sinks.shapeForProvider(df, "CLICKHOUSE")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ch === Map(1L -> 1, 2L -> 0))
+    val pg = Sinks.shapeForProvider(df, "POSTGRES")
+    assert(pg.schema("flag").dataType === org.apache.spark.sql.types.BooleanType)
+  }
+
   test("compaction rewrites small files into the target count, preserving rows") {
     val sess = spark
     import sess.implicits._
