@@ -78,6 +78,17 @@ object Identity {
 
     // Initial labels already fold in the first gather round:
     // comp0(n) = min(n, neighbors(n)) — one fewer loop iteration.
+    // Size the per-round shuffles to the graph, not the session: a
+    // 10k-edge graph over 32 session partitions runs ~100 near-empty
+    // tasks per round; a 100 TB graph keeps full parallelism
+    // (~500k edges per partition target).
+    val edgeCount = sym.count()
+    val parts = math.max(2, math.min(
+      spark.sparkContext.defaultParallelism * 2,
+      (edgeCount / 500000L).toInt + 1))
+    val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+
     var labels = sym.select(col("a").as("node"), col("b").as("comp"))
       .union(sym.select(col("a").as("node"), col("a").as("comp")))
       .groupBy(col("node")).agg(min(col("comp")).as("comp"))
@@ -121,6 +132,7 @@ object Identity {
         .join(nodes.select(col("nid").as("comp"), col("s").as("comp_s")), "comp")
         .select(col("s").as("node"), col("comp_s").as("comp"))
     val out = decoded.checkpoint() // reliable; materialize before freeing inputs
+    spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
     sym.unpersist()
     if (nodes != null) nodes.unpersist()
     if (prevCached != null) prevCached.unpersist()
