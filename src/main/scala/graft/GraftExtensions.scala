@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FlattenJsonExpr
+import graft.functions.{FlattenJsonExpr, SafeNameExpr, Utf16LengthExpr}
 
 /** Production injection point: register the engine's native Catalyst
   * expressions at session build time —
@@ -21,5 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("flatten_json_native"),
       new ExpressionInfo(classOf[FlattenJsonExpr].getName, "flatten_json_native"),
       (children: Seq[Expression]) => FlattenJsonExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("safe_name_native"),
+      new ExpressionInfo(classOf[SafeNameExpr].getName, "safe_name_native"),
+      (children: Seq[Expression]) => SafeNameExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("utf16_length"),
+      new ExpressionInfo(classOf[Utf16LengthExpr].getName, "utf16_length"),
+      (children: Seq[Expression]) => Utf16LengthExpr(children.head)))
   }
 }
