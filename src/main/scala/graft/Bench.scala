@@ -17,7 +17,8 @@ object Bench {
     // Warm the session (JIT, codegen compiler, shuffle service) so the
     // alphabetically-first query isn't billed ~5s of startup.
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 100)").collect()
-    SparkEntry.entry(spark).count()
+    try SparkEntry.entry(spark).count()
+    catch { case _: Throwable => () } // warmup only; absence of the smoke dir is not a bench failure
     // (time, rows, error) per query — a query that throws is reported
     // as an error, never silently benched green.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
