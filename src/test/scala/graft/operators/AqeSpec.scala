@@ -44,6 +44,24 @@ class AqeSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe-side scan of a selective join") {
+    assume(new java.io.File("/root/testdata/sf0.001").exists())
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(col("o_totalprice") > 400000) // selective build side
+      val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val joined = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the probe side:\n${plan.take(1500)}")
+    }
+  }
+
   test("AQE coalesces small post-shuffle partitions") {
     val sess = spark
     import sess.implicits._

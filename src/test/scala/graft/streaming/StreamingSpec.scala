@@ -65,6 +65,33 @@ class StreamingSpec extends SparkSpec {
     assert(row(0).getAs[Double]("value") === 99.0)
   }
 
+  test("recovery: dedup state and sink survive a query restart from checkpoint") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tableDir = Files.createTempDirectory("tracks_rec").toString + "/tracks"
+    val ckpt = Files.createTempDirectory("ckpt_rec").toString
+    val q1 = EventStream.startTracksPipeline(input.toDF(), tableDir, ckpt)
+    try {
+      input.addData(
+        ev("m1", "2024-01-01 00:00:10", "u1", "purchase", 10.0),
+        ev("m2", "2024-01-01 00:00:20", "u2", "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint (simulated driver crash)
+    val q2 = EventStream.startTracksPipeline(input.toDF(), tableDir, ckpt)
+    try {
+      input.addData(
+        ev("m2", "2024-01-01 00:00:20", "u2", "click", 1.0), // dup vs pre-restart state
+        ev("m3", "2024-01-01 00:00:30", "u3", "view", 2.0))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(tableDir)
+      assert(rows.count() === 3, "m2 deduped against state restored from checkpoint")
+      assert(rows.select("id").as[String].collect().toSet === Set("m1", "m2", "m3"))
+    } finally q2.stop()
+  }
+
   test("bounded dedup state: post-watermark duplicate is caught by the MERGE sink") {
     val sess = spark
     import sess.implicits._
