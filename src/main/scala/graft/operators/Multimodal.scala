@@ -90,6 +90,33 @@ object Multimodal {
           countDistinct(md5(col("payload"))).as("n_distinct_payloads"))
     }),
 
+    // Feature-extract → similarity composition: per-partition byte
+    // histograms become 16-dim feature vectors, searched brute-force
+    // for the top-5 similar media per query (the decode→embed→ANN
+    // pipeline shape; swap byteHistograms for a real encoder and ll7's
+    // LSH for the candidate step at scale). Histogram dot products are
+    // exact integers, so similarity ranks are deterministic.
+    "mm3_media_similar" -> ((s, dir) => {
+      import s.implicits._
+      val media = mediaTable(s, dir).as[MediaRow]
+      val feats = byteHistograms(media)
+        .withColumn("nrm", expr(
+          "aggregate(transform(hist16, x -> x * x), 0L, (acc, v) -> acc + v)"))
+      val q = feats.filter(col("media_id") < 10)
+        .select(col("media_id").as("query_id"), col("hist16").as("q_hist"),
+          col("nrm").as("q_nrm"))
+      val scored = feats.join(broadcast(q), col("media_id") =!= col("query_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(q_hist, hist16, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("sim",
+          col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("media_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("media_id").as("neighbor_id"))
+    }),
+
     // Frame sampling arithmetic (stride 4) — the scan shape of video
     // frame extraction; counts per kind are exact.
     "mm2_frame_sample" -> ((s, dir) => {
@@ -114,6 +141,32 @@ object Multimodal {
             CAST(SUM(length(text) // $frameBytes) AS BIGINT) AS sum_frames,
             COUNT(DISTINCT md5(text)) AS n_distinct_payloads
           FROM documents GROUP BY 1""",
+    "mm3_media_similar" ->
+      """WITH feats AS (
+           SELECT doc_id AS media_id,
+             list_transform(range(0, 16), b ->
+               len(list_filter(
+                 list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))),
+                 c -> c // 16 = b))) AS hist
+           FROM documents),
+         normed AS (
+           SELECT media_id, hist,
+             list_sum(list_transform(hist, x -> x * x)) AS nrm
+           FROM feats),
+         q AS (SELECT media_id AS query_id, hist AS q_hist, nrm AS q_nrm
+               FROM normed WHERE media_id < 10),
+         p AS (
+           SELECT query_id, media_id,
+             list_sum(list_transform(range(1, 17), i -> q_hist[i] * hist[i])) AS dot,
+             q_nrm, nrm
+           FROM q, normed WHERE media_id <> query_id),
+         r AS (SELECT query_id, media_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(nrm AS DOUBLE)) DESC,
+                            media_id) AS rank
+               FROM p)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, media_id AS neighbor_id
+         FROM r WHERE rank <= 5""",
     "mm2_frame_sample" ->
       s"""SELECT $kindSql AS kind,
             CAST(SUM(n_sampled) AS BIGINT) AS n_sampled_frames,
