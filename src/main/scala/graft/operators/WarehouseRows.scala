@@ -38,7 +38,8 @@ object WarehouseRows {
     6L -> """{"type":"screen","messageId":"m6","userId":"u6","properties":{"name":"Main Screen"},"receivedAt":"2024-01-01T00:00:06Z"}""",
     7L -> """{"type":"group","groupId":"g7","messageId":"m7","userId":"u7","traits":{"tier":"gold"},"receivedAt":"2024-01-01T00:00:07Z"}""",
     8L -> """{"type":"alias","previousId":"old8","messageId":"m8","userId":"u8","receivedAt":"2024-01-01T00:00:08Z"}""",
-    9L -> """{"type":"extract","event":"sync_event","recordId":"r9","receivedAt":"2024-01-01T00:00:09Z"}""")
+    9L -> """{"type":"extract","event":"sync_event","recordId":"r9","receivedAt":"2024-01-01T00:00:09Z"}""",
+    10L -> """{"type":"merge","messageId":"m10","mergeProperties":[{"type":"email","value":"a@b.c"},{"type":"mobile","value":"+1555"}],"receivedAt":"2024-01-01T00:00:10Z"}""")
 
   private val gwSql: String =
     gw.map { case (id, js) => s"($id, '${js.replace("'", "''")}')" }
@@ -130,6 +131,41 @@ object WarehouseRows {
         .unionByName(rows(t === "identify", lit("identifies"), "context.traits", "context_traits_"))
         .filter(col("column_value") =!= "")
         .filter(!col("column_name").isin(reservedCols: _*))
+    }),
+
+    // W8 event-side merge-rule emission (idresolution.go:15-141):
+    // merge events use mergeProperties[0]/[1]; alias pairs
+    // userId<->previousId; every other type pairs anonymousId<->userId
+    // (userId alone when no anonymousId); rows with an empty first
+    // property are not emitted at all.
+    "w7d_merge_rule_rows" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val df = gw.toDF("msg", "js")
+      def j(p: String) = get_json_object(col("js"), s"$$.$p")
+      def nz(c: org.apache.spark.sql.Column) = when(c =!= "", c)
+      val t = j("type")
+      val anon = nz(j("anonymousId"))
+      val uid = nz(j("userId"))
+      val rule = when(t === "merge",
+          struct(nz(j("mergeProperties[0].type")).as("t1"),
+            nz(j("mergeProperties[0].value")).as("v1"),
+            nz(j("mergeProperties[1].type")).as("t2"),
+            nz(j("mergeProperties[1].value")).as("v2")))
+        .when(t === "alias",
+          struct(lit("user_id").as("t1"), uid.as("v1"),
+            lit("user_id").as("t2"), nz(j("previousId")).as("v2")))
+        .when(anon.isNotNull,
+          struct(lit("anonymous_id").as("t1"), anon.as("v1"),
+            when(uid.isNotNull, lit("user_id")).as("t2"), uid.as("v2")))
+        .otherwise(
+          struct(when(uid.isNotNull, lit("user_id")).as("t1"), uid.as("v1"),
+            lit(null).cast("string").as("t2"), lit(null).cast("string").as("v2")))
+      df.withColumn("r", rule)
+        .filter(col("r.v1").isNotNull) // empty first property -> no rule
+        .select(col("msg"),
+          col("r.t1").as("merge_property_1_type"), col("r.v1").as("merge_property_1_value"),
+          col("r.t2").as("merge_property_2_type"), col("r.v2").as("merge_property_2_value"))
     }),
 
     // T17: PII strip — drop configured trait keys (here: email) from
@@ -250,6 +286,39 @@ object WarehouseRows {
             AND (json_type(v) <> 'VARCHAR' OR json_extract_string(v, '$$') <> '')
             AND prefix || path NOT IN $reservedSql"""
     },
+    "w7d_merge_rule_rows" ->
+      s"""SELECT msg, t1 AS merge_property_1_type, v1 AS merge_property_1_value,
+            t2 AS merge_property_2_type, v2 AS merge_property_2_value
+          FROM (
+            SELECT msg,
+              CASE
+                WHEN ty = 'merge' THEN nullif(json_extract_string(js, '$$.mergeProperties[0].type'), '')
+                WHEN ty = 'alias' THEN 'user_id'
+                WHEN anon IS NOT NULL THEN 'anonymous_id'
+                WHEN uid IS NOT NULL THEN 'user_id'
+              END AS t1,
+              CASE
+                WHEN ty = 'merge' THEN nullif(json_extract_string(js, '$$.mergeProperties[0].value'), '')
+                WHEN ty = 'alias' THEN uid
+                WHEN anon IS NOT NULL THEN anon
+                ELSE uid
+              END AS v1,
+              CASE
+                WHEN ty = 'merge' THEN nullif(json_extract_string(js, '$$.mergeProperties[1].type'), '')
+                WHEN ty = 'alias' THEN 'user_id'
+                WHEN anon IS NOT NULL AND uid IS NOT NULL THEN 'user_id'
+              END AS t2,
+              CASE
+                WHEN ty = 'merge' THEN nullif(json_extract_string(js, '$$.mergeProperties[1].value'), '')
+                WHEN ty = 'alias' THEN nullif(json_extract_string(js, '$$.previousId'), '')
+                WHEN anon IS NOT NULL THEN uid
+              END AS v2
+            FROM (
+              SELECT msg, js, json_extract_string(js, '$$.type') AS ty,
+                nullif(json_extract_string(js, '$$.anonymousId'), '') AS anon,
+                nullif(json_extract_string(js, '$$.userId'), '') AS uid
+              FROM $gwSql AS g(msg, js)))
+          WHERE v1 IS NOT NULL""",
     "t17_pii_strip" ->
       s"""SELECT msg, k AS key,
             json_extract_string(js, '$$.traits.' || k) AS val
