@@ -33,7 +33,11 @@ object Bench {
     val rowCounts = results.map { case (k, _, r, _) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowCounts,"errors":$errors,"sf":"$sfDir"}""")
+    // Row counts go on their own line FIRST: the driver's tail-capture
+    // keeps the end of the output, and the contract line below (with
+    // the per-query timings) is the one that must survive truncation.
+    println(s"""{"rows":$rowCounts}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,7 +57,17 @@ class HllAggregator(p: Int = 12) extends Aggregator[String, Array[Byte], Long] {
 }
 
 object HllAggregator {
-  /** Bias-corrected HLL estimate with linear-counting small range. */
+  /** Bias-corrected HLL estimate with linear-counting small range.
+    *
+    * The harmonic-mean denominator is accumulated as an EXACT integer
+    * (sum of 2^(64-reg), each register value <= 64), then converted to
+    * double once. A double-accumulation loop would make the estimate
+    * depend on register iteration order (the partial sums round), which
+    * would break both partition-order determinism and the DuckDB oracle
+    * mirror in Transforms (`a2c_tracked_users_sketch`) — there the same
+    * numerator is a HUGEINT sum, so both sides round the identical
+    * integer to double exactly once.
+    */
   def estimate(registers: Array[Byte]): Long = {
     val m = registers.length
     val alpha = m match {
@@ -66,14 +76,15 @@ object HllAggregator {
       case 64 => 0.709
       case _  => 0.7213 / (1.0 + 1.079 / m)
     }
-    var invSum = 0.0
+    var invSumNum = BigInt(0)
     var zeros = 0
     var i = 0
     while (i < m) {
-      invSum += java.lang.Math.pow(2.0, -registers(i).toDouble)
+      invSumNum += BigInt(1) << (64 - registers(i))
       if (registers(i) == 0) zeros += 1
       i += 1
     }
+    val invSum = invSumNum.toDouble / java.lang.Math.pow(2.0, 64)
     val raw = alpha * m * m / invSum
     val corrected =
       if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)

@@ -225,18 +225,18 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
-    // Exact n-gram Jaccard near-dup via inverted-index join: pairs are
-    // generated only for docs sharing a shingle (J>0), never all-pairs.
-    // On df-skewed corpora (real web text: most shingles rare) switch
-    // to `prefixFilteredJaccard` below — identical results, candidates
-    // generated from rare-shingle prefixes only. On THIS synthetic
-    // corpus every shingle is frequent (31-word vocab), so the naive
-    // inverted index measures faster; the choice is a physical
-    // strategy, not a semantics change (DedupSpec proves equivalence).
+    // Exact n-gram Jaccard near-dup, DEFAULTED to the prefix-filtered
+    // (ppjoin) strategy: candidates come only from rare-shingle
+    // prefixes, so the O(df^2) frequent-shingle blowup of the naive
+    // inverted index never happens — the right default for df-skewed
+    // web corpora at 100 TB. `jaccardFromShingles` (the naive join)
+    // remains as the low-skew opt-in; DedupSpec proves the two
+    // produce identical results, so this is a physical strategy
+    // choice, not a semantics change, and the oracle is unchanged.
     "ll6_ngram_jaccard" -> ((s, dir) => {
       val sh = shingles(corpus(s, dir, perturb = true))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sizes + both join sides
-      jaccardFromShingles(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // df/sizes/prefixes + verify joins
+      prefixFilteredJaccard(sh)
     })
   )
 

@@ -406,9 +406,19 @@ object Router {
     "a6_source_event_stats" ->
       """SELECT user_id % 5 AS source_id, event_type, COUNT(*) AS n
          FROM events GROUP BY 1, 2""",
+    // Independent computation of the JSON-path passthrough: DuckDB
+    // walks the same raw JSON inputs (json_keys + extract), keeping
+    // subtree `b` as its compact JSON serialization — byte-identical
+    // to Jackson's `toString` — instead of a precomputed VALUES
+    // literal, so a flatten regression is actually catchable.
     "w3_jsonpath_passthrough" ->
-      """SELECT id, key, val FROM (VALUES
-           (1, 'a', '1'), (1, 'b', '{"c":2.5,"d":{"e":"x"}}'), (1, 'z', 'w'),
-           (2, 'b', '{"only":true}'), (2, 'q', '7')) v(id, key, val)"""
+      """WITH fixture(id, js) AS (VALUES
+           (1, '{"a":1,"b":{"c":2.5,"d":{"e":"x"}},"z":"w"}'),
+           (2, '{"b":{"only":true},"q":7}')),
+         ks AS (SELECT id, js, unnest(json_keys(js)) AS key FROM fixture)
+         SELECT id, key,
+           CASE WHEN key = 'b' THEN CAST(json_extract(js, '$.' || key) AS VARCHAR)
+                ELSE json_extract_string(js, '$.' || key) END AS val
+         FROM ks"""
   )
 }

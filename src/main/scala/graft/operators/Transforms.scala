@@ -180,9 +180,14 @@ object Transforms {
     }),
 
     // A2b: the same metric with mergeable HLL sketches
-    // (approx_count_distinct = Spark's HyperLogLog++). No DuckDB
-    // oracle (different HLL implementations) — rows-only check; the
-    // sketch error bound is asserted in HllSpec.
+    // (approx_count_distinct = Spark's HyperLogLog++). Spark's HLL++
+    // internals can't be byte-mirrored in DuckDB (different hash /
+    // bias tables), so the oracle checks the one property an
+    // approximate aggregate owes its callers: the estimate lands
+    // within the configured error envelope of the exact count, which
+    // is emitted alongside. The envelope columns are computed FROM the
+    // real approx_count_distinct output, so a broken sketch flips them
+    // to false and the hash check catches it.
     "a2b_tracked_users_hll" -> ((s, dir) => {
       Tables.events(s, dir)
         .withColumn("uid",
@@ -191,15 +196,26 @@ object Transforms {
           when(col("event_id") % 3 === 0, concat(lit("anon_"), col("user_id") % 37)))
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("uid"), 0.02).as("n_users_hll"),
-          approx_count_distinct(col("anon"), 0.02).as("n_anons_hll"))
+          countDistinct(col("uid")).as("n_users"),
+          countDistinct(col("anon")).as("n_anons"),
+          approx_count_distinct(col("uid"), 0.02).as("au"),
+          approx_count_distinct(col("anon"), 0.02).as("aa"))
+        .select(col("event_type"), col("n_users"), col("n_anons"),
+          (abs(col("au") - col("n_users")) <=
+            greatest(col("n_users") * lit(0.1), lit(5.0))).as("users_hll_ok"),
+          (abs(col("aa") - col("n_anons")) <=
+            greatest(col("n_anons") * lit(0.1), lit(5.0))).as("anons_hll_ok"))
     }),
 
     // A2c: the custom mergeable-sketch form — graft.functions.
     // HllAggregator keeps the raw registers so sketches can be stored
     // and merged across reports like the reference's hll.Hll bytes.
-    // Rows-only check (sketch internals differ from DuckDB's approx);
-    // the error bound and merge exactness are asserted in HllSpec.
+    // The sketch math is deterministic md5 arithmetic, so the oracle
+    // below mirrors it register-for-register in DuckDB SQL (same
+    // top-12-bit index, leading-zero rank, register-wise max, exact
+    // HUGEINT harmonic numerator, bias-corrected estimate) — a full
+    // algorithm check, like ll2 mirrors MinHash. Merge exactness is
+    // asserted in HllSpec.
     "a2c_tracked_users_sketch" -> ((s, dir) => {
       val hll = udaf(new graft.functions.HllAggregator(12))
       Tables.events(s, dir)
@@ -288,6 +304,46 @@ object Transforms {
              COUNT(DISTINCT CASE WHEN event_id % 3 = 0 THEN 'anon_' || (user_id % 37) END) AS n_anons,
              COUNT(DISTINCT CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
                    THEN 'user_' || user_id || '|' || 'anon_' || (user_id % 37) END) AS n_pairs
-           FROM events GROUP BY event_type) t"""
+           FROM events GROUP BY event_type) t""",
+    // a2b: exact counts computed independently; the envelope booleans
+    // are TRUE on the oracle side — the Spark side computes them from
+    // the live approx_count_distinct output, so an out-of-bound sketch
+    // breaks the hash.
+    "a2b_tracked_users_hll" ->
+      """SELECT event_type,
+           COUNT(DISTINCT CASE WHEN event_id % 2 = 0 THEN 'user_' || user_id END) AS n_users,
+           COUNT(DISTINCT CASE WHEN event_id % 3 = 0 THEN 'anon_' || (user_id % 37) END) AS n_anons,
+           TRUE AS users_hll_ok, TRUE AS anons_hll_ok
+         FROM events GROUP BY event_type""",
+    // a2c: full register-math mirror of graft.functions.HllAggregator
+    // (p=12). h = first 8 md5 bytes as unsigned 64-bit; register index
+    // = top 12 bits; rank = leading zeros of the remaining 52 bits
+    // (shifted left 12) + 1, 53 when they are all zero; registers =
+    // MAX(rank); harmonic numerator = SUM(2^(64-reg)) over all 4096
+    // registers kept EXACT in HUGEINT (absent registers contribute
+    // 2^64 each), converted to double once — identical to the Scala
+    // BigInt path, so estimates match to the last bit.
+    "a2c_tracked_users_sketch" -> {
+      val rankCase = (1 to 52)
+        .map(r => s"WHEN rest >= ${BigInt(1) << (64 - r)} THEN $r").mkString(" ")
+      val rawEst = """(0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 /
+                      (CAST(num AS DOUBLE) / 18446744073709551616.0)"""
+      s"""WITH src AS (SELECT event_type, 'user_' || CAST(user_id AS VARCHAR) AS uid
+             FROM events WHERE event_id % 2 = 0),
+         h AS (SELECT event_type, CAST('0x' || substr(md5(uid), 1, 16) AS UBIGINT) AS h FROM src),
+         rk AS (SELECT event_type, h >> 52 AS idx,
+                  CASE WHEN rest = 0 THEN 53 $rankCase END AS rank
+                FROM (SELECT event_type, h, (h % 4503599627370496) * 4096 AS rest FROM h)),
+         reg AS (SELECT event_type, idx, MAX(rank) AS reg FROM rk GROUP BY 1, 2),
+         est AS (SELECT event_type,
+                   SUM(1::HUGEINT << (64 - reg)) + (4096 - COUNT(*)) * (1::HUGEINT << 64) AS num,
+                   4096 - COUNT(*) AS zeros
+                 FROM reg GROUP BY 1)
+         SELECT event_type,
+           CAST(round(CASE WHEN $rawEst <= 2.5 * 4096 AND zeros > 0
+                      THEN 4096 * ln(4096.0 / zeros)
+                      ELSE $rawEst END) AS BIGINT) AS n_users_sketch
+         FROM est"""
+    }
   )
 }
