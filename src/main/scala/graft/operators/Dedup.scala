@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   *     doc_id carrying only 16 hex strings per doc); candidate pairs
   *     come from a *band-bucket* self-join (shuffle on band key — the
   *     LSH bucket shuffle), never an all-pairs cartesian.
-  *   - SimHash: candidate pairs from 4-bit-chunk pigeonhole buckets;
-  *     hamming<=3 implies at least one of 4 chunks equal, so bucketed
-  *     candidate generation has recall 1.0 by construction — the
-  *     brute-force oracle is provably equivalent.
+  *   - SimHash: 64-bit fingerprints; candidate pairs from 16-bit-chunk
+  *     pigeonhole buckets (Manku et al. WWW'07): hamming<=3 implies at
+  *     least one of 4 chunks equal, so bucketed candidate generation
+  *     has recall 1.0 by construction — the brute-force oracle is
+  *     provably equivalent — while expected bucket load is n/65536.
   *   - n-gram Jaccard: inverted-index join on shingle (docs sharing no
   *     shingle have J=0 and are never paired); at larger scale add
   *     prefix filtering on rare shingles to cap bucket fan-out.
@@ -93,23 +94,33 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  private[operators] val simhashBits = 32 // md5 hex chars used; 4 chunks x 8 bits
+  private[operators] val simhashBits = 64 // 4 chunk tables x 16 bits (Manku WWW'07 §3)
 
-  /** 32-bit SimHash of the word multiset: bit i set when the sum of
-    * (+1 if hex digit i of md5(word) >= 8 else -1) over words is > 0.
-    * 16 bits is too coarse past ~1k docs of a shared vocabulary — the
-    * hamming<=3 ball swallows the corpus; 32 bits keeps the near-dup
-    * band selective at bench scale and beyond.
+  /** 64-bit SimHash of the word multiset, stored as two 32-bit words
+    * (`sim_lo` = bits 0-31, `sim_hi` = bits 32-63) so neither engine
+    * ever touches the signed-64-bit boundary. Bit i is set when the
+    * sum over words of (+1 if bit (i%4) of hex digit (i/4) of
+    * md5(word) is set, else -1) is > 0 — 64 independent hash bits from
+    * one md5 per word.
+    *
+    * 32 bits was measured to collapse on low-entropy corpora (the
+    * hamming<=3 ball swallowed ~12k docs into 1.6M pairs at sf0.1);
+    * with 64 bits the expected bucket load is n/65536 per chunk table
+    * and the emitted pair set is the true near-dup set.
     */
   private[operators] def simhash(df: DataFrame): DataFrame = {
-    val words = df.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val words = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
     val contribs = (0 until simhashBits).map(i =>
-      sum(when(conv(substring(md5(col("w")), i + 1, 1), 16, 10).cast("int") >= 8, 1)
-        .otherwise(-1)).as(s"c$i"))
+      sum(when(shiftright(conv(substring(col("h"), i / 4 + 1, 1), 16, 10).cast("int"),
+        i % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"c$i"))
     words.groupBy(col("doc_id")).agg(contribs.head, contribs.tail: _*)
       .select(col("doc_id"),
-        (0 until simhashBits).map(i =>
-          when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+        (0 until 32).map(i =>
+          when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("sim_lo"),
+        (32 until 64).map(i =>
+          when(col(s"c$i") > 0, lit(1L << (i - 32))).otherwise(lit(0L))).reduce(_ + _).as("sim_hi"))
   }
 
   /** Exact Jaccard >= 0.6 pairs from a (doc_id, sh) table via the
@@ -205,22 +216,27 @@ object Dedup {
           (col("n_match") / lit(16.0)).as("est_sim"))
     }),
 
-    // SimHash near-dup: 32-bit fingerprints, candidates from 8-bit
-    // chunk buckets (pigeonhole: hamming<=3 => >=1 of 4 chunks equal,
-    // so bucketed recall is exactly 1.0 vs the oracle's brute force).
+    // SimHash near-dup: 64-bit fingerprints, candidates from 16-bit
+    // chunk buckets (pigeonhole: hamming<=3 over 4 chunks => >=1 chunk
+    // equal, so bucketed recall is exactly 1.0 vs the oracle's brute
+    // force, and expected bucket load is n/65536 per chunk table).
     "ll5_simhash_neardup" -> ((s, dir) => {
       val sh = simhash(corpus(s, dir, perturb = true))
-      val nib = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(c =>
-          shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L))): _*)).as(Seq("chunk", "nibble")))
+      val chunks = sh.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        posexplode(array(
+          col("sim_lo").bitwiseAND(lit(65535L)),
+          shiftright(col("sim_lo"), 16).bitwiseAND(lit(65535L)),
+          col("sim_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("sim_hi"), 16).bitwiseAND(lit(65535L)))).as(Seq("chunk", "ckey")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds both sides of the bucket self-join
-      nib.as("x").join(nib.as("y"),
-          col("x.chunk") === col("y.chunk") && col("x.nibble") === col("y.nibble") &&
+      chunks.as("x").join(chunks.as("y"),
+          col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+          col("x.sim_lo").as("la"), col("x.sim_hi").as("ha"),
+          col("y.sim_lo").as("lb"), col("y.sim_hi").as("hb"))
         .distinct()
-        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .withColumn("hamming", expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
         .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
@@ -267,20 +283,28 @@ object Dedup {
           FROM v WHERE n_match >= 8"""
     },
     "ll5_simhash_neardup" -> {
+      // brute-force all-pairs mirror of the 64-bit two-word simhash:
+      // same bit (i%4) of hex digit (i/4) of one md5 per word
       val contribSql = (0 until simhashBits).map(i =>
-        s"SUM(CASE WHEN CAST('0x' || substr(md5(w), ${i + 1}, 1) AS BIGINT) >= 8 THEN 1 ELSE -1 END) AS c$i")
-        .mkString(", ")
-      val bitsSql = (0 until simhashBits).map(i =>
+        s"SUM(CASE WHEN (CAST('0x' || substr(h, ${i / 4 + 1}, 1) AS BIGINT) >> ${i % 4}) & 1 = 1 " +
+          s"THEN 1 ELSE -1 END) AS c$i").mkString(", ")
+      val loSql = (0 until 32).map(i =>
         s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      val hiSql = (32 until 64).map(i =>
+        s"(CASE WHEN c$i > 0 THEN ${1L << (i - 32)} ELSE 0 END)").mkString(" + ")
       s"""WITH corpus AS $corpusSqlPerturbed,
           sums AS (SELECT doc_id, $contribSql
-                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+                   FROM (SELECT doc_id, md5(w) AS h
+                         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus))
                    GROUP BY doc_id),
-          sh AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM sums)
+          sh AS (SELECT doc_id, CAST($loSql AS BIGINT) AS sim_lo,
+                         CAST($hiSql AS BIGINT) AS sim_hi FROM sums)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+                 CAST(bit_count(xor(a.sim_lo, b.sim_lo)) +
+                      bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+          WHERE bit_count(xor(a.sim_lo, b.sim_lo)) +
+                bit_count(xor(a.sim_hi, b.sim_hi)) <= 3"""
     },
     "ll6_ngram_jaccard" ->
       s"""WITH corpus AS $corpusSqlPerturbed,

@@ -84,30 +84,64 @@ object Sinks {
       .partitionBy("failed_date")
       .parquet(dir)
 
+  /** Crash-atomic table rewrite: write the new version to a staging
+    * directory, then swap it in with filesystem renames — the
+    * stage-to-temp-table-and-swap contract of the reference's loads
+    * (warehouse/integrations/postgres/load.go:231-322 stages to a
+    * temp table; warehouse/router/upload.go:285-493 makes every state
+    * resumable). A failure anywhere during `write` leaves the live
+    * table byte-identical; a failure between the two renames leaves
+    * the previous version recoverable at `<path>__old`. Rename is
+    * atomic on HDFS and local filesystems (on S3 a real deployment
+    * swaps a table-format pointer instead — same shape).
+    */
+  private[graft] def atomicSwap(spark: SparkSession, path: String)
+                               (write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path + "__staging")
+    val old = new Path(path + "__old")
+    fs.delete(staging, true) // leftover of a previous failed attempt
+    write(staging.toString) // crash here: live table untouched
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"cannot stage out $target")
+    if (!fs.rename(staging, target)) {
+      fs.rename(old, target) // roll the previous version back in
+      throw new java.io.IOException(s"cannot swap $staging into $target")
+    }
+    fs.delete(old, true)
+  }
+
   /** L9: retention delete — `DELETE FROM t WHERE <predicate>` as a
     * filtered rewrite (postgres.go:278 / snowflake.go:304; on a Delta
-    * sink this is a metadata-only `replaceWhere`).
+    * sink this is a metadata-only `replaceWhere`). Crash-atomic via
+    * staging-dir + rename swap; the kept-row count is read back from
+    * staged parquet footers, not a cached plan.
     */
   def retentionDelete(spark: SparkSession, path: String, deleteWhere: String): Long = {
-    val current = spark.read.parquet(path)
-    val keep = current.filter(s"NOT ($deleteWhere)").cache()
-    val kept = keep.count()
-    keep.write.mode("overwrite").parquet(path)
-    keep.unpersist()
+    val keep = spark.read.parquet(path).filter(s"NOT ($deleteWhere)")
+    var kept = -1L
+    atomicSwap(spark, path) { staging =>
+      keep.write.parquet(staging)
+      kept = spark.read.parquet(staging).count()
+    }
     kept
   }
 
   /** Compaction — the jobsdb dataset-compaction analog
     * (jobsdb/jobsdb_compaction.go:26-70; Delta OPTIMIZE at a real
     * datalake): rewrite a small-files table into `targetFiles`
-    * well-sized files. Staged through cache so a failure mid-rewrite
-    * never truncates the live table.
+    * well-sized files, crash-atomically (staging dir + rename swap).
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Long = {
-    val df = spark.read.parquet(path).repartition(targetFiles).cache()
-    val n = df.count()
-    df.write.mode("overwrite").parquet(path)
-    df.unpersist()
+    val df = spark.read.parquet(path).repartition(targetFiles)
+    var n = -1L
+    atomicSwap(spark, path) { staging =>
+      df.write.parquet(staging)
+      n = spark.read.parquet(staging).count()
+    }
     n
   }
 

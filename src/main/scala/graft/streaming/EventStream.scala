@@ -66,32 +66,81 @@ object EventStream {
       .select(col("window.start").as("minute"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Bucket count for the tracks-table layout. Each micro-batch merge
+    * rewrites only the buckets its ids hash into, so per-batch IO is
+    * bounded by touched partitions, not table size. 32 here (tests +
+    * local bench); at 100 TB this is a config of order 10k so a
+    * partition stays executor-memory-sized.
+    */
+  val trackBuckets = 32
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("id_bucket", pmod(xxhash64(col("id")), lit(trackBuckets.toLong)))
+
   /** Idempotent MERGE of a (possibly replayed) batch into a parquet
-    * table: latest received_at per id wins (the reference's L6
-    * window-dedup load, postgres load.go:300-322). Parquet
-    * read-union-overwrite stands in for Delta MERGE INTO — same
-    * semantics, swap the sink for Delta/Iceberg in production.
+    * table laid out as `id_bucket=k/` hash partitions: latest
+    * received_at per id wins (the reference's L6 window-dedup load,
+    * postgres load.go:300-322, which deletes+inserts only the staging
+    * slice — here: only the batch-touched buckets are read, merged and
+    * swapped). Crash-atomic: the merged buckets are staged to a side
+    * directory and renamed in per-partition; a failure during the
+    * staged write leaves the live table byte-identical, and a failure
+    * mid-swap leaves whole-bucket versions (each rename is atomic), so
+    * the streaming replay of the same batch converges — the
+    * at-least-once-plus-idempotent-load contract
+    * (warehouse/router/upload.go:285-493). Swap the sink for
+    * Delta/Iceberg MERGE INTO in production — same semantics.
     */
   def mergeIntoTracks(spark: SparkSession, path: String, batch: DataFrame): Unit = {
-    val existing =
-      try Some(spark.read.parquet(path))
-      catch { case _: Exception => None }
-    val all = existing match {
-      case Some(e) => e.unionByName(batch.select(e.columns.map(col): _*))
-      case None => batch
-    }
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b = withBucket(batch)
+    // touched-bucket list is bounded by trackBuckets (config-sized,
+    // not data-sized) — this collect is a partition-pruning plan
+    // input, not a data collect
+    val touched = b.select("id_bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val tableExists = fs.exists(new Path(path))
+    val all =
+      if (tableExists) {
+        // partition-pruned scan: only batch-touched bucket dirs are
+        // read. Partition discovery types id_bucket as int, so the
+        // prune filter uses int literals (a cast on the partition
+        // column would defeat pruning) and widens to long after.
+        val existing = spark.read.option("basePath", path).parquet(path)
+          .filter(col("id_bucket").isin(touched.map(_.toInt): _*))
+          .withColumn("id_bucket", col("id_bucket").cast("long"))
+        existing.unionByName(b.select(existing.columns.map(col): _*))
+      } else b
     val w = Window.partitionBy(col("id"))
       .orderBy(col("received_at").desc, col("timestamp").desc)
     val merged = all
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-    // two-phase write: stage then swap, so a mid-write failure never
-    // truncates the live table (upload state machine L2's resumability
-    // contract, warehouse/router/upload.go:285-493)
-    val staged = merged.cache()
-    staged.count()
-    staged.write.mode("overwrite").parquet(path)
-    staged.unpersist()
+    val staging = new Path(path + "__staging")
+    fs.delete(staging, true) // leftover of a previous failed attempt
+    merged.write.partitionBy("id_bucket").parquet(staging.toString)
+    // crash before this point: live table untouched. Swap each merged
+    // bucket in with an atomic rename; every touched bucket has >=1
+    // row (its batch ids survive the window dedup), so no live bucket
+    // is ever left dangling.
+    fs.mkdirs(new Path(path))
+    touched.foreach { k =>
+      val src = new Path(s"$staging/id_bucket=$k")
+      val dst = new Path(s"$path/id_bucket=$k")
+      val old = new Path(s"$path/.id_bucket=$k.old") // dot-prefixed: invisible to readers
+      if (fs.exists(src)) {
+        fs.delete(old, true)
+        if (fs.exists(dst) && !fs.rename(dst, old))
+          throw new java.io.IOException(s"cannot stage out $dst")
+        if (!fs.rename(src, dst)) {
+          fs.rename(old, dst)
+          throw new java.io.IOException(s"cannot swap $src into $dst")
+        }
+        fs.delete(old, true)
+      }
+    }
+    fs.delete(staging, true)
   }
 
   /** Per-(user, destination) delivery attempt. */

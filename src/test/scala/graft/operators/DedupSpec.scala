@@ -37,7 +37,7 @@ class DedupSpec extends SparkSpec {
         1L -> "alpha beta gamma delta",
         2L -> "delta gamma beta alpha", // same multiset, different order
         3L -> "zeta eta theta iota kappa lambda mu nu xi")))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(sh(1L) === sh(2L))
     assert(sh(1L) !== sh(3L))
   }
@@ -66,25 +66,31 @@ class DedupSpec extends SparkSpec {
     val vocab = Vector("red", "green", "blue", "cyan", "teal", "pink",
       "gold", "gray", "jade", "plum", "rust", "sand")
     val rnd = new scala.util.Random(42)
-    val docs = (1L to 40L).map(i =>
+    val base = (1L to 40L).map(i =>
       i -> Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    // near-dup copies (drop first word) guarantee hamming<=3 pairs
+    // even at 64 fingerprint bits
+    val docs = base ++ base.map { case (i, t) =>
+      (i + 100L) -> t.split(" ").drop(1).mkString(" ")
+    }
     val sh = Dedup.simhash(docsDf(docs))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1) & 0xFFFFFFFFL) | (r.getLong(2) << 32)))
+      .sortBy(_._1)
 
-    // brute force over all pairs
+    // brute force over all pairs (64-bit hamming)
     val brute = (for {
       (a, ha) <- sh; (b, hb) <- sh if a < b
       if java.lang.Long.bitCount(ha ^ hb) <= 3
     } yield (a, b)).toSet
 
-    // bucketed: candidates share at least one 8-bit chunk
+    // bucketed: candidates share at least one 16-bit chunk
     val bucketed = (for {
       (a, ha) <- sh; (b, hb) <- sh if a < b
-      if (0 until 4).exists(c => ((ha >> (8 * c)) & 255) == ((hb >> (8 * c)) & 255))
+      if (0 until 4).exists(c => ((ha >>> (16 * c)) & 0xFFFF) == ((hb >>> (16 * c)) & 0xFFFF))
       if java.lang.Long.bitCount(ha ^ hb) <= 3
     } yield (a, b)).toSet
 
     assert(brute.nonEmpty, "fixture should contain near-dup pairs")
-    assert(bucketed === brute, "hamming<=3 implies >=1 of 4 nibbles equal (pigeonhole)")
+    assert(bucketed === brute, "hamming<=3 implies >=1 of 4 16-bit chunks equal (pigeonhole)")
   }
 }

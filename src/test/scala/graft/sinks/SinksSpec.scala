@@ -104,6 +104,25 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("retention delete is crash-atomic: a mid-write failure leaves the live table intact") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp("l9crash") + "/t"
+    Seq((1L, "2024-01-01"), (2L, "2024-02-01"), (3L, "2024-03-01"))
+      .toDF("id", "d").write.parquet(dir)
+    // predicate that detonates during the staged write — simulates an
+    // executor/driver failure after the rewrite has started
+    intercept[Exception] {
+      Sinks.retentionDelete(spark, dir, "id = CAST(raise_error('mid-write failure') AS BIGINT)")
+    }
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(1L, 2L, 3L),
+      "failed rewrite must not touch the live table")
+    // the table is still fully operational: a good delete now succeeds
+    // (leftover staging from the crash is cleaned up automatically)
+    assert(Sinks.retentionDelete(spark, dir, "d < '2024-02-01'") === 2)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
   test("provider shaping: ClickHouse booleans become 0/1") {
     val sess = spark
     import sess.implicits._

@@ -65,6 +65,63 @@ class StreamingSpec extends SparkSpec {
     assert(row(0).getAs[Double]("value") === 99.0)
   }
 
+  test("merge rewrites only batch-touched buckets (partition-pruned IO)") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("merge_pruned").toString + "/t"
+    val mk = (id: String, rcv: String, v: Double) =>
+      (id, "u1", "a1", "purchase", t("2024-01-01 00:00:00"), t(rcv), v)
+    // seed enough ids to populate many buckets
+    val b1 = (1 to 200).map(i => mk(s"m$i", "2024-01-01 00:01:00", i.toDouble))
+      .toDF("id", "user_id", "anonymous_id", "event", "timestamp", "received_at", "value")
+    EventStream.mergeIntoTracks(spark, dir, b1)
+    def bucketFiles: Map[String, Set[String]] =
+      Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+        .filter(_.contains("id_bucket=")).map { d =>
+          d -> Files.list(java.nio.file.Paths.get(d)).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSet
+        }.toMap
+    val before = bucketFiles
+    assert(before.size > 5, s"seed batch should span many buckets, got ${before.size}")
+    // second batch touches exactly one id → exactly one bucket
+    val b2 = Seq(mk("m1", "2024-01-01 00:02:00", 999.0))
+      .toDF("id", "user_id", "anonymous_id", "event", "timestamp", "received_at", "value")
+    EventStream.mergeIntoTracks(spark, dir, b2)
+    val after = bucketFiles
+    val changed = before.keySet.filter(k => before(k) != after.getOrElse(k, Set.empty))
+    assert(changed.size === 1,
+      s"a one-id batch must rewrite exactly one bucket dir, rewrote: $changed")
+    // and the merge itself is correct: latest received_at won
+    val m1 = spark.read.parquet(dir).filter(col("id") === "m1").collect()
+    assert(m1.length === 1 && m1(0).getAs[Double]("value") === 999.0)
+    assert(spark.read.parquet(dir).count() === 200)
+  }
+
+  test("merge is crash-atomic: a failure during the staged write leaves the table intact") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("merge_crash").toString + "/t"
+    val mk = (id: String, rcv: String, v: Double) =>
+      (id, "u1", "a1", "purchase", t("2024-01-01 00:00:00"), t(rcv), v)
+    val b1 = Seq(mk("m1", "2024-01-01 00:01:00", 1.0), mk("m2", "2024-01-01 00:01:00", 2.0))
+      .toDF("id", "user_id", "anonymous_id", "event", "timestamp", "received_at", "value")
+    EventStream.mergeIntoTracks(spark, dir, b1)
+    // batch whose evaluation detonates mid-write
+    val bad = Seq(mk("m1", "2024-01-01 00:02:00", 50.0))
+      .toDF("id", "user_id", "anonymous_id", "event", "timestamp", "received_at", "value")
+      .withColumn("value", expr("CAST(raise_error('executor died mid-write') AS DOUBLE)"))
+    intercept[Exception] { EventStream.mergeIntoTracks(spark, dir, bad) }
+    val rows = spark.read.parquet(dir).select("id", "value").as[(String, Double)].collect().toMap
+    assert(rows === Map("m1" -> 1.0, "m2" -> 2.0), "failed merge must not touch the live table")
+    // replaying the batch (streaming retry) converges
+    val good = Seq(mk("m1", "2024-01-01 00:02:00", 50.0))
+      .toDF("id", "user_id", "anonymous_id", "event", "timestamp", "received_at", "value")
+    EventStream.mergeIntoTracks(spark, dir, good)
+    EventStream.mergeIntoTracks(spark, dir, good) // idempotent replay
+    val rows2 = spark.read.parquet(dir).select("id", "value").as[(String, Double)].collect().toMap
+    assert(rows2 === Map("m1" -> 50.0, "m2" -> 2.0))
+  }
+
   test("recovery: dedup state and sink survive a query restart from checkpoint") {
     val sess = spark
     import sess.implicits._
