@@ -36,19 +36,43 @@ object Ingest {
   private val pixelsSql: String =
     pixels.map { case (id, qs) => s"($id, '$qs')" }.mkString("(VALUES ", ", ", ")")
 
-  /** Webhook payloads from two third-party providers
-    * (gateway/webhook/webhook.go: per-sourceType transformation to
-    * canonical rudder events — here a Scala/SQL mapping registry
-    * instead of the external transformer service).
+  /** Webhook payloads from seven third-party providers
+    * (gateway/webhook/webhook.go: 40+ per-sourceType transformations
+    * to canonical rudder events — here the registry IS a broadcast
+    * mapping table of JSON paths, so adding a provider is a data
+    * change, not a code change). `pushsvc` is array-batched: one
+    * webhook request carries N events, the shape the reference's
+    * batch webhook transformers handle.
     */
   private val webhooks: Seq[(Long, String, String)] = Seq(
     (1L, "shopfront", """{"customer":{"id":"c1"},"event_name":"order_paid","total":"49.99"}"""),
     (2L, "shopfront", """{"customer":{"id":"c2"},"event_name":"cart_add","total":"5.00"}"""),
     (3L, "payproc", """{"data":{"object":{"customer":"c3"}},"kind":"invoice.paid"}"""),
-    (4L, "payproc", """{"data":{"object":{"customer":"c1"}},"kind":"charge.refunded"}"""))
+    (4L, "payproc", """{"data":{"object":{"customer":"c1"}},"kind":"charge.refunded"}"""),
+    (5L, "mailer", """{"recipient":"c4","event":"email_open","campaign":"summer"}"""),
+    (6L, "pushsvc", """{"events":[{"user":"c5","name":"push_open"},{"user":"c6","name":"push_dismiss"},{"user":"c5","name":"push_click"}]}"""),
+    (7L, "adnet", """{"click":{"uid":"c7"},"type":"ad_click","bid":0.03}"""),
+    (8L, "crmx", """{"contact":{"email_id":"c8"},"action":"contact_created"}"""),
+    (9L, "surveyr", """{"respondent":"c9","survey":{"status":"completed","id":"s1"}}"""))
 
   private val webhooksSql: String =
     webhooks.map { case (id, p, js) => s"($id, '$p', '${js.replace("'", "''")}')" }
+      .mkString("(VALUES ", ", ", ")")
+
+  /** Single-event provider registry: provider → (user-id path, event
+    * path). Declarative like the reference's sourceType map; batched
+    * providers (pushsvc) are handled by the explode branch.
+    */
+  private val webhookRules: Seq[(String, String, String)] = Seq(
+    ("shopfront", "$.customer.id", "$.event_name"),
+    ("payproc", "$.data.object.customer", "$.kind"),
+    ("mailer", "$.recipient", "$.event"),
+    ("adnet", "$.click.uid", "$.type"),
+    ("crmx", "$.contact.email_id", "$.action"),
+    ("surveyr", "$.respondent", "$.survey.status"))
+
+  private val webhookRulesSql: String =
+    webhookRules.map { case (p, u, e) => s"('$p', '$u', '$e')" }
       .mkString("(VALUES ", ", ", ")")
 
   val defs: Map[String, Q] = Map(
@@ -90,22 +114,27 @@ object Ingest {
           col("params")("v").as("value_str"))
     }),
 
-    // S3: webhook source normalization — per-provider mapping into
-    // canonical (user_id, event) form.
+    // S3: webhook source normalization — per-provider path mapping
+    // into canonical (user_id, event) form via a broadcast rule
+    // registry; the array-batched provider explodes one request into
+    // its N carried events.
     "s3_webhook_normalize" -> ((s, dir) => {
       val sess = s
       import sess.implicits._
-      webhooks.toDF("hook_id", "provider", "js")
+      import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
+      val hooks = webhooks.toDF("hook_id", "provider", "js")
+      val rules = webhookRules.toDF("provider", "user_path", "event_path")
+      val single = hooks.join(broadcast(rules), Seq("provider"))
         .select(col("hook_id"), col("provider"),
-          when(col("provider") === "shopfront",
-            get_json_object(col("js"), "$.customer.id"))
-            .when(col("provider") === "payproc",
-              get_json_object(col("js"), "$.data.object.customer"))
-            .as("user_id"),
-          when(col("provider") === "shopfront",
-            get_json_object(col("js"), "$.event_name"))
-            .when(col("provider") === "payproc", get_json_object(col("js"), "$.kind"))
-            .as("event"))
+          expr("get_json_object(js, user_path)").as("user_id"),
+          expr("get_json_object(js, event_path)").as("event"))
+      val batched = hooks.filter(col("provider") === "pushsvc")
+        .select(col("hook_id"), col("provider"),
+          explode(from_json(get_json_object(col("js"), "$.events"),
+            ArrayType(MapType(StringType, StringType)))).as("ev"))
+        .select(col("hook_id"), col("provider"),
+          col("ev")("user").as("user_id"), col("ev")("name").as("event"))
+      single.unionByName(batched)
     })
   )
 
@@ -130,15 +159,18 @@ object Ingest {
             nullif(regexp_extract(qs, '(^|&)v=([^&]*)', 2), '') AS value_str
           FROM $pixelsSql AS p(pixel_id, qs)""",
     "s3_webhook_normalize" ->
-      s"""SELECT hook_id, provider,
-            CASE provider
-              WHEN 'shopfront' THEN json_extract_string(js, '$$.customer.id')
-              WHEN 'payproc' THEN json_extract_string(js, '$$.data.object.customer')
-            END AS user_id,
-            CASE provider
-              WHEN 'shopfront' THEN json_extract_string(js, '$$.event_name')
-              WHEN 'payproc' THEN json_extract_string(js, '$$.kind')
-            END AS event
-          FROM $webhooksSql AS w(hook_id, provider, js)"""
+      s"""WITH rules(provider, user_path, event_path) AS $webhookRulesSql,
+          hooks(hook_id, provider, js) AS $webhooksSql
+          SELECT hook_id, h.provider,
+                 json_extract_string(js, user_path) AS user_id,
+                 json_extract_string(js, event_path) AS event
+          FROM hooks h JOIN rules r ON h.provider = r.provider
+          UNION ALL
+          SELECT hook_id, provider,
+                 json_extract_string(e, '$$.user') AS user_id,
+                 json_extract_string(e, '$$.name') AS event
+          FROM (SELECT hook_id, provider,
+                       unnest(CAST(js->'$$.events' AS JSON[])) AS e
+                FROM hooks WHERE provider = 'pushsvc')"""
   )
 }

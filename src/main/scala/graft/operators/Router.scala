@@ -189,29 +189,46 @@ object Router {
         .groupBy(col("country")).agg(count(lit(1)).as("n"))
     }),
 
-    // T8: tracking-plan validation — required keys + expected types
-    // against the flattened event schema; violations keep the event
-    // flowing to a violations output, not an exception
-    // (processor/trackingplan.go:69-168).
+    // T8: tracking-plan validation — required keys, expected types,
+    // enum membership and value patterns against the flattened event
+    // schema, the JSON-Schema subset the reference's tracking-plan
+    // validator enforces (processor/trackingplan.go:69-168 delegates
+    // to JSON-Schema required/type/enum/pattern). Violations keep the
+    // event flowing to a violations output, not an exception.
     "t8_tracking_plan" -> ((s, dir) => {
       val sess = s
       import sess.implicits._
       JsonFlatten.register(s)
-      val plan = Seq(("a", "int"), ("b_c", "float"), ("t", "datetime"))
-        .toDF("plan_key", "expected_type")
+      val plan = Seq(
+        ("a", "int", null, null),
+        ("b_c", "float", null, null),
+        ("t", "datetime", null, null),
+        ("ev", "string", "click,view,purchase", null),
+        ("sku", "string", null, "^SKU-[0-9]{4}$"))
+        .toDF("plan_key", "expected_type", "enum_vals", "pattern")
       val fixture = Seq(
-        1L -> """{"a":1,"b":{"c":2.5},"t":"2024-03-05T10:11:12Z"}""",
-        2L -> """{"a":"oops","b":{"c":2.5}}""",
-        3L -> """{"b":{"c":"xx"},"t":"2024-01-01"}""").toDF("id", "js")
+        1L -> """{"a":1,"b":{"c":2.5},"t":"2024-03-05T10:11:12Z","ev":"click","sku":"SKU-0042"}""",
+        2L -> """{"a":"oops","b":{"c":2.5},"ev":"scroll","sku":"SKU-1"}""",
+        3L -> """{"b":{"c":"xx"},"t":"2024-01-01","ev":"view","sku":"SKU-9999"}""").toDF("id", "js")
       val actual = fixture
         .select(col("id").as("aid"),
           explode(callUDF("flatten_json_types", col("js"))).as(Seq("key", "type")))
+      val values = fixture
+        .select(col("id").as("vid"),
+          explode(callUDF("flatten_json", col("js"))).as(Seq("vkey", "value")))
       fixture.select(col("id").as("event_id")).crossJoin(plan)
         .join(actual,
           col("event_id") === col("aid") && col("plan_key") === col("key"), "left")
+        .join(values,
+          col("event_id") === col("vid") && col("plan_key") === col("vkey"), "left")
         .withColumn("violation",
           when(col("type").isNull, lit("missing-required"))
-            .when(col("type") =!= col("expected_type"), lit("type-mismatch")))
+            .when(col("type") =!= col("expected_type"), lit("type-mismatch"))
+            .when(col("enum_vals").isNotNull &&
+              !array_contains(split(col("enum_vals"), ","), col("value")),
+              lit("enum-violation"))
+            .when(col("pattern").isNotNull && !expr("regexp_like(value, pattern)"),
+              lit("pattern-mismatch")))
         .filter(col("violation").isNotNull)
         .select(col("event_id"), col("plan_key"), col("violation"))
     }),
@@ -358,13 +375,16 @@ object Router {
           GROUP BY country""",
     "t8_tracking_plan" ->
       """WITH fixture(id, js) AS (VALUES
-           (1, '{"a":1,"b":{"c":2.5},"t":"2024-03-05T10:11:12Z"}'),
-           (2, '{"a":"oops","b":{"c":2.5}}'),
-           (3, '{"b":{"c":"xx"},"t":"2024-01-01"}')),
-         plan(plan_key, expected_type) AS (VALUES
-           ('a', 'int'), ('b_c', 'float'), ('t', 'datetime')),
+           (1, '{"a":1,"b":{"c":2.5},"t":"2024-03-05T10:11:12Z","ev":"click","sku":"SKU-0042"}'),
+           (2, '{"a":"oops","b":{"c":2.5},"ev":"scroll","sku":"SKU-1"}'),
+           (3, '{"b":{"c":"xx"},"t":"2024-01-01","ev":"view","sku":"SKU-9999"}')),
+         plan(plan_key, expected_type, enum_vals, pattern) AS (VALUES
+           ('a', 'int', NULL, NULL), ('b_c', 'float', NULL, NULL),
+           ('t', 'datetime', NULL, NULL),
+           ('ev', 'string', 'click,view,purchase', NULL),
+           ('sku', 'string', NULL, '^SKU-[0-9]{4}$')),
          actual AS (
-           SELECT id, k AS key,
+           SELECT id, k AS key, json_extract_string(js, p) AS value,
              CASE json_type(json_extract(js, p))
                WHEN 'BOOLEAN' THEN 'boolean'
                WHEN 'UBIGINT' THEN 'int' WHEN 'BIGINT' THEN 'int'
@@ -377,14 +397,27 @@ object Router {
            FROM (
              SELECT f.id, f.js, x.k,
                CASE x.k WHEN 'b_c' THEN '$.b.c' ELSE '$.' || x.k END AS p
-             FROM fixture f CROSS JOIN (VALUES ('a'), ('b_c'), ('t')) x(k))
+             FROM fixture f CROSS JOIN (VALUES ('a'), ('b_c'), ('t'), ('ev'), ('sku')) x(k))
            WHERE json_extract(js, p) IS NOT NULL)
          SELECT f.id AS event_id, p.plan_key,
            CASE WHEN a.type IS NULL THEN 'missing-required'
-                WHEN a.type <> p.expected_type THEN 'type-mismatch' END AS violation
+                WHEN a.type <> p.expected_type THEN 'type-mismatch'
+                WHEN p.enum_vals IS NOT NULL
+                     AND NOT list_contains(string_split(p.enum_vals, ','), a.value)
+                  THEN 'enum-violation'
+                WHEN p.pattern IS NOT NULL
+                     AND NOT regexp_matches(a.value, p.pattern)
+                  THEN 'pattern-mismatch' END AS violation
          FROM fixture f CROSS JOIN plan p
          LEFT JOIN actual a ON f.id = a.id AND p.plan_key = a.key
-         WHERE a.type IS NULL OR a.type <> p.expected_type""",
+         WHERE CASE WHEN a.type IS NULL THEN 'missing-required'
+                WHEN a.type <> p.expected_type THEN 'type-mismatch'
+                WHEN p.enum_vals IS NOT NULL
+                     AND NOT list_contains(string_split(p.enum_vals, ','), a.value)
+                  THEN 'enum-violation'
+                WHEN p.pattern IS NOT NULL
+                     AND NOT regexp_matches(a.value, p.pattern)
+                  THEN 'pattern-mismatch' END IS NOT NULL""",
     "t13_user_transform" ->
       """SELECT out_type, COUNT(*) AS n FROM (
            SELECT CASE WHEN event_type = 'purchase' THEN x.t

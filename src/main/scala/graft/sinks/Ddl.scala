@@ -1,0 +1,67 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** L11 executor: drive a schema diff through REAL catalog DDL instead
+  * of only reporting it — the apply side of the reference's warehouse
+  * schema sync (warehouse/integrations/postgres/postgres.go
+  * CreateTable/AddColumns DDL path; diff precedence in
+  * warehouse/schema/schema.go:294-342).
+  *
+  * The diff input is schema-sized (tables × columns), so collecting it
+  * on the driver is a metadata operation, exactly like the reference's
+  * in-memory ColumnMap. Statements execute against the Spark session
+  * catalog; on a real deployment the same statements go to the
+  * warehouse over JDBC — the planning/diff layer is identical and only
+  * the connection swaps.
+  */
+object Ddl {
+
+  /** Warehouse logical type → Spark SQL DDL type (datatype.go:11-48;
+    * `text` is physically STRING on Spark — the logical distinction is
+    * tracked in table properties, mirroring how the reference tracks
+    * VARCHAR(512) vs TEXT on Redshift).
+    */
+  def sqlType(whType: String): String = whType match {
+    case "int"      => "BIGINT"
+    case "float"    => "DOUBLE"
+    case "boolean"  => "BOOLEAN"
+    case "datetime" => "TIMESTAMP"
+    case "string" | "text" | "json" => "STRING"
+    case other => throw new IllegalArgumentException(s"unknown warehouse type: $other")
+  }
+
+  /** Apply a diff shaped like `l11_schema_diff`'s output
+    * (table_name, column_name, column_type, action∈{add,alter_to_text})
+    * to `db`: missing tables are CREATEd with their added columns, new
+    * columns on existing tables become ALTER TABLE ADD COLUMNS, and
+    * string→text upgrades are recorded as a `graft.coltype.<col>`
+    * table property (physically still STRING). Returns the executed
+    * statements in execution order.
+    */
+  def applySchemaDiff(spark: SparkSession, db: String, diff: DataFrame): Seq[String] = {
+    val rows = diff.select("table_name", "column_name", "column_type", "action")
+      .collect() // schema-sized metadata, never event data
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val stmts = scala.collection.mutable.ArrayBuffer[String]()
+    def run(sql: String): Unit = { spark.sql(sql); stmts += sql }
+    run(s"CREATE DATABASE IF NOT EXISTS $db")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (table, cols) =>
+      val adds = cols.filter(_._4 == "add").sortBy(_._2)
+      val alters = cols.filter(_._4 == "alter_to_text").sortBy(_._2)
+      val exists = spark.catalog.tableExists(s"$db.$table")
+      if (!exists && adds.nonEmpty) {
+        val colDdl = adds.map { case (_, c, t, _) => s"$c ${sqlType(t)}" }.mkString(", ")
+        run(s"CREATE TABLE $db.$table ($colDdl) USING PARQUET")
+      } else if (adds.nonEmpty) {
+        val colDdl = adds.map { case (_, c, t, _) => s"$c ${sqlType(t)}" }.mkString(", ")
+        run(s"ALTER TABLE $db.$table ADD COLUMNS ($colDdl)")
+      }
+      if (alters.nonEmpty) {
+        val props = alters.map { case (_, c, t, _) => s"'graft.coltype.$c' = '$t'" }.mkString(", ")
+        run(s"ALTER TABLE $db.$table SET TBLPROPERTIES ($props)")
+      }
+    }
+    stmts.toSeq
+  }
+}
