@@ -166,6 +166,40 @@ object Warehouse {
         .select(col("key"), col("type").as("winning_type"), col("event_id").as("first_seen_event"))
     }),
 
+    // L3+L11 folded across micro-batches — the batch-expressible
+    // equivalent of streaming/SchemaEvolution.scala's registry fold
+    // (schema.go:294-342): per column, the type of the first batch
+    // that saw it wins, except a later text observation upgrades
+    // string→text. The streaming form (with L4 coercion + discards)
+    // is exercised end-to-end in StreamingSpec.
+    "l3c_streaming_evolution" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      JsonFlatten.register(s)
+      val longS = "x" * 600
+      val batches = Seq(
+        (0L, 1L, """{"a":1,"s":"hi"}"""),
+        (0L, 2L, """{"a":2.5}"""),
+        (1L, 3L, s"""{"b":2.5,"s":"$longS"}"""),
+        (2L, 4L, """{"c":"2024-01-01","a":"oops"}"""))
+        .toDF("batch_no", "id", "js")
+      val kv = batches.select(col("batch_no"), col("id"),
+        explode(callUDF("flatten_json_types_redshift", col("js"))).as(Seq("key", "typ")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("batch_no").asc, col("id").asc)
+      val first = kv.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("key").as("column_name"), col("typ"),
+          col("batch_no").as("first_batch"))
+      val sawText = kv.filter(col("typ") === "text")
+        .select(col("key").as("column_name")).distinct()
+        .withColumn("saw_text", lit(true))
+      first.join(sawText, Seq("column_name"), "left")
+        .select(col("column_name"),
+          when(col("typ") === "string" && col("saw_text"), lit("text"))
+            .otherwise(col("typ")).as("wh_type"),
+          col("first_batch"))
+    }),
+
     // W10: full-event capture — rudder_event JSON column
     // (set.go:189-228): canonical JSON of selected fields.
     "w10_full_event" -> ((s, dir) => {
@@ -272,6 +306,41 @@ object Warehouse {
     "w10_full_event" ->
       """SELECT event_id,
                 '{"event_id":' || CAST(event_id AS VARCHAR) || ',"event_type":"' || event_type || '"}' AS rudder_event
-         FROM events ORDER BY event_id LIMIT 100"""
+         FROM events ORDER BY event_id LIMIT 100""",
+    // independent recomputation of the registry fold: DuckDB re-infers
+    // the warehouse type of every key from the raw JSON (same datatype
+    // rules as W5, incl. the >512-char text threshold), then replays
+    // first-batch-wins + text-upgrade
+    "l3c_streaming_evolution" ->
+      """WITH batches(batch_no, id, js) AS (VALUES
+           (0, 1, '{"a":1,"s":"hi"}'),
+           (0, 2, '{"a":2.5}'),
+           (1, 3, '{"b":2.5,"s":"' || repeat('x', 600) || '"}'),
+           (2, 4, '{"c":"2024-01-01","a":"oops"}')),
+         kv AS (
+           SELECT batch_no, id, k AS key,
+             CASE json_type(json_extract(js, '$.' || k))
+               WHEN 'BOOLEAN' THEN 'boolean'
+               WHEN 'UBIGINT' THEN 'int' WHEN 'BIGINT' THEN 'int'
+               WHEN 'DOUBLE' THEN (CASE WHEN CAST(json_extract(js, '$.' || k) AS DOUBLE)
+                     = floor(CAST(json_extract(js, '$.' || k) AS DOUBLE)) THEN 'int' ELSE 'float' END)
+               WHEN 'VARCHAR' THEN (CASE
+                     WHEN regexp_matches(json_extract_string(js, '$.' || k),
+                       '^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:?\d{2})?)?$')
+                       THEN 'datetime'
+                     WHEN length(json_extract_string(js, '$.' || k)) > 512 THEN 'text'
+                     ELSE 'string' END)
+               ELSE 'json' END AS typ
+           FROM (SELECT batch_no, id, js, unnest(json_keys(js)) AS k FROM batches)),
+         f AS (SELECT key, typ, batch_no FROM (
+                 SELECT key, typ, batch_no,
+                   ROW_NUMBER() OVER (PARTITION BY key ORDER BY batch_no, id) AS rn
+                 FROM kv)
+               WHERE rn = 1),
+         saw AS (SELECT DISTINCT key FROM kv WHERE typ = 'text')
+         SELECT f.key AS column_name,
+           CASE WHEN f.typ = 'string' AND saw.key IS NOT NULL THEN 'text' ELSE f.typ END AS wh_type,
+           CAST(f.batch_no AS BIGINT) AS first_batch
+         FROM f LEFT JOIN saw ON f.key = saw.key"""
   )
 }

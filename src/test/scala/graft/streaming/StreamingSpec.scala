@@ -65,6 +65,43 @@ class StreamingSpec extends SparkSpec {
     assert(row(0).getAs[Double]("value") === 99.0)
   }
 
+  test("streaming schema evolution: columns add, string upgrades to text, incompatibles discard") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("evolve").toString
+    val (table, reg, disc, ckpt) =
+      (s"$base/t", s"$base/registry", s"$base/discards", s"$base/ckpt")
+    val q = SchemaEvolution.start(input.toDF().toDF("id", "js"), table, reg, disc, ckpt)
+    try {
+      input.addData(1L -> """{"a":1,"s":"hi"}""", 2L -> """{"a":2,"s":"yo"}""")
+      q.processAllAvailable()
+      assert(SchemaEvolution.readRegistry(spark, reg) === Map("a" -> "int", "s" -> "string"))
+      // later batches: new columns b/c, s grows past 512 chars (→ text),
+      // and a value incompatible with a's registered int type
+      val longS = "x" * 600
+      input.addData(3L -> s"""{"b":2.5,"s":"$longS"}""", 4L -> """{"a":"oops","c":true}""")
+      q.processAllAvailable()
+      assert(SchemaEvolution.readRegistry(spark, reg) ===
+        Map("a" -> "int", "s" -> "text", "b" -> "float", "c" -> "boolean"))
+      val t = spark.read.option("mergeSchema", "true").parquet(table)
+      assert(t.columns.toSet === Set("id", "a", "s", "b", "c"))
+      assert(t.count() === 4)
+      assert(t.filter(col("id") === 3).select("b").first().getDouble(0) === 2.5)
+      assert(t.filter(col("id") === 1).select("b").first().isNullAt(0),
+        "pre-evolution rows read back with null for later columns")
+      // "oops" can't coerce to the registered int → rudder_discards
+      val d = spark.read.parquet(disc).collect()
+      assert(d.length === 1)
+      assert(d(0).getAs[Long]("row_id") === 4L)
+      assert(d(0).getAs[String]("column_name") === "a")
+      assert(d(0).getAs[String]("reason") === "incompatible schema conversion from int to string")
+      // and the row itself still landed, with a null in the bad column
+      assert(t.filter(col("id") === 4).select("a").first().isNullAt(0))
+    } finally q.stop()
+  }
+
   test("merge rewrites only batch-touched buckets (partition-pruned IO)") {
     val sess = spark
     import sess.implicits._
