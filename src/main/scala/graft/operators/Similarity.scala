@@ -58,6 +58,50 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** Deterministic Lloyd's k-means over integer-quantized vectors —
+    * the IVF coarse-quantizer TRAINER (faiss-style train+assign, here
+    * exact): vectors quantize to round(x*1000) longs, so every
+    * distance, per-cell sum and centroid update is exact integer
+    * arithmetic and the DuckDB oracle replays training bit-for-bit.
+    * Init = the k lowest vec_ids' vectors; ties break to the lowest
+    * cell id; centroid update truncates sum/count toward zero.
+    *
+    * Centroids are model state (k×dim longs) synced to the driver per
+    * iteration — what every distributed k-means does; the data-sized
+    * work (assignment, partial sums) stays on executors, one shuffle
+    * of k×dim partial aggregates per iteration at any corpus size.
+    */
+  private[operators] def trainCells(qe: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    def assign(cents: Array[Array[Long]]): DataFrame = {
+      val dists = cents.zipWithIndex.map { case (c, j) =>
+        expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
+          s"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"dist$j")
+      }
+      val distList = (0 until k).map(j => s"dist$j").mkString(",")
+      qe.select(col("vec_id") +: col("q") +: dists: _*)
+        .withColumn("cell",
+          (expr(s"array_position(array($distList), array_min(array($distList)))") - 1).cast("long"))
+        .select(col("vec_id"), col("q"), col("cell"))
+    }
+    var cents: Array[Array[Long]] = qe.filter(col("vec_id") < k).orderBy(col("vec_id"))
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    for (_ <- 1 to iters) {
+      val sums = assign(cents).groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), (0 until dim).map(i => sum(col("q")(i)).as(s"s$i")): _*)
+        .collect() // k rows of (cell, n, 64 sums) — model-sized
+      val byCell = sums.map(r => r.getLong(0) -> r).toMap
+      cents = (0 until k).toArray.map { j =>
+        byCell.get(j.toLong) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            (0 until dim).map(i => r.getLong(2 + i) / n).toArray // Long / truncates toward zero
+          case None => cents(j) // empty cell keeps its centroid
+        }
+      }
+    }
+    assign(cents).select(col("vec_id"), col("cell"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Brute-force cosine top-5 for queries vec_id < 10. Exact baseline.
@@ -80,6 +124,29 @@ object Similarity {
         col("nrm").as("q_nrm"), col("label").as("q_label")).filter(col("query_id") < 10)
       val scored = e.join(broadcast(q),
           col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+        .withColumn("dot", dotExpr("q_emb", "embedding"))
+        .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+      topK(scored, 5)
+    }),
+
+    // IVF with a TRAINED coarse quantizer: deterministic k-means
+    // (k=8, 2 Lloyd iterations, integer-quantized vectors) builds the
+    // cells, then the search prunes to the query's trained cell —
+    // closing ll4's "labels pre-assigned" gap. The oracle replays the
+    // whole training loop in SQL, so the check covers the trainer, the
+    // assignment AND the pruned search.
+    "ll4b_ann_ivf_trained" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qe = base.withColumn("q",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .select(col("vec_id"), col("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // scanned k+1 times by training
+      val cells = trainCells(qe, 8, 2, 64)
+      val e = withNorm(base).join(cells, "vec_id")
+      val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell")).filter(col("query_id") < 10)
+      val scored = e.join(broadcast(q),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
         .withColumn("dot", dotExpr("q_emb", "embedding"))
         .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
       topK(scored, 5)
@@ -157,9 +224,63 @@ object Similarity {
         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
         FROM r WHERE rank <= 5"""
 
+  /** DuckDB replay of one k-means assignment: nearest centroid by
+    * exact integer squared distance, ties to the lowest cell id.
+    */
+  private def kmAssignSql(cents: String, out: String): String =
+    s"""$out AS (
+         SELECT vec_id, q, cid AS cell FROM (
+           SELECT e.vec_id, e.q, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(1, 65),
+                 i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))), c.cid) AS rn
+           FROM qe e, $cents c) WHERE rn = 1)"""
+
+  /** DuckDB replay of one centroid update: per-dim integer sums,
+    * sum/count truncated toward zero; empty cells keep their centroid.
+    */
+  private def kmUpdateSql(assigned: String, prev: String, out: String): String =
+    s"""${out}_s AS (
+         SELECT cell, dim.i AS dim, SUM(q[dim.i]) AS s, COUNT(*) AS n
+         FROM $assigned, (SELECT unnest(range(1, 65)) AS i) dim
+         GROUP BY cell, dim.i),
+       $out AS (
+         SELECT p.cid, COALESCE(u.c, p.c) AS c
+         FROM $prev p LEFT JOIN (
+           SELECT cell AS cid,
+             list(CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS c
+           FROM ${out}_s GROUP BY cell) u ON p.cid = u.cid)"""
+
   val oracles: Map[String, String] = Map(
     "ll3_ann_topk" -> annOracle(""),
     "ll4_ann_ivf" -> annOracle("AND label = q_label"),
+    "ll4b_ann_ivf_trained" ->
+      s"""WITH qe AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, q AS c FROM qe WHERE vec_id < 8),
+          ${kmAssignSql("c0", "a0")},
+          ${kmUpdateSql("a0", "c0", "c1")},
+          ${kmAssignSql("c1", "a1")},
+          ${kmUpdateSql("a1", "c1", "c2")},
+          ${kmAssignSql("c2", "af")},
+          e AS (SELECT em.vec_id, em.embedding, $normSql AS nrm, af.cell
+                FROM embeddings em JOIN af ON em.vec_id = af.vec_id),
+          qq AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+                        cell AS q_cell
+                 FROM e WHERE vec_id < 10),
+          p AS (SELECT query_id, vec_id,
+                  list_sum(list_transform(range(1, 65),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS dot,
+                  q_nrm, nrm
+                FROM qq, e WHERE vec_id <> query_id AND cell = q_cell),
+          r AS (SELECT query_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dot / sqrt(q_nrm * nrm) DESC, vec_id) AS rank
+                FROM p)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+          FROM r WHERE rank <= 5""",
     "ll8_embedding_neardup" -> {
       val bitsSql = (0 until 8).map(j =>
         s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
