@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -39,22 +40,22 @@ object Relational {
 
     // A1 sample fidelity: the reporting aggregation also carries the
     // LATEST NON-EMPTY sample payload per bucket (reporting.go:264-283
-    // ARRAY_AGG(... ORDER BY id DESC) FILTER (...)): last(ignoreNulls)
-    // over the bucket window, samples nulled out deterministically to
-    // exercise the skip-empties path.
+    // ARRAY_AGG(... ORDER BY id DESC) FILTER (...)). One groupBy with
+    // max_by keyed on (ts, event_id), null samples excluded by a null
+    // ordering key — a single shuffle with map-side partial agg,
+    // replacing the old window-over-unbounded-frame + distinct() plan
+    // (two shuffles and a full-group materialization).
     "a1b_reporting_sample" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast("long")
-      val w = Window
-        .partitionBy(col("minute_us"), col("event_type"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.events(s, dir)
         .withColumn("minute_us", unix_micros(date_trunc("minute", col("ts"))))
         .withColumn("sample", when(k % 5 =!= 0, col("props")))
-        .select(col("minute_us"), col("event_type"),
-          count(lit(1)).over(w).as("n"),
-          last(col("sample"), ignoreNulls = true).over(w).as("last_sample"))
-        .distinct()
+        .groupBy(col("minute_us"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          max_by(col("sample"),
+            when(col("sample").isNotNull, struct(col("ts"), col("event_id"))))
+            .as("last_sample"))
     }),
 
     // Pile-up counts — jobsdb/jobsdb.go:151-153 (A3).
@@ -202,24 +203,24 @@ object Relational {
     // derived sparsely from the event stream so most rows carry nulls
     // in most traits, exercising the per-column semantics: a user
     // whose newest event lacks a trait keeps the older non-null value.
-    // One shuffle on user_id; last(ignoreNulls) over an unbounded
-    // frame computes all columns in a single window pass.
+    // One groupBy on user_id with per-column max_by keyed on
+    // (ts, event_id), null traits excluded by a null ordering key — a
+    // single shuffle with map-side partial agg (the old plan windowed
+    // over an unbounded frame then distinct()ed: two shuffles).
     "q11_users_latest_traits" -> ((s, dir) => {
+      def latestNonNull(c: Column): Column =
+        max_by(c, when(c.isNotNull, struct(col("ts"), col("event_id"))))
       val traits = Tables.events(s, dir).select(
         col("user_id"), col("ts"), col("event_id"),
         when(col("event_type") === "view", col("value")).as("trait_view_value"),
         when(col("event_type") === "click", get_json_object(col("props"), "$.k"))
           .as("trait_click_k"),
         when(col("event_type") === "purchase", col("value")).as("trait_purchase_value"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      traits.select(
-          col("user_id"),
-          last(col("trait_view_value"), ignoreNulls = true).over(w).as("trait_view_value"),
-          last(col("trait_click_k"), ignoreNulls = true).over(w).as("trait_click_k"),
-          last(col("trait_purchase_value"), ignoreNulls = true).over(w).as("trait_purchase_value"))
-        .distinct()
+      traits.groupBy(col("user_id"))
+        .agg(
+          latestNonNull(col("trait_view_value")).as("trait_view_value"),
+          latestNonNull(col("trait_click_k")).as("trait_click_k"),
+          latestNonNull(col("trait_purchase_value")).as("trait_purchase_value"))
     }),
 
     // Skew-resilient two-phase aggregation: salt the hot key, partial

@@ -233,6 +233,36 @@ object Router {
         .select(col("event_id"), col("plan_key"), col("violation"))
     }),
 
+    // T14: destination transformation, SaaS branch — canonical events
+    // projected into per-destination delivery payload formats
+    // (processor/internal/transformer/destination_transformer: each
+    // destination declares a body shape; the warehouse branch is
+    // W1-W10). Three representative formats: a generic JSON webhook
+    // body, a query-string attribution API, and a nested profile
+    // object — each a pure projection that fuses into the scan, with
+    // per-destination event filters applied before the union.
+    "t14_destination_format" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val webhook = ev.select(col("event_id"),
+        lit("webhook_generic").as("destination"),
+        to_json(struct(
+          concat(lit("user_"), col("user_id")).as("userId"),
+          col("event_type").as("event"),
+          col("ts_us").as("sentAt"))).as("payload"))
+      val attrib = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), lit("attribution_api").as("destination"),
+          concat(lit("u=user_"), col("user_id"), lit("&e="), col("event_type"),
+            lit("&t="), col("ts_us")).as("payload"))
+      val email = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), lit("emailsvc").as("destination"),
+          to_json(struct(
+            struct(concat(lit("user_"), col("user_id")).as("id")).as("profile"),
+            lit("subscribe").as("action"))).as("payload"))
+      webhook.unionByName(attrib).unionByName(email)
+    }),
+
     // T13: user-transformation surface — a named registry of pure
     // transforms with the 1→0 / 1→1 / 1→N contract of JS user
     // transformations (user_transformer.go:242-511): errors dropped,
@@ -418,6 +448,22 @@ object Router {
                 WHEN p.pattern IS NOT NULL
                      AND NOT regexp_matches(a.value, p.pattern)
                   THEN 'pattern-mismatch' END IS NOT NULL""",
+    "t14_destination_format" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+         SELECT event_id, 'webhook_generic' AS destination,
+           CAST(json_object('userId', 'user_' || CAST(user_id AS VARCHAR),
+                            'event', event_type, 'sentAt', ts_us) AS VARCHAR) AS payload
+         FROM ev
+         UNION ALL
+         SELECT event_id, 'attribution_api',
+           'u=user_' || CAST(user_id AS VARCHAR) || '&e=' || event_type
+             || '&t=' || CAST(ts_us AS VARCHAR)
+         FROM ev WHERE event_type IN ('click', 'view')
+         UNION ALL
+         SELECT event_id, 'emailsvc',
+           CAST(json_object('profile', json_object('id', 'user_' || CAST(user_id AS VARCHAR)),
+                            'action', 'subscribe') AS VARCHAR)
+         FROM ev WHERE event_type = 'signup'""",
     "t13_user_transform" ->
       """SELECT out_type, COUNT(*) AS n FROM (
            SELECT CASE WHEN event_type = 'purchase' THEN x.t

@@ -130,6 +130,39 @@ object Sinks {
     kept
   }
 
+  /** L9 fast path: when the retention predicate is on the partition
+    * column, DELETE == dropping whole partition directories — pure
+    * metadata, zero data rewritten (Delta/Iceberg drop-partition; the
+    * reference's date-ranged DELETEs on a partitioned jobsdb dataset
+    * drop the dataset, jobsdb.go dsList rotation). Each drop is a
+    * rename to a dot-prefixed trash dir (atomic: readers see the
+    * partition vanish in one step) followed by a delete; leftover
+    * trash from a crashed run is swept first. Returns the number of
+    * partitions dropped.
+    */
+  def retentionDropPartitions(spark: SparkSession, path: String, partitionCol: String)
+                             (shouldDrop: String => Boolean): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    entries.filter(_.getName.startsWith(".trash_")).foreach(fs.delete(_, true))
+    val parts = entries.filter(_.getName.startsWith(partitionCol + "="))
+    var dropped = 0L
+    parts.foreach { p =>
+      val value = java.net.URLDecoder
+        .decode(p.getName.stripPrefix(partitionCol + "="), "UTF-8")
+      if (shouldDrop(value)) {
+        val trash = new Path(root, s".trash_${p.getName}")
+        if (!fs.rename(p, trash))
+          throw new java.io.IOException(s"cannot drop partition $p")
+        fs.delete(trash, true)
+        dropped += 1
+      }
+    }
+    dropped
+  }
+
   /** Compaction — the jobsdb dataset-compaction analog
     * (jobsdb/jobsdb_compaction.go:26-70; Delta OPTIMIZE at a real
     * datalake): rewrite a small-files table into `targetFiles`

@@ -104,6 +104,22 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("L9 partition drop: retention on the partition column is metadata-only") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp("l9part") + "/t"
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-02-01"))
+      .toDF("id", "d").write.partitionBy("d").parquet(dir)
+    def files(part: String) = Files.list(Paths.get(s"$dir/d=$part")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val keepBefore = files("2024-02-01")
+    val dropped = Sinks.retentionDropPartitions(spark, dir, "d")(_ < "2024-02-01")
+    assert(dropped === 2)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(3L))
+    assert(files("2024-02-01") === keepBefore,
+      "retained partition's files must be byte-untouched (no rewrite)")
+  }
+
   test("retention delete is crash-atomic: a mid-write failure leaves the live table intact") {
     val sess = spark
     import sess.implicits._
