@@ -60,6 +60,20 @@ class DedupSpec extends SparkSpec {
     assert(filtered === naive, "prefix filtering must not change the result set")
   }
 
+  test("adaptive Jaccard strategy: skewed corpus → prefix-filtered, flat corpus → inverted-index") {
+    // skewed: 200 docs with mostly-unique shingles (web-corpus shape)
+    val rnd = new scala.util.Random(11)
+    val skewed = (1L to 200L).map(i =>
+      i -> ((1 to 8).map(j => s"w${i}_$j") :+ "the common one").mkString(" "))
+    assert(Dedup.jaccardStrategy(Dedup.shingles(docsDf(skewed))) === "prefix-filtered")
+    // flat: 200 docs over a 3-word vocab — only 27 possible shingles,
+    // so every shingle is frequent and prefixes cannot prune
+    val vocab = Vector("v1", "v2", "v3")
+    val flat = (1L to 200L).map(i =>
+      i -> Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    assert(Dedup.jaccardStrategy(Dedup.shingles(docsDf(flat))) === "inverted-index")
+  }
+
   test("pigeonhole recall: bucketed simhash candidates find every hamming<=3 pair") {
     // Deterministic pseudo-random corpus: 40 docs over a 12-word vocab
     // (heavy simhash clustering, like real near-dup corpora).
