@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions for the scale properties the library
+  * depends on: predicate/projection pushdown into the parquet scan,
+  * partition pruning on the bucketed tracks layout, map-side partial
+  * aggregation, and whole-stage codegen over the hot paths. These pin
+  * the PLAN, not just the result — a regression that silently turns a
+  * pruned scan into a full scan fails here even though results stay
+  * correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    assume(new java.io.File(sfDir).exists())
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  test("q02 filter+project pushes both predicate and columns into the scan") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters: ["), "predicate must reach the parquet reader")
+    assert(!plan.contains("PushedFilters: []"), "pushed-filter list must not be empty")
+    // column pruning: the scan must not read the wide props payload
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), s"scan should prune unused columns: $readSchema")
+  }
+
+  test("q01 aggregates map-side before the exchange (partial agg) under codegen") {
+    assume(new java.io.File(sfDir).exists())
+    val df = SparkEntry.queries("q01_pricing_agg")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), "hash aggregate must run in partial mode below the shuffle")
+    df.collect() // AQE shows codegen stages only in the final executed plan
+    val finalPlan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(finalPlan.contains("[codegen id :"), s"agg pipeline must be codegen'd:\n$finalPlan")
+  }
+
+  test("q03 broadcasts the small dimension side") {
+    val plan = planOf("q03_join_revenue")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "nation-sized dims must broadcast, not shuffle")
+  }
+
+  test("bucketed tracks read is partition-pruned to the touched buckets") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("plan_pruned").toString + "/t"
+    val b = (1 to 50).map(i => (s"m$i", "u", "a", "ev",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), i.toDouble))
+      .toDF("id", "user_id", "anonymous_id", "event", "timestamp", "received_at", "value")
+    EventStream.mergeIntoTracks(spark, dir, b)
+    val pruned = spark.read.option("basePath", dir).parquet(dir)
+      .filter(col("id_bucket").isin(0, 1))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("id_bucket"),
+      s"bucket filter must prune partitions, got: $scan")
+    // the pruned scan must touch at most 2 of the bucket directories
+    val files = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.size).sum }.sum
+    val total = new java.io.File(dir).listFiles().count(_.getName.startsWith("id_bucket="))
+    assert(total > 5, s"fixture should span many buckets, got $total")
+    assert(files <= 2, s"pruned scan must read <=2 bucket dirs' files, read $files")
+  }
+}
