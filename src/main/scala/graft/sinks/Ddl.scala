@@ -31,6 +31,54 @@ object Ddl {
     case other => throw new IllegalArgumentException(s"unknown warehouse type: $other")
   }
 
+  /** Warehouse logical type → ANSI/Derby DDL type for the JDBC path
+    * (postgres.go dataTypesMap equivalent: text/json widen past the
+    * varchar cap, datetime is a real TIMESTAMP column).
+    */
+  def sqlTypeJdbc(whType: String): String = whType match {
+    case "int"      => "BIGINT"
+    case "float"    => "DOUBLE"
+    case "boolean"  => "BOOLEAN"
+    case "datetime" => "TIMESTAMP"
+    case "string"   => "VARCHAR(512)"
+    case "text" | "json" => "LONG VARCHAR"
+    case other => throw new IllegalArgumentException(s"unknown warehouse type: $other")
+  }
+
+  /** The same schema-diff execution over a REAL JDBC connection — the
+    * reference's actual DDL path (postgres.go CreateTable/AddColumn
+    * run over database/sql). Embedded Derby in tests; a production
+    * deployment only swaps the url. Statements run in diff order;
+    * `alter_to_text` on JDBC re-types the column where the dialect
+    * allows, else records the upgrade the way the catalog path does —
+    * Derby supports neither, so the upgrade is applied by widening at
+    * CREATE time via sqlTypeJdbc and skipped on ALTER.
+    */
+  def applySchemaDiffJdbc(url: String, diff: DataFrame): Seq[String] = {
+    val rows = diff.select("table_name", "column_name", "column_type", "action")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val stmts = scala.collection.mutable.ArrayBuffer[String]()
+      def run(sql: String): Unit = { conn.createStatement().execute(sql); stmts += sql }
+      def tableExists(t: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, t.toUpperCase, null)
+        try rs.next() finally rs.close()
+      }
+      rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (table, cols) =>
+        val adds = cols.filter(_._4 == "add").sortBy(_._2)
+        if (!tableExists(table) && adds.nonEmpty) {
+          val colDdl = adds.map { case (_, c, t, _) => s"$c ${sqlTypeJdbc(t)}" }.mkString(", ")
+          run(s"CREATE TABLE $table ($colDdl)")
+        } else adds.foreach { case (_, c, t, _) =>
+          run(s"ALTER TABLE $table ADD COLUMN $c ${sqlTypeJdbc(t)}")
+        }
+      }
+      stmts.toSeq
+    } finally conn.close()
+  }
+
   /** Apply a diff shaped like `l11_schema_diff`'s output
     * (table_name, column_name, column_type, action∈{add,alter_to_text})
     * to `db`: missing tables are CREATEd with their added columns, new

@@ -38,11 +38,23 @@ object Readers {
   def parquetLoadFiles(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** L12 over real JDBC: the reverse-ETL extract reading a warehouse
+    * table through Spark's JDBC source (warehouse/source/source.go
+    * reads the customer's warehouse over database/sql the same way).
+    * Predicates push down into the remote WHERE clause; at scale pass
+    * partitionColumn/lowerBound/upperBound/numPartitions so the read
+    * shards across executors instead of a single connection.
+    * Exercised against embedded Derby in JdbcSpec; production swaps
+    * the url for postgres/snowflake — the plan is identical.
+    */
+  def jdbcTable(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
   /** L12: reverse-ETL source job — reads a warehouse table and lifts
     * each row into an extract event carrying a recordId
     * (warehouse/source/source.go; gateway /internal/v1/retl). The
     * local stand-in reads parquet; against a live warehouse this is
-    * `spark.read.jdbc(url, table, props)` with the same downstream.
+    * `jdbcTable` above with the same downstream.
     */
   def retlSource(spark: SparkSession, path: String,
                  recordIdCol: String): DataFrame = {

@@ -1,0 +1,67 @@
+package graft.sinks
+
+import java.sql.DriverManager
+
+import graft.SparkSpec
+import graft.sources.Readers
+import org.apache.spark.sql.functions._
+
+/** Real JDBC warehouse I/O against embedded Derby (ships with Spark):
+  * the reverse-ETL read path (L12) with predicate pushdown into the
+  * remote WHERE clause, the DDL-diff execution path (L11) issuing
+  * CREATE/ALTER over a live connection, and the load path (L5/L6)
+  * writing through Spark's JDBC sink and reading back. Production
+  * swaps the Derby url for postgres/snowflake — plans are identical.
+  */
+class JdbcSpec extends SparkSpec {
+
+  test("L12: reverse-ETL source reads a JDBC warehouse, predicate pushed down") {
+    val url = "jdbc:derby:memory:graft_retl;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE contacts (id BIGINT, email VARCHAR(64), score DOUBLE)")
+      (1 to 5).foreach(i =>
+        st.execute(s"INSERT INTO contacts VALUES ($i, 'u$i@x.io', ${i * 1.5})"))
+    } finally conn.close()
+    val df = Readers.jdbcTable(spark, url, "contacts").filter(col("ID") >= 3)
+    assert(df.count() === 3)
+    assert(df.agg(sum(col("SCORE"))).first().getDouble(0) === (3 + 4 + 5) * 1.5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual"),
+      s"the >= predicate must reach the remote WHERE clause: $plan")
+  }
+
+  test("L11+L5: DDL diff executes over JDBC, then Spark loads and reads back") {
+    val sess = spark
+    import sess.implicits._
+    val url = "jdbc:derby:memory:graft_ddl;create=true"
+    // round 1: empty warehouse — CREATE from the staging schema
+    val v1 = Seq(
+      ("tracks", "id", "string", "add"), ("tracks", "event", "string", "add"),
+      ("tracks", "n", "int", "add"))
+      .toDF("table_name", "column_name", "column_type", "action")
+    val s1 = Ddl.applySchemaDiffJdbc(url, v1)
+    assert(s1.exists(_.startsWith("CREATE TABLE tracks")))
+    // load through Spark's JDBC sink (the L5 load-file → warehouse hop)
+    Seq(("m1", "click", 1L), ("m2", "view", 2L))
+      .toDF("id", "event", "n")
+      .write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", "tracks").save()
+    // round 2: schema grows — ALTER ADD COLUMN over the live connection
+    val v2 = Seq(("tracks", "plan", "string", "add"))
+      .toDF("table_name", "column_name", "column_type", "action")
+    val s2 = Ddl.applySchemaDiffJdbc(url, v2)
+    assert(s2 === Seq("ALTER TABLE tracks ADD COLUMN plan VARCHAR(512)"))
+    Seq(("m3", "click", 3L, "pro"))
+      .toDF("id", "event", "n", "plan")
+      .write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", "tracks").save()
+    val back = Readers.jdbcTable(spark, url, "tracks")
+    assert(back.count() === 3)
+    assert(back.columns.map(_.toLowerCase).toSet === Set("id", "event", "n", "plan"))
+    // pre-evolution rows read back with null in the new column
+    assert(back.filter(col("ID") === "m1").select("PLAN").first().isNullAt(0))
+    assert(back.filter(col("ID") === "m3").select("PLAN").first().getString(0) === "pro")
+  }
+}
