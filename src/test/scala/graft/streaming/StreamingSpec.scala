@@ -65,6 +65,35 @@ class StreamingSpec extends SparkSpec {
     assert(row(0).getAs[Double]("value") === 99.0)
   }
 
+  test("A2 streaming: the mergeable HLL sketch aggregates across micro-batches like batch") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val hll = udaf(new graft.functions.HllAggregator(12))
+    val q = input.toDF().toDF("event_type", "uid")
+      .groupBy(col("event_type")).agg(hll(col("uid")).as("est"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream").start()
+    try {
+      // two micro-batches with overlapping uids — the sketch's
+      // register-wise-max merge must deduplicate across batches
+      input.addData((1 to 600).map(i => ("click", s"u$i")): _*)
+      q.processAllAvailable()
+      input.addData((300 to 900).map(i => ("click", s"u$i")): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = (1 to 900).map(i => ("click", s"u$i")).toDF("event_type", "uid")
+        .groupBy(col("event_type")).agg(hll(col("uid")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch,
+        "stream-merged sketch must equal the batch sketch (merge exactness)")
+      assert(math.abs(streamed("click") - 900.0) / 900.0 < 0.05,
+        s"estimate ${streamed("click")} outside 5% of 900")
+    } finally q.stop()
+  }
+
   test("streaming schema evolution: columns add, string upgrades to text, incompatibles discard") {
     val sess = spark
     import sess.implicits._
