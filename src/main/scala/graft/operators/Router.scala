@@ -200,16 +200,20 @@ object Router {
       import sess.implicits._
       JsonFlatten.register(s)
       val plan = Seq(
-        ("a", "int", null, null),
-        ("b_c", "float", null, null),
-        ("t", "datetime", null, null),
-        ("ev", "string", "click,view,purchase", null),
-        ("sku", "string", null, "^SKU-[0-9]{4}$"))
-        .toDF("plan_key", "expected_type", "enum_vals", "pattern")
+        ("a", "int", null, null, Some(0.0), Some(100.0)),
+        ("b_c", "float", null, null, None, None),
+        ("t", "datetime", null, null, None, None),
+        ("ev", "string", "click,view,purchase", null, None, None),
+        ("sku", "string", null, "^SKU-[0-9]{4}$", None, None))
+        .map { case (k, t, e, p, mn, mx) =>
+          (k, t, e, p, mn.map(Double.box).orNull, mx.map(Double.box).orNull)
+        }
+        .toDF("plan_key", "expected_type", "enum_vals", "pattern", "min_val", "max_val")
       val fixture = Seq(
         1L -> """{"a":1,"b":{"c":2.5},"t":"2024-03-05T10:11:12Z","ev":"click","sku":"SKU-0042"}""",
         2L -> """{"a":"oops","b":{"c":2.5},"ev":"scroll","sku":"SKU-1"}""",
-        3L -> """{"b":{"c":"xx"},"t":"2024-01-01","ev":"view","sku":"SKU-9999"}""").toDF("id", "js")
+        3L -> """{"b":{"c":"xx"},"t":"2024-01-01","ev":"view","sku":"SKU-9999"}""",
+        4L -> """{"a":250,"b":{"c":1.0},"t":"2024-01-02","ev":"view","sku":"SKU-1234"}""").toDF("id", "js")
       val actual = fixture
         .select(col("id").as("aid"),
           explode(callUDF("flatten_json_types", col("js"))).as(Seq("key", "type")))
@@ -228,7 +232,11 @@ object Router {
               !array_contains(split(col("enum_vals"), ","), col("value")),
               lit("enum-violation"))
             .when(col("pattern").isNotNull && !expr("regexp_like(value, pattern)"),
-              lit("pattern-mismatch")))
+              lit("pattern-mismatch"))
+            .when(col("min_val").isNotNull &&
+              (col("value").cast("double") < col("min_val") ||
+                col("value").cast("double") > col("max_val")),
+              lit("bounds-violation")))
         .filter(col("violation").isNotNull)
         .select(col("event_id"), col("plan_key"), col("violation"))
     }),
@@ -407,12 +415,13 @@ object Router {
       """WITH fixture(id, js) AS (VALUES
            (1, '{"a":1,"b":{"c":2.5},"t":"2024-03-05T10:11:12Z","ev":"click","sku":"SKU-0042"}'),
            (2, '{"a":"oops","b":{"c":2.5},"ev":"scroll","sku":"SKU-1"}'),
-           (3, '{"b":{"c":"xx"},"t":"2024-01-01","ev":"view","sku":"SKU-9999"}')),
-         plan(plan_key, expected_type, enum_vals, pattern) AS (VALUES
-           ('a', 'int', NULL, NULL), ('b_c', 'float', NULL, NULL),
-           ('t', 'datetime', NULL, NULL),
-           ('ev', 'string', 'click,view,purchase', NULL),
-           ('sku', 'string', NULL, '^SKU-[0-9]{4}$')),
+           (3, '{"b":{"c":"xx"},"t":"2024-01-01","ev":"view","sku":"SKU-9999"}'),
+           (4, '{"a":250,"b":{"c":1.0},"t":"2024-01-02","ev":"view","sku":"SKU-1234"}')),
+         plan(plan_key, expected_type, enum_vals, pattern, min_val, max_val) AS (VALUES
+           ('a', 'int', NULL, NULL, 0.0, 100.0), ('b_c', 'float', NULL, NULL, NULL, NULL),
+           ('t', 'datetime', NULL, NULL, NULL, NULL),
+           ('ev', 'string', 'click,view,purchase', NULL, NULL, NULL),
+           ('sku', 'string', NULL, '^SKU-[0-9]{4}$', NULL, NULL)),
          actual AS (
            SELECT id, k AS key, json_extract_string(js, p) AS value,
              CASE json_type(json_extract(js, p))
@@ -437,7 +446,11 @@ object Router {
                   THEN 'enum-violation'
                 WHEN p.pattern IS NOT NULL
                      AND NOT regexp_matches(a.value, p.pattern)
-                  THEN 'pattern-mismatch' END AS violation
+                  THEN 'pattern-mismatch'
+                WHEN p.min_val IS NOT NULL
+                     AND (CAST(a.value AS DOUBLE) < p.min_val
+                          OR CAST(a.value AS DOUBLE) > p.max_val)
+                  THEN 'bounds-violation' END AS violation
          FROM fixture f CROSS JOIN plan p
          LEFT JOIN actual a ON f.id = a.id AND p.plan_key = a.key
          WHERE CASE WHEN a.type IS NULL THEN 'missing-required'
@@ -447,7 +460,11 @@ object Router {
                   THEN 'enum-violation'
                 WHEN p.pattern IS NOT NULL
                      AND NOT regexp_matches(a.value, p.pattern)
-                  THEN 'pattern-mismatch' END IS NOT NULL""",
+                  THEN 'pattern-mismatch'
+                WHEN p.min_val IS NOT NULL
+                     AND (CAST(a.value AS DOUBLE) < p.min_val
+                          OR CAST(a.value AS DOUBLE) > p.max_val)
+                  THEN 'bounds-violation' END IS NOT NULL""",
     "t14_destination_format" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
          SELECT event_id, 'webhook_generic' AS destination,
