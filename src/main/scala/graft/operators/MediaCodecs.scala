@@ -1,0 +1,155 @@
+package graft.operators
+
+/** REAL pure-JVM media decoders for container formats that need no
+  * external codec library: PCM WAV (RIFF chunk walk, little-endian
+  * 16-bit samples) and uncompressed 24-bit BMP (BITMAPFILEHEADER +
+  * BITMAPINFOHEADER, 4-byte-aligned bottom-up rows). These take the
+  * place of `Multimodal.decodeMeta`'s documented stub for the formats
+  * the JVM can parse standalone: `mm4`/`mm5` synthesize well-formed
+  * container bytes, decode them with THESE parsers on executors, and
+  * hash-check every decoded quantity (sample sums, channel sums,
+  * header fields) against a closed-form DuckDB oracle — so a parser
+  * that misreads a header offset, sign bit, or row padding fails the
+  * correctness gate. JPEG/MP3/H.264 remain the swap point for a real
+  * codec binding.
+  */
+object MediaCodecs {
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xff).toLong | ((b(o + 1) & 0xff).toLong << 8) |
+      ((b(o + 2) & 0xff).toLong << 16) | ((b(o + 3) & 0xff).toLong << 24)
+  private def tag(b: Array[Byte], o: Int): String = new String(b, o, 4, "US-ASCII")
+
+  // ---------------------------------------------------------------- WAV
+
+  case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                     nSamples: Int, sumSamples: Long, sumSquares: Long)
+
+  /** Decode a PCM WAV file: walk RIFF chunks to fmt/data, then fold
+    * the little-endian signed 16-bit samples.
+    */
+  def decodeWav(b: Array[Byte]): WavMeta = {
+    require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+      "not a RIFF/WAVE container")
+    var off = 12
+    var rate, ch, bits = 0
+    var dataOff, dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val len = u32(b, off + 4).toInt
+      require(len >= 0 && off + 8 + len <= b.length, s"corrupt chunk $id at $off")
+      id match {
+        case "fmt " =>
+          require(u16(b, off + 8) == 1, "PCM only")
+          ch = u16(b, off + 10)
+          rate = u32(b, off + 12).toInt
+          bits = u16(b, off + 22)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => // skip unknown chunks (LIST, etc.)
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(dataOff >= 0 && bits == 16, "missing data chunk or non-16-bit")
+    val n = dataLen / 2
+    var sum = 0L
+    var sumSq = 0L
+    var i = 0
+    while (i < n) {
+      val v = u16(b, dataOff + 2 * i).toShort.toInt // sign-extend
+      sum += v
+      sumSq += v.toLong * v
+      i += 1
+    }
+    WavMeta(rate, ch, bits, n, sum, sumSq)
+  }
+
+  /** Well-formed mono 16-bit 8 kHz PCM WAV with deterministic samples
+    * s_i = (id*31 + 7i) mod 2001 - 1000 — closed form the oracle
+    * recomputes without touching bytes.
+    */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = 64 + (id % 64).toInt
+    val dataLen = n * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(8000 * 2) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      b.putShort(((id * 31 + 7L * i) % 2001 - 1000).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  // ---------------------------------------------------------------- BMP
+
+  case class BmpMeta(width: Int, height: Int, bitsPerPixel: Int,
+                     sumR: Long, sumG: Long, sumB: Long)
+
+  /** Decode an uncompressed 24-bit BMP: header offsets, then the
+    * bottom-up pixel rows each padded to a 4-byte boundary.
+    */
+  def decodeBmp(b: Array[Byte]): BmpMeta = {
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
+    val dataOff = u32(b, 10).toInt
+    val w = u32(b, 18).toInt
+    val h = u32(b, 22).toInt
+    val bpp = u16(b, 28)
+    require(bpp == 24 && u32(b, 30) == 0, "24-bit uncompressed only")
+    val stride = ((w * 3 + 3) / 4) * 4
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var row = 0
+    while (row < h) {
+      val rowOff = dataOff + row * stride
+      var c = 0
+      while (c < w) {
+        sb += b(rowOff + 3 * c) & 0xff
+        sg += b(rowOff + 3 * c + 1) & 0xff
+        sr += b(rowOff + 3 * c + 2) & 0xff
+        c += 1
+      }
+      row += 1
+    }
+    BmpMeta(w, h, bpp, sr, sg, sb)
+  }
+
+  /** Well-formed 24-bit BMP, width 4+id%4 (exercises row padding),
+    * height 2+id%3, pixel p (row-major from the bottom, matching BMP
+    * order) has B/G/R = (id*7 + 3p) mod 256 (+1, +2) — closed form
+    * for the oracle.
+    */
+  def synthBmp(id: Long): Array[Byte] = {
+    val w = 4 + (id % 4).toInt
+    val h = 2 + (id % 3).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataLen = stride * h
+    val b = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54) // reserved, data offset
+    b.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = 0
+    while (row < h) {
+      var c = 0
+      while (c < w) {
+        val p = row * w + c
+        b.put((54 + row * stride + 3 * c).toInt, ((id * 7 + 3L * p) % 256).toByte)
+        b.put((54 + row * stride + 3 * c + 1).toInt, ((id * 7 + 3L * p + 1) % 256).toByte)
+        b.put((54 + row * stride + 3 * c + 2).toInt, ((id * 7 + 3L * p + 2) % 256).toByte)
+        c += 1
+      }
+      row += 1
+    }
+    b.array()
+  }
+}

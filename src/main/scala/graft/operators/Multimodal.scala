@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real: binary columns, typed metadata
   * structs, per-partition batch processing (`mapPartitions` over a
   * typed Dataset — the Scala analog of `mapInPandas` batches), and
-  * oracle-checked metadata/frame arithmetic. The actual pixel/sample
-  * DECODE is a deterministic fake, clearly marked below: this
-  * container has no image/audio codecs, and a real deployment would
-  * swap `decodeMeta`'s body for a JNI/javacv binding without touching
-  * any schema, partitioning, or call-site.
+  * oracle-checked metadata/frame arithmetic. Decode comes in two
+  * tiers: `MediaCodecs` REALLY parses the codec-free containers (PCM
+  * WAV and uncompressed BMP — mm4/mm5, every decoded field
+  * hash-checked), while `decodeMeta` remains the clearly-marked
+  * deterministic stand-in for compressed formats (JPEG/MP3/H.264)
+  * whose codecs this container lacks — a real deployment swaps its
+  * body for a JNI/javacv binding without touching any schema,
+  * partitioning, or call-site.
   *
   * Payloads here are synthesized from `documents.text` bytes so the
   * DuckDB oracle can mirror every derived quantity exactly.
@@ -117,6 +120,40 @@ object Multimodal {
         .select(col("query_id"), col("rank"), col("media_id").as("neighbor_id"))
     }),
 
+    // REAL container decode, audio: synthesize well-formed PCM WAV
+    // bytes per media id, parse them with MediaCodecs.decodeWav (RIFF
+    // chunk walk + signed little-endian samples) on executors, and
+    // check every decoded field against the closed-form oracle — a
+    // header-offset, sign or alignment bug fails the hash.
+    "mm4_wav_decode" -> ((s, dir) => {
+      val synth = udf((id: Long) => MediaCodecs.synthWav(id))
+      val dec = udf((p: Array[Byte]) => MediaCodecs.decodeWav(p))
+      Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+        .filter(col("media_id") < 100)
+        .withColumn("m", dec(synth(col("media_id"))))
+        .select(col("media_id"),
+          col("m.sampleRate").cast("long").as("sample_rate"),
+          col("m.nSamples").cast("long").as("n_samples"),
+          col("m.sumSamples").as("sum_samples"),
+          col("m.sumSquares").as("sum_squares"))
+    }),
+
+    // REAL container decode, image: uncompressed 24-bit BMP with
+    // padded bottom-up rows, decoded by MediaCodecs.decodeBmp; widths
+    // 4..7 exercise every row-padding case (stride 12,16,20,24→12).
+    "mm5_bmp_decode" -> ((s, dir) => {
+      val synth = udf((id: Long) => MediaCodecs.synthBmp(id))
+      val dec = udf((p: Array[Byte]) => MediaCodecs.decodeBmp(p))
+      Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+        .filter(col("media_id") < 100)
+        .withColumn("m", dec(synth(col("media_id"))))
+        .select(col("media_id"),
+          col("m.width").cast("long").as("width"),
+          col("m.height").cast("long").as("height"),
+          col("m.sumR").as("sum_r"), col("m.sumG").as("sum_g"),
+          col("m.sumB").as("sum_b"))
+    }),
+
     // Frame sampling arithmetic (stride 4) — the scan shape of video
     // frame extraction; counts per kind are exact.
     "mm2_frame_sample" -> ((s, dir) => {
@@ -185,5 +222,27 @@ object Multimodal {
           GROUP BY 1""",
     // byteHistograms has no SQL mirror (binary loop): covered by
     // MultimodalSpec invariants instead.
+    "mm4_wav_decode" -> {
+      val sample = "(doc_id * 31 + 7 * i) % 2001 - 1000"
+      s"""SELECT doc_id AS media_id,
+            CAST(8000 AS BIGINT) AS sample_rate,
+            CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+            CAST(list_sum(list_transform(range(0, 64 + doc_id % 64),
+              i -> $sample)) AS BIGINT) AS sum_samples,
+            CAST(list_sum(list_transform(range(0, 64 + doc_id % 64),
+              i -> ($sample) * ($sample))) AS BIGINT) AS sum_squares
+          FROM documents WHERE doc_id < 100"""
+    },
+    "mm5_bmp_decode" ->
+      """SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 4 AS BIGINT) AS width,
+           CAST(2 + doc_id % 3 AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, (4 + doc_id % 4) * (2 + doc_id % 3)),
+             p -> (doc_id * 7 + 3 * p + 2) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, (4 + doc_id % 4) * (2 + doc_id % 3)),
+             p -> (doc_id * 7 + 3 * p + 1) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, (4 + doc_id % 4) * (2 + doc_id % 3)),
+             p -> (doc_id * 7 + 3 * p) % 256)) AS BIGINT) AS sum_b
+         FROM documents WHERE doc_id < 100"""
   )
 }

@@ -23,6 +23,50 @@ class MultimodalSpec extends SparkSpec {
     assert(hist.sum === 500, "every byte lands in exactly one bin")
   }
 
+  test("WAV decoder: golden bytes incl. sign extension and unknown-chunk skip") {
+    // hand-built mono 16-bit WAV with a LIST chunk BEFORE data (the
+    // decoder must walk past it) and samples exercising both extremes
+    val samples = Seq[Short](1000, -1000, 32767, -32768)
+    val listBody = "INFOgraftx".getBytes("US-ASCII") // filler, even length (word-aligned)
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + 8 + listBody.length + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8 + listBody.length + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(44100).putInt(88200).putShort(2).putShort(16)
+    b.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(b.putShort)
+    val m = MediaCodecs.decodeWav(b.array())
+    assert(m.sampleRate === 44100 && m.channels === 1 && m.nSamples === 4)
+    assert(m.sumSamples === 1000L - 1000L + 32767L - 32768L)
+    assert(m.sumSquares ===
+      1000L * 1000 + 1000L * 1000 + 32767L * 32767 + 32768L * 32768)
+    // synth → decode closed-form agreement for a spread of ids
+    for (id <- Seq(0L, 5L, 63L, 64L, 97L)) {
+      val d = MediaCodecs.decodeWav(MediaCodecs.synthWav(id))
+      val n = 64 + (id % 64).toInt
+      val expect = (0 until n).map(i => (id * 31 + 7L * i) % 2001 - 1000)
+      assert(d.nSamples === n)
+      assert(d.sumSamples === expect.sum)
+      assert(d.sumSquares === expect.map(v => v * v).sum)
+    }
+  }
+
+  test("BMP decoder: golden bytes incl. bottom-up padded rows") {
+    // every width 4..7 exercises a different row padding (0..3 bytes)
+    for (id <- Seq(0L, 1L, 2L, 3L, 42L, 99L)) {
+      val d = MediaCodecs.decodeBmp(MediaCodecs.synthBmp(id))
+      val (w, h) = (4 + (id % 4).toInt, 2 + (id % 3).toInt)
+      val px = 0 until (w * h)
+      assert(d.width === w && d.height === h && d.bitsPerPixel === 24)
+      assert(d.sumB === px.map(p => (id * 7 + 3L * p) % 256).sum)
+      assert(d.sumG === px.map(p => (id * 7 + 3L * p + 1) % 256).sum)
+      assert(d.sumR === px.map(p => (id * 7 + 3L * p + 2) % 256).sum)
+    }
+  }
+
   test("frame sampling yields full fixed-size frames at the stride") {
     val sess = spark
     import sess.implicits._
