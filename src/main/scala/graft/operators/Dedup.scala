@@ -200,8 +200,11 @@ object Dedup {
     val row = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .agg(sum(when(col("df") <= rareDf, col("df")).otherwise(0L)).as("rare_occ"),
         sum(col("df")).as("occ")).first() // two longs — planner statistic
-    val share = row.getLong(0).toDouble / math.max(1L, row.getLong(1))
-    if (share < minRareShare) "inverted-index" else "prefix-filtered"
+    if (row.isNullAt(1)) "prefix-filtered" // empty corpus: scale-safe default
+    else {
+      val share = row.getLong(0).toDouble / math.max(1L, row.getLong(1))
+      if (share < minRareShare) "inverted-index" else "prefix-filtered"
+    }
   }
 
   val defs: Map[String, Q] = Map(

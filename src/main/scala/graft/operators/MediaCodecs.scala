@@ -105,6 +105,9 @@ object MediaCodecs {
     val bpp = u16(b, 28)
     require(bpp == 24 && u32(b, 30) == 0, "24-bit uncompressed only")
     val stride = ((w * 3 + 3) / 4) * 4
+    require(w > 0 && h > 0 && w <= 65536 && h <= 65536 &&
+      dataOff >= 54 && dataOff.toLong + stride.toLong * h <= b.length,
+      s"corrupt BMP: ${w}x$h @$dataOff exceeds ${b.length} bytes")
     var (sr, sg, sb) = (0L, 0L, 0L)
     var row = 0
     while (row < h) {

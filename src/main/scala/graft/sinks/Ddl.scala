@@ -94,7 +94,15 @@ object Ddl {
     val stmts = scala.collection.mutable.ArrayBuffer[String]()
     def run(sql: String): Unit = { spark.sql(sql); stmts += sql }
     run(s"CREATE DATABASE IF NOT EXISTS $db")
-    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (table, cols) =>
+    val grouped = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    // validate the WHOLE diff before executing anything: an
+    // alter-only entry for a missing table must refuse up front, not
+    // abort midway with earlier tables' DDL already applied
+    grouped.foreach { case (table, cols) =>
+      require(spark.catalog.tableExists(s"$db.$table") || cols.exists(_._4 == "add"),
+        s"diff alters table $table which does not exist and gets no columns")
+    }
+    grouped.foreach { case (table, cols) =>
       val adds = cols.filter(_._4 == "add").sortBy(_._2)
       val alters = cols.filter(_._4 == "alter_to_text").sortBy(_._2)
       val exists = spark.catalog.tableExists(s"$db.$table")

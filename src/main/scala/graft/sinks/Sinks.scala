@@ -102,6 +102,7 @@ object Sinks {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + "__staging")
     val old = new Path(path + "__old")
+    recoverSwap(spark, path) // a prior crash mid-swap leaves only __old
     fs.delete(staging, true) // leftover of a previous failed attempt
     write(staging.toString) // crash here: live table untouched
     fs.delete(old, true)
@@ -114,6 +115,22 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Recovery for the swap's only non-atomic window: a crash between
+    * the stage-out and swap-in renames leaves the committed version at
+    * `<path>__old` and nothing live. EVERY reader/writer of a swapped
+    * table calls this first, so the table self-heals on next touch
+    * instead of requiring manual intervention (upload.go's resumable
+    * in_progress recovery applied to files).
+    */
+  private[graft] def recoverSwap(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + "__old")
+    if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))
+      throw new java.io.IOException(s"cannot restore $old to $target")
+  }
+
   /** L9: retention delete — `DELETE FROM t WHERE <predicate>` as a
     * filtered rewrite (postgres.go:278 / snowflake.go:304; on a Delta
     * sink this is a metadata-only `replaceWhere`). Crash-atomic via
@@ -121,6 +138,7 @@ object Sinks {
     * staged parquet footers, not a cached plan.
     */
   def retentionDelete(spark: SparkSession, path: String, deleteWhere: String): Long = {
+    recoverSwap(spark, path) // self-heal a previously crashed swap
     val keep = spark.read.parquet(path).filter(s"NOT ($deleteWhere)")
     var kept = -1L
     atomicSwap(spark, path) { staging =>
@@ -169,6 +187,7 @@ object Sinks {
     * well-sized files, crash-atomically (staging dir + rename swap).
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Long = {
+    recoverSwap(spark, path) // self-heal a previously crashed swap
     val df = spark.read.parquet(path).repartition(targetFiles)
     var n = -1L
     atomicSwap(spark, path) { staging =>

@@ -94,13 +94,32 @@ object EventStream {
   def mergeIntoTracks(spark: SparkSession, path: String, batch: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Self-heal a previous crash in a bucket swap's non-atomic window
+    // (stage-out rename done, swap-in rename not): the committed
+    // bucket survives at its dot-prefixed .old path — restore it
+    // before reading, so the streaming replay really does converge.
+    // Completed swaps' leftover .old dirs are just deleted.
+    if (fs.exists(new Path(path)))
+      fs.listStatus(new Path(path)).map(_.getPath)
+        .filter(p => p.getName.startsWith(".id_bucket=") && p.getName.endsWith(".old"))
+        .foreach { oldP =>
+          val live = new Path(path, oldP.getName.stripPrefix(".").stripSuffix(".old"))
+          if (!fs.exists(live)) {
+            if (!fs.rename(oldP, live))
+              throw new java.io.IOException(s"cannot restore $oldP to $live")
+          } else fs.delete(oldP, true)
+        }
     val b = withBucket(batch)
     // touched-bucket list is bounded by trackBuckets (config-sized,
     // not data-sized) — this collect is a partition-pruning plan
     // input, not a data collect
     val touched = b.select("id_bucket").distinct()
       .collect().map(_.getLong(0)).sorted
-    val tableExists = fs.exists(new Path(path))
+    // "exists" = has at least one committed bucket dir; a bare dir
+    // left by a crash before any bucket landed must read as absent or
+    // every replay would die on an unreadable empty table
+    val tableExists = fs.exists(new Path(path)) &&
+      fs.listStatus(new Path(path)).exists(_.getPath.getName.startsWith("id_bucket="))
     val all =
       if (tableExists) {
         // partition-pruned scan: only batch-touched bucket dirs are

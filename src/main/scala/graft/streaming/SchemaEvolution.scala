@@ -23,8 +23,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object SchemaEvolution {
 
-  /** Current registry (column → warehouse type), empty if absent. */
+  /** Current registry (column → warehouse type), empty if absent.
+    * Self-heals a crashed registry swap first — a silently-empty
+    * registry would re-register every column from this batch alone
+    * and could flip a column's established type.
+    */
   def readRegistry(spark: SparkSession, registryDir: String): Map[String, String] = {
+    Sinks.recoverSwap(spark, registryDir)
     val fs = new org.apache.hadoop.fs.Path(registryDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(registryDir))) Map.empty
@@ -60,11 +65,12 @@ object SchemaEvolution {
     case "float" => when(inferred.isin("int", "float"), v.cast("double"))
     case "boolean" => when(inferred === "boolean", v.cast("boolean"))
     case "datetime" =>
-      when(inferred === "datetime", coalesce(
-        try_to_timestamp(regexp_replace(v, "Z$", "+00:00"),
-          lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-        try_to_timestamp(v, lit("yyyy-MM-dd HH:mm:ss")),
-        try_to_timestamp(v, lit("yyyy-MM-dd"))))
+      // Spark's timestamp cast accepts the full shape family the
+      // inference regex classifies as datetime (T or space separator,
+      // optional seconds/fraction/zone) — an explicit format list
+      // here silently discarded valid ISO-8601 values the regex had
+      // accepted (e.g. '2024-03-05T10:11:12' with no zone)
+      when(inferred === "datetime", v.cast("timestamp"))
     case _ => v // string/text/json absorb every scalar's string form
   }
 

@@ -139,6 +139,22 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("retention delete self-heals a table stranded in the swap window") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmp("l9heal")
+    val dir = base + "/t"
+    Seq((1L, "2024-01-01"), (2L, "2024-02-01"), (3L, "2024-03-01"))
+      .toDF("id", "d").write.parquet(dir)
+    // simulate a crash between the two swap renames: committed table
+    // sits at __old, nothing live
+    Files.move(Paths.get(dir), Paths.get(dir + "__old"))
+    val kept = Sinks.retentionDelete(spark, dir, "d < '2024-02-01'")
+    assert(kept === 2, "recovery must restore __old before reading")
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(2L, 3L))
+    assert(!Files.exists(Paths.get(dir + "__old")))
+  }
+
   test("provider shaping: ClickHouse booleans become 0/1") {
     val sess = spark
     import sess.implicits._

@@ -110,12 +110,21 @@ class StreamingSpec extends SparkSpec {
       // later batches: new columns b/c, s grows past 512 chars (→ text),
       // and a value incompatible with a's registered int type
       val longS = "x" * 600
-      input.addData(3L -> s"""{"b":2.5,"s":"$longS"}""", 4L -> """{"a":"oops","c":true}""")
+      input.addData(
+        3L -> s"""{"b":2.5,"s":"$longS","at":"2024-03-05T10:11:12"}""",
+        4L -> """{"a":"oops","c":true,"at":"2024-03-05T10:11:12.500Z"}""")
       q.processAllAvailable()
       assert(SchemaEvolution.readRegistry(spark, reg) ===
-        Map("a" -> "int", "s" -> "text", "b" -> "float", "c" -> "boolean"))
+        Map("a" -> "int", "s" -> "text", "b" -> "float", "c" -> "boolean",
+          "at" -> "datetime"))
       val t = spark.read.option("mergeSchema", "true").parquet(table)
-      assert(t.columns.toSet === Set("id", "a", "s", "b", "c"))
+      assert(t.columns.toSet === Set("id", "a", "s", "b", "c", "at"))
+      // zone-less and fractional-Zulu timestamps both land typed, not
+      // discarded (the datetime coercion accepts what inference accepts)
+      assert(t.filter(col("id") === 3).select("at").first()
+        .getTimestamp(0).toString === "2024-03-05 10:11:12.0")
+      assert(t.filter(col("id") === 4).select("at").first()
+        .getTimestamp(0).toString === "2024-03-05 10:11:12.5")
       assert(t.count() === 4)
       assert(t.filter(col("id") === 3).select("b").first().getDouble(0) === 2.5)
       assert(t.filter(col("id") === 1).select("b").first().isNullAt(0),
@@ -186,6 +195,33 @@ class StreamingSpec extends SparkSpec {
     EventStream.mergeIntoTracks(spark, dir, good) // idempotent replay
     val rows2 = spark.read.parquet(dir).select("id", "value").as[(String, Double)].collect().toMap
     assert(rows2 === Map("m1" -> 50.0, "m2" -> 2.0))
+  }
+
+  test("merge self-heals a bucket stranded in the swap window (.old restore)") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("merge_heal").toString + "/t"
+    val mk = (id: String, v: Double) =>
+      (id, "u1", "a1", "purchase", t("2024-01-01 00:00:00"), t("2024-01-01 00:01:00"), v)
+    val b1 = (1 to 200).map(i => mk(s"m$i", i.toDouble))
+      .toDF("id", "user_id", "anonymous_id", "event", "timestamp", "received_at", "value")
+    EventStream.mergeIntoTracks(spark, dir, b1)
+    // simulate a crash between a bucket's stage-out and swap-in
+    // renames: the committed bucket survives only at its .old path
+    val bucketDir = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.contains("id_bucket=")).head
+    val name = java.nio.file.Paths.get(bucketDir).getFileName.toString
+    Files.move(java.nio.file.Paths.get(bucketDir),
+      java.nio.file.Paths.get(s"$dir/.$name.old"))
+    // next merge must restore the stranded bucket before merging
+    val b2 = Seq(mk("extra1", 999.0))
+      .toDF("id", "user_id", "anonymous_id", "event", "timestamp", "received_at", "value")
+    EventStream.mergeIntoTracks(spark, dir, b2)
+    val rows = spark.read.parquet(dir)
+    assert(rows.count() === 201, "no pre-crash row may be lost")
+    assert(rows.filter(col("id") === "extra1").count() === 1)
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).exists(_.endsWith(".old")), "stranded .old cleaned up")
   }
 
   test("recovery: dedup state and sink survive a query restart from checkpoint") {
