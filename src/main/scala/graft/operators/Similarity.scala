@@ -85,6 +85,9 @@ object Similarity {
     }
     var cents: Array[Array[Long]] = qe.filter(col("vec_id") < k).orderBy(col("vec_id"))
       .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    require(cents.length == k,
+      s"k-means seeding needs vec_ids 0..${k - 1} present in the corpus; " +
+        s"found only ${cents.length} of $k seed vectors")
     for (_ <- 1 to iters) {
       val sums = assign(cents).groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), (0 until dim).map(i => sum(col("q")(i)).as(s"s$i")): _*)
@@ -238,6 +241,10 @@ object Similarity {
 
   /** DuckDB replay of one centroid update: per-dim integer sums,
     * sum/count truncated toward zero; empty cells keep their centroid.
+    * The division stays EXACT integer arithmetic (HUGEINT `//`, made
+    * sign-aware so floor-vs-trunc cannot diverge from Scala's Long
+    * division on negative sums) — a double round-trip would cap the
+    * bit-exact replay at per-cell per-dim sums of 2^53.
     */
   private def kmUpdateSql(assigned: String, prev: String, out: String): String =
     s"""${out}_s AS (
@@ -248,7 +255,8 @@ object Similarity {
          SELECT p.cid, COALESCE(u.c, p.c) AS c
          FROM $prev p LEFT JOIN (
            SELECT cell AS cid,
-             list(CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS c
+             list(CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS BIGINT)
+                  ORDER BY dim) AS c
            FROM ${out}_s GROUP BY cell) u ON p.cid = u.cid)"""
 
   val oracles: Map[String, String] = Map(

@@ -328,9 +328,11 @@ object Transforms {
         .map(r => s"WHEN rest >= ${BigInt(1) << (64 - r)} THEN $r").mkString(" ")
       val rawEst = """(0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 /
                       (CAST(num AS DOUBLE) / 18446744073709551616.0)"""
-      s"""WITH src AS (SELECT event_type, 'user_' || CAST(user_id AS VARCHAR) AS uid
-             FROM events WHERE event_id % 2 = 0),
-         h AS (SELECT event_type, CAST('0x' || substr(md5(uid), 1, 16) AS UBIGINT) AS h FROM src),
+      s"""WITH src AS (SELECT event_type,
+             CASE WHEN event_id % 2 = 0 THEN 'user_' || CAST(user_id AS VARCHAR) END AS uid
+             FROM events),
+         h AS (SELECT event_type, CAST('0x' || substr(md5(uid), 1, 16) AS UBIGINT) AS h
+               FROM src WHERE uid IS NOT NULL),
          rk AS (SELECT event_type, h >> 52 AS idx,
                   CASE WHEN rest = 0 THEN 53 $rankCase END AS rank
                 FROM (SELECT event_type, h, (h % 4503599627370496) * 4096 AS rest FROM h)),
@@ -338,12 +340,18 @@ object Transforms {
          est AS (SELECT event_type,
                    SUM(1::HUGEINT << (64 - reg)) + (4096 - COUNT(*)) * (1::HUGEINT << 64) AS num,
                    4096 - COUNT(*) AS zeros
-                 FROM reg GROUP BY 1)
-         SELECT event_type,
-           CAST(round(CASE WHEN $rawEst <= 2.5 * 4096 AND zeros > 0
+                 FROM reg GROUP BY 1),
+         -- the grouping domain is ALL events (mirroring the Spark
+         -- groupBy): a group whose uid is always null still emits a
+         -- row, with the empty sketch's estimate of 0 (all 4096
+         -- registers zero -> linear counting -> m * ln(m/m) = 0)
+         grp AS (SELECT DISTINCT event_type FROM src)
+         SELECT g.event_type,
+           CAST(round(CASE WHEN e.zeros IS NULL THEN 0.0
+                      WHEN $rawEst <= 2.5 * 4096 AND zeros > 0
                       THEN 4096 * ln(4096.0 / zeros)
                       ELSE $rawEst END) AS BIGINT) AS n_users_sketch
-         FROM est"""
+         FROM grp g LEFT JOIN est e ON g.event_type = e.event_type"""
     }
   )
 }

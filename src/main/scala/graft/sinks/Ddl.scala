@@ -45,14 +45,27 @@ object Ddl {
     case other => throw new IllegalArgumentException(s"unknown warehouse type: $other")
   }
 
+  /** Max in-place VARCHAR width for the widen-on-upgrade path (Derby's
+    * VARCHAR ceiling; the postgres deployment would use TEXT instead).
+    */
+  private val jdbcTextWidth = 32672
+
   /** The same schema-diff execution over a REAL JDBC connection — the
     * reference's actual DDL path (postgres.go CreateTable/AddColumn
     * run over database/sql). Embedded Derby in tests; a production
-    * deployment only swaps the url. Statements run in diff order;
-    * `alter_to_text` on JDBC re-types the column where the dialect
-    * allows, else records the upgrade the way the catalog path does —
-    * Derby supports neither, so the upgrade is applied by widening at
-    * CREATE time via sqlTypeJdbc and skipped on ALTER.
+    * deployment only swaps the url. The whole diff is validated before
+    * any statement executes, exactly like `applySchemaDiff`: an
+    * alter-only entry for a missing table refuses up front rather than
+    * silently no-oping or aborting midway. `add` actions CREATE the
+    * table or ALTER ADD COLUMN; `alter_to_text` re-types the column
+    * in place (Derby permits widening a VARCHAR, so string→text
+    * becomes SET DATA TYPE VARCHAR(32672) and >512-char
+    * values load afterwards) AND persists the logical upgrade to a
+    * `graft_column_types` registry table over the same connection —
+    * the JDBC twin of the catalog path's `graft.coltype`
+    * TBLPROPERTIES — so the warehouse type survives even on dialects
+    * whose physical column cannot widen. Returns every executed
+    * statement in execution order.
     */
   def applySchemaDiffJdbc(url: String, diff: DataFrame): Seq[String] = {
     val rows = diff.select("table_name", "column_name", "column_type", "action")
@@ -66,16 +79,55 @@ object Ddl {
         val rs = conn.getMetaData.getTables(null, null, t.toUpperCase, null)
         try rs.next() finally rs.close()
       }
-      rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (table, cols) =>
+      val grouped = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      // validate the WHOLE diff before executing anything (parity with
+      // the catalog path): refuse, don't half-apply
+      grouped.foreach { case (table, cols) =>
+        require(tableExists(table) || cols.exists(_._4 == "add"),
+          s"diff alters table $table which does not exist and gets no columns")
+      }
+      def recordUpgrade(table: String, c: String, t: String): Unit = {
+        if (!tableExists("graft_column_types"))
+          run("CREATE TABLE graft_column_types (table_name VARCHAR(128), " +
+            "column_name VARCHAR(128), wh_type VARCHAR(32))")
+        run(s"DELETE FROM graft_column_types WHERE table_name = '$table' AND column_name = '$c'")
+        run(s"INSERT INTO graft_column_types VALUES ('$table', '$c', '$t')")
+      }
+      grouped.foreach { case (table, cols) =>
         val adds = cols.filter(_._4 == "add").sortBy(_._2)
+        val alters = cols.filter(_._4 == "alter_to_text").sortBy(_._2)
         if (!tableExists(table) && adds.nonEmpty) {
           val colDdl = adds.map { case (_, c, t, _) => s"$c ${sqlTypeJdbc(t)}" }.mkString(", ")
           run(s"CREATE TABLE $table ($colDdl)")
         } else adds.foreach { case (_, c, t, _) =>
           run(s"ALTER TABLE $table ADD COLUMN $c ${sqlTypeJdbc(t)}")
         }
+        alters.foreach { case (_, c, t, _) =>
+          run(s"ALTER TABLE $table ALTER COLUMN $c SET DATA TYPE VARCHAR($jdbcTextWidth)")
+          recordUpgrade(table, c, t)
+        }
       }
       stmts.toSeq
+    } finally conn.close()
+  }
+
+  /** Logical warehouse types recorded by `applySchemaDiffJdbc`
+    * upgrades: (table, column) → wh_type. Empty before any upgrade.
+    */
+  def jdbcColumnTypes(url: String): Map[(String, String), String] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData.getTables(null, null, "GRAFT_COLUMN_TYPES", null)
+      val exists = try meta.next() finally meta.close()
+      if (!exists) Map.empty
+      else {
+        val rs = conn.createStatement()
+          .executeQuery("SELECT table_name, column_name, wh_type FROM graft_column_types")
+        val b = Map.newBuilder[(String, String), String]
+        try while (rs.next()) b += ((rs.getString(1), rs.getString(2)) -> rs.getString(3))
+        finally rs.close()
+        b.result()
+      }
     } finally conn.close()
   }
 

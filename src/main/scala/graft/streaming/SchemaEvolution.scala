@@ -20,6 +20,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (staging + rename swap); per-batch schema decisions collect only
   * schema-sized metadata on the driver, exactly like the reference's
   * in-memory ColumnMap — event data never leaves the executors.
+  *
+  * Crash contract (the upload state machine's resumability,
+  * warehouse/router/upload.go:285-493, recast for foreachBatch):
+  * foreachBatch is at-least-once, so every write here must be
+  * idempotent under batch replay. Typed rows and discards land in a
+  * per-batch partition directory (`batch_id=N`) written with
+  * overwrite mode — a replay of batch N rewrites exactly that
+  * directory and nothing else, so a crash between the data append and
+  * the checkpoint commit cannot duplicate rows. The registry swap
+  * runs BEFORE the data write on purpose: a crash in between leaves a
+  * registered column with no data yet (benign — the replay lands it),
+  * whereas the reverse order could land typed data whose column the
+  * registry then re-infers differently from a later batch, making the
+  * table's parquet types diverge from the registry. The registry
+  * update itself is idempotent too: a replay recomputes the same map
+  * and skips the swap.
   */
 object SchemaEvolution {
 
@@ -74,12 +90,20 @@ object SchemaEvolution {
     case _ => v // string/text/json absorb every scalar's string form
   }
 
+  /** Read back an evolved table (typed rows or discards): merge the
+    * per-batch schemas and hide the `batch_id` bookkeeping partition.
+    */
+  def readTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir).drop("batch_id")
+
   /** One micro-batch of (id, js): consolidate → diff → evolve registry
-    * → coerce → append typed rows + discards. Returns the actions the
-    * batch executed (adds/upgrades) for observability.
+    * → coerce → land typed rows + discards idempotently under
+    * `batch_id=<batchId>`. Returns the actions the batch executed
+    * (adds/upgrades) for observability.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, tableDir: String,
-                   registryDir: String, discardsDir: String): Seq[String] = {
+                   registryDir: String, discardsDir: String,
+                   batchId: Long): Seq[String] = {
     JsonFlatten.register(spark)
     val flat = batch.select(col("id"),
       callUDF("flatten_json", col("js")).as("vals"),
@@ -107,7 +131,8 @@ object SchemaEvolution {
       val typed = flat.select(col("id") +: cols.map { case (c, t) =>
         coerce(t, col("vals")(c), col("typs")(c)).as(c)
       }: _*)
-      typed.write.mode("append").parquet(tableDir)
+      // overwrite of the batch's own partition dir = idempotent append
+      typed.write.mode("overwrite").parquet(s"$tableDir/batch_id=$batchId")
       // rudder_discards: value present but incompatible with the
       // registry type (utils.go:176-184 shape). Same scan, filtered.
       val whTypeOf: Column = cols.map { case (c, t) =>
@@ -126,7 +151,7 @@ object SchemaEvolution {
           col("value"),
           concat(lit("incompatible schema conversion from "), col("wh_type"),
             lit(" to "), col("typ")).as("reason"))
-      discards.write.mode("append").parquet(discardsDir)
+      discards.write.mode("overwrite").parquet(s"$discardsDir/batch_id=$batchId")
       (adds.map { case (k, t) => s"add:$k:$t" } ++
         upgrades.map { case (k, _) => s"upgrade:$k:text" }).sorted
     } finally flat.unpersist()
@@ -137,8 +162,8 @@ object SchemaEvolution {
             discardsDir: String, checkpointDir: String): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, tableDir, registryDir, discardsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, tableDir, registryDir, discardsDir, batchId)
         ()
       }
       .start()

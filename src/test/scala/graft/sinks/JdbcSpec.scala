@@ -63,5 +63,42 @@ class JdbcSpec extends SparkSpec {
     // pre-evolution rows read back with null in the new column
     assert(back.filter(col("ID") === "m1").select("PLAN").first().isNullAt(0))
     assert(back.filter(col("ID") === "m3").select("PLAN").first().getString(0) === "pro")
+    // round 3: string→text upgrade — the column physically widens AND
+    // the logical type lands in the graft_column_types registry
+    val v3 = Seq(("tracks", "plan", "text", "alter_to_text"))
+      .toDF("table_name", "column_name", "column_type", "action")
+    val s3 = Ddl.applySchemaDiffJdbc(url, v3)
+    assert(s3.head === "ALTER TABLE tracks ALTER COLUMN plan SET DATA TYPE VARCHAR(32672)")
+    assert(Ddl.jdbcColumnTypes(url) === Map(("tracks", "plan") -> "text"))
+    // the reason the upgrade exists: a >512-char value now loads
+    val longPlan = "p" * 600
+    Seq(("m4", "click", 4L, longPlan))
+      .toDF("id", "event", "n", "plan")
+      .write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", "tracks").save()
+    assert(Readers.jdbcTable(spark, url, "tracks")
+      .filter(col("ID") === "m4").select("PLAN").first().getString(0) === longPlan)
+    // upgrades are idempotent in the registry (re-apply = same row)
+    Ddl.applySchemaDiffJdbc(url, v3)
+    assert(Ddl.jdbcColumnTypes(url) === Map(("tracks", "plan") -> "text"))
+  }
+
+  test("L11 JDBC: alter-only diff for a missing table refuses up front") {
+    val sess = spark
+    import sess.implicits._
+    val url = "jdbc:derby:memory:graft_ddl_validate;create=true"
+    val good = Seq(("t_ok", "id", "string", "add"))
+      .toDF("table_name", "column_name", "column_type", "action")
+    val bad = good.union(Seq(("t_missing", "c", "text", "alter_to_text"))
+      .toDF("table_name", "column_name", "column_type", "action"))
+    val e = intercept[IllegalArgumentException](Ddl.applySchemaDiffJdbc(url, bad))
+    assert(e.getMessage.contains("t_missing"))
+    // nothing from the refused diff may have executed — not even the
+    // valid t_ok CREATE that sorts before the bad entry
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "T_OK", null)
+      try assert(!rs.next(), "refused diff must execute no statement") finally rs.close()
+    } finally conn.close()
   }
 }

@@ -117,7 +117,7 @@ class StreamingSpec extends SparkSpec {
       assert(SchemaEvolution.readRegistry(spark, reg) ===
         Map("a" -> "int", "s" -> "text", "b" -> "float", "c" -> "boolean",
           "at" -> "datetime"))
-      val t = spark.read.option("mergeSchema", "true").parquet(table)
+      val t = SchemaEvolution.readTable(spark, table)
       assert(t.columns.toSet === Set("id", "a", "s", "b", "c", "at"))
       // zone-less and fractional-Zulu timestamps both land typed, not
       // discarded (the datetime coercion accepts what inference accepts)
@@ -130,7 +130,7 @@ class StreamingSpec extends SparkSpec {
       assert(t.filter(col("id") === 1).select("b").first().isNullAt(0),
         "pre-evolution rows read back with null for later columns")
       // "oops" can't coerce to the registered int → rudder_discards
-      val d = spark.read.parquet(disc).collect()
+      val d = SchemaEvolution.readTable(spark, disc).collect()
       assert(d.length === 1)
       assert(d(0).getAs[Long]("row_id") === 4L)
       assert(d(0).getAs[String]("column_name") === "a")
@@ -138,6 +138,31 @@ class StreamingSpec extends SparkSpec {
       // and the row itself still landed, with a null in the bad column
       assert(t.filter(col("id") === 4).select("a").first().isNullAt(0))
     } finally q.stop()
+  }
+
+  test("schema evolution batch replay is idempotent (crash before checkpoint commit)") {
+    val sess = spark
+    import sess.implicits._
+    val base = Files.createTempDirectory("evolve_replay").toString
+    val (table, reg, disc) = (s"$base/t", s"$base/registry", s"$base/discards")
+    val b0 = Seq(1L -> """{"a":1,"s":"hi"}""", 2L -> """{"a":2}""").toDF("id", "js")
+    val acts0 = SchemaEvolution.processBatch(spark, b0, table, reg, disc, 0L)
+    assert(acts0 === Seq("add:a:int", "add:s:string"))
+    // foreachBatch is at-least-once: a crash after the data landed but
+    // before the checkpoint committed re-delivers the SAME batch id
+    val replayActs = SchemaEvolution.processBatch(spark, b0, table, reg, disc, 0L)
+    assert(replayActs.isEmpty, "replay must find the registry already evolved")
+    assert(SchemaEvolution.readTable(spark, table).count() === 2,
+      "replayed batch must not duplicate rows")
+    val b1 = Seq(3L -> """{"a":"oops","b":true}""").toDF("id", "js")
+    SchemaEvolution.processBatch(spark, b1, table, reg, disc, 1L)
+    SchemaEvolution.processBatch(spark, b1, table, reg, disc, 1L) // replay with a discard
+    val t = SchemaEvolution.readTable(spark, table)
+    assert(t.count() === 3)
+    assert(SchemaEvolution.readTable(spark, disc).count() === 1,
+      "discards must not duplicate under replay either")
+    assert(SchemaEvolution.readRegistry(spark, reg) ===
+      Map("a" -> "int", "s" -> "string", "b" -> "boolean"))
   }
 
   test("merge rewrites only batch-touched buckets (partition-pruned IO)") {
