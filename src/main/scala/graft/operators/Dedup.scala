@@ -76,12 +76,15 @@ object Dedup {
           "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
           .as("sh"))
 
-  private val shinglesSql = // mirrors shingles(): 1-based list indexing
-    """SELECT doc_id,
+  // mirrors shingles(): 1-based list indexing
+  private def shinglesSqlFrom(table: String): String =
+    s"""SELECT doc_id,
          unnest(list_distinct(list_transform(range(1, len(w) - 1),
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
-       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $table)
        WHERE len(w) >= 3"""
+
+  private val shinglesSql = shinglesSqlFrom("corpus")
 
   private val nSig = 16 // MinHash signature length; 4 bands x 4 rows
 
@@ -207,6 +210,35 @@ object Dedup {
     }
   }
 
+  /** MinHash-LSH near-dup pairs (the ll2 pipeline): shingle -> 16
+    * minhashes -> 4 band keys -> band-bucket self-join for candidates
+    * -> signature-overlap verify at >= 8/16.
+    */
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // signatures feed the band explode AND both verify joins —
+    // persist so the text scan + shingling + 16 mins run once
+    val sigs = minhashSignatures(shingles(corpus(s, dir, perturb = true)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id") +: (0 until 4).map(b =>
+      md5(concat_ws(",", (0 until 4).map(r => col(s"s${4 * b + r}")): _*)).as(s"b$b")): _*)
+    val bandRows = banded.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b => col(s"b$b")): _*)).as(Seq("band", "bkey")))
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.as("A"), col("doc_a") === col("A.doc_id"))
+      .join(sigs.as("B"), col("doc_b") === col("B.doc_id"))
+      .withColumn("n_match",
+        (0 until nSig).map(i =>
+          when(col(s"A.s$i") === col(s"B.s$i"), 1).otherwise(0)).reduce(_ + _).cast("long"))
+      .filter(col("n_match") >= 8)
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match") / lit(16.0)).as("est_sim"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: content-hash groupBy. The canonical 100 TB dedup —
@@ -217,31 +249,47 @@ object Dedup {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
     }),
 
-    // MinHash-LSH near-dup: shingle -> 16 minhashes -> 4 band keys ->
-    // band-bucket self-join for candidates -> signature-overlap verify.
-    "ll2_minhash_neardup" -> ((s, dir) => {
-      // signatures feed the band explode AND both verify joins —
-      // persist so the text scan + shingling + 16 mins run once
-      val sigs = minhashSignatures(shingles(corpus(s, dir, perturb = true)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = sigs.select(col("doc_id") +: (0 until 4).map(b =>
-        md5(concat_ws(",", (0 until 4).map(r => col(s"s${4 * b + r}")): _*)).as(s"b$b")): _*)
-      val bandRows = banded.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b => col(s"b$b")): _*)).as(Seq("band", "bkey")))
-      val cand = bandRows.as("x").join(bandRows.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sigs.as("A"), col("doc_a") === col("A.doc_id"))
-        .join(sigs.as("B"), col("doc_b") === col("B.doc_id"))
-        .withColumn("n_match",
-          (0 until nSig).map(i =>
-            when(col(s"A.s$i") === col(s"B.s$i"), 1).otherwise(0)).reduce(_ + _).cast("long"))
-        .filter(col("n_match") >= 8)
-        .select(col("doc_a"), col("doc_b"), col("n_match"),
-          (col("n_match") / lit(16.0)).as("est_sim"))
+    "ll2_minhash_neardup" -> ((s, dir) => minhashPairs(s, dir)),
+
+    // Near-dup CLUSTER RESOLUTION — the step real pipelines run after
+    // pair generation: near-dup pairs are edges, connected components
+    // give the duplicate clusters, and one canonical doc per cluster
+    // (min doc_id) is kept. Reuses the identity-resolution CC engine
+    // (Identity.connectedComponents: dict-free long keys here,
+    // graph-sized shuffles, pointer jumping, reliable checkpoints), so
+    // the cost at 100 TB scales with the pair graph — tiny next to the
+    // corpus — while singleton docs never enter a shuffle at all
+    // (left join against the cluster map).
+    "ll9_dedup_clusters" -> ((s, dir) => {
+      val docs = corpus(s, dir, perturb = true).select(col("doc_id"))
+      val comp = Identity.connectedComponents(
+        minhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .toDF("doc_id", "canon_id")
+      docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
+        .withColumn("is_kept", col("doc_id") === col("canon_id"))
+    }),
+
+    // Benchmark DECONTAMINATION — flag training documents sharing
+    // >= 5 distinct word-3-gram shingles with any benchmark/eval
+    // document (the n-gram-collision test-set-overlap check used when
+    // preparing training corpora). The benchmark side is eval-suite
+    // sized, so it broadcasts; the training side streams through one
+    // shingle-keyed join — an inverted-index probe, never a pairwise
+    // document comparison. At 100 TB this is a broadcast-join scan of
+    // the corpus: no shuffle of the training side at all.
+    "ll10_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val train = d.select((col("doc_id") + 10000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val bench = d.filter(col("doc_id") % 10 === 0)
+      val benchSh = shingles(bench).withColumnRenamed("doc_id", "bench_id")
+      shingles(train).join(broadcast(benchSh), "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared_shingles"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .filter(col("n_shared_shingles") >= 5)
     }),
 
     // SimHash near-dup: 64-bit fingerprints, candidates from 16-bit
@@ -289,29 +337,63 @@ object Dedup {
   private def sigSelect(prefix: String): String =
     (0 until nSig).map(i => s"min(md5('$i:' || sh)) AS $prefix$i").mkString(", ")
 
+  /** The shared MinHash-LSH CTE chain (corpus → shingles → signatures
+    * → bands → candidates → verified pairs), used by the ll2 oracle
+    * and as the edge input of the ll9 cluster oracle.
+    */
+  private val minhashCtes: String = {
+    val bandSql = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(" +
+        (0 until 4).map(r => s"s${4 * b + r}").mkString(" || ',' || ") +
+        ") AS bkey FROM sig").mkString("\n UNION ALL ")
+    val matchSql = (0 until nSig)
+      .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""corpus AS $corpusSqlPerturbed,
+        sh AS ($shinglesSql),
+        sig AS (SELECT doc_id, ${sigSelect("s")} FROM sh GROUP BY doc_id),
+        band AS ($bandSql),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM band x JOIN band y
+                   ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        v AS (SELECT doc_a, doc_b, CAST($matchSql AS BIGINT) AS n_match
+              FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "ll1_exact_dedup" ->
       s"""SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
           FROM $corpusSqlExact GROUP BY 1""",
-    "ll2_minhash_neardup" -> {
-      val bandSql = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(" +
-          (0 until 4).map(r => s"s${4 * b + r}").mkString(" || ',' || ") +
-          ") AS bkey FROM sig").mkString("\n UNION ALL ")
-      val matchSql = (0 until nSig)
-        .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH corpus AS $corpusSqlPerturbed,
-          sh AS ($shinglesSql),
-          sig AS (SELECT doc_id, ${sigSelect("s")} FROM sh GROUP BY doc_id),
-          band AS ($bandSql),
-          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                   FROM band x JOIN band y
-                     ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-          v AS (SELECT doc_a, doc_b, CAST($matchSql AS BIGINT) AS n_match
-                FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id)
+    "ll2_minhash_neardup" ->
+      s"""WITH $minhashCtes
           SELECT doc_a, doc_b, n_match, n_match / 16.0 AS est_sim
-          FROM v WHERE n_match >= 8"""
-    },
+          FROM v WHERE n_match >= 8""",
+    // independent CC: transitive closure by recursive CTE (UNION =
+    // set semantics terminates at the fixpoint), canonical = min
+    // reachable doc, singletons reach only themselves
+    "ll9_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT doc_a, doc_b FROM v WHERE n_match >= 8),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+          reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM corpus
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+          SELECT src AS doc_id, MIN(dst) AS canon_id,
+                 MIN(dst) = src AS is_kept
+          FROM reach GROUP BY src""",
+    "ll10_decontaminate" ->
+      s"""WITH train AS (SELECT doc_id + 10000 AS doc_id,
+                substr(text, strpos(text, ' ') + 1) AS text FROM documents),
+          bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          tsh AS (${shinglesSqlFrom("train")}),
+          bsh AS (${shinglesSqlFrom("bench")})
+          SELECT t.doc_id,
+                 COUNT(DISTINCT t.sh) AS n_shared_shingles,
+                 COUNT(DISTINCT b.doc_id) AS n_bench_docs
+          FROM tsh t JOIN bsh b ON t.sh = b.sh
+          GROUP BY t.doc_id
+          HAVING COUNT(DISTINCT t.sh) >= 5""",
     "ll5_simhash_neardup" -> {
       // brute-force all-pairs mirror of the 64-bit two-word simhash:
       // same bit (i%4) of hex digit (i/4) of one md5 per word

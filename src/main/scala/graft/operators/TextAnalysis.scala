@@ -80,6 +80,66 @@ object TextAnalysis {
           length(col("text")).cast("long").as("n_chars"))
     }),
 
+    // Repetition-based quality filters in the style of the Gopher
+    // corpus rules (Rae et al. 2021 §A.1.1): share of the most
+    // frequent word, share of the most frequent word-bigram, and the
+    // fraction of word-3-gram occurrences that are duplicated inside
+    // the document. Each n-gram level is a (doc_id, gram) count
+    // aggregate with map-side partial aggregation — the shuffles carry
+    // per-doc gram counts, never text, and join back on doc_id.
+    "ta5_repetition_quality" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).withColumn("ws", split(col("text"), " "))
+      def gramStats(n: Int): org.apache.spark.sql.DataFrame = {
+        val gexpr =
+          if (n == 1) "ws"
+          else s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', " +
+            (0 until n).map(j => s"ws[i+$j]").mkString(", ") + "))"
+        base.filter(size(col("ws")) >= n)
+          .select(col("doc_id"), explode(expr(gexpr)).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as(s"tot$n"), max(col("c")).as(s"max$n"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"dup$n"))
+      }
+      gramStats(1).join(gramStats(2), "doc_id").join(gramStats(3), "doc_id")
+        .select(col("doc_id"),
+          (col("max1") / col("tot1")).as("max_word_share"),
+          (col("max2") / col("tot2")).as("top_bigram_share"),
+          (col("dup3") / col("tot3")).as("dup_trigram_frac"))
+        .withColumn("repetitive",
+          col("max_word_share") > 0.2 || col("top_bigram_share") > 0.2 ||
+            col("dup_trigram_frac") > 0.6)
+    }),
+
+    // Token-budget shard packing: assign each document (in doc_id
+    // order) to the training shard its running token count falls in —
+    // the "cut the corpus into ~equal token shards" step before
+    // tokenizer/loader jobs. The prefix sum is TWO-LEVEL so no
+    // ordering window ever sees the whole corpus in one partition:
+    // intra-bucket cumulative sums run partitioned by doc_id bucket,
+    // and only the bucket totals (corpus/1e2 rows here, corpus/1e6 at
+    // scale) pass through the tiny global prefix window, which then
+    // broadcasts back. Same plan at 100 TB with a larger bucket size.
+    "ta6_shard_pack" -> ((s, dir) => {
+      val budget = 2000L // tokens per shard
+      val bucketSize = 100L // doc_ids per prefix bucket
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)"))
+      val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val local = d.withColumn("cum_local", sum(col("n_tokens")).over(wLocal))
+      val wPrefix = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
+        .withColumn("prefix", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
+        .select(col("bucket"), col("prefix"))
+      local.join(broadcast(prefix), "bucket")
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"CAST((prefix + cum_local - n_tokens) DIV $budget AS BIGINT)")
+            .as("shard_id"))
+    }),
+
     // Winnowing fingerprint: md5 of word bigrams, min-hash per sliding
     // window of 4 positions, distinct mins = the document fingerprint.
     "ta4_fingerprint" -> ((s, dir) => {
@@ -136,6 +196,39 @@ object TextAnalysis {
            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
            CAST(length(text) AS BIGINT) AS n_chars
          FROM documents""",
+    "ta5_repetition_quality" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g1 AS (SELECT doc_id, unnest(ws) AS g FROM w WHERE len(ws) >= 1),
+         g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                  i -> ws[i] || ' ' || ws[i+1])) AS g FROM w WHERE len(ws) >= 2),
+         g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+                FROM w WHERE len(ws) >= 3),
+         c1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot1, MAX(c) AS max1
+                FROM (SELECT doc_id, g, COUNT(*) AS c FROM g1 GROUP BY 1, 2)
+                GROUP BY doc_id),
+         c2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot2, MAX(c) AS max2
+                FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+                GROUP BY doc_id),
+         c3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot3,
+                  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3
+                FROM (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+                GROUP BY doc_id)
+         SELECT doc_id,
+           CAST(max1 AS DOUBLE) / tot1 AS max_word_share,
+           CAST(max2 AS DOUBLE) / tot2 AS top_bigram_share,
+           CAST(dup3 AS DOUBLE) / tot3 AS dup_trigram_frac,
+           (CAST(max1 AS DOUBLE) / tot1 > 0.2 OR CAST(max2 AS DOUBLE) / tot2 > 0.2
+            OR CAST(dup3 AS DOUBLE) / tot3 > 0.6) AS repetitive
+         FROM c1 JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)""",
+    "ta6_shard_pack" ->
+      """SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
+         FROM (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id) AS cum
+               FROM (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents))""",
     "ta4_fingerprint" ->
       """WITH grams AS (
            SELECT doc_id, i - 1 AS pos, md5(w[i] || ' ' || w[i + 1]) AS h

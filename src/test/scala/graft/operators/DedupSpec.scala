@@ -107,4 +107,20 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should contain near-dup pairs")
     assert(bucketed === brute, "hamming<=3 implies >=1 of 4 16-bit chunks equal (pigeonhole)")
   }
+
+  test("cluster resolution: pairs close transitively, one kept doc per cluster") {
+    val sess = spark
+    import sess.implicits._
+    // chain 1-2-3, pair 5-6, singletons 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 7L).toDF("doc_id")
+    val comp = Identity.connectedComponents(pairs).toDF("doc_id", "canon_id")
+    val resolved = docs.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L),
+      "canonical doc = min of the transitive cluster; singletons keep themselves")
+  }
 }
