@@ -140,6 +140,54 @@ object TextAnalysis {
             .as("shard_id"))
     }),
 
+    // PII detection + redaction over text — the scrub step before any
+    // corpus leaves the trust boundary. The corpus is synthetic, so
+    // deterministic PII is injected first (emails on doc_id % 7,
+    // phone fragments on doc_id % 11) and then found and masked by
+    // the same regexes a production scrubber would use. Pure narrow
+    // map: one codegen'd regexp pass per document, no shuffle; the
+    // redacted text is md5'd so the check pins the exact output
+    // without hauling full texts through the compare.
+    "ta7_pii_redact" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      Tables.documents(s, dir)
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact_"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          regexp_count(col("txt"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("txt"), lit(phoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_md5"))
+    }),
+
+    // Unigram inverse-frequency rarity scoring — the shape of
+    // LM-logprob quality scoring with the arithmetic kept EXACT: the
+    // unigram model is the corpus word-count table (vocab-sized →
+    // collected as model state, broadcast back, exactly like the
+    // k-means centroids in ll4b), each token scores total DIV count
+    // in integer arithmetic, and a document's rarity is the exact
+    // integer sum — order-free, so no shuffle ordering can perturb
+    // it. A production scorer would swap in -ln(c/total) per token;
+    // the integer form is what makes the differential check bit-exact
+    // across engines (libm ln is not correctly-rounded everywhere).
+    "ta8_rarity_score" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val counts = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c"))).first().getLong(0) // model-sized
+      words.join(broadcast(counts), "w")
+        .withColumn("tok_rarity", expr(s"CAST(${total}L DIV c AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tok_rarity")).as("rarity_sum"),
+          count(lit(1)).as("n_tokens"))
+        .withColumn("avg_rarity", col("rarity_sum") / col("n_tokens"))
+    }),
+
     // Winnowing fingerprint: md5 of word bigrams, min-hash per sliding
     // window of 4 positions, distinct mins = the document fingerprint.
     "ta4_fingerprint" -> ((s, dir) => {
@@ -221,6 +269,33 @@ object TextAnalysis {
            (CAST(max1 AS DOUBLE) / tot1 > 0.2 OR CAST(max2 AS DOUBLE) / tot2 > 0.2
             OR CAST(dup3 AS DOUBLE) / tot3 > 0.6) AS repetitive
          FROM c1 JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)""",
+    "ta7_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id, text ||
+             (CASE WHEN doc_id % 7 = 0
+                   THEN ' contact_' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END) ||
+             (CASE WHEN doc_id % 11 = 0
+                   THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END) AS txt
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(txt,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+         FROM aug""",
+    "ta8_rarity_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt)
+         SELECT doc_id,
+           CAST(SUM(total // c) AS BIGINT) AS rarity_sum,
+           COUNT(*) AS n_tokens,
+           CAST(CAST(SUM(total // c) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_rarity
+         FROM tok JOIN cnt USING (w) CROSS JOIN tot
+         GROUP BY doc_id""",
     "ta6_shard_pack" ->
       """SELECT doc_id, n_tokens,
            CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id

@@ -48,6 +48,24 @@ class PlanSpec extends SparkSpec {
       "nation-sized dims must broadcast, not shuffle")
   }
 
+  test("ll10 decontamination probes the corpus with a broadcast benchmark index") {
+    val plan = planOf("ll10_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the eval-suite-sized shingle index must broadcast; a shuffle join here " +
+        "would shuffle the whole training corpus at scale")
+  }
+
+  test("ta6 shard packing: corpus-sized window is bucket-partitioned, prefix broadcasts") {
+    val plan = planOf("ta6_shard_pack")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the bucket-prefix table must broadcast back to the corpus")
+    assert(plan.contains("hashpartitioning(bucket"),
+      "the corpus-sized cumulative sum must run partitioned by bucket")
+    val singles = plan.linesIterator.count(_.contains("SinglePartition"))
+    assert(singles <= 1,
+      s"only the bucket-totals prefix window may funnel to one partition:\n$plan")
+  }
+
   test("bucketed tracks read is partition-pruned to the touched buckets") {
     val sess = spark
     import sess.implicits._
