@@ -89,11 +89,18 @@ object Identity {
     val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
 
+    // null-safe: an EMPTY edge set (a clean corpus in ll9's cluster
+    // resolution) sums to null, not 0 — the loop below then converges
+    // immediately on the empty label table instead of throwing
+    def compSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("comp"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var labels = sym.select(col("a").as("node"), col("b").as("comp"))
       .union(sym.select(col("a").as("node"), col("a").as("comp")))
       .groupBy(col("node")).agg(min(col("comp")).as("comp"))
       .checkpoint()
-    var prevSum = labels.agg(sum(col("comp"))).first().getLong(0)
+    var prevSum = compSum(labels)
     var prevCached: DataFrame = null
     var converged = false
     var i = 0
@@ -116,7 +123,7 @@ object Identity {
       val next =
         if ((i + 1) % ckptInterval == 0) nextRaw.checkpoint()
         else nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = next.agg(sum(col("comp"))).first().getLong(0) // materializes next
+      val newSum = compSum(next) // materializes next
       gathered.unpersist()
       if (prevCached != null) { prevCached.unpersist(); prevCached = null }
       if ((i + 1) % ckptInterval != 0) prevCached = next

@@ -189,6 +189,38 @@ object Similarity {
           col("x.bucket").as("bucket"))
     }),
 
+    // Embedding OUTLIER filtering — the embedding-space quality gate:
+    // per-label centroid over integer-quantized vectors, exact squared
+    // L2 distance of each vector to its label's centroid, outlier =
+    // distance beyond 1.5x the label's mean distance. All arithmetic
+    // stays integer (quantized coords, truncating centroid division,
+    // cross-multiplied threshold compare), so the oracle replays it
+    // bit-for-bit. Two shuffles total regardless of corpus size: the
+    // label-keyed centroid/stat partial aggregates (model-sized
+    // output, broadcast back) — the per-vector work is a narrow map.
+    "ll11_embedding_outliers" -> ((s, dir) => {
+      val dim = 64
+      val qe = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = qe.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), (0 until dim).map(i => sum(col("q")(i)).as(s"s$i")): _*)
+        .select(col("label"), array((0 until dim).map(i =>
+          expr(s"CAST(s$i DIV n AS BIGINT)")): _*).as("c"))
+      val d = qe.join(broadcast(cents), "label")
+        .withColumn("dist",
+          expr("aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .select(col("vec_id"), col("label"), col("dist"))
+      val stats = d.groupBy(col("label"))
+        .agg(sum(col("dist")).as("sd"), count(lit(1)).as("nl"))
+      d.join(broadcast(stats), "label")
+        .select(col("vec_id"), col("label"), col("dist"),
+          (lit(2) * col("dist") * col("nl") > lit(3) * col("sd")).as("is_outlier"))
+    }),
+
     // Random-hyperplane LSH bucketing: 8-bit signature per vector.
     // Output is the bucket histogram (the candidate-generation side of
     // LSH ANN; within-bucket rerank then mirrors ll3 on ~1/256 of the
@@ -318,6 +350,26 @@ object Similarity {
                   i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
                 / sqrt(x.nrm * y.nrm) >= 0.8"""
     },
+    "ll11_embedding_outliers" ->
+      """WITH qe AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM embeddings),
+          sums AS (SELECT label, dim.i AS i, SUM(q[dim.i]) AS s, COUNT(*) AS n
+                   FROM qe, (SELECT unnest(range(1, 65)) AS i) dim GROUP BY 1, 2),
+          cent AS (SELECT label,
+                     list(CAST(CASE WHEN s >= 0 THEN s // n
+                               ELSE -((-s) // n) END AS BIGINT) ORDER BY i) AS c
+                   FROM sums GROUP BY label),
+          d AS (SELECT vec_id, e.label,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> (q[i] - c[i]) * (q[i] - c[i]))) AS BIGINT) AS dist
+                FROM qe e JOIN cent ON e.label = cent.label),
+          st AS (SELECT label, CAST(SUM(dist) AS BIGINT) AS sd, COUNT(*) AS nl
+                 FROM d GROUP BY label)
+          SELECT vec_id, d.label AS label, dist,
+                 (2 * dist * nl > 3 * sd) AS is_outlier
+          FROM d JOIN st ON d.label = st.label""",
     "ll7_ann_lsh_buckets" -> {
       val bitsSql = (0 until 8).map(j =>
         s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")

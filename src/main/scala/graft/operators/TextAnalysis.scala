@@ -188,6 +188,22 @@ object TextAnalysis {
         .withColumn("avg_rarity", col("rarity_sum") / col("n_tokens"))
     }),
 
+    // Deterministic STRATIFIED SAMPLING — the corpus-mixing step:
+    // subsample each language stratum at its target rate (en at 2/4,
+    // every other language at 1/4) by hashing the document id into 4
+    // buckets. Hash-mod sampling is reproducible across reruns and
+    // engines (no RNG state), composes under set union, and is a pure
+    // narrow map — the 100 TB plan is a filtered scan, zero shuffles.
+    "ta9_stratified_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("bucket",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 4).as("bucket"))
+        .withColumn("quota", when(col("lang") === "en", lit(2L)).otherwise(lit(1L)))
+        .filter(col("bucket") < col("quota"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
     // Winnowing fingerprint: md5 of word bigrams, min-hash per sliding
     // window of 4 positions, distinct mins = the document fingerprint.
     "ta4_fingerprint" -> ((s, dir) => {
@@ -296,6 +312,14 @@ object TextAnalysis {
            CAST(CAST(SUM(total // c) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_rarity
          FROM tok JOIN cnt USING (w) CROSS JOIN tot
          GROUP BY doc_id""",
+    "ta9_stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+           SELECT doc_id, lang,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 4
+               AS BIGINT) AS bucket,
+             CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS quota
+           FROM documents)
+         WHERE bucket < quota""",
     "ta6_shard_pack" ->
       """SELECT doc_id, n_tokens,
            CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id

@@ -69,4 +69,13 @@ class IdentitySpec extends SparkSpec {
     assert(df.collect().forall(_.getLong(1) === 0L))
     assert(iters <= 4, s"star graph has diameter 2, took $iters rounds")
   }
+
+  test("empty edge set yields an empty mapping, not a crash") {
+    val sess = spark
+    import sess.implicits._
+    // a clean corpus produces zero near-dup pairs — cluster resolution
+    // must degrade to "every doc keeps itself"
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Identity.connectedComponents(none).count() === 0L)
+  }
 }
