@@ -228,7 +228,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(sigs.as("A"), col("doc_a") === col("A.doc_id"))
       .join(sigs.as("B"), col("doc_b") === col("B.doc_id"))
       .withColumn("n_match",
@@ -237,6 +237,16 @@ object Dedup {
       .filter(col("n_match") >= 8)
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         (col("n_match") / lit(16.0)).as("est_sim"))
+    // materialize the (small) verified pair set eagerly, then RELEASE
+    // the signature cache — without this every minhashPairs call pins
+    // a signature-table-sized cache for the rest of the session, and
+    // ll9's CC rounds would re-enter the whole minhash lineage
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-checkpoints")
+    val out = pairs.checkpoint() // eager, reliable
+    sigs.unpersist()
+    out
   }
 
   val defs: Map[String, Q] = Map(

@@ -214,6 +214,7 @@ object Similarity {
           expr("aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), " +
             "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
         .select(col("vec_id"), col("label"), col("dist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds stats AND the final join — one distance pass
       val stats = d.groupBy(col("label"))
         .agg(sum(col("dist")).as("sd"), count(lit(1)).as("nl"))
       d.join(broadcast(stats), "label")

@@ -89,7 +89,10 @@ object TextAnalysis {
     // per-doc gram counts, never text, and join back on doc_id.
     "ta5_repetition_quality" -> ((s, dir) => {
       val base = Tables.documents(s, dir).withColumn("ws", split(col("text"), " "))
-      def gramStats(n: Int): org.apache.spark.sql.DataFrame = {
+      // per level, only the aggregate the output needs (max share for
+      // 1/2-grams, duplicated-occurrence sum for 3-grams) rides the
+      // per-doc shuffle
+      def gramStats(n: Int, stat: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
         val gexpr =
           if (n == 1) "ws"
           else s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', " +
@@ -98,10 +101,12 @@ object TextAnalysis {
           .select(col("doc_id"), explode(expr(gexpr)).as("g"))
           .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as(s"tot$n"), max(col("c")).as(s"max$n"),
-            sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"dup$n"))
+          .agg(sum(col("c")).as(s"tot$n"), stat)
       }
-      gramStats(1).join(gramStats(2), "doc_id").join(gramStats(3), "doc_id")
+      gramStats(1, max(col("c")).as("max1"))
+        .join(gramStats(2, max(col("c")).as("max2")), "doc_id")
+        .join(gramStats(3,
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3")), "doc_id")
         .select(col("doc_id"),
           (col("max1") / col("tot1")).as("max_word_share"),
           (col("max2") / col("tot2")).as("top_bigram_share"),

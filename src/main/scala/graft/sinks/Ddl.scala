@@ -75,23 +75,59 @@ object Ddl {
     try {
       val stmts = scala.collection.mutable.ArrayBuffer[String]()
       def run(sql: String): Unit = { conn.createStatement().execute(sql); stmts += sql }
-      def tableExists(t: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, t.toUpperCase, null)
+      // identifier-fold-agnostic metadata probes: Derby stores
+      // unquoted names upper-case, postgres lower-case — probe both
+      // (plus verbatim) so "only swap the url" holds
+      def folds(name: String) = Seq(name, name.toUpperCase, name.toLowerCase).distinct
+      def tableExists(t: String): Boolean = folds(t).exists { n =>
+        val rs = conn.getMetaData.getTables(null, null, n, null)
         try rs.next() finally rs.close()
+      }
+      def columnType(t: String, c: String): Option[String] = {
+        val hits = for {
+          tn <- folds(t); cn <- folds(c)
+          ty <- {
+            val rs = conn.getMetaData.getColumns(null, null, tn, cn)
+            try if (rs.next()) Some(rs.getString("TYPE_NAME")) else None
+            finally rs.close()
+          }
+        } yield ty
+        hits.headOption
       }
       val grouped = rows.groupBy(_._1).toSeq.sortBy(_._1)
       // validate the WHOLE diff before executing anything (parity with
-      // the catalog path): refuse, don't half-apply
+      // the catalog path): refuse, don't half-apply. Alters must name
+      // an existing VARCHAR column — a missing column or one the
+      // dialect cannot widen in place would otherwise throw midway
+      // with earlier tables' DDL already committed.
       grouped.foreach { case (table, cols) =>
         require(tableExists(table) || cols.exists(_._4 == "add"),
           s"diff alters table $table which does not exist and gets no columns")
+        cols.filter(_._4 == "alter_to_text").foreach { case (_, c, _, _) =>
+          val ty = columnType(table, c)
+          require(ty.isDefined,
+            s"diff upgrades column $table.$c which does not exist")
+          require(ty.exists(_.toUpperCase.startsWith("VARCHAR")),
+            s"diff upgrades column $table.$c of type ${ty.get}, which cannot widen in place")
+        }
       }
       def recordUpgrade(table: String, c: String, t: String): Unit = {
         if (!tableExists("graft_column_types"))
           run("CREATE TABLE graft_column_types (table_name VARCHAR(128), " +
             "column_name VARCHAR(128), wh_type VARCHAR(32))")
-        run(s"DELETE FROM graft_column_types WHERE table_name = '$table' AND column_name = '$c'")
-        run(s"INSERT INTO graft_column_types VALUES ('$table', '$c', '$t')")
+        // parameterized DML: identifiers land as VALUES, never spliced
+        // into SQL text (a quote in a user-derived column name must
+        // not break — or inject into — the registry statements)
+        def exec(sql: String, args: String*): Unit = {
+          val ps = conn.prepareStatement(sql)
+          try {
+            args.zipWithIndex.foreach { case (a, i) => ps.setString(i + 1, a) }
+            ps.execute()
+          } finally ps.close()
+          stmts += sql
+        }
+        exec("DELETE FROM graft_column_types WHERE table_name = ? AND column_name = ?", table, c)
+        exec("INSERT INTO graft_column_types VALUES (?, ?, ?)", table, c, t)
       }
       grouped.foreach { case (table, cols) =>
         val adds = cols.filter(_._4 == "add").sortBy(_._2)

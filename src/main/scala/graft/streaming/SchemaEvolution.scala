@@ -91,10 +91,18 @@ object SchemaEvolution {
   }
 
   /** Read back an evolved table (typed rows or discards): merge the
-    * per-batch schemas and hide the `batch_id` bookkeeping partition.
+    * per-batch schemas and hide the `batch_id` bookkeeping directories.
+    * recursiveFileLookup (rather than partition discovery) makes the
+    * read layout-agnostic: a table whose history began before the
+    * per-batch directories existed mixes root-level files with
+    * `batch_id=N/` subdirectories at different depths, which partition
+    * discovery rejects as conflicting but a recursive listing reads
+    * fine — the batch directories are write-side idempotency
+    * bookkeeping, not a partition column.
     */
   def readTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(dir).drop("batch_id")
+    spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(dir)
 
   /** One micro-batch of (id, js): consolidate → diff → evolve registry
     * → coerce → land typed rows + discards idempotently under

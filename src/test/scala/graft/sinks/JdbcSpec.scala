@@ -100,5 +100,20 @@ class JdbcSpec extends SparkSpec {
       val rs = conn.getMetaData.getTables(null, null, "T_OK", null)
       try assert(!rs.next(), "refused diff must execute no statement") finally rs.close()
     } finally conn.close()
+    // column-level refusals: an upgrade naming a missing column, or a
+    // column whose physical type cannot widen in place, refuses up
+    // front instead of throwing mid-apply
+    Ddl.applySchemaDiffJdbc(url,
+      Seq(("t_cols", "s", "string", "add"), ("t_cols", "big", "text", "add"))
+        .toDF("table_name", "column_name", "column_type", "action"))
+    val missingCol = Seq(("t_ok2", "id", "string", "add"),
+      ("t_cols", "nope", "text", "alter_to_text"))
+      .toDF("table_name", "column_name", "column_type", "action")
+    val e2 = intercept[IllegalArgumentException](Ddl.applySchemaDiffJdbc(url, missingCol))
+    assert(e2.getMessage.contains("does not exist"))
+    val unwidenable = Seq(("t_cols", "big", "text", "alter_to_text"))
+      .toDF("table_name", "column_name", "column_type", "action")
+    val e3 = intercept[IllegalArgumentException](Ddl.applySchemaDiffJdbc(url, unwidenable))
+    assert(e3.getMessage.contains("cannot widen in place"))
   }
 }

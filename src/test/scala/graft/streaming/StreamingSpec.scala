@@ -165,6 +165,21 @@ class StreamingSpec extends SparkSpec {
       Map("a" -> "int", "s" -> "string", "b" -> "boolean"))
   }
 
+  test("schema evolution reads tables that predate per-batch directories") {
+    val sess = spark
+    import sess.implicits._
+    val base = Files.createTempDirectory("evolve_migrate").toString
+    val (table, reg, disc) = (s"$base/t", s"$base/registry", s"$base/discards")
+    // legacy layout: rows appended flat at the table root
+    Seq((0L, 7L)).toDF("id", "a").write.mode("append").parquet(table)
+    // post-upgrade batches land in batch_id=N subdirectories
+    SchemaEvolution.processBatch(spark,
+      Seq(1L -> """{"a":1,"b":"x"}""").toDF("id", "js"), table, reg, disc, 0L)
+    val t = SchemaEvolution.readTable(spark, table)
+    assert(t.count() === 2, "legacy flat files and batch dirs must read together")
+    assert(t.columns.toSet === Set("id", "a", "b"))
+  }
+
   test("merge rewrites only batch-touched buckets (partition-pruned IO)") {
     val sess = spark
     import sess.implicits._
