@@ -302,6 +302,56 @@ object Dedup {
         .filter(col("n_shared_shingles") >= 5)
     }),
 
+    // Cross-corpus BOILERPLATE removal (the C4 line-dedup rule): split
+    // each document into 10-word chunks, count each chunk's document
+    // frequency corpus-wide, drop chunks appearing in >= 3 documents
+    // (nav bars, subscribe prompts, cookie banners), reassemble the
+    // survivors in order. The corpus is synthetic, so a boilerplate
+    // sentence is first injected on doc_id % 4. Two shuffles at any
+    // scale: the chunk-frequency aggregate (an inverted index — no
+    // pairwise anything) and the per-doc reassembly; chunk order is
+    // restored by sorting each doc's collected (pos, chunk) structs,
+    // so the rebuilt text is deterministic under parallel collection.
+    "ll12_boilerplate_dedup" -> ((s, dir) => {
+      val boiler = "subscribe now for more updates click here to continue reading"
+      val chunks = Tables.documents(s, dir)
+        .withColumn("txt",
+          when(col("doc_id") % 4 === 0, concat(col("text"), lit(" " + boiler)))
+            .otherwise(col("text")))
+        .withColumn("ws", split(col("txt"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1), " +
+            "i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))")).as(Seq("pos", "chunk")))
+      val freq = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      chunks.join(freq, "chunk").filter(col("df") < 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept_chunks"),
+          expr("md5(array_join(transform(array_sort(collect_list(struct(pos, chunk))), " +
+            "x -> x.chunk), ' '))").as("clean_md5"))
+    }),
+
+    // Canonical-URL dedup — the crawl-frontier collapse: normalize
+    // each document's URL (lowercase, strip query/fragment, strip
+    // trailing slash) and keep one representative per canonical URL.
+    // Synthetic URLs are derived from (source, doc_id) with injected
+    // case/query/fragment/slash noise. One hash shuffle on the
+    // canonical key, min-doc representative — exactly the ll1 shape.
+    "ll13_url_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("url", concat(
+          lit("https://"),
+          when(col("doc_id") % 7 === 0, upper(col("source"))).otherwise(col("source")),
+          lit(".example.com/page/"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#section")).otherwise(lit(""))))
+        .withColumn("canonical_url",
+          regexp_replace(regexp_replace(lower(col("url")), "[?#].*$", ""), "/$", ""))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_id"))
+    }),
+
     // SimHash near-dup: 64-bit fingerprints, candidates from 16-bit
     // chunk buckets (pigeonhole: hamming<=3 over 4 chunks => >=1 chunk
     // equal, so bucketed recall is exactly 1.0 vs the oracle's brute
@@ -404,6 +454,39 @@ object Dedup {
           FROM tsh t JOIN bsh b ON t.sh = b.sh
           GROUP BY t.doc_id
           HAVING COUNT(DISTINCT t.sh) >= 5""",
+    "ll12_boilerplate_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id, text || CASE WHEN doc_id % 4 = 0
+             THEN ' subscribe now for more updates click here to continue reading'
+             ELSE '' END AS txt
+           FROM documents),
+         w AS (SELECT doc_id, string_split(txt, ' ') AS ws FROM aug),
+         chunks AS (
+           SELECT doc_id, i - 1 AS pos,
+             array_to_string(ws[(i - 1) * 10 + 1:(i - 1) * 10 + 10], ' ') AS chunk
+           FROM (SELECT doc_id, ws,
+                   unnest(range(1, CAST(ceil(len(ws) / 10.0) AS BIGINT) + 1)) AS i
+                 FROM w)),
+         freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk)
+         SELECT doc_id, COUNT(*) AS n_kept_chunks,
+                md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
+         FROM chunks JOIN freq USING (chunk)
+         WHERE df < 3
+         GROUP BY doc_id""",
+    "ll13_url_dedup" ->
+      """SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS keep_id
+         FROM (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(lower(
+               'https://' ||
+               (CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END) ||
+               '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR) ||
+               (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+               (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END) ||
+               (CASE WHEN doc_id % 5 = 0 THEN '#section' ELSE '' END)),
+               '[?#].*$', ''), '/$', '') AS canonical_url
+           FROM documents)
+         GROUP BY canonical_url""",
     "ll5_simhash_neardup" -> {
       // brute-force all-pairs mirror of the 64-bit two-word simhash:
       // same bit (i%4) of hex digit (i/4) of one md5 per word
