@@ -210,6 +210,46 @@ object Dedup {
     }
   }
 
+  /** LSH band rows of a signature table: 4 band keys per doc, each
+    * the md5 of 4 consecutive signature components.
+    */
+  private def bandRowsOf(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id") +: (0 until 4).map(b =>
+      md5(concat_ws(",", (0 until 4).map(r => col(s"s${4 * b + r}")): _*)).as(s"b$b")): _*)
+    banded.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b => col(s"b$b")): _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Signature-overlap verification of candidate (doc_a, doc_b) pairs
+    * at >= 8/16 matching components.
+    */
+  private def verifyPairs(cand: DataFrame, sigs: DataFrame): DataFrame =
+    cand
+      .join(sigs.as("A"), col("doc_a") === col("A.doc_id"))
+      .join(sigs.as("B"), col("doc_b") === col("B.doc_id"))
+      .withColumn("n_match",
+        (0 until nSig).map(i =>
+          when(col(s"A.s$i") === col(s"B.s$i"), 1).otherwise(0)).reduce(_ + _).cast("long"))
+      .filter(col("n_match") >= 8)
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match") / lit(16.0)).as("est_sim"))
+
+  /** Eagerly materialize a (small) derived pair set, then release the
+    * signature cache that produced it — without this every pipeline
+    * run pins a signature-table-sized cache for the rest of the
+    * session, and downstream iterative consumers (ll9's CC rounds)
+    * would re-enter the whole minhash lineage.
+    */
+  private def materializeAndRelease(s: SparkSession, pairs: DataFrame,
+                                    sigs: DataFrame): DataFrame = {
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-checkpoints")
+    val out = pairs.checkpoint() // eager, reliable
+    sigs.unpersist()
+    out
+  }
+
   /** MinHash-LSH near-dup pairs (the ll2 pipeline): shingle -> 16
     * minhashes -> 4 band keys -> band-bucket self-join for candidates
     * -> signature-overlap verify at >= 8/16.
@@ -219,34 +259,13 @@ object Dedup {
     // persist so the text scan + shingling + 16 mins run once
     val sigs = minhashSignatures(shingles(corpus(s, dir, perturb = true)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("doc_id") +: (0 until 4).map(b =>
-      md5(concat_ws(",", (0 until 4).map(r => col(s"s${4 * b + r}")): _*)).as(s"b$b")): _*)
-    val bandRows = banded.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b => col(s"b$b")): _*)).as(Seq("band", "bkey")))
+    val bandRows = bandRowsOf(sigs)
     val cand = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val pairs = cand
-      .join(sigs.as("A"), col("doc_a") === col("A.doc_id"))
-      .join(sigs.as("B"), col("doc_b") === col("B.doc_id"))
-      .withColumn("n_match",
-        (0 until nSig).map(i =>
-          when(col(s"A.s$i") === col(s"B.s$i"), 1).otherwise(0)).reduce(_ + _).cast("long"))
-      .filter(col("n_match") >= 8)
-      .select(col("doc_a"), col("doc_b"), col("n_match"),
-        (col("n_match") / lit(16.0)).as("est_sim"))
-    // materialize the (small) verified pair set eagerly, then RELEASE
-    // the signature cache — without this every minhashPairs call pins
-    // a signature-table-sized cache for the rest of the session, and
-    // ll9's CC rounds would re-enter the whole minhash lineage
-    if (s.sparkContext.getCheckpointDir.isEmpty)
-      s.sparkContext.setCheckpointDir(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-checkpoints")
-    val out = pairs.checkpoint() // eager, reliable
-    sigs.unpersist()
-    out
+    materializeAndRelease(s, verifyPairs(cand, sigs), sigs)
   }
 
   val defs: Map[String, Q] = Map(
@@ -300,6 +319,28 @@ object Dedup {
         .agg(countDistinct(col("sh")).as("n_shared_shingles"),
           countDistinct(col("bench_id")).as("n_bench_docs"))
         .filter(col("n_shared_shingles") >= 5)
+    }),
+
+    // INCREMENTAL near-dup maintenance — the daily-crawl shape: a new
+    // batch (the second-crawl docs, ids >= 10000) is probed against
+    // the already-indexed corpus WITHOUT any corpus self-join. The
+    // corpus side is its LSH band index (in production a maintained,
+    // bucket-partitioned table); candidates come from batch-bands ×
+    // corpus-bands only, so per-batch cost scales with the batch and
+    // its touched buckets — the 100 TB corpus is never re-paired
+    // against itself. Output = exactly ll2's cross-crawl pairs (the
+    // oracle is the shared pipeline filtered to cross pairs), reached
+    // through the incremental plan.
+    "ll14_incremental_neardup" -> ((s, dir) => {
+      val sigs = minhashSignatures(shingles(corpus(s, dir, perturb = true)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpusBands = bandRowsOf(sigs.filter(col("doc_id") < 10000))
+      val batchBands = bandRowsOf(sigs.filter(col("doc_id") >= 10000))
+      val cand = batchBands.as("x").join(corpusBands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+        .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
+        .distinct()
+      materializeAndRelease(s, verifyPairs(cand, sigs), sigs)
     }),
 
     // Cross-corpus BOILERPLATE removal (the C4 line-dedup rule): split
@@ -454,6 +495,12 @@ object Dedup {
           FROM tsh t JOIN bsh b ON t.sh = b.sh
           GROUP BY t.doc_id
           HAVING COUNT(DISTINCT t.sh) >= 5""",
+    // same pipeline, restricted to (corpus, new-batch) pairs — the
+    // incremental plan must produce exactly this set
+    "ll14_incremental_neardup" ->
+      s"""WITH $minhashCtes
+          SELECT doc_a, doc_b, n_match, n_match / 16.0 AS est_sim
+          FROM v WHERE n_match >= 8 AND doc_a < 10000 AND doc_b >= 10000""",
     "ll12_boilerplate_dedup" ->
       """WITH aug AS (
            SELECT doc_id, text || CASE WHEN doc_id % 4 = 0
