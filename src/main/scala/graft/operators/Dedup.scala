@@ -68,7 +68,7 @@ object Dedup {
   /** Distinct word-3-gram shingles of `text`, exploded to one row per
     * (doc_id, shingle). Narrow (map-side) transformation.
     */
-  private[operators] def shingles(df: DataFrame): DataFrame =
+  private[graft] def shingles(df: DataFrame): DataFrame =
     df.withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
@@ -91,7 +91,7 @@ object Dedup {
   /** MinHash signatures: per doc, min md5("<i>:" + shingle) per seed i.
     * One shuffle on doc_id; partial min aggregation runs map-side.
     */
-  private[operators] def minhashSignatures(sh: DataFrame): DataFrame = {
+  private[graft] def minhashSignatures(sh: DataFrame): DataFrame = {
     val aggs = (0 until nSig).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"s$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -213,7 +213,7 @@ object Dedup {
   /** LSH band rows of a signature table: 4 band keys per doc, each
     * the md5 of 4 consecutive signature components.
     */
-  private def bandRowsOf(sigs: DataFrame): DataFrame = {
+  private[graft] def bandRowsOf(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(col("doc_id") +: (0 until 4).map(b =>
       md5(concat_ws(",", (0 until 4).map(r => col(s"s${4 * b + r}")): _*)).as(s"b$b")): _*)
     banded.select(col("doc_id"),
@@ -223,7 +223,7 @@ object Dedup {
   /** Signature-overlap verification of candidate (doc_a, doc_b) pairs
     * at >= 8/16 matching components.
     */
-  private def verifyPairs(cand: DataFrame, sigs: DataFrame): DataFrame =
+  private[graft] def verifyPairs(cand: DataFrame, sigs: DataFrame): DataFrame =
     cand
       .join(sigs.as("A"), col("doc_a") === col("A.doc_id"))
       .join(sigs.as("B"), col("doc_b") === col("B.doc_id"))

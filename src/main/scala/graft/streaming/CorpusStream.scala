@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming corpus maintenance — the ll14 incremental near-dup shape
+  * lifted into Structured Streaming: each micro-batch of new documents
+  * is probed against the signature index accumulated from every prior
+  * batch (plus itself, for batch-internal duplicates), emits verified
+  * near-dup pairs, and then joins the index. The streaming twin of a
+  * crawl frontier feeding a 100 TB deduplicated corpus.
+  *
+  * State is the MinHash signature index (16 hex strings per document —
+  * thousands of times smaller than the text it summarizes), persisted
+  * as parquet under per-batch `batch_id=N` directories written with
+  * overwrite mode, so at-least-once foreachBatch replay is idempotent
+  * for BOTH outputs (pairs and index) — the same crash contract as
+  * SchemaEvolution. On replay the probe excludes the batch's own
+  * previously-committed index partition, so a re-delivered batch
+  * cannot pair against its own first attempt.
+  *
+  * At scale the index would be bucketed by band key so the probe join
+  * co-locates without a corpus-side shuffle; here the layout choice is
+  * isolated behind the two read/write sites.
+  */
+object CorpusStream {
+
+  /** One micro-batch of (doc_id, text): emit near-dup pairs vs the
+    * index so far (and within the batch), then add the batch to the
+    * index. Both writes are idempotent under replay of `batchId`.
+    */
+  def processBatch(spark: SparkSession, docs: DataFrame, indexDir: String,
+                   pairsDir: String, batchId: Long): Unit = {
+    val batchSigs = Dedup.minhashSignatures(Dedup.shingles(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val indexSigs =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(indexDir))) None
+        else Some(spark.read.parquet(indexDir)
+          .filter(col("batch_id") =!= batchId) // replay: skip own first attempt
+          .drop("batch_id"))
+      val batchBands = Dedup.bandRowsOf(batchSigs)
+      val knownBands = indexSigs match {
+        case Some(idx) => Dedup.bandRowsOf(idx).unionByName(batchBands)
+        case None      => batchBands
+      }
+      // candidates: batch bands probe the known-universe bands; strict
+      // ordering keeps (earlier, later) orientation and drops self-hits
+      val cand = batchBands.as("x").join(knownBands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("y.doc_id") < col("x.doc_id"))
+        .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
+        .distinct()
+      val allSigs = indexSigs match {
+        case Some(idx) => idx.unionByName(batchSigs)
+        case None      => batchSigs
+      }
+      Dedup.verifyPairs(cand, allSigs)
+        .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+      batchSigs.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    } finally batchSigs.unpersist()
+  }
+
+  /** The streaming entry: (doc_id, text) stream → growing signature
+    * index + per-batch near-dup pair output.
+    */
+  def start(docs: DataFrame, indexDir: String, pairsDir: String,
+            checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, indexDir, pairsDir, batchId)
+        ()
+      }
+      .start()
+
+  /** All pairs emitted so far (batch_id retained for provenance). */
+  def readPairs(spark: SparkSession, pairsDir: String): DataFrame =
+    spark.read.parquet(pairsDir)
+}

@@ -180,6 +180,44 @@ class StreamingSpec extends SparkSpec {
     assert(t.columns.toSet === Set("id", "a", "b"))
   }
 
+  test("streaming corpus maintenance: near-dup pairs accumulate across micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("corpus_stream").toString
+    val (idx, pairs, ckpt) = (s"$base/index", s"$base/pairs", s"$base/ckpt")
+    val q = CorpusStream.start(input.toDF().toDF("doc_id", "text"), idx, pairs, ckpt)
+    val a = "the quick brown fox jumps over the lazy dog again"
+    val c = "completely fresh vocabulary occupies every position of this sentence"
+    try {
+      input.addData(1L -> a,
+        2L -> "an entirely different set of words fills this one out")
+      q.processAllAvailable()
+      assert(CorpusStream.readPairs(spark, pairs).count() === 0,
+        "no near-dups inside the first batch")
+      // batch 2: doc 3 duplicates doc 1 (cross-batch, via the index);
+      // docs 4 and 5 duplicate each other (batch-internal)
+      input.addData(3L -> a, 4L -> c, 5L -> c)
+      q.processAllAvailable()
+      val got = CorpusStream.readPairs(spark, pairs)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 3L), (4L, 5L)))
+    } finally q.stop()
+    // at-least-once replay of the last batch must not duplicate pairs
+    // or index rows, and must not pair the batch against its own
+    // previously-committed index partition
+    CorpusStream.processBatch(spark,
+      Seq(3L -> a, 4L -> c, 5L -> c).toDF("doc_id", "text"), idx, pairs, 1L)
+    val after = CorpusStream.readPairs(spark, pairs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === Set((1L, 3L), (4L, 5L)))
+    assert(spark.read.parquet(idx).count() === 5,
+      "index keeps exactly one signature row per document")
+  }
+
   test("merge rewrites only batch-touched buckets (partition-pruned IO)") {
     val sess = spark
     import sess.implicits._
