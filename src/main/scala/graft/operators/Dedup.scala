@@ -48,6 +48,15 @@ object Dedup {
     */
   private[operators] def corpus(s: SparkSession, dir: String, perturb: Boolean): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // the second-crawl ids live at +10000; a base corpus reaching that
+    // id would collide silently IN BOTH ENGINES (the oracles use the
+    // same constant, so the differential gate could not catch it) —
+    // assert the boundary instead. One column-pruned max over parquet
+    // statistics, metadata-cheap.
+    val maxRow = d.agg(max(col("doc_id"))).first()
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    require(maxId < 10000L,
+      s"two-crawl id offset collision: max base doc_id $maxId >= 10000")
     val copy =
       if (perturb)
         d.select((col("doc_id") + 10000L).as("doc_id"),
@@ -363,6 +372,7 @@ object Dedup {
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1), " +
             "i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))")).as(Seq("pos", "chunk")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds the df aggregate AND the probe join
       val freq = chunks.groupBy(col("chunk"))
         .agg(countDistinct(col("doc_id")).as("df"))
       chunks.join(freq, "chunk").filter(col("df") < 3)

@@ -30,39 +30,56 @@ object CorpusStream {
   /** One micro-batch of (doc_id, text): emit near-dup pairs vs the
     * index so far (and within the batch), then add the batch to the
     * index. Both writes are idempotent under replay of `batchId`.
+    * Documents whose doc_id is already indexed are skipped entirely
+    * (first-write-wins — a source-level re-delivery in a LATER batch
+    * must not double-index a document or re-emit its pairs; updating
+    * a recrawled document would be an index merge, a different op).
     */
   def processBatch(spark: SparkSession, docs: DataFrame, indexDir: String,
                    pairsDir: String, batchId: Long): Unit = {
-    val batchSigs = Dedup.minhashSignatures(Dedup.shingles(docs))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexSigs =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(indexDir))) None
+      else Some(spark.read.parquet(indexDir)
+        .filter(col("batch_id") =!= batchId) // replay: skip own first attempt
+        .drop("batch_id")
+        // feeds the band probe AND both verify joins — one index scan
+        .persist(store))
+    val batchSigs = {
+      val sigs = Dedup.minhashSignatures(Dedup.shingles(docs))
+      // first-write-wins: drop batch docs whose id is already indexed
+      indexSigs.fold(sigs)(idx =>
+        sigs.join(idx.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    }.persist(store)
     try {
-      val fs = new org.apache.hadoop.fs.Path(indexDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val indexSigs =
-        if (!fs.exists(new org.apache.hadoop.fs.Path(indexDir))) None
-        else Some(spark.read.parquet(indexDir)
-          .filter(col("batch_id") =!= batchId) // replay: skip own first attempt
-          .drop("batch_id"))
       val batchBands = Dedup.bandRowsOf(batchSigs)
-      val knownBands = indexSigs match {
-        case Some(idx) => Dedup.bandRowsOf(idx).unionByName(batchBands)
-        case None      => batchBands
-      }
-      // candidates: batch bands probe the known-universe bands; strict
-      // ordering keeps (earlier, later) orientation and drops self-hits
-      val cand = batchBands.as("x").join(knownBands.as("y"),
+      // batch-internal candidates: ordered self-join (smaller, larger)
+      val internal = batchBands.as("x").join(batchBands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("y.doc_id") < col("x.doc_id"))
-        .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
-        .distinct()
-      val allSigs = indexSigs match {
-        case Some(idx) => idx.unionByName(batchSigs)
-        case None      => batchSigs
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // cross candidates: batch bands probe the index bands; the two
+      // id sets are disjoint (anti-join above), and orientation is
+      // normalized explicitly — doc_ids carry NO arrival-order
+      // meaning, so a new doc with a smaller id than its indexed
+      // match must still pair
+      val cross = indexSigs.map { idx =>
+        Dedup.bandRowsOf(idx).as("y").join(batchBands.as("x"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       }
+      val cand = cross.fold(internal)(internal.unionByName(_)).distinct()
+      val allSigs = indexSigs.fold(batchSigs)(_.unionByName(batchSigs))
       Dedup.verifyPairs(cand, allSigs)
         .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
       batchSigs.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-    } finally batchSigs.unpersist()
+    } finally {
+      batchSigs.unpersist()
+      indexSigs.foreach(_.unpersist())
+    }
   }
 
   /** The streaming entry: (doc_id, text) stream → growing signature

@@ -204,17 +204,28 @@ class StreamingSpec extends SparkSpec {
         .select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === Set((1L, 3L), (4L, 5L)))
+      // batch 3: doc 0 duplicates docs 1 and 3 but carries a SMALLER
+      // id — doc_ids have no arrival-order meaning, the pair must
+      // still emit; doc 4 is re-delivered by the source (a later
+      // batch, not a replay) and must be skipped, not double-indexed
+      input.addData(0L -> a, 4L -> c)
+      q.processAllAvailable()
+      val got3 = CorpusStream.readPairs(spark, pairs)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got3 === Set((1L, 3L), (4L, 5L), (0L, 1L), (0L, 3L)))
     } finally q.stop()
     // at-least-once replay of the last batch must not duplicate pairs
     // or index rows, and must not pair the batch against its own
     // previously-committed index partition
     CorpusStream.processBatch(spark,
-      Seq(3L -> a, 4L -> c, 5L -> c).toDF("doc_id", "text"), idx, pairs, 1L)
+      Seq(0L -> a, 4L -> c).toDF("doc_id", "text"), idx, pairs, 2L)
     val after = CorpusStream.readPairs(spark, pairs)
       .select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(after === Set((1L, 3L), (4L, 5L)))
-    assert(spark.read.parquet(idx).count() === 5,
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.toSet === Set((1L, 3L), (4L, 5L), (0L, 1L), (0L, 3L)))
+    assert(after.length === 4, "replay must not duplicate pair rows")
+    assert(spark.read.parquet(idx).count() === 6,
       "index keeps exactly one signature row per document")
   }
 
