@@ -29,7 +29,10 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, rows, err)
     }
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Millisecond precision keeps the contract line well inside the
+    // driver's tail-capture window even as the query count grows.
+    def ms(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val rowCounts = results.map { case (k, _, r, _) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -37,7 +40,7 @@ object Bench {
     // keeps the end of the output, and the contract line below (with
     // the per-query timings) is the one that must survive truncation.
     println(s"""{"rows":$rowCounts}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,7 +25,8 @@ object SparkEntry {
     (operators.Multimodal.defs, operators.Multimodal.oracles),
     (operators.Dedup.defs, operators.Dedup.oracles),
     (operators.Similarity.defs, operators.Similarity.oracles),
-    (operators.TextAnalysis.defs, operators.TextAnalysis.oracles)
+    (operators.TextAnalysis.defs, operators.TextAnalysis.oracles),
+    (operators.Sessions.defs, operators.Sessions.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

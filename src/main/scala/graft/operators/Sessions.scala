@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Behavioral-analytics operators over the event stream — the queries a
+  * CDP's warehouse tables exist to serve (the reference materializes
+  * `tracks`/`users` tables precisely so downstream tools can compute
+  * sessions, funnels and cohorts; here they are first-class operators).
+  *
+  * Every plan is a single hash shuffle on `user_id` (plus one final
+  * small aggregate where the output is a matrix), so the shape survives
+  * a 100 TB event table: no self-joins, no per-user driver loops, and
+  * the per-user state is bounded by that user's event count (funnel
+  * folds restrict to stage events first).
+  *
+  * Timestamps are carried as epoch MICROSECOND longs end-to-end
+  * (`Tables.events` truncates parquet nanos the same way DuckDB does),
+  * so window arithmetic is exact integer math that matches the oracle
+  * bit-for-bit.
+  */
+object Sessions {
+
+  private val dec = DecimalType(18, 2)
+  /** 30-minute inactivity gap, in microseconds. */
+  private val gapUs = 1800000000L
+  private val weekUs = 604800000000L
+
+  val defs: Map[String, Q] = Map(
+
+    // Gaps-and-islands sessionization: a session breaks after 30 min of
+    // inactivity. Both window functions share one (partition, order) =
+    // (user_id, ts) spec, so Catalyst plans ONE exchange + ONE sort for
+    // the lag and the running sum; the closing groupBy re-uses the same
+    // key. Per-user ordering is total ((ts_us, event_id) unique), so the
+    // island numbering is deterministic under any partitioning.
+    "q16_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_no", sum(col("brk")).over(run))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(
+          min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+    }),
+
+    // As-of join: each event picks up the customer's most recent order
+    // at-or-before the event timestamp. Spark has no ASOF JOIN, and the
+    // naive range join explodes; the scalable plan is the union trick —
+    // tag both sides, ONE shuffle on the key, and a running
+    // last(ignoreNulls) carries order attributes forward in time order.
+    // Orders sort before events at equal timestamps (side 0 < 1), which
+    // encodes the <= of the as-of contract; orders are first collapsed
+    // to one row per (custkey, date) (greatest orderkey wins) so the
+    // match is deterministic. DuckDB's native ASOF LEFT JOIN is the
+    // independent oracle.
+    "q17_asof_join" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("k"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+        .agg(max(col("o_orderkey")).as("okey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("oprice"))
+        .select(col("k"), col("t"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"),
+          struct(col("okey"), col("oprice")).as("ord"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+          lit(1).as("side"), col("event_id"),
+          lit(null).cast("struct<okey:bigint,oprice:double>").as("ord"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord.unionByName(ev)
+        .withColumn("last_ord", last(col("ord"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts_us"),
+          col("last_ord.okey").as("o_orderkey"),
+          col("last_ord.oprice").as("o_totalprice"))
+    }),
+
+    // Ordered funnel (signup -> view -> purchase, min-time chaining):
+    // t_view is the earliest view STRICTLY AFTER the earliest signup,
+    // t_purchase the earliest purchase strictly after that. One shuffle:
+    // stage events only are collected per user and walked by a sorted
+    // fold (functions.aggregate — no UDF), so per-user state is bounded
+    // by that user's stage-event count, and whale users cost memory
+    // proportional to their own history, never a cross join.
+    "q18_funnel" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("stage",
+          when(col("event_type") === "signup", 1)
+            .when(col("event_type") === "view", 2)
+            .when(col("event_type") === "purchase", 3))
+        .filter(col("stage").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("stage"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts_us"), col("stage")))).as("evs"))
+        .withColumn("f", expr(
+          """aggregate(evs,
+               named_struct('ta', CAST(NULL AS BIGINT), 'tb', CAST(NULL AS BIGINT), 'tc', CAST(NULL AS BIGINT)),
+               (acc, e) -> named_struct(
+                 'ta', CASE WHEN acc.ta IS NULL AND e.stage = 1 THEN e.ts_us ELSE acc.ta END,
+                 'tb', CASE WHEN acc.tb IS NULL AND acc.ta IS NOT NULL AND e.stage = 2 AND e.ts_us > acc.ta THEN e.ts_us ELSE acc.tb END,
+                 'tc', CASE WHEN acc.tc IS NULL AND acc.tb IS NOT NULL AND e.stage = 3 AND e.ts_us > acc.tb THEN e.ts_us ELSE acc.tc END))"""))
+        .select(col("user_id"), col("f.ta").as("t_signup"),
+          col("f.tb").as("t_view"), col("f.tc").as("t_purchase"))
+    }),
+
+    // Cohort retention matrix: users grouped by first-seen epoch week,
+    // counted once per (cohort, week-offset) cell. The first-seen
+    // aggregate and the activity join hash on the same user_id, so AQE
+    // reuses the exchange; the closing matrix aggregate is tiny
+    // (weeks x weeks). Epoch-week integer division avoids calendar/
+    // timezone semantics entirely — exact on both engines.
+    "q19_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Exact interpolated percentiles per event type (reporting-style
+    // latency/value distribution). Spark's percentile() and DuckDB's
+    // quantile_cont() both compute lower + (pos - floor(pos)) * (upper
+    // - lower) at pos = (n-1)*q over the sorted values, so the doubles
+    // agree bit-for-bit. Exact percentile shuffles the value column
+    // only (column-pruned scan); at 100 TB swap in approx_percentile
+    // (t-digest) via the same GROUP BY — the plan shape is identical.
+    "a7_value_percentiles" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5D)").as("p50"),
+          expr("percentile(value, 0.95D)").as("p95"),
+          expr("percentile(value, 0.99D)").as("p99"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q16_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM e),
+         g AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_no
+           FROM f)
+         SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+                MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM g GROUP BY 1, 2""",
+    "q17_asof_join" ->
+      """WITH od AS (
+           SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,
+                  MAX(o_orderkey) AS okey,
+                  arg_max(o_totalprice, o_orderkey) AS oprice
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                o.okey AS o_orderkey, o.oprice AS o_totalprice
+         FROM events e ASOF LEFT JOIN od o
+           ON e.user_id = o.k AND epoch_us(e.ts) >= o.t""",
+    "q18_funnel" ->
+      """WITH s AS (
+           SELECT user_id, epoch_us(ts) AS ts_us,
+                  CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3 END AS stage
+           FROM events WHERE event_type IN ('signup', 'view', 'purchase')),
+         a AS (SELECT user_id, MIN(ts_us) AS ta FROM s WHERE stage = 1 GROUP BY 1),
+         b AS (SELECT s.user_id, MIN(s.ts_us) AS tb FROM s JOIN a USING (user_id)
+               WHERE s.stage = 2 AND s.ts_us > a.ta GROUP BY 1),
+         c AS (SELECT s.user_id, MIN(s.ts_us) AS tc FROM s JOIN b USING (user_id)
+               WHERE s.stage = 3 AND s.ts_us > b.tb GROUP BY 1)
+         SELECT u.user_id, a.ta AS t_signup, b.tb AS t_view, c.tc AS t_purchase
+         FROM (SELECT DISTINCT user_id FROM s) u
+         LEFT JOIN a USING (user_id)
+         LEFT JOIN b USING (user_id)
+         LEFT JOIN c USING (user_id)""",
+    "q19_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+         f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1)
+         SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+                COUNT(DISTINCT e.user_id) AS n_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY 1, 2""",
+    "a7_value_percentiles" ->
+      """SELECT event_type,
+                quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.95) AS p95,
+                quantile_cont(value, 0.99) AS p99,
+                COUNT(*) AS n
+         FROM events GROUP BY 1"""
+  )
+}

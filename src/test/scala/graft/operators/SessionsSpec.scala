@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Boundary semantics of the behavioral-analytics operators, driven
+  * through the real `Sessions.defs` plans over synthetic events/orders
+  * parquet written to a temp sfDir (same physical shape the driver
+  * uses: events.ts as raw nanosecond longs).
+  */
+class SessionsSpec extends SparkSpec {
+
+  private val us = 1000L // ns per us
+  private def minUs(m: Long): Long = m * 60L * 1000000L
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos, as the driver parquet reads under nanosAsLong
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  /** Writes events (and optionally orders) parquet into a fresh temp
+    * sfDir; event tuples are (event_id, ts_us, user_id, type, value).
+    */
+  private def sfDirWith(
+      events: Seq[(Long, Long, Long, String, Double)],
+      orders: Seq[(Long, Long, Double, Long)] = Nil): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sessions").toString
+    val evRows = events.map { case (id, tsUs, uid, tpe, v) =>
+      Row(id, tsUs * us, uid, tpe, v, "{}")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(evRows, 2), eventsSchema)
+      .write.parquet(s"$dir/events.parquet")
+    val ordRows = orders.map { case (okey, ckey, price, tsUs) =>
+      Row(okey, ckey, "O", price, new java.sql.Timestamp(tsUs / 1000L), "1-URGENT")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(ordRows, 1), ordersSchema)
+      .write.parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("sessionize: a gap of exactly 30 minutes continues the session; one more microsecond breaks it") {
+    val t0 = minUs(1000)
+    val dir = sfDirWith(Seq(
+      (1L, t0, 7L, "view", 1.0),
+      (2L, t0 + minUs(30), 7L, "view", 1.0), // exactly the gap: same session
+      (3L, t0 + minUs(60) + 1, 7L, "view", 1.0))) // gap + 1us: new session
+    val out = Sessions.defs("q16_sessionize")(spark, dir)
+      .orderBy("sess_no").collect()
+    assert(out.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L))
+    assert(out.head.getAs[Long]("session_end_us") == t0 + minUs(30))
+  }
+
+  test("sessionize: sessions are per-user islands numbered from 1") {
+    val t0 = minUs(5000)
+    val dir = sfDirWith(Seq(
+      (1L, t0, 1L, "view", 2.0),
+      (2L, t0 + minUs(90), 1L, "view", 3.0),
+      (3L, t0, 2L, "view", 5.0)))
+    val out = Sessions.defs("q16_sessionize")(spark, dir).collect()
+    assert(out.length == 3) // two sessions for user 1, one for user 2
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L).map(_.getAs[Long]("sess_no")).sorted
+    assert(u1.toSeq == Seq(1L, 2L))
+    assert(out.filter(_.getAs[Long]("user_id") == 2L).head.getAs[Double]("sum_value") == 5.0)
+  }
+
+  test("asof join: most recent at-or-before order wins; no prior order gives nulls; date ties pick max orderkey") {
+    val t = minUs(2000000)
+    val dir = sfDirWith(
+      events = Seq(
+        (1L, t - minUs(10), 3L, "view", 1.0), // before any order -> nulls
+        (2L, t, 3L, "view", 1.0), // exactly at order date -> that order (<= contract)
+        (3L, t + minUs(500), 3L, "view", 1.0)), // after both -> latest
+      orders = Seq(
+        (100L, 3L, 11.0, t),
+        (101L, 3L, 22.0, t), // same date: max orderkey (101) must win
+        (200L, 3L, 33.0, t + minUs(100))))
+    val out = Sessions.defs("q17_asof_join")(spark, dir)
+      .orderBy("event_id").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("o_orderkey")))
+    assert(out(1).getAs[Long]("o_orderkey") == 101L)
+    assert(out(1).getAs[Double]("o_totalprice") == 22.0)
+    assert(out(2).getAs[Long]("o_orderkey") == 200L)
+  }
+
+  test("funnel: stages must be strictly ordered in time; out-of-order or equal timestamps do not advance") {
+    val t = minUs(9000)
+    val dir = sfDirWith(Seq(
+      // user 1: view BEFORE signup, purchase after signup but with no
+      // qualifying view in between -> funnel stops at signup
+      (1L, t - minUs(5), 1L, "view", 0.0),
+      (2L, t, 1L, "signup", 0.0),
+      (3L, t + minUs(1), 1L, "purchase", 0.0),
+      // user 2: full path, but the view shares the signup timestamp ->
+      // strict > rejects it; the later view counts
+      (4L, t, 2L, "signup", 0.0),
+      (5L, t, 2L, "view", 0.0),
+      (6L, t + minUs(2), 2L, "view", 0.0),
+      (7L, t + minUs(3), 2L, "purchase", 0.0)))
+    val out = Sessions.defs("q18_funnel")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Long]("t_signup") == t)
+    assert(out(1L).isNullAt(out(1L).fieldIndex("t_view")))
+    assert(out(1L).isNullAt(out(1L).fieldIndex("t_purchase")))
+    assert(out(2L).getAs[Long]("t_view") == t + minUs(2))
+    assert(out(2L).getAs[Long]("t_purchase") == t + minUs(3))
+  }
+
+  test("cohort retention: the offset-0 cell counts every user of the cohort") {
+    assume(new java.io.File("/root/testdata/sf0.001").exists())
+    val df = Sessions.defs("q19_cohort_retention")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    val users = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id").distinct().count()
+    // every user appears in exactly one cohort, and always in its own offset-0 cell
+    val offset0 = rows.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(offset0 == users)
+    assert(rows.forall(_.getAs[Long]("week_offset") >= 0L))
+  }
+
+  test("percentiles: interpolation matches the closed form on a known distribution") {
+    val t = minUs(100)
+    // values 1..5 for one event type: p50 = 3, p95 = 1 + 0.95*4 = 4.8
+    val dir = sfDirWith((1L to 5L).map(i => (i, t + minUs(i), 1L, "view", i.toDouble)))
+    val r = Sessions.defs("a7_value_percentiles")(spark, dir).collect().head
+    assert(r.getAs[Double]("p50") == 3.0)
+    assert(math.abs(r.getAs[Double]("p95") - 4.8) < 1e-12)
+    assert(r.getAs[Long]("n") == 5L)
+  }
+}
