@@ -135,6 +135,42 @@ object Dedup {
           when(col(s"c$i") > 0, lit(1L << (i - 32))).otherwise(lit(0L))).reduce(_ + _).as("sim_hi"))
   }
 
+  /** Maximal per-document spans of tokens covered by a `w`-token
+    * window occurring at least `minCount` times corpus-wide (the
+    * substring-dedup rule of Lee et al. ACL 2022 at token
+    * granularity; within-doc repeats count toward the threshold).
+    * Output: (doc_id, span_start, span_end, n_windows) with 0-based
+    * inclusive token positions. Linear in corpus tokens: one
+    * map-side-combined count on the window hash, one hash join back,
+    * one per-doc sort for the interval merge — never pairwise.
+    */
+  private[operators] def duplicatedSpans(
+      docs: DataFrame, w: Int = 15, minCount: Long = 2L): DataFrame = {
+    val wins = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $w), i -> md5(concat_ws(' ', slice(ws, i + 1, $w))))"))
+        .as(Seq("pos", "whash")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("whash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds the freq aggregate AND the probe join
+    val freq = wins.groupBy(col("whash")).agg(count(lit(1)).as("cnt"))
+    val dup = wins.join(freq, "whash").filter(col("cnt") >= minCount)
+      .select(col("doc_id"), col("pos"), (col("pos") + (w - 1)).as("fin"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("prev_max",
+        max(col("fin")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("pos") > col("prev_max") + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"), max(col("fin")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+  }
+
   /** Exact Jaccard >= 0.6 pairs from a (doc_id, sh) table via the
     * naive inverted-index join (every shared shingle generates a
     * candidate row).
@@ -428,6 +464,29 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
+    // Cross-document duplicated-SPAN detection (the substring-dedup
+    // rule of Lee et al., "Deduplicating Training Data Makes Language
+    // Models Better", ACL 2022, at token granularity): hash every
+    // overlapping 15-token window, count corpus-wide occurrences
+    // (within-doc repeats count too, as in the paper), and merge the
+    // positions of windows seen >= 2 times into maximal per-doc spans.
+    // A shared license passage is injected (appended on doc_id%5==1,
+    // prepended on doc_id%7==2) so spans land at both text edges.
+    // Scale shape: windows ~= corpus token count, but each carries only
+    // (doc_id, pos, 32-char hash); one map-side-combined aggregate on
+    // the window hash, one hash join back, then the interval merge is
+    // a single (doc_id)-partitioned sort — no pairwise comparison at
+    // any point, so cost is linear in corpus tokens at 100 TB.
+    "ll15_span_dedup" -> ((s, dir) => {
+      val passage = "this work is licensed under the standard terms " +
+        "and may be redistributed freely provided this notice is preserved intact"
+      duplicatedSpans(Tables.documents(s, dir)
+        .withColumn("text", concat(
+          when(col("doc_id") % 7 === 2, lit(passage + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 5 === 1, lit(" " + passage)).otherwise(lit("")))))
+    }),
+
     // Exact n-gram Jaccard near-dup with an ADAPTIVE physical
     // strategy: a one-aggregate df-skew statistic picks the
     // prefix-filtered (ppjoin) join — the only strategy that survives
@@ -530,6 +589,35 @@ object Dedup {
          FROM chunks JOIN freq USING (chunk)
          WHERE df < 3
          GROUP BY doc_id""",
+    "ll15_span_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 7 = 2 THEN 'this work is licensed under the standard terms and may be redistributed freely provided this notice is preserved intact ' ELSE '' END)
+             || text ||
+             (CASE WHEN doc_id % 5 = 1 THEN ' this work is licensed under the standard terms and may be redistributed freely provided this notice is preserved intact' ELSE '' END)
+             AS txt
+           FROM documents),
+         w AS (SELECT doc_id, string_split(txt, ' ') AS ws FROM aug),
+         win AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  md5(array_to_string(ws[i:i + 14], ' ')) AS whash
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 13)) AS i
+                 FROM w WHERE len(ws) >= 15)),
+         freq AS (SELECT whash, COUNT(*) AS cnt FROM win GROUP BY 1),
+         dup AS (SELECT doc_id, pos, pos + 14 AS fin
+                 FROM win JOIN freq USING (whash) WHERE cnt >= 2),
+         m AS (SELECT doc_id, pos, fin,
+                      MAX(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+               FROM dup),
+         b AS (SELECT *, CASE WHEN prev_max IS NULL OR pos > prev_max + 1 THEN 1 ELSE 0 END AS brk
+               FROM m),
+         g AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS grp
+               FROM b)
+         SELECT doc_id, MIN(pos) AS span_start, MAX(fin) AS span_end,
+                COUNT(*) AS n_windows
+         FROM g GROUP BY doc_id, grp""",
     "ll13_url_dedup" ->
       """SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS keep_id
          FROM (

@@ -123,4 +123,36 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L),
       "canonical doc = min of the transitive cluster; singletons keep themselves")
   }
+
+  test("duplicated spans: shared passages resolve to maximal merged intervals") {
+    // 26-token shared passage p0..p25 between docs 1 and 2, at the END
+    // of doc 1 and the START of doc 2; doc 3 is all-unique filler.
+    val passage = (0 until 26).map(i => s"p$i").mkString(" ")
+    val fill = (n: Int, tag: String) => (0 until n).map(i => s"$tag$i").mkString(" ")
+    val out = Dedup.duplicatedSpans(docsDf(Seq(
+        1L -> (fill(10, "a") + " " + passage),
+        2L -> (passage + " " + fill(10, "b")),
+        3L -> fill(40, "c"))), w = 15)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_windows"))).toSeq).toMap
+    // only windows fully inside the passage repeat: 26 - 15 + 1 = 12 per doc,
+    // merging to exactly the passage's token range on each side
+    assert(out(1L) === Seq((10L, 35L, 12L)), "span covers the appended passage")
+    assert(out(2L) === Seq((0L, 25L, 12L)), "span covers the prepended passage")
+    assert(!out.contains(3L), "unique doc has no duplicated span")
+  }
+
+  test("duplicated spans: within-doc repetition counts toward the threshold") {
+    // one doc repeating the same 15 tokens twice back-to-back: every
+    // window inside either copy collides with its twin, and the two
+    // copies merge into one contiguous span
+    val run = (0 until 15).map(i => s"r$i").mkString(" ")
+    val out = Dedup.duplicatedSpans(docsDf(Seq(
+        1L -> (run + " " + run + " " + (0 until 12).map(i => s"u$i").mkString(" ")))),
+        w = 15)
+      .collect().map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+    assert(out.toSeq === Seq((0L, 29L)), "both copies of the run merge into one span")
+  }
 }
