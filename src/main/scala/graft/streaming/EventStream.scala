@@ -66,6 +66,49 @@ object EventStream {
       .select(col("window.start").as("minute"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming sessionization — the q16 gaps-and-islands operator in
+    * its native Structured Streaming form: `session_window` merges
+    * events within a 30-minute inactivity gap and the watermark closes
+    * a session once no on-time event can extend it, so the state store
+    * holds OPEN sessions only (bounded by active users x gap, never by
+    * history). Batch q16 numbers islands over the full log; here the
+    * same islands emit incrementally with `session_end` = last event
+    * ts + gap.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Stream-stream interval join: correlate each event with the same
+    * user's delivery confirmations arriving within the hour after it
+    * (the D1 delivery-receipt correlation, as two live streams).
+    * Watermarks on BOTH sides plus the time-interval condition let
+    * Spark evict join state: each side buffers only rows younger than
+    * watermark + interval, so state is bounded by stream rate, not
+    * retention. The equality key routes both streams through one hash
+    * shuffle; the range predicate filters within each key partition.
+    */
+  def confirmationJoin(events: DataFrame, confirms: DataFrame): DataFrame = {
+    val e = events.withWatermark("ts", "10 minutes")
+      .select(col("message_id"), col("user_id"), col("ts"))
+    val c = confirms.withWatermark("confirm_ts", "10 minutes")
+      .select(col("confirm_user_id"), col("confirm_id"), col("confirm_ts"))
+    e.join(c,
+      col("user_id") === col("confirm_user_id") &&
+        col("confirm_ts") >= col("ts") &&
+        col("confirm_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("message_id"), col("user_id"), col("ts"),
+        col("confirm_id"), col("confirm_ts"))
+  }
+
   /** Bucket count for the tracks-table layout. Each micro-batch merge
     * rewrites only the buckets its ids hash into, so per-batch IO is
     * bounded by touched partitions, not table size. 32 here (tests +

@@ -394,6 +394,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: watermark closes islands like the batch gaps-and-islands") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.sessionAgg(input.toDF())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // u1: two events 10 min apart (one session), then a 40-min gap
+      // opens a second session; u2: a lone event
+      input.addData(
+        ev("m1", "2024-01-01 00:00:00", "u1", "view", 1.0),
+        ev("m2", "2024-01-01 00:10:00", "u1", "view", 2.0),
+        ev("m3", "2024-01-01 00:50:00", "u1", "view", 4.0),
+        ev("m4", "2024-01-01 00:05:00", "u2", "click", 8.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close every session above
+      input.addData(ev("flush", "2024-01-01 09:00:00", "u9", "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      // session_end = last event + 30-min gap
+      assert(out === Set(
+        ("u1", t("2024-01-01 00:00:00"), t("2024-01-01 00:40:00"), 2L, 3.0),
+        ("u1", t("2024-01-01 00:50:00"), t("2024-01-01 01:20:00"), 1L, 4.0),
+        ("u2", t("2024-01-01 00:05:00"), t("2024-01-01 00:35:00"), 1L, 8.0)))
+      // the flush event's own session is still open, so it never emitted
+      assert(!out.exists(_._1 == "u9"))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join buffers across micro-batches and drops out-of-window pairs") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val evIn = MemoryStream[Ev]
+    val cfIn = MemoryStream[(String, String, Timestamp)]
+    val confirms = cfIn.toDF()
+      .toDF("confirm_user_id", "confirm_id", "confirm_ts")
+    val q = EventStream.confirmationJoin(evIn.toDF(), confirms)
+      .writeStream.format("memory").queryName("join_out").outputMode("append").start()
+    try {
+      evIn.addData(
+        ev("m1", "2024-01-01 00:00:00", "u1", "purchase", 10.0),
+        ev("m2", "2024-01-01 00:00:00", "u2", "purchase", 20.0))
+      q.processAllAvailable()
+      // later micro-batch: c1 inside m1's hour (joins via buffered
+      // state), c2 two hours after m2 (out of window), c3 before m1
+      // (confirm precedes the event -> no match)
+      cfIn.addData(
+        ("u1", "c1", t("2024-01-01 00:30:00")),
+        ("u2", "c2", t("2024-01-01 02:00:00")),
+        ("u1", "c3", t("2023-12-31 23:59:00")))
+      q.processAllAvailable()
+      val out = spark.table("join_out")
+        .select("message_id", "confirm_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out === Set(("m1", "c1")))
+    } finally q.stop()
+  }
+
   test("D2 order barrier on transformWithState matches the fMGWS semantics") {
     val sess = spark
     import sess.implicits._
