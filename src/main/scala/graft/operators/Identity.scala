@@ -40,32 +40,43 @@ object Identity {
     *         comp = min reachable node, iterations run)
     */
   def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    def prof[T](label: String)(f: => T): T =
+      if (sys.props.contains("graft.cc.profile")) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[ccprof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      } else f
     val spark = edges.sparkSession
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-checkpoints")
 
-    val e = edges.toDF("sa", "sb")
+    // The input edge plan is typically expensive (a distinct over the
+    // raw event scan, or a verified near-dup join) and feeds several
+    // downstream plans here (node dictionary builds, the encode join,
+    // the symmetrization) — each a separate action that would recompute
+    // it from scratch. Materialize it once.
+    val e = edges.toDF("sa", "sb").persist(StorageLevel.MEMORY_AND_DISK)
     // Numeric node ids propagate as-is; everything else (merge-
-    // property strings) is dictionary-encoded to dense longs so every
-    // CC shuffle carries 8-byte keys. Encoding order preserves value
-    // order (min(nid) <=> min(original)), via a range-partitioned sort
-    // + zipWithIndex — fully parallel, unlike a global row_number
-    // window which would funnel all nodes through one partition.
+    // property strings) is dictionary-encoded to longs so every CC
+    // shuffle carries 8-byte keys. The ids carry NO order — they come
+    // from monotonically_increasing_id on the distinct node set, which
+    // costs one hash shuffle and no global sort (a sort-based dense
+    // encoding range-partitions every node — needless at any scale,
+    // dominant at 100 TB). The value-domain `comp = min(original)`
+    // contract is restored at decode time by one min-string aggregate
+    // per component. The dictionary is eagerly checkpointed to
+    // reliable storage because the ids are partition-layout-dependent:
+    // a lazy cache rebuilt after block loss could re-number nodes
+    // mid-run.
     val numericInput = e.schema.fields.forall(
       _.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val nodes =
       if (numericInput) null
-      else {
-        import org.apache.spark.sql.Row
-        import org.apache.spark.sql.types.LongType
-        val distinctNodes = e.select(col("sa").as("s"))
-          .union(e.select(col("sb").as("s"))).distinct().orderBy(col("s"))
-        val schema = distinctNodes.schema.add("nid", LongType)
-        spark.createDataFrame(
-          distinctNodes.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i + 1L) },
-          schema).persist(StorageLevel.MEMORY_AND_DISK)
-      }
+      else prof("node dict")(
+        e.select(col("sa").as("s"))
+          .union(e.select(col("sb").as("s"))).distinct()
+          .withColumn("nid", monotonically_increasing_id() + 1L)
+          .checkpoint())
     val enc =
       if (numericInput)
         e.select(col("sa").cast("long").as("a"), col("sb").cast("long").as("b"))
@@ -82,7 +93,7 @@ object Identity {
     // 10k-edge graph over 32 session partitions runs ~100 near-empty
     // tasks per round; a 100 TB graph keeps full parallelism
     // (~500k edges per partition target).
-    val edgeCount = sym.count()
+    val edgeCount = prof("sym count")(sym.count())
     val parts = math.max(2, math.min(
       spark.sparkContext.defaultParallelism * 2,
       (edgeCount / 500000L).toInt + 1))
@@ -100,7 +111,7 @@ object Identity {
       .union(sym.select(col("a").as("node"), col("a").as("comp")))
       .groupBy(col("node")).agg(min(col("comp")).as("comp"))
       .checkpoint()
-    var prevSum = compSum(labels)
+    var prevSum = prof("labels0 + sum")(compSum(labels))
     var prevCached: DataFrame = null
     var converged = false
     var i = 0
@@ -123,7 +134,7 @@ object Identity {
       val next =
         if ((i + 1) % ckptInterval == 0) nextRaw.checkpoint()
         else nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = compSum(next) // materializes next
+      val newSum = prof("round")(compSum(next)) // materializes next
       gathered.unpersist()
       if (prevCached != null) { prevCached.unpersist(); prevCached = null }
       if ((i + 1) % ckptInterval != 0) prevCached = next
@@ -134,14 +145,22 @@ object Identity {
     }
     val decoded =
       if (numericInput) labels
-      else labels
-        .join(nodes.withColumnRenamed("nid", "node"), "node")
-        .join(nodes.select(col("nid").as("comp"), col("s").as("comp_s")), "comp")
-        .select(col("s").as("node"), col("comp_s").as("comp"))
-    val out = decoded.checkpoint() // reliable; materialize before freeing inputs
+      else {
+        // decode AND canonicalize: the internal component id is
+        // order-free, so the value-domain label is recomputed as the
+        // min original string over each component's members — one
+        // groupBy on the mappings (linear, same key as the final join)
+        val members = labels.join(nodes.withColumnRenamed("nid", "node"), "node")
+        val canon = members.groupBy(col("comp")).agg(min(col("s")).as("comp_s"))
+        members.join(canon, "comp")
+          .select(col("s").as("node"), col("comp_s").as("comp"))
+      }
+    val out = prof("decode+ckpt")(decoded.checkpoint()) // reliable; materialize before freeing inputs
     spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
+    e.unpersist()
     sym.unpersist()
-    if (nodes != null) nodes.unpersist()
+    // `nodes` is checkpointed, not cached; its files are reclaimed by
+    // the reference-tracking checkpoint cleaner
     if (prevCached != null) prevCached.unpersist()
     (out, i)
   }
