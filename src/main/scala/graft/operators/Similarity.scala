@@ -189,6 +189,108 @@ object Similarity {
           col("x.bucket").as("bucket"))
     }),
 
+    // Scalar-quantized ANN (SQ8 codes + exact rerank) — the
+    // memory-scale retrieval path: every float dim compresses to an
+    // int8-range code against the corpus-wide per-dimension (min, max)
+    // envelope (a 4x smaller index: 100 TB of float32 vectors becomes
+    // ~25 TB of codes), candidates rank by the integer code dot
+    // product, and only the top-20 per query are reranked with the
+    // exact double cosine. The range envelope is 64 (lo, span) pairs —
+    // model-sized driver state exactly like ll4b's centroids; coding
+    // is a narrow map, and the search is the same broadcast-query scan
+    // as ll3 but arithmetic-light until the 20-candidate rerank.
+    // Quantization, code dots and the rerank are exact integer /
+    // element-order double math, so the oracle replays the full
+    // two-stage retrieval bit-for-bit.
+    "ll16_quantized_ann" -> ((s, dir) => {
+      val dim = 64
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qe = base.withColumn("q",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // range scan + coding scan
+      val rng = qe.agg(
+        min(col("q")(0)).as("lo0"),
+        (1 until dim).map(i => min(col("q")(i)).as(s"lo$i")) ++
+          (0 until dim).map(i => max(col("q")(i)).as(s"hi$i")): _*).first()
+      val lo = (0 until dim).map(i => rng.getAs[Long](s"lo$i")).toArray
+      val span = (0 until dim).map(i =>
+        math.max(1L, rng.getAs[Long](s"hi$i") - lo(i))).toArray
+      // candidate scoring reconstructs each dim from its code in the
+      // 255x-scaled integer domain (dq = lo*255 + code*span) so the
+      // approximate cosine is exact integer dots over the DECODED
+      // values — raw code-domain dots drop the per-dim affine shift
+      // and the norm, and misrank badly (recall@5 measured 0.1)
+      val coded = qe.withColumn("code",
+        expr(s"zip_with(zip_with(q, array(${lo.mkString(",")}), (x, l) -> x - l), " +
+          s"array(${span.mkString(",")}), (x, sp) -> (x * 255) div sp)"))
+        .select(col("vec_id"), col("code"))
+      val dqed = coded.withColumn("dq",
+        expr(s"zip_with(zip_with(code, array(${span.mkString(",")}), (c, sp) -> c * sp), " +
+          s"array(${lo.mkString(",")}), (x, l) -> x + l * 255)"))
+        .withColumn("dqn",
+          expr("aggregate(transform(dq, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .select(col("vec_id"), col("dq"), col("dqn"))
+      val probes = dqed.select(col("vec_id").as("query_id"), col("dq").as("q_dq"),
+        col("dqn").as("q_dqn")).filter(col("query_id") < 10)
+      val cand = dqed.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+        .withColumn("approx",
+          expr("aggregate(zip_with(q_dq, dq, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)") /
+            sqrt(col("q_dqn").cast("double") * col("dqn").cast("double")))
+      val wApprox = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("vec_id").asc)
+      val top20 = cand.withColumn("arank", row_number().over(wApprox))
+        .filter(col("arank") <= 20)
+        .select(col("query_id"), col("vec_id"))
+      val e = withNorm(base)
+      val scored = top20
+        .join(e, "vec_id")
+        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm")), "query_id")
+        .withColumn("dot", dotExpr("q_emb", "embedding"))
+        .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+      topK(scored, 5)
+    }),
+
+    // SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    // arXiv:2303.09540): cluster the corpus (here the deterministic
+    // 8-hyperplane LSH buckets stand in for the paper's k-means
+    // cells), pick one representative per cluster (lowest vec_id),
+    // and drop every other member whose exact cosine to the
+    // representative clears 0.9. Unlike pairwise near-dup (ll8) this
+    // never joins members to members — each vector compares to
+    // exactly ONE representative, so the 100 TB plan is
+    // corpus-linear: one bucket shuffle, one representative join
+    // (corpus/256 reps — broadcastable far beyond this SF), one
+    // codegen'd cosine per vector. Same two-crawl corpus as ll8 so
+    // true semantic dups exist.
+    "ll17_semantic_dedup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val perturbed = base.select((col("vec_id") + 10000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i < 32, CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT), x))")
+          .as("embedding"))
+      val e = withNorm(base.unionByName(perturbed))
+      val dims = 64
+      val withDots = (0 until 8).foldLeft(e) { (df, j) =>
+        df.withColumn(s"d$j", dotExpr("embedding", s"array(${hyperplane(j, dims).mkString(",")})"))
+      }
+      val bucketed = withDots
+        .withColumn("bucket",
+          (0 until 8).map(j =>
+            when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // members scan + reps extract
+      val reps = bucketed.groupBy(col("bucket")).agg(min(col("vec_id")).as("rep_id"))
+        .select(col("rep_id")) // rep membership implies its bucket
+      val repVecs = bucketed.join(broadcast(reps), col("vec_id") === col("rep_id"))
+        .select(col("bucket"), col("rep_id"), col("embedding").as("rep_emb"),
+          col("nrm").as("rep_nrm"))
+      bucketed.join(broadcast(repVecs), "bucket")
+        .withColumn("rep_sim", dotExpr("embedding", "rep_emb") / sqrt(col("nrm") * col("rep_nrm")))
+        .select(col("vec_id"), col("bucket"), col("rep_id"),
+          (col("vec_id") === col("rep_id") || col("rep_sim") < 0.9).as("kept"))
+    }),
+
     // Embedding OUTLIER filtering — the embedding-space quality gate:
     // per-label centroid over integer-quantized vectors, exact squared
     // L2 distance of each vector to its label's centroid, outlier =
@@ -386,6 +488,92 @@ object Similarity {
           b AS (SELECT vec_id, CAST($bitsSql AS BIGINT) AS bucket FROM d)
           SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
           FROM b GROUP BY bucket"""
+    },
+
+    // Full two-stage replay: per-dim range envelope, int8-range codes,
+    // integer code-dot candidate ranking (top-20), exact-cosine rerank
+    // (top-5) — bit-for-bit the plan ll16 runs.
+    "ll16_quantized_ann" ->
+      s"""WITH qe AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM embeddings),
+          rngd AS (SELECT dim.i AS i, MIN(q[dim.i]) AS lo,
+                     GREATEST(MAX(q[dim.i]) - MIN(q[dim.i]), 1) AS span
+                   FROM qe, (SELECT unnest(range(1, 65)) AS i) dim GROUP BY dim.i),
+          env AS (SELECT list(lo ORDER BY i) AS lo, list(span ORDER BY i) AS span
+                  FROM rngd),
+          coded AS (SELECT vec_id,
+                      list_transform(range(1, 65),
+                        i -> ((q[i] - lo[i]) * 255) // span[i]) AS code
+                    FROM qe CROSS JOIN env),
+          dqed AS (SELECT vec_id,
+                     list_transform(range(1, 65),
+                       i -> code[i] * span[i] + lo[i] * 255) AS dq
+                   FROM coded CROSS JOIN env),
+          dqn AS (SELECT vec_id, dq,
+                    list_sum(list_transform(dq, x -> x * x)) AS dqn FROM dqed),
+          cand AS (SELECT p.vec_id AS query_id, c.vec_id,
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> p.dq[i] * c.dq[i])) AS DOUBLE)
+                     / sqrt(CAST(p.dqn AS DOUBLE) * CAST(c.dqn AS DOUBLE)) AS approx
+                   FROM dqn p, dqn c
+                   WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+          t20 AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY approx DESC, vec_id) AS arank
+                    FROM cand) WHERE arank <= 20),
+          e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+          scored AS (SELECT t.query_id, t.vec_id,
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))
+                         / sqrt(qv.nrm * cv.nrm) AS sim
+                     FROM t20 t
+                     JOIN e cv ON cv.vec_id = t.vec_id
+                     JOIN e qv ON qv.vec_id = t.query_id)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+          FROM (SELECT query_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rank
+                FROM scored)
+          WHERE rank <= 5""",
+
+    // Mirrors ll17: same two-crawl corpus and hyperplane buckets as
+    // ll8's oracle, lowest-member representative per bucket, exact
+    // cosine vs the representative decides the keep verdict.
+    "ll17_semantic_dedup" -> {
+      val bitsSql = (0 until 8).map(j =>
+        s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      val dotsSql = (0 until 8).map { j =>
+        s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * hv$j[i])) AS d$j"
+      }.mkString(", ")
+      val hvDefs = (0 until 8).map { j =>
+        s"[${hyperplane(j, 64).mkString(", ")}]::DOUBLE[] AS hv$j"
+      }.mkString(", ")
+      s"""WITH h AS (SELECT $hvDefs),
+          corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000,
+              list_transform(range(1, 65),
+                i -> CASE WHEN i <= 32
+                          THEN CAST(CAST(embedding[i] AS DOUBLE) * 1.1 AS FLOAT)
+                          ELSE embedding[i] END)
+            FROM embeddings),
+          d AS (SELECT vec_id, embedding, $normSql AS nrm, $dotsSql
+                FROM corpus, h),
+          b AS (SELECT vec_id, embedding, nrm,
+                  CAST($bitsSql AS BIGINT) AS bucket FROM d),
+          reps AS (SELECT bucket, MIN(vec_id) AS rep_id FROM b GROUP BY bucket),
+          rv AS (SELECT r.bucket, r.rep_id, m.embedding AS rep_emb, m.nrm AS rep_nrm
+                 FROM reps r JOIN b m ON m.vec_id = r.rep_id)
+          SELECT m.vec_id, m.bucket, rv.rep_id,
+            (m.vec_id = rv.rep_id OR
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(m.embedding[i] AS DOUBLE) * CAST(rv.rep_emb[i] AS DOUBLE)))
+             / sqrt(m.nrm * rv.rep_nrm) < 0.9) AS kept
+          FROM b m JOIN rv ON m.bucket = rv.bucket"""
     }
   )
 }

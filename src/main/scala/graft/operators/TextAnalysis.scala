@@ -209,6 +209,70 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("bucket"))
     }),
 
+    // Model-based quality classification — fastText-shaped inference
+    // (Joulin et al. 2016, arXiv:1607.01759): features are hashed word
+    // unigrams + adjacent bigrams (feature hashing into 256 buckets),
+    // the "trained" model is a bucket -> integer-weight table
+    // (deterministically derived here; a real training run would only
+    // change the table's VALUES, not this plan), and a document's
+    // score is the exact integer sum of its features' weights. The
+    // model rides a BROADCAST hash join — at 100 TB inference is one
+    // codegen'd feature map over text plus a broadcast lookup; the
+    // only shuffle is the per-doc score aggregation, and the model
+    // table scales with vocabulary buckets, not corpus size.
+    "ta10_quality_classifier" -> ((s, dir) => {
+      val k = 256
+      val weights = s.range(k).select(col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w"), col("id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000).as("w"))
+      val feats = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "concat(ws, IF(size(ws) >= 2, " +
+            "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1])), " +
+            "CAST(array() AS ARRAY<STRING>)))")).as("f"))
+        .withColumn("bucket",
+          conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % k)
+      feats.join(broadcast(weights), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w")).as("score"), count(lit(1)).as("n_feats"))
+        .withColumn("verdict",
+          when(col("score") > 0, lit("keep")).otherwise(lit("drop")))
+    }),
+
+    // Temperature-weighted DOMAIN MIXING — the multi-source sampling
+    // step of a training-data pipeline (alpha = 0.5 upsampling of
+    // small domains, the multilingual-LM recipe): each language
+    // stratum gets a quota proportional to sqrt(its document count),
+    // filled by the stratum's lowest-md5 documents, so the mix is
+    // reproducible across runs and engines and composes under union.
+    // Quota arithmetic is exact integer (floor(sqrt) weights, integer
+    // cross-multiplication over an integer weight total — no
+    // float-sum ordering anywhere); the per-stratum weights are
+    // model-sized driver state exactly like ta8's unigram total. The
+    // ranking window shuffles by lang — few strata at any scale, so
+    // a 100 TB run pre-filters with a per-stratum hash threshold
+    // (ta9's zero-shuffle pattern) and ranks only the boundary
+    // slice; the exact-quota semantics stay identical.
+    "ta11_domain_mix" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      val target = counts.map(_._2).sum / 2
+      val wts = counts.map { case (l, n) => (l, math.sqrt(n.toDouble).toLong) }
+      val wsum = wts.map(_._2).sum
+      val quotas = wts.map { case (l, w) => (l, target * w / wsum) }
+      import s.implicits._
+      val qdf = quotas.toDF("lang", "quota")
+      val rk = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(rk).cast("long"))
+        .join(broadcast(qdf), "lang")
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("rk"), col("quota"))
+    }),
+
     // Winnowing fingerprint: md5 of word bigrams, min-hash per sliding
     // window of 4 positions, distinct mins = the document fingerprint.
     "ta4_fingerprint" -> ((s, dir) => {
@@ -317,6 +381,35 @@ object TextAnalysis {
            CAST(CAST(SUM(total // c) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_rarity
          FROM tok JOIN cnt USING (w) CROSS JOIN tot
          GROUP BY doc_id""",
+    "ta10_quality_classifier" ->
+      """WITH w AS (SELECT bucket,
+             CAST(CAST('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 8) AS UBIGINT)
+               % 2001 AS BIGINT) - 1000 AS w
+           FROM range(256) t(bucket)),
+         f AS (SELECT doc_id,
+                 unnest(list_concat(ws,
+                   list_transform(range(len(ws) - 1),
+                     i -> ws[i + 1] || ' ' || ws[i + 2]))) AS f
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         fb AS (SELECT doc_id,
+                  CAST(CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) % 256 AS BIGINT)
+                    AS bucket
+                FROM f)
+         SELECT doc_id, CAST(SUM(w.w) AS BIGINT) AS score, COUNT(*) AS n_feats,
+           CASE WHEN CAST(SUM(w.w) AS BIGINT) > 0 THEN 'keep' ELSE 'drop' END AS verdict
+         FROM fb JOIN w USING (bucket) GROUP BY doc_id""",
+    "ta11_domain_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+         t AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum,
+                 (SELECT COUNT(*) // 2 FROM documents) AS target FROM w),
+         q AS (SELECT lang, CAST((target * w) // wsum AS BIGINT) AS quota
+               FROM w CROSS JOIN t),
+         r AS (SELECT doc_id, lang,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+               FROM documents)
+         SELECT doc_id, lang, rk, quota FROM r JOIN q USING (lang) WHERE rk <= quota""",
     "ta9_stratified_sample" ->
       """SELECT doc_id, lang, bucket FROM (
            SELECT doc_id, lang,

@@ -66,6 +66,23 @@ class PlanSpec extends SparkSpec {
       s"only the bucket-totals prefix window may funnel to one partition:\n$plan")
   }
 
+  test("ta10 classifier inference: the model table broadcasts, never shuffles the corpus") {
+    val plan = planOf("ta10_quality_classifier")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bucket->weight model must ride a broadcast join; a shuffle join " +
+        "would repartition every feature instance of the corpus")
+  }
+
+  test("ll17 semantic dedup: member-vs-representative joins broadcast (corpus-linear)") {
+    val plan = planOf("ll17_semantic_dedup")
+    assert(plan.contains("BroadcastHashJoin"),
+      "representatives are corpus/256 — they must broadcast so members " +
+        "never shuffle; a member-member pair join here is the O(n^2) bug " +
+        "this operator exists to avoid")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join may appear in the semantic-dedup plan")
+  }
+
   test("bucketed tracks read is partition-pruned to the touched buckets") {
     val sess = spark
     import sess.implicits._

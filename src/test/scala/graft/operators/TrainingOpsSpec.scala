@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-5 training-pipeline operators: quantized
+  * two-stage ANN, semantic dedup, classifier inference, domain mixing.
+  * (Value-level correctness is pinned by the DuckDB oracle gate; these
+  * pin the algorithmic properties the oracle can't express.)
+  */
+class TrainingOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def run(name: String) = {
+    assume(new java.io.File(sfDir).exists())
+    SparkEntry.queries(name)(spark, sfDir)
+  }
+
+  test("ll16 quantized ANN: high recall@5 against the exact brute-force baseline") {
+    val exact = run("ll3_ann_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = run("ll16_quantized_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    // int8-range codes + top-20 rerank keep nearly all true neighbors;
+    // anything below 0.8 means the quantizer or rerank regressed
+    assert(recall >= 0.8, s"recall@5 = $recall")
+    // two-stage output is still exactly 5 per query
+    assert(sq.size === exact.size)
+  }
+
+  test("ll17 semantic dedup: reps always kept, drops only above-threshold members") {
+    val out = run("ll17_semantic_dedup")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // every row's representative is the min vec_id of its bucket
+    val minByBucket = rows.groupBy(_._2).map { case (b, rs) => b -> rs.map(_._1).min }
+    rows.foreach { case (_, b, rep, _) => assert(rep === minByBucket(b)) }
+    // representatives themselves are kept
+    rows.filter(r => r._1 == r._3).foreach { case (v, _, _, kept) =>
+      assert(kept, s"rep $v dropped")
+    }
+    // the perturbed twin construction guarantees some semantic dups exist
+    assert(rows.exists(!_._4), "no member was ever dropped — corpus construction broken")
+  }
+
+  test("ta10 classifier: feature count is exactly unigrams + adjacent bigrams") {
+    val nWords = run("ta10_quality_classifier")
+      .join(graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw")),
+        "doc_id")
+      .select(col("n_feats"), col("nw")).collect()
+    nWords.foreach { r =>
+      val (nf, nw) = (r.getLong(0), r.getLong(1))
+      assert(nf === (if (nw >= 2) 2 * nw - 1 else nw))
+    }
+  }
+
+  test("ta11 domain mix: per-stratum output fills min(quota, stratum size)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val strata = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = run("ta11_domain_mix").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byLang = out.groupBy(_._2)
+    byLang.foreach { case (lang, rs) =>
+      val quota = rs.head._4
+      assert(rs.length.toLong === math.min(quota, strata(lang)))
+      // ranks are exactly 1..kept with no gaps
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // sqrt temperature upsamples small strata: the sampled fraction of
+    // the smallest stratum is >= that of the largest
+    val smallest = strata.minBy(_._2)._1
+    val largest = strata.maxBy(_._2)._1
+    if (smallest != largest && byLang.contains(smallest) && byLang.contains(largest)) {
+      val fSmall = byLang(smallest).length.toDouble / strata(smallest)
+      val fLarge = byLang(largest).length.toDouble / strata(largest)
+      assert(fSmall >= fLarge)
+    }
+  }
+}
