@@ -22,11 +22,18 @@ object ProfileCc {
       val t0 = System.nanoTime(); val r = f
       println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val edges = Tables.events(spark, sfDir)
-      .select(
-        concat(lit("anon_"), (col("user_id") % 37).cast("string")).as("src"),
-        concat(lit("user_"), col("user_id").cast("string")).as("dst"))
-      .distinct()
+    val ev = Tables.events(spark, sfDir)
+    val edges =
+      if (args.contains("numeric")) {
+        // the l8 shape: numeric ids, two hub families per user
+        val e1 = ev.select((col("user_id") + 100000L).as("src"), (col("user_id") % 37).as("dst"))
+        val e2 = ev.select((col("user_id") + 100000L).as("src"), (col("user_id") % 53 + 1000L).as("dst"))
+        e1.union(e2).distinct()
+      } else ev
+        .select(
+          concat(lit("anon_"), (col("user_id") % 37).cast("string")).as("src"),
+          concat(lit("user_"), col("user_id").cast("string")).as("dst"))
+        .distinct()
     time("edges materialize")(edges.count())
     val (labels, iters) = time("cc total")(
       operators.Identity.connectedComponentsWithStats(edges))

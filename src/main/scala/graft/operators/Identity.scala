@@ -11,30 +11,34 @@ import org.apache.spark.storage.StorageLevel
   * incremental union-find over rudder_identity_merge_rules producing
   * the rudder_identity_mappings table).
   *
-  * Spark-first re-expression: min-label propagation with pointer
-  * jumping over the edge DataFrame. Cluster-grade harness:
+  * Spark-first re-expression: the alternating large-star/small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) over the edge DataFrame. Round count is
+  * O(log² n) INDEPENDENT of graph diameter — the property that
+  * matters for identity graphs, whose anon↔user↔device chains grow
+  * arbitrarily long (min-label propagation, the previous engine here,
+  * is O(diameter) rounds: a 100k-hop chain means 100k shuffles; this
+  * converges on it in 18). Cluster-grade harness:
   *   - merge-property strings are dictionary-encoded to dense longs up
-  *     front (one sort + row_number), so every CC shuffle carries
-  *     8-byte keys instead of strings — the right layout for a 100 TB
-  *     identity graph — and the original values are joined back once
-  *     at the end;
-  *   - per-round label tables are RELIABLY checkpointed
-  *     (sc.setCheckpointDir + checkpoint(), not localCheckpoint, which
-  *     stores blocks on executors and dies with one executor loss);
-  *   - `gathered` is persisted before the shortcut self-join (it feeds
-  *     the join twice) and unpersisted after the round, so executor
-  *     storage stays O(1) in the iteration count;
+  *     front, so every CC shuffle carries 8-byte keys instead of
+  *     strings — the right layout for a 100 TB identity graph — and
+  *     the original values are joined back once at the end;
+  *   - every round's edge table is materialized to scratch parquet
+  *     under the checkpoint dir (write + schema'd read-back): lineage
+  *     AND Catalyst plan reset to a fresh scan each round, the plan
+  *     runs exactly once, and recovery reads shared storage rather
+  *     than replaying the whole iteration after an executor loss;
   *   - convergence is read from the SAME action that materializes the
-  *     round: labels only decrease under min-propagation, so
-  *     sum(comp) is strictly monotone until fixpoint — no extra
-  *     join-and-count job per round.
-  * Pointer jumping halves label-chain length per round →
-  * O(log diameter) shuffles (IdentitySpec asserts ≤ 14 rounds on a
-  * 1000-hop path).
+  *     round: both star operations map min-rooted stars to themselves,
+  *     so the edge set is a fixpoint exactly at convergence — detected
+  *     by a (count, xor-of-edge-hashes) set signature going stable, no
+  *     extra join-and-count job per round.
+  * IdentitySpec asserts ≤ 14 rounds on a 1000-hop path and ≤ 4 on a
+  * 500-leaf star.
   */
 object Identity {
 
-  /** Min-label connected components over any orderable node type.
+  /** Connected components over any orderable node type.
     * @param edges two-column DataFrame (src, dst), undirected.
     * @return ((node, comp) DataFrame in the input value domain where
     *         comp = min reachable node, iterations run)
@@ -50,11 +54,35 @@ object Identity {
       spark.sparkContext.setCheckpointDir(
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-checkpoints")
 
+    // Round materialization: scratch parquet (write + read-back with
+    // the writer's schema), NOT Dataset.checkpoint()/persist(). A
+    // parquet round-trip truncates BOTH the RDD lineage and the
+    // Catalyst plan (the read-back is a fresh LogicalRelation), runs
+    // the plan exactly once (eager RDD checkpoint recomputes it for
+    // the checkpoint job), survives executor loss on shared storage,
+    // and never touches the cache manager — whose dependent-plan
+    // rewrites made per-round eager checkpoints here cost 10-30 s on
+    // a 240-node graph. The explicit read schema makes an EMPTY edge
+    // set round-trippable (no schema inference over zero part files).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val scratch = spark.sparkContext.getCheckpointDir.get +
+      "/cc-scratch-" + java.util.UUID.randomUUID().toString.take(8)
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      val p = s"$scratch/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.schema(df.schema).parquet(p)
+    }
+    def rmScratch(name: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(
+        if (name.isEmpty) scratch else s"$scratch/$name")
+      p.getFileSystem(hconf).delete(p, true); ()
+    }
+
     // The input edge plan is typically expensive (a distinct over the
     // raw event scan, or a verified near-dup join) and feeds several
     // downstream plans here (node dictionary builds, the encode join,
-    // the symmetrization) — each a separate action that would recompute
-    // it from scratch. Materialize it once.
+    // the canonicalization) — each a separate action that would
+    // recompute it from scratch. Materialize it once.
     val e = edges.toDF("sa", "sb").persist(StorageLevel.MEMORY_AND_DISK)
     // Numeric node ids propagate as-is; everything else (merge-
     // property strings) is dictionary-encoded to longs so every CC
@@ -64,19 +92,17 @@ object Identity {
     // encoding range-partitions every node — needless at any scale,
     // dominant at 100 TB). The value-domain `comp = min(original)`
     // contract is restored at decode time by one min-string aggregate
-    // per component. The dictionary is eagerly checkpointed to
-    // reliable storage because the ids are partition-layout-dependent:
-    // a lazy cache rebuilt after block loss could re-number nodes
-    // mid-run.
+    // per component. The dictionary is materialized to scratch because
+    // the ids are partition-layout-dependent: a lazy cache rebuilt
+    // after block loss could re-number nodes mid-run.
     val numericInput = e.schema.fields.forall(
       _.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val nodes =
       if (numericInput) null
-      else prof("node dict")(
+      else prof("node dict")(materialize(
         e.select(col("sa").as("s"))
           .union(e.select(col("sb").as("s"))).distinct()
-          .withColumn("nid", monotonically_increasing_id() + 1L)
-          .checkpoint())
+          .withColumn("nid", monotonically_increasing_id() + 1L), "nodes"))
     val enc =
       if (numericInput)
         e.select(col("sa").cast("long").as("a"), col("sb").cast("long").as("b"))
@@ -84,65 +110,81 @@ object Identity {
         .join(nodes.withColumnRenamed("s", "sa").withColumnRenamed("nid", "a"), "sa")
         .join(nodes.withColumnRenamed("s", "sb").withColumnRenamed("nid", "b"), "sb")
         .select(col("a"), col("b"))
-    val sym = enc.union(enc.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Node domain BEFORE dropping self-loops: a node seen only as
+    // (x, x) still owes itself a mapping row.
+    val allNodes =
+      if (numericInput)
+        enc.select(col("a").as("node")).union(enc.select(col("b").as("node"))).distinct()
+      else nodes.select(col("nid").as("node"))
 
-    // Initial labels already fold in the first gather round:
-    // comp0(n) = min(n, neighbors(n)) — one fewer loop iteration.
+    // Canonical undirected form: (a, b) with a > b, self-loops dropped,
+    // duplicates collapsed. Both star operations preserve this form.
+    var cur = prof("canonicalize")(materialize(
+      enc.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .distinct(), "r0"))
+
     // Size the per-round shuffles to the graph, not the session: a
     // 10k-edge graph over 32 session partitions runs ~100 near-empty
     // tasks per round; a 100 TB graph keeps full parallelism
     // (~500k edges per partition target).
-    val edgeCount = prof("sym count")(sym.count())
+    val edgeCount = prof("edge count")(cur.count())
     val parts = math.max(2, math.min(
       spark.sparkContext.defaultParallelism * 2,
-      (edgeCount / 500000L).toInt + 1))
+      (edgeCount * 2 / 500000L).toInt + 1))
     val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
 
-    // null-safe: an EMPTY edge set (a clean corpus in ll9's cluster
-    // resolution) sums to null, not 0 — the loop below then converges
-    // immediately on the empty label table instead of throwing
-    def compSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("comp"))).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // Edge-SET signature: cardinality + xor of per-edge hashes. XOR
+    // never overflows (sum would, under ANSI), and distinct() above
+    // guarantees set — not multiset — semantics, where xor is a sound
+    // fingerprint. Stars are fixpoints of large∘small, so a stable
+    // signature IS convergence (collision odds ~2^-64).
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var labels = sym.select(col("a").as("node"), col("b").as("comp"))
-      .union(sym.select(col("a").as("node"), col("a").as("comp")))
-      .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-      .checkpoint()
-    var prevSum = prof("labels0 + sum")(compSum(labels))
-    var prevCached: DataFrame = null
-    var converged = false
+
+    // large-star: every node u links its strictly-larger neighbors to
+    // m(u) = min(Γ(u) ∪ {u}). Emitted pairs have a = v > u ≥ m = b.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // small-star: every node a links its (all smaller) neighbors and
+    // itself to m(a) = min neighbor. Emitted pairs keep a > b.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val m = edges.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val viaB = edges.join(m, "a").filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val viaA = m.select(col("a"), col("m").as("b"))
+      viaB.union(viaA).distinct()
+    }
+
+    var prevSig = prof("sig0")(signature(cur))
+    var converged = edgeCount == 0L
     var i = 0
-    val ckptInterval = 3 // reliable checkpoint every N rounds (GraphX-style);
-                         // persisted rounds in between keep lineage <= 2N joins
     while (!converged && i < maxIter) {
-      // gather: candidate label = min(own, neighbors' labels)
-      val gathered = sym
-        .join(labels.withColumnRenamed("node", "b_node"), col("b") === col("b_node"))
-        .select(col("a").as("node"), col("comp"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // shortcut (pointer jumping): comp(n) := comp(comp(n))
-      val nextRaw = gathered.alias("l")
-        .join(gathered.select(col("node").as("c_node"), col("comp").as("c_comp")),
-          col("l.comp") === col("c_node"), "left")
-        .select(col("l.node").as("node"),
-          least(col("l.comp"), coalesce(col("c_comp"), col("l.comp"))).as("comp"))
-      val next =
-        if ((i + 1) % ckptInterval == 0) nextRaw.checkpoint()
-        else nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = prof("round")(compSum(next)) // materializes next
-      gathered.unpersist()
-      if (prevCached != null) { prevCached.unpersist(); prevCached = null }
-      if ((i + 1) % ckptInterval != 0) prevCached = next
-      labels = next
-      converged = newSum == prevSum // min-propagation: sum strictly decreases until fixpoint
-      prevSum = newSum
+      val next = prof("round")(materialize(smallStar(largeStar(cur)), s"r${i + 1}"))
+      val sig = prof("sig")(signature(next))
+      rmScratch(s"r$i") // previous round's files no longer referenced
+      cur = next
+      converged = sig == prevSig
+      prevSig = sig
       i += 1
     }
+    // Converged edge set is a forest of min-rooted stars: (member,
+    // root). Roots and isolated nodes map to themselves.
+    val labels = allNodes
+      .join(cur.select(col("a").as("node"), col("b").as("c")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("c"), col("node")).as("comp"))
     val decoded =
       if (numericInput) labels
       else {
@@ -158,10 +200,7 @@ object Identity {
     val out = prof("decode+ckpt")(decoded.checkpoint()) // reliable; materialize before freeing inputs
     spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
     e.unpersist()
-    sym.unpersist()
-    // `nodes` is checkpointed, not cached; its files are reclaimed by
-    // the reference-tracking checkpoint cleaner
-    if (prevCached != null) prevCached.unpersist()
+    rmScratch("") // the returned frame is checkpointed; scratch rounds + dict are dead
     (out, i)
   }
 

@@ -3,7 +3,8 @@ package graft.operators
 import graft.SparkSpec
 
 /** Connected-components invariants: known graphs, the FIXTURES.md §6
-  * merge semantics, pointer-jumping round bound on a 1000-hop path,
+  * merge semantics, the large-star/small-star round bound on a
+  * 1000-hop path (diameter-independent, unlike label propagation),
   * and a skewed hub.
   */
 class IdentitySpec extends SparkSpec {
@@ -36,7 +37,7 @@ class IdentitySpec extends SparkSpec {
     val labels = df.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length === 1001)
     assert(labels.forall(_._2 === 0L))
-    assert(iters <= 14, s"pointer jumping should converge in ~log2(1000)+c rounds, took $iters")
+    assert(iters <= 14, s"large/small-star should converge in ~log²-ish rounds, took $iters")
   }
 
   test("incremental addRules merges touched components, leaves the rest alone") {
