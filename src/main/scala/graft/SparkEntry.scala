@@ -26,7 +26,10 @@ object SparkEntry {
     (operators.Dedup.defs, operators.Dedup.oracles),
     (operators.Similarity.defs, operators.Similarity.oracles),
     (operators.TextAnalysis.defs, operators.TextAnalysis.oracles),
-    (operators.Sessions.defs, operators.Sessions.oracles)
+    (operators.Sessions.defs, operators.Sessions.oracles),
+    (operators.Search.defs, operators.Search.oracles),
+    (operators.Linkage.defs, operators.Linkage.oracles),
+    (operators.Layout.defs, operators.Layout.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy record linkage — entity resolution across tables whose join
+  * keys don't match exactly (the dirty-data cousin of L8's identity
+  * graph; the reference resolves identities only on exact merge-rule
+  * equality, identity.go:79-141, so this is the approximate extension
+  * a warehouse team layers on top).
+  *
+  * The engine is BLOCKED edit-distance join, the similarity-join
+  * pattern ll6 uses for Jaccard applied to Levenshtein: for edit
+  * distance ≤ 1, split every key into two halves — any single edit
+  * leaves at least one half intact (pigeonhole), so equality on
+  * either half is a complete candidate generator. Candidates are two
+  * equi-joins on half-keys (hash-partitioned, bucket sizes ~n/16^6 on
+  * high-entropy keys), unioned and de-duplicated, then verified with
+  * one codegen'd `levenshtein` per pair. No all-pairs comparison at
+  * any scale; text never shuffles beyond the 12-char keys.
+  */
+object Linkage {
+
+  val defs: Map[String, Q] = Map(
+
+    // Link a "dirty" feed (one char deterministically dropped from a
+    // 12-hex-char record key) back to its master records. Recall is 1
+    // by the pigeonhole split; precision comes from the verify step.
+    "rl1_fuzzy_link" -> ((s, dir) => {
+      val master = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          substring(md5(col("c_custkey").cast("string")), 1, 12).as("name"))
+      val dirty = master.select(
+        col("c_custkey").as("d_key"),
+        expr("concat(substring(name, 1, CAST(c_custkey % 12 AS INT)), " +
+          "substring(name, CAST(c_custkey % 12 AS INT) + 2, 12))").as("d_name"))
+      // candidate blocks: first-6 OR last-6 chars equal (a deletion in
+      // one half leaves the other half's 6 chars aligned and intact)
+      val m = master
+        .withColumn("pre", substring(col("name"), 1, 6))
+        .withColumn("suf", substring(col("name"), 7, 6))
+      val d = dirty
+        .withColumn("pre", substring(col("d_name"), 1, 6))
+        .withColumn("suf", substring(col("d_name"), 6, 6))
+      val byPre = d.select(col("d_key"), col("d_name"), col("pre"))
+        .join(m.select(col("c_custkey"), col("name"), col("pre")), "pre")
+      val bySuf = d.select(col("d_key"), col("d_name"), col("suf"))
+        .join(m.select(col("c_custkey"), col("name"), col("suf")), "suf")
+      byPre.select(col("d_key"), col("d_name"), col("c_custkey"), col("name"))
+        .union(bySuf.select(col("d_key"), col("d_name"), col("c_custkey"), col("name")))
+        .distinct()
+        .withColumn("dist", levenshtein(col("d_name"), col("name")))
+        .filter(col("dist") <= 1)
+        .select(col("d_key"), col("c_custkey").as("matched_key"), col("dist").cast("long"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Same construction, same two-block candidate generation, same
+    // verify — DuckDB's levenshtein agrees with Spark's (both classic
+    // unit-cost edit distance on unicode code points).
+    "rl1_fuzzy_link" ->
+      """WITH master AS (
+           SELECT c_custkey, substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name
+           FROM customer),
+         dirty AS (
+           SELECT c_custkey AS d_key,
+             substr(name, 1, CAST(c_custkey % 12 AS INT)) ||
+             substr(name, CAST(c_custkey % 12 AS INT) + 2, 12) AS d_name
+           FROM master),
+         cand AS (
+           SELECT d.d_key, d.d_name, m.c_custkey, m.name
+           FROM dirty d JOIN master m
+             ON substr(d.d_name, 1, 6) = substr(m.name, 1, 6)
+           UNION
+           SELECT d.d_key, d.d_name, m.c_custkey, m.name
+           FROM dirty d JOIN master m
+             ON substr(d.d_name, 6, 6) = substr(m.name, 7, 6))
+         SELECT d_key, c_custkey AS matched_key,
+           CAST(levenshtein(d_name, name) AS BIGINT) AS dist
+         FROM cand
+         WHERE levenshtein(d_name, name) <= 1"""
+  )
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval operators over the `documents` corpus: keyword search
+  * with inverted-index semantics and vocabulary-coverage statistics —
+  * the query side of a training-data pipeline (find contaminated /
+  * relevant / low-coverage documents at corpus scale).
+  *
+  * Scoring is BM25-SHAPED but integer-quantized: idf weights are
+  * `(N * 1e6) DIV (df + 1)` and a document's score is the exact
+  * integer sum of `tf * idfq`. Floating idf (log-based) sums are
+  * partition-order-dependent and libm's log is not correctly rounded
+  * everywhere — integer weights make the score order-free and the
+  * differential check bit-exact, same trade as ta8's rarity scores.
+  */
+object Search {
+
+  /** Fixed query terms — mirrored in the oracle; the check verifies
+    * the scoring/ranking pipeline, not retrieval quality. */
+  private val queryTerms = Seq("spark", "merge", "vector")
+  private def termList = queryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  val defs: Map[String, Q] = Map(
+
+    // Keyword search: tokenize, keep only query terms (the scan-side
+    // equivalent of probing an inverted index — the filter reaches the
+    // exploded tokens before any shuffle), per-(doc, term) tf, df from
+    // the same aggregate, quantized idf broadcast back, top-k by exact
+    // integer score with a deterministic tie-break. At 100 TB the
+    // tf/df aggregates shuffle only (doc_id, term) pairs for matching
+    // terms — corpus text never moves — and the global top-k is a
+    // TakeOrdered (per-partition heads + driver merge), not a sort.
+    "ts1_keyword_search" -> ((s, dir) => {
+      val k = 20
+      val docs = Tables.documents(s, dir)
+      val n = docs.count() // corpus-size scalar, driver-side like ta8's total
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").isin(queryTerms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .withColumn("idfq", expr(s"CAST((${n}L * 1000000L) DIV (df + 1) AS BIGINT)"))
+      val scored = tf.join(broadcast(dft), "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("idfq")).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(k)
+      // rank the k survivors; the window sees k rows, never the corpus
+      scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long"))
+        .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+    }),
+
+    // Out-of-vocabulary rate per document against a trained vocab —
+    // the tokenizer-coverage health check before a training run. The
+    // "vocabulary" is the corpus's top-m words (count desc, word asc —
+    // deterministic), which is model-sized state: it broadcasts to a
+    // left join, and the per-doc aggregate is the only shuffle.
+    "ts2_oov_rate" -> ((s, dir) => {
+      val m = 20
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(m)
+        .select(col("w"), lit(true).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ts1_keyword_search" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+                 WHERE w IN $termList GROUP BY 1, 2),
+          dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+          n AS (SELECT COUNT(*) AS n FROM documents),
+          sc AS (SELECT doc_id,
+                   CAST(SUM(tf * ((n.n * 1000000) // (df + 1))) AS BIGINT) AS score,
+                   COUNT(*) AS n_terms
+                 FROM tf JOIN dft USING (w) CROSS JOIN n GROUP BY doc_id)
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                 doc_id, score, n_terms
+          FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+    "ts2_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)
+                   ORDER BY c DESC, w LIMIT 20)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+         FROM tok LEFT JOIN vocab v ON tok.w = v.w
+         GROUP BY doc_id"""
+  )
+}
