@@ -29,7 +29,8 @@ object SparkEntry {
     (operators.Sessions.defs, operators.Sessions.oracles),
     (operators.Search.defs, operators.Search.oracles),
     (operators.Linkage.defs, operators.Linkage.oracles),
-    (operators.Layout.defs, operators.Layout.oracles)
+    (operators.Layout.defs, operators.Layout.oracles),
+    (operators.Pipeline.defs, operators.Pipeline.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

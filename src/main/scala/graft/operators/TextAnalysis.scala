@@ -20,14 +20,48 @@ object TextAnalysis {
     * language-ID heuristic. Fixed and mirrored in the oracle — the
     * check verifies the scoring pipeline, not linguistic truth.
     */
-  private val stopwords: Seq[(String, Seq[String])] = Seq(
+  private[operators] val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "de" -> Seq("der", "die", "das", "und"),
     "es" -> Seq("el", "la", "de", "y"),
     "fr" -> Seq("le", "la", "de", "et"))
 
-  private def inList(ws: Seq[String]): String =
+  private[operators] def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Language-ID stage: adds per-language stopword scores (`s_<lang>`)
+    * and a `predicted` column (first language in fixed order achieving
+    * the max score, 'unknown' when all scores are 0). Needs a `ws`
+    * split-words column. Reused by ta1 and the cp1 composed intake.
+    */
+  def withLangPrediction(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scored = stopwords.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"s_$lang",
+        expr(s"CAST(size(filter(ws, w -> w IN ${inList(words)})) AS BIGINT)"))
+    }
+    val best = greatest(stopwords.map { case (l, _) => col(s"s_$l") }: _*)
+    // first-match-wins in list order, like the oracle's CASE chain
+    val predFirst = stopwords.reverse.foldLeft(lit("unknown")) { case (acc, (lang, _)) =>
+      when(best > 0 && col(s"s_$lang") === best, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("predicted", predFirst)
+  }
+
+  /** Quality stage: length / word-shape / stopword-ratio heuristics
+    * with a keep/flag `verdict`. Needs a `ws` column. Reused by ta2
+    * and cp1.
+    */
+  def withQualityVerdict(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - (col("n_words") - 1)) / col("n_words"))
+      .withColumn("stop_hits",
+        expr(s"CAST(size(filter(ws, w -> w IN ${inList(stopwords.head._2)})) AS BIGINT)"))
+      .withColumn("stop_ratio", col("stop_hits") / col("n_words"))
+      .withColumn("verdict",
+        when(col("n_words").between(20, 100) && col("avg_word_len") < 8 &&
+          col("stop_ratio") >= 0.02, lit("keep")).otherwise(lit("flag")))
 
   val defs: Map[String, Q] = Map(
 
@@ -37,34 +71,16 @@ object TextAnalysis {
     "ta1_lang_id" -> ((s, dir) => {
       val base = Tables.documents(s, dir)
         .withColumn("ws", split(col("text"), " "))
-      val scored = stopwords.foldLeft(base) { case (df, (lang, words)) =>
-        df.withColumn(s"s_$lang",
-          expr(s"CAST(size(filter(ws, w -> w IN ${inList(words)})) AS BIGINT)"))
-      }
-      val best = greatest(stopwords.map { case (l, _) => col(s"s_$l") }: _*)
-      // first-match-wins in list order, like the oracle's CASE chain
-      val predFirst = stopwords.reverse.foldLeft(lit("unknown")) { case (acc, (lang, _)) =>
-        when(best > 0 && col(s"s_$lang") === best, lit(lang)).otherwise(acc)
-      }
-      scored.select(col("doc_id") +: col("lang").as("labeled_lang") +:
-        stopwords.map { case (l, _) => col(s"s_$l") } :+ predFirst.as("predicted"): _*)
+      withLangPrediction(base)
+        .select(col("doc_id") +: col("lang").as("labeled_lang") +:
+          stopwords.map { case (l, _) => col(s"s_$l") } :+ col("predicted"): _*)
     }),
 
     // Quality scoring: length / word-shape / stopword-ratio heuristics
     // with a keep/flag verdict.
     "ta2_quality_score" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("n_words", size(col("ws")).cast("long"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .withColumn("avg_word_len",
-          (col("n_chars") - (col("n_words") - 1)) / col("n_words"))
-        .withColumn("stop_hits",
-          expr(s"CAST(size(filter(ws, w -> w IN ${inList(stopwords.head._2)})) AS BIGINT)"))
-        .withColumn("stop_ratio", col("stop_hits") / col("n_words"))
-        .withColumn("verdict",
-          when(col("n_words").between(20, 100) && col("avg_word_len") < 8 &&
-            col("stop_ratio") >= 0.02, lit("keep")).otherwise(lit("flag")))
+      withQualityVerdict(Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " ")))
         .select(col("doc_id"), col("n_words"), col("n_chars"),
           col("avg_word_len"), col("stop_ratio"), col("verdict"))
     }),
@@ -273,6 +289,33 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("rk"), col("quota"))
     }),
 
+    // Bigram conditional rarity — the 2-gram upgrade of ta8's unigram
+    // scorer, the shape of LM-perplexity quality filtering with the
+    // arithmetic kept EXACT: each token scores c(prev) DIV c(prev, w)
+    // (the integer reciprocal of the bigram conditional probability —
+    // surprising continuations score high), and a document's score is
+    // the exact integer sum. Bigram pairs come from one narrow
+    // array-transform + explode (no ordering window touches the
+    // corpus); the bigram count model is vocab²-sized, joined back on
+    // (prev, w) — AQE broadcasts it while it fits and falls back to a
+    // hash join at real vocabulary sizes, where a broadcast would not.
+    "ta12_bigram_rarity" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS p, ws[i+1] AS w))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+      val c2 = bg.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("p")).agg(count(lit(1)).as("c1"))
+      bg.join(c2, Seq("p", "w")).join(c1, Seq("p"))
+        .withColumn("tok_score", expr("CAST(c1 DIV c2 AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tok_score")).as("rarity_sum"), count(lit(1)).as("n_bigrams"))
+        .withColumn("avg_rarity", col("rarity_sum") / col("n_bigrams"))
+    }),
+
     // Winnowing fingerprint: md5 of word bigrams, min-hash per sliding
     // window of 4 positions, distinct mins = the document fingerprint.
     "ta4_fingerprint" -> ((s, dir) => {
@@ -426,6 +469,19 @@ object TextAnalysis {
                FROM (SELECT doc_id,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                      FROM documents))""",
+    "ta12_bigram_rarity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT doc_id, ws[i] AS p, ws[i + 1] AS w
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+         c2 AS (SELECT p, w, COUNT(*) AS c2 FROM bg GROUP BY p, w),
+         c1 AS (SELECT p, COUNT(*) AS c1 FROM bg GROUP BY p)
+         SELECT doc_id,
+           CAST(SUM(c1 // c2) AS BIGINT) AS rarity_sum,
+           COUNT(*) AS n_bigrams,
+           CAST(CAST(SUM(c1 // c2) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_rarity
+         FROM bg JOIN c2 USING (p, w) JOIN c1 USING (p)
+         GROUP BY doc_id""",
     "ta4_fingerprint" ->
       """WITH grams AS (
            SELECT doc_id, i - 1 AS pos, md5(w[i] || ' ' || w[i + 1]) AS h
