@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training + encoding — the subword
+  * step between corpus curation and a training run (Sennrich et al.
+  * 2016, arXiv:1508.07909).
+  *
+  * Scale split, which is what makes BPE tractable at 100 TB:
+  *   - the CORPUS-scale work is exactly one word-count aggregate (one
+  *     shuffle of (word, count) pairs, map-side combined);
+  *   - training then runs on the word-TYPE frequency table — vocab-
+  *     sized model state, the same class of driver-side state as
+  *     ta8's unigram total or ll4b's k-means centroids — never again
+  *     touching the corpus;
+  *   - encoding rejoins the corpus through a BROADCAST word→tokens
+  *     dictionary: one narrow lookup pass, no shuffle of text.
+  *
+  * Merges are deterministic: highest pair count wins, ties broken by
+  * (left, right) lexicographic order, so training is reproducible
+  * across engines, partitionings and reruns.
+  */
+object Bpe {
+
+  /** One trained merge: fuse adjacent (left, right) into left+right. */
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Greedy left-to-right single-pass application of one merge. */
+  private[functions] def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+      else acc :+ x
+    }
+
+  /** Split a word into its initial symbols (characters). */
+  private def chars(w: String): Vector[String] = w.map(_.toString).toVector
+
+  /** Train `k` merges over the word-type frequency table of `textCol`
+    * (whitespace tokenization). Returns merges in rank order; stops
+    * early when no adjacent pair occurs twice.
+    */
+  def train(df: DataFrame, textCol: String, k: Int): Seq[Merge] = {
+    // corpus-scale: ONE aggregate; everything after is model-sized
+    val wordCounts: Seq[(String, Long)] =
+      df.select(explode(split(col(textCol), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    var words: Seq[(Vector[String], Long)] =
+      wordCounts.map { case (w, n) => chars(w) -> n }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- words; i <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + n))
+      if (pairCounts.isEmpty || pairCounts.valuesIterator.max < 2) done = true
+      else {
+        val ((l, r), c) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += Merge(rank, l, r, c)
+        words = words.map { case (syms, n) => applyMerge(syms, l, r) -> n }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode a word with a trained merge list (rank order). */
+  def encodeWord(w: String, merges: Seq[Merge]): Vector[String] =
+    merges.foldLeft(chars(w)) { (syms, m) => applyMerge(syms, m.left, m.right) }
+
+  /** Tokenize `textCol` into a per-row `tokens` array using trained
+    * merges. The word→tokens dictionary is built from the frame's own
+    * vocabulary (vocab-sized, like training) and broadcast; the corpus
+    * side is an explode + broadcast lookup + one id-keyed reassembly
+    * that preserves word order.
+    */
+  def encode(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val vocab = df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0))
+    val dict = vocab.toSeq.map(w => (w, encodeWord(w, merges))).toDF("w", "toks")
+    df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .join(broadcast(dict), "w")
+      .groupBy(col(idCol))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, toks))), x -> x.toks))")
+        .as("tokens"))
+  }
+}

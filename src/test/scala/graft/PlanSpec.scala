@@ -83,6 +83,30 @@ class PlanSpec extends SparkSpec {
       "no corpus-sized shuffle join may appear in the semantic-dedup plan")
   }
 
+  test("ts1 keyword search: idf table broadcasts and top-k is TakeOrdered, not a sort") {
+    val plan = planOf("ts1_keyword_search")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query-term idf table must broadcast onto the tf aggregate")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-k must run as per-partition heads + driver merge; a " +
+        "global Sort here would range-shuffle every scored document")
+  }
+
+  test("rl1 fuzzy linkage: candidates come from equi-joins, never a cartesian") {
+    val plan = planOf("rl1_fuzzy_link")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "blocking must generate candidates via hash-partitioned equality " +
+        "joins on half-keys; any nested-loop pairing is the O(n^2) bug " +
+        "blocking exists to avoid")
+  }
+
+  test("cp1 composed intake: lang + quality stages fuse, only dedup and ledger shuffle") {
+    val plan = planOf("cp1_corpus_intake")
+    // two exchanges: the md5 dedup window and the final ledger aggregate
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"stage fusion broken — pipeline shuffles $exchanges times:\n$plan")
+  }
+
   test("bucketed tracks read is partition-pruned to the touched buckets") {
     val sess = spark
     import sess.implicits._

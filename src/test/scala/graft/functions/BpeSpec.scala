@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** BPE trainer/encoder against a hand-computed merge sequence (the
+  * Sennrich et al. running example reshaped to this tokenizer's
+  * conventions: char-level start symbols, no end-of-word marker,
+  * count-desc + lexicographic tie-break).
+  */
+class BpeSpec extends SparkSpec {
+
+  private def fixture = {
+    val sess = spark
+    import sess.implicits._
+    Seq(
+      (1L, "low low low lower lower"),
+      (2L, "newest newest newest newest widest")
+    ).toDF("id", "text")
+  }
+
+  test("training reproduces the hand-computed merge sequence") {
+    val merges = Bpe.train(fixture, "text", 4)
+    // word types: low x3, lower x2, newest x4, widest x1
+    // r0: (w,e) 6 [4 newest + 2 lower]
+    // r1: (l,o) 5 ties (s,t) 5 -> lexicographic
+    // r2: (s,t) 5
+    // r3: (e,we) 4 ties (n,e) 4 -> 'e' < 'n'
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) === Seq(
+      ("w", "e", 6L), ("l", "o", 5L), ("s", "t", 5L), ("e", "we", 4L)))
+  }
+
+  test("training stops early when no pair repeats") {
+    val sess = spark
+    import sess.implicits._
+    val tiny = Seq((1L, "ab cd")).toDF("id", "text")
+    assert(Bpe.train(tiny, "text", 10).isEmpty)
+  }
+
+  test("encodeWord applies merges greedily left-to-right in rank order") {
+    val merges = Bpe.train(fixture, "text", 4)
+    assert(Bpe.encodeWord("newest", merges) === Vector("n", "ewe", "st"))
+    assert(Bpe.encodeWord("lower", merges) === Vector("lo", "we", "r"))
+    assert(Bpe.encodeWord("widest", merges) === Vector("w", "i", "d", "e", "st"))
+    // overlapping pair fuses left-to-right: aaa -> [aa, a]
+    assert(Bpe.applyMerge(Vector("a", "a", "a"), "a", "a") === Vector("aa", "a"))
+  }
+
+  test("distributed encode preserves word order through the broadcast dictionary") {
+    val merges = Bpe.train(fixture, "text", 4)
+    val out = Bpe.encode(spark, fixture, "id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("lo", "w", "lo", "w", "lo", "w", "lo", "we", "r", "lo", "we", "r"))
+    assert(out(2L) === Seq.fill(4)(Seq("n", "ewe", "st")).flatten ++
+      Seq("w", "i", "d", "e", "st"))
+  }
+}
