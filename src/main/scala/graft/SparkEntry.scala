@@ -30,7 +30,8 @@ object SparkEntry {
     (operators.Search.defs, operators.Search.oracles),
     (operators.Linkage.defs, operators.Linkage.oracles),
     (operators.Layout.defs, operators.Layout.oracles),
-    (operators.Pipeline.defs, operators.Pipeline.oracles)
+    (operators.Pipeline.defs, operators.Pipeline.oracles),
+    (operators.Profile.defs, operators.Profile.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -316,6 +316,29 @@ object TextAnalysis {
         .withColumn("avg_rarity", col("rarity_sum") / col("n_bigrams"))
     }),
 
+    // Deterministic EPOCH SHUFFLE — the training-order permutation
+    // step: each epoch reorders the corpus by a pseudorandom but
+    // reproducible key (md5 of epoch:doc_id), sharded so no global
+    // sort ever runs: the order key hashes docs into shards
+    // (data-loader workers), and ranking windows run per (epoch,
+    // shard) — at 100 TB each shard sorts independently, and two
+    // epochs produce provably different, replayable permutations.
+    "ta13_epoch_shuffle" -> ((s, dir) => {
+      val epochs = 2
+      val shards = 8
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val e = s.range(epochs).select(col("id").as("epoch"))
+      val keyed = docs.crossJoin(broadcast(e))
+        .withColumn("okey",
+          md5(concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+        .withColumn("shard",
+          (conv(substring(col("okey"), 1, 8), 16, 10).cast("long") % shards).as("shard"))
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("okey"), col("doc_id"))
+      keyed.withColumn("ord", row_number().over(w).cast("long"))
+        .select(col("epoch"), col("shard"), col("ord"), col("doc_id"))
+    }),
+
     // Winnowing fingerprint: md5 of word bigrams, min-hash per sliding
     // window of 4 positions, distinct mins = the document fingerprint.
     "ta4_fingerprint" -> ((s, dir) => {
@@ -482,6 +505,20 @@ object TextAnalysis {
            CAST(CAST(SUM(c1 // c2) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_rarity
          FROM bg JOIN c2 USING (p, w) JOIN c1 USING (p)
          GROUP BY doc_id""",
+    "ta13_epoch_shuffle" ->
+      """WITH keyed AS (
+           SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS okey
+           FROM documents d CROSS JOIN (SELECT unnest(range(2)) AS epoch) e),
+         sharded AS (
+           SELECT epoch, doc_id, okey,
+             CAST(CAST('0x' || substr(okey, 1, 8) AS UBIGINT) % 8 AS BIGINT) AS shard
+           FROM keyed)
+         SELECT epoch, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY okey, doc_id)
+             AS BIGINT) AS ord,
+           doc_id
+         FROM sharded""",
     "ta4_fingerprint" ->
       """WITH grams AS (
            SELECT doc_id, i - 1 AS pos, md5(w[i] || ' ' || w[i + 1]) AS h
