@@ -252,6 +252,21 @@ object Identity {
     // rudder_identity_merge_rules shape: anonymousId <-> userId string
     // pairs, idresolution.go:15-141), producing the
     // rudder_identity_mappings rollup per resolved rudder_id.
+    // l8c: component-size distribution of the identity graph — the
+    // health metric an identity-resolution run reports (a giant
+    // component usually means a bad merge rule glued the graph
+    // together; reference ops watch exactly this). One extra
+    // aggregate pair over the l8 mapping.
+    "l8c_component_sizes" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val e1 = ev.select((col("user_id") + 100000L).as("src"), (col("user_id") % 37).as("dst"))
+      val e2 = ev.select((col("user_id") + 100000L).as("src"), (col("user_id") % 53 + 1000L).as("dst"))
+      connectedComponents(e1.union(e2).distinct())
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+    }),
+
     "l8b_identity_mappings" -> ((s, dir) => {
       val edges = Tables.events(s, dir)
         .select(
@@ -283,6 +298,23 @@ object Identity {
            SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
          SELECT comp, COUNT(*) AS n_nodes, MAX(node) AS max_node
          FROM labels GROUP BY comp""",
+    "l8c_component_sizes" ->
+      """WITH RECURSIVE
+         base_edges AS (
+           SELECT DISTINCT user_id + 100000 AS src, user_id % 37 AS dst FROM events
+           UNION
+           SELECT DISTINCT user_id + 100000 AS src, user_id % 53 + 1000 AS dst FROM events),
+         sym AS (SELECT src AS a, dst AS b FROM base_edges
+                 UNION SELECT dst AS a, src AS b FROM base_edges),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         labels AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+         sizes AS (SELECT comp, COUNT(*) AS sz FROM labels GROUP BY comp)
+         SELECT sz AS component_size, COUNT(*) AS n_components
+         FROM sizes GROUP BY sz""",
     "l8b_identity_mappings" ->
       """WITH RECURSIVE
          base_edges AS (

@@ -40,6 +40,23 @@ object Profile {
       li.agg(aggs.head, aggs.tail: _*)
         .selectExpr(s"stack(${cols.size}, $stacked) AS " +
           "(column_name, n_nulls, ndv, min_s, max_s)")
+    }),
+
+    // Join-key SKEW diagnostic — the pre-flight check before shuffling
+    // on a key at scale (whale users / hot shingles are what q13's
+    // salting and AQE skew-join exist for; this measures WHERE they
+    // are). One count aggregate + a TakeOrdered head; share arithmetic
+    // is long/long at the output edge.
+    "prof2_key_skew" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val total = ev.count()
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("user_id").asc).limit(10)
+      top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("user_id").asc)).cast("long"))
+        .select(col("rank"), col("user_id"), col("c").as("n_rows"),
+          (col("c") / lit(total)).as("share"))
     })
   )
 
@@ -56,6 +73,14 @@ object Profile {
               $mn AS min_s, $mx AS max_s
             FROM lineitem"""
       }.mkString(" UNION ALL ")
-    }
+    },
+    "prof2_key_skew" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS BIGINT) AS rank,
+           user_id, CAST(c AS BIGINT) AS n_rows,
+           CAST(c AS DOUBLE) / total AS share
+         FROM c CROSS JOIN t
+         ORDER BY c DESC, user_id LIMIT 10"""
   )
 }
