@@ -229,6 +229,52 @@ class StreamingSpec extends SparkSpec {
       "index keeps exactly one signature row per document")
   }
 
+  test("streaming intake: quality gate feeds the dedup index, ledger records both sides") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("intake_stream").toString
+    val (idx, pairs, ledger, ckpt) =
+      (s"$base/index", s"$base/pairs", s"$base/ledger", s"$base/ckpt")
+    val q = IntakeStream.start(input.toDF().toDF("doc_id", "text"),
+      idx, pairs, ledger, ckpt)
+    // 25 words, 6 en-stopword hits -> predicted en, verdict keep
+    val keepA = "the quick brown fox jumps over the lazy dog again and then " +
+      "the dog jumps over the fox once more until both of them rest"
+    val flagB = "tiny doc" // 2 words -> flag; no stopwords -> unknown
+    try {
+      input.addData(1L -> keepA, 2L -> flagB)
+      q.processAllAvailable()
+      assert(CorpusStream.readPairs(spark, pairs).count() === 0)
+      // flagged docs never reach the index
+      assert(spark.read.parquet(idx).select("doc_id").collect()
+        .map(_.getLong(0)).toSet === Set(1L))
+      // batch 2: doc 3 duplicates doc 1 (kept, pairs via index);
+      // doc 4 is flagged again — no index row, no pair
+      input.addData(3L -> keepA, 4L -> flagB)
+      q.processAllAvailable()
+      val got = CorpusStream.readPairs(spark, pairs)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 3L)))
+      // intake ledger: per batch, per (predicted, verdict)
+      val led = IntakeStream.readLedger(spark, ledger)
+        .select(col("batch_id").cast("long"), col("predicted"), col("verdict"), col("n_docs"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(led === Set(
+        (0L, "en", "keep", 1L), (0L, "unknown", "flag", 1L),
+        (1L, "en", "keep", 1L), (1L, "unknown", "flag", 1L)))
+    } finally q.stop()
+    // at-least-once replay of batch 1 must not duplicate any output
+    IntakeStream.processBatch(spark,
+      Seq(3L -> keepA, 4L -> flagB).toDF("doc_id", "text"), idx, pairs, ledger, 1L)
+    assert(CorpusStream.readPairs(spark, pairs).count() === 1)
+    assert(spark.read.parquet(idx).count() === 2)
+    assert(IntakeStream.readLedger(spark, ledger).count() === 4)
+  }
+
   test("merge rewrites only batch-touched buckets (partition-pruned IO)") {
     val sess = spark
     import sess.implicits._
