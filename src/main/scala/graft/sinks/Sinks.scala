@@ -197,6 +197,42 @@ object Sinks {
     n
   }
 
+  /** Storage GC for swap-managed directories — the VACUUM step of a
+    * maintenance window. The swap protocol cleans its own leftovers on
+    * the NEXT swap of the same table, but a table that is never
+    * rewritten again would keep a stranded `__staging` (a crash during
+    * write) or `__old` (a crash after swap-in, before cleanup)
+    * forever — at 100 TB that is real storage. Scans one parent
+    * directory and, per table: deletes orphaned staging dirs, deletes
+    * superseded `__old` versions whose live table exists, and heals
+    * the one dangerous state (an `__old` with NO live table — a crash
+    * inside the swap window) by restoring it, same as recoverSwap.
+    * Caller contract: no swap is in flight under `parent`.
+    *
+    * @return (action, path) ledger of what was done.
+    */
+  def vacuum(spark: SparkSession, parent: String): Seq[(String, String)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(parent)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.map(_.getPath).flatMap { child =>
+      val name = child.getName
+      if (name.endsWith("__staging")) {
+        fs.delete(child, true)
+        Some("removed_staging" -> child.toString)
+      } else if (name.endsWith("__old")) {
+        val target = new Path(p, name.stripSuffix("__old"))
+        if (fs.exists(target)) {
+          fs.delete(child, true)
+          Some("removed_old" -> child.toString)
+        } else if (fs.rename(child, target))
+          Some("restored" -> target.toString)
+        else throw new java.io.IOException(s"cannot restore $child to $target")
+      } else None
+    }
+  }
+
   /** L10: datalake sink — date-partitioned columnar layout
     * (warehouse/integrations/datalake/): partition pruning on
     * event_date is what makes downstream time-range scans cheap.

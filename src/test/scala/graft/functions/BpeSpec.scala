@@ -45,6 +45,24 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.applyMerge(Vector("a", "a", "a"), "a", "a") === Vector("aa", "a"))
   }
 
+  test("round-trip invariant: concatenated tokens rebuild every word, any merge set") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcde"
+    val words = Vector.fill(200)(
+      (0 until (1 + rnd.nextInt(10))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val sess = spark
+    import sess.implicits._
+    val corpus = words.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("id", "text")
+    val merges = Bpe.train(corpus, "text", 12)
+    assert(merges.nonEmpty, "a 5-letter alphabet over 200 words must repeat pairs")
+    words.foreach { w =>
+      val toks = Bpe.encodeWord(w, merges)
+      assert(toks.mkString === w, s"lossy encode of '$w': $toks")
+      assert(toks.forall(_.nonEmpty))
+    }
+  }
+
   test("distributed encode preserves word order through the broadcast dictionary") {
     val merges = Bpe.train(fixture, "text", 4)
     val out = Bpe.encode(spark, fixture, "id", "text", merges)

@@ -155,6 +155,27 @@ class SinksSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir + "__old")))
   }
 
+  test("vacuum: removes swap leftovers, restores a table stranded in the swap window") {
+    val sess = spark
+    import sess.implicits._
+    val parent = tmp("vacuum")
+    def write(dir: String) = Seq(1L, 2L).toDF("id").write.mode("overwrite").parquet(dir)
+    // table a: healthy, with both kinds of leftover
+    write(s"$parent/a"); write(s"$parent/a__staging"); write(s"$parent/a__old")
+    // table b: crashed inside the swap window — only __old exists
+    write(s"$parent/b__old")
+    // table c: untouched healthy table
+    write(s"$parent/c")
+    val actions = Sinks.vacuum(spark, parent).toSet
+    assert(actions.map(_._1) === Set("removed_staging", "removed_old", "restored"))
+    val left = new java.io.File(parent).listFiles().map(_.getName).toSet
+    assert(left === Set("a", "b", "c"))
+    // restored table reads back whole
+    assert(spark.read.parquet(s"$parent/b").count() === 2)
+    // idempotent: a second vacuum is a no-op
+    assert(Sinks.vacuum(spark, parent).isEmpty)
+  }
+
   test("provider shaping: ClickHouse booleans become 0/1") {
     val sess = spark
     import sess.implicits._
