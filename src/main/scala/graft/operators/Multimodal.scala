@@ -154,6 +154,26 @@ object Multimodal {
           col("m.sumB").as("sum_b"))
     }),
 
+    // Perceptual image hashing over REAL decoded pixels — the
+    // near-duplicate-image fingerprint (average hash): integer
+    // per-pixel gray, image-mean threshold, one bit per pixel. The
+    // oracle replays synthBmp's closed-form pixels; the Spark side
+    // decodes the actual BMP bytes, so a decoder regression breaks
+    // the hash. Downstream matching is ll5's hamming machinery on a
+    // 64-bit column; this query pins the fingerprint itself.
+    "mm6_image_ahash" -> ((s, dir) => {
+      val synth = udf((id: Long) => MediaCodecs.synthBmp(id))
+      val ah = udf((p: Array[Byte]) => MediaCodecs.bmpAHash(p))
+      Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+        .filter(col("media_id") < 100)
+        .withColumn("h", ah(synth(col("media_id"))))
+        .select(col("media_id"),
+          col("h.width").cast("long").as("width"),
+          col("h.height").cast("long").as("height"),
+          col("h.meanGray").as("mean_gray"),
+          col("h.ahash").as("ahash"))
+    }),
+
     // Frame sampling arithmetic (stride 4) — the scan shape of video
     // frame extraction; counts per kind are exact.
     "mm2_frame_sample" -> ((s, dir) => {
@@ -233,6 +253,25 @@ object Multimodal {
               i -> ($sample) * ($sample))) AS BIGINT) AS sum_squares
           FROM documents WHERE doc_id < 100"""
     },
+    "mm6_image_ahash" ->
+      """WITH px AS (
+           SELECT doc_id,
+             CAST(4 + doc_id % 4 AS BIGINT) AS w, CAST(2 + doc_id % 3 AS BIGINT) AS h,
+             unnest(range(0, (4 + doc_id % 4) * (2 + doc_id % 3))) AS p
+           FROM documents WHERE doc_id < 100),
+         g AS (
+           SELECT doc_id, w, h, p,
+             ((doc_id * 7 + 3 * p) % 256 + (doc_id * 7 + 3 * p + 1) % 256 +
+              (doc_id * 7 + 3 * p + 2) % 256) // 3 AS gray
+           FROM px),
+         m AS (
+           SELECT doc_id, CAST(SUM(gray) // COUNT(*) AS BIGINT) AS mean_gray
+           FROM g GROUP BY doc_id)
+         SELECT g.doc_id AS media_id, w AS width, h AS height, mean_gray,
+           CAST(SUM(CASE WHEN gray > mean_gray
+                         THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ahash
+         FROM g JOIN m ON g.doc_id = m.doc_id
+         GROUP BY g.doc_id, w, h, mean_gray""",
     "mm5_bmp_decode" ->
       """SELECT doc_id AS media_id,
            CAST(4 + doc_id % 4 AS BIGINT) AS width,
