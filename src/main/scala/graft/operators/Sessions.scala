@@ -145,6 +145,23 @@ object Sessions {
           expr("percentile(value, 0.95D)").as("p95"),
           expr("percentile(value, 0.99D)").as("p99"),
           count(lit(1)).as("n"))
+    }),
+
+    // A8: rate-anomaly flagging over the A1 minute buckets — the
+    // alerting read of the reporting pipeline: a minute whose event
+    // count exceeds 1.5x its type's median minute-rate is flagged.
+    // The per-type medians are type-count-sized model state
+    // (broadcast back); the minute aggregate is the only corpus-scale
+    // shuffle, shared with A1's plan shape.
+    "a8_metric_anomaly" -> ((s, dir) => {
+      val mins = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n_events"))
+      val med = mins.groupBy(col("event_type"))
+        .agg(expr("percentile(n_events, 0.5D)").as("median_rate"))
+      mins.join(broadcast(med), "event_type")
+        .filter(col("n_events") > lit(1.5) * col("median_rate"))
+        .select(col("event_type"), col("minute"), col("n_events"), col("median_rate"))
     })
   )
 
@@ -203,6 +220,16 @@ object Sessions {
                 quantile_cont(value, 0.95) AS p95,
                 quantile_cont(value, 0.99) AS p99,
                 COUNT(*) AS n
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    "a8_metric_anomaly" ->
+      """WITH m AS (
+           SELECT event_type, date_trunc('minute', ts) AS minute, COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         med AS (
+           SELECT event_type, quantile_cont(n_events, 0.5) AS median_rate
+           FROM m GROUP BY 1)
+         SELECT event_type, minute, n_events, median_rate
+         FROM m JOIN med USING (event_type)
+         WHERE n_events > 1.5 * median_rate"""
   )
 }
