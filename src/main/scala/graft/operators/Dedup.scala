@@ -487,6 +487,26 @@ object Dedup {
           when(col("doc_id") % 5 === 1, lit(" " + passage)).otherwise(lit("")))))
     }),
 
+    // Content-defined chunking dedup (the Rabin/gear CDC family, as
+    // used by dedup storage and shift-robust corpus dedup): chunk
+    // boundaries come from a rolling hash of each trailing 3-word
+    // window (cut where hash % 8 == 0), so an insertion early in a
+    // document SHIFTS chunk positions without changing most chunk
+    // CONTENTS — unlike ll12's fixed windows, whose every chunk
+    // changes downstream of an edit. Chunk extraction is one narrow
+    // array pass per document; the only shuffles carry (chunk-hash,
+    // word-count) pairs: a corpus-wide occurrence count and a join
+    // back — linear at 100 TB, no pairwise comparison.
+    "ll18_cdc_dedup" -> ((s, dir) => {
+      val occ = cdcChunks(Tables.documents(s, dir))
+      val counts = occ.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      occ.join(counts, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("cnt") >= 2, col("nw")).otherwise(0L)).as("n_dup_words"))
+    }),
+
     // Exact n-gram Jaccard near-dup with an ADAPTIVE physical
     // strategy: a one-aggregate df-skew statistic picks the
     // prefix-filtered (ppjoin) join — the only strategy that survives
@@ -503,6 +523,27 @@ object Dedup {
       else jaccardFromShingles(sh)
     })
   )
+
+  /** CDC chunk occurrences of a (doc_id, text) frame: one row per
+    * chunk with its content hash `h` and word count `nw`. Boundaries
+    * cut after any word whose trailing 3-word rolling hash ≡ 0 mod 8
+    * (expected chunk length 8 words). Pure narrow array pass.
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 1)
+      .withColumn("cuts", expr(
+        "IF(size(ws) >= 3, filter(sequence(2, size(ws) - 1), i -> " +
+          "CAST(conv(substring(md5(concat_ws(' ', ws[i-2], ws[i-1], ws[i])), 1, 8), " +
+          "16, 10) AS BIGINT) % 8 = 0), CAST(array() AS ARRAY<INT>))"))
+      .withColumn("starts", expr("concat(array(0), transform(cuts, c -> c + 1))"))
+      .withColumn("ends", expr("concat(cuts, array(size(ws) - 1))"))
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(sequence(0, size(starts) - 1), j -> named_struct(" +
+          "'h', md5(concat_ws(' ', slice(ws, starts[j] + 1, ends[j] - starts[j] + 1))), " +
+          "'nw', CAST(ends[j] - starts[j] + 1 AS BIGINT))), c -> c.nw > 0)")).as("c"))
+      .select(col("doc_id"), col("c.h").as("h"), col("c.nw").as("nw"))
 
   private def sigSelect(prefix: String): String =
     (0 until nSig).map(i => s"min(md5('$i:' || sh)) AS $prefix$i").mkString(", ")
@@ -588,6 +629,37 @@ object Dedup {
                 md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
          FROM chunks JOIN freq USING (chunk)
          WHERE df < 3
+         GROUP BY doc_id""",
+    // cuts are 1-based here (Spark side is 0-based): Spark cut c
+    // (after 0-based word c) == DuckDB cut c+1; starts/ends shift
+    // accordingly and the inclusive 1-based list slice lines up.
+    "ll18_cdc_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= 1),
+         c AS (
+           SELECT doc_id, ws,
+             list_filter(range(3, len(ws) + 1), i ->
+               CAST(CAST('0x' || substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]), 1, 8)
+                 AS UBIGINT) % 8 AS BIGINT) = 0) AS cuts
+           FROM d),
+         b AS (
+           SELECT doc_id, ws,
+             list_prepend(1, list_transform(cuts, x -> x + 1)) AS starts,
+             list_append(cuts, len(ws)) AS ends
+           FROM c),
+         occ AS (
+           SELECT doc_id,
+             md5(array_to_string(ws[starts[j]:ends[j]], ' ')) AS h,
+             CAST(ends[j] - starts[j] + 1 AS BIGINT) AS nw
+           FROM (SELECT doc_id, ws, starts, ends,
+                   unnest(range(1, len(starts) + 1)) AS j FROM b)
+           WHERE ends[j] >= starts[j]),
+         cnts AS (SELECT h, COUNT(*) AS cnt FROM occ GROUP BY h)
+         SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN nw ELSE 0 END) AS BIGINT) AS n_dup_words
+         FROM occ JOIN cnts USING (h)
          GROUP BY doc_id""",
     "ll15_span_dedup" ->
       """WITH aug AS (

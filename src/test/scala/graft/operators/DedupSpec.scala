@@ -155,4 +155,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
     assert(out.toSeq === Seq((0L, 29L)), "both copies of the run merge into one span")
   }
+
+  test("CDC chunks are shift-robust: a front insertion preserves most chunk hashes") {
+    // 120 pseudo-random words from a 20-word vocab; doc 2 = doc 1 with
+    // one word prepended. Fixed-position chunking would change EVERY
+    // chunk; content-defined boundaries resynchronize after the edit,
+    // so the tail chunks keep their hashes.
+    val rnd = new scala.util.Random(7)
+    val words = Vector.fill(120)(s"w${rnd.nextInt(20)}")
+    val occ = Dedup.cdcChunks(docsDf(Seq(
+        1L -> words.mkString(" "),
+        2L -> ("inserted " + words.mkString(" ")))))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val h1 = occ.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = occ.filter(_._1 == 2L).map(_._2).toSet
+    val shared = (h1 & h2).size.toDouble / h1.size
+    assert(shared >= 0.6, s"CDC must resynchronize after an edit; only $shared shared")
+    assert(h1 != h2, "the edited region's chunks must differ")
+  }
 }

@@ -40,6 +40,19 @@ class IdentitySpec extends SparkSpec {
     assert(iters <= 14, s"large/small-star should converge in ~log²-ish rounds, took $iters")
   }
 
+  test("20k-hop chain: round count stays logarithmic (diameter independence)") {
+    val sess = spark
+    import sess.implicits._
+    // a min-label propagation engine would need ~20,000 rounds here;
+    // large/small-star must stay in the low tens (log^2-ish)
+    val edges = (0 until 20000).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val (df, iters) = Identity.connectedComponentsWithStats(edges)
+    assert(iters <= 20, s"alternation rounds must not scale with diameter, took $iters")
+    val labels = df.collect()
+    assert(labels.length === 20001)
+    assert(labels.forall(_.getLong(1) === 0L))
+  }
+
   test("incremental addRules merges touched components, leaves the rest alone") {
     val sess = spark
     import sess.implicits._
