@@ -507,6 +507,32 @@ object Dedup {
           sum(when(col("cnt") >= 2, col("nw")).otherwise(0L)).as("n_dup_words"))
     }),
 
+    // Asymmetric CONTAINMENT over the verified near-dup pairs —
+    // |sh(A) ∩ sh(B)| / |sh(A)| per direction. Jaccard under-scores a
+    // short document quoted inside a long one (small union ratio);
+    // containment is the measure that catches quotes, boilerplate
+    // inclusions and subset pages. Candidates stay the LSH band pairs
+    // (never all-pairs); the shingle-intersection join touches only
+    // pair members' shingles, so cost scales with the pair graph, not
+    // the corpus.
+    "ll19_containment" -> ((s, dir) => {
+      val sh = shingles(corpus(s, dir, perturb = true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val shared = pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      val out = shared
+        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+          (col("n_shared") / col("n_a")).as("containment_a"),
+          (col("n_shared") / col("n_b")).as("containment_b"))
+      materializeAndRelease(s, out, sh)
+    }),
+
     // Exact n-gram Jaccard near-dup with an ADAPTIVE physical
     // strategy: a one-aggregate df-skew statistic picks the
     // prefix-filtered (ppjoin) join — the only strategy that survives
@@ -630,6 +656,23 @@ object Dedup {
          FROM chunks JOIN freq USING (chunk)
          WHERE df < 3
          GROUP BY doc_id""",
+    "ll19_containment" ->
+      s"""WITH $minhashCtes,
+          pairs AS (SELECT doc_a, doc_b FROM v WHERE n_match >= 8),
+          cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          shared AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+            GROUP BY p.doc_a, p.doc_b)
+          SELECT s.doc_a, s.doc_b, s.n_shared,
+            ca.n_sh AS n_a, cb.n_sh AS n_b,
+            CAST(s.n_shared AS DOUBLE) / ca.n_sh AS containment_a,
+            CAST(s.n_shared AS DOUBLE) / cb.n_sh AS containment_b
+          FROM shared s
+          JOIN cnt ca ON ca.doc_id = s.doc_a
+          JOIN cnt cb ON cb.doc_id = s.doc_b""",
     // cuts are 1-based here (Spark side is 0-based): Spark cut c
     // (after 0-based word c) == DuckDB cut c+1; starts/ends shift
     // accordingly and the inclusive 1-based list slice lines up.
