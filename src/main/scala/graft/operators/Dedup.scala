@@ -299,18 +299,22 @@ object Dedup {
     * minhashes -> 4 band keys -> band-bucket self-join for candidates
     * -> signature-overlap verify at >= 8/16.
     */
+  /** LSH band-bucket candidate pairs from a signature table. */
+  private[operators] def bandCandidates(sigs: DataFrame): DataFrame = {
+    val bandRows = bandRowsOf(sigs)
+    bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // signatures feed the band explode AND both verify joins —
     // persist so the text scan + shingling + 16 mins run once
     val sigs = minhashSignatures(shingles(corpus(s, dir, perturb = true)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandRows = bandRowsOf(sigs)
-    val cand = bandRows.as("x").join(bandRows.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    materializeAndRelease(s, verifyPairs(cand, sigs), sigs)
+    materializeAndRelease(s, verifyPairs(bandCandidates(sigs), sigs), sigs)
   }
 
   val defs: Map[String, Q] = Map(
@@ -516,10 +520,15 @@ object Dedup {
     // pair members' shingles, so cost scales with the pair graph, not
     // the corpus.
     "ll19_containment" -> ((s, dir) => {
+      // ONE corpus shingling feeds signatures, set sizes AND the
+      // intersection joins (minhashPairs would re-shingle from text)
       val sh = shingles(corpus(s, dir, perturb = true))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = minhashSignatures(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val pairs = verifyPairs(bandCandidates(sigs), sigs)
+        .select(col("doc_a"), col("doc_b"))
       val shared = pairs
         .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
@@ -530,7 +539,9 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
           (col("n_shared") / col("n_a")).as("containment_a"),
           (col("n_shared") / col("n_b")).as("containment_b"))
-      materializeAndRelease(s, out, sh)
+      val res = materializeAndRelease(s, out, sh)
+      sigs.unpersist()
+      res
     }),
 
     // Exact n-gram Jaccard near-dup with an ADAPTIVE physical
