@@ -177,40 +177,58 @@ object Identity {
     // sizes; at 100 TB the per-round write is the same linear IO a
     // reliable checkpoint costs anyway, with a one-round recovery
     // window for free).
-    var prevSig = prof("sig0")(signature(cur))
-    var converged = edgeCount == 0L
     var i = 0
-    while (!converged && i < maxIter) {
-      val next = prof("round")(materialize(smallStar(largeStar(cur)), s"r${i + 1}"))
-      val sig = prof("sig")(signature(next))
-      rmScratch(s"r$i") // previous round's files no longer referenced
-      cur = next
-      converged = sig == prevSig
-      prevSig = sig
-      i += 1
-    }
-    // Converged edge set is a forest of min-rooted stars: (member,
-    // root). Roots and isolated nodes map to themselves.
-    val labels = allNodes
-      .join(cur.select(col("a").as("node"), col("b").as("c")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("c"), col("node")).as("comp"))
-    val decoded =
-      if (numericInput) labels
-      else {
-        // decode AND canonicalize: the internal component id is
-        // order-free, so the value-domain label is recomputed as the
-        // min original string over each component's members — one
-        // groupBy on the mappings (linear, same key as the final join)
-        val members = labels.join(nodes.withColumnRenamed("nid", "node"), "node")
-        val canon = members.groupBy(col("comp")).agg(min(col("s")).as("comp_s"))
-        members.join(canon, "comp")
-          .select(col("s").as("node"), col("comp_s").as("comp"))
+    // A failed round must not leave the session running with a
+    // graph-sized shuffle-partitions setting or leak per-round scratch
+    // parquet — restore/cleanup unconditionally.
+    try {
+      var prevSig = prof("sig0")(signature(cur))
+      var converged = edgeCount == 0L
+      while (!converged && i < maxIter) {
+        val next = prof("round")(materialize(smallStar(largeStar(cur)), s"r${i + 1}"))
+        val sig = prof("sig")(signature(next))
+        rmScratch(s"r$i") // previous round's files no longer referenced
+        cur = next
+        converged = sig == prevSig
+        prevSig = sig
+        i += 1
       }
-    val out = prof("decode+ckpt")(decoded.checkpoint()) // reliable; materialize before freeing inputs
-    spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
-    e.unpersist()
-    rmScratch("") // the returned frame is checkpointed; scratch rounds + dict are dead
-    (out, i)
+      // Converged edge set is a forest of min-rooted stars: (member,
+      // root). Roots and isolated nodes map to themselves. If maxIter
+      // exhausted WITHOUT the signature stabilizing, cur is not
+      // guaranteed to be a star forest (a node may carry several
+      // labels); collapse to min(label) so the output stays one row
+      // per node either way — on the converged path the aggregate is
+      // a no-op on already-unique keys.
+      if (!converged)
+        System.err.println(
+          s"[graft] Identity CC: maxIter=$maxIter exhausted without convergence; " +
+            "labels collapsed to min per node and may span unmerged components")
+      val stars =
+        if (converged) cur.select(col("a").as("node"), col("b").as("c"))
+        else cur.groupBy(col("a").as("node")).agg(min(col("b")).as("c"))
+      val labels = allNodes
+        .join(stars, Seq("node"), "left")
+        .select(col("node"), coalesce(col("c"), col("node")).as("comp"))
+      val decoded =
+        if (numericInput) labels
+        else {
+          // decode AND canonicalize: the internal component id is
+          // order-free, so the value-domain label is recomputed as the
+          // min original string over each component's members — one
+          // groupBy on the mappings (linear, same key as the final join)
+          val members = labels.join(nodes.withColumnRenamed("nid", "node"), "node")
+          val canon = members.groupBy(col("comp")).agg(min(col("s")).as("comp_s"))
+          members.join(canon, "comp")
+            .select(col("s").as("node"), col("comp_s").as("comp"))
+        }
+      val out = prof("decode+ckpt")(decoded.checkpoint()) // reliable; materialize before freeing inputs
+      (out, i)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
+      e.unpersist()
+      rmScratch("") // the returned frame is checkpointed; scratch rounds + dict are dead
+    }
   }
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =

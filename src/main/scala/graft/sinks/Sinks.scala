@@ -207,21 +207,38 @@ object Sinks {
     * superseded `__old` versions whose live table exists, and heals
     * the one dangerous state (an `__old` with NO live table — a crash
     * inside the swap window) by restoring it, same as recoverSwap.
-    * Caller contract: no swap is in flight under `parent`.
+    *
+    * The no-swap-in-flight caller contract is backstopped by a grace
+    * window: a candidate dir whose own (or immediate children's)
+    * modification time is within `graceMs` of now is skipped — a
+    * concurrent writer's live staging dir shows fresh mtimes, while a
+    * genuinely stranded leftover has been cold for hours. Pass
+    * graceMs = 0 only when the caller can actually guarantee quiesce.
     *
     * @return (action, path) ledger of what was done.
     */
-  def vacuum(spark: SparkSession, parent: String): Seq[(String, String)] = {
+  def vacuum(spark: SparkSession, parent: String,
+             graceMs: Long = 15 * 60 * 1000L): Seq[(String, String)] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(parent)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
+    val now = System.currentTimeMillis()
+    def recentlyTouched(d: Path): Boolean = {
+      if (graceMs <= 0L) return false
+      val self = fs.getFileStatus(d).getModificationTime
+      val kids = fs.listStatus(d).map(_.getModificationTime)
+      now - (self +: kids).max < graceMs
+    }
     fs.listStatus(p).toSeq.map(_.getPath).flatMap { child =>
       val name = child.getName
-      if (name.endsWith("__staging")) {
+      if (!name.endsWith("__staging") && !name.endsWith("__old")) None
+      else if (recentlyTouched(child))
+        Some("skipped_recent" -> child.toString)
+      else if (name.endsWith("__staging")) {
         fs.delete(child, true)
         Some("removed_staging" -> child.toString)
-      } else if (name.endsWith("__old")) {
+      } else {
         val target = new Path(p, name.stripSuffix("__old"))
         if (fs.exists(target)) {
           fs.delete(child, true)
@@ -229,7 +246,7 @@ object Sinks {
         } else if (fs.rename(child, target))
           Some("restored" -> target.toString)
         else throw new java.io.IOException(s"cannot restore $child to $target")
-      } else None
+      }
     }
   }
 

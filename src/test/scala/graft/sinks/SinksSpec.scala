@@ -166,14 +166,21 @@ class SinksSpec extends SparkSpec {
     write(s"$parent/b__old")
     // table c: untouched healthy table
     write(s"$parent/c")
-    val actions = Sinks.vacuum(spark, parent).toSet
+    // default grace window: everything here was JUST written, so a
+    // default-config vacuum must touch nothing — the guard that keeps
+    // a concurrent writer's live staging dir safe.
+    val guarded = Sinks.vacuum(spark, parent)
+    assert(guarded.map(_._1).toSet === Set("skipped_recent"))
+    assert(guarded.size === 3)
+    // quiesced maintenance window (graceMs = 0): full cleanup
+    val actions = Sinks.vacuum(spark, parent, graceMs = 0L).toSet
     assert(actions.map(_._1) === Set("removed_staging", "removed_old", "restored"))
     val left = new java.io.File(parent).listFiles().map(_.getName).toSet
     assert(left === Set("a", "b", "c"))
     // restored table reads back whole
     assert(spark.read.parquet(s"$parent/b").count() === 2)
     // idempotent: a second vacuum is a no-op
-    assert(Sinks.vacuum(spark, parent).isEmpty)
+    assert(Sinks.vacuum(spark, parent, graceMs = 0L).isEmpty)
   }
 
   test("provider shaping: ClickHouse booleans become 0/1") {
