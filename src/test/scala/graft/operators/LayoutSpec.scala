@@ -25,8 +25,7 @@ class LayoutSpec extends SparkSpec {
         .agg(((max(col("l_partkey")) - min(col("l_partkey")) + 1) *
           (max(col("l_suppkey")) - min(col("l_suppkey")) + 1)).as("area"))
         .agg(sum(col("area"))).first().getLong(0)
-    val zArea = boxArea(
-      Layout.zBuckets(li, "l_partkey", "l_suppkey", n, Seq("l_orderkey", "l_linenumber")))
+    val zArea = boxArea(Layout.zBuckets(li, "l_partkey", "l_suppkey", n))
     val naive = li.withColumn("bucket", ntile(n).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
     val nArea = boxArea(naive)
