@@ -1,17 +1,23 @@
 package graft.operators
 
-/** REAL pure-JVM media decoders for container formats that need no
-  * external codec library: PCM WAV (RIFF chunk walk, little-endian
-  * 16-bit samples) and uncompressed 24-bit BMP (BITMAPFILEHEADER +
-  * BITMAPINFOHEADER, 4-byte-aligned bottom-up rows). These take the
-  * place of `Multimodal.decodeMeta`'s documented stub for the formats
-  * the JVM can parse standalone: `mm4`/`mm5` synthesize well-formed
-  * container bytes, decode them with THESE parsers on executors, and
-  * hash-check every decoded quantity (sample sums, channel sums,
-  * header fields) against a closed-form DuckDB oracle — so a parser
-  * that misreads a header offset, sign bit, or row padding fails the
-  * correctness gate. JPEG/MP3/H.264 remain the swap point for a real
-  * codec binding.
+/** REAL pure-JVM media decoders, two tiers:
+  *
+  *  - hand-rolled parsers for the codec-free containers: PCM WAV
+  *    (RIFF chunk walk, little-endian 16-bit samples) and uncompressed
+  *    24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 4-byte-aligned
+  *    bottom-up rows) — `mm4`/`mm5`;
+  *  - COMPRESSED images (PNG/JPEG/GIF) via `javax.imageio.ImageIO`,
+  *    the JDK java.desktop codecs already on every Spark JVM's
+  *    classpath, zero external deps — `mm7`. PNG is lossless, so a
+  *    synthesized deterministic PNG decodes to exactly the closed-form
+  *    pixels a DuckDB oracle replays; JPEG (lossy) is spec-checked for
+  *    exact dimensions + bounded pixel drift in MultimodalSpec.
+  *
+  * Every decoded quantity (sample sums, channel sums, header fields)
+  * is hash-checked against a closed-form oracle — a parser or codec
+  * binding that misreads an offset, sign bit, row padding, or color
+  * channel fails the correctness gate. MP3/H.264 remain the swap
+  * point for a real external codec binding.
   */
 object MediaCodecs {
 
@@ -163,6 +169,87 @@ object MediaCodecs {
       p += 1
     }
     BmpHash(m.width, m.height, mean, hash)
+  }
+
+  // ------------------------------------------- compressed images (ImageIO)
+
+  case class ImageMeta(width: Int, height: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  /** Decode any JDK-supported compressed image (PNG, JPEG, GIF, BMP)
+    * with `javax.imageio.ImageIO` and fold per-channel pixel sums.
+    * Pure JVM — the codecs ship in java.desktop, so this runs on any
+    * executor with no native library. The file-backed stream cache is
+    * disabled: decodes happen on executor threads and must never
+    * contend on temp-dir files (memory-only cache, same speed class
+    * for the small-payload media-column shape).
+    */
+  def decodeImage(bytes: Array[Byte]): ImageMeta = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "bytes not decodable by any registered ImageIO codec")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y) // packed sRGB regardless of source layout
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageMeta(img.getWidth, img.getHeight, sr, sg, sb)
+  }
+
+  /** Well-formed PNG (via the JDK encoder — lossless, so the decode
+    * side recovers these exact pixels): width 4+id%4, height 2+id%3,
+    * pixel p (row-major from the top) has R/G/B =
+    * (id*7 + 3p + 2/1/0) mod 256 — the same closed form as synthBmp,
+    * which the oracle replays without touching bytes. Channel SUMS are
+    * row-order independent, so the oracle is shared arithmetic.
+    */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = 4 + (id % 4).toInt
+    val h = 2 + (id % 3).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < w * h) {
+      val r = ((id * 7 + 3L * p + 2) % 256).toInt
+      val g = ((id * 7 + 3L * p + 1) % 256).toInt
+      val bl = ((id * 7 + 3L * p) % 256).toInt
+      img.setRGB(p % w, p / w, (r << 16) | (g << 8) | bl)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG encoder")
+    bos.toByteArray
+  }
+
+  /** Same deterministic pixels as synthPng, encoded as high-quality
+    * JPEG — lossy, so only dimensions are exact; MultimodalSpec bounds
+    * the per-channel drift.
+    */
+  def synthJpeg(id: Long): Array[Byte] = {
+    val w = 4 + (id % 4).toInt
+    val h = 2 + (id % 3).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < w * h) {
+      val r = ((id * 7 + 3L * p + 2) % 256).toInt
+      val g = ((id * 7 + 3L * p + 1) % 256).toInt
+      val bl = ((id * 7 + 3L * p) % 256).toInt
+      img.setRGB(p % w, p / w, (r << 16) | (g << 8) | bl)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG encoder")
+    bos.toByteArray
   }
 
   /** Well-formed 24-bit BMP, width 4+id%4 (exercises row padding),

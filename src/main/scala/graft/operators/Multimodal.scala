@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   * typed Dataset — the Scala analog of `mapInPandas` batches), and
   * oracle-checked metadata/frame arithmetic. Decode comes in two
   * tiers: `MediaCodecs` REALLY parses the codec-free containers (PCM
-  * WAV and uncompressed BMP — mm4/mm5, every decoded field
-  * hash-checked), while `decodeMeta` remains the clearly-marked
-  * deterministic stand-in for compressed formats (JPEG/MP3/H.264)
-  * whose codecs this container lacks — a real deployment swaps its
-  * body for a JNI/javacv binding without touching any schema,
-  * partitioning, or call-site.
+  * WAV and uncompressed BMP — mm4/mm5) AND compressed images through
+  * the JDK's `javax.imageio` codecs (PNG/JPEG/GIF — mm7, exact
+  * pixel-sum oracle on lossless PNG), every decoded field
+  * hash-checked. `decodeMeta` remains the clearly-marked
+  * deterministic stand-in only for formats with no JVM codec
+  * (MP3/H.264) — a real deployment swaps its body for a JNI/javacv
+  * binding without touching any schema, partitioning, or call-site.
   *
   * Payloads here are synthesized from `documents.text` bytes so the
   * DuckDB oracle can mirror every derived quantity exactly.
@@ -174,6 +175,27 @@ object Multimodal {
           col("h.ahash").as("ahash"))
     }),
 
+    // REAL compressed-image decode: deterministic PNGs (JDK encoder,
+    // lossless) decoded back through javax.imageio's PNG codec on
+    // executors — the decode path a real training pipeline's image
+    // columns (PNG/JPEG, not BMP) take. Width/height and exact
+    // per-channel pixel sums are hash-checked against the same closed
+    // form as mm5 (channel sums are row-order independent, so the
+    // arithmetic is shared); a codec binding that flips channels,
+    // drops the last padded row, or gamma-shifts pixels fails here.
+    "mm7_png_decode" -> ((s, dir) => {
+      val synth = udf((id: Long) => MediaCodecs.synthPng(id))
+      val dec = udf((p: Array[Byte]) => MediaCodecs.decodeImage(p))
+      Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+        .filter(col("media_id") < 100)
+        .withColumn("m", dec(synth(col("media_id"))))
+        .select(col("media_id"),
+          col("m.width").cast("long").as("width"),
+          col("m.height").cast("long").as("height"),
+          col("m.sumR").as("sum_r"), col("m.sumG").as("sum_g"),
+          col("m.sumB").as("sum_b"))
+    }),
+
     // Frame sampling arithmetic (stride 4) — the scan shape of video
     // frame extraction; counts per kind are exact.
     "mm2_frame_sample" -> ((s, dir) => {
@@ -272,6 +294,20 @@ object Multimodal {
                          THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ahash
          FROM g JOIN m ON g.doc_id = m.doc_id
          GROUP BY g.doc_id, w, h, mean_gray""",
+    // Same closed form as mm5: synthPng paints pixel p with the same
+    // (id*7 + 3p) channel values, and channel sums don't depend on
+    // row order (BMP bottom-up vs PNG top-down).
+    "mm7_png_decode" ->
+      """SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 4 AS BIGINT) AS width,
+           CAST(2 + doc_id % 3 AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, (4 + doc_id % 4) * (2 + doc_id % 3)),
+             p -> (doc_id * 7 + 3 * p + 2) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, (4 + doc_id % 4) * (2 + doc_id % 3)),
+             p -> (doc_id * 7 + 3 * p + 1) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, (4 + doc_id % 4) * (2 + doc_id % 3)),
+             p -> (doc_id * 7 + 3 * p) % 256)) AS BIGINT) AS sum_b
+         FROM documents WHERE doc_id < 100""",
     "mm5_bmp_decode" ->
       """SELECT doc_id AS media_id,
            CAST(4 + doc_id % 4 AS BIGINT) AS width,

@@ -67,6 +67,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIO decode: PNG roundtrip is pixel-exact for every size/padding case") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 42L, 99L)) {
+      val d = MediaCodecs.decodeImage(MediaCodecs.synthPng(id))
+      val (w, h) = (4 + (id % 4).toInt, 2 + (id % 3).toInt)
+      val px = 0 until (w * h)
+      assert(d.width === w && d.height === h)
+      assert(d.sumB === px.map(p => (id * 7 + 3L * p) % 256).sum)
+      assert(d.sumG === px.map(p => (id * 7 + 3L * p + 1) % 256).sum)
+      assert(d.sumR === px.map(p => (id * 7 + 3L * p + 2) % 256).sum)
+    }
+  }
+
+  test("ImageIO decode: JPEG gives exact dimensions and bounded pixel drift") {
+    for (id <- Seq(0L, 7L, 42L)) {
+      val jpegBytes = MediaCodecs.synthJpeg(id)
+      // a real JFIF container, not a repackaged bitmap
+      assert((jpegBytes(0) & 0xff) === 0xff && (jpegBytes(1) & 0xff) === 0xd8)
+      val d = MediaCodecs.decodeImage(jpegBytes)
+      val (w, h) = (4 + (id % 4).toInt, 2 + (id % 3).toInt)
+      assert(d.width === w && d.height === h)
+      // lossy: channel MEANS must stay within a coarse band of the
+      // source means (the pattern is a mod-256 gradient; DCT error on
+      // tiny blocks is real but bounded)
+      val px = 0 until (w * h)
+      def mean(s: Long) = s.toDouble / (w * h)
+      val srcB = px.map(p => (id * 7 + 3L * p) % 256).sum
+      assert(math.abs(mean(d.sumB) - mean(srcB)) < 64.0,
+        s"JPEG blue mean drifted: ${mean(d.sumB)} vs ${mean(srcB)}")
+    }
+  }
+
+  test("ImageIO decode rejects undecodable bytes instead of returning garbage") {
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeImage("definitely not an image".getBytes("UTF-8"))
+    }
+  }
+
   test("frame sampling yields full fixed-size frames at the stride") {
     val sess = spark
     import sess.implicits._
