@@ -109,8 +109,77 @@ object JsonFlatten {
     } else "json"
   }
 
+  /** Deep flatten INCLUDING array elements — the shape tracking-plan
+    * item validation needs (reference processor/trackingplan.go:69-168
+    * validates arbitrary nested schemas incl. array items via JSON
+    * Schema). Returns (path, idx, value, jtype) rows:
+    *   - object properties: path `a_b`, idx -1, raw JSON type;
+    *   - an array itself: path `items`, idx -1, value = length,
+    *     jtype `array`;
+    *   - scalar array elements: path `items[]`, idx = position;
+    *   - object array elements: a presence marker (`items[]`, idx,
+    *     null, `object`) — so a REQUIRED item property can be flagged
+    *     per element — plus one row per property (`items[]_sku`, idx);
+    *   - deeper nesting inside elements stays a `json` passthrough.
+    * jtype is the RAW JSON type (int/float/boolean/string/object/
+    * array/json) with no datetime/text heuristics: plan type checks
+    * replay exactly against DuckDB's json_type().
+    */
+  def flattenDeep(json: String, maxDepth: Int = 3): Seq[(String, Int, String, String)] = {
+    if (json == null) return null
+    val root =
+      try mapper.readTree(json)
+      catch { case _: Exception => return Seq.empty }
+    if (root == null || !root.isObject) return Seq.empty
+    val out = mutable.ArrayBuffer[(String, Int, String, String)]()
+    def rawType(v: JsonNode): String =
+      if (v.isBoolean) "boolean"
+      else if (v.isIntegralNumber) "int"
+      else if (v.isNumber) {
+        val bd = v.decimalValue().stripTrailingZeros()
+        if (bd.scale() <= 0) "int" else "float"
+      } else if (v.isTextual) "string"
+      else "json"
+    def leaf(path: String, idx: Int, v: JsonNode): Unit =
+      if (!v.isNull) out += ((path, idx, v.asText(), rawType(v)))
+    def walk(node: JsonNode, prefix: String, depth: Int): Unit = {
+      node.properties().asScala.foreach { e =>
+        val key = e.getKey
+        if (key.nonEmpty) {
+          val path = if (prefix.isEmpty) key else s"${prefix}_$key"
+          val v = e.getValue
+          if (v.isObject && depth < maxDepth) walk(v, path, depth + 1)
+          else if (v.isArray) {
+            out += ((path, -1, v.size().toString, "array"))
+            (0 until v.size()).foreach { i =>
+              val el = v.get(i)
+              if (el.isObject) {
+                out += ((s"$path[]", i, null, "object"))
+                el.properties().asScala.foreach { p =>
+                  val pv = p.getValue
+                  if (p.getKey.nonEmpty && !pv.isNull)
+                    out += ((s"$path[]_${p.getKey}", i,
+                      if (pv.isValueNode) pv.asText() else pv.toString,
+                      if (pv.isValueNode) rawType(pv) else "json"))
+                }
+              } else if (el.isValueNode) leaf(s"$path[]", i, el)
+              else out += ((s"$path[]", i, el.toString, "json"))
+            }
+          }
+          else if (v.isNull) ()
+          else if (v.isValueNode) leaf(path, -1, v)
+          else out += ((path, -1, v.toString, "json"))
+        }
+      }
+    }
+    walk(root, "", 1)
+    out.toSeq
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("flatten_json", (s: String) => flatten(s))
+    spark.udf.register("flatten_json_deep", (s: String) =>
+      flattenDeep(s).map { case (p, i, v, t) => (p, i, v, t) })
     spark.udf.register("flatten_json_types", (s: String) => flattenTypes(s))
     spark.udf.register("flatten_json_types_redshift",
       (s: String) => flattenTypes(s, redshiftText = true))

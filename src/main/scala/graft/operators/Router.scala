@@ -241,6 +241,92 @@ object Router {
         .select(col("event_id"), col("plan_key"), col("violation"))
     }),
 
+    // T8b: NESTED tracking-plan validation — the JSON-Schema coverage
+    // t8 lacks (reference processor/trackingplan.go:69-168 validates
+    // arbitrary nested schemas including array items): nested object
+    // properties (address_city), array constraints (minItems), and
+    // per-ELEMENT item-schema checks (required/type/pattern/bounds on
+    // items[].sku / items[].qty, enum on scalar tags[] elements), each
+    // violation reported with its element index. flatten_json_deep
+    // walks arrays with positions map-side; the plan is a broadcast
+    // fixture, so validation stays one scan + broadcast joins at any
+    // scale. DuckDB replays the identical checks with json_type/
+    // json_extract over the same plan — the oracle verifies the
+    // validation SEMANTICS, not hardcoded outputs.
+    "t8b_tracking_plan_nested" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      JsonFlatten.register(s)
+      // (key, kind, type, required, enum, pattern, min, max, minItems, parent)
+      val plan = Seq(
+        ("a", "scalar", "int", true, null, null, Some(0.0), Some(100.0), None, null),
+        ("address_city", "scalar", "string", true, null, null, None, None, None, null),
+        ("items", "array", "array", true, null, null, None, None, Some(1), null),
+        ("items[]_sku", "item", "string", true, null, "^SKU-[0-9]{4}$", None, None, None, "items[]"),
+        ("items[]_qty", "item", "int", true, null, null, Some(1.0), Some(10.0), None, "items[]"),
+        ("tags[]", "item", "string", false, "red,green,blue", null, None, None, None, null))
+        .map { case (k, kd, t, req, e, p, mn, mx, mi, par) =>
+          (k, kd, t, req, e, p, mn.map(Double.box).orNull, mx.map(Double.box).orNull,
+            mi.map(Int.box).orNull, par)
+        }
+        .toDF("plan_key", "kind", "expected_type", "required", "enum_vals", "pattern",
+          "min_val", "max_val", "min_items", "parent")
+      val fixture = Seq(
+        1L -> """{"a":5,"address":{"city":"berlin"},"items":[{"sku":"SKU-0001","qty":2}],"tags":["red"]}""",
+        2L -> """{"a":50,"items":[{"sku":"SKU-0002","qty":0},{"sku":"SKU-0003","qty":3}],"tags":["green","blue"]}""",
+        3L -> """{"a":7,"address":{"city":"oslo"},"items":[],"tags":["purple"]}""",
+        4L -> """{"a":"oops","address":{"city":"rome"},"items":[{"qty":4}],"tags":[]}""",
+        5L -> """{"a":250,"address":{"city":"kyoto"},"items":[{"sku":"SKU-12","qty":11}],"tags":["red","red"]}""")
+        .toDF("id", "js")
+      val flat = fixture
+        .select(col("id"), explode(callUDF("flatten_json_deep", col("js"))).as("f"))
+        .select(col("id").as("fid"), col("f._1").as("path"), col("f._2").as("fidx"),
+          col("f._3").as("value"), col("f._4").as("jtype"))
+      // one violation expression shared by all three domains; evaluation
+      // order matches the oracle's CASE exactly
+      val vio =
+        when(col("jtype").isNull, when(col("required"), lit("missing-required")))
+          .when(col("jtype") =!= col("expected_type"), lit("type-mismatch"))
+          .when(col("enum_vals").isNotNull &&
+            !array_contains(split(col("enum_vals"), ","), col("value")),
+            lit("enum-violation"))
+          .when(col("pattern").isNotNull && !expr("regexp_like(value, pattern)"),
+            lit("pattern-mismatch"))
+          .when(col("min_val").isNotNull &&
+            (col("value").cast("double") < col("min_val") ||
+              col("value").cast("double") > col("max_val")),
+            lit("bounds-violation"))
+          .when(col("min_items").isNotNull && col("value").cast("int") < col("min_items"),
+            lit("min-items-violation"))
+      // domain 1: scalar + array plan keys — one check per (event, key)
+      val scalarSide = fixture.select(col("id").as("event_id"))
+        .crossJoin(broadcast(plan.filter(col("kind") =!= "item")))
+        .join(flat, col("event_id") === col("fid") && col("plan_key") === col("path"), "left")
+        .select(col("event_id"), col("plan_key"), lit(-1L).as("item_idx"), vio.as("violation"))
+      // domain 2: object array elements — presence markers give the
+      // per-element domain, so a missing required property is flagged
+      // for exactly the elements that exist
+      val markers = flat.filter(col("jtype") === "object")
+        .select(col("fid").as("event_id"), col("path").as("parent"), col("fidx").as("item_idx"))
+      val objItems = markers
+        .join(broadcast(plan.filter(col("kind") === "item" && col("parent").isNotNull)), "parent")
+        .join(flat,
+          col("event_id") === col("fid") && col("plan_key") === col("path") &&
+            col("item_idx") === col("fidx"), "left")
+        .select(col("event_id"), col("plan_key"), col("item_idx").cast("long").as("item_idx"),
+          vio.as("violation"))
+      // domain 3: scalar array elements (tags[]) — each element row is
+      // its own domain; required does not apply
+      val scalarItems = flat
+        .join(broadcast(plan.filter(col("kind") === "item" && col("parent").isNull)),
+          col("plan_key") === col("path"))
+        .select(col("fid").as("event_id"), col("plan_key"),
+          col("fidx").cast("long").as("item_idx"), vio.as("violation"))
+      scalarSide.unionByName(objItems).unionByName(scalarItems)
+        .filter(col("violation").isNotNull)
+        .select(col("event_id"), col("plan_key"), col("item_idx"), col("violation"))
+    }),
+
     // T14: destination transformation, SaaS branch — canonical events
     // projected into per-destination delivery payload formats
     // (processor/internal/transformer/destination_transformer: each
@@ -465,6 +551,75 @@ object Router {
                      AND (CAST(a.value AS DOUBLE) < p.min_val
                           OR CAST(a.value AS DOUBLE) > p.max_val)
                   THEN 'bounds-violation' END IS NOT NULL""",
+    // Replays every t8b check with DuckDB's own json_type/json_extract
+    // over the same plan: scalar/nested keys, array minItems, and
+    // per-element item schemas iterated via range(json_array_length).
+    "t8b_tracking_plan_nested" ->
+      """WITH f(event_id, js) AS (VALUES
+           (1, '{"a":5,"address":{"city":"berlin"},"items":[{"sku":"SKU-0001","qty":2}],"tags":["red"]}'),
+           (2, '{"a":50,"items":[{"sku":"SKU-0002","qty":0},{"sku":"SKU-0003","qty":3}],"tags":["green","blue"]}'),
+           (3, '{"a":7,"address":{"city":"oslo"},"items":[],"tags":["purple"]}'),
+           (4, '{"a":"oops","address":{"city":"rome"},"items":[{"qty":4}],"tags":[]}'),
+           (5, '{"a":250,"address":{"city":"kyoto"},"items":[{"sku":"SKU-12","qty":11}],"tags":["red","red"]}')),
+         scalars AS (
+           SELECT event_id, 'a' AS plan_key, -1 AS item_idx,
+             CASE WHEN json_type(js,'$.a') IS NULL THEN 'missing-required'
+                  WHEN json_type(js,'$.a') NOT IN ('BIGINT','UBIGINT') THEN 'type-mismatch'
+                  WHEN CAST(json_extract_string(js,'$.a') AS DOUBLE) < 0
+                       OR CAST(json_extract_string(js,'$.a') AS DOUBLE) > 100
+                    THEN 'bounds-violation' END AS violation
+           FROM f
+           UNION ALL
+           SELECT event_id, 'address_city', -1,
+             CASE WHEN json_type(js,'$.address.city') IS NULL THEN 'missing-required'
+                  WHEN json_type(js,'$.address.city') <> 'VARCHAR' THEN 'type-mismatch' END
+           FROM f
+           UNION ALL
+           SELECT event_id, 'items', -1,
+             CASE WHEN json_type(js,'$.items') IS NULL THEN 'missing-required'
+                  WHEN json_type(js,'$.items') <> 'ARRAY' THEN 'type-mismatch'
+                  WHEN json_array_length(js,'$.items') < 1 THEN 'min-items-violation' END
+           FROM f),
+         item_elems AS (
+           SELECT event_id, js, CAST(u.i AS BIGINT) AS item_idx
+           FROM f CROSS JOIN UNNEST(range(0,
+             CAST(coalesce(json_array_length(js,'$.items'), 0) AS BIGINT))) AS u(i)),
+         items AS (
+           SELECT event_id, 'items[]_sku' AS plan_key, item_idx,
+             CASE WHEN json_type(js, '$.items[' || item_idx || '].sku') IS NULL
+                    THEN 'missing-required'
+                  WHEN json_type(js, '$.items[' || item_idx || '].sku') <> 'VARCHAR'
+                    THEN 'type-mismatch'
+                  WHEN NOT regexp_matches(
+                       json_extract_string(js, '$.items[' || item_idx || '].sku'),
+                       '^SKU-[0-9]{4}$')
+                    THEN 'pattern-mismatch' END AS violation
+           FROM item_elems
+           UNION ALL
+           SELECT event_id, 'items[]_qty', item_idx,
+             CASE WHEN json_type(js, '$.items[' || item_idx || '].qty') IS NULL
+                    THEN 'missing-required'
+                  WHEN json_type(js, '$.items[' || item_idx || '].qty')
+                       NOT IN ('BIGINT','UBIGINT') THEN 'type-mismatch'
+                  WHEN CAST(json_extract_string(js, '$.items[' || item_idx || '].qty')
+                       AS DOUBLE) < 1
+                       OR CAST(json_extract_string(js, '$.items[' || item_idx || '].qty')
+                       AS DOUBLE) > 10
+                    THEN 'bounds-violation' END
+           FROM item_elems),
+         tags AS (
+           SELECT event_id, 'tags[]' AS plan_key, CAST(u.i AS BIGINT) AS item_idx,
+             CASE WHEN json_type(js, '$.tags[' || u.i || ']') <> 'VARCHAR'
+                    THEN 'type-mismatch'
+                  WHEN json_extract_string(js, '$.tags[' || u.i || ']')
+                       NOT IN ('red','green','blue') THEN 'enum-violation' END AS violation
+           FROM f CROSS JOIN UNNEST(range(0,
+             CAST(coalesce(json_array_length(js,'$.tags'), 0) AS BIGINT))) AS u(i)),
+         allv AS (SELECT * FROM scalars UNION ALL SELECT * FROM items
+                  UNION ALL SELECT * FROM tags)
+         SELECT CAST(event_id AS BIGINT) AS event_id, plan_key,
+                CAST(item_idx AS BIGINT) AS item_idx, violation
+         FROM allv WHERE violation IS NOT NULL""",
     "t14_destination_format" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
          SELECT event_id, 'webhook_generic' AS destination,
