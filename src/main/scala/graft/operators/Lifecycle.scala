@@ -106,6 +106,61 @@ object Lifecycle {
           max(col("event_id")).as("max_id"))
     }),
 
+    // L10: datalake-sink roundtrip — events written through the
+    // date-partitioned datalake layout, read back WITH partition
+    // discovery (event_date exists only as directory names), rolled
+    // up per date against the oracle on the original table: a sink
+    // that misroutes a row to the wrong date dir, drops rows in the
+    // repartition, or corrupts values breaks the hash.
+    "l10_datalake_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_l10").toString
+      Sinks.datalakeWrite(
+        Tables.events(s, dir).select(col("event_id"), col("ts"), col("value")), tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("event_date").cast("string").as("event_date"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+    }),
+
+    // D6: streaming object sink — a REAL Structured Streaming query
+    // (file source pinned to one file per trigger → exactly 5
+    // micro-batches) delivered through startStreamingObjectSink's
+    // foreachBatch into the (source, destination)-partitioned object
+    // layout, then read back and rolled up per destination partition.
+    // n_batches comes from the checkpoint commit log, so the oracle
+    // proves BOTH multi-batch delivery and exactly-once content
+    // (every row lands once across batch boundaries).
+    "d6_streaming_sink" -> ((s, dir) => {
+      val base = Files.createTempDirectory("graft_d6").toString
+      val in = s"$base/in"
+      val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("user_id") % 3).cast("string").as("source_id"),
+          col("event_type").as("destination_id"))
+        .repartition(5)
+        .write.mode("overwrite").parquet(in)
+      val stream = s.readStream
+        .schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val q = Sinks.startStreamingObjectSink(stream, out, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      val nBatches = new java.io.File(s"$ckpt/commits")
+        .listFiles().count(_.getName.forall(_.isDigit)).toLong
+      Readers.stagingScan(s, out,
+          Some(StructType.fromDDL("event_id BIGINT, user_id BIGINT, event_type STRING")))
+        .groupBy(col("source_id").cast("string").as("source_id"),
+          col("destination_id").cast("string").as("destination_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .withColumn("n_batches", lit(nBatches))
+    }),
+
     // L4 in-file duplicate-id detection (slave/worker.go:333-348):
     // the staging slice is scanned for ids occurring more than once
     // per table — reported as a stat; the L6 window keeps the latest
@@ -166,6 +221,18 @@ object Lifecycle {
       """SELECT o_orderstatus, COUNT(*) AS n_records,
            MIN('rec_' || CAST(o_orderkey AS VARCHAR)) AS first_record
          FROM orders GROUP BY 1""",
+    "l10_datalake_roundtrip" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, COUNT(*) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    "d6_streaming_sink" ->
+      """SELECT CAST(user_id % 3 AS VARCHAR) AS source_id,
+           event_type AS destination_id, COUNT(*) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+           CAST(5 AS BIGINT) AS n_batches
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY 1, 2""",
     "d7_error_stash_roundtrip" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS failed_date, COUNT(*) AS n_failed,
            MIN(event_id) AS first_error, MAX(event_id) AS last_error

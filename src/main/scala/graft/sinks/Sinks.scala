@@ -253,9 +253,14 @@ object Sinks {
   /** L10: datalake sink — date-partitioned columnar layout
     * (warehouse/integrations/datalake/): partition pruning on
     * event_date is what makes downstream time-range scans cheap.
+    * Repartition on the partition column first so each date gets one
+    * well-sized file instead of one per task — the same small-files
+    * guard as the archiver (at 1000 tasks x 365 dates, the naive
+    * write is 365k tiny files).
     */
   def datalakeWrite(df: DataFrame, dir: String): Unit =
     df.withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"))
       .write.mode("append")
       .partitionBy("event_date")
       .parquet(dir)
