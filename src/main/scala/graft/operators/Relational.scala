@@ -271,6 +271,30 @@ object Relational {
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_failed"),
           sum(when(col("event_type") =!= "error", 1).otherwise(0)).as("n_out"))
         .filter(col("n_in") >= 20)
+    }),
+
+    // rsources failed-record KEYS — the reference stores the actual
+    // failed record ids per (jobRunId, taskRunId), queryable through
+    // the rsources API alongside the counters
+    // (services/rsources/rsources.go:35-51 FailedRecords store). One
+    // row per failed key with its run context, the run's failed
+    // counter, and the completion predicate (complete when nothing is
+    // still in-flight — purchases model pending deliveries here). The
+    // per-run stats side is run-cardinality (tiny), so it broadcasts;
+    // the failed-key side streams map-side with no shuffle of its own.
+    "q12b_rsources_failed_keys" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("job_run_id", concat(lit("jr_"), (col("user_id") % 10).cast("string")))
+        .withColumn("task_run_id", concat(lit("tr_"), (col("user_id") % 3).cast("string")))
+      val stats = ev.groupBy(col("job_run_id"), col("task_run_id"))
+        .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_failed"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_pending"))
+      val failed = ev.filter(col("event_type") === "error")
+        .select(col("job_run_id"), col("task_run_id"),
+          concat(lit("rec_"), col("event_id").cast("string")).as("failed_key"))
+      failed.join(broadcast(stats), Seq("job_run_id", "task_run_id"))
+        .select(col("job_run_id"), col("task_run_id"), col("failed_key"),
+          col("n_failed"), (col("n_pending") === 0L).as("job_complete"))
     })
   )
 
@@ -384,6 +408,20 @@ object Relational {
       """SELECT user_id, COUNT(*) AS n_in,
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
          CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_out
-         FROM events GROUP BY user_id HAVING COUNT(*) >= 20"""
+         FROM events GROUP BY user_id HAVING COUNT(*) >= 20""",
+    "q12b_rsources_failed_keys" ->
+      """WITH runs AS (
+           SELECT 'jr_' || (user_id % 10) AS job_run_id,
+                  'tr_' || (user_id % 3) AS task_run_id,
+                  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pending
+           FROM events GROUP BY 1, 2)
+         SELECT e.job_run_id, e.task_run_id, e.failed_key, r.n_failed,
+                r.n_pending = 0 AS job_complete
+         FROM (SELECT 'jr_' || (user_id % 10) AS job_run_id,
+                      'tr_' || (user_id % 3) AS task_run_id,
+                      'rec_' || CAST(event_id AS VARCHAR) AS failed_key
+               FROM events WHERE event_type = 'error') e
+         JOIN runs r ON e.job_run_id = r.job_run_id AND e.task_run_id = r.task_run_id"""
   )
 }
