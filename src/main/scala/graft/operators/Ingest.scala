@@ -75,6 +75,119 @@ object Ingest {
     webhookRules.map { case (p, u, e) => s"('$p', '$u', '$e')" }
       .mkString("(VALUES ", ", ", ")")
 
+  // ---------------------------------------------------- s3b: breadth + auth
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** HMAC-structured keyed hash over the raw body, with HEX-STRING
+    * intermediates: sig = H(secret ':' H(secret ':' body)). The
+    * two-pass keyed structure is HMAC's; the hex intermediate (instead
+    * of raw digest bytes) keeps every value VARCHAR so DuckDB's
+    * sha256(VARCHAR) replays it — the true byte-level HMAC-SHA256 is
+    * the same expression shape over binary concat (IngestSpec pins the
+    * Spark sha2/unhex/concat chain against javax.crypto.Mac).
+    */
+  private def keyedSigHex(secret: String, body: String): String =
+    sha256Hex(secret + ":" + sha256Hex(secret + ":" + body))
+
+  /** Spark column form of keyedSigHex — a pure codegen'd sha2 chain. */
+  private[operators] def keyedSig(secret: org.apache.spark.sql.Column,
+                                  body: org.apache.spark.sql.Column) =
+    sha2(concat(secret, lit(":"), sha2(concat(secret, lit(":"), body), 256)), 256)
+
+  /** True HMAC-SHA256 as a Spark expression over binary: the standard
+    * H(K⊕opad ‖ H(K⊕ipad ‖ m)) with the key pre-padded/xored driver-
+    * side (it is config, not data). Used by signature-verifying
+    * sources where the provider mandates real HMAC; oracle-checked
+    * flows use keyedSig above only because DuckDB cannot hash blobs.
+    */
+  private[operators] def hmacSha256(secret: String, body: org.apache.spark.sql.Column) = {
+    val key = secret.getBytes("UTF-8").padTo(64, 0.toByte)
+    val ipad = key.map(b => (b ^ 0x36).toByte)
+    val opad = key.map(b => (b ^ 0x5c).toByte)
+    sha2(concat(lit(opad), unhex(sha2(concat(lit(ipad), body.cast("binary")), 256))), 256)
+  }
+
+  /** 16-provider registry (single-event shapes): provider →
+    * (user path, event path, webhook secret). Adding a provider stays
+    * a data change. The reference routes 40+ sourceTypes through
+    * exactly this kind of per-provider mapping
+    * (gateway/webhook/webhook.go:127).
+    */
+  private val webhookRules2: Seq[(String, String, String)] = Seq(
+    ("shopfront", "$.customer.id", "$.event_name"),
+    ("payproc", "$.data.object.customer", "$.kind"),
+    ("mailer", "$.recipient", "$.event"),
+    ("adnet", "$.click.uid", "$.type"),
+    ("crmx", "$.contact.email_id", "$.action"),
+    ("surveyr", "$.respondent", "$.survey.status"),
+    ("chatops", "$.actor.id", "$.event_type"),
+    ("vidhost", "$.viewer", "$.action"),
+    ("bookly", "$.booking.user_email", "$.status"),
+    ("shipfast", "$.shipment.recipient_id", "$.milestone"),
+    ("paywall", "$.subscriber.uid", "$.notification"),
+    ("gamehub", "$.player.tag", "$.achievement.kind"),
+    ("docsign", "$.signer.email", "$.envelope_status"),
+    ("schedly", "$.invitee.email", "$.event"),
+    ("formz", "$.submission.respondent", "$.form_event"),
+    ("newsly", "$.reader_id", "$.interaction"))
+
+  private def secretOf(provider: String) = s"whsec_$provider"
+
+  private val singleHooks2: Seq[(Long, String, String)] = Seq(
+    (1L, "shopfront", """{"customer":{"id":"c1"},"event_name":"order_paid","total":"49.99"}"""),
+    (2L, "payproc", """{"data":{"object":{"customer":"c3"}},"kind":"invoice.paid"}"""),
+    (3L, "mailer", """{"recipient":"c4","event":"email_open","campaign":"summer"}"""),
+    (4L, "adnet", """{"click":{"uid":"c7"},"type":"ad_click","bid":0.03}"""),
+    (5L, "crmx", """{"contact":{"email_id":"c8"},"action":"contact_created"}"""),
+    (6L, "surveyr", """{"respondent":"c9","survey":{"status":"completed","id":"s1"}}"""),
+    (7L, "chatops", """{"actor":{"id":"c10"},"event_type":"message_posted","channel":"ops"}"""),
+    (8L, "vidhost", """{"viewer":"c11","action":"video_play","video":"v42"}"""),
+    (9L, "bookly", """{"booking":{"user_email":"c12@x.io","room":"r9"},"status":"confirmed"}"""),
+    (10L, "shipfast", """{"shipment":{"recipient_id":"c13","track":"T1"},"milestone":"delivered"}"""),
+    (11L, "paywall", """{"subscriber":{"uid":"c14"},"notification":"renewal_upcoming"}"""),
+    (12L, "gamehub", """{"player":{"tag":"c15"},"achievement":{"kind":"level_up","level":7}}"""),
+    (13L, "docsign", """{"signer":{"email":"c16@x.io"},"envelope_status":"signed"}"""),
+    (14L, "schedly", """{"invitee":{"email":"c17@x.io"},"event":"meeting_booked"}"""),
+    (15L, "formz", """{"submission":{"respondent":"c18"},"form_event":"submitted"}"""),
+    (16L, "newsly", """{"reader_id":"c19","interaction":"article_like"}"""))
+
+  /** Array-batched shapes: a push service carrying N events, and a
+    * Shopify-like order with nested line items exploding to one
+    * canonical event per item.
+    */
+  private val pushHook2: (Long, String, String) =
+    (17L, "pushsvc", """{"events":[{"user":"c5","name":"push_open"},{"user":"c6","name":"push_dismiss"},{"user":"c5","name":"push_click"}]}""")
+  private val cartHook2: (Long, String, String) =
+    (18L, "cartly", """{"order":{"customer_id":"c20"},"line_items":[{"sku":"SKU-1","qty":2},{"sku":"SKU-7","qty":1}]}""")
+
+  /** hook 19 is hook 4's body re-sent with a FORGED signature — it
+    * must normalize but flag sig_valid = false.
+    */
+  private val forgedHook2: (Long, String, String, String) =
+    (19L, "adnet", """{"click":{"uid":"c7"},"type":"ad_click","bid":0.03}""",
+      "deadbeef" * 8)
+
+  /** (hook_id, provider, body, provided signature) — signatures are
+    * generated with the same keyed construction both engines verify,
+    * except the forged one.
+    */
+  private val hooks2: Seq[(Long, String, String, String)] =
+    (singleHooks2 :+ pushHook2 :+ cartHook2).map { case (id, p, js) =>
+      (id, p, js, keyedSigHex(secretOf(p), js))
+    } :+ forgedHook2
+
+  private val hooks2Sql: String =
+    hooks2.map { case (id, p, js, sig) =>
+      s"($id, '$p', '${js.replace("'", "''")}', '$sig')"
+    }.mkString("(VALUES ", ", ", ")")
+
+  private val rules2Sql: String =
+    webhookRules2.map { case (p, u, e) => s"('$p', '$u', '$e', '${secretOf(p)}')" }
+      .mkString("(VALUES ", ", ", ")")
+
   val defs: Map[String, Q] = Map(
 
     // S1: envelope → per-event rows; messageId filled deterministically
@@ -135,6 +248,50 @@ object Ingest {
         .select(col("hook_id"), col("provider"),
           col("ev")("user").as("user_id"), col("ev")("name").as("event"))
       single.unionByName(batched)
+    }),
+
+    // S3b: the provider registry at production breadth — 16
+    // single-event shapes + 2 array-batched ones (push events,
+    // Shopify-like nested line items) — with per-provider webhook
+    // SIGNATURE verification: every request's keyed-hash signature is
+    // recomputed from the raw body as a codegen'd sha2 expression
+    // chain and compared to the provided header value (the
+    // reference's webhook auth step). A forged request still
+    // normalizes but carries sig_valid = false for the gateway to
+    // reject/stash. Secrets live in the broadcast rule registry —
+    // config, not data.
+    "s3b_webhook_providers" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
+      val hooks = hooks2.toDF("hook_id", "provider", "js", "sig")
+      val rules = webhookRules2.map { case (p, u, e) => (p, u, e, secretOf(p)) }
+        .toDF("provider", "user_path", "event_path", "secret")
+      val single = hooks.join(broadcast(rules), Seq("provider"))
+        .select(col("hook_id"), col("provider"),
+          expr("get_json_object(js, user_path)").as("user_id"),
+          expr("get_json_object(js, event_path)").as("event"),
+          (keyedSig(col("secret"), col("js")) === col("sig")).as("sig_valid"))
+      val push = hooks.filter(col("provider") === "pushsvc")
+        .select(col("hook_id"), col("provider"), col("js"),
+          (keyedSig(lit(secretOf("pushsvc")), col("js")) === col("sig")).as("sig_valid"))
+        .select(col("hook_id"), col("provider"), col("sig_valid"),
+          explode(from_json(get_json_object(col("js"), "$.events"),
+            ArrayType(MapType(StringType, StringType)))).as("ev"))
+        .select(col("hook_id"), col("provider"),
+          col("ev")("user").as("user_id"), col("ev")("name").as("event"),
+          col("sig_valid"))
+      val cart = hooks.filter(col("provider") === "cartly")
+        .select(col("hook_id"), col("provider"),
+          get_json_object(col("js"), "$.order.customer_id").as("user_id"), col("js"),
+          (keyedSig(lit(secretOf("cartly")), col("js")) === col("sig")).as("sig_valid"))
+        .select(col("hook_id"), col("provider"), col("user_id"), col("sig_valid"),
+          explode(from_json(get_json_object(col("js"), "$.line_items"),
+            ArrayType(MapType(StringType, StringType)))).as("item"))
+        .select(col("hook_id"), col("provider"), col("user_id"),
+          concat(lit("order_item_"), col("item")("sku")).as("event"),
+          col("sig_valid"))
+      single.unionByName(push).unionByName(cart)
     })
   )
 
@@ -171,6 +328,30 @@ object Ingest {
                  json_extract_string(e, '$$.name') AS event
           FROM (SELECT hook_id, provider,
                        unnest(CAST(js->'$$.events' AS JSON[])) AS e
-                FROM hooks WHERE provider = 'pushsvc')"""
+                FROM hooks WHERE provider = 'pushsvc')""",
+    "s3b_webhook_providers" ->
+      s"""WITH rules(provider, user_path, event_path, secret) AS $rules2Sql,
+          hooks(hook_id, provider, js, sig) AS $hooks2Sql
+          SELECT hook_id, h.provider,
+                 json_extract_string(js, user_path) AS user_id,
+                 json_extract_string(js, event_path) AS event,
+                 sha256(secret || ':' || sha256(secret || ':' || js)) = sig AS sig_valid
+          FROM hooks h JOIN rules r ON h.provider = r.provider
+          UNION ALL
+          SELECT hook_id, provider,
+                 json_extract_string(e, '$$.user') AS user_id,
+                 json_extract_string(e, '$$.name') AS event,
+                 sha256('whsec_pushsvc' || ':' || sha256('whsec_pushsvc' || ':' || js)) = sig
+          FROM (SELECT hook_id, provider, js, sig,
+                       unnest(CAST(js->'$$.events' AS JSON[])) AS e
+                FROM hooks WHERE provider = 'pushsvc')
+          UNION ALL
+          SELECT hook_id, provider,
+                 json_extract_string(js, '$$.order.customer_id') AS user_id,
+                 'order_item_' || json_extract_string(item, '$$.sku') AS event,
+                 sha256('whsec_cartly' || ':' || sha256('whsec_cartly' || ':' || js)) = sig
+          FROM (SELECT hook_id, provider, js, sig,
+                       unnest(CAST(js->'$$.line_items' AS JSON[])) AS item
+                FROM hooks WHERE provider = 'cartly')"""
   )
 }
