@@ -23,6 +23,47 @@ object Relational {
   /** Exact, order-independent money column: cast to decimal up front. */
   private def d(c: org.apache.spark.sql.Column) = c.cast(dec)
 
+  /** The users-table merge step (postgres load.go:380-470): per trait
+    * column, a LATER batch's non-null value wins over the existing
+    * table, nulls never overwrite. Callers guarantee delta rows
+    * postdate the existing table (the staged-load contract), so one
+    * full-outer join + per-column coalesce is exact. Shared by q11b
+    * and the streaming per-batch merge (StreamingSpec).
+    */
+  private[graft] def mergeUsers(existing: org.apache.spark.sql.DataFrame,
+                                delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = existing.select(col("user_id"),
+      col("trait_view_value").as("e_view"), col("trait_click_k").as("e_click"),
+      col("trait_purchase_value").as("e_purchase"))
+    val dl = delta.select(col("user_id"),
+      col("trait_view_value").as("d_view"), col("trait_click_k").as("d_click"),
+      col("trait_purchase_value").as("d_purchase"))
+    e.join(dl, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("d_view"), col("e_view")).as("trait_view_value"),
+        coalesce(col("d_click"), col("e_click")).as("trait_click_k"),
+        coalesce(col("d_purchase"), col("e_purchase")).as("trait_purchase_value"))
+  }
+
+  /** q11's trait extraction + latest-non-null-per-column aggregate,
+    * reused by the incremental/streaming paths over event subsets.
+    */
+  private[graft] def usersOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def latestNonNull(c: Column): Column =
+      max_by(c, when(c.isNotNull, struct(col("ts"), col("event_id"))))
+    df.select(
+        col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", col("value")).as("trait_view_value"),
+        when(col("event_type") === "click", get_json_object(col("props"), "$.k"))
+          .as("trait_click_k"),
+        when(col("event_type") === "purchase", col("value")).as("trait_purchase_value"))
+      .groupBy(col("user_id"))
+      .agg(
+        latestNonNull(col("trait_view_value")).as("trait_view_value"),
+        latestNonNull(col("trait_click_k")).as("trait_click_k"),
+        latestNonNull(col("trait_purchase_value")).as("trait_purchase_value"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Minute-bucket metrics aggregation — reference
@@ -207,20 +248,33 @@ object Relational {
     // (ts, event_id), null traits excluded by a null ordering key — a
     // single shuffle with map-side partial agg (the old plan windowed
     // over an unbounded frame then distinct()ed: two shuffles).
-    "q11_users_latest_traits" -> ((s, dir) => {
-      def latestNonNull(c: Column): Column =
-        max_by(c, when(c.isNotNull, struct(col("ts"), col("event_id"))))
-      val traits = Tables.events(s, dir).select(
-        col("user_id"), col("ts"), col("event_id"),
-        when(col("event_type") === "view", col("value")).as("trait_view_value"),
-        when(col("event_type") === "click", get_json_object(col("props"), "$.k"))
-          .as("trait_click_k"),
-        when(col("event_type") === "purchase", col("value")).as("trait_purchase_value"))
-      traits.groupBy(col("user_id"))
-        .agg(
-          latestNonNull(col("trait_view_value")).as("trait_view_value"),
-          latestNonNull(col("trait_click_k")).as("trait_click_k"),
-          latestNonNull(col("trait_purchase_value")).as("trait_purchase_value"))
+    "q11_users_latest_traits" -> ((s, dir) => usersOf(Tables.events(s, dir))),
+
+    // INCREMENTAL users merge — the reference's staged-load shape
+    // (warehouse/integrations/postgres/load.go:380-470): new
+    // identifies land in a staging table, and the users table is
+    // updated per column as COALESCE(staging latest non-null,
+    // existing value) — the EXISTING table's source events are never
+    // rescanned. Here the existing users table is materialized to
+    // parquet from pre-cutoff events (and read back from disk, so the
+    // no-rescan claim is physical), the delta aggregates only the
+    // staging batch, and the merge is one full-outer join on user_id.
+    // At 100 TB the cost is the batch + a users-table join (bucketed/
+    // co-partitioned in production) instead of a full-history
+    // recompute; every delta trait is globally-latest by construction
+    // (all staging timestamps postdate the cutoff), so per-column
+    // coalesce IS load.go's per-column subquery. The oracle is the
+    // whole-input q11 recompute — the incremental plan must reproduce
+    // it exactly.
+    "q11b_users_incremental" -> ((s, dir) => {
+      val cutoff = "2024-01-15 00:00:00"
+      val existingDir =
+        java.nio.file.Files.createTempDirectory("graft_q11b").toString + "/users"
+      usersOf(Tables.events(s, dir).filter(col("ts") < cutoff))
+        .write.parquet(existingDir)
+      val existing = s.read.parquet(existingDir) // from disk: no event rescan
+      val delta = usersOf(Tables.events(s, dir).filter(col("ts") >= cutoff))
+      mergeUsers(existing, delta)
     }),
 
     // Skew-resilient two-phase aggregation: salt the hot key, partial
@@ -378,6 +432,21 @@ object Relational {
     "q10_union_distinct" ->
       "SELECT user_id AS id FROM events UNION SELECT o_custkey AS id FROM orders",
     "q11_users_latest_traits" ->
+      """SELECT DISTINCT user_id,
+           last_value(trait_view_value IGNORE NULLS) OVER w AS trait_view_value,
+           last_value(trait_click_k IGNORE NULLS) OVER w AS trait_click_k,
+           last_value(trait_purchase_value IGNORE NULLS) OVER w AS trait_purchase_value
+         FROM (
+           SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN value END AS trait_view_value,
+             CASE WHEN event_type = 'click' THEN json_extract_string(props, '$.k') END AS trait_click_k,
+             CASE WHEN event_type = 'purchase' THEN value END AS trait_purchase_value
+           FROM events) t
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    // The incremental merge must equal the whole-input recompute —
+    // the oracle IS q11's SQL.
+    "q11b_users_incremental" ->
       """SELECT DISTINCT user_id,
            last_value(trait_view_value IGNORE NULLS) OVER w AS trait_view_value,
            last_value(trait_click_k IGNORE NULLS) OVER w AS trait_click_k,

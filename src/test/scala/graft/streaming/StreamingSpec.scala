@@ -574,4 +574,43 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains(("u1", 5L, "delivered"))) // after lift
     } finally q.stop()
   }
+
+  test("q11b streaming twin: per-batch users merge equals whole-input recompute") {
+    val sess = spark
+    import sess.implicits._
+    // three arrival batches of identify-ish events, in time order (the
+    // staged-load contract: each batch postdates the table)
+    def mkEv(id: Long, tsS: String, uid: Long, typ: String, v: Double, k: String) =
+      (id, t(tsS), uid, typ, v, if (k == null) null else s"""{"k":"$k"}""")
+    val batches = Seq(
+      Seq(mkEv(1, "2024-01-01 00:00:01", 1, "view", 1.0, null),
+        mkEv(2, "2024-01-01 00:00:02", 1, "click", 0.0, "alpha"),
+        mkEv(3, "2024-01-01 00:00:03", 2, "purchase", 9.0, null)),
+      Seq(mkEv(4, "2024-01-02 00:00:01", 1, "view", 5.0, null), // newer view wins
+        mkEv(5, "2024-01-02 00:00:02", 3, "click", 0.0, "beta")), // new user
+      Seq(mkEv(6, "2024-01-03 00:00:01", 2, "view", 7.0, null), // 2 keeps purchase, gains view
+        mkEv(7, "2024-01-03 00:00:02", 1, "error", 0.0, null))) // no trait: must not null out
+    def toDF(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("graft_q11b_stream").toString + "/users"
+    // foreachBatch shape: aggregate the batch, merge into the table
+    batches.foreach { b =>
+      val delta = graft.operators.Relational.usersOf(toDF(b))
+      val existing =
+        if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+        else delta.filter(lit(false))
+      val merged = graft.operators.Relational.mergeUsers(existing, delta)
+      val tmp = dir + "__next"
+      merged.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(dir)
+    }
+    val streamed = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+    val whole = graft.operators.Relational.usersOf(toDF(batches.flatten))
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(streamed === whole)
+    // the spot semantics: user 1's error event did not erase traits
+    val u1 = streamed.find(_._1 == 1L).get
+    assert(u1._2 === 5.0 && u1._3 === "alpha")
+  }
 }
