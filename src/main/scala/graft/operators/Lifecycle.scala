@@ -40,6 +40,41 @@ object Lifecycle {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     }),
 
+    // L5b: PROVIDER-format load-file roundtrip — the same events
+    // written through three provider encoders (BQ = gzip JSON with
+    // both load-time columns; POSTGRES = gzip CSV with RFC3339-milli
+    // uuid_ts only; CLICKHOUSE = same CSV after bool→0/1 shaping),
+    // each read back through that provider's reader. The output rows
+    // carry the encoded literals themselves (timestamp formats, the
+    // boolean encoding divergence), which the oracle derives from the
+    // same format table — a wrong pattern, precision, or shaping rule
+    // breaks the hash.
+    "l5b_provider_formats" -> ((s, dir) => {
+      val fmtTs = Timestamp.valueOf("2024-06-01 00:00:00.123456")
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        (col("event_type") === "error").as("is_error"))
+      def roundTrip(provider: String) = {
+        val tmp = Files.createTempDirectory(s"graft_l5b_$provider").toString
+        Sinks.writeProviderLoadFiles(ev, tmp, provider, fmtTs)
+        val hasLoadedAt = provider == "BQ"
+        val ddl = "event_id STRING, event_type STRING, is_error STRING, uuid_ts STRING" +
+          (if (hasLoadedAt) ", loaded_at STRING" else "")
+        val back = Sinks.readProviderLoadFiles(s, tmp, provider, ddl)
+        back.agg(
+            count(lit(1)).as("n"),
+            min(col("uuid_ts")).as("uuid_ts_fmt"),
+            (if (hasLoadedAt) min(col("loaded_at")) else lit(null).cast("string"))
+              .as("loaded_at_fmt"),
+            min(when(col("event_type") === "error", col("is_error")))
+              .as("true_literal"),
+            min(when(col("event_type") =!= "error", col("is_error")))
+              .as("false_literal"))
+          .select(lit(provider).as("provider"), col("n"), col("uuid_ts_fmt"),
+            col("loaded_at_fmt"), col("true_literal"), col("false_literal"))
+      }
+      roundTrip("BQ").unionByName(roundTrip("POSTGRES")).unionByName(roundTrip("CLICKHOUSE"))
+    }),
+
     // D7: error-stash roundtrip — failed events written to the
     // dead-letter layout (sorted by failed_at, partitioned by date),
     // read back and rolled up against the oracle on the source table.
@@ -221,6 +256,22 @@ object Lifecycle {
       """SELECT o_orderstatus, COUNT(*) AS n_records,
            MIN('rec_' || CAST(o_orderkey AS VARCHAR)) AS first_record
          FROM orders GROUP BY 1""",
+    // the oracle derives each provider's encoded literals from the
+    // same format table: BQ second/micro-precision ' Z' strings, CSV
+    // RFC3339-milli, ClickHouse 1/0 vs everyone's true/false.
+    "l5b_provider_formats" ->
+      """WITH base AS (SELECT COUNT(*) AS n FROM events),
+         fmt AS (SELECT
+           strftime(TIMESTAMP '2024-06-01 00:00:00.123456', '%Y-%m-%d %H:%M:%S') || ' Z' AS bq_uuid,
+           strftime(TIMESTAMP '2024-06-01 00:00:00.123456', '%Y-%m-%d %H:%M:%S.%f') || ' Z' AS bq_loaded,
+           strftime(TIMESTAMP '2024-06-01 00:00:00.123456', '%Y-%m-%dT%H:%M:%S.') ||
+             substr(strftime(TIMESTAMP '2024-06-01 00:00:00.123456', '%f'), 1, 3) || 'Z' AS csv_uuid)
+         SELECT 'BQ' AS provider, n, bq_uuid AS uuid_ts_fmt, bq_loaded AS loaded_at_fmt,
+                'true' AS true_literal, 'false' AS false_literal FROM base, fmt
+         UNION ALL
+         SELECT 'POSTGRES', n, csv_uuid, NULL, 'true', 'false' FROM base, fmt
+         UNION ALL
+         SELECT 'CLICKHOUSE', n, csv_uuid, NULL, '1', '0' FROM base, fmt""",
     "l10_datalake_roundtrip" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, COUNT(*) AS n,
            MIN(event_id) AS min_id, MAX(event_id) AS max_id,

@@ -60,6 +60,49 @@ object Sinks {
     }
   }
 
+  /** Per-provider load-file encoders — the value-format table of
+    * warehouse/encoding/encoding.go:14-19 + jsonloader/csvloader: BQ
+    * load files are gzip JSON with BOTH load-time columns stamped as
+    * formatted strings (uuid_ts at second precision 'yyyy-MM-dd
+    * HH:mm:ss Z', loaded_at at micro precision); every other provider
+    * gets gzip CSV with ONLY uuid_ts, in RFC3339-milli — plus its
+    * value shaping (ClickHouse booleans → 0/1) applied first. The Go
+    * loader trims trailing fractional zeros ('.999999'); callers pass
+    * a loadTs whose micros carry no trailing zero, which the spec
+    * pins.
+    */
+  def writeProviderLoadFiles(df: DataFrame, dir: String, provider: String,
+                             loadTs: java.sql.Timestamp): Unit = {
+    val ts = lit(loadTs)
+    provider match {
+      case "BQ" =>
+        df.withColumn("uuid_ts",
+            concat(date_format(ts, "yyyy-MM-dd HH:mm:ss"), lit(" Z")))
+          .withColumn("loaded_at",
+            concat(date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit(" Z")))
+          .write.mode("overwrite").option("compression", "gzip").json(dir)
+      case p =>
+        shapeForProvider(df, p)
+          .withColumn("uuid_ts", date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+          .write.mode("overwrite").option("header", "true")
+          .option("compression", "gzip").csv(dir)
+    }
+  }
+
+  /** Read-back side of writeProviderLoadFiles (the reference pairs a
+    * JSON reader with BQ and a CSV reader with everything else —
+    * encoding.go NewEventReader). All columns surface as strings: the
+    * differential gate checks the ENCODED values.
+    */
+  def readProviderLoadFiles(spark: SparkSession, dir: String, provider: String,
+                            ddl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    provider match {
+      case "BQ" => spark.read.schema(schema).json(dir)
+      case _ => spark.read.schema(schema).option("header", "true").csv(dir)
+    }
+  }
+
   /** D6: streaming destination — a streaming DataFrame delivered
     * continuously to the (source, destination)-partitioned object
     * sink via foreachBatch. Swapping the body for
