@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *   - exact dedup: one hash-shuffle on content hash, map-side partial
   *     agg; never compares texts pairwise.
-  *   - MinHash: shingling + signature mins are map-side (one shuffle on
-  *     doc_id carrying only 16 hex strings per doc); candidate pairs
+  *   - MinHash: ONE md5 per shingle xor'd with 16 seed constants;
+  *     shingling + signature mins are map-side (one shuffle on
+  *     doc_id carrying only 16 longs per doc); candidate pairs
   *     come from a *band-bucket* self-join (shuffle on band key — the
   *     LSH bucket shuffle), never an all-pairs cartesian.
   *   - SimHash: 64-bit fingerprints; candidate pairs from 16-bit-chunk
@@ -97,13 +98,31 @@ object Dedup {
 
   private val nSig = 16 // MinHash signature length; 4 bands x 4 rows
 
-  /** MinHash signatures: per doc, min md5("<i>:" + shingle) per seed i.
-    * One shuffle on doc_id; partial min aggregation runs map-side.
+  /** Per-component xor seeds: min(h(x) XOR c_i) over fixed random
+    * constants c_i is a standard cheap MinHash family — ONE base hash
+    * per shingle instead of one per component, which divides the
+    * dominant map-side hashing cost of a 100 TB signature build by
+    * nSig. 60-bit values (15 md5 hex chars) keep every number
+    * positive and exactly representable in both engines' BIGINTs.
+    * Seeds are themselves md5-derived so both engines can audit them.
+    */
+  private[operators] val sigSeeds: Seq[Long] = (0 until nSig).map { i =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-minhash-seed:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** MinHash signatures: per doc and seed i, min over shingles of
+    * (60-bit md5 prefix XOR seed_i). One md5 per shingle; one shuffle
+    * on doc_id; partial min aggregation runs map-side.
     */
   private[graft] def minhashSignatures(sh: DataFrame): DataFrame = {
+    val base = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+    val withBase = sh.select(col("doc_id"), base.as("hv"))
     val aggs = (0 until nSig).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"s$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      min(col("hv").bitwiseXOR(lit(sigSeeds(i)))).as(s"s$i"))
+    withBase.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   private[operators] val simhashBits = 64 // 4 chunk tables x 16 bits (Manku WWW'07 §3)
@@ -600,7 +619,9 @@ object Dedup {
       .select(col("doc_id"), col("c.h").as("h"), col("c.nw").as("nw"))
 
   private def sigSelect(prefix: String): String =
-    (0 until nSig).map(i => s"min(md5('$i:' || sh)) AS $prefix$i").mkString(", ")
+    (0 until nSig).map(i =>
+      s"min(xor(CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT), " +
+        s"CAST(${sigSeeds(i)} AS BIGINT))) AS $prefix$i").mkString(", ")
 
   /** The shared MinHash-LSH CTE chain (corpus → shingles → signatures
     * → bands → candidates → verified pairs), used by the ll2 oracle

@@ -27,9 +27,11 @@ class DedupSpec extends SparkSpec {
         1L -> "w1 w2 w3 w4 w5",
         2L -> "w1 w2 w3 w4 w5",
         3L -> "z1 z2 z3 z4 z5"))))
-      .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getString(i))).toMap
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
+    // 60-bit positive domain: xor with any seed stays a positive long
+    sigs.values.flatten.foreach(v => assert(v >= 0L && v < (1L << 60)))
   }
 
   test("simhash: identical word multisets collide, disjoint vocab differs") {
