@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -323,6 +324,47 @@ object TextAnalysis {
     // (data-loader workers), and ranking windows run per (epoch,
     // shard) — at 100 TB each shard sorts independently, and two
     // epochs produce provably different, replayable permutations.
+    // LM-based quality scoring — the CCNet-style perplexity filter
+    // (Wenzek et al., LREC 2020: score documents by a reference-corpus
+    // n-gram LM; high bits-per-token = out-of-domain/garbled). A
+    // bigram LM with add-one smoothing is trained on the reference
+    // subset (doc_id % 5 = 0) and every document is scored as
+    //   Σ [ilog2(c(w1) + V) - ilog2(c(w1,w2) + 1)]   bits,
+    // where ilog2(x) = floor(log2 x) = length(bin(x)) - 1 — EXACT
+    // integer arithmetic, so the oracle replays the model bit-for-bit
+    // (float log would diverge across libm implementations). V
+    // (reference vocabulary size) is a driver-side scalar, a planner
+    // statistic like the z-order min/max. Scale shape: the LM is two
+    // count tables joined back by (w1) and (w1,w2) hash joins — the
+    // corpus side shuffles once per key; in production the pruned LM
+    // table broadcasts.
+    "ta14_lm_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def bigrams(df: DataFrame): DataFrame = df
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val ref = docs.filter(col("doc_id") % 5 === 0)
+      val refBi = bigrams(ref).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val refUni = ref.withColumn("w1", explode(split(col("text"), " ")))
+        .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+      val vocab = refUni.count() // reference vocab size: model-sized scalar
+      def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+      bigrams(docs)
+        .join(refUni, Seq("w1"), "left")
+        .join(refBi, Seq("w1", "w2"), "left")
+        .withColumn("bits",
+          ilog2(coalesce(col("cu"), lit(0L)) + lit(vocab)) -
+            ilog2(coalesce(col("cb"), lit(0L)) + lit(1L)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+        .withColumn("bits_per_token",
+          col("total_bits").cast("double") / col("n_bigrams").cast("double"))
+    }),
+
     "ta13_epoch_shuffle" -> ((s, dir) => {
       val epochs = 2
       val shards = 8
@@ -505,6 +547,34 @@ object TextAnalysis {
            CAST(CAST(SUM(c1 // c2) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_rarity
          FROM bg JOIN c2 USING (p, w) JOIN c1 USING (p)
          GROUP BY doc_id""",
+    "ta14_lm_quality" ->
+      """WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         refw AS (SELECT string_split(text, ' ') AS ws FROM ref),
+         refuni AS (SELECT w1, COUNT(*) AS cu
+                    FROM (SELECT unnest(ws) AS w1 FROM refw) GROUP BY 1),
+         v AS (SELECT COUNT(*) AS nv FROM refuni),
+         refbi AS (
+           SELECT w1, w2, COUNT(*) AS cb FROM (
+             SELECT ws[i] AS w1, ws[i+1] AS w2
+             FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM refw
+                   WHERE len(ws) >= 2))
+           GROUP BY 1, 2),
+         allbi AS (
+           SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+                 WHERE len(ws) >= 2)),
+         scored AS (
+           SELECT a.doc_id,
+             (length(bin(COALESCE(u.cu, 0) + (SELECT nv FROM v))) - 1)
+               - (length(bin(COALESCE(b.cb, 0) + 1)) - 1) AS bits
+           FROM allbi a
+           LEFT JOIN refuni u ON a.w1 = u.w1
+           LEFT JOIN refbi b ON a.w1 = b.w1 AND a.w2 = b.w2)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                CAST(SUM(bits) AS BIGINT) AS total_bits,
+                CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS bits_per_token
+         FROM scored GROUP BY doc_id""",
     "ta13_epoch_shuffle" ->
       """WITH keyed AS (
            SELECT e.epoch, d.doc_id,
