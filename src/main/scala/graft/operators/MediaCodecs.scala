@@ -257,7 +257,13 @@ object MediaCodecs {
     * order) has B/G/R = (id*7 + 3p) mod 256 (+1, +2) — closed form
     * for the oracle.
     */
-  def synthBmp(id: Long): Array[Byte] = {
+  def synthBmp(id: Long): Array[Byte] = synthBmpShifted(id, 0)
+
+  /** synthBmp re-rendered with a uniform +delta brightness shift
+    * (mod 256 — wrap-around pixels are what flips the occasional
+    * aHash bit in mm8's near-dup fixture).
+    */
+  def synthBmpShifted(id: Long, delta: Int): Array[Byte] = {
     val w = 4 + (id % 4).toInt
     val h = 2 + (id % 3).toInt
     val stride = ((w * 3 + 3) / 4) * 4
@@ -274,9 +280,9 @@ object MediaCodecs {
       var c = 0
       while (c < w) {
         val p = row * w + c
-        b.put((54 + row * stride + 3 * c).toInt, ((id * 7 + 3L * p) % 256).toByte)
-        b.put((54 + row * stride + 3 * c + 1).toInt, ((id * 7 + 3L * p + 1) % 256).toByte)
-        b.put((54 + row * stride + 3 * c + 2).toInt, ((id * 7 + 3L * p + 2) % 256).toByte)
+        b.put((54 + row * stride + 3 * c).toInt, ((id * 7 + 3L * p + delta) % 256).toByte)
+        b.put((54 + row * stride + 3 * c + 1).toInt, ((id * 7 + 3L * p + 1 + delta) % 256).toByte)
+        b.put((54 + row * stride + 3 * c + 2).toInt, ((id * 7 + 3L * p + 2 + delta) % 256).toByte)
         c += 1
       }
       row += 1

@@ -196,6 +196,38 @@ object Multimodal {
           col("m.sumB").as("sum_b"))
     }),
 
+    // Image NEAR-DUPLICATE detection — the multimodal twin of ll5:
+    // perceptual aHash fingerprints (REAL BMP decode), candidate pairs
+    // blocked by size class (an equi-join on (width, height) — two
+    // images of different dims are never compared, and at 100 TB each
+    // size bucket shuffles independently), verified at hamming <= 3
+    // via bit_count(xor). The second crawl (+1000 ids) re-renders each
+    // image with a +4 brightness shift: most pixels keep their
+    // relation to the shifted mean, wrap-around pixels flip a few hash
+    // bits — exactly the fingerprint-stability property aHash is used
+    // for. The oracle replays the closed-form pixels of BOTH crawls
+    // and the same blocking + hamming verify.
+    "mm8_image_neardup" -> ((s, dir) => {
+      val synth = udf((id: Long, delta: Int) => MediaCodecs.synthBmpShifted(id, delta))
+      val ah = udf((p: Array[Byte]) => MediaCodecs.bmpAHash(p))
+      val base = Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+        .filter(col("media_id") < 50)
+      val imgs = base.select(col("media_id"), synth(col("media_id"), lit(0)).as("b"))
+        .unionByName(base.select((col("media_id") + 1000L).as("media_id"),
+          synth(col("media_id"), lit(4)).as("b")))
+        .withColumn("h", ah(col("b")))
+        .select(col("media_id"), col("h.width").as("w"), col("h.height").as("hh"),
+          col("h.ahash").as("ahash"))
+      imgs.as("x").join(imgs.as("y"),
+          col("x.w") === col("y.w") && col("x.hh") === col("y.hh") &&
+            col("x.media_id") < col("y.media_id"))
+        .withColumn("hamming",
+          bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+          col("hamming"))
+    }),
+
     // Frame sampling arithmetic (stride 4) — the scan shape of video
     // frame extraction; counts per kind are exact.
     "mm2_frame_sample" -> ((s, dir) => {
@@ -308,6 +340,38 @@ object Multimodal {
            CAST(list_sum(list_transform(range(0, (4 + doc_id % 4) * (2 + doc_id % 3)),
              p -> (doc_id * 7 + 3 * p) % 256)) AS BIGINT) AS sum_b
          FROM documents WHERE doc_id < 100""",
+    // replays BOTH crawls' closed-form pixels (+4 wrap shift on the
+    // copy), the per-image aHash, the size-class blocking and the
+    // hamming verify.
+    "mm8_image_neardup" ->
+      """WITH crawls AS (
+           SELECT doc_id AS media_id, doc_id AS bid, 0 AS d
+           FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 1000, doc_id, 4 FROM documents WHERE doc_id < 50),
+         px AS (
+           SELECT media_id, bid, d,
+             CAST(4 + bid % 4 AS BIGINT) AS w, CAST(2 + bid % 3 AS BIGINT) AS h,
+             unnest(range(0, (4 + bid % 4) * (2 + bid % 3))) AS p
+           FROM crawls),
+         g AS (
+           SELECT media_id, w, h, p,
+             ((bid * 7 + 3 * p + d) % 256 + (bid * 7 + 3 * p + 1 + d) % 256 +
+              (bid * 7 + 3 * p + 2 + d) % 256) // 3 AS gray
+           FROM px),
+         m AS (SELECT media_id, CAST(SUM(gray) // COUNT(*) AS BIGINT) AS mean_gray
+               FROM g GROUP BY media_id),
+         hsh AS (
+           SELECT g.media_id, w, h,
+             CAST(SUM(CASE WHEN gray > mean_gray
+                           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ahash
+           FROM g JOIN m ON g.media_id = m.media_id
+           GROUP BY g.media_id, w, h)
+         SELECT x.media_id AS media_a, y.media_id AS media_b,
+           CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+         FROM hsh x JOIN hsh y
+           ON x.w = y.w AND x.h = y.h AND x.media_id < y.media_id
+         WHERE bit_count(xor(x.ahash, y.ahash)) <= 3""",
     "mm5_bmp_decode" ->
       """SELECT doc_id AS media_id,
            CAST(4 + doc_id % 4 AS BIGINT) AS width,
