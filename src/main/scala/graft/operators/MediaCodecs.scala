@@ -75,7 +75,13 @@ object MediaCodecs {
     * s_i = (id*31 + 7i) mod 2001 - 1000 — closed form the oracle
     * recomputes without touching bytes.
     */
-  def synthWav(id: Long): Array[Byte] = {
+  def synthWav(id: Long): Array[Byte] = synthWavShifted(id, 0)
+
+  /** synthWav re-rendered with a uniform +delta sample offset (inside
+    * the mod — wrap-around samples flip the occasional fingerprint
+    * bit in mm9's near-dup fixture).
+    */
+  def synthWavShifted(id: Long, delta: Int): Array[Byte] = {
     val n = 64 + (id % 64).toInt
     val dataLen = n * 2
     val b = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -89,10 +95,53 @@ object MediaCodecs {
     b.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < n) {
-      b.putShort(((id * 31 + 7L * i) % 2001 - 1000).toShort)
+      b.putShort(((id * 31 + 7L * i + delta) % 2001 - 1000).toShort)
       i += 1
     }
     b.array()
+  }
+
+  case class WavFp(nSamples: Int, fp: Long)
+
+  /** Delta-energy audio fingerprint over REAL decoded samples — the
+    * Shazam-family shape reduced to its integer core: window the
+    * samples (4 per window, non-overlapping), bit (w-1) is set iff
+    * window w's energy sum exceeds window w-1's. Amplitude shifts
+    * cancel in the delta, so a re-encoded clip keeps its fingerprint
+    * except where sample values wrap — the stability property that
+    * makes it a near-dup key. At most 31 delta bits (windows beyond
+    * 32 ignored), so the fingerprint rides a single long.
+    */
+  def wavFingerprint(b: Array[Byte]): WavFp = {
+    require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+      "not a RIFF/WAVE container")
+    var off = 12
+    var dataOff, dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val len = u32(b, off + 4).toInt
+      require(len >= 0 && off + 8 + len <= b.length, s"corrupt chunk $id at $off")
+      if (id == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1)
+    }
+    require(dataOff >= 0, "missing data chunk")
+    val n = dataLen / 2
+    val nWin = n / 4
+    var fp = 0L
+    var prev = 0L
+    var w = 0
+    while (w < math.min(32, nWin)) {
+      var e = 0L
+      var j = 0
+      while (j < 4) {
+        e += u16(b, dataOff + 2 * (4 * w + j)).toShort.toInt
+        j += 1
+      }
+      if (w > 0 && e > prev) fp |= 1L << (w - 1)
+      prev = e
+      w += 1
+    }
+    WavFp(n, fp)
   }
 
   // ---------------------------------------------------------------- BMP

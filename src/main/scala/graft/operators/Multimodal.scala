@@ -228,6 +228,36 @@ object Multimodal {
           col("hamming"))
     }),
 
+    // Audio NEAR-DUPLICATE detection — completes the near-dup family
+    // across text (ll2/ll5), image (mm8) and audio: delta-energy
+    // fingerprints from REAL decoded PCM samples, blocked by clip
+    // length (equi-join), verified at hamming <= 2. The second crawl
+    // re-renders each clip with a +3 amplitude offset: energy DELTAS
+    // cancel the shift, so fingerprints survive except at mod-wrap
+    // samples — each length block holds exactly one (base, copy)
+    // pair, and the oracle replays both crawls' closed-form samples
+    // through the same windowing.
+    "mm9_audio_neardup" -> ((s, dir) => {
+      val synth = udf((id: Long, delta: Int) => MediaCodecs.synthWavShifted(id, delta))
+      val fp = udf((p: Array[Byte]) => MediaCodecs.wavFingerprint(p))
+      val base = Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+        .filter(col("media_id") < 50)
+      val clips = base.select(col("media_id"), synth(col("media_id"), lit(0)).as("b"))
+        .unionByName(base.select((col("media_id") + 1000L).as("media_id"),
+          synth(col("media_id"), lit(3)).as("b")))
+        .withColumn("f", fp(col("b")))
+        .select(col("media_id"), col("f.nSamples").cast("long").as("n_samples"),
+          col("f.fp").as("fp"))
+      clips.as("x").join(clips.as("y"),
+          col("x.n_samples") === col("y.n_samples") &&
+            col("x.media_id") < col("y.media_id"))
+        .withColumn("hamming",
+          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long"))
+        .filter(col("hamming") <= 2)
+        .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+          col("hamming"))
+    }),
+
     // Frame sampling arithmetic (stride 4) — the scan shape of video
     // frame extraction; counts per kind are exact.
     "mm2_frame_sample" -> ((s, dir) => {
@@ -340,9 +370,34 @@ object Multimodal {
            CAST(list_sum(list_transform(range(0, (4 + doc_id % 4) * (2 + doc_id % 3)),
              p -> (doc_id * 7 + 3 * p) % 256)) AS BIGINT) AS sum_b
          FROM documents WHERE doc_id < 100""",
-    // replays BOTH crawls' closed-form pixels (+4 wrap shift on the
-    // copy), the per-image aHash, the size-class blocking and the
-    // hamming verify.
+    // replays both crawls' closed-form samples through the same
+    // 4-sample windowing, delta bits, length blocking and hamming
+    // verify as the decoder-side fingerprint.
+    "mm9_audio_neardup" -> {
+      def sTerm(iExpr: String) = s"((bid * 31 + 7 * ($iExpr) + d) % 2001 - 1000)"
+      def eTerm(wExpr: String) =
+        (0 until 4).map(j => sTerm(s"4 * ($wExpr) + $j")).mkString(" + ")
+      s"""WITH crawls AS (
+           SELECT doc_id AS media_id, doc_id AS bid, 0 AS d
+           FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 1000, doc_id, 3 FROM documents WHERE doc_id < 50),
+         base AS (SELECT media_id, bid, d,
+                    CAST(64 + bid % 64 AS BIGINT) AS n FROM crawls),
+         fps AS (
+           SELECT media_id, n,
+             CAST(COALESCE(SUM(CASE WHEN ${eTerm("wdx")} > ${eTerm("wdx - 1")}
+                   THEN (CAST(1 AS BIGINT) << (wdx - 1)) ELSE 0 END), 0) AS BIGINT) AS fp
+           FROM (SELECT media_id, bid, d, n,
+                   unnest(range(1, CAST(least(32, n // 4) AS BIGINT))) AS wdx
+                 FROM base)
+           GROUP BY media_id, n)
+         SELECT x.media_id AS media_a, y.media_id AS media_b,
+           CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+         FROM fps x JOIN fps y
+           ON x.n = y.n AND x.media_id < y.media_id
+         WHERE bit_count(xor(x.fp, y.fp)) <= 2"""
+    },
     "mm8_image_neardup" ->
       """WITH crawls AS (
            SELECT doc_id AS media_id, doc_id AS bid, 0 AS d
