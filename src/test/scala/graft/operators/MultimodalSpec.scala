@@ -104,6 +104,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavFingerprint: shift invariance away from wraps, closed-form agreement") {
+    for (id <- Seq(0L, 5L, 42L, 63L)) {
+      val f0 = MediaCodecs.wavFingerprint(MediaCodecs.synthWav(id))
+      val n = 64 + (id % 64).toInt
+      assert(f0.nSamples === n)
+      // closed-form replay of the delta-energy bits
+      def s(i: Int, d: Int) = (id * 31 + 7L * i + d) % 2001 - 1000
+      def e(w: Int, d: Int) = (0 until 4).map(j => s(4 * w + j, d)).sum
+      var expect = 0L
+      for (w <- 1 until math.min(32, n / 4))
+        if (e(w, 0) > e(w - 1, 0)) expect |= 1L << (w - 1)
+      assert(f0.fp === expect, s"fingerprint mismatch for id=$id")
+      // a uniform +3 amplitude shift flips at most a couple of bits
+      // (only mod-wrap windows change their delta)
+      val f3 = MediaCodecs.wavFingerprint(MediaCodecs.synthWavShifted(id, 3))
+      assert(java.lang.Long.bitCount(f0.fp ^ f3.fp) <= 2,
+        s"shift broke fingerprint stability for id=$id")
+    }
+  }
+
   test("frame sampling yields full fixed-size frames at the stride") {
     val sess = spark
     import sess.implicits._
