@@ -107,6 +107,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"stage fusion broken — pipeline shuffles $exchanges times:\n$plan")
   }
 
+  test("ll2/l8 read their maintained tables (signature index, identity mappings)") {
+    // the maintained-index design: pair generation and mapping rollups
+    // must be parquet scans of the session-materialized tables, not
+    // re-derivations from text/events
+    val ll2 = planOf("ll2_minhash_neardup")
+    assert(ll2.contains("graft-sigtable"),
+      "ll2 must scan the materialized MinHash signature table")
+    assert(!ll2.toLowerCase.contains("documents.parquet"),
+      "ll2 must not re-shingle the corpus from the documents table")
+    val l8 = planOf("l8_identity_resolution")
+    assert(l8.contains("graft-idmap"),
+      "l8 must scan the materialized identity mappings table")
+    assert(!l8.toLowerCase.contains("events.parquet"),
+      "l8 must not re-run CC over the events table")
+  }
+
   test("bucketed tracks read is partition-pruned to the touched buckets") {
     val sess = spark
     import sess.implicits._
