@@ -377,6 +377,46 @@ object Dedup {
 
     "ll2_minhash_neardup" -> ((s, dir) => minhashPairs(s, dir)),
 
+    // CROSS-CORPUS dedup via a Bloom-filter membership probe — the
+    // tool for "is this page already in the other 100 TB corpus?"
+    // where even a hash-join of the two fingerprint sets is a
+    // corpus x corpus shuffle. Corpus A's content hashes set k=4
+    // positions in an m=2^20-bit filter (position j = 60-bit md5
+    // prefix XOR seed_j, mod m); a B document is flagged 'maybe-dup'
+    // iff ALL 4 of its positions are set. Here the filter is its
+    // distinct set-bit table (128-KiB-bitmap-equivalent; production
+    // broadcasts the packed bitmap, the membership semantics are
+    // identical) and the probe is a position-keyed join — B shuffles
+    // positions, never text, and A is never joined row-to-row with B.
+    // The oracle replays the EXACT filter — false positives included,
+    // which is what makes it a differential check of the arithmetic
+    // rather than of intent. ll1 (exact) and DedupSpec pin that every
+    // true duplicate is flagged (Bloom filters have no false
+    // negatives).
+    "ll20_bloom_dedup" -> ((s, dir) => {
+      val m = 1 << 20
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // corpus A: the maintained side; corpus B: A's docs with ids
+      // +10000, half perturbed (non-members), half byte-identical
+      val corpusB = d.select((col("doc_id") + 10000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(expr("substring(text, instr(text, ' ') + 1)")).as("text"))
+      def positions(df: DataFrame): DataFrame = {
+        val base = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+        df.select(col("doc_id"),
+            posexplode(array((0 until 4).map(j =>
+              pmod(base.bitwiseXOR(lit(sigSeeds(j))), lit(m.toLong))): _*))
+              .as(Seq("j", "pos")))
+      }
+      val filterBits = positions(d).select(col("pos")).distinct()
+      positions(corpusB)
+        .join(filterBits.withColumnRenamed("pos", "hit").withColumn("is_set", lit(1L)),
+          col("pos") === col("hit"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(coalesce(col("is_set"), lit(0L))).as("n_set"))
+        .select(col("doc_id"), (col("n_set") === 4L).as("maybe_dup"))
+    }),
+
     // Near-dup CLUSTER RESOLUTION — the step real pipelines run after
     // pair generation: near-dup pairs are edges, connected components
     // give the duplicate clusters, and one canonical doc per cluster
@@ -674,6 +714,30 @@ object Dedup {
           SELECT src AS doc_id, MIN(dst) AS canon_id,
                  MIN(dst) = src AS is_kept
           FROM reach GROUP BY src""",
+    // replays the exact Bloom arithmetic — same seeds, same modulus,
+    // same false positives
+    "ll20_bloom_dedup" -> {
+      val seedRows = (0 until 4)
+        .map(j => s"($j, CAST(${sigSeeds(j)} AS BIGINT))").mkString(", ")
+      s"""WITH seeds(j, sd) AS (VALUES $seedRows),
+          b AS (SELECT doc_id + 10000 AS doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN text
+                       ELSE substr(text, strpos(text, ' ') + 1) END AS text
+                FROM documents),
+          apos AS (SELECT DISTINCT
+                     xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT), sd)
+                       % 1048576 AS pos
+                   FROM documents, seeds),
+          bpos AS (SELECT b.doc_id,
+                     xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT), sd)
+                       % 1048576 AS pos
+                   FROM b, seeds)
+          SELECT bpos.doc_id,
+                 CAST(SUM(CASE WHEN apos.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) = 4
+                   AS maybe_dup
+          FROM bpos LEFT JOIN apos ON bpos.pos = apos.pos
+          GROUP BY bpos.doc_id"""
+    },
     "ll10_decontaminate" ->
       s"""WITH train AS (SELECT doc_id + 10000 AS doc_id,
                 substr(text, strpos(text, ' ') + 1) AS text FROM documents),

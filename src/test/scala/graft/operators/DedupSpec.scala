@@ -44,6 +44,17 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) !== sh(3L))
   }
 
+  test("bloom dedup: zero false negatives on the identical half") {
+    val out = graft.SparkEntry.queries("ll20_bloom_dedup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    // B ids 10000+x with x even are byte-identical to corpus A docs:
+    // a Bloom filter may false-positive but NEVER false-negative
+    val misses = out.filter { case (id, dup) => (id - 10000) % 2 == 0 && !dup }
+    assert(misses.isEmpty, s"bloom false negatives: ${misses.keys.take(5)}")
+    assert(out.exists { case (id, dup) => (id - 10000) % 2 == 1 && !dup },
+      "perturbed half should contain non-members")
+  }
+
   test("prefix-filtered Jaccard == naive inverted-index Jaccard on a skewed corpus") {
     // df-skewed fixture: shared rare/frequent shingles + near-dup pairs
     val vocab = (1 to 40).map(i => s"w$i")
