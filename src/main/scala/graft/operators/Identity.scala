@@ -40,10 +40,23 @@ object Identity {
 
   /** Connected components over any orderable node type.
     * @param edges two-column DataFrame (src, dst), undirected.
+    * @param smallGraphMax edge-count threshold below which the graph
+    *   is resolved by an in-driver union-find instead of the
+    *   distributed star-contraction — the REFERENCE's identity CC is
+    *   exactly this in-process union-find (identity.go:79-262), and
+    *   below ~100k edges (a few MB) the multi-round engine pays pure
+    *   scheduling/materialization overhead. The threshold is a
+    *   planner statistic read from the same canonical edge count the
+    *   round sizing uses; pass 0 to force the distributed engine.
+    *   Near-dup pair graphs and incremental identity deltas — tiny
+    *   next to their corpora — live under it; a full 100 TB identity
+    *   graph goes distributed.
     * @return ((node, comp) DataFrame in the input value domain where
-    *         comp = min reachable node, iterations run)
+    *         comp = min reachable node, iterations run — 0 on the
+    *         union-find path)
     */
-  def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+  def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 30,
+                                   smallGraphMax: Long = 100000L): (DataFrame, Int) = {
     def prof[T](label: String)(f: => T): T =
       if (sys.props.contains("graft.cc.profile")) {
         val t0 = System.nanoTime(); val r = f
@@ -182,31 +195,54 @@ object Identity {
     // graph-sized shuffle-partitions setting or leak per-round scratch
     // parquet — restore/cleanup unconditionally.
     try {
-      var prevSig = prof("sig0")(signature(cur))
-      var converged = edgeCount == 0L
-      while (!converged && i < maxIter) {
-        val next = prof("round")(materialize(smallStar(largeStar(cur)), s"r${i + 1}"))
-        val sig = prof("sig")(signature(next))
-        rmScratch(s"r$i") // previous round's files no longer referenced
-        cur = next
-        converged = sig == prevSig
-        prevSig = sig
-        i += 1
-      }
-      // Converged edge set is a forest of min-rooted stars: (member,
-      // root). Roots and isolated nodes map to themselves. If maxIter
-      // exhausted WITHOUT the signature stabilizing, cur is not
-      // guaranteed to be a star forest (a node may carry several
-      // labels); collapse to min(label) so the output stays one row
-      // per node either way — on the converged path the aggregate is
-      // a no-op on already-unique keys.
-      if (!converged)
-        System.err.println(
-          s"[graft] Identity CC: maxIter=$maxIter exhausted without convergence; " +
-            "labels collapsed to min per node and may span unmerged components")
-      val stars =
+      val stars: DataFrame = if (edgeCount <= smallGraphMax) {
+        // In-driver min-union-find over the canonical long edges —
+        // the reference's own engine shape. The collect is gated by
+        // the edge count above, so it is planner-statistic-bounded,
+        // not corpus-bounded.
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        cur.collect().foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // every non-root member holds a parent entry; roots self-map
+        val rows = parent.keys.toSeq.map(n => (n, find(n)))
+          .filter { case (n, c) => n != c }
+        import spark.implicits._
+        rows.toDF("node", "c")
+      } else {
+        var prevSig = prof("sig0")(signature(cur))
+        var converged = false
+        while (!converged && i < maxIter) {
+          val next = prof("round")(materialize(smallStar(largeStar(cur)), s"r${i + 1}"))
+          val sig = prof("sig")(signature(next))
+          rmScratch(s"r$i") // previous round's files no longer referenced
+          cur = next
+          converged = sig == prevSig
+          prevSig = sig
+          i += 1
+        }
+        // Converged edge set is a forest of min-rooted stars: (member,
+        // root). Roots and isolated nodes map to themselves. If maxIter
+        // exhausted WITHOUT the signature stabilizing, cur is not
+        // guaranteed to be a star forest (a node may carry several
+        // labels); collapse to min(label) so the output stays one row
+        // per node either way — on the converged path the aggregate is
+        // a no-op on already-unique keys.
+        if (!converged)
+          System.err.println(
+            s"[graft] Identity CC: maxIter=$maxIter exhausted without convergence; " +
+              "labels collapsed to min per node and may span unmerged components")
         if (converged) cur.select(col("a").as("node"), col("b").as("c"))
         else cur.groupBy(col("a").as("node")).agg(min(col("b")).as("c"))
+      }
       val labels = allNodes
         .join(stars, Seq("node"), "left")
         .select(col("node"), coalesce(col("c"), col("node")).as("comp"))

@@ -33,7 +33,7 @@ class IdentitySpec extends SparkSpec {
     val sess = spark
     import sess.implicits._
     val edges = (0 until 1000).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
-    val (df, iters) = Identity.connectedComponentsWithStats(edges)
+    val (df, iters) = Identity.connectedComponentsWithStats(edges, smallGraphMax = 0L)
     val labels = df.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length === 1001)
     assert(labels.forall(_._2 === 0L))
@@ -46,7 +46,7 @@ class IdentitySpec extends SparkSpec {
     // a min-label propagation engine would need ~20,000 rounds here;
     // large/small-star must stay in the low tens (log^2-ish)
     val edges = (0 until 20000).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
-    val (df, iters) = Identity.connectedComponentsWithStats(edges)
+    val (df, iters) = Identity.connectedComponentsWithStats(edges, smallGraphMax = 0L)
     assert(iters <= 20, s"alternation rounds must not scale with diameter, took $iters")
     val labels = df.collect()
     assert(labels.length === 20001)
@@ -79,9 +79,23 @@ class IdentitySpec extends SparkSpec {
     val sess = spark
     import sess.implicits._
     val edges = (1 to 500).map(i => (0L, i.toLong)).toDF("src", "dst")
-    val (df, iters) = Identity.connectedComponentsWithStats(edges)
+    val (df, iters) = Identity.connectedComponentsWithStats(edges, smallGraphMax = 0L)
     assert(df.collect().forall(_.getLong(1) === 0L))
     assert(iters <= 4, s"star graph has diameter 2, took $iters rounds")
+  }
+
+  test("union-find fast path equals the distributed engine") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .toDF("src", "dst")
+    def run(thr: Long) =
+      Identity.connectedComponentsWithStats(edges, smallGraphMax = thr)._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = run(100000L) // union-find
+    val dist = run(0L)      // star contraction
+    assert(fast === dist)
   }
 
   test("empty edge set yields an empty mapping, not a crash") {
