@@ -128,6 +128,45 @@ object Warehouse {
         .distinct()
     }),
 
+    // W8b: per-provider INDEX-LENGTH constraints on merge rules
+    // (warehouse/constraints/constraint.go:36-96: BQ and Snowflake cap
+    // the concatenated merge-property type+value index columns at 512
+    // chars; violators route to the discards table with a reason, the
+    // rest load). The constraint table is a broadcast fixture keyed by
+    // provider; synthetic long anon values (user_id % 11 == 0 pads the
+    // property past the cap) exercise the violation path. One scan,
+    // per-provider fan-out by crossJoin with the 2-row provider
+    // config — the reference's per-event constraint check expressed as
+    // a column predicate.
+    "w8b_merge_rule_constraints" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val providers = Seq(("BQ", 512), ("SNOWFLAKE", 512), ("POSTGRES", 0))
+        .toDF("provider", "idx_limit") // 0 = provider enforces no cap
+      val rules = Tables.events(s, dir)
+        .select(
+          lit("anonymous_id").as("merge_property_1_type"),
+          concat(lit("anon_"), (col("user_id") % 37).cast("string"),
+            when(col("user_id") % 11 === 0, lit("_" + "x" * 520)).otherwise(lit("")))
+            .as("merge_property_1_value"),
+          lit("user_id").as("merge_property_2_type"),
+          concat(lit("user_"), col("user_id").cast("string")).as("merge_property_2_value"))
+        .distinct()
+      rules.crossJoin(broadcast(providers))
+        .withColumn("idx1_len",
+          length(col("merge_property_1_type")) + length(col("merge_property_1_value")))
+        .withColumn("idx2_len",
+          length(col("merge_property_2_type")) + length(col("merge_property_2_value")))
+        .withColumn("violated",
+          col("idx_limit") > 0 &&
+            (col("idx1_len") > col("idx_limit") || col("idx2_len") > col("idx_limit")))
+        .groupBy(col("provider"))
+        .agg(count(lit(1)).as("n_rules"),
+          sum(when(col("violated"), 1L).otherwise(0L)).as("n_discarded"),
+          sum(when(!col("violated"), 1L).otherwise(0L)).as("n_loaded"),
+          max(when(col("violated"), col("idx1_len"))).cast("long").as("max_violated_len"))
+    }),
+
     // W9: column-count guard — reject events whose schema exceeds the
     // column cap (transformer.go:251-277; cap 1600, here 2 to exercise
     // the reject path on the small fixture).
@@ -288,6 +327,31 @@ object Warehouse {
       """SELECT DISTINCT 'anon_' || CAST(user_id % 37 AS VARCHAR) AS merge_property_1,
                          'user_' || CAST(user_id AS VARCHAR) AS merge_property_2
          FROM events""",
+    "w8b_merge_rule_constraints" -> {
+      val pad = "x" * 520
+      s"""WITH providers(provider, idx_limit) AS
+            (VALUES ('BQ', 512), ('SNOWFLAKE', 512), ('POSTGRES', 0)),
+          rules AS (
+            SELECT DISTINCT
+              'anonymous_id' AS t1,
+              'anon_' || CAST(user_id % 37 AS VARCHAR) ||
+                CASE WHEN user_id % 11 = 0 THEN '_$pad' ELSE '' END AS v1,
+              'user_id' AS t2,
+              'user_' || CAST(user_id AS VARCHAR) AS v2
+            FROM events),
+          checked AS (
+            SELECT provider,
+              length(t1) + length(v1) AS idx1_len,
+              length(t2) + length(v2) AS idx2_len,
+              idx_limit > 0 AND (length(t1) + length(v1) > idx_limit
+                OR length(t2) + length(v2) > idx_limit) AS violated
+            FROM rules CROSS JOIN providers)
+          SELECT provider, COUNT(*) AS n_rules,
+            CAST(SUM(CASE WHEN violated THEN 1 ELSE 0 END) AS BIGINT) AS n_discarded,
+            CAST(SUM(CASE WHEN NOT violated THEN 1 ELSE 0 END) AS BIGINT) AS n_loaded,
+            CAST(MAX(CASE WHEN violated THEN idx1_len END) AS BIGINT) AS max_violated_len
+          FROM checked GROUP BY provider"""
+    },
     "w9_column_guard" ->
       """SELECT 1 AS n_cols, COUNT(*) AS n_events FROM events WHERE props LIKE '%"k"%'""",
     "l4_coercion_discards" ->
