@@ -258,6 +258,44 @@ object Multimodal {
           col("hamming"))
     }),
 
+    // Video NEAR-DUPLICATE detection — the last modality of the
+    // near-dup family: a video is its SEQUENCE of frame fingerprints
+    // (real BMP decode → aHash per frame), candidates are blocked by
+    // frame count, frames align positionally, a frame matches when
+    // dims agree and hamming(aHash) <= 3, and a pair is near-dup when
+    // >= 3/4 of frames match. The second crawl re-renders every frame
+    // +4 brighter (the re-encode analog); at 100 TB the frame table
+    // shuffles fingerprints (one long per frame), never pixels, and
+    // the (n_frames, frame_no) equi-join keeps cost linear in the
+    // frame table. The oracle replays frames, hashes, alignment and
+    // the 3/4 rule closed-form.
+    "mm10_video_neardup" -> ((s, dir) => {
+      val synth = udf((fid: Long, delta: Int) => MediaCodecs.synthBmpShifted(fid, delta))
+      val ah = udf((p: Array[Byte]) => MediaCodecs.bmpAHash(p))
+      val base = Tables.documents(s, dir).select(col("doc_id").as("bid"))
+        .filter(col("bid") < 30)
+        .withColumn("n_frames", (lit(3L) + col("bid") % 3L))
+      val crawls = base.select(col("bid").as("video_id"), col("bid"),
+          lit(0).as("d"), col("n_frames"))
+        .unionByName(base.select((col("bid") + 1000L).as("video_id"), col("bid"),
+          lit(4).as("d"), col("n_frames")))
+      val frames = crawls
+        .withColumn("f", explode(sequence(lit(0L), col("n_frames") - 1L)))
+        .withColumn("h", ah(synth(col("bid") * 10L + col("f"), col("d"))))
+        .select(col("video_id"), col("n_frames"), col("f"),
+          col("h.width").as("w"), col("h.height").as("hh"), col("h.ahash").as("ahash"))
+      val matched = frames.as("x").join(frames.as("y"),
+          col("x.n_frames") === col("y.n_frames") && col("x.f") === col("y.f") &&
+            col("x.video_id") < col("y.video_id") &&
+            col("x.w") === col("y.w") && col("x.hh") === col("y.hh") &&
+            bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))) <= 3)
+        .groupBy(col("x.video_id").as("video_a"), col("y.video_id").as("video_b"),
+          col("x.n_frames").as("n_frames"))
+        .agg(count(lit(1)).as("n_matched"))
+      matched.filter(col("n_matched") * 4 >= col("n_frames") * 3)
+        .select(col("video_a"), col("video_b"), col("n_frames"), col("n_matched"))
+    }),
+
     // Frame sampling arithmetic (stride 4) — the scan shape of video
     // frame extraction; counts per kind are exact.
     "mm2_frame_sample" -> ((s, dir) => {
@@ -370,9 +408,50 @@ object Multimodal {
            CAST(list_sum(list_transform(range(0, (4 + doc_id % 4) * (2 + doc_id % 3)),
              p -> (doc_id * 7 + 3 * p) % 256)) AS BIGINT) AS sum_b
          FROM documents WHERE doc_id < 100""",
-    // replays both crawls' closed-form samples through the same
-    // 4-sample windowing, delta bits, length blocking and hamming
-    // verify as the decoder-side fingerprint.
+    // replays every frame's closed-form pixels (fid = bid*10 + f, +4
+    // on the copy crawl), the per-frame aHash, positional alignment,
+    // and the >= 3/4 matched-frames rule.
+    "mm10_video_neardup" ->
+      """WITH vids AS (
+           SELECT doc_id AS bid, CAST(3 + doc_id % 3 AS BIGINT) AS n_frames
+           FROM documents WHERE doc_id < 30),
+         crawls AS (
+           SELECT bid AS video_id, bid, 0 AS d, n_frames FROM vids
+           UNION ALL
+           SELECT bid + 1000, bid, 4, n_frames FROM vids),
+         fr AS (
+           SELECT video_id, n_frames, CAST(u.f AS BIGINT) AS f,
+                  bid * 10 + u.f AS fid, d
+           FROM crawls CROSS JOIN UNNEST(range(0, n_frames)) AS u(f)),
+         px AS (
+           SELECT video_id, n_frames, f, fid, d,
+             CAST(4 + fid % 4 AS BIGINT) AS w, CAST(2 + fid % 3 AS BIGINT) AS h,
+             unnest(range(0, (4 + fid % 4) * (2 + fid % 3))) AS p
+           FROM fr),
+         g AS (
+           SELECT video_id, n_frames, f, w, h, p,
+             ((fid * 7 + 3 * p + d) % 256 + (fid * 7 + 3 * p + 1 + d) % 256 +
+              (fid * 7 + 3 * p + 2 + d) % 256) // 3 AS gray
+           FROM px),
+         m AS (SELECT video_id, f, CAST(SUM(gray) // COUNT(*) AS BIGINT) AS mean_gray
+               FROM g GROUP BY video_id, f),
+         hsh AS (
+           SELECT g.video_id, n_frames, g.f, w, h,
+             CAST(SUM(CASE WHEN gray > mean_gray
+                           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ahash
+           FROM g JOIN m ON g.video_id = m.video_id AND g.f = m.f
+           GROUP BY g.video_id, n_frames, g.f, w, h),
+         pairs AS (
+           SELECT x.video_id AS video_a, y.video_id AS video_b,
+                  x.n_frames AS n_frames, COUNT(*) AS n_matched
+           FROM hsh x JOIN hsh y
+             ON x.n_frames = y.n_frames AND x.f = y.f
+            AND x.video_id < y.video_id
+            AND x.w = y.w AND x.h = y.h
+            AND bit_count(xor(x.ahash, y.ahash)) <= 3
+           GROUP BY 1, 2, 3)
+         SELECT video_a, video_b, n_frames, n_matched
+         FROM pairs WHERE n_matched * 4 >= n_frames * 3""",
     "mm9_audio_neardup" -> {
       def sTerm(iExpr: String) = s"((bid * 31 + 7 * ($iExpr) + d) % 2001 - 1000)"
       def eTerm(wExpr: String) =
