@@ -118,6 +118,25 @@ object Similarity {
       topK(scored, 5)
     }),
 
+    // Hard-NEGATIVE mining — the contrastive-training composition of
+    // the ANN family: for each query, the top-5 most similar vectors
+    // with a DIFFERENT label (similar-but-wrong examples are what
+    // contrastive/reranker training feeds on; same-label neighbors
+    // are positives and excluded). Brute-force broadcast-query
+    // baseline like ll3; the scale path is ll4's cell pruning with
+    // the label anti-filter applied to candidates.
+    "ll21_hard_negatives" -> ((s, dir) => {
+      val e = withNorm(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label")))
+      val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label")).filter(col("query_id") < 10)
+      val scored = e.join(broadcast(q),
+          col("label") =!= col("q_label") && col("vec_id") =!= col("query_id"))
+        .withColumn("dot", dotExpr("q_emb", "embedding"))
+        .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+      topK(scored, 5)
+    }),
+
     // IVF-style cell-restricted search: only candidates in the query's
     // cell (label) are scored — partition pruning at scale.
     "ll4_ann_ivf" -> ((s, dir) => {
@@ -396,6 +415,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ll3_ann_topk" -> annOracle(""),
+    "ll21_hard_negatives" -> annOracle("AND label <> q_label"),
     "ll4_ann_ivf" -> annOracle("AND label = q_label"),
     "ll4b_ann_ivf_trained" ->
       s"""WITH qe AS (SELECT vec_id,

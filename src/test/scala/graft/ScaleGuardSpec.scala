@@ -48,7 +48,9 @@ class ScaleGuardSpec extends SparkSpec {
     "ll16_quantized_ann" ->
       "int8 coarse stage is k×n by design; broadcast query side bounded to <10 rows",
     "mm3_media_similar" ->
-      "feature-similarity baseline; broadcast query side bounded to <10 rows")
+      "feature-similarity baseline; broadcast query side bounded to <10 rows",
+    "ll21_hard_negatives" ->
+      "brute-force k×n baseline (label anti-filter); broadcast query side bounded to <10 rows")
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(flatten)
