@@ -43,18 +43,18 @@ object Bench {
     }
     val p1 = runPass(0x5eed1L)
     val p2 = runPass(0x5eed2L)
-    // (name, best time, spread, rows, error) — rows/err from the
-    // better pass; an error is reported if BOTH passes failed (one
-    // clean pass means the query itself is sound).
+    // (name, best time, spread, rows, error) — a failed pass's time is
+    // meaningless (fast failures would otherwise win the min), so with
+    // exactly one clean pass its time stands alone with zero spread;
+    // an error is reported only if BOTH passes failed.
     val results = names.map { case (name, _) =>
       val (t1, r1, e1) = p1(name)
       val (t2, r2, e2) = p2(name)
-      val best = math.min(t1, t2)
-      val spread = math.abs(t1 - t2)
-      val (rows, err) =
-        if (e1.isEmpty) (r1, None)
-        else if (e2.isEmpty) (r2, None)
-        else (r1, e1)
+      val (best, spread, rows, err) =
+        if (e1.isEmpty && e2.isEmpty) (math.min(t1, t2), math.abs(t1 - t2), r1, None)
+        else if (e1.isEmpty) (t1, 0.0, r1, None)
+        else if (e2.isEmpty) (t2, 0.0, r2, None)
+        else (math.min(t1, t2), math.abs(t1 - t2), r1, e1)
       (name, best, spread, rows, err)
     }
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

@@ -185,8 +185,8 @@ object Lifecycle {
       val q = Sinks.startStreamingObjectSink(stream, out, ckpt)
       q.processAllAvailable()
       q.stop()
-      val nBatches = new java.io.File(s"$ckpt/commits")
-        .listFiles().count(_.getName.forall(_.isDigit)).toLong
+      val nBatches = Option(new java.io.File(s"$ckpt/commits").listFiles())
+        .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0).toLong
       Readers.stagingScan(s, out,
           Some(StructType.fromDDL("event_id BIGINT, user_id BIGINT, event_type STRING")))
         .groupBy(col("source_id").cast("string").as("source_id"),
