@@ -41,6 +41,46 @@ object Profile {
       }.reduce(_ unionByName _)
     }),
 
+    // Heavy hitters (frequent items) — EXACT, at 100 TB cost: phase 1
+    // runs a Misra-Gries(k) summary per partition inside mapPartitions
+    // (k counters of bounded memory no matter the partition size); the
+    // union of summaries is a guaranteed SUPERSET of every key with
+    // global frequency > n/k (a globally-heavy key is partition-heavy
+    // somewhere, and MG retains any key with partition count above
+    // n_p/k), so one broadcast semi-join recount of the candidates
+    // yields the exact answer. The full groupBy this replaces shuffles
+    // EVERY key; this shuffles <= k rows per partition plus the
+    // candidate recount. The summary's content depends on partition
+    // layout, the OUTPUT does not — the superset guarantee plus the
+    // exact recount make it deterministic, which is what lets a plain
+    // HAVING oracle check it.
+    "prof3_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val k = 20
+      // skewed derived key: 3 hot buckets (~10% of rows each) over a
+      // long tail of per-user cold keys
+      val keys = Tables.events(s, dir)
+        .select(when(col("user_id") % 10 < 3, col("user_id") % 10)
+          .otherwise(col("user_id") + 1000L).as("hot_key"))
+      val nTotal = keys.count() // one metadata-cheap count, also in the oracle
+      val candidates = keys.as[Long].mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.foreach { x =>
+          if (counters.contains(x)) counters(x) += 1L
+          else if (counters.size < k) counters(x) = 1L
+          else {
+            counters.mapValuesInPlace((_, v) => v - 1L)
+            counters.filterInPlace((_, v) => v > 0L)
+          }
+        }
+        counters.keysIterator
+      }.toDF("hot_key").distinct()
+      keys.join(broadcast(candidates), "hot_key")
+        .groupBy(col("hot_key"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > lit(nTotal / k))
+    }),
+
     // Join-key SKEW diagnostic — the pre-flight check before shuffling
     // on a key at scale (whale users / hot shingles are what q13's
     // salting and AQE skew-join exist for; this measures WHERE they
@@ -73,6 +113,18 @@ object Profile {
             FROM lineitem"""
       }.mkString(" UNION ALL ")
     },
+    // plain exact frequency + HAVING over the same derived key and the
+    // same integer n/k threshold — the two-phase plan must reproduce it
+    "prof3_heavy_hitters" ->
+      """WITH keys AS (
+           SELECT CASE WHEN user_id % 10 < 3 THEN user_id % 10
+                       ELSE user_id + 1000 END AS hot_key
+           FROM events),
+         t AS (SELECT COUNT(*) AS n FROM keys)
+         SELECT hot_key, COUNT(*) AS cnt
+         FROM keys CROSS JOIN t
+         GROUP BY hot_key, t.n
+         HAVING COUNT(*) > t.n // 20""",
     "prof2_key_skew" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
