@@ -41,6 +41,24 @@ object Profile {
       }.reduce(_ unionByName _)
     }),
 
+    // Sketch-based NDV profiling — prof1's "at 100 TB the exact
+    // COUNT(DISTINCT) swaps for the mergeable sketch" made real: the
+    // same bit-mirrored HLL++ aggregator a2c verifies (p=12, exact
+    // HUGEINT harmonic path in the oracle) profiles each column in a
+    // single partial-agg scan — no distinct shuffle at all — with the
+    // exact NDV alongside to show calibration. Values hash through
+    // their canonical string form so numeric and string columns share
+    // one sketch.
+    "prof4_sketch_ndv" -> ((s, dir) => {
+      val hll = udaf(new graft.functions.HllAggregator(12))
+      val li = Tables.lineitem(s, dir)
+      Seq("l_orderkey", "l_partkey", "l_returnflag").map { c =>
+        li.agg(hll(col(c).cast("string")).as("ndv_sketch"),
+            countDistinct(col(c)).as("ndv_exact"))
+          .select(lit(c).as("column_name"), col("ndv_sketch"), col("ndv_exact"))
+      }.reduce(_ unionByName _)
+    }),
+
     // Heavy hitters (frequent items) — EXACT, at 100 TB cost: phase 1
     // runs a Misra-Gries(k) summary per partition inside mapPartitions
     // (k counters of bounded memory no matter the partition size); the
@@ -112,6 +130,34 @@ object Profile {
               $mn AS min_s, $mx AS max_s
             FROM lineitem"""
       }.mkString(" UNION ALL ")
+    },
+    // per-column replay of the a2c register math (ungrouped form):
+    // same hash, same rank split, same exact-HUGEINT harmonic sum and
+    // linear-counting correction — see Transforms.scala's a2c oracle
+    // for the derivation
+    "prof4_sketch_ndv" -> {
+      val rankCase = (1 to 52)
+        .map(r => s"WHEN rest >= ${BigInt(1) << (64 - r)} THEN $r").mkString(" ")
+      val rawEst = """(0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 /
+                      (CAST(num AS DOUBLE) / 18446744073709551616.0)"""
+      def branch(c: String) =
+        s"""SELECT '$c' AS column_name,
+              (WITH h AS (SELECT CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 16)
+                            AS UBIGINT) AS h
+                          FROM lineitem WHERE $c IS NOT NULL),
+                 rk AS (SELECT h >> 52 AS idx,
+                          CASE WHEN rest = 0 THEN 53 $rankCase END AS rank
+                        FROM (SELECT h, (h % 4503599627370496) * 4096 AS rest FROM h)),
+                 reg AS (SELECT idx, MAX(rank) AS reg FROM rk GROUP BY 1),
+                 est AS (SELECT SUM(1::HUGEINT << (64 - reg))
+                             + (4096 - COUNT(*)) * (1::HUGEINT << 64) AS num,
+                           4096 - COUNT(*) AS zeros FROM reg)
+               SELECT CAST(round(CASE WHEN $rawEst <= 2.5 * 4096 AND zeros > 0
+                            THEN 4096 * ln(4096.0 / zeros)
+                            ELSE $rawEst END) AS BIGINT) FROM est) AS ndv_sketch,
+              (SELECT COUNT(DISTINCT $c) FROM lineitem) AS ndv_exact"""
+      Seq("l_orderkey", "l_partkey", "l_returnflag")
+        .map(branch).mkString(" UNION ALL ")
     },
     // plain exact frequency + HAVING over the same derived key and the
     // same integer n/k threshold — the two-phase plan must reproduce it
