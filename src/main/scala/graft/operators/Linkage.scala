@@ -52,6 +52,45 @@ object Linkage {
         .withColumn("dist", levenshtein(col("d_name"), col("name")))
         .filter(col("dist") <= 1)
         .select(col("d_key"), col("c_custkey").as("matched_key"), col("dist").cast("long"))
+    }),
+
+    // Domain-AUTHORITY scoring — PageRank power iteration over the
+    // cross-domain link graph: the crawl-prioritization signal a
+    // training-data pipeline uses to weight sources. Three damped
+    // iterations in EXACT fixed-point integer arithmetic (rank unit
+    // 1e12, damping 85/100, every division a floor DIV), so the
+    // oracle replays the iteration bit-for-bit where float PageRank
+    // would drift under parallel summation. Plan shape per iteration:
+    // one (src)-keyed join carrying a single long per edge + one
+    // (dst)-keyed aggregate — the standard distributed PageRank
+    // shuffle pair, linear in edges at any scale (domain-count-sized
+    // rank vectors; at web scale the rank table co-partitions with
+    // the edge list on src). Links derive deterministically: doc d
+    // links its domain to the domain of doc (d*13 + 7) mod N.
+    "q21_domain_rank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val n = docs.count() // doc-count modulus: metadata statistic, same in the oracle
+      val unit = 1000000000000L
+      val links = docs.join(
+          docs.select(col("doc_id").as("tid"), col("source").as("dst")),
+          ((col("doc_id") * 13L + 7L) % n) === col("tid"))
+        .select(col("source").as("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val domains = docs.select(col("source").as("domain")).distinct()
+      val outdeg = links.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      var rank = domains.withColumn("r", lit(unit))
+      for (_ <- 1 to 3) {
+        val contrib = links.join(outdeg, "src")
+          .join(rank.select(col("domain").as("src"), col("r")), "src")
+          .withColumn("c", expr("r DIV od"))
+          .groupBy(col("dst").as("domain")).agg(sum(col("c")).as("cs"))
+        rank = domains.join(contrib, Seq("domain"), "left")
+          .withColumn("r",
+            expr(s"${15L * unit / 100L} + (85 * coalesce(cs, 0)) DIV 100"))
+          .select(col("domain"), col("r"))
+      }
+      rank.select(col("domain"), col("r").as("rank_fp"))
     })
   )
 
@@ -79,6 +118,29 @@ object Linkage {
          SELECT d_key, c_custkey AS matched_key,
            CAST(levenshtein(d_name, name) AS BIGINT) AS dist
          FROM cand
-         WHERE levenshtein(d_name, name) <= 1"""
+         WHERE levenshtein(d_name, name) <= 1""",
+    // three chained fixed-point iterations, floor // everywhere —
+    // identical integers to the Spark loop
+    "q21_domain_rank" -> {
+      def iter(i: Int) =
+        s"""c$i AS (SELECT l.dst AS domain, SUM(r.r // o.od) AS cs
+              FROM links l JOIN od o ON l.src = o.src
+              JOIN r${i - 1} r ON r.domain = l.src
+              GROUP BY 1),
+            r$i AS (SELECT d.domain,
+                150000000000 + (85 * COALESCE(c$i.cs, 0)) // 100 AS r
+              FROM domains d LEFT JOIN c$i ON d.domain = c$i.domain)"""
+      s"""WITH docs AS (SELECT doc_id, source FROM documents),
+          nn AS (SELECT COUNT(*) AS n FROM docs),
+          links AS (SELECT DISTINCT d.source AS src, t.source AS dst
+                    FROM docs d CROSS JOIN nn
+                    JOIN docs t ON t.doc_id = (d.doc_id * 13 + 7) % nn.n
+                    WHERE d.source <> t.source),
+          domains AS (SELECT DISTINCT source AS domain FROM docs),
+          od AS (SELECT src, COUNT(*) AS od FROM links GROUP BY src),
+          r0 AS (SELECT domain, CAST(1000000000000 AS BIGINT) AS r FROM domains),
+          ${iter(1)}, ${iter(2)}, ${iter(3)}
+          SELECT domain, CAST(r AS BIGINT) AS rank_fp FROM r3"""
+    }
   )
 }
