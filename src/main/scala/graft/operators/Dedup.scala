@@ -353,7 +353,26 @@ object Dedup {
     val path = sigCache.computeIfAbsent(key, _ => {
       val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
         "/graft-sigtable-" + java.lang.Integer.toHexString(key.hashCode)
-      minhashSignatures(shingles(corpus(s, dir, perturb = true)))
+      minhashSignatures(shingleTable(s, dir))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** The maintained (doc_id, shingle) table itself — the inverted-
+    * index side of the same storage story: ll6's Jaccard join, ll19's
+    * intersection counts and the signature build all read one
+    * session-materialized shingling instead of re-splitting the
+    * corpus text per query.
+    */
+  private val shCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[operators] def shingleTable(s: SparkSession, dir: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val path = shCache.computeIfAbsent(key, _ => {
+      val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft-shtable-" + java.lang.Integer.toHexString(key.hashCode)
+      shingles(corpus(s, dir, perturb = true))
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -607,23 +626,21 @@ object Dedup {
     // pair members' shingles, so cost scales with the pair graph, not
     // the corpus.
     "ll19_containment" -> ((s, dir) => {
-      // pairs come from the maintained signature index; ONE corpus
-      // shingling feeds set sizes AND both intersection joins
-      val sh = shingles(corpus(s, dir, perturb = true))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pairs come from the maintained signature index; set sizes and
+      // both intersection joins read the maintained shingle table
+      val sh = shingleTable(s, dir)
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
       val shared = pairs
         .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
-      val out = shared
+      shared
         .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
         .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
           (col("n_shared") / col("n_a")).as("containment_a"),
           (col("n_shared") / col("n_b")).as("containment_b"))
-      materializeAndRelease(s, out, sh)
     }),
 
     // Exact n-gram Jaccard near-dup with an ADAPTIVE physical
@@ -636,8 +653,7 @@ object Dedup {
     // synthetic 31-word-vocab corpus measures it 3x slower). Results
     // are identical either way (DedupSpec), so the oracle is shared.
     "ll6_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingles(corpus(s, dir, perturb = true))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // stats + df/sizes/prefixes + verify joins
+      val sh = shingleTable(s, dir) // stats + df/sizes/prefixes + verify joins, one materialization
       if (jaccardStrategy(sh) == "prefix-filtered") prefixFilteredJaccard(sh)
       else jaccardFromShingles(sh)
     })
