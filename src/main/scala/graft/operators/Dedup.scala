@@ -347,18 +347,31 @@ object Dedup {
     * only exists for a caller mutating a dir in place mid-session,
     * which no driver or spec path does).
     */
-  private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[operators] def signatureTable(s: SparkSession, dir: String): DataFrame = {
+  /** Build-once-read-everywhere: materialize `df` to scratch parquet
+    * on first touch, hand every caller the SAME parquet-backed,
+    * memory-persisted frame. The parquet copy is durable truth (the
+    * maintained-table story; survives executor loss, resets lineage);
+    * the persist keeps the multi-self-join consumers (ll6 scans its
+    * shingles ~6 times) on hot storage instead of re-reading parquet
+    * per scan. These tables are index-sized (shingles/signatures of
+    * the corpus, not the corpus); a 100 TB deployment keeps the
+    * parquet and drops the persist.
+    */
+  private def materializedTable(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+                                s: SparkSession, dir: String, name: String)
+                               (build: => DataFrame): DataFrame = {
     val key = s.sparkContext.applicationId + "|" + dir
-    val path = sigCache.computeIfAbsent(key, _ => {
+    cache.computeIfAbsent(key, _ => {
       val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-sigtable-" + java.lang.Integer.toHexString(key.hashCode)
-      minhashSignatures(shingleTable(s, dir))
-        .write.mode("overwrite").parquet(p)
-      p
+        s"/graft-$name-" + java.lang.Integer.toHexString(key.hashCode)
+      build.write.mode("overwrite").parquet(p)
+      s.read.parquet(p).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
-    s.read.parquet(path)
   }
+
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[operators] def signatureTable(s: SparkSession, dir: String): DataFrame =
+    materializedTable(sigCache, s, dir, "sigtable")(minhashSignatures(shingleTable(s, dir)))
 
   /** The maintained (doc_id, shingle) table itself — the inverted-
     * index side of the same storage story: ll6's Jaccard join, ll19's
@@ -366,18 +379,9 @@ object Dedup {
     * session-materialized shingling instead of re-splitting the
     * corpus text per query.
     */
-  private val shCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[operators] def shingleTable(s: SparkSession, dir: String): DataFrame = {
-    val key = s.sparkContext.applicationId + "|" + dir
-    val path = shCache.computeIfAbsent(key, _ => {
-      val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-shtable-" + java.lang.Integer.toHexString(key.hashCode)
-      shingles(corpus(s, dir, perturb = true))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+  private val shCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[operators] def shingleTable(s: SparkSession, dir: String): DataFrame =
+    materializedTable(shCache, s, dir, "shtable")(shingles(corpus(s, dir, perturb = true)))
 
   private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sigs = signatureTable(s, dir)
