@@ -53,6 +53,24 @@ object Sessions {
           sum(col("value").cast(dec)).cast("double").as("sum_value"))
     }),
 
+    // Event-transition matrix — the Markov journey counts product
+    // analytics builds on sessionized streams: for consecutive events
+    // of the same user WITHIN a session (the q16 30-min gap), count
+    // (from_type -> to_type) transitions. Same single
+    // (user_id, ts)-keyed window exchange as q16 — one lag, no second
+    // shuffle before the k²-sized aggregate.
+    "q22_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_type").isNotNull && col("ts_us") - col("prev_us") <= gapUs)
+        .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+    }),
+
     // As-of join: each event picks up the customer's most recent order
     // at-or-before the event timestamp. Spark has no ASOF JOIN, and the
     // naive range join explodes; the scalable plan is the union trick —
@@ -166,6 +184,18 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q22_transition_matrix" ->
+      """WITH t AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(epoch_us(ts)) OVER w AS prev_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         SELECT prev_type AS from_type, event_type AS to_type,
+                COUNT(*) AS n_transitions
+         FROM t
+         WHERE prev_type IS NOT NULL AND ts_us - prev_us <= 1800000000
+         GROUP BY 1, 2""",
     "q16_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
