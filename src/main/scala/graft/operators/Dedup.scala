@@ -400,6 +400,28 @@ object Dedup {
 
     "ll2_minhash_neardup" -> ((s, dir) => minhashPairs(s, dir)),
 
+    // Near-dup SPLIT-LEAKAGE check — the contamination audit every
+    // train/val/test split needs: an exact-dedup pass can't catch a
+    // train document that is a NEAR-duplicate of a test document, so
+    // the verified near-dup pairs are joined against the deterministic
+    // split assignment (hash-of-id mod 100: <80 train, <90 val, else
+    // test — ta15's rule) and every pair that straddles two splits is
+    // reported with its similarity. Cost = the pair graph (tiny next
+    // to the corpus) + two broadcast-sized hash joins on doc_id.
+    "ll22_split_leakage" -> ((s, dir) => {
+      def split(c: Column): Column = {
+        val bucket = pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100L))
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+      }
+      minhashPairs(s, dir)
+        .withColumn("split_a", split(col("doc_a")))
+        .withColumn("split_b", split(col("doc_b")))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+          col("n_match"))
+    }),
+
     // CROSS-CORPUS dedup via a Bloom-filter membership probe — the
     // tool for "is this page already in the other 100 TB corpus?"
     // where even a hash-join of the two fingerprint sets is a
@@ -734,6 +756,23 @@ object Dedup {
           SELECT src AS doc_id, MIN(dst) AS canon_id,
                  MIN(dst) = src AS is_kept
           FROM reach GROUP BY src""",
+    // shared pair pipeline + the same hash-mod split arithmetic
+    "ll22_split_leakage" -> {
+      def splitSql(c: String) =
+        s"""CASE WHEN CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+                 THEN 'train'
+                 WHEN CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+                 THEN 'val' ELSE 'test' END"""
+      s"""WITH $minhashCtes
+          SELECT doc_a, doc_b,
+                 ${splitSql("doc_a")} AS split_a,
+                 ${splitSql("doc_b")} AS split_b,
+                 n_match
+          FROM v
+          WHERE n_match >= 8
+            AND ${splitSql("doc_a")} <> ${splitSql("doc_b")}"""
+    },
+
     // replays the exact Bloom arithmetic — same seeds, same modulus,
     // same false positives
     "ll20_bloom_dedup" -> {

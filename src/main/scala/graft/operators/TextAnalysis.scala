@@ -324,6 +324,24 @@ object TextAnalysis {
     // (data-loader workers), and ranking windows run per (epoch,
     // shard) — at 100 TB each shard sorts independently, and two
     // epochs produce provably different, replayable permutations.
+    // Deterministic train/val/test SPLIT assignment — hash-of-id mod
+    // 100 (<80/<90/else), the reproducible-split rule every dataset
+    // release needs: membership is a pure function of the document id
+    // (stable under re-runs, reshards and corpus growth), stratification
+    // is audited per source, and ll22 reuses the same rule to audit
+    // near-dup leakage ACROSS the splits. Map-side expression + one
+    // (source, split) aggregate.
+    "ta15_split_assignment" -> ((s, dir) => {
+      val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(100L))
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    }),
+
     // LM-based quality scoring — the CCNet-style perplexity filter
     // (Wenzek et al., LREC 2020: score documents by a reference-corpus
     // n-gram LM; high bits-per-token = out-of-domain/garbled). A
@@ -547,6 +565,17 @@ object TextAnalysis {
            CAST(CAST(SUM(c1 // c2) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_rarity
          FROM bg JOIN c2 USING (p, w) JOIN c1 USING (p)
          GROUP BY doc_id""",
+    "ta15_split_assignment" ->
+      """WITH s AS (
+           SELECT source, doc_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+                  THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split
+           FROM documents)
+         SELECT source, split, COUNT(*) AS n_docs,
+                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         FROM s GROUP BY 1, 2""",
     "ta14_lm_quality" ->
       """WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
          refw AS (SELECT string_split(text, ' ') AS ws FROM ref),
