@@ -12,6 +12,31 @@ class SinksSpec extends SparkSpec {
 
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
+  test("observe(): load-time counters come from the write pass itself, no second scan") {
+    // The reference's gateway/warehouse stats (requests in, rows
+    // written, bytes) are side outputs of the SAME pass that moves the
+    // data. Spark's Observation metrics are that facility: attach
+    // named aggregates to the write plan, read them after the action —
+    // zero extra jobs at any scale (a separate count() would re-scan
+    // 100 TB to report on it).
+    val sess = spark
+    import sess.implicits._
+    val obs = new org.apache.spark.sql.Observation("load_stats")
+    val df = Seq((1L, "click", 1.5), (2L, "error", 0.0), (3L, "view", 2.5))
+      .toDF("event_id", "event_type", "value")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        sum(col("value")).as("sum_value"))
+    val dir = tmp("observe") + "/t"
+    df.write.parquet(dir) // the ONLY action — metrics ride it
+    val m = obs.get
+    assert(m("n_rows") === 3L)
+    assert(m("n_errors") === 1L)
+    assert(m("sum_value") === 4.0)
+    assert(spark.read.parquet(dir).count() === 3L) // data landed too
+  }
+
   test("L5 encoders roundtrip across csv/json/parquet") {
     val sess = spark
     import sess.implicits._
