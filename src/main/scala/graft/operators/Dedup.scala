@@ -400,6 +400,35 @@ object Dedup {
 
     "ll2_minhash_neardup" -> ((s, dir) => minhashPairs(s, dir)),
 
+    // Per-source DEDUP IMPACT report — the summary a dedup run
+    // publishes so corpus owners see what it cost them: per source,
+    // total docs across both crawls, members of exact-duplicate
+    // groups (content-hash count > 1 over the unperturbed crawl
+    // pair), and near-dup docs removed by cluster resolution (ll9's
+    // non-canonical members). Composes the maintained tables — the
+    // near-dup side reads the signature index through minhashPairs —
+    // plus one content-hash window; everything joins back on doc_id.
+    "ta16_dedup_report" -> ((s, dir) => {
+      val docsSrc = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val srcMap = docsSrc
+        .unionByName(docsSrc.select((col("doc_id") + 10000L).as("doc_id"), col("source")))
+      val exact = corpus(s, dir, perturb = false)
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy(md5(col("text")))))
+        .select(col("doc_id"), col("n_copies"))
+      val labels = Identity.connectedComponents(
+          minhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .toDF("doc_id", "canon_id")
+      srcMap
+        .join(exact, "doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_exact_dup_docs"),
+          sum(when(col("canon_id").isNotNull && col("canon_id") =!= col("doc_id"), 1L)
+            .otherwise(0L)).as("n_neardup_removed"))
+    }),
+
     // Near-dup SPLIT-LEAKAGE check — the contamination audit every
     // train/val/test split needs: an exact-dedup pass can't catch a
     // train document that is a NEAR-duplicate of a test document, so
@@ -756,6 +785,34 @@ object Dedup {
           SELECT src AS doc_id, MIN(dst) AS canon_id,
                  MIN(dst) = src AS is_kept
           FROM reach GROUP BY src""",
+    // exact side over the unperturbed crawl pair, near side via the
+    // shared pair pipeline + transitive-closure clustering, both
+    // joined to the source map
+    "ta16_dedup_report" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT doc_a, doc_b FROM v WHERE n_match >= 8),
+          eg AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+          reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM corpus
+            UNION
+            SELECT r.src, eg.b FROM reach r JOIN eg ON r.dst = eg.a),
+          labels AS (SELECT src AS doc_id, MIN(dst) AS canon FROM reach GROUP BY src),
+          srcmap AS (SELECT doc_id, source FROM documents
+                     UNION ALL SELECT doc_id + 10000, source FROM documents),
+          ex AS (SELECT doc_id,
+                   COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+                 FROM $corpusSqlExact AS ce(doc_id, text))
+          SELECT s.source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN x.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_exact_dup_docs,
+            CAST(SUM(CASE WHEN l.canon <> l.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_neardup_removed
+          FROM srcmap s
+          JOIN ex x ON s.doc_id = x.doc_id
+          LEFT JOIN labels l ON s.doc_id = l.doc_id
+          GROUP BY s.source""",
+
     // shared pair pipeline + the same hash-mod split arithmetic
     "ll22_split_leakage" -> {
       def splitSql(c: String) =
