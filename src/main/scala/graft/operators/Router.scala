@@ -131,12 +131,31 @@ object Router {
     }),
 
     // L1: staging-file batching — group files into upload jobs of 960
-    // per destination (router.go:629-713).
+    // per destination (router.go:629-713; the reference batches per
+    // (source, destination) — naturally higher-cardinality keys; here
+    // event_type stands in, which is LOW-NDV, so the global sequence
+    // number per type is computed with the ta6 two-level prefix-sum
+    // instead of one corpus-wide ordered window per type: local
+    // row-numbers run partitioned by (event_type, file-id bucket) —
+    // partition count scales linearly with the corpus — and only the
+    // bucket TOTALS (corpus/1e3 rows) pass through the per-type prefix
+    // window, which then broadcasts back.
     "l1_staging_batches" -> ((s, dir) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id").asc)
-      Tables.events(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("batch_no", floor((col("rn") - 1) / 960).cast("long"))
+      val bucketSize = 1000L
+      val d = Tables.events(s, dir)
+        .withColumn("bucket", expr(s"CAST(event_id DIV $bucketSize AS BIGINT)"))
+      val wLocal = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("event_id").asc)
+      val wPrefix = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = d.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("btot"))
+        .withColumn("pfx", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
+        .select(col("event_type"), col("bucket"), col("pfx"))
+      d.withColumn("rn_local", row_number().over(wLocal).cast("long"))
+        .join(broadcast(prefix), Seq("event_type", "bucket"))
+        .withColumn("rn", col("pfx") + col("rn_local"))
+        .withColumn("batch_no", expr("CAST((rn - 1) DIV 960 AS BIGINT)"))
         .groupBy(col("event_type"), col("batch_no"))
         .agg(count(lit(1)).as("n_files"),
           min(col("event_id")).as("first_file"), max(col("event_id")).as("last_file"))

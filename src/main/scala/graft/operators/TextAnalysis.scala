@@ -266,11 +266,17 @@ object TextAnalysis {
     // Quota arithmetic is exact integer (floor(sqrt) weights, integer
     // cross-multiplication over an integer weight total — no
     // float-sum ordering anywhere); the per-stratum weights are
-    // model-sized driver state exactly like ta8's unigram total. The
-    // ranking window shuffles by lang — few strata at any scale, so
-    // a 100 TB run pre-filters with a per-stratum hash threshold
-    // (ta9's zero-shuffle pattern) and ranks only the boundary
-    // slice; the exact-quota semantics stay identical.
+    // model-sized driver state exactly like ta8's unigram total.
+    // Ranking is BOUNDARY-SLICE: documents are bucketed by the first
+    // two hex chars of their md5 order key (256 hash buckets per
+    // stratum — partition count scales as strata×256, and more hex
+    // chars at larger corpora), per-(lang,bucket) totals feed a tiny
+    // prefix window, and any bucket whose prefix already meets the
+    // quota is DROPPED before the ranking window ever runs — only the
+    // sub-quota slice is ranked, in stratum/256-sized partitions. The
+    // rank each document gets (prefix + local row_number over the md5
+    // key) is bit-identical to the old full-stratum window's, so the
+    // exact-quota semantics and the oracle are unchanged.
     "ta11_domain_mix" -> ((s, dir) => {
       val counts = Tables.documents(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n"))
@@ -281,11 +287,20 @@ object TextAnalysis {
       val quotas = wts.map { case (l, w) => (l, target * w / wsum) }
       import s.implicits._
       val qdf = quotas.toDF("lang", "quota")
-      val rk = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      Tables.documents(s, dir)
-        .withColumn("rk", row_number().over(rk).cast("long"))
-        .join(broadcast(qdf), "lang")
+      val d = Tables.documents(s, dir)
+        .withColumn("hkey", md5(col("doc_id").cast("string")))
+        .withColumn("hb", conv(substring(col("hkey"), 1, 2), 16, 10).cast("long"))
+      val wPrefix = Window.partitionBy(col("lang")).orderBy(col("hb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = d.groupBy(col("lang"), col("hb")).agg(count(lit(1)).as("bn"))
+        .withColumn("pfx", coalesce(sum(col("bn")).over(wPrefix), lit(0L)))
+        .join(qdf, "lang")
+        .select(col("lang"), col("hb"), col("pfx"), col("quota"))
+      val wLocal = Window.partitionBy(col("lang"), col("hb"))
+        .orderBy(col("hkey"), col("doc_id"))
+      d.join(broadcast(prefix), Seq("lang", "hb"))
+        .filter(col("pfx") < col("quota")) // boundary-slice pre-filter
+        .withColumn("rk", col("pfx") + row_number().over(wLocal).cast("long"))
         .filter(col("rk") <= col("quota"))
         .select(col("doc_id"), col("lang"), col("rk"), col("quota"))
     }),

@@ -194,15 +194,17 @@ object Warehouse {
     // L3: schema consolidation — first-seen-type-wins merge across
     // staging schemas (warehouse/schema/schema.go:294-313): per key,
     // the type of the earliest event wins; text dominates string.
+    // "First wins" is a min_by AGGREGATE, not an ordered window: key
+    // cardinality is schema-sized (constant) while each key's rows are
+    // corpus-sized, so a per-key window would funnel the corpus
+    // through a handful of tasks at 100 TB — min_by folds map-side.
     "l3_schema_consolidation" -> ((s, dir) => {
       JsonFlatten.register(s)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("key")).orderBy(col("event_id").asc)
       Tables.events(s, dir)
         .select(col("event_id"), explode(callUDF("flatten_json_types", col("props"))).as(Seq("key", "type")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("key"), col("type").as("winning_type"), col("event_id").as("first_seen_event"))
+        .groupBy(col("key"))
+        .agg(min_by(col("type"), col("event_id")).as("winning_type"),
+          min(col("event_id")).as("first_seen_event"))
     }),
 
     // L3+L11 folded across micro-batches — the batch-expressible

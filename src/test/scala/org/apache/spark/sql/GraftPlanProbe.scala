@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Test-only bridge to the private[sql] classic.Dataset.ofRows so
+  * ScaleGuardSpec can materialize a logical Window operator's INPUT
+  * subtree as a DataFrame and measure its partition-key cardinality
+  * empirically (the low-NDV-window rule). Lives in package
+  * org.apache.spark.sql purely for access; never shipped in main.
+  */
+object GraftPlanProbe {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
