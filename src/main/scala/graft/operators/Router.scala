@@ -135,14 +135,20 @@ object Router {
     // (source, destination) — naturally higher-cardinality keys; here
     // event_type stands in, which is LOW-NDV, so the global sequence
     // number per type is computed with the ta6 two-level prefix-sum
-    // instead of one corpus-wide ordered window per type: local
-    // row-numbers run partitioned by (event_type, file-id bucket) —
-    // partition count scales linearly with the corpus — and only the
-    // bucket TOTALS (corpus/1e3 rows) pass through the per-type prefix
-    // window, which then broadcasts back.
+    // instead of one corpus-wide ordered window per type. Bucket size
+    // is ~sqrt(id range) so BOTH levels stay sublinear: each
+    // (event_type, bucket) local window holds ~sqrt(N) rows and the
+    // per-type prefix window sees ~sqrt(N) bucket-total rows. The
+    // bucket-totals table grows as sqrt(N) too, so it gets NO forced
+    // broadcast hint — AQE broadcasts it while it fits and falls back
+    // to a co-partitioned hash join beyond that. The sqrt sizing costs
+    // one scalar max() job — agg-only, same class as ta11's per-lang
+    // counts.
     "l1_staging_batches" -> ((s, dir) => {
-      val bucketSize = 1000L
-      val d = Tables.events(s, dir)
+      val ev = Tables.events(s, dir)
+      val maxId = ev.agg(max(col("event_id"))).first().getLong(0)
+      val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
+      val d = ev
         .withColumn("bucket", expr(s"CAST(event_id DIV $bucketSize AS BIGINT)"))
       val wLocal = Window.partitionBy(col("event_type"), col("bucket"))
         .orderBy(col("event_id").asc)
@@ -153,7 +159,7 @@ object Router {
         .withColumn("pfx", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
         .select(col("event_type"), col("bucket"), col("pfx"))
       d.withColumn("rn_local", row_number().over(wLocal).cast("long"))
-        .join(broadcast(prefix), Seq("event_type", "bucket"))
+        .join(prefix, Seq("event_type", "bucket"))
         .withColumn("rn", col("pfx") + col("rn_local"))
         .withColumn("batch_no", expr("CAST((rn - 1) DIV 960 AS BIGINT)"))
         .groupBy(col("event_type"), col("batch_no"))

@@ -267,15 +267,18 @@ object TextAnalysis {
     // cross-multiplication over an integer weight total — no
     // float-sum ordering anywhere); the per-stratum weights are
     // model-sized driver state exactly like ta8's unigram total.
-    // Ranking is BOUNDARY-SLICE: documents are bucketed by the first
-    // two hex chars of their md5 order key (256 hash buckets per
-    // stratum — partition count scales as strata×256, and more hex
-    // chars at larger corpora), per-(lang,bucket) totals feed a tiny
-    // prefix window, and any bucket whose prefix already meets the
-    // quota is DROPPED before the ranking window ever runs — only the
-    // sub-quota slice is ranked, in stratum/256-sized partitions. The
-    // rank each document gets (prefix + local row_number over the md5
-    // key) is bit-identical to the old full-stratum window's, so the
+    // Ranking is BOUNDARY-SLICE: documents are bucketed by a hex
+    // prefix of their md5 order key whose LENGTH adapts to the
+    // largest stratum (enough hex chars that bucket count ≈
+    // sqrt(stratum), so each (lang,bucket) ranking partition AND the
+    // per-lang prefix window both hold ~sqrt(n) rows); per-
+    // (lang,bucket) totals feed the prefix window, and any bucket
+    // whose prefix already meets the quota is DROPPED before the
+    // ranking window ever runs — only the sub-quota slice is ranked.
+    // The sqrt(n)-sized prefix table gets no forced broadcast hint
+    // (AQE broadcasts while small, hash-joins beyond). The rank each
+    // document gets (prefix + local row_number over the md5 key) is
+    // bit-identical to the old full-stratum window's, so the
     // exact-quota semantics and the oracle are unchanged.
     "ta11_domain_mix" -> ((s, dir) => {
       val counts = Tables.documents(s, dir).groupBy(col("lang"))
@@ -285,11 +288,14 @@ object TextAnalysis {
       val wts = counts.map { case (l, n) => (l, math.sqrt(n.toDouble).toLong) }
       val wsum = wts.map(_._2).sum
       val quotas = wts.map { case (l, w) => (l, target * w / wsum) }
+      val maxN = counts.map(_._2).max
+      val hexChars = math.min(8, math.max(2,
+        math.ceil(math.log(math.sqrt(maxN.toDouble)) / math.log(16.0)).toInt))
       import s.implicits._
       val qdf = quotas.toDF("lang", "quota")
       val d = Tables.documents(s, dir)
         .withColumn("hkey", md5(col("doc_id").cast("string")))
-        .withColumn("hb", conv(substring(col("hkey"), 1, 2), 16, 10).cast("long"))
+        .withColumn("hb", conv(substring(col("hkey"), 1, hexChars), 16, 10).cast("long"))
       val wPrefix = Window.partitionBy(col("lang")).orderBy(col("hb"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val prefix = d.groupBy(col("lang"), col("hb")).agg(count(lit(1)).as("bn"))
@@ -298,7 +304,7 @@ object TextAnalysis {
         .select(col("lang"), col("hb"), col("pfx"), col("quota"))
       val wLocal = Window.partitionBy(col("lang"), col("hb"))
         .orderBy(col("hkey"), col("doc_id"))
-      d.join(broadcast(prefix), Seq("lang", "hb"))
+      d.join(prefix, Seq("lang", "hb"))
         .filter(col("pfx") < col("quota")) // boundary-slice pre-filter
         .withColumn("rk", col("pfx") + row_number().over(wLocal).cast("long"))
         .filter(col("rk") <= col("quota"))

@@ -150,13 +150,25 @@ class ScaleGuardSpec extends SparkSpec {
     def fileBacked(p: LogicalPlan): Boolean =
       p.collectFirst { case _: LogicalRelation => () }.nonEmpty
 
+    // True only when EVERY file-backed leaf under p sits below an
+    // Aggregate on its path up to the window — i.e. the window's input
+    // really is row-collapsed to group-key tables. collectFirst over
+    // the whole subtree would also exempt a corpus-scale window whose
+    // child merely JOINS some aggregated input (the r7 ADVICE hole:
+    // ta11's local ranking window joins the aggregated prefix table
+    // while its other join side is the raw corpus).
+    def rowCollapsed(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: LogicalRelation => false
+      case leaf if leaf.children.isEmpty => true // local fixture
+      case other => other.children.forall(rowCollapsed)
+    }
+
     val found = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val analyzed =
         SparkEntry.queries(name)(spark, probeDir).queryExecution.analyzed
       analyzed.collect { case w: LogicalWindow => w }.flatMap { w =>
-        val rowCollapsed =
-          w.child.collectFirst { case _: Aggregate => () }.nonEmpty
-        if (w.partitionSpec.isEmpty || rowCollapsed || !fileBacked(w.child)) None
+        if (w.partitionSpec.isEmpty || rowCollapsed(w.child) || !fileBacked(w.child)) None
         else {
           val keyed = Project(
             w.partitionSpec.zipWithIndex.map { case (e, i) => Alias(e, s"k$i")() },
