@@ -31,7 +31,8 @@ object SparkEntry {
     (operators.Linkage.defs, operators.Linkage.oracles),
     (operators.Layout.defs, operators.Layout.oracles),
     (operators.Pipeline.defs, operators.Pipeline.oracles),
-    (operators.Profile.defs, operators.Profile.oracles)
+    (operators.Profile.defs, operators.Profile.oracles),
+    (operators.Errors.defs, operators.Errors.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
