@@ -231,6 +231,49 @@ object Lifecycle {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec)).cast("double").as("sum_value"))
+    }),
+
+    // L9: retention delete on a ROW predicate (not partition-aligned)
+    // — the filtered crash-atomic rewrite path of
+    // Sinks.retentionDelete (postgres.go:278 / snowflake.go:304
+    // DELETE FROM ... WHERE). The partition-drop fast path is covered
+    // by d8; this proves the rewrite keeps exactly NOT(predicate),
+    // values intact, and that the returned kept-count matches what a
+    // reader sees after the swap.
+    "l9_retention_rewrite" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_l9").toString + "/t"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.parquet(tmp)
+      val predicate = "event_type = 'error' OR user_id % 7 = 0"
+      val kept = Sinks.retentionDelete(s, tmp, predicate)
+      s.read.parquet(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .withColumn("kept_total", lit(kept))
+    }),
+
+    // D4: batch object sink — events fanned into the gzip JSON
+    // (source, destination)-partitioned object layout
+    // (router/batchrouter/handle.go:240-452), read back WITH partition
+    // discovery so the check proves each row landed in the directory
+    // its keys dictate (a misrouted row changes some partition's
+    // count/min/max and breaks the hash).
+    "d4_object_sink" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_d4").toString
+      Sinks.batchObjectSink(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            (col("user_id") % 10).cast("string").as("source_id"),
+            col("event_type").as("destination_id")), tmp)
+      Readers.stagingScan(s, tmp,
+          Some(StructType.fromDDL("event_id BIGINT, user_id BIGINT, event_type STRING")))
+        .groupBy(col("source_id").cast("string").as("source_id"),
+          col("destination_id").cast("string").as("destination_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     })
   )
 
@@ -292,6 +335,20 @@ object Lifecycle {
       """SELECT CASE WHEN CAST(ts AS VARCHAR) < '2024-01-15 00:00:00'
                      THEN 'archived' ELSE 'live' END AS side,
            COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    "l9_retention_rewrite" ->
+      """SELECT event_type, COUNT(*) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           (SELECT COUNT(*) FROM events
+             WHERE NOT (event_type = 'error' OR user_id % 7 = 0)) AS kept_total
+         FROM events
+         WHERE NOT (event_type = 'error' OR user_id % 7 = 0)
+         GROUP BY 1""",
+    "d4_object_sink" ->
+      """SELECT CAST(user_id % 10 AS VARCHAR) AS source_id,
+           event_type AS destination_id, COUNT(*) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         FROM events GROUP BY 1, 2"""
   )
 }
