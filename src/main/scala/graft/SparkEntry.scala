@@ -32,7 +32,8 @@ object SparkEntry {
     (operators.Layout.defs, operators.Layout.oracles),
     (operators.Pipeline.defs, operators.Pipeline.oracles),
     (operators.Profile.defs, operators.Profile.oracles),
-    (operators.Errors.defs, operators.Errors.oracles)
+    (operators.Errors.defs, operators.Errors.oracles),
+    (operators.Adaptive.defs, operators.Adaptive.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** D3b: ADAPTIVE throttling — the reference's 429-reactive pickup
+  * limiter (router/throttler/factory.go:94-100 wiring;
+  * router/throttler/internal/pickup/adaptive/algorithm/): a per-
+  * destination limit factor in [0,1] driven by two counters over a
+  * base window W —
+  *
+  *  - decrease (decrease_limit_counter.go): each window, if the 429
+  *    rate exceeds the 10% tolerance, subtract rate*30% from the
+  *    factor, then WAIT one window with the decrease counters
+  *    discarded (so one burst triggers one cut, not a cascade);
+  *  - increase (increase_limit_counter.go): every 2 windows, if the
+  *    span saw zero 429s, add 10%. Its counter is independent of the
+  *    decrease wait — a 429 during a discarded window still blocks
+  *    the next increase.
+  *
+  * Determinism choices mirrored by the oracle: the factor is held in
+  * integer PERCENT (0..100, start 100); the decrease amount is
+  * (n_429 * 30) DIV n_total (exact integer floor); each Add clamps
+  * immediately (limitFactor.Add in algorithm.go) with decrease
+  * applied before increase at a shared boundary; both can never fire
+  * in the same window (decrease needs 429s, increase needs none).
+  *
+  * Scale shape: the fold is a per-destination sequential state
+  * machine over per-window AGGREGATES (two longs per window) — the
+  * corpus-sized work is the upstream window aggregation (one
+  * hash shuffle); the fold itself touches destinations x windows
+  * rows. Batch replay here; the streaming twin is a
+  * flatMapGroupsWithState keyed by destination beside d2's barrier.
+  */
+object Adaptive {
+
+  private val tolerancePct = 10L // adaptiveThrottleTolerancePercentage
+  private val decreasePct = 30L // adaptiveDecreasePercentage
+  private val increasePct = 10L // adaptiveIncreasePercentage
+  private val increaseEvery = 2 // adaptiveIncreaseWindowMultiplier
+  private val baseLimit = 200L // static limit the factor multiplies
+
+  /** (destination_id, window_idx, n_total, n_429) — per-destination
+    * per-window delivery outcome aggregates. d1 stays clean (clamp at
+    * 100), d2 shrinks twice then recovers, d3 proves the exact
+    * tolerance boundary (10% is NOT a breach), the wait-window
+    * discard (w3's 80 429s never trigger a cut), and that those
+    * discarded 429s still block the increase at w4.
+    */
+  private val outcomes: Seq[(String, Long, Long, Long)] = Seq(
+    ("d1", 1L, 100L, 0L), ("d1", 2L, 100L, 0L), ("d1", 3L, 100L, 0L), ("d1", 4L, 100L, 0L),
+    ("d1", 5L, 100L, 0L), ("d1", 6L, 100L, 0L), ("d1", 7L, 100L, 0L), ("d1", 8L, 100L, 0L),
+    ("d2", 1L, 100L, 40L), ("d2", 2L, 100L, 50L), ("d2", 3L, 100L, 30L), ("d2", 4L, 100L, 5L),
+    ("d2", 5L, 50L, 0L), ("d2", 6L, 50L, 0L), ("d2", 7L, 40L, 0L), ("d2", 8L, 40L, 0L),
+    ("d3", 1L, 100L, 10L), ("d3", 2L, 100L, 11L), ("d3", 3L, 100L, 80L), ("d3", 4L, 100L, 0L),
+    ("d3", 5L, 100L, 0L), ("d3", 6L, 100L, 0L), ("d3", 7L, 0L, 0L), ("d3", 8L, 0L, 0L))
+
+  private val outcomesSql: String = outcomes
+    .map { case (d, w, t, f) => s"('$d', $w, $t, $f)" }
+    .mkString("(VALUES ", ", ", ")")
+
+  private def clamp(v: Long): Long = math.min(100L, math.max(0L, v))
+
+  /** One window step of the adaptive fold. Returns
+    * (lfPct', skip', this window's n429 for the next increase span).
+    */
+  private[operators] def step(lfPct: Long, skip: Boolean, prev429: Long,
+                              widx: Long, nTotal: Long, n429: Long): (Long, Boolean) = {
+    val decCond = !skip && nTotal > 0 && n429 * 100 > tolerancePct * nTotal
+    val afterDec =
+      if (decCond) clamp(lfPct - (n429 * decreasePct) / nTotal) else lfPct
+    val incCond = widx % increaseEvery == 0 && prev429 + n429 == 0
+    val afterInc = if (incCond) clamp(afterDec + increasePct) else afterDec
+    (afterInc, if (skip) false else decCond)
+  }
+
+  /** Replay the adaptive fold over per-window outcome aggregates.
+    * Input columns: destination_id, widx, n_total, n_429.
+    */
+  def adaptiveThrottle(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.select("destination_id", "widx", "n_total", "n_429")
+      .as[(String, Long, Long, Long)]
+      .repartition(col("destination_id"))
+      .sortWithinPartitions("destination_id", "widx")
+    sorted.mapPartitions { it =>
+      var key: String = null
+      var lf = 100L
+      var skip = false
+      var prev429 = 0L
+      it.map { case (dst, widx, nTotal, n429) =>
+        if (dst != key) { key = dst; lf = 100L; skip = false; prev429 = 0L }
+        val (lf2, skip2) = step(lf, skip, prev429, widx, nTotal, n429)
+        lf = lf2; skip = skip2; prev429 = n429
+        (dst, widx, lf, baseLimit * lf / 100L)
+      }
+    }.toDF("destination_id", "widx", "lf_pct", "effective_limit")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "d3b_adaptive_throttle" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      adaptiveThrottle(outcomes.toDF("destination_id", "widx", "n_total", "n_429"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "d3b_adaptive_throttle" ->
+      s"""WITH RECURSIVE
+         w AS (SELECT * FROM $outcomesSql AS t(destination_id, widx, n_total, n_429)),
+         st AS (
+           SELECT destination_id, CAST(0 AS BIGINT) AS widx, CAST(100 AS BIGINT) AS lf,
+                  FALSE AS skip, CAST(0 AS BIGINT) AS prev429
+           FROM (SELECT DISTINCT destination_id FROM w)
+           UNION ALL
+           SELECT s.destination_id, s.widx + 1,
+             CAST(CASE WHEN (s.widx + 1) % $increaseEvery = 0 AND s.prev429 + x.n_429 = 0
+               THEN LEAST(100, GREATEST(0,
+                 (CASE WHEN NOT s.skip AND x.n_total > 0 AND x.n_429 * 100 > $tolerancePct * x.n_total
+                       THEN LEAST(100, GREATEST(0, s.lf - (x.n_429 * $decreasePct) // x.n_total))
+                       ELSE s.lf END) + $increasePct))
+               ELSE
+                 (CASE WHEN NOT s.skip AND x.n_total > 0 AND x.n_429 * 100 > $tolerancePct * x.n_total
+                       THEN LEAST(100, GREATEST(0, s.lf - (x.n_429 * $decreasePct) // x.n_total))
+                       ELSE s.lf END) END AS BIGINT),
+             CASE WHEN s.skip THEN FALSE
+                  ELSE (NOT s.skip AND x.n_total > 0 AND x.n_429 * 100 > $tolerancePct * x.n_total) END,
+             CAST(x.n_429 AS BIGINT)
+           FROM st s JOIN w x ON x.destination_id = s.destination_id AND x.widx = s.widx + 1)
+         SELECT destination_id, widx, lf AS lf_pct,
+                CAST(($baseLimit * lf) // 100 AS BIGINT) AS effective_limit
+         FROM st WHERE widx >= 1""")
+}
