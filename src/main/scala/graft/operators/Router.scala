@@ -48,6 +48,37 @@ object Router {
   private val geoRangesSql: String =
     geoRanges.map { case (a, b, c) => s"($a, $b, '$c')" }.mkString("(VALUES ", ", ", ")")
 
+  /** t14b destination-transform registry: (destination, kind, k1, k2,
+    * k3, event-filter, topic for clicks, default topic). Key names per
+    * destination follow the public event-API conventions the reference
+    * routes to via its transformer; kafka/pubsub rows model the
+    * embedded envelope transformers.
+    */
+  private val t14Registry: Seq[(String, String, String, String, String,
+      Option[String], Option[String], Option[String])] = Seq(
+    ("braze", "json3", "external_id", "name", "time", None, None, None),
+    ("amplitude", "json3", "user_id", "event_type", "time", None, None, None),
+    ("mixpanel", "json3", "distinct_id", "event", "time", None, None, None),
+    ("posthog", "json3", "distinct_id", "event", "timestamp", None, None, None),
+    ("iterable", "json3", "userId", "eventName", "createdAt", None, None, None),
+    ("intercom", "json3", "user_id", "event_name", "created", None, None, None),
+    ("ga_collect", "query3", "cid", "ea", "qt", None, None, None),
+    ("appsflyer", "query3", "af_id", "event_name", "af_time", None, None, None),
+    ("adjust", "query3", "adjust_id", "event", "created_at", None, None, None),
+    ("klaviyo", "profile", "id", "track", "", None, None, None),
+    ("onesignal", "profile", "external_user_id", "event", "", None, None, None),
+    ("kafka_main", "kafka", "", "", "", None, Some("clicks-topic"), Some("events-topic")),
+    ("pubsub_main", "pubsub", "", "", "", None, None, Some("events-sub")),
+    ("fb_conversions", "form", "external_id", "ev", "", Some("purchase"), None, None),
+    ("hubspot_form", "form", "vid", "event", "", Some("signup"), None, None))
+
+  private val t14RegistrySql: String = t14Registry
+    .map { case (d, kind, k1, k2, k3, ftype, tc, td) =>
+      def opt(o: Option[String]) = o.map(v => s"'$v'").getOrElse("NULL")
+      s"('$d', '$kind', '$k1', '$k2', '$k3', ${opt(ftype)}, ${opt(tc)}, ${opt(td)})"
+    }
+    .mkString("(VALUES ", ", ", ")")
+
   val defs: Map[String, Q] = Map(
 
     // D2: event-order barrier — per (userId, destination) at most one
@@ -382,6 +413,62 @@ object Router {
       webhook.unionByName(attrib).unionByName(email)
     }),
 
+    // T14b: destination-transform REGISTRY — the SaaS payload matrix
+    // as DATA, like the webhook source registry: each destination row
+    // declares a template kind plus its key names / topic map, and
+    // one broadcast join + one CASE over kinds renders every
+    // destination's body (processor/internal/transformer/
+    // destination_transformer/: embedded kafka
+    // {message,userId,topic} with integrations>eventToTopicMap>
+    // default topic resolution, embedded pubsub
+    // {userId,message,topicId,attributes}; the remaining shapes model
+    // the transformer-routed SaaS formats — keyed JSON bodies,
+    // query-string APIs, nested profile objects, form posts with
+    // per-destination event filters). Payloads are assembled with
+    // explicit string concatenation so the oracle is byte-identical
+    // by construction; adding destination #16 is one registry row,
+    // not code. Scale: events x registry is a broadcast of a
+    // config-sized local fixture (ScaleGuard rule (b) legal shape);
+    // the 1-in-50 event sample keys the checked output.
+    "t14b_destination_registry" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val reg = t14Registry.toDF(
+        "destination", "kind", "k1", "k2", "k3", "ftype", "topic_click", "topic_default")
+      val ev = Tables.events(s, dir)
+        .filter(col("event_id") % 50 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val j = ev.join(broadcast(reg),
+        reg("ftype").isNull || reg("ftype") === ev("event_type"))
+      val uid = concat(lit("user_"), col("user_id"))
+      val topic = when(col("event_type") === "click" && col("topic_click").isNotNull,
+        col("topic_click")).otherwise(col("topic_default"))
+      val payload = when(col("kind") === "json3",
+          concat(lit("{\""), col("k1"), lit("\":\""), uid, lit("\",\""),
+            col("k2"), lit("\":\""), col("event_type"), lit("\",\""),
+            col("k3"), lit("\":"), col("ts_us"), lit("}")))
+        .when(col("kind") === "query3",
+          concat(col("k1"), lit("="), uid, lit("&"), col("k2"), lit("="),
+            col("event_type"), lit("&"), col("k3"), lit("="), col("ts_us")))
+        .when(col("kind") === "profile",
+          concat(lit("{\"profile\":{\""), col("k1"), lit("\":\""), uid,
+            lit("\"},\"action\":\""), col("k2"), lit("\"}")))
+        .when(col("kind") === "kafka",
+          concat(lit("{\"message\":{\"userId\":\""), uid, lit("\",\"event\":\""),
+            col("event_type"), lit("\",\"ts\":"), col("ts_us"),
+            lit("},\"userId\":\""), uid, lit("\",\"topic\":\""), topic, lit("\"}")))
+        .when(col("kind") === "pubsub",
+          concat(lit("{\"userId\":\""), uid, lit("\",\"message\":{\"userId\":\""),
+            uid, lit("\",\"event\":\""), col("event_type"), lit("\",\"ts\":"),
+            col("ts_us"), lit("},\"topicId\":\""), topic,
+            lit("\",\"attributes\":{\"eventType\":\""), col("event_type"), lit("\"}}")))
+        .otherwise( // form
+          concat(col("k1"), lit("="), uid, lit("&"), col("k2"), lit("="),
+            col("event_type")))
+      j.select(col("event_id"), col("destination"), payload.as("payload"))
+    }),
+
     // T13: user-transformation surface — a named registry of pure
     // transforms with the 1→0 / 1→1 / 1→N contract of JS user
     // transformations (user_transformer.go:242-511): errors dropped,
@@ -661,6 +748,36 @@ object Router {
            CAST(json_object('profile', json_object('id', 'user_' || CAST(user_id AS VARCHAR)),
                             'action', 'subscribe') AS VARCHAR)
          FROM ev WHERE event_type = 'signup'""",
+    "t14b_destination_registry" ->
+      s"""WITH reg AS (SELECT * FROM $t14RegistrySql
+           AS t(destination, kind, k1, k2, k3, ftype, topic_click, topic_default)),
+         ev AS (SELECT event_id, 'user_' || CAST(user_id AS VARCHAR) AS uid,
+                  event_type, epoch_us(ts) AS ts_us
+                FROM events WHERE event_id % 50 = 0),
+         j AS (SELECT * FROM ev JOIN reg
+                 ON reg.ftype IS NULL OR reg.ftype = ev.event_type)
+         SELECT event_id, destination,
+           CASE kind
+             WHEN 'json3' THEN '{"' || k1 || '":"' || uid || '","' || k2 || '":"'
+               || event_type || '","' || k3 || '":' || CAST(ts_us AS VARCHAR) || '}'
+             WHEN 'query3' THEN k1 || '=' || uid || '&' || k2 || '=' || event_type
+               || '&' || k3 || '=' || CAST(ts_us AS VARCHAR)
+             WHEN 'profile' THEN '{"profile":{"' || k1 || '":"' || uid
+               || '"},"action":"' || k2 || '"}'
+             WHEN 'kafka' THEN '{"message":{"userId":"' || uid || '","event":"'
+               || event_type || '","ts":' || CAST(ts_us AS VARCHAR)
+               || '},"userId":"' || uid || '","topic":"'
+               || (CASE WHEN event_type = 'click' AND topic_click IS NOT NULL
+                        THEN topic_click ELSE topic_default END) || '"}'
+             WHEN 'pubsub' THEN '{"userId":"' || uid || '","message":{"userId":"'
+               || uid || '","event":"' || event_type || '","ts":'
+               || CAST(ts_us AS VARCHAR) || '},"topicId":"'
+               || (CASE WHEN event_type = 'click' AND topic_click IS NOT NULL
+                        THEN topic_click ELSE topic_default END)
+               || '","attributes":{"eventType":"' || event_type || '"}}'
+             ELSE k1 || '=' || uid || '&' || k2 || '=' || event_type
+           END AS payload
+         FROM j""",
     "t13_user_transform" ->
       """SELECT out_type, COUNT(*) AS n FROM (
            SELECT CASE WHEN event_type = 'purchase' THEN x.t
