@@ -188,6 +188,86 @@ object Ingest {
     webhookRules2.map { case (p, u, e) => s"('$p', '$u', '$e', '${secretOf(p)}')" }
       .mkString("(VALUES ", ", ", ")")
 
+  /** s3c: the registry at the reference's full 40+ sourceType breadth
+    * (gateway/webhook/webhook.go:127) — 38 single-event JSON shapes,
+    * two array-batched shapes, one form-encoded shape. Rows are
+    * (provider, kind, user path, event path); kind picks the decode
+    * branch, so breadth stays a data change.
+    */
+  private val webhookRules3Extra: Seq[(String, String, String)] = Seq(
+    ("ticketly", "$.attendee.id", "$.ticket_event"),
+    ("streamcast", "$.subscriber_id", "$.notification_type"),
+    ("helpdesky", "$.requester.email", "$.ticket.status"),
+    ("referralx", "$.referrer.code", "$.milestone"),
+    ("loyaltyhub", "$.member.card", "$.reward_event"),
+    ("webinarly", "$.registrant.email", "$.session_event"),
+    ("podcastr", "$.listener", "$.playback_event"),
+    ("fitnessapp", "$.athlete.uid", "$.workout.kind"),
+    ("travelbook", "$.traveler.pid", "$.itinerary_status"),
+    ("foodorder", "$.diner.id", "$.order_stage"),
+    ("rideshare", "$.rider", "$.trip_event"),
+    ("bankfeed", "$.account.holder", "$.txn_type"),
+    ("insurely", "$.policy.holder_id", "$.claim_status"),
+    ("learnhub", "$.student.sid", "$.course_event"),
+    ("jobboard", "$.applicant.email", "$.application_stage"),
+    ("realtyx", "$.buyer.contact", "$.listing_event"),
+    ("petcare", "$.owner_id", "$.appointment_status"),
+    ("weatherpush", "$.subscriber.key", "$.alert_kind"),
+    ("iotgrid", "$.device.owner", "$.telemetry_event"),
+    ("photoshare", "$.uploader", "$.media_event"),
+    ("musicsync", "$.listener.uid", "$.playlist_action"),
+    ("newskiosk", "$.subscriber.num", "$.edition_event"))
+
+  private val rules3: Seq[(String, String, String, String)] =
+    (webhookRules2 ++ webhookRules3Extra).map { case (p, u, e) => (p, "json", u, e) } ++
+      Seq(("pushsvc", "push", "", ""), ("cartly", "cart", "", ""),
+        ("formsvc", "form", "u", "e"))
+
+  private val extraHooks3: Seq[(Long, String, String)] = Seq(
+    (20L, "ticketly", """{"attendee":{"id":"c21"},"ticket_event":"checked_in"}"""),
+    (21L, "streamcast", """{"subscriber_id":"c22","notification_type":"live_start"}"""),
+    (22L, "helpdesky", """{"requester":{"email":"c23@x.io"},"ticket":{"status":"solved"}}"""),
+    (23L, "referralx", """{"referrer":{"code":"c24"},"milestone":"first_referral"}"""),
+    (24L, "loyaltyhub", """{"member":{"card":"c25"},"reward_event":"points_earned"}"""),
+    (25L, "webinarly", """{"registrant":{"email":"c26@x.io"},"session_event":"joined"}"""),
+    (26L, "podcastr", """{"listener":"c27","playback_event":"episode_done"}"""),
+    (27L, "fitnessapp", """{"athlete":{"uid":"c28"},"workout":{"kind":"run_completed"}}"""),
+    (28L, "travelbook", """{"traveler":{"pid":"c29"},"itinerary_status":"ticketed"}"""),
+    (29L, "foodorder", """{"diner":{"id":"c30"},"order_stage":"out_for_delivery"}"""),
+    (30L, "rideshare", """{"rider":"c31","trip_event":"trip_end"}"""),
+    (31L, "bankfeed", """{"account":{"holder":"c32"},"txn_type":"deposit"}"""),
+    (32L, "insurely", """{"policy":{"holder_id":"c33"},"claim_status":"approved"}"""),
+    (33L, "learnhub", """{"student":{"sid":"c34"},"course_event":"module_done"}"""),
+    (34L, "jobboard", """{"applicant":{"email":"c35@x.io"},"application_stage":"interview"}"""),
+    (35L, "realtyx", """{"buyer":{"contact":"c36"},"listing_event":"tour_booked"}"""),
+    (36L, "petcare", """{"owner_id":"c37","appointment_status":"reminder_sent"}"""),
+    (37L, "weatherpush", """{"subscriber":{"key":"c38"},"alert_kind":"storm_warning"}"""),
+    (38L, "iotgrid", """{"device":{"owner":"c39"},"telemetry_event":"threshold_breach"}"""),
+    (39L, "photoshare", """{"uploader":"c40","media_event":"album_shared"}"""),
+    (40L, "musicsync", """{"listener":{"uid":"c41"},"playlist_action":"track_saved"}"""),
+    (41L, "newskiosk", """{"subscriber":{"num":"c42"},"edition_event":"edition_read"}"""))
+
+  /** A form-encoded webhook body (the reference's form-payload
+    * sources): parsed with the pixel machinery but routed — and
+    * signature-verified — through the same registry.
+    */
+  private val formHook3: (Long, String, String) =
+    (42L, "formsvc", "u=c43&e=form_submit&src=landing")
+
+  private val hooks3: Seq[(Long, String, String, String)] =
+    hooks2 ++ (extraHooks3 :+ formHook3).map { case (id, p, js) =>
+      (id, p, js, keyedSigHex(secretOf(p), js))
+    }
+
+  private val hooks3Sql: String =
+    hooks3.map { case (id, p, js, sig) =>
+      s"($id, '$p', '${js.replace("'", "''")}', '$sig')"
+    }.mkString("(VALUES ", ", ", ")")
+
+  private val rules3Sql: String =
+    rules3.map { case (p, k, u, e) => s"('$p', '$k', '$u', '$e', '${secretOf(p)}')" }
+      .mkString("(VALUES ", ", ", ")")
+
   val defs: Map[String, Q] = Map(
 
     // S1: envelope → per-event rows; messageId filled deterministically
@@ -292,6 +372,53 @@ object Ingest {
           concat(lit("order_item_"), col("item")("sku")).as("event"),
           col("sig_valid"))
       single.unionByName(push).unionByName(cart)
+    }),
+
+    // S3c: the registry at the reference's FULL sourceType breadth —
+    // 41 providers (38 single-event JSON shapes, the push-array and
+    // nested-line-item array shapes, and a form-encoded shape), every
+    // request signature-verified with its provider secret. The decode
+    // branch is picked by the registry's `kind` column, so provider
+    // #42 is one data row; the forged adnet request still flows
+    // through with sig_valid = false.
+    "s3c_webhook_registry40" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
+      val hooks = hooks3.toDF("hook_id", "provider", "js", "sig")
+      val rules = rules3.map { case (p, k, u, e) => (p, k, u, e, secretOf(p)) }
+        .toDF("provider", "kind", "user_path", "event_path", "secret")
+      val jsonSide = hooks.join(broadcast(rules.filter(col("kind") === "json")), Seq("provider"))
+        .select(col("hook_id"), col("provider"),
+          expr("get_json_object(js, user_path)").as("user_id"),
+          expr("get_json_object(js, event_path)").as("event"),
+          (keyedSig(col("secret"), col("js")) === col("sig")).as("sig_valid"))
+      val push = hooks.filter(col("provider") === "pushsvc")
+        .select(col("hook_id"), col("provider"), col("js"),
+          (keyedSig(lit(secretOf("pushsvc")), col("js")) === col("sig")).as("sig_valid"))
+        .select(col("hook_id"), col("provider"), col("sig_valid"),
+          explode(from_json(get_json_object(col("js"), "$.events"),
+            ArrayType(MapType(StringType, StringType)))).as("ev"))
+        .select(col("hook_id"), col("provider"),
+          col("ev")("user").as("user_id"), col("ev")("name").as("event"),
+          col("sig_valid"))
+      val cart = hooks.filter(col("provider") === "cartly")
+        .select(col("hook_id"), col("provider"),
+          get_json_object(col("js"), "$.order.customer_id").as("user_id"), col("js"),
+          (keyedSig(lit(secretOf("cartly")), col("js")) === col("sig")).as("sig_valid"))
+        .select(col("hook_id"), col("provider"), col("user_id"), col("sig_valid"),
+          explode(from_json(get_json_object(col("js"), "$.line_items"),
+            ArrayType(MapType(StringType, StringType)))).as("item"))
+        .select(col("hook_id"), col("provider"), col("user_id"),
+          concat(lit("order_item_"), col("item")("sku")).as("event"),
+          col("sig_valid"))
+      val form = hooks.join(broadcast(rules.filter(col("kind") === "form")), Seq("provider"))
+        .withColumn("params", expr("str_to_map(js, '&', '=')"))
+        .select(col("hook_id"), col("provider"),
+          expr("params[user_path]").as("user_id"),
+          expr("params[event_path]").as("event"),
+          (keyedSig(col("secret"), col("js")) === col("sig")).as("sig_valid"))
+      jsonSide.unionByName(push).unionByName(cart).unionByName(form)
     })
   )
 
@@ -352,6 +479,36 @@ object Ingest {
                  sha256('whsec_cartly' || ':' || sha256('whsec_cartly' || ':' || js)) = sig
           FROM (SELECT hook_id, provider, js, sig,
                        unnest(CAST(js->'$$.line_items' AS JSON[])) AS item
-                FROM hooks WHERE provider = 'cartly')"""
+                FROM hooks WHERE provider = 'cartly')""",
+    "s3c_webhook_registry40" ->
+      s"""WITH rules(provider, kind, user_path, event_path, secret) AS $rules3Sql,
+          hooks(hook_id, provider, js, sig) AS $hooks3Sql
+          SELECT hook_id, h.provider,
+                 json_extract_string(js, user_path) AS user_id,
+                 json_extract_string(js, event_path) AS event,
+                 sha256(secret || ':' || sha256(secret || ':' || js)) = sig AS sig_valid
+          FROM hooks h JOIN rules r ON h.provider = r.provider AND r.kind = 'json'
+          UNION ALL
+          SELECT hook_id, provider,
+                 json_extract_string(e, '$$.user') AS user_id,
+                 json_extract_string(e, '$$.name') AS event,
+                 sha256('whsec_pushsvc' || ':' || sha256('whsec_pushsvc' || ':' || js)) = sig
+          FROM (SELECT hook_id, provider, js, sig,
+                       unnest(CAST(js->'$$.events' AS JSON[])) AS e
+                FROM hooks WHERE provider = 'pushsvc')
+          UNION ALL
+          SELECT hook_id, provider,
+                 json_extract_string(js, '$$.order.customer_id') AS user_id,
+                 'order_item_' || json_extract_string(item, '$$.sku') AS event,
+                 sha256('whsec_cartly' || ':' || sha256('whsec_cartly' || ':' || js)) = sig
+          FROM (SELECT hook_id, provider, js, sig,
+                       unnest(CAST(js->'$$.line_items' AS JSON[])) AS item
+                FROM hooks WHERE provider = 'cartly')
+          UNION ALL
+          SELECT hook_id, h.provider,
+                 nullif(regexp_extract(js, '(^|&)' || user_path || '=([^&]*)', 2), '') AS user_id,
+                 nullif(regexp_extract(js, '(^|&)' || event_path || '=([^&]*)', 2), '') AS event,
+                 sha256(secret || ':' || sha256(secret || ':' || js)) = sig AS sig_valid
+          FROM hooks h JOIN rules r ON h.provider = r.provider AND r.kind = 'form'"""
   )
 }
