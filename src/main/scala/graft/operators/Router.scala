@@ -469,6 +469,33 @@ object Router {
       j.select(col("event_id"), col("destination"), payload.as("payload"))
     }),
 
+    // T5b: geolocation from a REAL MaxMind-format binary — the
+    // synthetic mmdb fixture is decoded by the spec-true binary
+    // reader (metadata marker scan, 24-bit-record tree walk, typed
+    // data section — sources/MmdbGeo.scala; the reference opens these
+    // files via the public maxminddb lib, services/geolocation/
+    // maxmind.go) into a range table that broadcast-range-joins the
+    // events, t5's join shape. The oracle is CLOSED-FORM over the
+    // tree's construction rule (octet-cycled /8s + one /9 split), so
+    // any decode defect — a wrong record resolution, a bad walk, a
+    // misread data pointer — shifts some range boundary and breaks
+    // the hash. The mmdb parse is one-time driver-side config work,
+    // like the IVF centroids.
+    "t5b_geo_mmdb" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val nets = graft.sources.MmdbGeo.networks(graft.sources.MmdbGeo.fixtureBytes)
+      val rdf = nets.toDF("ip_start", "ip_end", "country")
+      Tables.events(s, dir)
+        .withColumn("octet", (col("user_id") % 8 + 1) * 10)
+        .withColumn("ip", // Knuth multiplicative mix so both /9 halves occur at every SF
+          col("octet") * 16777216L + (col("event_id") * 2654435761L) % 16777216L)
+        .join(broadcast(rdf),
+          col("ip") >= col("ip_start") && col("ip") <= col("ip_end"))
+        .groupBy(col("country"))
+        .agg(count(lit(1)).as("n"), min(col("ip")).as("min_ip"), max(col("ip")).as("max_ip"))
+    }),
+
     // T13: user-transformation surface — a named registry of pure
     // transforms with the 1→0 / 1→1 / 1→N contract of JS user
     // transformations (user_transformer.go:242-511): errors dropped,
@@ -748,6 +775,19 @@ object Router {
            CAST(json_object('profile', json_object('id', 'user_' || CAST(user_id AS VARCHAR)),
                             'action', 'subscribe') AS VARCHAR)
          FROM ev WHERE event_type = 'signup'""",
+    "t5b_geo_mmdb" ->
+      """SELECT country, COUNT(*) AS n, MIN(ip) AS min_ip, MAX(ip) AS max_ip
+         FROM (
+           SELECT CASE WHEN octet = 80
+                       THEN (CASE WHEN rem < 8388608 THEN 'IN' ELSE 'FR' END)
+                       ELSE (CASE (octet // 10 - 1) % 5
+                               WHEN 0 THEN 'US' WHEN 1 THEN 'DE' WHEN 2 THEN 'IN'
+                               WHEN 3 THEN 'BR' ELSE 'JP' END) END AS country,
+                  octet * 16777216 + rem AS ip
+           FROM (SELECT (user_id % 8 + 1) * 10 AS octet,
+                        (event_id * 2654435761) % 16777216 AS rem
+                 FROM events))
+         GROUP BY 1""",
     "t14b_destination_registry" ->
       s"""WITH reg AS (SELECT * FROM $t14RegistrySql
            AS t(destination, kind, k1, k2, k3, ftype, topic_click, topic_default)),
