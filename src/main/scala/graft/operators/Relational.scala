@@ -99,6 +99,40 @@ object Relational {
             .as("last_sample"))
     }),
 
+    // A1c: EVENT SAMPLER — bounded, TTL'd sample capture per metric
+    // group (enterprise/reporting/event_sampler/: Get/Put keyed by
+    // labelset hash + TTL-window bucket, utils.go:56-98): the FIRST
+    // occurrence of a (group, ttl-bucket) key carries its sample;
+    // repeats within the bucket are deduped to null; and once the
+    // per-window cardinality cap is reached, later keys are never
+    // recorded (in_memory_cache_event_sampler.go:62-64 Put no-op at
+    // limit) so their samples always flow. Deterministic logical
+    // clock: arrival order = event_id; TTL = 5-minute buckets (key
+    // includes the bucket, so the next window re-samples — the TTL
+    // eviction); cap = 3 keys per window. All three rules are pure
+    // window functions over (bucket, event_type) — keys scale with
+    // the corpus time range, no sequential state needed.
+    "a1c_event_sampler" -> ((s, dir) => {
+      val cap = 3
+      val ev = Tables.events(s, dir)
+        .withColumn("bucket",
+          expr("CAST(unix_micros(date_trunc('minute', ts)) DIV 300000000 AS BIGINT)"))
+      val wKey = Window.partitionBy(col("bucket"), col("event_type"))
+        .orderBy(col("event_id"))
+      val firsts = ev.groupBy(col("bucket"), col("event_type"))
+        .agg(min(col("event_id")).as("first_eid"))
+        .withColumn("key_rank",
+          rank().over(Window.partitionBy(col("bucket")).orderBy(col("first_eid"))))
+      ev.withColumn("rn", row_number().over(wKey))
+        .join(firsts, Seq("bucket", "event_type"))
+        .withColumn("keep", col("rn") === 1 || col("key_rank") > cap)
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_samples"),
+          min(when(col("keep"), col("event_id"))).as("first_sample"),
+          max(when(col("keep"), col("event_id"))).as("last_sample"))
+    }),
+
     // Pile-up counts — jobsdb/jobsdb.go:151-153 (A3).
     "a3_pileup_counts" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -359,6 +393,24 @@ object Relational {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          MAX(event_id) AS max_event_id
          FROM events GROUP BY 1, 2""",
+    "a1c_event_sampler" ->
+      """WITH ev AS (SELECT *,
+             CAST(epoch_us(date_trunc('minute', ts)) // 300000000 AS BIGINT) AS bucket
+           FROM events),
+         fr AS (SELECT bucket, event_type, MIN(event_id) AS first_eid
+                FROM ev GROUP BY 1, 2),
+         fr2 AS (SELECT *, RANK() OVER (PARTITION BY bucket ORDER BY first_eid) AS key_rank
+                 FROM fr),
+         e2 AS (SELECT e.bucket, e.event_type, e.event_id, f.key_rank,
+                  ROW_NUMBER() OVER (PARTITION BY e.bucket, e.event_type
+                                     ORDER BY e.event_id) AS rn
+                FROM ev e JOIN fr2 f
+                  ON f.bucket = e.bucket AND f.event_type = e.event_type)
+         SELECT bucket, event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN rn = 1 OR key_rank > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_samples,
+           MIN(CASE WHEN rn = 1 OR key_rank > 3 THEN event_id END) AS first_sample,
+           MAX(CASE WHEN rn = 1 OR key_rank > 3 THEN event_id END) AS last_sample
+         FROM e2 GROUP BY 1, 2""",
     "a1b_reporting_sample" ->
       """SELECT DISTINCT epoch_us(date_trunc('minute', ts)) AS minute_us, event_type,
            COUNT(*) OVER w AS n,
