@@ -47,29 +47,24 @@ object Dedup {
     * dedup input); `perturb=true` drops the first word of each copy
     * (near-dup input). Mirrored verbatim in the oracle SQL.
     */
-  private val corpusGuardCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[operators] def corpus(s: SparkSession, dir: String, perturb: Boolean): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     // the second-crawl ids live at +10000; a base corpus reaching that
     // id would collide silently IN BOTH ENGINES (the oracles use the
     // same constant, so the differential gate could not catch it) —
-    // assert the boundary instead. One column-pruned max over parquet
-    // statistics, metadata-cheap — and memoized per (application, dir)
-    // so the dozen dedup queries sharing a corpus don't each pay a
-    // Spark job for the same constant.
-    val key = s.sparkContext.applicationId + "|" + dir
-    val maxId: Long = corpusGuardCache.computeIfAbsent(key, _ => {
-      val maxRow = d.agg(max(col("doc_id"))).first()
-      if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
-    })
-    require(maxId < 10000L,
-      s"two-crawl id offset collision: max base doc_id $maxId >= 10000")
+    // the boundary is asserted IN-PLAN on the copy branch: assert_true
+    // rides the projection (no extra Spark job, no driver round-trip)
+    // and fails the task on the first offending row.
+    val offset = when(
+      assert_true(col("doc_id") < 10000L,
+        lit("two-crawl id offset collision: base doc_id >= 10000")).isNull,
+      lit(10000L))
     val copy =
       if (perturb)
-        d.select((col("doc_id") + 10000L).as("doc_id"),
+        d.select((col("doc_id") + offset).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1)").as("text"))
       else
-        d.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+        d.select((col("doc_id") + offset).as("doc_id"), col("text"))
     d.unionByName(copy)
   }
 
