@@ -170,11 +170,26 @@ object Warehouse {
     // W9: column-count guard — reject events whose schema exceeds the
     // column cap (transformer.go:251-277; cap 1600, here 2 to exercise
     // the reject path on the small fixture).
+    // The fixture's props are single-key, which would degenerate the
+    // oracle to a COUNT — so the guard runs on a synthesized payload
+    // whose width varies per event (event_id % 4 extra keys under a
+    // nested object). Both engines construct the SAME JSON text and
+    // independently parse it back (Spark: recursive flatten UDF;
+    // DuckDB: json_keys over the subobjects), so the differential
+    // check covers the flatten-count itself, and the cap decision has
+    // both outcomes populated.
     "w9_column_guard" -> ((s, dir) => {
       JsonFlatten.register(s)
+      val extras = when(col("event_id") % 4 === 0, lit("")).otherwise(expr(
+        """array_join(transform(sequence(1, CAST(event_id % 4 AS INT)),
+           i -> concat('"e', CAST(i AS STRING), '":', CAST(i AS STRING))), ',')"""))
       Tables.events(s, dir)
-        .select(col("event_id"), size(map_keys(callUDF("flatten_json", col("props")))).as("n_cols"))
-        .groupBy(col("n_cols")).agg(count(lit(1)).as("n_events"))
+        .withColumn("payload", concat(
+          lit("""{"p":"""), col("props"), lit(""","extra":{"""), extras, lit("}}")))
+        .select(size(map_keys(callUDF("flatten_json", col("payload")))).as("n_cols"))
+        .withColumn("status",
+          when(col("n_cols") <= 2, "ok").otherwise("rejected"))
+        .groupBy(col("n_cols"), col("status")).agg(count(lit(1)).as("n_events"))
     }),
 
     // L4: load-file type coercion with discards side-output
@@ -355,7 +370,20 @@ object Warehouse {
           FROM checked GROUP BY provider"""
     },
     "w9_column_guard" ->
-      """SELECT 1 AS n_cols, COUNT(*) AS n_events FROM events WHERE props LIKE '%"k"%'""",
+      """WITH p AS (
+           SELECT '{"p":' || props || ',"extra":{' ||
+                  CASE WHEN event_id % 4 = 0 THEN ''
+                       ELSE list_aggregate(
+                              list_transform(range(CAST(1 AS BIGINT), CAST(event_id % 4 + 1 AS BIGINT)),
+                                             i -> '"e' || i || '":' || i),
+                              'string_agg', ',') END || '}}' AS payload
+           FROM events),
+         n AS (
+           SELECT CAST(len(json_keys(payload, '$.p')) + len(json_keys(payload, '$.extra')) AS INT) AS n_cols
+           FROM p)
+         SELECT n_cols, CASE WHEN n_cols <= 2 THEN 'ok' ELSE 'rejected' END AS status,
+                COUNT(*) AS n_events
+         FROM n GROUP BY 1, 2""",
     "l4_coercion_discards" ->
       """SELECT event_type,
                 CASE WHEN value = floor(value) THEN 'loaded' ELSE 'discarded' END AS status,
