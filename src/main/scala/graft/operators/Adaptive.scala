@@ -99,6 +99,43 @@ object Adaptive {
     }.toDF("destination_id", "widx", "lf_pct", "effective_limit")
   }
 
+  /** Per-destination per-window outcome aggregates (streaming input). */
+  case class WindowOutcome(destination_id: String, widx: Long,
+                           n_total: Long, n_429: Long)
+
+  /** Carried fold state: current limit factor, wait-window flag, and
+    * the previous window's 429 count (blocks the next increase).
+    */
+  case class ThrottleState(lf: Long, skip: Boolean, prev429: Long)
+
+  /** Streaming twin of [[adaptiveThrottle]]: the same integer fold as
+    * a flatMapGroupsWithState keyed by destination (beside d2's
+    * barrier), with the (lf, skip, prev429) triple in the state store
+    * so the limit trajectory continues EXACTLY across micro-batches —
+    * StreamingSpec asserts batch/stream equivalence on a split feed.
+    * In production this consumes d1's per-window delivery-outcome
+    * aggregation (a watermarked groupBy upstream), destinations x
+    * windows rows — never the raw attempts.
+    */
+  def adaptiveThrottleStream(outcomes: org.apache.spark.sql.Dataset[WindowOutcome])
+    : org.apache.spark.sql.Dataset[(String, Long, Long, Long)] = {
+    import outcomes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    outcomes
+      .groupByKey(_.destination_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (dst: String, it: Iterator[WindowOutcome], state: GroupState[ThrottleState]) => {
+          var st = state.getOption.getOrElse(ThrottleState(100L, skip = false, 0L))
+          val out = it.toSeq.sortBy(_.widx).map { w =>
+            val (lf2, skip2) = step(st.lf, st.skip, st.prev429, w.widx, w.n_total, w.n_429)
+            st = ThrottleState(lf2, skip2, w.n_429)
+            (dst, w.widx, lf2, baseLimit * lf2 / 100L)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   val defs: Map[String, Q] = Map(
     "d3b_adaptive_throttle" -> ((s, dir) => {
       val sess = s

@@ -613,4 +613,44 @@ class StreamingSpec extends SparkSpec {
     val u1 = streamed.find(_._1 == 1L).get
     assert(u1._2 === 5.0 && u1._3 === "alpha")
   }
+
+  test("d3b streaming twin: adaptive limit trajectory continues exactly across micro-batches") {
+    import graft.operators.Adaptive
+    import graft.operators.Adaptive.WindowOutcome
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    // shrink, wait-window discard, recovery, and a clean destination —
+    // split mid-trajectory so batch 2 resumes from stored state
+    val outcomes = Seq(
+      WindowOutcome("d1", 1, 100, 0), WindowOutcome("d1", 2, 100, 0),
+      WindowOutcome("d1", 3, 100, 0), WindowOutcome("d1", 4, 100, 0),
+      WindowOutcome("d2", 1, 100, 10), WindowOutcome("d2", 2, 100, 11),
+      WindowOutcome("d2", 3, 100, 80), WindowOutcome("d2", 4, 100, 0),
+      WindowOutcome("d2", 5, 50, 0), WindowOutcome("d2", 6, 50, 0))
+    val (b1, b2) = outcomes.partition(_.widx <= 2)
+    val input = MemoryStream[WindowOutcome]
+    val q = Adaptive.adaptiveThrottleStream(input.toDS())
+      .toDF("destination_id", "widx", "lf_pct", "effective_limit")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("d3b_stream").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("d3b_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = Adaptive.adaptiveThrottle(
+          outcomes.toDF("destination_id", "widx", "n_total", "n_429"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch,
+        "stream fold with state-store carry must equal the batch fold")
+      // the wait-window discard survived the batch boundary: w3's 80
+      // 429s (batch 2) must NOT trigger a second cut after w2's cut
+      val d2w3 = streamed.find(t => t._1 == "d2" && t._2 == 3L).get
+      val d2w2 = streamed.find(t => t._1 == "d2" && t._2 == 2L).get
+      assert(d2w3._3 === d2w2._3, "discarded window must hold the factor")
+    } finally q.stop()
+  }
 }
