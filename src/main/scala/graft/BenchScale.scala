@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Scale probe: measure how the heaviest queries scale when the corpus
+  * is replicated Kx, converting the "survives 100x" claim from static
+  * plan review into a per-query scaling EXPONENT
+  * (ln(tK/t1) / ln K; 1.0 = linear, >1.3 flags a superlinear plan).
+  *
+  * Both the x1 and xK corpora are produced by the same replication
+  * writer so constant factors cancel. Replication is content-aware:
+  * document replicas are re-tokenized per replica (every word carries
+  * a replica tag), so replicas are NOT near-duplicates of each other —
+  * the duplicate RATE stays constant while volume scales, which is the
+  * scaling regime a production dedup faces. Events interleave
+  * (id*K + rep) for event and user ids, holding per-user event counts
+  * constant so user-keyed windows scale by partition COUNT, not
+  * partition size. Embedding replicas shift vec_id by rep*1e8 so the
+  * pinned <10-id ANN query sets stay exactly the same size.
+  *
+  * Timing is min-of-2 per (query, scale), the Bench.scala protocol.
+  * Output: BENCH_SCALE.json with per-query t1/tK/exponent.
+  */
+object BenchScale {
+
+  private val heavy = Seq(
+    "ll6_ngram_jaccard", "ll2_minhash_neardup", "ll5_simhash_neardup",
+    "ll12_boilerplate_dedup", "ll18_cdc_dedup", "ll19_containment",
+    "ll4b_ann_ivf_trained", "q16_sessionize", "t6_exactly_once_dedup",
+    "l1_staging_batches")
+
+  /** Write a K-fold replica of the tables the heavy set reads. */
+  private def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+    val reps = spark.range(k).select(col("id").as("rep"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.crossJoin(broadcast(reps))
+      .select(docs.columns.map {
+        // Suffix every WORD with the replica tag (w -> wgNx) rather
+        // than inserting tag tokens between words: an inserted token
+        // appears at every other shingle position, which lifts
+        // shingle df to WORD-level df (a (tag, stopword, tag) shingle
+        // lands in nearly every doc of the replica) and quadratically
+        // explodes any df-driven candidate generation — a replicator
+        // artifact, not a property of the operator under test. The
+        // suffix form maps each base shingle to exactly one tagged
+        // shingle per replica, so the per-replica df DISTRIBUTION is
+        // preserved and replicas stay mutually non-duplicate.
+        case "doc_id" => (col("doc_id") * k + col("rep")).as("doc_id")
+        case "text" => regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1g"), col("rep"), lit("x"))).as("text")
+        case c => col(c)
+      }.toSeq: _*)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev.crossJoin(broadcast(reps))
+      .select(ev.columns.map {
+        case "event_id" => (col("event_id") * k + col("rep")).as("event_id")
+        case "user_id" => (col("user_id") * k + col("rep")).as("user_id")
+        case c => col(c)
+      }.toSeq: _*)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val em = spark.read.parquet(s"$src/embeddings.parquet")
+    val idCol = em.columns.find(_.endsWith("_id")).getOrElse("vec_id")
+    em.crossJoin(broadcast(reps))
+      .select(em.columns.map {
+        case c if c == idCol => (col(idCol) + col("rep") * 100000000L).as(idCol)
+        case c => col(c)
+      }.toSeq: _*)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  /** Time a query with shuffle parallelism proportional to the data
+    * scale — the cluster-grows-with-data operating point: per-task
+    * input (and so sort/spill behavior) is held constant, and with a
+    * fixed local core count the wall-clock then tracks total WORK,
+    * which is what the exponent is meant to measure. A partition
+    * count pinned across scales would instead bill the xK run an
+    * n log n + spill penalty per task that a real deployment sizes
+    * away; AQE still coalesces stages that turn out tiny.
+    */
+  private def timeQuery(spark: SparkSession, name: String, dir: String,
+                        partitions: Int): Double = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  private def rootCause(e: Throwable): String = {
+    var c = e
+    while (c.getCause != null && c.getCause != c) c = c.getCause
+    val head = e.toString.takeWhile(_ != '\n').take(160)
+    val tail = if (c eq e) "" else " <- " + c.toString.takeWhile(_ != '\n').take(160)
+    (head + tail).replace("\"", "'")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "8").toInt
+    def build(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = build()
+    // one query OOMing must not void the rest of the probe: local-mode
+    // executor death stops the context, so rebuild it per failure
+    def session(): SparkSession = {
+      if (spark.sparkContext.isStopped) {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        spark = build()
+      }
+      spark
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val d1 = s"$base/x1"
+    val dk = s"$base/x$k"
+    replicate(spark, sfDir, d1, 1)
+    replicate(spark, sfDir, dk, k)
+
+    // warm the session on the small replica
+    try SparkEntry.queries(heavy.head)(spark, d1).count()
+    catch { case NonFatal(_) => () }
+
+    val results = heavy.map { name =>
+      val r =
+        try {
+          val t1 = timeQuery(session(), name, d1, cpus.toInt)
+          val tk = timeQuery(session(), name, dk, cpus.toInt * k)
+          val exp = math.log(tk / t1) / math.log(k.toDouble)
+          Right((t1, tk, exp))
+        } catch {
+          case NonFatal(e) => Left(rootCause(e))
+        }
+      name -> r
+    }
+
+    def ms(v: Double) = f"$v%.3f"
+    val qjson = results.map {
+      case (n, Right((t1, tk, exp))) =>
+        s""""$n":{"t1":${ms(t1)},"tk":${ms(tk)},"ratio":${ms(tk / t1)},"exponent":${ms(exp)}}"""
+      case (n, Left(err)) =>
+        s""""$n":{"error":"${err.replace("\"", "'")}"}"""
+    }.mkString("{", ",", "}")
+    val worst = results.collect { case (_, Right((_, _, e))) => e }.maxOption.getOrElse(-1.0)
+    val json =
+      s"""{"metric":"scale_exponent_worst","value":${ms(worst)},"k":$k,"base":"$sfDir","queries":$qjson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

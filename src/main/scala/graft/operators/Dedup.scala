@@ -49,16 +49,16 @@ object Dedup {
     */
   private[operators] def corpus(s: SparkSession, dir: String, perturb: Boolean): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    // the second-crawl ids live at +10000; a base corpus reaching that
+    // the second-crawl ids live at +100000000; a base corpus reaching that
     // id would collide silently IN BOTH ENGINES (the oracles use the
     // same constant, so the differential gate could not catch it) —
     // the boundary is asserted IN-PLAN on the copy branch: assert_true
     // rides the projection (no extra Spark job, no driver round-trip)
     // and fails the task on the first offending row.
     val offset = when(
-      assert_true(col("doc_id") < 10000L,
-        lit("two-crawl id offset collision: base doc_id >= 10000")).isNull,
-      lit(10000L))
+      assert_true(col("doc_id") < 100000000L,
+        lit("two-crawl id offset collision: base doc_id >= 100000000")).isNull,
+      lit(100000000L))
     val copy =
       if (perturb)
         d.select((col("doc_id") + offset).as("doc_id"),
@@ -70,11 +70,11 @@ object Dedup {
 
   private val corpusSqlExact =
     """(SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 10000, text FROM documents)"""
+        UNION ALL SELECT doc_id + 100000000, text FROM documents)"""
 
   private val corpusSqlPerturbed =
     """(SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1) FROM documents)"""
+        UNION ALL SELECT doc_id + 100000000, substr(text, strpos(text, ' ') + 1) FROM documents)"""
 
   /** Distinct word-3-gram shingles of `text`, exploded to one row per
     * (doc_id, shingle). Narrow (map-side) transformation.
@@ -406,7 +406,7 @@ object Dedup {
     "ta16_dedup_report" -> ((s, dir) => {
       val docsSrc = Tables.documents(s, dir).select(col("doc_id"), col("source"))
       val srcMap = docsSrc
-        .unionByName(docsSrc.select((col("doc_id") + 10000L).as("doc_id"), col("source")))
+        .unionByName(docsSrc.select((col("doc_id") + 100000000L).as("doc_id"), col("source")))
       val exact = corpus(s, dir, perturb = false)
         .withColumn("n_copies",
           count(lit(1)).over(Window.partitionBy(md5(col("text")))))
@@ -466,8 +466,8 @@ object Dedup {
       val m = 1 << 20
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // corpus A: the maintained side; corpus B: A's docs with ids
-      // +10000, half perturbed (non-members), half byte-identical
-      val corpusB = d.select((col("doc_id") + 10000L).as("doc_id"),
+      // +100000000, half perturbed (non-members), half byte-identical
+      val corpusB = d.select((col("doc_id") + 100000000L).as("doc_id"),
         when(col("doc_id") % 2 === 0, col("text"))
           .otherwise(expr("substring(text, instr(text, ' ') + 1)")).as("text"))
       def positions(df: DataFrame): DataFrame = {
@@ -516,7 +516,7 @@ object Dedup {
     // the corpus: no shuffle of the training side at all.
     "ll10_decontaminate" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val train = d.select((col("doc_id") + 10000L).as("doc_id"),
+      val train = d.select((col("doc_id") + 100000000L).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
       val bench = d.filter(col("doc_id") % 10 === 0)
       val benchSh = shingles(bench).withColumnRenamed("doc_id", "bench_id")
@@ -528,7 +528,7 @@ object Dedup {
     }),
 
     // INCREMENTAL near-dup maintenance — the daily-crawl shape: a new
-    // batch (the second-crawl docs, ids >= 10000) is probed against
+    // batch (the second-crawl docs, ids >= 100000000) is probed against
     // the already-indexed corpus WITHOUT any corpus self-join. The
     // corpus side is its LSH band index (in production a maintained,
     // bucket-partitioned table); candidates come from batch-bands ×
@@ -539,8 +539,8 @@ object Dedup {
     // through the incremental plan.
     "ll14_incremental_neardup" -> ((s, dir) => {
       val sigs = signatureTable(s, dir) // the maintained corpus index itself
-      val corpusBands = bandRowsOf(sigs.filter(col("doc_id") < 10000))
-      val batchBands = bandRowsOf(sigs.filter(col("doc_id") >= 10000))
+      val corpusBands = bandRowsOf(sigs.filter(col("doc_id") < 100000000))
+      val batchBands = bandRowsOf(sigs.filter(col("doc_id") >= 100000000))
       val cand = batchBands.as("x").join(corpusBands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
         .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
@@ -599,21 +599,36 @@ object Dedup {
         .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_id"))
     }),
 
-    // SimHash near-dup: 64-bit fingerprints, candidates from 16-bit
-    // chunk buckets (pigeonhole: hamming<=3 over 4 chunks => >=1 chunk
-    // equal, so bucketed recall is exactly 1.0 vs the oracle's brute
-    // force, and expected bucket load is n/65536 per chunk table).
+    // SimHash near-dup: 64-bit fingerprints, candidates via Manku's
+    // block-combination tables (WWW'07 §3): the hash splits into SIX
+    // blocks (11,11,10 bits per 32-bit half); hamming<=3 damages at
+    // most 3 blocks, so at least one of the C(6,3)=20 3-block combos
+    // survives intact in any qualifying pair — bucketed recall is
+    // exactly 1.0 vs the oracle's brute force. Join keys carry ~32
+    // bits (vs the 16-bit 4-chunk pigeonhole, whose 65536-value key
+    // space SATURATES as the corpus grows: random collisions make
+    // candidates O(n²/2^16) — the r8 scale probe measured exponent
+    // 1.16 and climbing at 8x). At 2^32 key values per table the
+    // expected bucket load stays <1 to billions of docs; the price is
+    // 20 band rows per doc instead of 4 — linear, which is exactly
+    // Manku's table-count-for-key-width trade at web scale.
     "ll5_simhash_neardup" -> ((s, dir) => {
       val sh = simhash(corpus(s, dir, perturb = true))
-      val chunks = sh.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
-        posexplode(array(
-          col("sim_lo").bitwiseAND(lit(65535L)),
-          shiftright(col("sim_lo"), 16).bitwiseAND(lit(65535L)),
-          col("sim_hi").bitwiseAND(lit(65535L)),
-          shiftright(col("sim_hi"), 16).bitwiseAND(lit(65535L)))).as(Seq("chunk", "ckey")))
+      val blocks: Seq[org.apache.spark.sql.Column] = Seq(
+        col("sim_lo").bitwiseAND(lit(2047L)),
+        shiftright(col("sim_lo"), 11).bitwiseAND(lit(2047L)),
+        shiftright(col("sim_lo"), 22).bitwiseAND(lit(1023L)),
+        col("sim_hi").bitwiseAND(lit(2047L)),
+        shiftright(col("sim_hi"), 11).bitwiseAND(lit(2047L)),
+        shiftright(col("sim_hi"), 22).bitwiseAND(lit(1023L)))
+      val comboKeys = (0 until 6).combinations(3).toSeq.map { c =>
+        blocks(c(0)) * lit(1L << 22) + blocks(c(1)) * lit(1L << 11) + blocks(c(2))
+      }
+      val bands = sh.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        posexplode(array(comboKeys: _*)).as(Seq("combo", "ckey")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds both sides of the bucket self-join
-      chunks.as("x").join(chunks.as("y"),
-          col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+      bands.as("x").join(bands.as("y"),
+          col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("x.sim_lo").as("la"), col("x.sim_hi").as("ha"),
@@ -794,7 +809,7 @@ object Dedup {
             SELECT r.src, eg.b FROM reach r JOIN eg ON r.dst = eg.a),
           labels AS (SELECT src AS doc_id, MIN(dst) AS canon FROM reach GROUP BY src),
           srcmap AS (SELECT doc_id, source FROM documents
-                     UNION ALL SELECT doc_id + 10000, source FROM documents),
+                     UNION ALL SELECT doc_id + 100000000, source FROM documents),
           ex AS (SELECT doc_id,
                    COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
                  FROM $corpusSqlExact AS ce(doc_id, text))
@@ -831,7 +846,7 @@ object Dedup {
       val seedRows = (0 until 4)
         .map(j => s"($j, CAST(${sigSeeds(j)} AS BIGINT))").mkString(", ")
       s"""WITH seeds(j, sd) AS (VALUES $seedRows),
-          b AS (SELECT doc_id + 10000 AS doc_id,
+          b AS (SELECT doc_id + 100000000 AS doc_id,
                   CASE WHEN doc_id % 2 = 0 THEN text
                        ELSE substr(text, strpos(text, ' ') + 1) END AS text
                 FROM documents),
@@ -850,7 +865,7 @@ object Dedup {
           GROUP BY bpos.doc_id"""
     },
     "ll10_decontaminate" ->
-      s"""WITH train AS (SELECT doc_id + 10000 AS doc_id,
+      s"""WITH train AS (SELECT doc_id + 100000000 AS doc_id,
                 substr(text, strpos(text, ' ') + 1) AS text FROM documents),
           bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
           tsh AS (${shinglesSqlFrom("train")}),
@@ -866,7 +881,7 @@ object Dedup {
     "ll14_incremental_neardup" ->
       s"""WITH $minhashCtes
           SELECT doc_a, doc_b, n_match, n_match / 16.0 AS est_sim
-          FROM v WHERE n_match >= 8 AND doc_a < 10000 AND doc_b >= 10000""",
+          FROM v WHERE n_match >= 8 AND doc_a < 100000000 AND doc_b >= 100000000""",
     "ll12_boilerplate_dedup" ->
       """WITH aug AS (
            SELECT doc_id, text || CASE WHEN doc_id % 4 = 0

@@ -110,15 +110,25 @@ class DedupSpec extends SparkSpec {
       if java.lang.Long.bitCount(ha ^ hb) <= 3
     } yield (a, b)).toSet
 
-    // bucketed: candidates share at least one 16-bit chunk
+    // bucketed (the ll5 production scheme): six blocks of
+    // (11,11,10,11,11,10) bits; a candidate pair shares ALL THREE
+    // blocks of at least one C(6,3) combo — hamming<=3 damages at
+    // most 3 blocks, so >=3 stay intact and some combo survives
+    def blocks(h: Long): IndexedSeq[Long] = {
+      val lo = h & 0xFFFFFFFFL; val hi = h >>> 32
+      IndexedSeq(lo & 0x7FF, (lo >>> 11) & 0x7FF, (lo >>> 22) & 0x3FF,
+        hi & 0x7FF, (hi >>> 11) & 0x7FF, (hi >>> 22) & 0x3FF)
+    }
+    val combos = (0 until 6).combinations(3).toSeq
     val bucketed = (for {
       (a, ha) <- sh; (b, hb) <- sh if a < b
-      if (0 until 4).exists(c => ((ha >>> (16 * c)) & 0xFFFF) == ((hb >>> (16 * c)) & 0xFFFF))
+      ba = blocks(ha); bb = blocks(hb)
+      if combos.exists(c => c.forall(i => ba(i) == bb(i)))
       if java.lang.Long.bitCount(ha ^ hb) <= 3
     } yield (a, b)).toSet
 
     assert(brute.nonEmpty, "fixture should contain near-dup pairs")
-    assert(bucketed === brute, "hamming<=3 implies >=1 of 4 16-bit chunks equal (pigeonhole)")
+    assert(bucketed === brute, "hamming<=3 implies an intact 3-of-6 block combo (pigeonhole)")
   }
 
   test("cluster resolution: pairs close transitively, one kept doc per cluster") {
