@@ -33,7 +33,8 @@ object SparkEntry {
     (operators.Pipeline.defs, operators.Pipeline.oracles),
     (operators.Profile.defs, operators.Profile.oracles),
     (operators.Errors.defs, operators.Errors.oracles),
-    (operators.Adaptive.defs, operators.Adaptive.oracles)
+    (operators.Adaptive.defs, operators.Adaptive.oracles),
+    (operators.Activation.defs, operators.Activation.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
