@@ -25,10 +25,18 @@ import scala.util.control.NonFatal
   */
 object BenchScale {
 
+  // The 10 heaviest corpus-bound queries by BENCH_FULL, preferring
+  // distinct scale SHAPES: candidate-join dedup families (ll6/ll2/
+  // ll5/ll18/ll19), iterative connected components over the near-dup
+  // graph (ll9), a corpus-wide md5-keyed window + shared signature
+  // reuse (ta16), trained-quantizer ANN (ll4b), fixed-window chunking
+  // (ll12), and the two-level prefix-sum batcher (l1). Write-path
+  // round-trips (d6/d8) are excluded: their cost is fixed IO, not a
+  // plan shape that can go superlinear.
   private val heavy = Seq(
     "ll6_ngram_jaccard", "ll2_minhash_neardup", "ll5_simhash_neardup",
     "ll12_boilerplate_dedup", "ll18_cdc_dedup", "ll19_containment",
-    "ll4b_ann_ivf_trained", "q16_sessionize", "t6_exactly_once_dedup",
+    "ll4b_ann_ivf_trained", "ll9_dedup_clusters", "ta16_dedup_report",
     "l1_staging_batches")
 
   /** Write a K-fold replica of the tables the heavy set reads. */

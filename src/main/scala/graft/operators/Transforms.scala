@@ -106,6 +106,59 @@ object Transforms {
           (col("received_us") - col("sent_us") + col("original_us")).as("corrected_us"))
     }),
 
+    // T7b: delayed-event stats (processor/delayed/stats.go:30-83) —
+    // classify each event missing_original_timestamp / missing_sent_at
+    // / late / on-time (strict precedence, 240 h threshold), tagged by
+    // the SDK identity joined "name/version" from context.library
+    // ("unknown" only when BOTH are absent — a name alone yields
+    // "name/", mirroring strings.Join). Both engines construct the
+    // SAME message JSON (library subtree + ISO timestamps, with a
+    // missing-key variant AND an unparseable-string variant — both
+    // must land in the missing_* classes like GetParsedTimestamp's
+    // failures), then independently parse it back, so the walk, the
+    // fallible timestamp parse, and the precedence are all
+    // differentially checked. One codegen'd narrow map + one count
+    // aggregate; no shuffle beyond the final groupBy.
+    "t7b_delayed_events" -> ((s, dir) => {
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val lib = when(col("user_id") % 4 === 0, lit("""{"name":"rudder-js","version":"2.1"}"""))
+        .when(col("user_id") % 4 === 1, lit("""{"name":"rudder-android","version":"1.5"}"""))
+        .when(col("user_id") % 4 === 2, lit("""{"name":"rudder-ios"}"""))
+        .otherwise(lit("{}"))
+      val otsS = when(col("event_id") % 11 === 0, lit(null).cast("string"))
+        .when(col("event_id") % 23 === 0, lit("not-a-timestamp"))
+        .otherwise(date_format(col("ts"), fmt))
+      val sentS = when(col("event_id") % 13 === 0, lit(null).cast("string"))
+        .otherwise(date_format(
+          expr("ts + make_interval(0, 0, 0, CAST(event_id % 20 AS INT), 0, 0, 0)"), fmt))
+      val msg = concat(lit("""{"context":{"library":"""), lib, lit("}"),
+        when(otsS.isNotNull,
+          concat(lit(""","originalTimestamp":""""), otsS, lit("\""))).otherwise(lit("")),
+        when(sentS.isNotNull,
+          concat(lit(""","sentAt":""""), sentS, lit("\""))).otherwise(lit("")),
+        lit("}"))
+      Tables.events(s, dir)
+        .select(msg.as("message"))
+        .withColumn("lname", get_json_object(col("message"), "$.context.library.name"))
+        .withColumn("lver", get_json_object(col("message"), "$.context.library.version"))
+        .withColumn("sdk_version",
+          when(coalesce(col("lname"), lit("")) =!= "" || coalesce(col("lver"), lit("")) =!= "",
+            concat(coalesce(col("lname"), lit("")), lit("/"), coalesce(col("lver"), lit(""))))
+            .otherwise("unknown"))
+        .withColumn("ots", expr(
+          s"try_to_timestamp(get_json_object(message, '$$.originalTimestamp'), '$fmt')"))
+        .withColumn("sent", expr(
+          s"try_to_timestamp(get_json_object(message, '$$.sentAt'), '$fmt')"))
+        .withColumn("status",
+          when(col("ots").isNull, "missing_original_timestamp")
+            .when(col("sent").isNull, "missing_sent_at")
+            .when(unix_micros(col("sent")) - unix_micros(col("ots")) > 240L * 3600L * 1000000L,
+              "late")
+            .otherwise("on-time"))
+        .groupBy(col("status"), col("sdk_version"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // T9: consent gate — drop (event, destination) pairs whose denied
     // consent category matches the destination's required category
     // (processor/consent.go:44-95; the and/or resolution strategies
@@ -266,6 +319,43 @@ object Transforms {
            (epoch_us(ts) + 120000000) - (epoch_us(ts) + (event_id % 300) * 1000000)
              + epoch_us(ts) AS corrected_us
          FROM events""",
+    "t7b_delayed_events" ->
+      """WITH base AS (
+           SELECT event_id, user_id, ts,
+             CASE CAST(user_id % 4 AS INT)
+               WHEN 0 THEN '{"name":"rudder-js","version":"2.1"}'
+               WHEN 1 THEN '{"name":"rudder-android","version":"1.5"}'
+               WHEN 2 THEN '{"name":"rudder-ios"}' ELSE '{}' END AS lib,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  WHEN event_id % 23 = 0 THEN 'not-a-timestamp'
+                  ELSE strftime(ts, '%Y-%m-%d %H:%M:%S.%f') END AS otss,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE strftime(ts + CAST(event_id % 20 AS INT) * INTERVAL 1 DAY,
+                                '%Y-%m-%d %H:%M:%S.%f') END AS sents
+           FROM events),
+         msg AS (
+           SELECT '{"context":{"library":' || lib || '}' ||
+                  COALESCE(',"originalTimestamp":"' || otss || '"', '') ||
+                  COALESCE(',"sentAt":"' || sents || '"', '') || '}' AS message
+           FROM base),
+         parsed AS (
+           SELECT
+             json_extract_string(message, '$.context.library.name') AS lname,
+             json_extract_string(message, '$.context.library.version') AS lver,
+             try_strptime(json_extract_string(message, '$.originalTimestamp'),
+                          '%Y-%m-%d %H:%M:%S.%f') AS ots,
+             try_strptime(json_extract_string(message, '$.sentAt'),
+                          '%Y-%m-%d %H:%M:%S.%f') AS sent
+           FROM msg)
+         SELECT CASE WHEN ots IS NULL THEN 'missing_original_timestamp'
+                     WHEN sent IS NULL THEN 'missing_sent_at'
+                     WHEN epoch_us(sent) - epoch_us(ots) > 864000000000 THEN 'late'
+                     ELSE 'on-time' END AS status,
+                CASE WHEN COALESCE(lname, '') <> '' OR COALESCE(lver, '') <> ''
+                     THEN COALESCE(lname, '') || '/' || COALESCE(lver, '')
+                     ELSE 'unknown' END AS sdk_version,
+                COUNT(*) AS n
+         FROM parsed GROUP BY 1, 2""",
     "t9_consent_filter" ->
       """SELECT destination, COUNT(*) AS n_delivered
          FROM events
