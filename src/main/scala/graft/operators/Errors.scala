@@ -49,6 +49,10 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object Errors {
 
+  /** Per-connection error metric event (streaming input). */
+  case class ErrEvent(source_id: String, destination_id: String, pu: String,
+                      event_type: String, seq: Long, error_message: String, n: Long)
+
   // ---- shared constants (Spark + oracle use the same strings) ----
 
   private val msgKeys = Seq("error_message", "message", "description", "detail", "error", "title")
@@ -254,11 +258,11 @@ object Errors {
   }
 
   /** Normalize per-connection error messages through the bounded
-    * canonical set, then merge metric groups by normalized message
-    * (error_grouper.go:9-25). Input columns: source_id,
-    * destination_id, pu, event_type, seq, error_message, n.
+    * canonical set (the sequential fold). Input columns: source_id,
+    * destination_id, pu, event_type, seq, error_message, n; output
+    * adds raw_message/normalized.
     */
-  def normalizeAndGroup(df: DataFrame, maxPerGroup: Int): DataFrame = {
+  def normalize(df: DataFrame, maxPerGroup: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sorted = df
@@ -266,7 +270,7 @@ object Errors {
       .as[(String, String, String, String, Long, String, Long)]
       .repartition(col("source_id"), col("destination_id"), col("pu"), col("event_type"))
       .sortWithinPartitions("source_id", "destination_id", "pu", "event_type", "seq")
-    val normed = sorted.mapPartitions { it =>
+    sorted.mapPartitions { it =>
       var key: (String, String, String, String) = null
       val canon = scala.collection.mutable.ArrayBuffer.empty[String]
       it.map { case (src, dst, pu, et, _, msg, n) =>
@@ -275,11 +279,48 @@ object Errors {
         (src, dst, pu, et, msg, normalizeOne(canon, msg, maxPerGroup), n)
       }
     }.toDF("source_id", "destination_id", "pu", "event_type", "raw_message", "normalized", "n")
-    normed
+  }
+
+  /** Streaming twin of [[normalize]]: the same fold as a
+    * flatMapGroupsWithState keyed by the connection, with the bounded
+    * canonical set (in LRU order) in the state store — the reference
+    * holds exactly this set in a mutex-guarded per-key map
+    * (error_normalizer.go:156), so cross-batch carry reproduces its
+    * long-running-process behavior: a canonical admitted in one
+    * micro-batch keeps absorbing similar messages in all later ones.
+    * State is <= maxPerGroup strings per live connection (the
+    * reference caps connections at maxGroups=10000).
+    */
+  def normalizeStream(
+      events: org.apache.spark.sql.Dataset[Errors.ErrEvent],
+      maxPerGroup: Int)
+    : org.apache.spark.sql.Dataset[(String, String, String, String, String, String, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(e => (e.source_id, e.destination_id, e.pu, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, String, String, String), it: Iterator[Errors.ErrEvent],
+         state: GroupState[List[String]]) => {
+          val canon = scala.collection.mutable.ArrayBuffer[String](
+            state.getOption.getOrElse(Nil): _*)
+          val out = it.toSeq.sortBy(_.seq).map { e =>
+            (key._1, key._2, key._3, key._4, e.error_message,
+              normalizeOne(canon, e.error_message, maxPerGroup), e.n)
+          }
+          state.update(canon.toList)
+          out.iterator
+        })
+  }
+
+  /** [[normalize]] + metric-group merge by normalized message
+    * (error_grouper.go:9-25).
+    */
+  def normalizeAndGroup(df: DataFrame, maxPerGroup: Int): DataFrame =
+    normalize(df, maxPerGroup)
       .groupBy("source_id", "destination_id", "pu", "event_type", "normalized")
       .agg(sum("n").as("total_n"), countDistinct("raw_message").as("n_messages"))
       .withColumnRenamed("normalized", "error_message")
-  }
 
   val defs: Map[String, Q] = Map(
     "er1_error_extract" -> ((s, dir) => {

@@ -653,4 +653,47 @@ class StreamingSpec extends SparkSpec {
       assert(d2w3._3 === d2w2._3, "discarded window must hold the factor")
     } finally q.stop()
   }
+
+  test("er2 streaming twin: bounded canonical set carries across micro-batches") {
+    import graft.operators.Errors
+    import graft.operators.Errors.ErrEvent
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    def e(seq: Long, msg: String) = ErrEvent("s1", "d1", "router", "track", seq, msg, 1L)
+    // three canonicals admitted in batch 1 (cap 3); batch 2 then
+    // exercises cross-batch similarity absorption and RedactedError
+    val b1 = Seq(
+      e(1, "alpha beta gamma delta one"),
+      e(2, "alpha beta gamma delta two"), // similar to canonical 1
+      e(3, "foo bar baz qux one"),
+      e(4, "hello world again test cluster"))
+    val b2 = Seq(
+      e(5, "alpha beta gamma delta three"), // must land on batch 1's canonical
+      e(6, "completely novel failure group four"), // set full -> RedactedError
+      e(7, "foo bar baz qux two")) // similar to canonical 2
+    val input = MemoryStream[ErrEvent]
+    val q = Errors.normalizeStream(input.toDS(), maxPerGroup = 3)
+      .toDF("source_id", "destination_id", "pu", "event_type", "raw_message", "normalized", "n")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("er2_stream").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("er2_stream")
+        .collect().map(r => r.getString(4) -> r.getString(5)).toMap
+      val batch = Errors.normalize(
+          (b1 ++ b2).toDF("source_id", "destination_id", "pu", "event_type", "seq", "error_message", "n"),
+          maxPerGroup = 3)
+        .collect().map(r => r.getString(4) -> r.getString(5)).toMap
+      assert(streamed === batch,
+        "stream fold with state-store carry must equal the batch fold")
+      assert(streamed("alpha beta gamma delta three") === "alpha beta gamma delta one",
+        "batch-1 canonical must absorb batch-2 similar message")
+      assert(streamed("completely novel failure group four") === "RedactedError",
+        "full canonical set must redact a new cluster")
+    } finally q.stop()
+  }
 }
