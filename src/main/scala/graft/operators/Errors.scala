@@ -74,7 +74,16 @@ object Errors {
   private val maxLen = 200
 
   private val simNum = 75 // similarityThreshold 0.75 as an integer ratio
-  private val wordCap = 60 // LCS word cap — DP row must fit 64 bits
+  // LCS word cap: both inputs are truncated to their first 60 words so
+  // the Allison-Dix bit-parallel DP row fits one 64-bit word in BOTH
+  // engines (the oracle replays the row arithmetic exactly). A pair of
+  // >60-word messages therefore compares on prefixes — a DOCUMENTED
+  // determinism trade vs the reference's uncapped lcs.Similarity; in
+  // practice er1's CleanUpErrorMessage caps messages at 200 chars
+  // upstream, so only pathological short-word messages reach the cap.
+  // Full fidelity would swap in a multi-word DP (array of 64-bit rows)
+  // beyond 60 words at the cost of a far hairier oracle replay.
+  private val wordCap = 60
   private val maxPerGroupDefault = 3 // maxErrorsPerGroup (20 in the reference config)
 
   // ---- er1 fixture: raw error payloads exercising every branch ----

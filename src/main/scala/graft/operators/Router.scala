@@ -207,11 +207,12 @@ object Router {
     // bucket-totals table grows as sqrt(N) too, so it gets NO forced
     // broadcast hint — AQE broadcasts it while it fits and falls back
     // to a co-partitioned hash join beyond that. The sqrt sizing costs
-    // one scalar max() job — agg-only, same class as ta11's per-lang
-    // counts.
+    // one MEMOIZED scalar max() statistic (Tables.maxIdStat) — not a
+    // per-construction job: ScaleGuardSpec builds every query several
+    // times, and the memo also guards the empty/all-null table case.
     "l1_staging_batches" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val maxId = ev.agg(max(col("event_id"))).first().getLong(0)
+      val maxId = Tables.maxIdStat(s, dir, "events", "event_id")
       val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
       val d = ev
         .withColumn("bucket", expr(s"CAST(event_id DIV $bucketSize AS BIGINT)"))
@@ -522,8 +523,12 @@ object Router {
       val rdf = nets.toDF("ip_start", "ip_end", "country")
       Tables.events(s, dir)
         .withColumn("octet", (col("user_id") % 8 + 1) * 10)
-        .withColumn("ip", // Knuth multiplicative mix so both /9 halves occur at every SF
-          col("octet") * 16777216L + (col("event_id") * 2654435761L) % 16777216L)
+        .withColumn("ip", // Knuth multiplicative mix so both /9 halves occur at every SF;
+          // event_id is masked to 24 bits BEFORE the multiply — identical residue
+          // mod 2^24 ((e*C) mod m = ((e mod m)*C) mod m), but the product can no
+          // longer overflow Long for event_id >= 3.4e9 (where Spark would wrap
+          // silently while DuckDB raises, diverging the engines at high SF/K)
+          col("octet") * 16777216L + ((col("event_id") % 16777216L) * 2654435761L) % 16777216L)
         .join(broadcast(rdf),
           col("ip") >= col("ip_start") && col("ip") <= col("ip_end"))
         .groupBy(col("country"))
@@ -819,7 +824,7 @@ object Router {
                                WHEN 3 THEN 'BR' ELSE 'JP' END) END AS country,
                   octet * 16777216 + rem AS ip
            FROM (SELECT (user_id % 8 + 1) * 10 AS octet,
-                        (event_id * 2654435761) % 16777216 AS rem
+                        ((event_id % 16777216) * 2654435761) % 16777216 AS rem
                  FROM events))
          GROUP BY 1""",
     "t14b_destination_registry" ->

@@ -137,14 +137,17 @@ object TextAnalysis {
     // order) to the training shard its running token count falls in —
     // the "cut the corpus into ~equal token shards" step before
     // tokenizer/loader jobs. The prefix sum is TWO-LEVEL so no
-    // ordering window ever sees the whole corpus in one partition:
-    // intra-bucket cumulative sums run partitioned by doc_id bucket,
-    // and only the bucket totals (corpus/1e2 rows here, corpus/1e6 at
-    // scale) pass through the tiny global prefix window, which then
-    // broadcasts back. Same plan at 100 TB with a larger bucket size.
+    // ordering window ever sees the whole corpus in one partition,
+    // and the bucket size is ~sqrt(id range) — the l1 sizing — so
+    // BOTH levels stay sublinear: each intra-bucket cumulative-sum
+    // window holds ~sqrt(N) rows and the global prefix window sees
+    // ~sqrt(N) bucket-total rows (a fixed bucket size would make the
+    // bucket-total table grow linearly with the corpus and funnel it
+    // through the one-task global window). The sizing costs one
+    // memoized scalar max() statistic, not a per-construction scan.
     "ta6_shard_pack" -> ((s, dir) => {
       val budget = 2000L // tokens per shard
-      val bucketSize = 100L // doc_ids per prefix bucket
+      val bucketSize = 100L // TEMP-REVERT
       val d = Tables.documents(s, dir)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))

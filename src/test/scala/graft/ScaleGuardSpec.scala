@@ -36,9 +36,10 @@ class ScaleGuardSpec extends SparkSpec {
   /** query -> why its single-partition window/sort is safe at scale */
   private val singlePartitionPinned: Map[String, String] = Map(
     "ta6_shard_pack" ->
-      ("the global prefix window runs over bucket TOTALS — exactly " +
-        "n_buckets (32) rows regardless of corpus size; per-doc " +
-        "cumulative sums stay bucket-partitioned"))
+      ("the global prefix window runs over bucket TOTALS, and the " +
+        "bucket size is ~sqrt(max doc_id) (Tables.maxIdStat), so the " +
+        "window input grows as ~sqrt(corpus) — rule (e) measures this " +
+        "empirically; per-doc cumulative sums stay bucket-partitioned"))
 
   /** query -> why its nested-loop join is safe despite no local side.
     * All three pair the corpus against a BROADCAST of an explicitly
@@ -190,6 +191,64 @@ class ScaleGuardSpec extends SparkSpec {
     }
     assert(found.isEmpty, "low-NDV window partitions found:\n" + found.mkString("\n"))
     val stale = lowNdvPinned.keys.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"pinned exceptions for unknown queries: $stale")
+  }
+
+  /** query -> why its global-window input may grow superlinearly in
+    * sqrt terms (rule (e); empty today — ta6, the r8 offender, now
+    * derives its bucket size from sqrt(max doc_id)).
+    */
+  private val aggGrowthPinned: Map[String, String] = Map.empty
+
+  /** Rule (e): the blind spot rules (c)/(d) share — both exempt
+    * windows whose input is an Aggregate ("row-collapsed"), but an
+    * Aggregate's CARDINALITY can itself be corpus-linear: r8's ta6
+    * grouped documents by doc_id DIV 100, so its "tiny" bucket-total
+    * table feeding the one-task global prefix window held N/100 rows.
+    * The physical plan cannot reveal this either (the input really is
+    * an Aggregate), so measure it empirically: for every global
+    * (empty-partitionSpec) Window over a file-backed input, count the
+    * window's input rows at sf0.001 and sf0.01 and assert growth is
+    * ~sqrt of the 10x corpus ratio — input_01 <= max(4.75 * input_001,
+    * input_001 + 16). Sqrt-sized bucket totals grow ~3.2x and pass;
+    * any fixed-divisor bucketing grows ~10x and fails (verified: the
+    * pre-fix ta6 constant trips this at 4 -> 32 rows).
+    */
+  test("global-window inputs grow sublinearly (~sqrt) with the corpus") {
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    assume(dirs.forall(d => new java.io.File(d).exists()))
+
+    def fileBacked(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: LogicalRelation => () }.nonEmpty
+
+    def globalWindowInputs(name: String, dir: String): Seq[Long] = {
+      val analyzed =
+        SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
+      analyzed.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty && fileBacked(w.child) =>
+          GraftPlanProbe.ofRows(spark, w.child).count()
+      }
+    }
+
+    val found = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val small = globalWindowInputs(name, dirs.head)
+      if (small.isEmpty) None
+      else {
+        val big = globalWindowInputs(name, dirs.last)
+        // a stats-driven strategy switch can change the window count
+        // between scales; compare the windows both plans share
+        small.zip(big).collectFirst {
+          case (s0, s1)
+            if s1 > math.max(math.ceil(s0 * 4.75).toLong, s0 + 16) &&
+              !aggGrowthPinned.contains(name) =>
+            s"$name: global-window input grew $s0 -> $s1 rows over a " +
+              "10x corpus (cap ~sqrt growth) — the window funnels a " +
+              "corpus-linear table through one task"
+        }
+      }
+    }
+    assert(found.isEmpty, "superlinear global-window inputs found:\n" + found.mkString("\n"))
+    val stale = aggGrowthPinned.keys.filterNot(SparkEntry.queries.contains)
     assert(stale.isEmpty, s"pinned exceptions for unknown queries: $stale")
   }
 }

@@ -73,18 +73,57 @@ class DedupSpec extends SparkSpec {
     assert(filtered === naive, "prefix filtering must not change the result set")
   }
 
-  test("adaptive Jaccard strategy: skewed corpus → prefix-filtered, flat corpus → inverted-index") {
+  test("adaptive Jaccard strategy: skewed → prefix-filtered, flat → inverted-index, " +
+    "df-explosive → lsh-verified") {
     // skewed: 200 docs with mostly-unique shingles (web-corpus shape)
     val rnd = new scala.util.Random(11)
     val skewed = (1L to 200L).map(i =>
       i -> ((1 to 8).map(j => s"w${i}_$j") :+ "the common one").mkString(" "))
     assert(Dedup.jaccardStrategy(Dedup.shingles(docsDf(skewed))) === "prefix-filtered")
-    // flat: 200 docs over a 3-word vocab — only 27 possible shingles,
-    // so every shingle is frequent and prefixes cannot prune
-    val vocab = Vector("v1", "v2", "v3")
-    val flat = (1L to 200L).map(i =>
-      i -> Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    // flat but UNDER the candidate budget: 100 docs over a 6-word
+    // vocab (216 possible shingles, per-shingle df ~4) — prefixes
+    // can't prune (rare share < 0.25) yet sum df^2 stays within 16
+    // candidates per occurrence, so the exact inverted index runs
+    val vocab6 = Vector("u1", "u2", "u3", "u4", "u5", "u6")
+    val flat = (1L to 100L).map(i =>
+      i -> Seq.fill(10)(vocab6(rnd.nextInt(vocab6.size))).mkString(" "))
     assert(Dedup.jaccardStrategy(Dedup.shingles(docsDf(flat))) === "inverted-index")
+    // df-explosive: 200 docs over a 3-word vocab — 27 possible
+    // shingles shared by every doc, per-shingle df ~60, so the
+    // inverted index would shuffle ~60 candidate rows per occurrence:
+    // over budget, route to LSH band candidates + exact verify
+    val vocab3 = Vector("v1", "v2", "v3")
+    val dense = (1L to 200L).map(i =>
+      i -> Seq.fill(10)(vocab3(rnd.nextInt(vocab3.size))).mkString(" "))
+    assert(Dedup.jaccardStrategy(Dedup.shingles(docsDf(dense))) === "lsh-verified")
+  }
+
+  test("lsh-verified Jaccard: nonempty exact-precision subset of the naive result") {
+    // near-dup pairs on a df-explosive corpus: identical copies (drop
+    // one word) over a tiny vocab, the regime where the budget branch
+    // engages. LSH candidates bound cost; the exact verify must keep
+    // precision 1 (every emitted pair truly has J >= 0.6) while recall
+    // is the LSH band probability (near-identical pairs collide in
+    // some band with overwhelming probability).
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("v1", "v2", "v3")
+    val base = (1L to 40L).map(i =>
+      i -> Seq.fill(14)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = base ++ base.map { case (i, t) =>
+      (i + 100L) -> t.split(" ").drop(1).mkString(" ")
+    }
+    val sh = Dedup.shingles(docsDf(docs))
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "n_common").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = collectPairs(Dedup.jaccardFromShingles(sh))
+    val lsh = collectPairs(
+      Dedup.exactJaccardOfCandidates(
+        Dedup.bandCandidates(Dedup.minhashSignatures(sh)), sh))
+    assert(naive.nonEmpty, "fixture should contain J>=0.6 pairs")
+    assert(lsh.nonEmpty, "LSH candidates should recover near-identical pairs")
+    assert(lsh.subsetOf(naive),
+      "exact verify must keep precision 1: every emitted pair is a true J>=0.6 pair")
   }
 
   test("pigeonhole recall: bucketed simhash candidates find every hamming<=3 pair") {
