@@ -24,17 +24,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read it as a long (legacy conf) and derive a
-    * microsecond `ts` — the same truncation DuckDB applies on read, so
-    * orderings/bucketings agree bit-for-bit with the oracle.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * regenerations: parquet TIMESTAMP(NANOS) (readable by Spark 4 only
+    * as a long under `nanosAsLong`) and plain timestamp[us]. Branch on
+    * the loaded dtype so either works and both normalize to the session
+    * TimestampType at microsecond precision — the same value DuckDB
+    * reads — so orderings/bucketings agree bit-for-bit with the oracle.
+    * (All entry points pin `spark.sql.session.timeZone=UTC`, so the
+    * NTZ→LTZ cast is identity on the wall-clock micros.)
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as nanos-since-epoch long
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (timestamp[us] with isAdjustedToUTC=false)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

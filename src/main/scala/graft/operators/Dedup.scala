@@ -756,7 +756,8 @@ object Dedup {
     "ll6_ngram_jaccard" -> ((s, dir) => {
       val sh = shingleTable(s, dir) // stats + df/sizes/prefixes + verify joins, one materialization
       val branch = jaccardStrategy(sh)
-      System.err.println(s"[graft] ll6_ngram_jaccard strategy: $branch")
+      if (sys.props.contains("graft.cc.profile"))
+        System.err.println(s"[graft] ll6_ngram_jaccard strategy: $branch")
       branch match {
         case "prefix-filtered" => prefixFilteredJaccard(sh)
         case "inverted-index" => jaccardFromShingles(sh)

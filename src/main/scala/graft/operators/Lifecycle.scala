@@ -274,6 +274,38 @@ object Lifecycle {
           col("destination_id").cast("string").as("destination_id"))
         .agg(count(lit(1)).as("n"),
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    }),
+
+    // RG1: regulation-worker batch delete — the GDPR forget-user job
+    // (regulation-worker/internal/delete/batch/batch.go:327-360): an
+    // object-store corpus is listed, already-cleaned objects are
+    // skipped via the job-scoped status-tracker ledger, and every
+    // remaining object is rewritten without the regulation job's
+    // users, crash-atomically (Sinks.regulationDelete). Run TWICE with
+    // the same job id: the second pass must find a fully-populated
+    // ledger and clean 0 objects — the resume semantics ARE the
+    // operator, so both passes' counts ride the checked output. The
+    // post-delete aggregate proves exactly the suppressed users' rows
+    // (and nothing else) vanished from every object.
+    "rg1_regulation_delete" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val tmp = Files.createTempDirectory("graft_rg1").toString + "/corpus"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          (col("event_id") % 6).as("obj"))
+        .write.partitionBy("obj").parquet(tmp)
+      val forget = (0L until 10000L by 13L).toDF("user_id") // job's userAttributes
+      val (total, first) = Sinks.regulationDelete(s, tmp, forget, "user_id", "job_42")
+      val (_, resumed) = Sinks.regulationDelete(s, tmp, forget, "user_id", "job_42")
+      s.read.parquet(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .withColumn("objects_total", lit(total))
+        .withColumn("cleaned_first", lit(first))
+        .withColumn("cleaned_resume", lit(resumed))
     })
   )
 
@@ -349,6 +381,18 @@ object Lifecycle {
       """SELECT CAST(user_id % 10 AS VARCHAR) AS source_id,
            event_type AS destination_id, COUNT(*) AS n,
            MIN(event_id) AS min_id, MAX(event_id) AS max_id
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    // forget list is (0 until 10000 by 13) and user_id < 10000 at every
+    // sf, so membership reduces to the modulus; the 6 objects come from
+    // obj = event_id % 6, all present at every sf, all rewritten on the
+    // first pass and none on the ledger-driven resume pass.
+    "rg1_regulation_delete" ->
+      """SELECT event_type, COUNT(*) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(6 AS BIGINT) AS objects_total,
+           CAST(6 AS BIGINT) AS cleaned_first,
+           CAST(0 AS BIGINT) AS cleaned_resume
+         FROM events WHERE user_id % 13 <> 0 GROUP BY 1"""
   )
 }

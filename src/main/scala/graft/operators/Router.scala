@@ -265,6 +265,46 @@ object Router {
           col("action"))
     }),
 
+    // VAL1: destination pre-flight validation steps — the ordered,
+    // per-destination-type step table a connection wizard walks before
+    // the first sync (warehouse/validations/steps.go:19-64): snowpipe
+    // streaming gets the 4 connection/DDL probes and NO object-storage
+    // step; GCS/Azure datalakes get ONLY object storage; an S3
+    // datalake adds the Glue DDL probes (minus load) only when its
+    // config opts into a Glue schema repository
+    // (schema-repository.go UseGlue); every true warehouse gets all
+    // six through load-table. The rules live in ONE case over a
+    // destination-registry fixture (s3c/t14b pattern — adding a
+    // destination is a registry row) and posexplode keeps the step
+    // ORDER a checked output, not a comment.
+    "val1_preflight_steps" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val dests = Seq(
+        ("d1", "SNOWPIPE_STREAMING", false), ("d2", "GCS_DATALAKE", false),
+        ("d3", "AZURE_DATALAKE", false), ("d4", "S3_DATALAKE", true),
+        ("d5", "S3_DATALAKE", false), ("d6", "POSTGRES", false),
+        ("d7", "SNOWFLAKE", false), ("d8", "BQ", false),
+        ("d9", "CLICKHOUSE", false)
+      ).toDF("dest_id", "dest_type", "use_glue")
+      val ddlProbes = Seq("Verifying Create Schema",
+        "Verifying Create and Alter Table", "Verifying Fetch Schema")
+      val steps = when(col("dest_type") === "SNOWPIPE_STREAMING",
+          array(("Verifying Connections" +: ddlProbes).map(lit): _*))
+        .when(col("dest_type").isin("GCS_DATALAKE", "AZURE_DATALAKE") ||
+            (col("dest_type") === "S3_DATALAKE" && !col("use_glue")),
+          array(lit("Verifying Object Storage")))
+        .when(col("dest_type") === "S3_DATALAKE" && col("use_glue"),
+          array(("Verifying Object Storage" +: ddlProbes).map(lit): _*))
+        .otherwise(array(("Verifying Object Storage" +: "Verifying Connections" +:
+          ddlProbes :+ "Verifying Load Table").map(lit): _*))
+      dests.withColumn("steps", steps)
+        .select(col("dest_id"), col("dest_type"),
+          posexplode(col("steps")).as(Seq("pos", "step_name")))
+        .select(col("dest_id"), col("dest_type"),
+          (col("pos") + 1).cast("long").as("step_id"), col("step_name"))
+    }),
+
     // T5: geolocation enrichment — broadcast range join of a numeric
     // ip against [start, end] buckets (internal/enricher/geolocation.
     // go:68-143). At 100 TB: bucket both sides by ip>>16 so the range
@@ -668,6 +708,36 @@ object Router {
             USING (table_name, column_name)
           WHERE wh.wh_type IS NULL
              OR (wh.wh_type = 'string' AND st.st_type = 'text')""",
+    // independent re-statement of the steps.go rules: same case, list
+    // literals + zipped unnest for the ordered (step_id, step_name)
+    "val1_preflight_steps" ->
+      """WITH d(dest_id, dest_type, use_glue) AS (VALUES
+           ('d1','SNOWPIPE_STREAMING', false), ('d2','GCS_DATALAKE', false),
+           ('d3','AZURE_DATALAKE', false), ('d4','S3_DATALAKE', true),
+           ('d5','S3_DATALAKE', false), ('d6','POSTGRES', false),
+           ('d7','SNOWFLAKE', false), ('d8','BQ', false),
+           ('d9','CLICKHOUSE', false)),
+         s AS (SELECT dest_id, dest_type,
+           CASE
+             WHEN dest_type = 'SNOWPIPE_STREAMING' THEN
+               ['Verifying Connections', 'Verifying Create Schema',
+                'Verifying Create and Alter Table', 'Verifying Fetch Schema']
+             WHEN dest_type IN ('GCS_DATALAKE', 'AZURE_DATALAKE')
+                  OR (dest_type = 'S3_DATALAKE' AND NOT use_glue) THEN
+               ['Verifying Object Storage']
+             WHEN dest_type = 'S3_DATALAKE' AND use_glue THEN
+               ['Verifying Object Storage', 'Verifying Create Schema',
+                'Verifying Create and Alter Table', 'Verifying Fetch Schema']
+             ELSE
+               ['Verifying Object Storage', 'Verifying Connections',
+                'Verifying Create Schema', 'Verifying Create and Alter Table',
+                'Verifying Fetch Schema', 'Verifying Load Table']
+           END AS steps
+           FROM d)
+         SELECT dest_id, dest_type,
+           unnest(generate_series(1, len(steps))) AS step_id,
+           unnest(steps) AS step_name
+         FROM s""",
     "t5_geo_enrich" ->
       s"""SELECT country, COUNT(*) AS n
           FROM (SELECT (user_id * 997 + CAST(json_extract_string(props, '$$.k') AS BIGINT)) % 100000 AS ip_int

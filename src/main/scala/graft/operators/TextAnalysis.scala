@@ -147,7 +147,8 @@ object TextAnalysis {
     // memoized scalar max() statistic, not a per-construction scan.
     "ta6_shard_pack" -> ((s, dir) => {
       val budget = 2000L // tokens per shard
-      val bucketSize = 100L // TEMP-REVERT
+      val maxId = Tables.maxIdStat(s, dir, "documents", "doc_id")
+      val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
       val d = Tables.documents(s, dir)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -156,10 +157,12 @@ object TextAnalysis {
       val local = d.withColumn("cum_local", sum(col("n_tokens")).over(wLocal))
       val wPrefix = Window.orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
+      // sqrt(N)-row prefix table: no forced broadcast (same reasoning
+      // as l1 — AQE broadcasts while it fits, hash-joins beyond that).
       val prefix = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
         .withColumn("prefix", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
         .select(col("bucket"), col("prefix"))
-      local.join(broadcast(prefix), "bucket")
+      local.join(prefix, "bucket")
         .select(col("doc_id"), col("n_tokens"),
           expr(s"CAST((prefix + cum_local - n_tokens) DIV $budget AS BIGINT)")
             .as("shard_id"))

@@ -240,6 +240,76 @@ object Sinks {
     n
   }
 
+  /** rg1: regulation-worker batch delete — GDPR forget-user over an
+    * object-store corpus (regulation-worker/internal/delete/batch/
+    * batch.go:327-360 lists objects, skips already-cleaned ones via a
+    * status-tracker ledger, rewrites the rest without the suppressed
+    * users' rows; removeCleanedFiles batch.go:67-124; the ledger's
+    * first line is the job id and a DIFFERENT id restarts the ledger,
+    * batch.go:255-286 — a half-done older job must not mask rows the
+    * new job is obliged to delete). Objects here are the corpus's
+    * partition directories; each object's rewrite is an internally
+    * distributed broadcast anti-join against the regulation job's
+    * attribute list, crash-atomic via the staged-swap protocol. The
+    * ledger commits only AFTER an object's swap lands, so a crash
+    * anywhere resumes by re-cleaning at most the in-flight object —
+    * and the rewrite is idempotent, so double-cleaning is safe. The
+    * driver-side loop is over OBJECT COUNT (the reference's
+    * file-manager page loop), never row count.
+    *
+    * @return (objectsTotal, objectsCleaned) — cleaned counts objects
+    *         rewritten this call; a resumed/re-run job reports 0.
+    */
+  def regulationDelete(spark: SparkSession, path: String, forget: DataFrame,
+                       matchCol: String, jobId: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val objects = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.contains("=") && !p.getName.endsWith("__old") &&
+        !p.getName.endsWith("__staging"))
+      .sortBy(_.getName)
+    objects.foreach(p => recoverSwap(spark, p.toString)) // heal crashed swaps first
+    val tracker = new Path(root, "_regulation_tracker.txt")
+    def readLedger(): Seq[String] =
+      if (!fs.exists(tracker)) Seq.empty
+      else {
+        val in = fs.open(tracker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    // Ledger rewrite is create-tmp + delete + rename (local FS has no
+    // atomic replace); a crash in that window loses the ledger, which
+    // only costs idempotent re-cleaning — never under-deletion.
+    def writeLedger(lines: Seq[String]): Unit = {
+      val tmp = new Path(root, "_regulation_tracker.txt.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(tracker, false)
+      if (!fs.rename(tmp, tracker))
+        throw new java.io.IOException(s"cannot commit ledger $tracker")
+    }
+    val prior = readLedger()
+    var ledger: Seq[String] =
+      if (prior.headOption.contains(jobId)) prior
+      else { writeLedger(Seq(jobId)); Seq(jobId) } // new/stale job: restart ledger
+    val cleaned = ledger.drop(1).toSet
+    val bForget = broadcast(forget.select(col(matchCol)))
+    var nCleaned = 0L
+    objects.filterNot(o => cleaned(o.getName)).foreach { obj =>
+      atomicSwap(spark, obj.toString) { staging =>
+        spark.read.parquet(obj.toString)
+          .join(bForget, Seq(matchCol), "left_anti")
+          .write.parquet(staging)
+      }
+      ledger = ledger :+ obj.getName
+      writeLedger(ledger)
+      nCleaned += 1
+    }
+    (objects.length.toLong, nCleaned)
+  }
+
   /** Storage GC for swap-managed directories — the VACUUM step of a
     * maintenance window. The swap protocol cleans its own leftovers on
     * the NEXT swap of the same table, but a table that is never

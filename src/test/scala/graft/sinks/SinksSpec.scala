@@ -180,6 +180,70 @@ class SinksSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir + "__old")))
   }
 
+  private def rg1Corpus(prefix: String): String = {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp(prefix) + "/corpus"
+    Seq((1L, 10L, "a"), (2L, 11L, "a"), (3L, 10L, "b"), (4L, 12L, "b"),
+      (5L, 10L, "c"), (6L, 13L, "c"))
+      .toDF("id", "uid", "obj").write.partitionBy("obj").parquet(dir)
+    dir
+  }
+
+  test("RG1 regulation delete: cleans every object once, ledger makes the re-run a no-op") {
+    val sess = spark
+    import sess.implicits._
+    val dir = rg1Corpus("rg1")
+    val forget = Seq(10L).toDF("uid")
+    assert(Sinks.regulationDelete(spark, dir, forget, "uid", "j1") === ((3L, 3L)))
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(2L, 4L, 6L))
+    // same job id again: fully-populated ledger, zero objects rewritten
+    assert(Sinks.regulationDelete(spark, dir, forget, "uid", "j1") === ((3L, 0L)))
+  }
+
+  test("RG1 regulation delete: mid-rewrite crash leaves objects intact, job resumes from the ledger") {
+    val sess = spark
+    import sess.implicits._
+    val dir = rg1Corpus("rg1crash")
+    // forget list that detonates when the first object's staged
+    // rewrite evaluates it — simulates a crash mid-clean
+    val boom = spark.range(1)
+      .select(expr("CAST(raise_error('mid-clean failure') AS BIGINT)").as("uid"))
+    intercept[Exception] { Sinks.regulationDelete(spark, dir, boom, "uid", "j1") }
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L, 5L, 6L), "crashed clean must not touch any live object")
+    // resume under the SAME job id finishes the remaining objects
+    val forget = Seq(10L).toDF("uid")
+    val (_, cleaned) = Sinks.regulationDelete(spark, dir, forget, "uid", "j1")
+    assert(cleaned === 3L, "nothing was ledgered before the crash, so all 3 remain")
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(2L, 4L, 6L))
+  }
+
+  test("RG1 regulation delete: a half-done ledger skips exactly the ledgered objects") {
+    val sess = spark
+    import sess.implicits._
+    val dir = rg1Corpus("rg1resume")
+    // fake a prior run of j1 that cleaned obj=a then crashed: the
+    // resumed job must NOT re-touch obj=a (its suppressed rows stay —
+    // proving the skip is real) and must clean b and c
+    Files.write(Paths.get(dir, "_regulation_tracker.txt"), "j1\nobj=a\n".getBytes)
+    val forget = Seq(10L).toDF("uid")
+    assert(Sinks.regulationDelete(spark, dir, forget, "uid", "j1") === ((3L, 2L)))
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet ===
+      Set(1L, 2L, 4L, 6L), "obj=a skipped (id 1 kept), b/c cleaned (3, 5 deleted)")
+  }
+
+  test("RG1 regulation delete: a DIFFERENT job id restarts the ledger and re-cleans") {
+    val sess = spark
+    import sess.implicits._
+    val dir = rg1Corpus("rg1stale")
+    assert(Sinks.regulationDelete(spark, dir, Seq(10L).toDF("uid"), "uid", "j1")._2 === 3L)
+    // a new regulation job must not inherit the old job's ledger
+    // (batch.go:255-286 truncates on job-id mismatch)
+    assert(Sinks.regulationDelete(spark, dir, Seq(11L).toDF("uid"), "uid", "j2") === ((3L, 3L)))
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(4L, 6L))
+  }
+
   test("vacuum: removes swap leftovers, restores a table stranded in the swap window") {
     val sess = spark
     import sess.implicits._
