@@ -61,7 +61,11 @@ object Tables {
   def maxIdStat(spark: SparkSession, dir: String, table: String, idCol: String): Long = {
     val key = Seq(spark.sparkContext.applicationId, dir, table, idCol).mkString("|")
     statCache.computeIfAbsent(key, _ => {
-      val row = load(spark, dir, table)
+      // events goes through its normalizing loader so timestamp stats
+      // (e.g. dbg1's "now") see the session TimestampType, castable to
+      // epoch seconds, regardless of the file's physical encoding
+      val src = if (table == "events") events(spark, dir) else load(spark, dir, table)
+      val row = src
         .agg(org.apache.spark.sql.functions.max(
           org.apache.spark.sql.functions.col(idCol).cast("long"))).first()
       java.lang.Long.valueOf(if (row.isNullAt(0)) 0L else row.getLong(0))

@@ -133,6 +133,34 @@ object Relational {
           max(when(col("keep"), col("event_id"))).as("last_sample"))
     }),
 
+    // DBG1: live-event debugger cache — the per-entity bounded
+    // most-recent-N sample with TTL-by-last-access eviction that backs
+    // the control-plane live-events view (services/debugger/cache/
+    // internal/memory/memory.go:90-105 Update keeps the LAST `size`
+    // values per key; the cleaner drops keys whose lastAccess is older
+    // than keyTTL). Batch semantics: "now" is the corpus max ts,
+    // obtained as a memoized scalar planner statistic (Tables.maxIdStat
+    // on ts cast to epoch seconds — the ta13/l1 pattern, one scan per
+    // application, no corpus-wide join in the plan); an entity whose
+    // newest event is older than now - 2h is evicted WHOLE; survivors
+    // keep their 3 most-recent events plus a seen-count. Both windows
+    // partition by user_id (NDV grows with the corpus) and fuse into
+    // one exchange.
+    "dbg1_live_event_cache" -> ((s, dir) => {
+      val nowSec = Tables.maxIdStat(s, dir, "events", "ts") // epoch-second floor
+      val wRecent = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wUser = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(wRecent))
+        .withColumn("last_ts", max(col("ts")).over(wUser))
+        .withColumn("n_seen", count(lit(1)).over(wUser))
+        .filter(col("last_ts") >= timestamp_seconds(lit(nowSec - 7200L)))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("rn").cast("long").as("rank"),
+          col("event_id"), unix_micros(col("ts")).as("ts_us"), col("n_seen"))
+    }),
+
     // Pile-up counts — jobsdb/jobsdb.go:151-153 (A3).
     "a3_pileup_counts" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -411,6 +439,19 @@ object Relational {
            MIN(CASE WHEN rn = 1 OR key_rank > 3 THEN event_id END) AS first_sample,
            MAX(CASE WHEN rn = 1 OR key_rank > 3 THEN event_id END) AS last_sample
          FROM e2 GROUP BY 1, 2""",
+    // "now" mirrors the engine's epoch-second-floored planner stat
+    "dbg1_live_event_cache" ->
+      """WITH nowt AS (SELECT epoch_us(MAX(ts)) // 1000000 AS now_sec FROM events),
+         r AS (SELECT user_id, event_id, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rank,
+                 MAX(ts) OVER (PARTITION BY user_id) AS last_ts,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_seen
+               FROM events)
+         SELECT user_id, CAST(rank AS BIGINT) AS rank, event_id,
+           epoch_us(ts) AS ts_us, n_seen
+         FROM r, nowt
+         WHERE epoch_us(last_ts) >= (now_sec - 7200) * 1000000 AND rank <= 3""",
     "a1b_reporting_sample" ->
       """SELECT DISTINCT epoch_us(date_trunc('minute', ts)) AS minute_us, event_type,
            COUNT(*) OVER w AS n,

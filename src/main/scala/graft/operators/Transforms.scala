@@ -51,6 +51,22 @@ object Transforms {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     }),
 
+    // TRS1: transient-source drop — events from sources flagged
+    // transient in the backend config are dropped before processing
+    // (services/transientsource/transientsource.go:74-86 Apply is a
+    // set-membership test on source_id, kept current by the config
+    // subscription). Config-sized broadcast anti-join, t2's shape.
+    "trs1_transient_drop" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val transient = Seq("src_2", "src_5", "src_8").toDF("source_id")
+      Tables.events(s, dir)
+        .withColumn("source_id", concat(lit("src_"), col("user_id") % 10))
+        .join(broadcast(transient), Seq("source_id"), "left_anti")
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
+    }),
+
     // T3: non-identifiable reject — events with neither anonymousId
     // nor userId are rejected (gateway/handle.go:555-573).
     "t3_nonidentifiable_reject" -> ((s, dir) => {
@@ -290,6 +306,12 @@ object Transforms {
       """SELECT event_type, COUNT(*) AS n FROM events
          WHERE event_type NOT IN ('error', 'signup')
          GROUP BY event_type""",
+    "trs1_transient_drop" ->
+      """SELECT 'src_' || CAST(user_id % 10 AS VARCHAR) AS source_id,
+           COUNT(*) AS n, MAX(event_id) AS max_id
+         FROM events
+         WHERE 'src_' || CAST(user_id % 10 AS VARCHAR) NOT IN ('src_2', 'src_5', 'src_8')
+         GROUP BY 1""",
     "t3_nonidentifiable_reject" ->
       """SELECT event_type,
            CASE WHEN COALESCE(
