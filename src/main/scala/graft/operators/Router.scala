@@ -305,6 +305,91 @@ object Router {
           (col("pos") + 1).cast("long").as("step_id"), col("step_name"))
     }),
 
+    // VAL2: pre-flight step EXECUTION — validate.go:132-168 runs the
+    // selected steps IN ORDER and stops at the first failure: earlier
+    // steps are marked success, the failing step carries the error,
+    // later steps are never attempted. Here the six warehouse probes
+    // run against real local resources (an object-store dir for the
+    // storage roundtrip; an embedded Derby database for connection /
+    // CREATE SCHEMA / CREATE+ALTER TABLE / metadata fetch / test-row
+    // load — the l11 JDBC stand-in) for one healthy destination and
+    // one whose object storage is broken, so the short-circuit
+    // semantics are a checked output, not a comment. Driver-side
+    // config-sized work, like the mmdb parse and IVF centroids.
+    "val2_preflight_execute" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val stepNames = Seq("Verifying Object Storage", "Verifying Connections",
+        "Verifying Create Schema", "Verifying Create and Alter Table",
+        "Verifying Fetch Schema", "Verifying Load Table")
+      def runSteps(destId: String, objectStore: java.nio.file.Path,
+                   url: String): Seq[(String, Long, String, Boolean, Boolean)] = {
+        var failed = false
+        def conn() = java.sql.DriverManager.getConnection(url)
+        val rows = stepNames.zipWithIndex.map { case (name, i) =>
+          val attempted = !failed
+          val ok = attempted && (try {
+            name match {
+              case "Verifying Object Storage" =>
+                val f = objectStore.resolve("preflight_check.txt")
+                java.nio.file.Files.write(f, "ping".getBytes("UTF-8"))
+                new String(java.nio.file.Files.readAllBytes(f), "UTF-8") == "ping"
+              case "Verifying Connections" =>
+                val c = conn(); c.close(); true
+              case "Verifying Create Schema" =>
+                val c = conn()
+                try c.createStatement().execute("CREATE SCHEMA graft_preflight")
+                finally c.close()
+                true
+              case "Verifying Create and Alter Table" =>
+                val c = conn()
+                try {
+                  c.createStatement().execute(
+                    "CREATE TABLE graft_preflight.setup_test (id INT)")
+                  c.createStatement().execute(
+                    "ALTER TABLE graft_preflight.setup_test ADD COLUMN val VARCHAR(32)")
+                } finally c.close()
+                true
+              case "Verifying Fetch Schema" =>
+                val c = conn()
+                try {
+                  val rs = c.getMetaData.getColumns(null, "GRAFT_PREFLIGHT", "SETUP_TEST", null)
+                  var n = 0; while (rs.next()) n += 1
+                  n == 2
+                } finally c.close()
+              case _ => // Verifying Load Table
+                val c = conn()
+                try {
+                  c.createStatement().execute(
+                    "INSERT INTO graft_preflight.setup_test VALUES (1, 'a')")
+                  val rs = c.createStatement().executeQuery(
+                    "SELECT COUNT(*) FROM graft_preflight.setup_test")
+                  rs.next() && rs.getInt(1) == 1
+                } finally c.close()
+            }
+          } catch { case scala.util.control.NonFatal(_) => false })
+          if (attempted && !ok) failed = true
+          (destId, (i + 1).toLong, name, ok, attempted)
+        }
+        rows
+      }
+      // per-construction Derby database, dropped afterwards so repeated
+      // query constructions (smoke/guard/bench passes) stay idempotent
+      val dbName = s"graft_val2_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val url = s"jdbc:derby:memory:$dbName;create=true"
+      val okStore = java.nio.file.Files.createTempDirectory("graft_val2_store")
+      // a destination whose object storage is a plain FILE: the store
+      // write throws, step 1 fails, steps 2-6 must never run
+      val badStore = java.nio.file.Files.createTempFile("graft_val2_bad", ".notadir")
+      val rows =
+        try runSteps("d_ok", okStore, url) ++ runSteps("d_bad", badStore, url)
+        finally {
+          try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
+          catch { case _: java.sql.SQLException => () } // drop signals via exception
+        }
+      rows.toDF("dest_id", "step_id", "step_name", "success", "attempted")
+    }),
+
     // T5: geolocation enrichment — broadcast range join of a numeric
     // ip against [start, end] buckets (internal/enricher/geolocation.
     // go:68-143). At 100 TB: bucket both sides by ip>>16 so the range
@@ -738,6 +823,23 @@ object Router {
            unnest(generate_series(1, len(steps))) AS step_id,
            unnest(steps) AS step_name
          FROM s""",
+    // the expected board IS the semantics: d_ok walks all six probes,
+    // d_bad fails object storage and short-circuits the rest
+    "val2_preflight_execute" ->
+      """SELECT * FROM (VALUES
+           ('d_ok', CAST(1 AS BIGINT), 'Verifying Object Storage', true, true),
+           ('d_ok', CAST(2 AS BIGINT), 'Verifying Connections', true, true),
+           ('d_ok', CAST(3 AS BIGINT), 'Verifying Create Schema', true, true),
+           ('d_ok', CAST(4 AS BIGINT), 'Verifying Create and Alter Table', true, true),
+           ('d_ok', CAST(5 AS BIGINT), 'Verifying Fetch Schema', true, true),
+           ('d_ok', CAST(6 AS BIGINT), 'Verifying Load Table', true, true),
+           ('d_bad', CAST(1 AS BIGINT), 'Verifying Object Storage', false, true),
+           ('d_bad', CAST(2 AS BIGINT), 'Verifying Connections', false, false),
+           ('d_bad', CAST(3 AS BIGINT), 'Verifying Create Schema', false, false),
+           ('d_bad', CAST(4 AS BIGINT), 'Verifying Create and Alter Table', false, false),
+           ('d_bad', CAST(5 AS BIGINT), 'Verifying Fetch Schema', false, false),
+           ('d_bad', CAST(6 AS BIGINT), 'Verifying Load Table', false, false))
+         AS t(dest_id, step_id, step_name, success, attempted)""",
     "t5_geo_enrich" ->
       s"""SELECT country, COUNT(*) AS n
           FROM (SELECT (user_id * 997 + CAST(json_extract_string(props, '$$.k') AS BIGINT)) % 100000 AS ip_int
