@@ -6,8 +6,10 @@ import org.apache.spark.sql.types._
 
 /** Boundary semantics of the behavioral-analytics operators, driven
   * through the real `Sessions.defs` plans over synthetic events/orders
-  * parquet written to a temp sfDir (same physical shape the driver
-  * uses: events.ts as raw nanosecond longs).
+  * parquet written to a temp sfDir. events.ts is written as raw
+  * nanosecond longs — the round-1..8 driver encoding — which ALSO
+  * keeps the events loader's legacy LongType branch covered now that
+  * the real testdata ships timestamp[us] (see Tables.events).
   */
 class SessionsSpec extends SparkSpec {
 
@@ -16,7 +18,7 @@ class SessionsSpec extends SparkSpec {
 
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos, as the driver parquet reads under nanosAsLong
+    StructField("ts", LongType), // nanos — pins the loader's legacy branch
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
