@@ -59,19 +59,26 @@ object Similarity {
   }
 
   /** Deterministic Lloyd's k-means over integer-quantized vectors —
-    * the IVF coarse-quantizer TRAINER (faiss-style train+assign, here
-    * exact): vectors quantize to round(x*1000) longs, so every
-    * distance, per-cell sum and centroid update is exact integer
-    * arithmetic and the DuckDB oracle replays training bit-for-bit.
-    * Init = the k lowest vec_ids' vectors; ties break to the lowest
-    * cell id; centroid update truncates sum/count toward zero.
+    * the IVF coarse-quantizer TRAINER. Faiss-style for real: training
+    * runs on a BOUNDED DETERMINISTIC SAMPLE (every `sampleStep`-th
+    * vec_id — ≤ ~1024 vectors at any corpus size when the caller
+    * derives the step from the memoized max-id stat), collected to the
+    * driver as model-config-sized state (the mmdb/centroid precedent)
+    * where Lloyd's iterates locally in exact integer arithmetic; the
+    * corpus then gets exactly ONE distributed assignment pass. At
+    * 100 TB the training cost is corpus-independent and the embeddings
+    * table is scanned once — not (iters+1) times as a full-corpus
+    * trainer would (and as this operator did before round 10).
     *
-    * Centroids are model state (k×dim longs) synced to the driver per
-    * iteration — what every distributed k-means does; the data-sized
-    * work (assignment, partial sums) stays on executors, one shuffle
-    * of k×dim partial aggregates per iteration at any corpus size.
+    * Vectors quantize to round(x*1000) longs, so every distance,
+    * per-cell sum and centroid update is exact integer arithmetic and
+    * the DuckDB oracle replays training bit-for-bit. Init = the k
+    * lowest sampled vec_ids' vectors; assignment ties break to the
+    * lowest cell id; centroid update truncates sum/count toward zero;
+    * empty cells keep their centroid.
     */
-  private[operators] def trainCells(qe: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+  private[operators] def trainCells(qe: DataFrame, k: Int, iters: Int, dim: Int,
+                                    sampleStep: Long): DataFrame = {
     def assign(cents: Array[Array[Long]]): DataFrame = {
       val dists = cents.zipWithIndex.map { case (c, j) =>
         expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
@@ -83,23 +90,32 @@ object Similarity {
           (expr(s"array_position(array($distList), array_min(array($distList)))") - 1).cast("long"))
         .select(col("vec_id"), col("q"), col("cell"))
     }
-    var cents: Array[Array[Long]] = qe.filter(col("vec_id") < k).orderBy(col("vec_id"))
+    val sample: Array[Array[Long]] = qe.filter(col("vec_id") % sampleStep === 0)
+      .orderBy(col("vec_id"))
       .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
-    require(cents.length == k,
-      s"k-means seeding needs vec_ids 0..${k - 1} present in the corpus; " +
-        s"found only ${cents.length} of $k seed vectors")
+    require(sample.length >= k,
+      s"k-means needs >= $k sampled vectors; found ${sample.length} " +
+        s"(sampleStep=$sampleStep)")
+    var cents: Array[Array[Long]] = sample.take(k)
     for (_ <- 1 to iters) {
-      val sums = assign(cents).groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"), (0 until dim).map(i => sum(col("q")(i)).as(s"s$i")): _*)
-        .collect() // k rows of (cell, n, 64 sums) — model-sized
-      val byCell = sums.map(r => r.getLong(0) -> r).toMap
-      cents = (0 until k).toArray.map { j =>
-        byCell.get(j.toLong) match {
-          case Some(r) =>
-            val n = r.getLong(1)
-            (0 until dim).map(i => r.getLong(2 + i) / n).toArray // Long / truncates toward zero
-          case None => cents(j) // empty cell keeps its centroid
+      val sums = Array.fill(k, dim)(0L)
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Long.MaxValue
+        var j = 0
+        while (j < k) {
+          var d = 0L; var i = 0
+          while (i < dim) { val t = v(i) - cents(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j } // strict < : ties keep lowest j
+          j += 1
         }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { j =>
+        if (counts(j) == 0L) cents(j)
+        else Array.tabulate(dim)(i => sums(j)(i) / counts(j)) // Long / truncates toward zero
       }
     }
     assign(cents).select(col("vec_id"), col("cell"))
@@ -152,18 +168,20 @@ object Similarity {
     }),
 
     // IVF with a TRAINED coarse quantizer: deterministic k-means
-    // (k=8, 2 Lloyd iterations, integer-quantized vectors) builds the
-    // cells, then the search prunes to the query's trained cell —
-    // closing ll4's "labels pre-assigned" gap. The oracle replays the
-    // whole training loop in SQL, so the check covers the trainer, the
-    // assignment AND the pruned search.
+    // (k=8, 2 Lloyd iterations, integer-quantized vectors) trained on
+    // a bounded ≤1024-vector sample (step from the memoized max-id
+    // stat) builds the cells, then the search prunes to the query's
+    // trained cell — closing ll4's "labels pre-assigned" gap. The
+    // oracle replays the whole sampled training loop in SQL, so the
+    // check covers the trainer, the assignment AND the pruned search.
     "ll4b_ann_ivf_trained" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val qe = base.withColumn("q",
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
         .select(col("vec_id"), col("q"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // scanned k+1 times by training
-      val cells = trainCells(qe, 8, 2, 64)
+      val maxId = Tables.maxIdStat(s, dir, "embeddings", "vec_id")
+      val step = math.max(1L, (maxId + 1024L) / 1024L) // ceil((maxId+1)/1024)
+      val cells = trainCells(qe, 8, 2, 64, step)
       val e = withNorm(base).join(cells, "vec_id")
       val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cell").as("q_cell")).filter(col("query_id") < 10)
@@ -384,14 +402,14 @@ object Similarity {
   /** DuckDB replay of one k-means assignment: nearest centroid by
     * exact integer squared distance, ties to the lowest cell id.
     */
-  private def kmAssignSql(cents: String, out: String): String =
+  private def kmAssignSql(src: String, cents: String, out: String): String =
     s"""$out AS (
          SELECT vec_id, q, cid AS cell FROM (
            SELECT e.vec_id, e.q, c.cid,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                list_sum(list_transform(range(1, 65),
                  i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))), c.cid) AS rn
-           FROM qe e, $cents c) WHERE rn = 1)"""
+           FROM $src e, $cents c) WHERE rn = 1)"""
 
   /** DuckDB replay of one centroid update: per-dim integer sums,
     * sum/count truncated toward zero; empty cells keep their centroid.
@@ -422,12 +440,15 @@ object Similarity {
               list_transform(embedding,
                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
             FROM embeddings),
-          c0 AS (SELECT vec_id AS cid, q AS c FROM qe WHERE vec_id < 8),
-          ${kmAssignSql("c0", "a0")},
+          st AS (SELECT CAST((MAX(vec_id) + 1024) // 1024 AS BIGINT) AS step
+                 FROM embeddings),
+          qs AS (SELECT qe.* FROM qe WHERE vec_id % (SELECT step FROM st) = 0),
+          c0 AS (SELECT vec_id AS cid, q AS c FROM qs ORDER BY vec_id LIMIT 8),
+          ${kmAssignSql("qs", "c0", "a0")},
           ${kmUpdateSql("a0", "c0", "c1")},
-          ${kmAssignSql("c1", "a1")},
+          ${kmAssignSql("qs", "c1", "a1")},
           ${kmUpdateSql("a1", "c1", "c2")},
-          ${kmAssignSql("c2", "af")},
+          ${kmAssignSql("qe", "c2", "af")},
           e AS (SELECT em.vec_id, em.embedding, $normSql AS nrm, af.cell
                 FROM embeddings em JOIN af ON em.vec_id = af.vec_id),
           qq AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,

@@ -16,6 +16,27 @@ class TrainingOpsSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir)
   }
 
+  test("ll4b sampled k-means trainer: assignment covers the full corpus, training only reads the sample") {
+    assume(new java.io.File(sfDir).exists())
+    val sess = spark
+    import sess.implicits._
+    val qe = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+    val n = qe.count()
+    // step > 1: the trainer must see only every 3rd vector yet still
+    // assign EVERY corpus vector to one of the k cells
+    val cells = Similarity.trainCells(qe, 4, 2, 64, sampleStep = 3L)
+    val out = cells.select(col("vec_id"), col("cell")).collect()
+    assert(out.length == n, "every corpus vector gets a cell")
+    assert(out.map(_.getLong(1)).forall(c => c >= 0 && c < 4), "cells in [0, k)")
+    // sampled training is deterministic: a second run agrees exactly
+    val again = Similarity.trainCells(qe, 4, 2, 64, sampleStep = 3L)
+      .select(col("vec_id"), col("cell")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      again.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("ll16 quantized ANN: high recall@5 against the exact brute-force baseline") {
     val exact = run("ll3_ann_topk").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
