@@ -296,18 +296,34 @@ object Sinks {
       else { writeLedger(Seq(jobId)); Seq(jobId) } // new/stale job: restart ledger
     val cleaned = ledger.drop(1).toSet
     val bForget = broadcast(forget.select(col(matchCol)))
-    var nCleaned = 0L
-    objects.filterNot(o => cleaned(o.getName)).foreach { obj =>
-      atomicSwap(spark, obj.toString) { staging =>
-        spark.read.parquet(obj.toString)
-          .join(bForget, Seq(matchCol), "left_anti")
-          .write.parquet(staging)
+    // objects clean CONCURRENTLY (the reference runs 5 goroutines over
+    // the file list, batch.go maxRoutines; Spark schedules the swap
+    // jobs side by side) with the ledger append mutex-guarded exactly
+    // like the reference's updateStatusTrackerFile (batch.go upload's
+    // b.mu.Lock) — each entry still lands only AFTER its object's swap
+    val ledgerLock = new Object
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    val nCleaned = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      val futures = objects.filterNot(o => cleaned(o.getName)).map { obj =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            atomicSwap(spark, obj.toString) { staging =>
+              spark.read.parquet(obj.toString)
+                .join(bForget, Seq(matchCol), "left_anti")
+                .write.parquet(staging)
+            }
+            ledgerLock.synchronized {
+              ledger = ledger :+ obj.getName
+              writeLedger(ledger)
+            }
+            nCleaned.incrementAndGet()
+          }
+        })
       }
-      ledger = ledger :+ obj.getName
-      writeLedger(ledger)
-      nCleaned += 1
-    }
-    (objects.length.toLong, nCleaned)
+      futures.foreach(_.get()) // surface the first failure, wait for the rest
+    } finally pool.shutdown()
+    (objects.length.toLong, nCleaned.get())
   }
 
   /** Storage GC for swap-managed directories — the VACUUM step of a
