@@ -17,6 +17,16 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The canonical loader for a table name — `events` (and any future
+    * table with a normalizing loader) routes through it, everything
+    * else is a plain parquet read. Use this instead of `load` whenever
+    * the table name is data, so normalization can't be bypassed.
+    */
+  def loader(name: String): (SparkSession, String) => DataFrame = name match {
+    case "events" => events
+    case other    => load(_, _, other)
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
@@ -61,11 +71,9 @@ object Tables {
   def maxIdStat(spark: SparkSession, dir: String, table: String, idCol: String): Long = {
     val key = Seq(spark.sparkContext.applicationId, dir, table, idCol).mkString("|")
     statCache.computeIfAbsent(key, _ => {
-      // events goes through its normalizing loader so timestamp stats
-      // (e.g. dbg1's "now") see the session TimestampType, castable to
-      // epoch seconds, regardless of the file's physical encoding
-      val src = if (table == "events") events(spark, dir) else load(spark, dir, table)
-      val row = src
+      // route through the canonical loader so timestamp stats (e.g.
+      // dbg1's "now") see normalized types whatever the file encoding
+      val row = loader(table)(spark, dir)
         .agg(org.apache.spark.sql.functions.max(
           org.apache.spark.sql.functions.col(idCol).cast("long"))).first()
       java.lang.Long.valueOf(if (row.isNullAt(0)) 0L else row.getLong(0))

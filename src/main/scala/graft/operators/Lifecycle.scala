@@ -295,7 +295,11 @@ object Lifecycle {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           (col("event_id") % 6).as("obj"))
         .write.partitionBy("obj").parquet(tmp)
-      val forget = (0L until 10000L by 13L).toDF("user_id") // job's userAttributes
+      // job's userAttributes: every 13th user id up to the corpus max
+      // (memoized stat), so the explicit list covers the id domain at
+      // ANY sf and the oracle's modulus predicate stays equivalent
+      val maxUid = Tables.maxIdStat(s, dir, "events", "user_id")
+      val forget = (0L to maxUid by 13L).toDF("user_id")
       val (total, first) = Sinks.regulationDelete(s, tmp, forget, "user_id", "job_42")
       val (_, resumed) = Sinks.regulationDelete(s, tmp, forget, "user_id", "job_42")
       s.read.parquet(tmp)
@@ -382,8 +386,8 @@ object Lifecycle {
            event_type AS destination_id, COUNT(*) AS n,
            MIN(event_id) AS min_id, MAX(event_id) AS max_id
          FROM events GROUP BY 1, 2""",
-    // forget list is (0 until 10000 by 13) and user_id < 10000 at every
-    // sf, so membership reduces to the modulus; the 6 objects come from
+    // forget list is every 13th id up to max(user_id), so membership
+    // reduces to the modulus at any sf; the 6 objects come from
     // obj = event_id % 6, all present at every sf, all rewritten on the
     // first pass and none on the ledger-driven resume pass.
     "rg1_regulation_delete" ->

@@ -265,11 +265,17 @@ object Sinks {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val objects = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName.contains("=") && !p.getName.endsWith("__old") &&
-        !p.getName.endsWith("__staging"))
-      .sortBy(_.getName)
-    objects.foreach(p => recoverSwap(spark, p.toString)) // heal crashed swaps first
+    // Discover objects from BASE names including swap leftovers: a
+    // crash between atomicSwap's two renames leaves only `obj=K__old`
+    // on disk, and a listing of live dirs alone would silently skip
+    // that object forever (under-deletion). Healing runs on the BASE
+    // path, so recoverSwap restores any stranded __old before the
+    // clean loop sees the inventory.
+    val baseNames = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .map(_.stripSuffix("__old").stripSuffix("__staging"))
+      .filter(_.contains("=")).distinct.sorted
+    baseNames.foreach(n => recoverSwap(spark, new Path(root, n).toString))
+    val objects = baseNames.map(new Path(root, _)).filter(fs.exists(_))
     val tracker = new Path(root, "_regulation_tracker.txt")
     def readLedger(): Seq[String] =
       if (!fs.exists(tracker)) Seq.empty
@@ -321,8 +327,16 @@ object Sinks {
           }
         })
       }
-      futures.foreach(_.get()) // surface the first failure, wait for the rest
-    } finally pool.shutdown()
+      // await EVERY future before returning/throwing: leaking in-flight
+      // rewrites past this call would race a retry's swaps and ledger
+      val failures = futures.flatMap(f =>
+        try { f.get(); None }
+        catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) })
+      failures.headOption.foreach(throw _)
+    } finally {
+      pool.shutdownNow()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
     (objects.length.toLong, nCleaned.get())
   }
 

@@ -233,6 +233,21 @@ class SinksSpec extends SparkSpec {
       Set(1L, 2L, 4L, 6L), "obj=a skipped (id 1 kept), b/c cleaned (3, 5 deleted)")
   }
 
+  test("RG1 regulation delete: heals an object stranded in the swap window, then cleans it") {
+    val sess = spark
+    import sess.implicits._
+    val dir = rg1Corpus("rg1strand")
+    // crash between atomicSwap's renames: only obj=b__old remains — a
+    // live-dir-only listing would skip this object FOREVER (its
+    // suppressed rows surviving = GDPR under-deletion)
+    Files.move(Paths.get(dir, "obj=b"), Paths.get(dir, "obj=b__old"))
+    val forget = Seq(10L).toDF("uid")
+    assert(Sinks.regulationDelete(spark, dir, forget, "uid", "j1") === ((3L, 3L)),
+      "the stranded object must be healed, inventoried, and cleaned")
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet === Set(2L, 4L, 6L))
+    assert(!Files.exists(Paths.get(dir, "obj=b__old")))
+  }
+
   test("RG1 regulation delete: a DIFFERENT job id restarts the ledger and re-cleans") {
     val sess = spark
     import sess.implicits._
