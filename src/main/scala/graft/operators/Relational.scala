@@ -18,6 +18,45 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
+  /** dbg1 stream-twin input/state rows. */
+  case class LiveEv(user_id: Long, event_id: Long, ts_us: Long)
+  case class LiveCacheState(ring: List[(Long, Long)], nSeen: Long)
+
+  /** Streaming twin of dbg1 — the debugger cache's `Update` as a
+    * stateful stream op (services/debugger/cache/internal/memory/
+    * memory.go:90-105: bounded append keeping the LAST `size` values
+    * per key, lastAccess refreshed per update). Each micro-batch folds
+    * the entity's new events into its ring (arrival = event-time
+    * order, the stream contract every twin here shares) and emits the
+    * entity's CURRENT cache snapshot, newest first — the live-events
+    * push. The reference's TTL cleaner is a separate goroutine, i.e.
+    * reader-side: downstream (and the batch query) applies the
+    * last-access filter, so eviction composes as a filter on the
+    * emitted `last_ts_us`, exactly like dbg1's.
+    */
+  def liveEventCacheStream(events: org.apache.spark.sql.Dataset[LiveEv], size: Int)
+    : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[LiveEv], state: GroupState[LiveCacheState]) => {
+          var st = state.getOption.getOrElse(LiveCacheState(Nil, 0L))
+          val incoming = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var ring = st.ring
+          incoming.foreach { e =>
+            ring = (ring :+ ((e.event_id, e.ts_us))).takeRight(size)
+          }
+          st = LiveCacheState(ring, st.nSeen + incoming.size)
+          state.update(st)
+          val lastTs = ring.map(_._2).max // ring non-empty: entity was touched
+          ring.reverse.zipWithIndex.map { case ((eid, ts), i) =>
+            (uid, (i + 1).toLong, eid, ts, st.nSeen, lastTs)
+          }.iterator
+        })
+  }
+
   private val dec = DecimalType(18, 2)
 
   /** Exact, order-independent money column: cast to decimal up front. */

@@ -654,6 +654,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dbg1 streaming twin: per-entity ring + seen-count carry across micro-batches, snapshot equals the batch cache") {
+    import graft.operators.Relational
+    import graft.operators.Relational.LiveEv
+    import org.apache.spark.sql.types.{LongType, StringType, DoubleType, StructField, StructType}
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val us = 1000000L
+    // (event_id, ts_us, user_id): u1 gets 5 events (ring trims to 3
+    // across a batch boundary), u2 gets 2, u3's only event is stale
+    // enough for the reader-side TTL to evict the whole entity
+    val evs = Seq(
+      (1L, 100L * us, 1L), (2L, 200L * us, 1L), (3L, 300L * us, 1L),
+      (4L, 50L * us, 2L), (5L, 9500L * us, 3L),
+      (6L, 400L * us, 1L), (7L, 500L * us, 1L), (8L, 60L * us, 2L))
+    val cut = 5 // batch 1 = first five, batch 2 = rest
+    // "now" = 9500 s (u3's event), ttl 7200 s → eviction cutoff 2300 s:
+    // u1 (last 500 s) and u2 (last 60 s) evict whole, u3 survives
+    // batch side: the REAL dbg1 query over synthetic events parquet
+    // (nanos longs — the driver round-1..8 shape, loader-normalized)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dbg1").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val rows = evs.map { case (eid, tsUs, uid) =>
+      org.apache.spark.sql.Row(eid, tsUs * 1000L, uid, "click", 1.0, "{}")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("dbg1_live_event_cache")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // stream side: same rows through the stateful twin, then the SAME
+    // reader-side TTL filter the batch query applies
+    val input = MemoryStream[LiveEv]
+    val q = Relational.liveEventCacheStream(input.toDS(), size = 3)
+      .toDF("user_id", "rank", "event_id", "ts_us", "n_seen", "last_ts_us")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dbg1_stream").start()
+    try {
+      input.addData(evs.take(cut).map { case (e, ts, u) => LiveEv(u, e, ts) }: _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(cut).map { case (e, ts, u) => LiveEv(u, e, ts) }: _*)
+      q.processAllAvailable()
+      val all = spark.table("dbg1_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(4), r.getLong(5)))
+      // latest snapshot per entity = rows carrying its max n_seen
+      val latest = all.groupBy(_._1).values.flatMap { rs =>
+        val mx = rs.map(_._4).max; rs.filter(_._4 == mx)
+      }.toSeq
+      val nowSec = evs.map(_._2).max / us
+      val streamed = latest
+        .filter(_._5 >= (nowSec - 7200L) * us) // reader-side TTL, dbg1's filter
+        .map(t => (t._1, t._2, t._3)).toSet
+      assert(streamed === batch,
+        "stream ring + reader-side TTL must equal the batch cache query")
+      assert(batch.map(_._1) === Set(3L), "only u3 survives the TTL window")
+    } finally q.stop()
+  }
+
   test("er2 streaming twin: bounded canonical set carries across micro-batches") {
     import graft.operators.Errors
     import graft.operators.Errors.ErrEvent
