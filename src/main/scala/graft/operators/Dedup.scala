@@ -537,6 +537,36 @@ object Dedup {
         .withColumn("is_kept", col("doc_id") === col("canon_id"))
     }),
 
+    // QUALITY PROPAGATION over the near-dup graph — corpus curation's
+    // "guilt by association" rule: a low-quality crawl of a page taints
+    // every near-duplicate crawl of it (conversely, keeping one copy of
+    // a flagged cluster silently re-admits the junk the filter caught).
+    // Composes ll9's connected components with ta2's quality verdict:
+    // cluster_verdict = flag iff ANY member flags. Plan: the per-doc
+    // verdict is a narrow map riding the same scan, the cluster rollup
+    // is one canon_id-keyed aggregate (<= one row per cluster) joined
+    // back on canon_id — both corpus-linear; the pair graph reuses
+    // ll9's banded LSH (never all-pairs).
+    "ll23_quality_propagation" -> ((s, dir) => {
+      val c = corpus(s, dir, perturb = true)
+      val q = TextAnalysis.withQualityVerdict(
+        c.withColumn("ws", split(col("text"), " ")))
+        .select(col("doc_id"), col("verdict"))
+      val comp = Identity.connectedComponents(
+        minhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .toDF("doc_id", "canon_id")
+      val labeled = q.join(comp, Seq("doc_id"), "left")
+        .withColumn("canon_id", coalesce(col("canon_id"), col("doc_id")))
+      val cluster = labeled.groupBy(col("canon_id"))
+        .agg(max(when(col("verdict") === "flag", 1).otherwise(0)).as("any_flag"),
+          count(lit(1)).as("n_members"))
+      labeled.join(cluster, "canon_id")
+        .select(col("doc_id"), col("canon_id"), col("verdict"),
+          when(col("any_flag") === 1, lit("flag")).otherwise(lit("keep"))
+            .as("cluster_verdict"),
+          col("n_members"))
+    }),
+
     // Benchmark DECONTAMINATION — flag training documents sharing
     // >= 5 distinct word-3-gram shingles with any benchmark/eval
     // document (the n-gram-collision test-set-overlap check used when
@@ -837,6 +867,40 @@ object Dedup {
           SELECT src AS doc_id, MIN(dst) AS canon_id,
                  MIN(dst) = src AS is_kept
           FROM reach GROUP BY src""",
+    // ll9's closure + ta2's verdict over the perturbed corpus, rolled
+    // up per cluster with an any-member-flags rule
+    "ll23_quality_propagation" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT doc_a, doc_b FROM v WHERE n_match >= 8),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+          reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM corpus
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+          labels AS (SELECT src AS doc_id, MIN(dst) AS canon_id FROM reach GROUP BY src),
+          q AS (SELECT doc_id,
+                  CASE WHEN n_words BETWEEN 20 AND 100
+                        AND (n_chars - (n_words - 1)) / n_words < 8
+                        AND stop_hits / n_words >= 0.02
+                       THEN 'keep' ELSE 'flag' END AS verdict
+                FROM (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                        CAST(length(text) AS BIGINT) AS n_chars,
+                        CAST(len(list_filter(string_split(text, ' '),
+                          w -> w IN ${TextAnalysis.inList(TextAnalysis.stopwords.head._2)}))
+                          AS BIGINT) AS stop_hits
+                      FROM corpus)),
+          lab AS (SELECT q.doc_id, l.canon_id, q.verdict
+                  FROM q JOIN labels l USING (doc_id)),
+          cl AS (SELECT canon_id,
+                   MAX(CASE WHEN verdict = 'flag' THEN 1 ELSE 0 END) AS any_flag,
+                   COUNT(*) AS n_members
+                 FROM lab GROUP BY canon_id)
+          SELECT lab.doc_id, lab.canon_id, lab.verdict,
+                 CASE WHEN cl.any_flag = 1 THEN 'flag' ELSE 'keep' END AS cluster_verdict,
+                 cl.n_members
+          FROM lab JOIN cl USING (canon_id)""",
     // exact side over the unperturbed crawl pair, near side via the
     // shared pair pipeline + transitive-closure clustering, both
     // joined to the source map

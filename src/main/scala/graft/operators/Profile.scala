@@ -99,6 +99,37 @@ object Profile {
         .filter(col("cnt") > lit(nTotal / k))
     }),
 
+    // Equi-width HISTOGRAM profiling — the optimizer-statistics
+    // histograms an ANALYZE pass collects beyond prof1's min/max/NDV
+    // (selectivity estimation needs the shape of the distribution,
+    // not just its range). One scan fans each profiled column into a
+    // (col_name, value) stream, a 3-row min/max aggregate rides back
+    // on a BROADCAST join, and the bucketed count groups on
+    // (col_name, bucket) — 48 output rows. At 100 TB: a single
+    // columnar scan of the profiled columns + two tiny aggregates; no
+    // per-row state, no distinct, no window. Bucket arithmetic is the
+    // same IEEE-double expression in both engines ((v-lo)*16/(hi-lo),
+    // floored, capped at 15), so boundaries land identically.
+    "prof5_histograms" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val long = Tables.lineitem(s, dir).select(expr(
+        "explode(array(" + cols.map(c =>
+          s"named_struct('col_name', '$c', 'v', CAST($c AS DOUBLE))").mkString(", ") + "))")
+        .as("x"))
+        .select(col("x.col_name").as("col_name"), col("x.v").as("v"))
+      val mm = long.groupBy(col("col_name"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      long.join(broadcast(mm), "col_name")
+        .withColumn("bucket",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(
+              floor((col("v") - col("lo")) * lit(16.0) / (col("hi") - col("lo"))),
+              lit(15L))))
+        .groupBy(col("col_name"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).as("bucket_min"), max(col("v")).as("bucket_max"))
+    }),
+
     // Join-key SKEW diagnostic — the pre-flight check before shuffling
     // on a key at scale (whale users / hot shingles are what q13's
     // salting and AQE skew-join exist for; this measures WHERE they
@@ -158,6 +189,22 @@ object Profile {
               (SELECT COUNT(DISTINCT $c) FROM lineitem) AS ndv_exact"""
       Seq("l_orderkey", "l_partkey", "l_returnflag")
         .map(branch).mkString(" UNION ALL ")
+    },
+    // identical bucket arithmetic via scalar min/max per column; both
+    // engines derive lo/hi from the same data, no literal embedding
+    "prof5_histograms" -> {
+      val branches = Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(c => s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+        .mkString(" UNION ALL ")
+      s"""WITH long AS ($branches),
+         mm AS (SELECT col_name, MIN(v) AS lo, MAX(v) AS hi FROM long GROUP BY col_name)
+         SELECT l.col_name,
+           CASE WHEN mm.hi = mm.lo THEN 0
+                ELSE CAST(LEAST(floor((l.v - mm.lo) * 16.0 / (mm.hi - mm.lo)), 15) AS BIGINT)
+           END AS bucket,
+           COUNT(*) AS n, MIN(l.v) AS bucket_min, MAX(l.v) AS bucket_max
+         FROM long l JOIN mm USING (col_name)
+         GROUP BY 1, 2"""
     },
     // plain exact frequency + HAVING over the same derived key and the
     // same integer n/k threshold — the two-phase plan must reproduce it

@@ -451,8 +451,137 @@ object TextAnalysis {
         .select(col("doc_id"), col("fp")).distinct()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"))
+    }),
+
+    // DSIR-style IMPORTANCE RESAMPLING (Xie et al., NeurIPS 2023,
+    // arXiv:2302.03169): select raw-corpus documents that look like a
+    // target domain by the log-likelihood ratio of two hashed
+    // bag-of-unigrams models — see `dsirScore`. Target slice = the
+    // en-labeled documents. NOTE: the gate corpus draws every language
+    // from one shared 31-word vocabulary, so target/raw ratios are
+    // near-constant and the oracle mostly verifies the scoring
+    // arithmetic; the discriminative behavior (target-vocab docs score
+    // above off-target ones) is pinned on a two-domain fixture in
+    // CurationOpsSpec.
+    "ta17_dsir_sample" -> ((s, dir) =>
+      dsirScore(Tables.documents(s, dir), col("lang") === "en")),
+
+    // Character-bigram ENTROPY quality filter — the compressibility
+    // heuristic of C4/RefinedWeb-era cleaning (low-entropy text =
+    // boilerplate, keyboard mash, repeated fragments). The entire
+    // computation is ROW-LOCAL: bigrams, counts (via array_sort +
+    // run-length boundaries), and the fixed-point entropy
+    //   sum_g c_g * (ilog2(n) - ilog2(c_g))   [integer "bits"]
+    // run inside one codegen'd projection with higher-order array
+    // functions — ZERO exchanges in the plan (pinned in PlanSpec), so
+    // at 100 TB it is a pure scan: no shuffle, no window, no state.
+    // verdict flags docs whose average per-bigram entropy is under 2
+    // bits (entropy_bits < 2n, integer compare; empty docs flag).
+    "ta18_entropy_quality" -> ((s, dir) => {
+      withCharBigramEntropy(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          col("entropy_bits"), col("verdict"))
     })
   )
+
+  /** ta18's row-local entropy stage (needs `text`); public for the
+    * composed pipelines and the hand-computed spec fixtures.
+    */
+  def withCharBigramEntropy(df: DataFrame): DataFrame = {
+    df
+        .withColumn("bg", expr(
+          "CASE WHEN length(text) >= 2 THEN " +
+            "transform(sequence(0, length(text) - 2), i -> substring(text, i + 1, 2)) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END"))
+        .withColumn("n_bigrams", size(col("bg")).cast("long"))
+        .withColumn("srt", array_sort(col("bg")))
+        // run-END indices in the sorted array; sequence() bounds are
+        // guarded (sequence(0, -1) descends in Spark) and every index
+        // the lambdas touch is in range (ANSI mode throws otherwise)
+        .withColumn("ends", expr(
+          "CASE WHEN size(srt) = 0 THEN CAST(array() AS ARRAY<INT>) " +
+            "WHEN size(srt) = 1 THEN array(0) " +
+            "ELSE concat(filter(sequence(0, size(srt) - 2), i -> srt[i] != srt[i + 1]), " +
+            "array(size(srt) - 1)) END"))
+        .withColumn("cnts", expr(
+          "CASE WHEN size(ends) = 0 THEN CAST(array() AS ARRAY<INT>) " +
+            "ELSE transform(sequence(0, size(ends) - 1), " +
+            "j -> ends[j] - (CASE WHEN j = 0 THEN -1 ELSE ends[j - 1] END)) END"))
+        .withColumn("entropy_bits", expr(
+          "aggregate(cnts, 0L, (acc, c) -> acc + CAST(c AS BIGINT) * " +
+            "((length(bin(n_bigrams)) - 1) - (length(bin(CAST(c AS BIGINT))) - 1)))"))
+        .withColumn("n_distinct", size(col("ends")).cast("long"))
+        .withColumn("verdict",
+          when(col("n_bigrams") === 0L || col("entropy_bits") < col("n_bigrams") * 2L,
+            lit("flag")).otherwise(lit("keep")))
+        .drop("bg", "srt", "ends", "cnts")
+  }
+
+  /** floor(4*log2(x)) as a SQL expression over a BIGINT column — the
+    * quarter-bit fixed-point log the DSIR ratio needs (whole-bit
+    * floor-log2 collapses near-constant ratios to 0). Exact integer
+    * arithmetic, overflow-safe at any corpus size: normalize x down to
+    * <= 15 bits (deterministic truncation, mirrored in the oracle),
+    * take the 4th power (< 2^60), floor-log2 it, shift back by 4*s.
+    */
+  private[operators] def q4Sql(x: String): String = {
+    val s = s"greatest(0L, CAST(length(bin($x)) AS BIGINT) - 15L)"
+    val m = s"shiftright($x, CAST($s AS INT))"
+    s"(CAST(length(bin($m * $m * $m * $m)) AS BIGINT) - 1L + 4L * $s)"
+  }
+
+  /** DuckDB mirror of [[q4Sql]]. */
+  private[operators] def q4Duck(x: String): String = {
+    val s = s"GREATEST(0, length(bin($x)) - 15)"
+    val m = s"(($x) >> ($s))"
+    s"(length(bin($m * $m * $m * $m)) - 1 + 4 * ($s))"
+  }
+
+  /** Driver-side twin of [[q4Sql]] for model-sized scalars. x >= 1. */
+  private[operators] def q4At(x: Long): Long = {
+    val e = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val s = math.max(0L, e - 14L)
+    val m = x >> s
+    (63L - java.lang.Long.numberOfLeadingZeros(m * m * m * m)) + 4L * s
+  }
+
+  /** DSIR importance scoring (Xie et al. 2023): features are word
+    * unigrams hashed into 512 buckets; the target model counts tokens
+    * of the `isTarget` slice, the raw model the whole input, and a
+    * document's weight is the exact integer sum over its tokens of
+    *   q4(ct(b)+1) - q4(cr(b)+1) + q4(Nraw) - q4(Ntgt)
+    * (quarter-bit floor-log2 of DSIR's log p_tgt - log p_raw, add-1
+    * smoothed). Selection keeps weight_bits >= 0 (importance >= 1).
+    * Plan at 100 TB: both models are 512-row aggregates riding a
+    * BROADCAST join onto one token stream; the only corpus-scale
+    * shuffle is the per-doc weight sum. Nraw/Ntgt are model-sized
+    * driver scalars (one count aggregate; the oracle derives the same
+    * values with scalar subqueries).
+    */
+  def dsirScore(docs: DataFrame, isTarget: Column): DataFrame = {
+    val nBuckets = 512
+    val tok = docs
+      .select(col("doc_id"), isTarget.as("is_tgt"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("bucket",
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % nBuckets)
+      .select(col("doc_id"), col("is_tgt"), col("bucket"))
+    val raw = tok.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("is_tgt")).groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val totals = tok.agg(count(lit(1)).as("nr"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("nt")).first()
+    val (nr, nt) = (totals.getLong(0), totals.getLong(1))
+    require(nt > 0L, "empty target slice: the target model needs tokens")
+    val model = raw.join(tgt, Seq("bucket"), "left")
+      .withColumn("ct1", coalesce(col("ct"), lit(0L)) + 1L)
+      .withColumn("cr1", col("cr") + 1L)
+      .withColumn("bits",
+        expr(s"${q4Sql("ct1")} - ${q4Sql("cr1")}") + lit(q4At(nr) - q4At(nt)))
+      .select(col("bucket"), col("bits"))
+    tok.join(broadcast(model), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("weight_bits"))
+      .withColumn("selected", col("weight_bits") >= 0L)
+  }
 
   val oracles: Map[String, String] = Map(
     "ta1_lang_id" -> {
@@ -665,6 +794,46 @@ object TextAnalysis {
            FROM grams)
          SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp
          FROM (SELECT DISTINCT doc_id, fp FROM fps WHERE pos <= n_grams - 4)
-         GROUP BY doc_id"""
+         GROUP BY doc_id""",
+    // same hashed-unigram models and quarter-bit log arithmetic;
+    // Ntgt/Nraw come from scalar subqueries where the engine used a
+    // driver-side count
+    "ta17_dsir_sample" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+             CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) % 512 AS BIGINT) AS bucket
+           FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)),
+         raw AS (SELECT bucket, COUNT(*) AS cr FROM tok GROUP BY bucket),
+         tgt AS (SELECT bucket, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY bucket),
+         tots AS (SELECT (SELECT COUNT(*) FROM tok) AS nr,
+                         (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS nt),
+         model AS (
+           SELECT bucket,
+             ${q4Duck("ct1")} - ${q4Duck("cr1")}
+               + ${q4Duck("nr")} - ${q4Duck("nt")} AS bits
+           FROM (SELECT r.bucket, COALESCE(t.ct, 0) + 1 AS ct1, r.cr + 1 AS cr1, nr, nt
+                 FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tots))
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(m.bits) AS BIGINT) AS weight_bits,
+           CAST(SUM(m.bits) AS BIGINT) >= 0 AS selected
+         FROM tok JOIN model m USING (bucket) GROUP BY doc_id""",
+    // the engine's row-local run-length pipeline re-expressed as the
+    // equivalent explode + per-(doc, bigram) count
+    "ta18_entropy_quality" ->
+      """WITH bg AS (SELECT doc_id, substr(text, i, 2) AS g
+             FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+                   FROM documents WHERE length(text) >= 2)),
+         c AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+         n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY doc_id),
+         e AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(SUM(c.c * ((length(bin(n.n)) - 1) - (length(bin(c.c)) - 1)))
+                   AS BIGINT) AS entropy_bits
+               FROM c JOIN n USING (doc_id) GROUP BY c.doc_id)
+         SELECT d.doc_id, COALESCE(n.n, 0) AS n_bigrams,
+           COALESCE(e.n_distinct, 0) AS n_distinct,
+           COALESCE(e.entropy_bits, 0) AS entropy_bits,
+           CASE WHEN COALESCE(n.n, 0) = 0
+                  OR COALESCE(e.entropy_bits, 0) < 2 * COALESCE(n.n, 0)
+                THEN 'flag' ELSE 'keep' END AS verdict
+         FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN e USING (doc_id)"""
   )
 }

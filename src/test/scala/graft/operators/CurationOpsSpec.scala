@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-10 curation operators: DSIR importance
+  * resampling, char-bigram entropy filtering, cluster quality
+  * propagation, and histogram profiling. (Value-level correctness is
+  * pinned by the DuckDB oracle gate; these pin the algorithmic laws
+  * and the hand-computable fixtures the oracle can't express.)
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def run(name: String) = {
+    assume(new java.io.File(sfDir).exists())
+    SparkEntry.queries(name)(spark, sfDir)
+  }
+
+  test("ta18 entropy stage: hand-computed fixtures (runs, empty, keep threshold)") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, "aaaa"),     // 3x "aa": zero entropy -> flag
+      (2L, "abab"),     // counts [2,1]: 1 bit -> flag
+      (3L, "abcdefgh"), // 7 distinct bigrams: 7*ilog2(7)=14 >= 2*7 -> keep
+      (4L, ""),         // no bigrams -> flag
+      (5L, "x")         // single char -> no bigrams -> flag
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withCharBigramEntropy(df)
+      .select("doc_id", "n_bigrams", "n_distinct", "entropy_bits", "verdict")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((3L, 1L, 0L, "flag")))
+    assert(out(2L) === ((3L, 2L, 1L, "flag")))
+    assert(out(3L) === ((7L, 7L, 14L, "keep")))
+    assert(out(4L) === ((0L, 0L, 0L, "flag")))
+    assert(out(5L) === ((0L, 0L, 0L, "flag")))
+  }
+
+  test("ta18 plan is exchange-free: the entropy filter is a pure scan") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try run("ta18_entropy_quality").queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(flatten)
+    val exchanges = flatten(plan).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(exchanges.isEmpty, "row-local entropy must not shuffle")
+  }
+
+  test("ta17 DSIR: selection law and token conservation on the gate corpus") {
+    val out = run("ta17_dsir_sample").collect()
+    // selected <=> weight_bits >= 0
+    out.foreach { r =>
+      assert(r.getBoolean(3) === (r.getLong(2) >= 0L),
+        s"doc ${r.getLong(0)}: selected flag disagrees with weight_bits")
+    }
+    // every corpus token scores exactly once
+    val totalTokens = graft.Tables.documents(spark, sfDir)
+      .select(sum(size(split(col("text"), " ")))).first().getLong(0)
+    assert(out.map(_.getLong(1)).sum === totalTokens)
+  }
+
+  test("ta17 DSIR discriminates on a two-domain fixture (gate corpus shares one vocab)") {
+    val sess = spark
+    import sess.implicits._
+    // distinct vocabularies: the importance ratio must favor the
+    // target domain and reject the off-target one
+    val docs = Seq(
+      (1L, "apple banana cherry apple banana", true),
+      (2L, "banana cherry apple cherry apple", true),
+      (3L, "dog emu fox dog emu", false),
+      (4L, "fox dog emu fox dog", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val out = TextAnalysis.dsirScore(docs, col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._2 && out(2L)._2, "target-vocab docs must be selected")
+    assert(!out(3L)._2 && !out(4L)._2, "off-target docs must be rejected")
+    val minTgt = Seq(out(1L)._1, out(2L)._1).min
+    val maxOff = Seq(out(3L)._1, out(4L)._1).max
+    assert(minTgt > maxOff, "target docs must outscore off-target docs")
+  }
+
+  test("ll23 propagation: cluster verdict = flag iff any member flags; sizes exact") {
+    val rows = run("ll23_quality_propagation").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    rows.groupBy(_._2).foreach { case (canon, members) =>
+      val expect = if (members.exists(_._3 == "flag")) "flag" else "keep"
+      members.foreach { m =>
+        assert(m._4 === expect, s"cluster $canon: wrong propagated verdict")
+        assert(m._5 === members.length.toLong, s"cluster $canon: wrong n_members")
+      }
+    }
+    // same partition of the corpus as ll9's clustering
+    val ll9 = run("ll9_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (doc, canon, _, _, _) =>
+      assert(ll9(doc) === canon, s"doc $doc: canon disagrees with ll9")
+    }
+  }
+
+  test("prof5 histograms: counts conserve rows, buckets ordered and bounded") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    val rows = run("prof5_histograms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (cn, bs) =>
+      assert(bs.map(_._3).sum === n, s"$cn: histogram loses rows")
+      assert(bs.forall(b => b._2 >= 0L && b._2 <= 15L), s"$cn: bucket out of range")
+      // equi-width buckets partition the range: value spans don't overlap
+      val sorted = bs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4,
+          s"$cn: bucket ${a._2} max ${a._5} overlaps bucket ${b._2} min ${b._4}")
+        case _ =>
+      }
+      val colMin = li.agg(min(col(cn).cast("double"))).first().getDouble(0)
+      val colMax = li.agg(max(col(cn).cast("double"))).first().getDouble(0)
+      assert(sorted.head._4 === colMin && sorted.last._5 === colMax)
+    }
+  }
+}
