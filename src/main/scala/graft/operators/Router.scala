@@ -40,6 +40,28 @@ object Router {
   private def schemaSql(rows: Seq[(String, String, String)]) =
     rows.map { case (t, c, ty) => s"('$t', '$c', '$ty')" }.mkString("(VALUES ", ", ", ")")
 
+  /** Drain-decision fixtures (internal/drain-config + router/utils).
+    * Registry: (dest_id, enabled, retention_s). D6/D7 are deliberately
+    * absent (not-found class); D0's short retention expires its old
+    * jobs; the rest never expire inside the 30-day corpus window.
+    */
+  private val drainRegistry: Seq[(String, Boolean, Long)] = Seq(
+    ("D0", true, 864000L), ("D1", true, 3456000L), ("D2", true, 3456000L),
+    ("D3", true, 3456000L), ("D4", false, 3456000L), ("D5", true, 3456000L))
+  private val drainAbortList: Seq[String] = Seq("D5")
+  /** Cancelled jobRunIDs with entry age; entries older than maxAge are
+    * TTL-dropped before they can drain anything (drainConfig.go:76).
+    */
+  private val drainEntries: Seq[(String, Long)] =
+    Seq(("run-0", 7200L), ("run-1", 108000L))
+  private val drainMaxAgeS = 86400L
+  private val drainDefaultRetentionS = 3024000L
+
+  private val drainRegistrySql: String = drainRegistry
+    .map { case (d, e, r) => s"('$d', $e, $r)" }.mkString("(VALUES ", ", ", ")")
+  private val drainEntriesSql: String = drainEntries
+    .map { case (v, a) => s"('$v', $a)" }.mkString("(VALUES ", ", ", ")")
+
   /** Broadcastable geo IP ranges (services/geolocation shape). */
   private val geoRanges: Seq[(Long, Long, String)] = Seq(
     (0L, 12499L, "US"), (12500L, 24999L, "DE"), (25000L, 49999L, "IN"),
@@ -143,6 +165,42 @@ object Router {
             least(pow(lit(2), col("attempt")) * 10, lit(300)).cast("long")).otherwise(0L))
         .groupBy(col("job_state"))
         .agg(count(lit(1)).as("n"), sum(col("backoff_s")).as("total_backoff_s"))
+    }),
+
+    // Router DRAIN decision chain — internal/drain-config
+    // (drainConfig.go:34,76-111: TTL'd drain_config table of cancelled
+    // jobRunIDs) consumed by router/utils/utils.go:141-165 (Drain):
+    // five reasons checked in FIRST-MATCH order — job expired (per-
+    // destination retention), destination not in config, destination
+    // disabled, destination on the abort list, jobRunID cancelled.
+    // "now" is the memoized epoch-second planner stat (dbg1 pattern);
+    // every config input is a broadcast-sized fixture, so the plan is
+    // one events scan + broadcast joins + a (dest, reason) rollup —
+    // nothing here can go superlinear.
+    "dr1_router_drain" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val nowSec = Tables.maxIdStat(s, dir, "events", "ts")
+      val registry = drainRegistry.toDF("dest_id", "enabled", "retention_s")
+      val drains = drainEntries.toDF("run_id", "entry_age_s")
+        .filter(col("entry_age_s") < drainMaxAgeS) // TTL: stale cancels expire
+      Tables.events(s, dir)
+        .withColumn("dest_id", concat(lit("D"), k % 8))
+        .withColumn("job_run_id",
+          when(k % 7 === 0, concat(lit("run-"), k % 3)).otherwise(lit("")))
+        .withColumn("age_s", lit(nowSec) - col("ts").cast("long"))
+        .join(broadcast(registry), Seq("dest_id"), "left")
+        .join(broadcast(drains), col("job_run_id") === col("run_id"), "left")
+        .withColumn("reason",
+          when(col("age_s") > coalesce(col("retention_s"), lit(drainDefaultRetentionS)),
+            "job expired")
+            .when(col("enabled").isNull, "destination is not available in the config")
+            .when(!col("enabled"), "destination is disabled")
+            .when(col("dest_id").isin(drainAbortList: _*), "destination configured to abort")
+            .when(col("job_run_id") =!= "" && col("run_id").isNotNull, "cancelled jobRunID")
+            .otherwise("kept"))
+        .groupBy(col("dest_id"), col("reason"))
+        .agg(count(lit(1)).as("n_jobs"))
     }),
 
     // S4: internal retl/extract ingest — recordId validation per
@@ -742,6 +800,34 @@ object Router {
              FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk
                    FROM events))) t
          GROUP BY job_state""",
+    // same fixtures as VALUES tables; "now" mirrors the planner stat
+    "dr1_router_drain" ->
+      s"""WITH nowt AS (SELECT epoch_us(MAX(ts)) // 1000000 AS now_sec FROM events),
+          reg AS (SELECT * FROM $drainRegistrySql r(dest_id, enabled, retention_s)),
+          dr AS (SELECT * FROM $drainEntriesSql d(run_id, entry_age_s)
+                 WHERE entry_age_s < $drainMaxAgeS),
+          jobs AS (SELECT
+              'D' || CAST(kk % 8 AS VARCHAR) AS dest_id,
+              CASE WHEN kk % 7 = 0 THEN 'run-' || CAST(kk % 3 AS VARCHAR)
+                   ELSE '' END AS job_run_id,
+              now_sec - epoch_us(ts) // 1000000 AS age_s
+            FROM (SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS kk, ts
+                  FROM events)
+            CROSS JOIN nowt),
+          dec AS (SELECT j.dest_id,
+              CASE WHEN j.age_s > COALESCE(r.retention_s, $drainDefaultRetentionS)
+                     THEN 'job expired'
+                   WHEN r.dest_id IS NULL
+                     THEN 'destination is not available in the config'
+                   WHEN NOT r.enabled THEN 'destination is disabled'
+                   WHEN j.dest_id IN (${drainAbortList.map(d => s"'$d'").mkString(", ")})
+                     THEN 'destination configured to abort'
+                   WHEN j.job_run_id <> '' AND d.run_id IS NOT NULL
+                     THEN 'cancelled jobRunID'
+                   ELSE 'kept' END AS reason
+            FROM jobs j LEFT JOIN reg r USING (dest_id)
+            LEFT JOIN dr d ON j.job_run_id = d.run_id)
+          SELECT dest_id, reason, COUNT(*) AS n_jobs FROM dec GROUP BY 1, 2""",
     "s4_retl_ingest" ->
       """SELECT job_id,
            CASE WHEN status = 'ok' THEN record_raw END AS record_id, status
