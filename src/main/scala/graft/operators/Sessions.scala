@@ -133,6 +133,44 @@ object Sessions {
           col("f.tb").as("t_view"), col("f.tc").as("t_purchase"))
     }),
 
+    // LAST-TOUCH ATTRIBUTION — the campaign-credit query every event
+    // analytics stack runs beside funnels (q18) and as-of state joins
+    // (q17): each purchase credits the user's most recent preceding
+    // touch (signup/view/click) within a 24h lookback, else 'direct'.
+    // Same single user-partitioned window as q17 — touches and
+    // conversions union, the running last-touch struct rides
+    // last(ignoreNulls), and only the per-channel rollup follows; one
+    // exchange on user_id, corpus-linear at any scale. Touches are
+    // deduped per (user, µs) with max_by(event_id) so the as-of pick
+    // is deterministic under timestamp ties (the q17 convention);
+    // revenue sums in DECIMAL and casts to double at the output edge.
+    "q23_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val touches = ev
+        .filter(col("event_type").isin("signup", "view", "click"))
+        .groupBy(col("user_id").as("k"), unix_micros(col("ts")).as("t"))
+        .agg(max_by(col("event_type"), col("event_id")).as("channel"))
+        .select(col("k"), col("t"), lit(0).as("side"), lit(0L).as("event_id"),
+          lit(null).cast("double").as("value"),
+          struct(col("t").as("tt"), col("channel")).as("touch"))
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+          lit(1).as("side"), col("event_id"), col("value"),
+          lit(null).cast("struct<tt:bigint,channel:string>").as("touch"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      touches.unionByName(convs)
+        .withColumn("lt", last(col("touch"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .withColumn("channel_attr",
+          when(col("lt").isNotNull && col("t") - col("lt.tt") <= 86400000000L,
+            col("lt.channel")).otherwise(lit("direct")))
+        .groupBy(col("channel_attr"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("attributed_value"))
+    }),
+
     // Cohort retention matrix: users grouped by first-seen epoch week,
     // counted once per (cohort, week-offset) cell. The first-seen
     // aggregate and the activity join hash on the same user_id, so AQE
@@ -237,6 +275,22 @@ object Sessions {
          LEFT JOIN a USING (user_id)
          LEFT JOIN b USING (user_id)
          LEFT JOIN c USING (user_id)""",
+    // ASOF join mirrors the window's last-preceding-touch pick; the
+    // (user, µs) arg_max dedup makes ties deterministic on both sides
+    "q23_attribution" ->
+      """WITH tc AS (SELECT user_id AS k, epoch_us(ts) AS tt,
+                       arg_max(event_type, event_id) AS channel
+                     FROM events WHERE event_type IN ('signup', 'view', 'click')
+                     GROUP BY 1, 2),
+         p AS (SELECT user_id AS k, epoch_us(ts) AS pt, event_id, value
+               FROM events WHERE event_type = 'purchase'),
+         a AS (SELECT p.event_id, p.value, p.pt, tc.tt, tc.channel
+               FROM p ASOF LEFT JOIN tc ON p.k = tc.k AND p.pt >= tc.tt)
+         SELECT CASE WHEN tt IS NOT NULL AND pt - tt <= 86400000000
+                     THEN channel ELSE 'direct' END AS channel_attr,
+                COUNT(*) AS n_conversions,
+                CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS attributed_value
+         FROM a GROUP BY 1""",
     "q19_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
          f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1)

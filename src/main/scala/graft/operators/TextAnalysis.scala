@@ -517,27 +517,22 @@ object TextAnalysis {
         .drop("bg", "srt", "ends", "cnts")
   }
 
-  /** floor(4*log2(x)) as a SQL expression over a BIGINT column — the
-    * quarter-bit fixed-point log the DSIR ratio needs (whole-bit
-    * floor-log2 collapses near-constant ratios to 0). Exact integer
-    * arithmetic, overflow-safe at any corpus size: normalize x down to
-    * <= 15 bits (deterministic truncation, mirrored in the oracle),
-    * take the 4th power (< 2^60), floor-log2 it, shift back by 4*s.
+  /** floor(4*log2(x)) — the quarter-bit fixed-point log the DSIR
+    * ratio needs (whole-bit floor-log2 collapses near-constant ratios
+    * to 0). Exact integer arithmetic, overflow-safe at any corpus
+    * size: normalize x down to <= 15 bits (deterministic truncation,
+    * identical in both engines), take the 4th power (< 2^60),
+    * floor-log2 it, shift back by 4*s. SQL form for the DuckDB
+    * oracle; [[q4At]] is the driver-side twin the engine applies to
+    * the collected model rows.
     */
-  private[operators] def q4Sql(x: String): String = {
-    val s = s"greatest(0L, CAST(length(bin($x)) AS BIGINT) - 15L)"
-    val m = s"shiftright($x, CAST($s AS INT))"
-    s"(CAST(length(bin($m * $m * $m * $m)) AS BIGINT) - 1L + 4L * $s)"
-  }
-
-  /** DuckDB mirror of [[q4Sql]]. */
   private[operators] def q4Duck(x: String): String = {
     val s = s"GREATEST(0, length(bin($x)) - 15)"
     val m = s"(($x) >> ($s))"
     s"(length(bin($m * $m * $m * $m)) - 1 + 4 * ($s))"
   }
 
-  /** Driver-side twin of [[q4Sql]] for model-sized scalars. x >= 1. */
+  /** Driver-side twin of [[q4Duck]]. x >= 1. */
   private[operators] def q4At(x: Long): Long = {
     val e = 63L - java.lang.Long.numberOfLeadingZeros(x)
     val s = math.max(0L, e - 14L)
@@ -559,24 +554,33 @@ object TextAnalysis {
     * values with scalar subqueries).
     */
   def dsirScore(docs: DataFrame, isTarget: Column): DataFrame = {
+    val spark = docs.sparkSession
     val nBuckets = 512
     val tok = docs
       .select(col("doc_id"), isTarget.as("is_tgt"), explode(split(col("text"), " ")).as("w"))
       .withColumn("bucket",
         conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % nBuckets)
       .select(col("doc_id"), col("is_tgt"), col("bucket"))
-    val raw = tok.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val tgt = tok.filter(col("is_tgt")).groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val totals = tok.agg(count(lit(1)).as("nr"),
-      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("nt")).first()
-    val (nr, nt) = (totals.getLong(0), totals.getLong(1))
+    // one corpus scan builds the <=512-row bucket-count model (raw +
+    // target counts in a single aggregate); it is model-sized, so it
+    // collects and the ratio bits compute driver-side with the same
+    // integer q4 arithmetic the oracle replays. The scoring pass below
+    // is then the ONLY other corpus scan — probe + per-doc sum.
+    val bucketRows = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val nr = bucketRows.map(_.getLong(1)).sum
+    val nt = bucketRows.map(_.getLong(2)).sum
     require(nt > 0L, "empty target slice: the target model needs tokens")
-    val model = raw.join(tgt, Seq("bucket"), "left")
-      .withColumn("ct1", coalesce(col("ct"), lit(0L)) + 1L)
-      .withColumn("cr1", col("cr") + 1L)
-      .withColumn("bits",
-        expr(s"${q4Sql("ct1")} - ${q4Sql("cr1")}") + lit(q4At(nr) - q4At(nt)))
-      .select(col("bucket"), col("bits"))
+    val shift = q4At(nr) - q4At(nt)
+    val model = {
+      val sess = spark
+      import sess.implicits._
+      bucketRows.toSeq
+        .map(r => (r.getLong(0), q4At(r.getLong(2) + 1L) - q4At(r.getLong(1) + 1L) + shift))
+        .toDF("bucket", "bits")
+    }
     tok.join(broadcast(model), "bucket")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("weight_bits"))
