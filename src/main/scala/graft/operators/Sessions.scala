@@ -23,6 +23,53 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Sessions {
 
+  /** Streaming-twin row/state types for q23 attribution. */
+  case class AttrEv(user_id: Long, event_id: Long, ts_us: Long,
+                    event_type: String, value: Double)
+  case class TouchState(tt: Long, channel: String)
+
+  private val touchTypes = Set("signup", "view", "click")
+
+  /** q23's streaming twin: the running last-touch per user lives in
+    * the state store and each purchase emits its credited channel as
+    * it arrives — the same state shape the batch window's
+    * last(ignoreNulls) materializes, kept incrementally. Within a
+    * micro-batch events process in (ts_us, touch-first, event_id)
+    * order, which reproduces the batch tie rules exactly (same-µs
+    * touches resolve to the max event_id; a touch at the purchase's
+    * µs counts as preceding). State is O(1) per user — one (ts,
+    * channel) pair — so a 100 TB keyspace is bounded by live users,
+    * not events. StreamingSpec proves batch/stream equivalence on the
+    * real sf0.001 events split across micro-batches.
+    */
+  def attributionStream(events: org.apache.spark.sql.Dataset[AttrEv],
+                        lookbackUs: Long = 86400000000L)
+    : org.apache.spark.sql.Dataset[(Long, Long, String, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[AttrEv], state: GroupState[TouchState]) => {
+          var st = state.getOption
+          val out = Seq.newBuilder[(Long, Long, String, Double)]
+          it.toSeq
+            .sortBy(e => (e.ts_us, if (touchTypes(e.event_type)) 0 else 1, e.event_id))
+            .foreach { e =>
+              if (touchTypes(e.event_type)) {
+                if (st.forall(_.tt <= e.ts_us)) st = Some(TouchState(e.ts_us, e.event_type))
+              } else if (e.event_type == "purchase") {
+                val ch = st match {
+                  case Some(s) if e.ts_us - s.tt <= lookbackUs => s.channel
+                  case _ => "direct"
+                }
+                out += ((e.event_id, uid, ch, e.value))
+              }
+            }
+          st.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   private val dec = DecimalType(18, 2)
   /** 30-minute inactivity gap, in microseconds. */
   private val gapUs = 1800000000L

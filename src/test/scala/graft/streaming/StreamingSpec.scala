@@ -757,4 +757,47 @@ class StreamingSpec extends SparkSpec {
         "full canonical set must redact a new cluster")
     } finally q.stop()
   }
+
+  test("q23 streaming twin: last-touch state across micro-batches equals the batch attribution") {
+    import graft.operators.Sessions
+    import graft.operators.Sessions.AttrEv
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).exists())
+    // the real event table, time-ordered and split into two
+    // micro-batches mid-stream: attributions that straddle the cut
+    // must come out of the state store, not the batch window
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .as[AttrEv].collect().sortBy(e => (e.ts_us, e.event_id))
+    val cut = evs.length / 2
+    val input = MemoryStream[AttrEv]
+    val q = Sessions.attributionStream(input.toDS())
+      .toDF("event_id", "user_id", "channel_attr", "value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("q23_stream").start()
+    try {
+      input.addData(evs.take(cut): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(cut): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("q23_stream").collect()
+        .map(r => (r.getString(2), r.getDouble(3)))
+        .groupBy(_._1)
+        .map { case (ch, rs) =>
+          ch -> ((rs.length.toLong,
+            rs.map(r => BigDecimal(r._2).setScale(6)).sum.toDouble))
+        }
+      val batch = graft.SparkEntry.queries("q23_attribution")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed === batch,
+        "per-purchase stream emissions must aggregate to the batch attribution")
+      // purchases attribute exactly once: one emission per purchase event
+      val nPurch = evs.count(_.event_type == "purchase").toLong
+      assert(streamed.values.map(_._1).sum === nPurch)
+    } finally q.stop()
+  }
 }
