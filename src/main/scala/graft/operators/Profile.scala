@@ -130,6 +130,39 @@ object Profile {
           min(col("v")).as("bucket_min"), max(col("v")).as("bucket_max"))
     }),
 
+    // Approximate QUANTILE profiling — a7's exact percentiles need a
+    // per-group sort; the 100 TB path is the mergeable KLL-style
+    // sketch behind percentile_approx (partial-agg scan, no sort, no
+    // per-group materialization). Verified the a2b way: the Spark side
+    // checks each sketch value sits inside an exact-percentile
+    // envelope widened to 2x the sketch's rank-error bound (1/accuracy
+    // = 1%) and outputs the booleans; the oracle pins them TRUE, so an
+    // out-of-bound sketch breaks the hash. The exact percentiles here
+    // are the verification anchor only — the operator under test is
+    // the sketch. percentile_approx is deterministic on fixed data, so
+    // the gate cannot flake.
+    "prof6_approx_quantiles" -> ((s, dir) => {
+      val qs = Seq(0.5, 0.95, 0.99)
+      val acc = 100
+      val aggs = qs.flatMap { q =>
+        val tag = (q * 100).toInt
+        val lo = math.max(0.0, q - 2.0 / acc)
+        val hi = math.min(1.0, q + 2.0 / acc)
+        Seq(
+          expr(s"percentile_approx(value, $q, $acc)").as(s"aq$tag"),
+          expr(s"percentile(value, $lo)").as(s"lo$tag"),
+          expr(s"percentile(value, $hi)").as(s"hi$tag"))
+      } :+ count(lit(1)).as("n")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("event_type") +: col("n") +: qs.map { q =>
+          val tag = (q * 100).toInt
+          (col(s"aq$tag") >= col(s"lo$tag") && col(s"aq$tag") <= col(s"hi$tag"))
+            .as(s"p${tag}_ok")
+        }: _*)
+    }),
+
     // Join-key SKEW diagnostic — the pre-flight check before shuffling
     // on a key at scale (whale users / hot shingles are what q13's
     // salting and AQE skew-join exist for; this measures WHERE they
@@ -206,6 +239,12 @@ object Profile {
          FROM long l JOIN mm USING (col_name)
          GROUP BY 1, 2"""
     },
+    // the oracle pins the envelope booleans TRUE (the Spark side
+    // computes them from the live sketch) and recomputes n exactly
+    "prof6_approx_quantiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+         FROM events GROUP BY event_type""",
     // plain exact frequency + HAVING over the same derived key and the
     // same integer n/k threshold — the two-phase plan must reproduce it
     "prof3_heavy_hitters" ->
