@@ -168,6 +168,43 @@ object TextAnalysis {
             .as("shard_id"))
     }),
 
+    // Fixed-length SEQUENCE PACKING — the last hop before a training
+    // loader: concatenate the corpus (doc_id order) into back-to-back
+    // 512-token sequences, splitting documents across sequence
+    // boundaries, and emit the (seq_id, doc_id, doc_off, len) spans a
+    // dataloader needs to materialize each sequence. ta6 cuts ~equal
+    // token SHARDS (docs never split); this is the finer-grained
+    // packer whose output rows feed attention-boundary bookkeeping.
+    // Same two-level sqrt-bucketed prefix sum as ta6/l1, so neither
+    // ordering window ever sees more than ~sqrt(N) rows; the boundary
+    // explode adds at most ceil(n_tokens/512) rows per doc.
+    "ta19_sequence_pack" -> ((s, dir) => {
+      val seqLen = 512L
+      val maxId = Tables.maxIdStat(s, dir, "documents", "doc_id")
+      val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)"))
+      val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val local = d.withColumn("cum_local", sum(col("n_tokens")).over(wLocal))
+      val wPrefix = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
+        .withColumn("prefix", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
+        .select(col("bucket"), col("prefix"))
+      local.join(prefix, "bucket")
+        .withColumn("endp", col("prefix") + col("cum_local"))
+        .withColumn("startp", col("endp") - col("n_tokens"))
+        .select(col("doc_id"), col("startp"), col("endp"),
+          explode(expr(s"sequence(startp DIV $seqLen, (endp - 1) DIV $seqLen)"))
+            .as("seq_id"))
+        .select(col("seq_id"), col("doc_id"),
+          (greatest(col("startp"), col("seq_id") * seqLen) - col("startp")).as("doc_off"),
+          (least(col("endp"), (col("seq_id") + 1L) * seqLen) -
+            greatest(col("startp"), col("seq_id") * seqLen)).as("len"))
+    }),
+
     // PII detection + redaction over text — the scrub step before any
     // corpus leaves the trust boundary. The corpus is synthetic, so
     // deterministic PII is injected first (emails on doc_id % 7,
@@ -701,6 +738,21 @@ object TextAnalysis {
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
                FROM documents)
          SELECT doc_id, lang, rk, quota FROM r JOIN q USING (lang) WHERE rk <= quota""",
+    // single global window is fine for the oracle (it never scales);
+    // the engine's two-level prefix must reproduce it exactly
+    "ta19_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+                    FROM documents),
+         p AS (SELECT doc_id, nt,
+                 CAST(SUM(nt) OVER (ORDER BY doc_id) AS BIGINT) AS endp
+               FROM d),
+         x AS (SELECT doc_id, nt, endp - nt AS startp, endp FROM p)
+         SELECT seq_id, doc_id,
+           GREATEST(startp, seq_id * 512) - startp AS doc_off,
+           LEAST(endp, (seq_id + 1) * 512) - GREATEST(startp, seq_id * 512) AS len
+         FROM (SELECT doc_id, startp, endp,
+                 unnest(range(startp // 512, (endp - 1) // 512 + 1)) AS seq_id
+               FROM x)""",
     "ta9_stratified_sample" ->
       """SELECT doc_id, lang, bucket FROM (
            SELECT doc_id, lang,

@@ -39,7 +39,11 @@ class ScaleGuardSpec extends SparkSpec {
       ("the global prefix window runs over bucket TOTALS, and the " +
         "bucket size is ~sqrt(max doc_id) (Tables.maxIdStat), so the " +
         "window input grows as ~sqrt(corpus) — rule (e) measures this " +
-        "empirically; per-doc cumulative sums stay bucket-partitioned"))
+        "empirically; per-doc cumulative sums stay bucket-partitioned"),
+    "ta19_sequence_pack" ->
+      ("same two-level prefix as ta6: the global window sees only the " +
+        "~sqrt(corpus) bucket-total table (rule (e) measures it); the " +
+        "per-doc cumulative sums stay bucket-partitioned"))
 
   /** query -> why its nested-loop join is safe despite no local side.
     * All three pair the corpus against a BROADCAST of an explicitly
@@ -76,13 +80,17 @@ class ScaleGuardSpec extends SparkSpec {
     allLocal(l) || allLocal(r)
   }
 
-  /** Walks through sorts/projections to see whether a window/sort input
-    * is a single-partition exchange.
+  /** Walks through sorts/projections (and codegen wrappers — the r10
+    * blind spot: a WholeStageCodegen stage between the window and its
+    * sort hid the SinglePartition exchange from this probe) to see
+    * whether a window/sort input is a single-partition exchange.
     */
   private def feedsSinglePartition(n: SparkPlan): Boolean = n match {
     case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
     case s: SortExec => feedsSinglePartition(s.child)
     case p: ProjectExec => feedsSinglePartition(p.child)
+    case w: WholeStageCodegenExec => feedsSinglePartition(w.child)
+    case i: InputAdapter => feedsSinglePartition(i.child)
     case _ => false
   }
 

@@ -103,6 +103,35 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("ta19 sequence packing: spans conserve tokens, sequences fill to exactly 512") {
+    val rows = run("ta19_sequence_pack").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per doc: spans are contiguous from offset 0 and sum to the count
+    val sess = spark
+    import sess.implicits._
+    val tokCounts = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._2).foreach { case (doc, spans) =>
+      val s = spans.sortBy(_._1)
+      assert(s.head._3 === 0L, s"doc $doc: first span must start at offset 0")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 === a._3 + a._4, s"doc $doc: spans must be contiguous")
+          assert(b._1 === a._1 + 1, s"doc $doc: split spans must hit adjacent sequences")
+        case _ =>
+      }
+      assert(s.map(_._4).sum === tokCounts(doc), s"doc $doc: spans must cover every token")
+    }
+    // per sequence: every sequence is exactly full except the last
+    val bySeq = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, total) =>
+      if (seq != lastSeq) assert(total === 512L, s"seq $seq must hold exactly 512 tokens")
+      else assert(total <= 512L)
+    }
+  }
+
   test("prof5 histograms: counts conserve rows, buckets ordered and bounded") {
     val li = graft.Tables.lineitem(spark, sfDir)
     val n = li.count()
