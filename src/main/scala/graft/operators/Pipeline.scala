@@ -34,6 +34,63 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"))
+    }),
+
+    // Composed TRAINING-SET BUILD — the full release pipeline as ONE
+    // Catalyst plan, each stage reusing the library's own semantics:
+    // exact dedup (ll1) → quality gate (ta2's stage) → benchmark
+    // decontamination (ll10's broadcast inverted-index probe, bench
+    // docs themselves excluded) → deterministic splits (ta15's hash
+    // rule) → per-split token-budget shard packing (ta6's prefix sum,
+    // partitioned by split). Output is the release manifest: docs and
+    // tokens per (split, shard). Scale shape: one corpus pass + the
+    // md5 dedup shuffle + the shingle probe (training side never
+    // self-joins) + per-split prefix windows whose inputs are
+    // row-collapsed aggregates.
+    "cp2_training_set" -> ((s, dir) => {
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val deduped = Tables.documents(s, dir)
+        .withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val quality = TextAnalysis.withQualityVerdict(
+          deduped.withColumn("ws", split(col("text"), " ")))
+        .filter(col("verdict") === "keep")
+        .select(col("doc_id"), col("text"), col("n_words"))
+      val benchSh = Dedup.shingles(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))
+        .select(col("sh")).distinct()
+      val contaminated = Dedup.shingles(quality.select(col("doc_id"), col("text")))
+        .join(broadcast(benchSh), "sh")
+        .groupBy(col("doc_id")).agg(countDistinct(col("sh")).as("nsh"))
+        .filter(col("nsh") >= 5).select(col("doc_id"))
+      val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(100L))
+      val split3 = quality
+        .filter(col("doc_id") % 10 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("split"), col("n_words").as("nt"))
+      // ta6's two-level prefix, per split: local cumsums partition on
+      // (split, sqrt-sized doc bucket); the per-split bucket-prefix
+      // window input is the row-collapsed bucket-total table
+      val budget = 2000L
+      val maxId = Tables.maxIdStat(s, dir, "documents", "doc_id")
+      val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
+      val d = split3.withColumn("bucket", expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)"))
+      val wLocal = Window.partitionBy(col("split"), col("bucket")).orderBy(col("doc_id"))
+      val local = d.withColumn("cum_local", sum(col("nt")).over(wLocal))
+      val wPrefix = Window.partitionBy(col("split")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = d.groupBy(col("split"), col("bucket")).agg(sum(col("nt")).as("btot"))
+        .withColumn("prefix", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
+        .select(col("split"), col("bucket"), col("prefix"))
+      local.join(prefix, Seq("split", "bucket"))
+        .withColumn("shard_id",
+          expr(s"CAST((prefix + cum_local - nt) DIV $budget AS BIGINT)"))
+        .groupBy(col("split"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
     })
   )
 
@@ -73,6 +130,60 @@ object Pipeline {
             CAST(SUM(n_words) AS BIGINT) AS n_tokens,
             MIN(doc_id) AS first_doc
           FROM verdicts GROUP BY predicted, verdict"""
+    },
+    // every stage's SQL mirrors the library stage it reuses (cp1's
+    // dedup CTE, ta2's verdict, ll10's shingle probe, ta15's split
+    // hash, ta6's startp DIV budget); the oracle's single per-split
+    // window never needs to scale
+    "cp2_training_set" -> {
+      import TextAnalysis.{stopwords, inList}
+      s"""WITH dd AS (
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn = 1),
+          q AS (
+            SELECT doc_id, text, n_words FROM (
+              SELECT doc_id, text,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(list_filter(string_split(text, ' '),
+                  w -> w IN ${inList(stopwords.head._2)})) AS BIGINT) AS stop_hits
+              FROM dd)
+            WHERE n_words BETWEEN 20 AND 100
+              AND (n_chars - (n_words - 1)) / n_words < 8
+              AND stop_hits / n_words >= 0.02),
+          benchsh AS (
+            SELECT DISTINCT sh FROM (
+              SELECT unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+              FROM (SELECT string_split(text, ' ') AS w FROM documents
+                    WHERE doc_id % 10 = 0)
+              WHERE len(w) >= 3)),
+          qsh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM q)
+            WHERE len(w) >= 3),
+          cont AS (SELECT doc_id FROM qsh JOIN benchsh USING (sh)
+                   GROUP BY doc_id HAVING COUNT(DISTINCT sh) >= 5),
+          sp AS (
+            SELECT doc_id, n_words AS nt,
+              CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 100 < 80 THEN 'train'
+                   WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM q
+            WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+          pre AS (SELECT split, nt,
+                    CAST(SUM(nt) OVER (PARTITION BY split ORDER BY doc_id) AS BIGINT)
+                      AS endp
+                  FROM sp)
+          SELECT split, CAST((endp - nt) // 2000 AS BIGINT) AS shard_id,
+            COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+          FROM pre GROUP BY 1, 2"""
     }
   )
 }
