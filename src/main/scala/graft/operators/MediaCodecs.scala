@@ -144,6 +144,58 @@ object MediaCodecs {
     WavFp(n, fp)
   }
 
+  case class WavSeg(segNo: Int, startFrame: Int, nFrames: Int, energy: Long)
+
+  /** Energy-based segmentation over REAL decoded samples — the
+    * VAD-shaped cut a speech pipeline runs before transcription:
+    * non-overlapping 16-sample frames, frame energy = sum of |sample|
+    * (partial tail frame included), a frame is ACTIVE when its energy
+    * reaches the threshold, and maximal runs of active frames become
+    * segments (1-based numbering). Pure per-clip computation — the
+    * corpus plan stays a narrow map + explode.
+    */
+  def wavSegments(b: Array[Byte], frameLen: Int, threshold: Long): Seq[WavSeg] = {
+    require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+      "not a RIFF/WAVE container")
+    var off = 12
+    var dataOff, dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val len = u32(b, off + 4).toInt
+      require(len >= 0 && off + 8 + len <= b.length, s"corrupt chunk $id at $off")
+      if (id == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1)
+    }
+    require(dataOff >= 0, "missing data chunk")
+    val n = dataLen / 2
+    val nFrames = (n + frameLen - 1) / frameLen
+    val out = Seq.newBuilder[WavSeg]
+    var seg = 0
+    var runStart = -1
+    var runEnergy = 0L
+    var f = 0
+    while (f <= nFrames) { // one past the end flushes the last run
+      val active = f < nFrames && {
+        var e = 0L
+        var j = f * frameLen
+        val end = math.min(n, (f + 1) * frameLen)
+        while (j < end) {
+          e += math.abs(u16(b, dataOff + 2 * j).toShort.toLong)
+          j += 1
+        }
+        if (e >= threshold) { runEnergy += e; true } else false
+      }
+      if (active && runStart < 0) { runStart = f; seg += 1 }
+      else if (!active && runStart >= 0) {
+        out += WavSeg(seg, runStart, f - runStart, runEnergy)
+        runStart = -1
+        runEnergy = 0L
+      }
+      f += 1
+    }
+    out.result()
+  }
+
   // ---------------------------------------------------------------- BMP
 
   case class BmpMeta(width: Int, height: Int, bitsPerPixel: Int,

@@ -258,6 +258,26 @@ object Multimodal {
           col("hamming"))
     }),
 
+    // Audio ENERGY SEGMENTATION — the VAD-shaped cut before
+    // transcription/feature extraction: REAL WAV decode, 16-sample
+    // frame energies, maximal active runs as segments (MediaCodecs.
+    // wavSegments). Per-clip work explodes to one row per segment; no
+    // cross-clip shuffle at all, so the 100 TB plan is a pure scan +
+    // explode. The oracle replays frames and the gaps-and-islands run
+    // grouping in closed form from the deterministic synth samples.
+    "mm11_audio_segments" -> ((s, dir) => {
+      val synth = udf((id: Long) => MediaCodecs.synthWav(id))
+      val segs = udf((p: Array[Byte]) => MediaCodecs.wavSegments(p, 16, 8000L))
+      Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+        .filter(col("media_id") < 100)
+        .select(col("media_id"), explode(segs(synth(col("media_id")))).as("g"))
+        .select(col("media_id"),
+          col("g.segNo").cast("long").as("seg_no"),
+          col("g.startFrame").cast("long").as("start_frame"),
+          col("g.nFrames").cast("long").as("n_frames"),
+          col("g.energy").as("energy"))
+    }),
+
     // Video NEAR-DUPLICATE detection — the last modality of the
     // near-dup family: a video is its SEQUENCE of frame fingerprints
     // (real BMP decode → aHash per frame), candidates are blocked by
@@ -364,6 +384,34 @@ object Multimodal {
           GROUP BY 1""",
     // byteHistograms has no SQL mirror (binary loop): covered by
     // MultimodalSpec invariants instead.
+    // frame energies from the synth formula, runs via gaps-and-islands
+    "mm11_audio_segments" -> {
+      val sample = "abs((doc_id * 31 + 7 * i) % 2001 - 1000)"
+      s"""WITH clips AS (
+            SELECT doc_id AS media_id, 64 + doc_id % 64 AS n
+            FROM documents WHERE doc_id < 100),
+          fr AS (
+            SELECT media_id, f,
+              CAST(list_sum(list_transform(
+                range(f * 16, LEAST(f * 16 + 16, n)),
+                i -> $sample)) AS BIGINT) AS energy
+            FROM (SELECT media_id, media_id AS doc_id, n,
+                    unnest(range(0, (n + 15) // 16)) AS f
+                  FROM clips)),
+          x AS (SELECT media_id, f, energy, energy >= 8000 AS active FROM fr),
+          st AS (SELECT media_id, f, energy, active,
+                   CASE WHEN active AND COALESCE(
+                       LAG(active) OVER (PARTITION BY media_id ORDER BY f), FALSE)
+                     = FALSE THEN 1 ELSE 0 END AS is_start
+                 FROM x),
+          g AS (SELECT media_id, f, energy, active,
+                  SUM(is_start) OVER (PARTITION BY media_id ORDER BY f) AS seg_no
+                FROM st)
+          SELECT media_id, CAST(seg_no AS BIGINT) AS seg_no,
+            CAST(MIN(f) AS BIGINT) AS start_frame,
+            COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS energy
+          FROM g WHERE active GROUP BY 1, 2"""
+    },
     "mm4_wav_decode" -> {
       val sample = "(doc_id * 31 + 7 * i) % 2001 - 1000"
       s"""SELECT doc_id AS media_id,
