@@ -51,6 +51,25 @@ object Similarity {
     }.toArray
   }
 
+  /** Shared top-5 cosine search: brute-force broadcast-query baseline
+    * (sameCell=false, the ll3 oracle anchor) or IVF cell-pruned
+    * (sameCell=true, the scale path).
+    */
+  private def annTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+                      sameCell: Boolean): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label")))
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"), col("label").as("q_label")).filter(col("query_id") < 10)
+    val cond =
+      if (sameCell) col("label") === col("q_label") && col("vec_id") =!= col("query_id")
+      else col("vec_id") =!= col("query_id")
+    val scored = e.join(broadcast(q), cond)
+      .withColumn("dot", dotExpr("q_emb", "embedding"))
+      .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+    topK(scored, 5)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -124,15 +143,7 @@ object Similarity {
   val defs: Map[String, Q] = Map(
 
     // Brute-force cosine top-5 for queries vec_id < 10. Exact baseline.
-    "ll3_ann_topk" -> ((s, dir) => {
-      val e = withNorm(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-      val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm")).filter(col("query_id") < 10)
-      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("dot", dotExpr("q_emb", "embedding"))
-        .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
-      topK(scored, 5)
-    }),
+    "ll3_ann_topk" -> ((s, dir) => annTopK(s, dir, sameCell = false)),
 
     // Hard-NEGATIVE mining — the contrastive-training composition of
     // the ANN family: for each query, the top-5 most similar vectors
@@ -155,16 +166,26 @@ object Similarity {
 
     // IVF-style cell-restricted search: only candidates in the query's
     // cell (label) are scored — partition pruning at scale.
-    "ll4_ann_ivf" -> ((s, dir) => {
-      val e = withNorm(Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), col("label")))
-      val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("label").as("q_label")).filter(col("query_id") < 10)
-      val scored = e.join(broadcast(q),
-          col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
-        .withColumn("dot", dotExpr("q_emb", "embedding"))
-        .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
-      topK(scored, 5)
+    "ll4_ann_ivf" -> ((s, dir) => annTopK(s, dir, sameCell = true)),
+
+    // ANN RECALL evaluation — the quality harness as a first-class
+    // query: recall@5 of the IVF cell-pruned search (ll4) against the
+    // exact brute-force ranking (ll3), per query. This is the number
+    // an index owner watches when tuning nprobe/cells; computing it
+    // IN the engine means the evaluation runs where the index lives
+    // (both sides share the broadcast-query shape; the join is
+    // 50x50-row metadata). TrainingOpsSpec asserts the same metric
+    // once; this makes it a monitorable output.
+    "ev1_ann_recall" -> ((s, dir) => {
+      val exact = annTopK(s, dir, sameCell = false)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = annTopK(s, dir, sameCell = true)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall", col("n_hit") / col("k"))
     }),
 
     // IVF with a TRAINED coarse quantizer: deterministic k-means
@@ -433,6 +454,17 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ll3_ann_topk" -> annOracle(""),
+    // both rankings as CTE'd subqueries of the shared oracle body
+    "ev1_ann_recall" ->
+      s"""SELECT ex.query_id, COUNT(*) AS k,
+            CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit,
+            CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*) AS recall
+          FROM (${annOracle("")}) ex
+          LEFT JOIN (${annOracle("AND label = q_label")}) ap
+            ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+          GROUP BY 1""",
     "ll21_hard_negatives" -> annOracle("AND label <> q_label"),
     "ll4_ann_ivf" -> annOracle("AND label = q_label"),
     "ll4b_ann_ivf_trained" ->

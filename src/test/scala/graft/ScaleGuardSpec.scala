@@ -60,7 +60,9 @@ class ScaleGuardSpec extends SparkSpec {
     "mm3_media_similar" ->
       "feature-similarity baseline; broadcast query side bounded to <10 rows",
     "ll21_hard_negatives" ->
-      "brute-force k×n baseline (label anti-filter); broadcast query side bounded to <10 rows")
+      "brute-force k×n baseline (label anti-filter); broadcast query side bounded to <10 rows",
+    "ev1_ann_recall" ->
+      "recall harness composes ll3's brute-force anchor with the pruned path; both query sides bounded to <10 rows")
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(flatten)
