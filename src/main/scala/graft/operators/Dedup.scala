@@ -567,6 +567,31 @@ object Dedup {
           col("n_members"))
     }),
 
+    // NEAR-DUP RECALL evaluation — the two-crawl corpus carries its
+    // own ground truth (every base doc d has a perturbed second crawl
+    // at d+1e8), so the banded MinHash pipeline can be SCORED, not
+    // just run: recall = fraction of true cross-crawl pairs the
+    // verified LSH pairs recover; n_extra counts the (legitimate)
+    // same-crawl near-dups found beyond the planted truth. One
+    // summary row; the union trick keeps it a single aggregate — no
+    // scalar cross join. The number an operator watches when tuning
+    // bands/rows against corpus drift.
+    "ev2_neardup_eval" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+        .select(lit(1L).as("is_pair"), col("doc_a"), col("doc_b"))
+      val docs = Tables.documents(s, dir)
+        .select(lit(0L).as("is_pair"), col("doc_id").as("doc_a"),
+          lit(null).cast("long").as("doc_b"))
+      val hit = col("is_pair") === 1L && col("doc_b") === col("doc_a") + 100000000L
+      pairs.unionByName(docs).agg(
+          sum(lit(1L) - col("is_pair")).as("n_truth"),
+          sum(col("is_pair")).as("n_found"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("n_truth"), col("n_found"), col("n_hit"),
+          (col("n_hit") / col("n_truth")).as("recall"),
+          (col("n_found") - col("n_hit")).as("n_extra"))
+    }),
+
     // Benchmark DECONTAMINATION — flag training documents sharing
     // >= 5 distinct word-3-gram shingles with any benchmark/eval
     // document (the n-gram-collision test-set-overlap check used when
@@ -867,6 +892,23 @@ object Dedup {
           SELECT src AS doc_id, MIN(dst) AS canon_id,
                  MIN(dst) = src AS is_kept
           FROM reach GROUP BY src""",
+    // same union-tagged single aggregate over the shared pair pipeline
+    "ev2_neardup_eval" ->
+      s"""WITH $minhashCtes,
+          pairs AS (SELECT doc_a, doc_b FROM v WHERE n_match >= 8),
+          u AS (SELECT 1 AS is_pair, doc_a, doc_b FROM pairs
+                UNION ALL SELECT 0, doc_id, NULL FROM documents)
+          SELECT CAST(SUM(1 - is_pair) AS BIGINT) AS n_truth,
+            CAST(SUM(is_pair) AS BIGINT) AS n_found,
+            CAST(SUM(CASE WHEN is_pair = 1 AND doc_b = doc_a + 100000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+            CAST(SUM(CASE WHEN is_pair = 1 AND doc_b = doc_a + 100000000
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(1 - is_pair) AS BIGINT) AS recall,
+            CAST(SUM(is_pair) AS BIGINT)
+              - CAST(SUM(CASE WHEN is_pair = 1 AND doc_b = doc_a + 100000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+          FROM u""",
     // ll9's closure + ta2's verdict over the perturbed corpus, rolled
     // up per cluster with an any-member-flags rule
     "ll23_quality_propagation" ->
