@@ -68,6 +68,19 @@ object Tables {
     * yields 0 (callers clamp bucket size to >= 1).
     */
   private val statCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Memoized planner statistic: row count of a table. The sampling
+    * rate ll4b's trainer needs must come from the COUNT, not the max
+    * id — id-keyed stepping silently undersamples any table whose id
+    * space is sparse (sharded / offset ids), which is exactly the
+    * 100 TB layout. Same cache discipline as [[maxIdStat]].
+    */
+  def countStat(spark: SparkSession, dir: String, table: String): Long = {
+    val key = Seq(spark.sparkContext.applicationId, dir, table, "#count").mkString("|")
+    statCache.computeIfAbsent(key, _ =>
+      java.lang.Long.valueOf(loader(table)(spark, dir).count()))
+  }
+
   def maxIdStat(spark: SparkSession, dir: String, table: String, idCol: String): Long = {
     val key = Seq(spark.sparkContext.applicationId, dir, table, idCol).mkString("|")
     statCache.computeIfAbsent(key, _ => {

@@ -79,9 +79,11 @@ object Similarity {
 
   /** Deterministic Lloyd's k-means over integer-quantized vectors —
     * the IVF coarse-quantizer TRAINER. Faiss-style for real: training
-    * runs on a BOUNDED DETERMINISTIC SAMPLE (every `sampleStep`-th
-    * vec_id — ≤ ~1024 vectors at any corpus size when the caller
-    * derives the step from the memoized max-id stat), collected to the
+    * runs on a BOUNDED DETERMINISTIC SAMPLE (vectors whose md5(vec_id)
+    * residue mod `sampleStep` is 0 — ~1024 vectors at any corpus size
+    * and any id LAYOUT when the caller derives the step from the
+    * memoized row-count stat; id-stepping undersampled sparse id
+    * spaces), collected to the
     * driver as model-config-sized state (the mmdb/centroid precedent)
     * where Lloyd's iterates locally in exact integer arithmetic; the
     * corpus then gets exactly ONE distributed assignment pass. At
@@ -109,7 +111,14 @@ object Similarity {
           (expr(s"array_position(array($distList), array_min(array($distList)))") - 1).cast("long"))
         .select(col("vec_id"), col("q"), col("cell"))
     }
-    val sample: Array[Array[Long]] = qe.filter(col("vec_id") % sampleStep === 0)
+    // hash-mod sampling, NOT id-stepping: `vec_id % step` silently
+    // undersamples sparse id spaces (sharded/offset ids — the K-fold
+    // scale replica caught this with 1 sample from 8x the data); the
+    // md5 residue is uniform regardless of id layout, so ~n/step
+    // vectors are drawn from any corpus with the same determinism
+    val sample: Array[Array[Long]] = qe.filter(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % sampleStep === 0)
       .orderBy(col("vec_id"))
       .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
     require(sample.length >= k,
@@ -190,8 +199,8 @@ object Similarity {
 
     // IVF with a TRAINED coarse quantizer: deterministic k-means
     // (k=8, 2 Lloyd iterations, integer-quantized vectors) trained on
-    // a bounded ≤1024-vector sample (step from the memoized max-id
-    // stat) builds the cells, then the search prunes to the query's
+    // a bounded ~1024-vector hash-mod sample (rate from the memoized
+    // row-count stat) builds the cells, then the search prunes to the query's
     // trained cell — closing ll4's "labels pre-assigned" gap. The
     // oracle replays the whole sampled training loop in SQL, so the
     // check covers the trainer, the assignment AND the pruned search.
@@ -200,8 +209,8 @@ object Similarity {
       val qe = base.withColumn("q",
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
         .select(col("vec_id"), col("q"))
-      val maxId = Tables.maxIdStat(s, dir, "embeddings", "vec_id")
-      val step = math.max(1L, (maxId + 1024L) / 1024L) // ceil((maxId+1)/1024)
+      val n = Tables.countStat(s, dir, "embeddings")
+      val step = math.max(1L, (n + 1023L) / 1024L) // ceil(n/1024): ~1024 samples
       val cells = trainCells(qe, 8, 2, 64, step)
       val e = withNorm(base).join(cells, "vec_id")
       val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -472,9 +481,11 @@ object Similarity {
               list_transform(embedding,
                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
             FROM embeddings),
-          st AS (SELECT CAST((MAX(vec_id) + 1024) // 1024 AS BIGINT) AS step
+          st AS (SELECT GREATEST(1, CAST((COUNT(*) + 1023) // 1024 AS BIGINT)) AS step
                  FROM embeddings),
-          qs AS (SELECT qe.* FROM qe WHERE vec_id % (SELECT step FROM st) = 0),
+          qs AS (SELECT qe.* FROM qe
+                 WHERE CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                     AS UBIGINT) % (SELECT step FROM st) AS BIGINT) = 0),
           c0 AS (SELECT vec_id AS cid, q AS c FROM qs ORDER BY vec_id LIMIT 8),
           ${kmAssignSql("qs", "c0", "a0")},
           ${kmUpdateSql("a0", "c0", "c1")},
