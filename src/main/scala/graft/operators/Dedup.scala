@@ -414,6 +414,39 @@ object Dedup {
     verifyPairs(bandCandidates(sigs), sigs)
   }
 
+  /** ll5's full SimHash near-dup pipeline (fingerprints → Manku
+    * block-combination buckets → hamming<=3 verify) as a reusable
+    * stage: the query IS this, and ev3 scores it against the planted
+    * cross-crawl truth. See ll5's doc comment for the key-width
+    * trade.
+    */
+  private[operators] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(corpus(s, dir, perturb = true))
+    val blocks: Seq[org.apache.spark.sql.Column] = Seq(
+      col("sim_lo").bitwiseAND(lit(2047L)),
+      shiftright(col("sim_lo"), 11).bitwiseAND(lit(2047L)),
+      shiftright(col("sim_lo"), 22).bitwiseAND(lit(1023L)),
+      col("sim_hi").bitwiseAND(lit(2047L)),
+      shiftright(col("sim_hi"), 11).bitwiseAND(lit(2047L)),
+      shiftright(col("sim_hi"), 22).bitwiseAND(lit(1023L)))
+    val comboKeys = (0 until 6).combinations(3).toSeq.map { c =>
+      blocks(c(0)) * lit(1L << 22) + blocks(c(1)) * lit(1L << 11) + blocks(c(2))
+    }
+    val bands = sh.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      posexplode(array(comboKeys: _*)).as(Seq("combo", "ckey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds both sides of the bucket self-join
+    bands.as("x").join(bands.as("y"),
+        col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sim_lo").as("la"), col("x.sim_hi").as("ha"),
+        col("y.sim_lo").as("lb"), col("y.sim_hi").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: content-hash groupBy. The canonical 100 TB dedup —
@@ -698,31 +731,30 @@ object Dedup {
     // expected bucket load stays <1 to billions of docs; the price is
     // 20 band rows per doc instead of 4 — linear, which is exactly
     // Manku's table-count-for-key-width trade at web scale.
-    "ll5_simhash_neardup" -> ((s, dir) => {
-      val sh = simhash(corpus(s, dir, perturb = true))
-      val blocks: Seq[org.apache.spark.sql.Column] = Seq(
-        col("sim_lo").bitwiseAND(lit(2047L)),
-        shiftright(col("sim_lo"), 11).bitwiseAND(lit(2047L)),
-        shiftright(col("sim_lo"), 22).bitwiseAND(lit(1023L)),
-        col("sim_hi").bitwiseAND(lit(2047L)),
-        shiftright(col("sim_hi"), 11).bitwiseAND(lit(2047L)),
-        shiftright(col("sim_hi"), 22).bitwiseAND(lit(1023L)))
-      val comboKeys = (0 until 6).combinations(3).toSeq.map { c =>
-        blocks(c(0)) * lit(1L << 22) + blocks(c(1)) * lit(1L << 11) + blocks(c(2))
-      }
-      val bands = sh.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
-        posexplode(array(comboKeys: _*)).as(Seq("combo", "ckey")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds both sides of the bucket self-join
-      bands.as("x").join(bands.as("y"),
-          col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.sim_lo").as("la"), col("x.sim_hi").as("ha"),
-          col("y.sim_lo").as("lb"), col("y.sim_hi").as("hb"))
-        .distinct()
-        .withColumn("hamming", expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
-        .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    "ll5_simhash_neardup" -> ((s, dir) => simhashPairs(s, dir)),
+
+    // SimHash FIDELITY evaluation (the ev2 pattern, pointed at ll5):
+    // the planted cross-crawl twins are the ground truth, so the
+    // fingerprint family itself can be SCORED — recall here measures
+    // how often a one-word-dropped rewrite stays within hamming<=3 of
+    // its original (a property of SimHash, not of the bucketing: the
+    // Manku tables are pigeonhole-exact at that radius). The number an
+    // operator watches when choosing the hamming budget; one summary
+    // row via the same union trick as ev2 (no scalar cross join).
+    "ev3_simhash_eval" -> ((s, dir) => {
+      val pairs = simhashPairs(s, dir)
+        .select(lit(1L).as("is_pair"), col("doc_a"), col("doc_b"))
+      val docs = Tables.documents(s, dir)
+        .select(lit(0L).as("is_pair"), col("doc_id").as("doc_a"),
+          lit(null).cast("long").as("doc_b"))
+      val hit = col("is_pair") === 1L && col("doc_b") === col("doc_a") + 100000000L
+      pairs.unionByName(docs).agg(
+          sum(lit(1L) - col("is_pair")).as("n_truth"),
+          sum(col("is_pair")).as("n_found"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("n_truth"), col("n_found"), col("n_hit"),
+          (col("n_hit") / col("n_truth")).as("recall"),
+          (col("n_found") - col("n_hit")).as("n_extra"))
     }),
 
     // Cross-document duplicated-SPAN detection (the substring-dedup
@@ -867,6 +899,35 @@ object Dedup {
                    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
         v AS (SELECT doc_a, doc_b, CAST($matchSql AS BIGINT) AS n_match
               FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id)"""
+  }
+
+  /** Brute-force all-pairs mirror of the 64-bit two-word simhash —
+    * same bit (i%4) of hex digit (i/4) of one md5 per word — ending in
+    * a `simpairs(doc_a, doc_b, hamming)` CTE; shared by the ll5 and
+    * ev3 oracles.
+    */
+  private lazy val simhashBruteCtes: String = {
+    val contribSql = (0 until simhashBits).map(i =>
+      s"SUM(CASE WHEN (CAST('0x' || substr(h, ${i / 4 + 1}, 1) AS BIGINT) >> ${i % 4}) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END) AS c$i").mkString(", ")
+    val loSql = (0 until 32).map(i =>
+      s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val hiSql = (32 until 64).map(i =>
+      s"(CASE WHEN c$i > 0 THEN ${1L << (i - 32)} ELSE 0 END)").mkString(" + ")
+    s"""corpus AS $corpusSqlPerturbed,
+        sums AS (SELECT doc_id, $contribSql
+                 FROM (SELECT doc_id, md5(w) AS h
+                       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus))
+                 GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST($loSql AS BIGINT) AS sim_lo,
+                       CAST($hiSql AS BIGINT) AS sim_hi FROM sums),
+        simpairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.sim_lo, b.sim_lo)) +
+                      bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sim_lo, b.sim_lo)) +
+                bit_count(xor(a.sim_hi, b.sim_hi)) <= 3)"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -1140,30 +1201,26 @@ object Dedup {
                '[?#].*$', ''), '/$', '') AS canonical_url
            FROM documents)
          GROUP BY canonical_url""",
-    "ll5_simhash_neardup" -> {
-      // brute-force all-pairs mirror of the 64-bit two-word simhash:
-      // same bit (i%4) of hex digit (i/4) of one md5 per word
-      val contribSql = (0 until simhashBits).map(i =>
-        s"SUM(CASE WHEN (CAST('0x' || substr(h, ${i / 4 + 1}, 1) AS BIGINT) >> ${i % 4}) & 1 = 1 " +
-          s"THEN 1 ELSE -1 END) AS c$i").mkString(", ")
-      val loSql = (0 until 32).map(i =>
-        s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-      val hiSql = (32 until 64).map(i =>
-        s"(CASE WHEN c$i > 0 THEN ${1L << (i - 32)} ELSE 0 END)").mkString(" + ")
-      s"""WITH corpus AS $corpusSqlPerturbed,
-          sums AS (SELECT doc_id, $contribSql
-                   FROM (SELECT doc_id, md5(w) AS h
-                         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus))
-                   GROUP BY doc_id),
-          sh AS (SELECT doc_id, CAST($loSql AS BIGINT) AS sim_lo,
-                         CAST($hiSql AS BIGINT) AS sim_hi FROM sums)
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(bit_count(xor(a.sim_lo, b.sim_lo)) +
-                      bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.sim_lo, b.sim_lo)) +
-                bit_count(xor(a.sim_hi, b.sim_hi)) <= 3"""
-    },
+    "ll5_simhash_neardup" ->
+      s"""WITH $simhashBruteCtes
+          SELECT doc_a, doc_b, hamming FROM simpairs""",
+    // the brute pairs scored against the planted cross-crawl truth
+    // (same union trick as ev2's scoring aggregate)
+    "ev3_simhash_eval" ->
+      s"""WITH $simhashBruteCtes,
+          u AS (SELECT 1 AS is_pair, doc_a, doc_b FROM simpairs
+                UNION ALL SELECT 0, doc_id, NULL FROM documents)
+          SELECT CAST(SUM(1 - is_pair) AS BIGINT) AS n_truth,
+            CAST(SUM(is_pair) AS BIGINT) AS n_found,
+            CAST(SUM(CASE WHEN is_pair = 1 AND doc_b = doc_a + 100000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+            CAST(SUM(CASE WHEN is_pair = 1 AND doc_b = doc_a + 100000000
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(1 - is_pair) AS BIGINT) AS recall,
+            CAST(SUM(is_pair) AS BIGINT)
+              - CAST(SUM(CASE WHEN is_pair = 1 AND doc_b = doc_a + 100000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+          FROM u""",
     "ll6_ngram_jaccard" ->
       s"""WITH corpus AS $corpusSqlPerturbed,
           sh AS ($shinglesSql),

@@ -235,4 +235,22 @@ class DedupSpec extends SparkSpec {
     assert(shared >= 0.6, s"CDC must resynchronize after an edit; only $shared shared")
     assert(h1 != h2, "the edited region's chunks must differ")
   }
+
+  test("ev3 scores the ll5 pipeline: accounting closes and recall is a rate") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).exists())
+    val r = graft.SparkEntry.queries("ev3_simhash_eval")(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (truth, found, hit, recall, extra) = (
+      row.getAs[Long]("n_truth"), row.getAs[Long]("n_found"),
+      row.getAs[Long]("n_hit"), row.getAs[Double]("recall"),
+      row.getAs[Long]("n_extra"))
+    assert(truth === graft.Tables.documents(spark, sfDir).count())
+    assert(found === hit + extra, "every found pair is a hit or an extra")
+    assert(hit <= truth, "at most one planted twin per base doc")
+    assert(recall >= 0.0 && recall <= 1.0)
+    // the found set must be exactly the ll5 pipeline's output
+    assert(found === graft.SparkEntry.queries("ll5_simhash_neardup")(spark, sfDir).count())
+  }
 }
