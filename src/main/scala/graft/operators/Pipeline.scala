@@ -91,6 +91,38 @@ object Pipeline {
           expr(s"CAST((prefix + cum_local - nt) DIV $budget AS BIGINT)"))
         .groupBy(col("split"), col("shard_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    }),
+
+    // Corpus SNAPSHOT DIFF — the planning step of an incremental
+    // refresh: two crawl snapshots of the same keyed corpus are
+    // diffed into the delta manifest (added / removed / changed doc
+    // ids) that downstream incremental operators consume — the
+    // added∪changed half is exactly what ll14 probes against the
+    // maintained band index, and removed feeds retirement (L9/rg1's
+    // ledgered rewrite). Deliberately emits ONLY the delta: at 100 TB
+    // the unchanged corpus must never leave the join. Plan shape: each
+    // side collapses to (doc_id, content-hash) in its scan — the text
+    // column never shuffles — then one doc_id-keyed full outer join;
+    // with both snapshots stored doc_id-bucketed (the Catalog's
+    // layout) the join is co-located and shuffle-free. The snapshots
+    // here are deterministic slices of `documents`: ids % 11 == 7
+    // exist only in the new crawl, % 13 == 5 only in the old, and
+    // % 7 == 2 were re-crawled with different content.
+    "cd1_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val old = d.filter(col("doc_id") % 11 =!= 7)
+        .select(col("doc_id"), xxhash64(col("text")).as("h_old"))
+      val neu = d.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"), xxhash64(
+          when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("h_new"))
+      old.join(neu, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(col("doc_id"), col("status"))
     })
   )
 
@@ -184,6 +216,20 @@ object Pipeline {
           SELECT split, CAST((endp - nt) // 2000 AS BIGINT) AS shard_id,
             COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
           FROM pre GROUP BY 1, 2"""
-    }
+    },
+
+    // text compared directly where the engine compares hashes — the
+    // decision (equal vs not) is identical modulo hash collisions
+    "cd1_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 7),
+          neu AS (SELECT doc_id,
+                    CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text
+                  FROM documents WHERE doc_id % 13 <> 5)
+          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+            CASE WHEN o.doc_id IS NULL THEN 'added'
+                 WHEN n.doc_id IS NULL THEN 'removed'
+                 ELSE 'changed' END AS status
+          FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+          WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text"""
   )
 }

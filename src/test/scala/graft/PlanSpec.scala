@@ -111,6 +111,32 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"stage fusion broken — pipeline shuffles $exchanges times:\n$plan")
   }
 
+  test("cd1 snapshot diff: the text column never enters a shuffle") {
+    assume(new java.io.File(sfDir).exists())
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("cd1_snapshot_diff")(spark, sfDir)
+    df.collect()
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE wraps executed subtrees in leaf QueryStageExec nodes —
+    // expand through them or collect sees only the stage boundary
+    def expand(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case q: QueryStageExec => q +: expand(q.plan)
+        case n => Seq(n)
+      }
+    val shuffled = expand(root).collect {
+      case e: ShuffleExchangeExec => e.child.output.map(_.name)
+    }
+    assert(shuffled.nonEmpty, "the full outer join must shuffle on doc_id")
+    shuffled.foreach(cols => assert(!cols.contains("text"),
+      s"each side must collapse to (doc_id, hash) before the join; shuffled: $cols"))
+  }
+
   test("ll2/l8 read their maintained tables (signature index, identity mappings)") {
     // the maintained-index design: pair generation and mapping rollups
     // must be parquet scans of the session-materialized tables, not

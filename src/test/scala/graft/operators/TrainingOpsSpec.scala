@@ -100,4 +100,16 @@ class TrainingOpsSpec extends SparkSpec {
       assert(fSmall >= fLarge)
     }
   }
+
+  test("cd1 snapshot diff emits exactly the delta implied by the slice rules") {
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected =
+      ids.filter(id => id % 11 == 7 && id % 13 != 5).map(_ -> "added") ++
+      ids.filter(id => id % 13 == 5 && id % 11 != 7).map(_ -> "removed") ++
+      ids.filter(id => id % 7 == 2 && id % 11 != 7 && id % 13 != 5).map(_ -> "changed")
+    val got = run("cd1_snapshot_diff")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got === expected, "delta manifest must match the slice rules; unchanged docs never appear")
+  }
 }
