@@ -149,6 +149,46 @@ object Similarity {
     assign(cents).select(col("vec_id"), col("cell"))
   }
 
+  /** Per-subspace deterministic Lloyd's k-means — the PRODUCT
+    * QUANTIZATION trainer (Jegou et al., TPAMI 2011). Same sampling and
+    * arithmetic discipline as [[trainCells]] (bounded driver-side
+    * sample, exact integer math, init = the k lowest sampled ids'
+    * subvectors, strict-< tie-break, truncating centroid division,
+    * empty cells keep their centroid), but each of the m disjoint
+    * dim-slices trains its own k-centroid codebook. Returns
+    * codebooks(s)(j) = centroid j of subspace s (length subDim).
+    */
+  private[operators] def trainPqCodebooks(sample: Array[Array[Long]], m: Int,
+                                          subDim: Int, k: Int, iters: Int): Array[Array[Array[Long]]] = {
+    require(sample.length >= k, s"PQ training needs >= $k sampled vectors; found ${sample.length}")
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      var cents: Array[Array[Long]] = sub.take(k).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k, subDim)(0L)
+        val counts = new Array[Long](k)
+        sub.foreach { v =>
+          var best = 0; var bestD = Long.MaxValue
+          var j = 0
+          while (j < k) {
+            var d = 0L; var i = 0
+            while (i < subDim) { val t = v(i) - cents(j)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = j } // strict < : ties keep lowest j
+            j += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(k) { j =>
+          if (counts(j) == 0L) cents(j)
+          else Array.tabulate(subDim)(i => sums(j)(i) / counts(j))
+        }
+      }
+      cents
+    }
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Brute-force cosine top-5 for queries vec_id < 10. Exact baseline.
@@ -308,6 +348,89 @@ object Similarity {
         .orderBy(col("approx").desc, col("vec_id").asc)
       val top20 = cand.withColumn("arank", row_number().over(wApprox))
         .filter(col("arank") <= 20)
+        .select(col("query_id"), col("vec_id"))
+      val e = withNorm(base)
+      val scored = top20
+        .join(e, "vec_id")
+        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm")), "query_id")
+        .withColumn("dot", dotExpr("q_emb", "embedding"))
+        .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+      topK(scored, 5)
+    }),
+
+    // PRODUCT-QUANTIZATION ANN (PQ/ADC, Jegou et al. TPAMI 2011) —
+    // the memory-scale step past ll16's SQ8: the 64-dim space splits
+    // into m=8 disjoint 8-dim subspaces, each learning a 16-centroid
+    // codebook by the same bounded-sample deterministic integer
+    // k-means as ll4b (~1024 hash-mod-sampled vectors on the driver,
+    // 1 Lloyd iteration, init = the 16 lowest sampled ids'
+    // subvectors); every corpus vector then encodes to 8 nibble codes
+    // — a 64x index shrink vs float32 (100 TB of vectors becomes
+    // ~1.6 TB of codes), vs SQ8's 4x. Search is ASYMMETRIC distance
+    // computation: the query keeps its exact quantized vector, the
+    // corpus side is reconstructed from codebook entries, candidates
+    // rank by the integer reconstructed dot product, and only the
+    // top-20 rerank with the exact double cosine (ll16's two-stage
+    // shape; the coarse scan is one codegen'd broadcast-query map).
+    // Training, encoding, reconstruction and both ranking stages are
+    // exact integer / element-order double arithmetic, so the oracle
+    // replays the full trainer + encoder + two-stage search.
+    "ll24_pq_ann" -> ((s, dir) => {
+      val dim = 64; val m = 8; val sd = dim / m; val k = 16
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qe = base.withColumn("q",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .select(col("vec_id"), col("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sample collect + encode scan
+      val n = Tables.countStat(s, dir, "embeddings")
+      val step = math.max(1L, (n + 1023L) / 1024L) // ceil(n/1024): ~1024 samples
+      val sample: Array[Array[Long]] = qe.filter(
+          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % step === 0)
+        .orderBy(col("vec_id"))
+        .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+      val cb = trainPqCodebooks(sample, m, sd, k, 1)
+      // encode: per subspace, nearest codebook entry by exact integer
+      // squared distance (ties to the lowest code — array_position
+      // returns the FIRST minimum, mirroring the oracle's (dist, cid)
+      // row_number order)
+      val dists = for (s2 <- 0 until m; j <- 0 until k) yield
+        expr(s"aggregate(zip_with(slice(q, ${s2 * sd + 1}, $sd), " +
+          s"array(${cb(s2)(j).mkString(",")}), (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"d${s2}_$j")
+      val wd = qe.select(col("vec_id") +: col("q") +: dists: _*)
+      val codes = (0 until m).map { s2 =>
+        val dl = (0 until k).map(j => s"d${s2}_$j").mkString(",")
+        (expr(s"array_position(array($dl), array_min(array($dl)))") - 1)
+          .cast("int").as(s"code$s2")
+      }
+      val coded = wd.select(col("vec_id") +: col("q") +: codes: _*)
+      // reconstruct from the codebook (0-based [] subscript) and keep
+      // the exact query-side norm for the asymmetric compare
+      val dqSub = (0 until m).map { s2 =>
+        val entries = (0 until k).map(j => s"array(${cb(s2)(j).mkString(",")})").mkString(",")
+        expr(s"array($entries)[code$s2]")
+      }
+      val dqed = coded
+        .withColumn("dq", concat(dqSub: _*))
+        .withColumn("dqn",
+          expr("aggregate(transform(dq, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .select(col("vec_id"), col("q"), col("dq"), col("dqn"))
+      val probes = dqed
+        .withColumn("qn",
+          expr("aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn"))
+        .filter(col("query_id") < 10)
+      val cand = dqed.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+        .withColumn("approx",
+          expr("aggregate(zip_with(qq, dq, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)") /
+            sqrt(col("qn").cast("double") * col("dqn").cast("double")))
+      val wApprox = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("vec_id").asc)
+      val top20 = cand.withColumn("arank", row_number().over(wApprox))
+        .filter(col("arank") <= 50)
         .select(col("query_id"), col("vec_id"))
       val e = withNorm(base)
       val scored = top20
@@ -608,6 +731,87 @@ object Similarity {
                       ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY approx DESC, vec_id) AS arank
                     FROM cand) WHERE arank <= 20),
+          e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+          scored AS (SELECT t.query_id, t.vec_id,
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))
+                         / sqrt(qv.nrm * cv.nrm) AS sim
+                     FROM t20 t
+                     JOIN e cv ON cv.vec_id = t.vec_id
+                     JOIN e qv ON qv.vec_id = t.query_id)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+          FROM (SELECT query_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rank
+                FROM scored)
+          WHERE rank <= 5""",
+
+    // Full PQ replay: hash-mod sample, per-subspace integer k-means
+    // (subspaces exploded as an `s` key so all 8 train in one CTE
+    // chain), nibble-code encoding, codebook reconstruction,
+    // asymmetric integer coarse ranking (top-20), exact-cosine rerank
+    // (top-5) — bit-for-bit the plan ll24 runs.
+    "ll24_pq_ann" ->
+      s"""WITH qe AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM embeddings),
+          st AS (SELECT GREATEST(1, CAST((COUNT(*) + 1023) // 1024 AS BIGINT)) AS step
+                 FROM embeddings),
+          qs AS (SELECT qe.* FROM qe
+                 WHERE CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                     AS UBIGINT) % (SELECT step FROM st) AS BIGINT) = 0),
+          sub AS (SELECT unnest(range(0, 8)) AS s),
+          smp AS (SELECT vec_id, sub.s AS s,
+                    list_transform(range(1, 9), i -> q[CAST(sub.s * 8 AS BIGINT) + i]) AS v
+                  FROM qs, sub),
+          c0 AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+                        v AS c
+                 FROM smp
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) <= 16),
+          a0 AS (SELECT vec_id, s, v, cid AS cell FROM (
+                   SELECT e.vec_id, e.s, e.v, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.s ORDER BY
+                       list_sum(list_transform(range(1, 9),
+                         i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cid) AS rn
+                   FROM smp e JOIN c0 c ON e.s = c.s) WHERE rn = 1),
+          u_s AS (SELECT s, cell, dim.i AS dim, SUM(v[dim.i]) AS sm, COUNT(*) AS n
+                  FROM a0, (SELECT unnest(range(1, 9)) AS i) dim
+                  GROUP BY s, cell, dim.i),
+          c1 AS (SELECT p.s, p.cid, COALESCE(u.c, p.c) AS c
+                 FROM c0 p LEFT JOIN (
+                   SELECT s, cell AS cid,
+                     list(CAST(CASE WHEN sm >= 0 THEN sm // n
+                               ELSE -((-sm) // n) END AS BIGINT) ORDER BY dim) AS c
+                   FROM u_s GROUP BY s, cell) u ON p.s = u.s AND p.cid = u.cid),
+          alls AS (SELECT vec_id, sub.s AS s,
+                     list_transform(range(1, 9), i -> q[CAST(sub.s * 8 AS BIGINT) + i]) AS v
+                   FROM qe, sub),
+          af AS (SELECT vec_id, s, cid AS cell FROM (
+                   SELECT e.vec_id, e.s, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.s ORDER BY
+                       list_sum(list_transform(range(1, 9),
+                         i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cid) AS rn
+                   FROM alls e JOIN c1 c ON e.s = c.s) WHERE rn = 1),
+          dq AS (SELECT af.vec_id, flatten(list(c1.c ORDER BY af.s)) AS dq
+                 FROM af JOIN c1 ON af.s = c1.s AND af.cell = c1.cid
+                 GROUP BY af.vec_id),
+          dqn AS (SELECT vec_id, dq,
+                    list_sum(list_transform(dq, x -> x * x)) AS dqn FROM dq),
+          qn AS (SELECT vec_id, q,
+                   list_sum(list_transform(q, x -> x * x)) AS qn FROM qe),
+          probes AS (SELECT vec_id AS query_id, q AS qq, qn
+                     FROM qn WHERE vec_id < 10),
+          cand AS (SELECT query_id, d.vec_id,
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> qq[i] * d.dq[i])) AS DOUBLE)
+                     / sqrt(CAST(qn AS DOUBLE) * CAST(d.dqn AS DOUBLE)) AS approx
+                   FROM probes, dqn d WHERE d.vec_id <> query_id),
+          t20 AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY approx DESC, vec_id) AS arank
+                    FROM cand) WHERE arank <= 50),
           e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
           scored AS (SELECT t.query_id, t.vec_id,
                        list_sum(list_transform(range(1, 65),

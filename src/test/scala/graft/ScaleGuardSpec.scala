@@ -57,6 +57,8 @@ class ScaleGuardSpec extends SparkSpec {
       "brute-force k×n baseline; broadcast query side bounded to <10 rows by filter",
     "ll16_quantized_ann" ->
       "int8 coarse stage is k×n by design; broadcast query side bounded to <10 rows",
+    "ll24_pq_ann" ->
+      "PQ/ADC coarse stage is k×n by design (over 4-byte codes, not vectors); broadcast query side bounded to <10 rows",
     "mm3_media_similar" ->
       "feature-similarity baseline; broadcast query side bounded to <10 rows",
     "ll21_hard_negatives" ->

@@ -50,6 +50,20 @@ class TrainingOpsSpec extends SparkSpec {
     assert(sq.size === exact.size)
   }
 
+  test("ll24 PQ ANN: useful recall@5 against the exact brute-force baseline") {
+    val exact = run("ll3_ann_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = run("ll24_pq_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // 32-bit PQ codes are a 64x compression — recall is necessarily
+    // below ll16's 512-bit SQ8 (measured: 0.8 at sf0.01, and the
+    // sf0.001 corpus trains on ~60 samples); below 0.5 means the
+    // trainer, encoder, or ADC ranking regressed
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    assert(pq.size === exact.size)
+  }
+
   test("ll17 semantic dedup: reps always kept, drops only above-threshold members") {
     val out = run("ll17_semantic_dedup")
     val rows = out.collect().map(r =>
