@@ -108,6 +108,41 @@ object Pipeline {
     // here are deterministic slices of `documents`: ids % 11 == 7
     // exist only in the new crawl, % 13 == 5 only in the old, and
     // % 7 == 2 were re-crawled with different content.
+    // EMBEDDING snapshot drift — cd1's planner for the vector side:
+    // when a corpus is re-embedded (model upgrade / re-crawl), the
+    // index owner needs to know HOW FAR vectors moved per dimension
+    // before deciding whether IVF cells / PQ codebooks must retrain.
+    // Statistic = per-dimension mean |delta| between the paired old
+    // and new vector of each doc (means shift near zero on centered
+    // embeddings, so the PAIRED delta is the honest monitor). Here the
+    // new snapshot is the ll8 perturbation rule (vec_id % 7 == 2
+    // re-embeds with the first 32 dims scaled 1.1x), so dims 1-32
+    // drift and dims 33-64 pin to zero. Exact integer math on
+    // round(x*1000) quantized values. Scale shape: ONE corpus scan
+    // (both snapshots derive per-row), a 64-dim explode that
+    // map-side-collapses to 64 partial rows per partition, and a
+    // 64-row aggregate — corpus-linear, shuffle is 64 rows.
+    "cd2_embedding_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("qo",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .withColumn("qn",
+          expr("transform(embedding, (x, i) -> CAST(round(CAST(" +
+            "IF(vec_id % 7 = 2 AND i < 32, CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT), x)" +
+            " AS DOUBLE) * 1000) AS BIGINT))"))
+      e.select(explode(expr(
+          "transform(sequence(1, 64), i -> named_struct(" +
+            "'dim', CAST(i AS BIGINT), 'd', abs(qn[i-1] - qo[i-1])))")).as("x"))
+        .select(col("x.dim").as("dim"), col("x.d").as("d"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d") =!= 0L, 1L).otherwise(0L)).as("n_moved"),
+          sum(col("d")).as("sum_abs_delta"))
+        .select(col("dim"), col("n"), col("n_moved"), col("sum_abs_delta"),
+          expr("CAST(sum_abs_delta DIV n AS BIGINT)").as("mean_abs_delta"),
+          (col("n_moved") > 0L).as("drifted"))
+    }),
+
     "cd1_snapshot_diff" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val old = d.filter(col("doc_id") % 11 =!= 7)
@@ -127,6 +162,25 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    // same FLOAT-round-trip perturbation as ll8's oracle, same
+    // sign-safe truncating integer division as ll11's
+    "cd2_embedding_drift" ->
+      """WITH q AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qo,
+             list_transform(range(1, 65),
+               i -> CAST(round(CAST(CASE WHEN vec_id % 7 = 2 AND i <= 32
+                      THEN CAST(CAST(embedding[i] AS DOUBLE) * 1.1 AS FLOAT)
+                      ELSE embedding[i] END AS DOUBLE) * 1000) AS BIGINT)) AS qn
+           FROM embeddings),
+         d AS (SELECT dim.i AS dim, abs(qn[dim.i] - qo[dim.i]) AS d
+               FROM q, (SELECT unnest(range(1, 65)) AS i) dim)
+         SELECT dim, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           CAST(SUM(d) AS BIGINT) AS sum_abs_delta,
+           CAST(SUM(d) // COUNT(*) AS BIGINT) AS mean_abs_delta,
+           SUM(CASE WHEN d <> 0 THEN 1 ELSE 0 END) > 0 AS drifted
+         FROM d GROUP BY dim""",
     "cp1_corpus_intake" -> {
       import TextAnalysis.{stopwords, inList}
       val scoreSql = stopwords.map { case (l, ws) =>

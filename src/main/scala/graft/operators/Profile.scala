@@ -163,6 +163,44 @@ object Profile {
         }: _*)
     }),
 
+    // COUNT-MIN SKETCH frequency estimation (Cormode & Muthukrishnan
+    // 2005) — the mergeable point-query summary that answers "how
+    // often does key X occur" without ever shuffling keys: the sketch
+    // is d=4 hash rows x w=1024 cells (4096 counters TOTAL regardless
+    // of corpus size — vs prof3's exact path which still recounts
+    // candidates corpus-wide), built in one explode + (j, cell)
+    // aggregate; a point estimate is the MIN over the key's d cells.
+    // Estimates are deterministic given the hash (md5-derived, the
+    // repo's standard), so the oracle replays build + probe exactly —
+    // stronger than an envelope gate — and the CMS lower-bound
+    // invariant (estimate >= true count, never under) rides along as
+    // a pinned boolean. At 100 TB: the sketch is a 4096-row aggregate
+    // a streaming job maintains incrementally (counters only add), and
+    // probes are broadcast-joined against it.
+    "prof7_cms_freq" -> ((s, dir) => {
+      val d = 4; val w = 1024
+      val keys = Tables.events(s, dir).select((col("user_id") % 100).as("key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sketch build + exact recount anchor
+      def cellOf(j: String, key: String) =
+        pmod(conv(substring(md5(concat(expr(s"CAST($j AS STRING)"), lit(":"),
+          expr(s"CAST($key AS STRING)"))), 1, 8), 16, 10).cast("long"), lit(w.toLong))
+      val cells = keys
+        .select(col("key"), explode(expr(s"sequence(0, ${d - 1})")).as("j"))
+        .withColumn("cell", cellOf("j", "key"))
+        .groupBy(col("j"), col("cell")).agg(count(lit(1)).as("c"))
+      val probes = keys.filter(col("key") < 10).distinct()
+      val probeCells = probes
+        .select(col("key"), explode(expr(s"sequence(0, ${d - 1})")).as("j"))
+        .withColumn("cell", cellOf("j", "key"))
+      val est = probeCells.join(cells, Seq("j", "cell"), "left")
+        .groupBy(col("key")).agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      val exact = keys.filter(col("key") < 10)
+        .groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+      est.join(exact, "key")
+        .select(col("key"), col("est"), col("exact_n"),
+          (col("est") >= col("exact_n")).as("lower_bound_ok"))
+    }),
+
     // Join-key SKEW diagnostic — the pre-flight check before shuffling
     // on a key at scale (whale users / hot shingles are what q13's
     // salting and AQE skew-join exist for; this measures WHERE they
@@ -239,6 +277,28 @@ object Profile {
          FROM long l JOIN mm USING (col_name)
          GROUP BY 1, 2"""
     },
+    // full CMS replay: same md5-derived (j, cell) hashing, same 4x1024
+    // build aggregate, same min-over-rows point estimate — plus the
+    // exact recount; the lower-bound boolean is computed (not pinned)
+    // on both sides and must agree
+    "prof7_cms_freq" ->
+      """WITH keys AS (SELECT user_id % 100 AS key FROM events),
+         js AS (SELECT unnest(range(0, 4)) AS j),
+         cells AS (SELECT j,
+             CAST(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 8)
+               AS UBIGINT) % 1024 AS BIGINT) AS cell,
+             COUNT(*) AS c
+           FROM keys, js GROUP BY 1, 2),
+         probes AS (SELECT DISTINCT key FROM keys WHERE key < 10),
+         pc AS (SELECT key, j,
+             CAST(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 8)
+               AS UBIGINT) % 1024 AS BIGINT) AS cell
+           FROM probes, js),
+         est AS (SELECT key, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est
+                 FROM pc LEFT JOIN cells USING (j, cell) GROUP BY key),
+         ex AS (SELECT key, COUNT(*) AS exact_n FROM keys WHERE key < 10 GROUP BY key)
+         SELECT key, est, exact_n, est >= exact_n AS lower_bound_ok
+         FROM est JOIN ex USING (key)""",
     // the oracle pins the envelope booleans TRUE (the Spark side
     // computes them from the live sketch) and recomputes n exactly
     "prof6_approx_quantiles" ->

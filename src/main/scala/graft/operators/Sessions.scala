@@ -118,6 +118,42 @@ object Sessions {
         .agg(count(lit(1)).as("n_transitions"))
     }),
 
+    // TOP SESSION PATHS (journey mining) — the "what do users actually
+    // do" query product analytics builds over sessionized streams: the
+    // first 5 event types of each session, in time order, joined into
+    // a path string, counted across sessions, top-20 paths reported.
+    // Rides q16's ONE (user_id, ts)-keyed window exchange (sess_no,
+    // per-session row_number AND the per-session ordered collect all
+    // reuse the user_id partitioning); the path aggregate's
+    // cardinality is bounded by the type alphabet (k^5), and the
+    // global top-20 is a TakeOrdered, not a sort. Path assembly is
+    // sort_array over (rn, type) structs — deterministic under any
+    // partitioning because (ts_us, event_id) is a total order.
+    "q24_top_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_no", sum(col("brk")).over(run))
+      val wSess = Window.partitionBy(col("user_id"), col("sess_no"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val paths = sess
+        .withColumn("rn", row_number().over(wSess))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(expr("concat_ws('>', transform(sort_array(collect_list(struct(rn, event_type))), x -> x.event_type))")
+          .as("path"))
+      val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc).limit(20)
+      counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("n_sessions").desc, col("path").asc)).cast("long"))
+        .select(col("rank"), col("path"), col("n_sessions"))
+    }),
+
     // As-of join: each event picks up the customer's most recent order
     // at-or-before the event timestamp. Spark has no ASOF JOIN, and the
     // naive range join explodes; the scalable plan is the union trick —
@@ -297,6 +333,29 @@ object Sessions {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM g GROUP BY 1, 2""",
+    "q24_top_paths" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM e),
+         g AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_no
+           FROM f),
+         r AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess_no ORDER BY ts_us, event_id) AS rn
+           FROM g),
+         p AS (
+           SELECT user_id, sess_no, string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM r WHERE rn <= 5 GROUP BY 1, 2),
+         c AS (
+           SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+           ORDER BY n_sessions DESC, path LIMIT 20)
+         SELECT ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank,
+                path, n_sessions
+         FROM c""",
     "q17_asof_join" ->
       """WITH od AS (
            SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,

@@ -213,6 +213,30 @@ object TextAnalysis {
     // map: one codegen'd regexp pass per document, no shuffle; the
     // redacted text is md5'd so the check pins the exact output
     // without hauling full texts through the compare.
+    // OVERLAPPING-WINDOW CHUNKING — the RAG-ingest / context-window
+    // splitter: each document becomes 64-token chunks on a 48-token
+    // stride (16-token overlap so no retrieval-relevant span is cut
+    // without a copy that contains it whole). Pure per-document map +
+    // explode — ZERO exchanges at any corpus size; chunk text is
+    // pinned by md5 so the check covers the exact token slicing, not
+    // just the arithmetic. Chunk starts are sequence(0, n-1, 48), so
+    // every doc (even shorter than one window) emits >= 1 chunk and
+    // the last chunk is the only short one.
+    "rag1_chunk_overlap" -> ((s, dir) => {
+      val win = 64; val stride = 48
+      Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")).cast("long"))
+        .withColumn("start",
+          explode(expr(s"sequence(0L, greatest(n - 1, 0L), $stride)")))
+        .withColumn("chunk", expr(s"slice(ws, CAST(start + 1 AS INT), $win)"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("long").as("chunk_id"),
+          col("start").as("start_tok"),
+          size(col("chunk")).cast("long").as("chunk_len"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+    }),
+
     "ta7_pii_redact" -> ((s, dir) => {
       val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
       val phoneRe = "[0-9]{3}-[0-9]{4}"
@@ -682,6 +706,22 @@ object TextAnalysis {
            (CAST(max1 AS DOUBLE) / tot1 > 0.2 OR CAST(max2 AS DOUBLE) / tot2 > 0.2
             OR CAST(dup3 AS DOUBLE) / tot3 > 0.6) AS repetitive
          FROM c1 JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)""",
+    // same slicing replay: range(0, n, 48) == sequence(0, n-1, 48)
+    // for n >= 1 (split never yields an empty list), list_slice is
+    // end-inclusive so the stop index caps at n
+    "rag1_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                    FROM documents),
+         ch AS (SELECT doc_id, CAST(t.s AS BIGINT) AS start, n,
+                  list_slice(ws, CAST(t.s + 1 AS BIGINT), LEAST(t.s + 64, n)) AS chunk
+                FROM d, LATERAL unnest(range(0, GREATEST(n, 1), 48)) t(s))
+         SELECT doc_id,
+           start // 48 AS chunk_id,
+           start AS start_tok,
+           CAST(len(chunk) AS BIGINT) AS chunk_len,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM ch""",
     "ta7_pii_redact" ->
       """WITH aug AS (
            SELECT doc_id, text ||
