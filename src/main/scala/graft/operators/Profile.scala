@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table statistics profiler — the ANALYZE-TABLE step a warehouse
@@ -201,6 +202,67 @@ object Profile {
           (col("est") >= col("exact_n")).as("lower_bound_ok"))
     }),
 
+    // MOST-COMMON-VALUES profiling — the third leg of the ANALYZE
+    // statistics set (prof1 min/max/NDV, prof5 histograms, prof8
+    // correlations): per profiled column, the top-5 values with their
+    // frequency share, which is what a cost model uses for equality-
+    // predicate selectivity on skewed columns. One explode fans the
+    // profiled columns into a (col_name, value) stream; the count
+    // aggregate's cardinality is bounded by the columns' combined NDV
+    // and the per-column top-5 is a tiny ranked filter over it. At
+    // 100 TB: one scan, one NDV-bounded aggregate, no sort of the
+    // corpus.
+    "prof9_mcv_values" -> ((s, dir) => {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity")
+      val li = Tables.lineitem(s, dir)
+      val total = li.count()
+      val long = li.select(expr(
+        "explode(array(" + cols.map(c =>
+          s"named_struct('col_name', '$c', 'v', CAST($c AS STRING))").mkString(", ") + "))")
+        .as("x"))
+        .select(col("x.col_name").as("col_name"), col("x.v").as("v"))
+      val counts = long.groupBy(col("col_name"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("col_name"))
+        .orderBy(col("cnt").desc, col("v").asc)
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("col_name"), col("rank"), col("v").as("value"),
+          col("cnt").as("n_rows"), (col("cnt") / lit(total)).as("share"))
+    }),
+
+    // CORRELATION-MATRIX profiling — the extended statistics an
+    // ANALYZE pass collects for correlated-column cardinality
+    // estimation (and a feature-selection primitive for training
+    // pipelines). Pearson r for each column pair from the five
+    // classic power sums — ONE scan, one partial aggregate, no joins.
+    // Values quantize to cent-integers and the sums accumulate in
+    // DECIMAL(38,0), so n*Sxy - Sx*Sy is EXACT on both engines;
+    // doubles appear only at the final sqrt/division edge (the a7
+    // discipline), making r bit-comparable. At 100 TB: still one
+    // scan + a 1-row aggregate per pair set.
+    "prof8_corr_matrix" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val dec = "DECIMAL(38,0)"
+      val q = Tables.lineitem(s, dir).select(cols.map(c =>
+        expr(s"CAST(CAST(round(CAST($c AS DOUBLE) * 100) AS BIGINT) AS $dec)").as(c)): _*)
+      val aggs = cols.map(c => sum(col(c)).as(s"s_$c")) ++
+        cols.map(c => sum(expr(s"$c * $c")).as(s"ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum(expr(s"$a * $b")).as(s"sp_${a}_$b")
+        }.toSeq :+ count(lit(1)).cast(dec).as("n")
+      val stats = q.agg(aggs.head, aggs.tail: _*)
+      val pairs = cols.combinations(2).map { case Seq(a, b) =>
+        stats.select(
+          lit(a).as("col_x"), lit(b).as("col_y"),
+          col("n").cast("long").as("n_rows"),
+          (expr(s"CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)") /
+            (sqrt(expr(s"CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)")) *
+              sqrt(expr(s"CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)")))).as("pearson_r"))
+      }.toSeq
+      pairs.reduce(_ unionByName _)
+    }),
+
     // Join-key SKEW diagnostic — the pre-flight check before shuffling
     // on a key at scale (whale users / hot shingles are what q13's
     // salting and AQE skew-join exist for; this measures WHERE they
@@ -276,6 +338,43 @@ object Profile {
            COUNT(*) AS n, MIN(l.v) AS bucket_min, MAX(l.v) AS bucket_max
          FROM long l JOIN mm USING (col_name)
          GROUP BY 1, 2"""
+    },
+    "prof9_mcv_values" -> {
+      val branches = Seq("l_returnflag", "l_linestatus", "l_quantity")
+        .map(c => s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM lineitem")
+        .mkString(" UNION ALL ")
+      s"""WITH long AS ($branches),
+         counts AS (SELECT col_name, v, COUNT(*) AS cnt FROM long GROUP BY 1, 2),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM lineitem),
+         r AS (SELECT col_name, v, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY cnt DESC, v) AS rank
+               FROM counts)
+         SELECT col_name, CAST(rank AS BIGINT) AS rank, v AS value,
+                CAST(cnt AS BIGINT) AS n_rows,
+                CAST(cnt AS DOUBLE) / t AS share
+         FROM r, tot WHERE rank <= 5"""
+    },
+    // identical power sums in HUGEINT (exact), doubles only at the
+    // sqrt/division edge
+    "prof8_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val qdefs = cols.map(c =>
+        s"CAST(CAST(round(CAST($c AS DOUBLE) * 100) AS BIGINT) AS HUGEINT) AS $c").mkString(", ")
+      val sums = cols.map(c => s"SUM($c) AS s_$c").mkString(", ") + ", " +
+        cols.map(c => s"SUM($c * $c) AS ss_$c").mkString(", ") + ", " +
+        cols.combinations(2).map { case Seq(a, b) =>
+          s"SUM($a * $b) AS sp_${a}_$b"
+        }.mkString(", ") + ", CAST(COUNT(*) AS HUGEINT) AS n"
+      val pairSelects = cols.combinations(2).map { case Seq(a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n_rows,
+              CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+                (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+                 sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))) AS pearson_r
+            FROM stats"""
+      }.mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT $qdefs FROM lineitem),
+          stats AS (SELECT $sums FROM q)
+          $pairSelects"""
     },
     // full CMS replay: same md5-derived (j, cell) hashing, same 4x1024
     // build aggregate, same min-over-rows point estimate — plus the

@@ -213,6 +213,50 @@ object TextAnalysis {
     // map: one codegen'd regexp pass per document, no shuffle; the
     // redacted text is md5'd so the check pins the exact output
     // without hauling full texts through the compare.
+    // SELF-REPETITION TRIMMING — the intra-document half of span
+    // dedup (ta5 only SCORES repetition; training-data curation also
+    // REMOVES it, cf. Lee et al. 2022's within-example dedup): every
+    // repeat occurrence of a trigram already seen earlier in the SAME
+    // document is cut (all 3 positions of the repeat span; the first
+    // occurrence stays), and the document reassembles in order. All
+    // keys are (doc_id, ...) so every shuffle partitions by document —
+    // corpus-linear, no cross-doc state; removal is a 3-row explode
+    // per duplicate start + one anti-join, no window needed. Trimmed
+    // text is pinned by md5, so the check covers exact span removal
+    // and order-preserving reassembly.
+    "ta20_selfrepeat_trim" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")).cast("long"))
+      val pos = d.select(col("doc_id"), col("n"),
+          posexplode(col("ws")).as(Seq("p0", "w")))
+        .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
+      // trigrams come straight off the word array (no positional
+      // self-join); words are space-free post-split, so the
+      // space-joined key is collision-free
+      val tri = d.filter(col("n") >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1L, n - 2), p -> named_struct('pos', p, " +
+            "'tri', concat_ws(' ', ws[CAST(p - 1 AS INT)], ws[CAST(p AS INT)], ws[CAST(p + 1 AS INT)])))"))
+          .as("x"))
+        .select(col("doc_id"), col("x.pos").as("pos"), col("x.tri").as("tri"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // first-occurrence agg + dup-start probe
+      val firstPos = tri.groupBy(col("doc_id"), col("tri"))
+        .agg(min(col("pos")).as("first_pos"))
+      val dupStarts = tri.join(firstPos, Seq("doc_id", "tri"))
+        .filter(col("pos") > col("first_pos"))
+        .select(col("doc_id"), col("pos"))
+      val covered = dupStarts
+        .select(col("doc_id"), explode(expr("sequence(pos, pos + 2)")).as("pos"))
+        .distinct()
+      val kept = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      kept.groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_before"),
+          count(lit(1)).as("n_after"),
+          md5(expr("concat_ws(' ', transform(sort_array(collect_list(struct(pos, w))), x -> x.w))"))
+            .as("trimmed_md5"))
+    }),
+
     // OVERLAPPING-WINDOW CHUNKING — the RAG-ingest / context-window
     // splitter: each document becomes 64-token chunks on a 48-token
     // stride (16-token overlap so no retrieval-relevant span is cut
@@ -706,6 +750,30 @@ object TextAnalysis {
            (CAST(max1 AS DOUBLE) / tot1 > 0.2 OR CAST(max2 AS DOUBLE) / tot2 > 0.2
             OR CAST(dup3 AS DOUBLE) / tot3 > 0.6) AS repetitive
          FROM c1 JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)""",
+    // same trigram keys, duplicate-start rule and 3-position span
+    // removal; reassembly = string_agg ORDER BY pos
+    "ta20_selfrepeat_trim" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                    FROM documents),
+         pos AS (SELECT doc_id, n, CAST(t.i AS BIGINT) AS pos, ws[t.i] AS w
+                 FROM d, LATERAL unnest(range(1, n + 1)) t(i)),
+         tri AS (SELECT doc_id, CAST(t.p AS BIGINT) AS pos,
+                   ws[t.p] || ' ' || ws[t.p + 1] || ' ' || ws[t.p + 2] AS tri
+                 FROM d, LATERAL unnest(range(1, n - 1)) t(p)
+                 WHERE n >= 3),
+         fp AS (SELECT doc_id, tri, MIN(pos) AS first_pos
+                FROM tri GROUP BY doc_id, tri),
+         ds AS (SELECT t.doc_id, t.pos FROM tri t JOIN fp
+                  ON t.doc_id = fp.doc_id AND t.tri = fp.tri
+                WHERE t.pos > fp.first_pos),
+         cov AS (SELECT DISTINCT doc_id, pos + o.o AS pos
+                 FROM ds, (SELECT unnest(range(0, 3)) AS o) o),
+         kept AS (SELECT p.* FROM pos p ANTI JOIN cov c
+                    ON p.doc_id = c.doc_id AND p.pos = c.pos)
+         SELECT doc_id, MAX(n) AS n_before, COUNT(*) AS n_after,
+                md5(string_agg(w, ' ' ORDER BY pos)) AS trimmed_md5
+         FROM kept GROUP BY doc_id""",
     // same slicing replay: range(0, n, 48) == sequence(0, n-1, 48)
     // for n >= 1 (split never yields an empty list), list_slice is
     // end-inclusive so the stop index caps at n
