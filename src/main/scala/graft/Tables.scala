@@ -81,6 +81,20 @@ object Tables {
       java.lang.Long.valueOf(loader(table)(spark, dir).count()))
   }
 
+  /** Memoized planner statistic: sum of a row expression over a table
+    * (e.g. ts3's corpus token count). Same cache discipline as
+    * [[maxIdStat]]; null (empty table) yields 0.
+    */
+  def sumStat(spark: SparkSession, dir: String, table: String, exprSql: String): Long = {
+    val key = Seq(spark.sparkContext.applicationId, dir, table, "#sum", exprSql).mkString("|")
+    statCache.computeIfAbsent(key, _ => {
+      val row = loader(table)(spark, dir)
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(exprSql).cast("long"))).first()
+      java.lang.Long.valueOf(if (row.isNullAt(0)) 0L else row.getLong(0))
+    })
+  }
+
   def maxIdStat(spark: SparkSession, dir: String, table: String, idCol: String): Long = {
     val key = Seq(spark.sparkContext.applicationId, dir, table, idCol).mkString("|")
     statCache.computeIfAbsent(key, _ => {

@@ -840,18 +840,48 @@ object Dedup {
     // LSH band candidates + exact-Jaccard verify — bounded linear
     // cost, exact precision, approximate recall (see jaccardStrategy;
     // the correctness-gate corpora stay on the exact branches).
-    "ll6_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingleTable(s, dir) // stats + df/sizes/prefixes + verify joins, one materialization
-      val branch = jaccardStrategy(sh)
-      if (sys.props.contains("graft.cc.profile"))
-        System.err.println(s"[graft] ll6_ngram_jaccard strategy: $branch")
-      branch match {
-        case "prefix-filtered" => prefixFilteredJaccard(sh)
-        case "inverted-index" => jaccardFromShingles(sh)
-        case _ => exactJaccardOfCandidates(bandCandidates(signatureTable(s, dir)), sh)
-      }
+    "ll6_ngram_jaccard" -> ((s, dir) => jaccardPairs(s, dir)),
+
+    // N-GRAM JACCARD EVALUATION against the planted two-crawl ground
+    // truth — ev2/ev3's harness applied to the ll6 pipeline: recall =
+    // planted copy-pairs (doc_b = doc_a + 1e8) the adaptive Jaccard
+    // join recovers at J >= 0.6, n_extra = legitimate same-crawl
+    // near-dups beyond the truth. Completes the evaluation family
+    // (ev1 ANN, ev2 MinHash, ev3 SimHash, ev4 exact Jaccard); the
+    // union trick keeps it one aggregate over the shared pair
+    // pipeline — no scalar cross join.
+    "ev4_jaccard_eval" -> ((s, dir) => {
+      val pairs = jaccardPairs(s, dir)
+        .select(lit(1L).as("is_pair"), col("doc_a"), col("doc_b"))
+      val docs = Tables.documents(s, dir)
+        .select(lit(0L).as("is_pair"), col("doc_id").as("doc_a"),
+          lit(null).cast("long").as("doc_b"))
+      val hit = col("is_pair") === 1L && col("doc_b") === col("doc_a") + 100000000L
+      pairs.unionByName(docs).agg(
+          sum(lit(1L) - col("is_pair")).as("n_truth"),
+          sum(col("is_pair")).as("n_found"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("n_truth"), col("n_found"), col("n_hit"),
+          (col("n_hit") / col("n_truth")).as("recall"),
+          (col("n_found") - col("n_hit")).as("n_extra"))
     })
   )
+
+  /** ll6's adaptive exact-Jaccard pair pipeline (shared with ev4's
+    * evaluation): the df-skew statistic picks the physical strategy,
+    * the output pairs are identical across the two exact branches.
+    */
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir) // stats + df/sizes/prefixes + verify joins, one materialization
+    val branch = jaccardStrategy(sh)
+    if (sys.props.contains("graft.cc.profile"))
+      System.err.println(s"[graft] ll6_ngram_jaccard strategy: $branch")
+    branch match {
+      case "prefix-filtered" => prefixFilteredJaccard(sh)
+      case "inverted-index" => jaccardFromShingles(sh)
+      case _ => exactJaccardOfCandidates(bandCandidates(signatureTable(s, dir)), sh)
+    }
+  }
 
   /** CDC chunk occurrences of a (doc_id, text) frame: one row per
     * chunk with its content hash `h` and word count `nw`. Boundaries
@@ -1233,6 +1263,31 @@ object Dedup {
           FROM inter
           JOIN sz za ON doc_a = za.doc_id
           JOIN sz zb ON doc_b = zb.doc_id
-          WHERE n_common / (za.sz + zb.sz - n_common) >= 0.6"""
+          WHERE n_common / (za.sz + zb.sz - n_common) >= 0.6""",
+    // ev2's union-tagged aggregate over ll6's exact-Jaccard pairs
+    "ev4_jaccard_eval" ->
+      s"""WITH corpus AS $corpusSqlPerturbed,
+          sh AS ($shinglesSql),
+          sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+          inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+                    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2),
+          pairs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sz za ON doc_a = za.doc_id
+                    JOIN sz zb ON doc_b = zb.doc_id
+                    WHERE n_common / (za.sz + zb.sz - n_common) >= 0.6),
+          u AS (SELECT 1 AS is_pair, doc_a, doc_b FROM pairs
+                UNION ALL SELECT 0, doc_id, NULL FROM documents)
+          SELECT CAST(SUM(1 - is_pair) AS BIGINT) AS n_truth,
+            CAST(SUM(is_pair) AS BIGINT) AS n_found,
+            CAST(SUM(CASE WHEN is_pair = 1 AND doc_b = doc_a + 100000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+            CAST(SUM(CASE WHEN is_pair = 1 AND doc_b = doc_a + 100000000
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(1 - is_pair) AS BIGINT) AS recall,
+            CAST(SUM(is_pair) AS BIGINT)
+              - CAST(SUM(CASE WHEN is_pair = 1 AND doc_b = doc_a + 100000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+          FROM u"""
   )
 }

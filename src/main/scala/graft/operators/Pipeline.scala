@@ -158,6 +158,47 @@ object Pipeline {
             .when(col("h_old") =!= col("h_new"), "changed"))
         .filter(col("status").isNotNull)
         .select(col("doc_id"), col("status"))
+    }),
+
+    // NUMERIC-DISTRIBUTION DRIFT between the first and second time
+    // half of the event stream — the train/serve shift monitor (PSI
+    // family) over `value`. Everything is exact integer arithmetic:
+    // probabilities are add-1-smoothed parts-per-million via integer
+    // DIV, and the log-ratio uses the DSIR quarter-bit floor-log2
+    // (TextAnalysis.q4Duck's normalize-then-4th-power form), with
+    // log(products) expanded to sums of q4 terms so no intermediate
+    // exceeds int64 at any corpus size. The ppm scaling caps the
+    // per-bin count envelope at ~9e12 rows (int64); past that the
+    // same metric drops to per-mille — it is scale-free. Plan shape:
+    // one events scan, a (bin, half)-keyed aggregate (bounded by the
+    // value range / 10), and two 1-row broadcast scalar joins (time
+    // midpoint, totals) — no corpus-wide window, no driver loop.
+    "cd3_value_drift" -> ((s, dir) => {
+      def q4(x: String): String = {
+        val sh = s"GREATEST(0, length(bin($x)) - 15)"
+        val m = s"SHIFTRIGHT($x, CAST($sh AS INT))"
+        s"(length(bin($m * $m * $m * $m)) - 1 + 4 * ($sh))"
+      }
+      val ev = Tables.events(s, dir)
+        .select(unix_micros(col("ts")).as("ts_us"), col("value"))
+      val rng = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      val bins = ev.crossJoin(broadcast(rng))
+        .withColumn("half", when(col("ts_us") * 2 <= col("lo") + col("hi"), "a").otherwise("b"))
+        .withColumn("bin", expr("CAST(floor(value / 10.0D) AS BIGINT)"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("cb"))
+      val tot = bins.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("nbins"))
+      bins.crossJoin(broadcast(tot))
+        .withColumn("pa_ppm", expr("(ca + 1) * 1000000L DIV (na + nbins)"))
+        .withColumn("pb_ppm", expr("(cb + 1) * 1000000L DIV (nb + nbins)"))
+        .withColumn("delta_qb", expr(
+          s"CAST((${q4("(ca + 1)")} - ${q4("(cb + 1)")}) + (${q4("(nb + nbins)")} - ${q4("(na + nbins)")}) AS BIGINT)"))
+        .withColumn("contrib_q", (col("pa_ppm") - col("pb_ppm")) * col("delta_qb"))
+        .select(col("bin"), col("ca"), col("cb"), col("pa_ppm"), col("pb_ppm"),
+          col("delta_qb"), col("contrib_q"),
+          (col("contrib_q") >= 1000L).as("drifted"))
     })
   )
 
@@ -284,6 +325,37 @@ object Pipeline {
                  WHEN n.doc_id IS NULL THEN 'removed'
                  ELSE 'changed' END AS status
           FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
-          WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text"""
+          WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text""",
+
+    // quarter-bit floor-log2 replayed with TextAnalysis.q4Duck's
+    // normalize-then-4th-power form; all arithmetic integer
+    "cd3_value_drift" -> {
+      def q4(x: String): String = {
+        val s = s"GREATEST(0, length(bin($x)) - 15)"
+        val m = s"(($x) >> ($s))"
+        s"(length(bin($m * $m * $m * $m)) - 1 + 4 * ($s))"
+      }
+      s"""WITH ev AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
+          rng AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM ev),
+          h AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                  CASE WHEN ts_us * 2 <= lo + hi THEN 'a' ELSE 'b' END AS half
+                FROM ev CROSS JOIN rng),
+          bins AS (SELECT bin,
+                     CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                     CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                   FROM h GROUP BY bin),
+          tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                    COUNT(*) AS nbins FROM bins),
+          j AS (SELECT bin, ca, cb,
+                  (ca + 1) * 1000000 // (na + nbins) AS pa_ppm,
+                  (cb + 1) * 1000000 // (nb + nbins) AS pb_ppm,
+                  CAST((${q4("(ca + 1)")} - ${q4("(cb + 1)")})
+                     + (${q4("(nb + nbins)")} - ${q4("(na + nbins)")}) AS BIGINT) AS delta_qb
+                FROM bins CROSS JOIN tot)
+          SELECT bin, ca, cb, pa_ppm, pb_ppm, delta_qb,
+            (pa_ppm - pb_ppm) * delta_qb AS contrib_q,
+            (pa_ppm - pb_ppm) * delta_qb >= 1000 AS drifted
+          FROM j"""
+    }
   )
 }

@@ -72,6 +72,47 @@ object Search {
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
         .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
+    }),
+
+    // Full BM25 ranking (Robertson k1=1.2, b=0.75): ts1's quantized
+    // idf weights composed with BM25's tf saturation and document-
+    // length normalization. The per-(doc, term) contribution is
+    // computed in double arithmetic from integer inputs — a fixed
+    // expression tree of correctly-rounded IEEE ops, so both engines
+    // produce identical bits per ROW — then floor-quantized to a
+    // BIGINT before the per-doc sum, keeping the reduction order-free
+    // (the Search scoring trade: floats per row, never across rows).
+    // dl/avgdl is evaluated as (dl * N) / total in doubles; corpus
+    // stats N and total-token-count are memoized planner scalars
+    // (Tables.countStat/sumStat — one aggregate per session, not per
+    // construction). Plan shape is ts1's: the term filter reaches the
+    // exploded tokens pre-shuffle, df broadcasts back, the only
+    // corpus-wide shuffle is the per-doc dl aggregate (linear,
+    // key-uniform), and the global top-20 is a TakeOrdered.
+    "ts3_bm25" -> ((s, dir) => {
+      val k = 20
+      val docs = Tables.documents(s, dir)
+      val nDocs = Tables.countStat(s, dir, "documents")
+      val totTok = Tables.sumStat(s, dir, "documents", "size(split(text, ' '))")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = toks.filter(col("w").isin(queryTerms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .withColumn("idfq", expr(s"CAST((${nDocs}L * 1000000L) DIV (df + 1) AS BIGINT)"))
+      val contrib = tf.join(broadcast(dft), "w").join(dl, "doc_id")
+        .withColumn("c", expr(
+          "floor(CAST(idfq AS DOUBLE) * ((CAST(tf AS DOUBLE) * 2.2D) / " +
+            "(CAST(tf AS DOUBLE) + (1.2D * (0.25D + (0.75D * " +
+            s"((CAST(dl AS DOUBLE) * CAST(${nDocs}L AS DOUBLE)) / CAST(${totTok}L AS DOUBLE))))))))"))
+      val scored = contrib.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("score"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(k)
+      scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long"))
+        .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
     })
   )
 
@@ -98,6 +139,30 @@ object Search {
            CAST(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
              / COUNT(*) AS oov_rate
          FROM tok LEFT JOIN vocab v ON tok.w = v.w
-         GROUP BY doc_id"""
+         GROUP BY doc_id""",
+    // the saturation factor's expression tree is pinned to the engine's
+    // shape parenthesis-for-parenthesis so the per-row doubles match
+    // bit-for-bit; sums are over the floor-quantized BIGINTs only
+    "ts3_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+          tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+                 WHERE w IN $termList GROUP BY 1, 2),
+          dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+          n AS (SELECT COUNT(*) AS n FROM documents),
+          tt AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot FROM documents),
+          c AS (SELECT tf.doc_id,
+                  CAST(floor(CAST((n.n * 1000000) // (df + 1) AS DOUBLE) *
+                    ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+                     (CAST(tf AS DOUBLE) + (CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                       (CAST(0.75 AS DOUBLE) *
+                        ((CAST(dl AS DOUBLE) * CAST(n.n AS DOUBLE)) / CAST(tt.tot AS DOUBLE)))))))) AS BIGINT) AS c
+                FROM tf JOIN dft USING (w) JOIN dl USING (doc_id)
+                CROSS JOIN n CROSS JOIN tt),
+          sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score, COUNT(*) AS n_terms
+                 FROM c GROUP BY doc_id)
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                 doc_id, score, n_terms
+          FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
   )
 }

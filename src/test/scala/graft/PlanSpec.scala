@@ -96,6 +96,15 @@ class PlanSpec extends SparkSpec {
         "global Sort here would range-shuffle every scored document")
   }
 
+  test("ts3 BM25: idf broadcasts and top-k is TakeOrdered, not a sort") {
+    val plan = planOf("ts3_bm25")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query-term idf table must broadcast onto the tf/dl join")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-k must run as per-partition heads + driver merge; a " +
+        "global Sort here would range-shuffle every scored document")
+  }
+
   test("rl1 fuzzy linkage: candidates come from equi-joins, never a cartesian") {
     val plan = planOf("rl1_fuzzy_link")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -81,7 +81,17 @@ class ScaleGuardSpec extends SparkSpec {
     def allLocal(s: SparkPlan): Boolean =
       flatten(s).collect { case leaf if leaf.children.isEmpty => leaf }
         .forall(configSized)
-    allLocal(l) || allLocal(r)
+    // A global aggregate (no grouping keys) is 1 row BY CONSTRUCTION
+    // whatever its input size — the scalar-statistic join shape
+    // (cd3's time midpoint / totals). Walking top-down, the first
+    // aggregate node we meet being group-free proves the side's
+    // cardinality is 1 regardless of what it scans.
+    def oneRowByConstruction(s: SparkPlan): Boolean = s match {
+      case a: aggregate.BaseAggregateExec => a.groupingExpressions.isEmpty
+      case n if n.children.size == 1 => oneRowByConstruction(n.children.head)
+      case _ => false
+    }
+    allLocal(l) || allLocal(r) || oneRowByConstruction(l) || oneRowByConstruction(r)
   }
 
   /** Walks through sorts/projections (and codegen wrappers — the r10

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-10 additions: BM25 ranking (ts3), the
+  * n-gram-Jaccard evaluation (ev4) and the numeric-drift monitor
+  * (cd3). Value-level correctness is pinned by the DuckDB oracle
+  * gate; these pin the algorithmic properties the oracle can't
+  * express — ts3 against a from-scratch driver-side BM25, ev4
+  * against ll6's own pair output, cd3's quarter-bit log against its
+  * integer twin.
+  */
+class SearchDriftSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def run(name: String) = {
+    assume(new java.io.File(sfDir).exists())
+    SparkEntry.queries(name)(spark, sfDir)
+  }
+
+  test("ts3 BM25: engine scores match a from-scratch driver-side BM25") {
+    assume(new java.io.File(sfDir).exists())
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val terms = Set("spark", "merge", "vector")
+    val toks = docs.view.mapValues(_.split(" ", -1).toSeq).toMap
+    val nDocs = docs.size.toLong
+    val total = toks.valuesIterator.map(_.size.toLong).sum
+    val df = terms.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    val expected = toks.flatMap { case (id, ws) =>
+      val dl = ws.size.toLong
+      val contribs = terms.toSeq.flatMap { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0L) None
+        else {
+          val idfq = (nDocs * 1000000L) / (df(t) + 1L)
+          val sat = (tf.toDouble * 2.2) /
+            (tf.toDouble + (1.2 * (0.25 + (0.75 * ((dl.toDouble * nDocs.toDouble) / total.toDouble)))))
+          Some(math.floor(idfq.toDouble * sat).toLong)
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some(id -> (contribs.sum, contribs.size.toLong))
+    }
+    val top = expected.toSeq.sortBy { case (id, (sc, _)) => (-sc, id) }.take(20)
+    val got = run("ts3_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.length === top.length)
+    top.zipWithIndex.foreach { case ((id, (sc, nt)), i) =>
+      assert(got(i) === ((i + 1L, id, sc, nt)),
+        s"rank ${i + 1}: engine ${got(i)} vs driver-side BM25 ($id, $sc, $nt)")
+    }
+  }
+
+  test("ev4 jaccard eval: counts reconcile with ll6's pair output and the planted truth") {
+    val pairs = run("ll6_ngram_jaccard")
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nTruth = Tables.documents(spark, sfDir).count()
+    val nHit = pairs.count { case (a, b) => b == a + 100000000L }
+    val row = run("ev4_jaccard_eval").collect().head
+    assert(row.getLong(0) === nTruth)
+    assert(row.getLong(1) === pairs.length.toLong)
+    assert(row.getLong(2) === nHit.toLong)
+    assert(row.getLong(4) === (pairs.length - nHit).toLong)
+    val recall = row.getDouble(3)
+    assert(recall >= 0.0 && recall <= 1.0)
+    // the planted copies only drop the first word, which removes a
+    // single 3-gram shingle — exact Jaccard at 0.6 must recover most
+    // of them, or the pipeline is broken
+    assert(recall > 0.5, s"planted-copy recall collapsed to $recall")
+  }
+
+  test("cd3 drift: ppm/quarter-bit columns reconcile with integer twins; totals conserve") {
+    val rows = run("cd3_value_drift").collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getBoolean(7))
+    }
+    assert(rows.nonEmpty)
+    val na = rows.map(_._2).sum
+    val nb = rows.map(_._3).sum
+    val nbins = rows.length.toLong
+    assert(na + nb === Tables.events(spark, sfDir).count(),
+      "every event lands in exactly one (bin, half) cell")
+    def q4(x: Long): Long = TextAnalysis.q4At(x)
+    rows.foreach { case (bin, ca, cb, paPpm, pbPpm, deltaQb, contribQ, drifted) =>
+      assert(ca + cb > 0L, s"empty bin $bin emitted")
+      assert(paPpm === (ca + 1L) * 1000000L / (na + nbins))
+      assert(pbPpm === (cb + 1L) * 1000000L / (nb + nbins))
+      assert(deltaQb === (q4(ca + 1L) - q4(cb + 1L)) + (q4(nb + nbins) - q4(na + nbins)),
+        s"bin $bin: quarter-bit log drifted from the integer twin")
+      assert(contribQ === (paPpm - pbPpm) * deltaQb)
+      assert(drifted === (contribQ >= 1000L))
+    }
+  }
+}
