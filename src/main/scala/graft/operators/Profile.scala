@@ -278,10 +278,63 @@ object Profile {
           .orderBy(col("c").desc, col("user_id").asc)).cast("long"))
         .select(col("rank"), col("user_id"), col("c").as("n_rows"),
           (col("c") / lit(total)).as("share"))
+    }),
+
+    // REFERENTIAL-INTEGRITY profile — the FK health check a warehouse
+    // runs across its star schema: per declared child→parent
+    // relationship, child row count, orphan rows (no parent), distinct
+    // parents actually referenced, and the max fan-out (hottest
+    // parent). One row per relationship. Plan per pair: the child
+    // aggregates per key FIRST (so the join and the orphan test see
+    // one row per key, not per child row), then left-joins the parent
+    // key set — dimension-sized parents broadcast; fact-sized ones
+    // (orders) shuffle once on the key. No distinct-on-child, no
+    // row-level parent join.
+    "prof10_fk_integrity" -> ((s, dir) => {
+      def rel(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+              parent: org.apache.spark.sql.DataFrame, pk: String,
+              broadcastParent: Boolean) = {
+        val perKey = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("c"))
+        val pkeys = parent.select(col(pk).as("k")).distinct()
+          .withColumn("present", lit(1L))
+        val joined = perKey.join(
+          if (broadcastParent) broadcast(pkeys) else pkeys, Seq("k"), "left")
+        joined.agg(
+            sum(col("c")).as("n_child"),
+            sum(when(col("present").isNull, col("c")).otherwise(0L)).as("n_orphan"),
+            sum(when(col("present").isNotNull, 1L).otherwise(0L)).as("n_parents_used"),
+            max(col("c")).as("max_fanout"))
+          .select(lit(name).as("rel"), col("n_child"), col("n_orphan"),
+            col("n_parents_used"), col("max_fanout"))
+      }
+      rel("lineitem.orderkey->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", broadcastParent = false)
+        .unionByName(rel("orders.custkey->customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", broadcastParent = true))
+        .unionByName(rel("customer.nationkey->nation", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey", broadcastParent = true))
+        .unionByName(rel("events.user_id->customer", Tables.events(s, dir), "user_id",
+          Tables.customer(s, dir), "c_custkey", broadcastParent = true))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "prof10_fk_integrity" -> {
+      val rels = Seq(
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))
+      rels.map { case (name, child, ck, parent, pk) =>
+        s"""SELECT '$name' AS rel,
+              CAST(SUM(c) AS BIGINT) AS n_child,
+              CAST(SUM(CASE WHEN p.k IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_orphan,
+              CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parents_used,
+              CAST(MAX(c) AS BIGINT) AS max_fanout
+            FROM (SELECT $ck AS k, COUNT(*) AS c FROM $child GROUP BY 1) ch
+            LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p ON ch.k = p.k"""
+      }.mkString(" UNION ALL ")
+    },
     "prof1_table_stats" -> {
       val cols = Seq("l_orderkey" -> true, "l_partkey" -> true,
         "l_quantity" -> true, "l_returnflag" -> false)

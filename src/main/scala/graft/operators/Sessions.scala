@@ -154,6 +154,35 @@ object Sessions {
         .select(col("rank"), col("path"), col("n_sessions"))
     }),
 
+    // INTERVAL (range) JOIN — each event matched against every order
+    // window [orderdate, orderdate + 7 d) of the same user, the
+    // point-in-interval join Spark has no native operator for. The
+    // naive theta-join degenerates to a per-user cross product, so
+    // the scalable plan BUCKETIZES time: each interval explodes into
+    // its <= 8 covering day-buckets, each event hashes to its single
+    // bucket, and the match becomes an EQUI-join on (user, bucket)
+    // with the exact range predicate as a residual filter — shuffle
+    // volume is |events| + 8·|orders|, never the product. An event
+    // falls in exactly one bucket and an interval covers each bucket
+    // once, so no post-join dedup is needed. The per-event aggregate
+    // keeps the output bounded by the event count.
+    "q25_interval_join" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"))
+        .withColumn("end_us", col("start_us") + lit(7L * dayUs))
+      val buck = ord.withColumn("bucket",
+        explode(expr(s"sequence(start_us DIV ${dayUs}L, (end_us - 1) DIV ${dayUs}L)")))
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("bucket", expr(s"ts_us DIV ${dayUs}L"))
+      ev.join(buck, Seq("user_id", "bucket"))
+        .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_active"), min(col("o_orderkey")).as("first_orderkey"))
+    }),
+
     // As-of join: each event picks up the customer's most recent order
     // at-or-before the event timestamp. Spark has no ASOF JOIN, and the
     // naive range join explodes; the scalable plan is the union trick —
@@ -356,6 +385,18 @@ object Sessions {
          SELECT ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank,
                 path, n_sessions
          FROM c""",
+    // the oracle states the interval join declaratively; the engine's
+    // bucketized equi-join must produce the identical match set
+    "q25_interval_join" ->
+      """WITH o AS (SELECT o_custkey AS user_id, o_orderkey,
+                      epoch_us(o_orderdate) AS start_us,
+                      epoch_us(o_orderdate) + 604800000000 AS end_us
+                    FROM orders)
+         SELECT e.event_id, COUNT(*) AS n_active,
+                MIN(o.o_orderkey) AS first_orderkey
+         FROM events e JOIN o ON e.user_id = o.user_id
+           AND epoch_us(e.ts) >= o.start_us AND epoch_us(e.ts) < o.end_us
+         GROUP BY 1""",
     "q17_asof_join" ->
       """WITH od AS (
            SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,

@@ -152,4 +152,28 @@ class CurationOpsSpec extends SparkSpec {
       assert(sorted.head._4 === colMin && sorted.last._5 === colMax)
     }
   }
+
+  test("prof10 FK integrity: counts reconcile with direct key-set arithmetic") {
+    val rows = run("prof10_fk_integrity").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.size === 4)
+    // independent recomputation for one fact-sized and one dim-sized pair
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val ok = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val childKeys = li.select("l_orderkey").collect().map(_.getLong(0))
+    val (nChild, nOrphan, nUsed, maxFan) = rows("lineitem.orderkey->orders")
+    assert(nChild === childKeys.length.toLong)
+    assert(nOrphan === childKeys.count(k => !ok.contains(k)).toLong)
+    assert(nUsed === childKeys.filter(ok.contains).distinct.length.toLong)
+    assert(maxFan === childKeys.groupBy(identity).values.map(_.length).max.toLong)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("user_id").collect().map(_.getLong(0))
+    val ck = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val (eChild, eOrphan, _, _) = rows("events.user_id->customer")
+    assert(eChild === ev.length.toLong)
+    assert(eOrphan === ev.count(k => !ck.contains(k)).toLong)
+  }
 }

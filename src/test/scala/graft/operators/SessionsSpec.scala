@@ -132,6 +132,30 @@ class SessionsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("week_offset") >= 0L))
   }
 
+  test("q25 interval join: bucketized equi-join matches the naive driver-side range join") {
+    assume(new java.io.File("/root/testdata/sf0.001").exists())
+    val sfDir001 = "/root/testdata/sf0.001"
+    val dayUs = 86400000000L
+    val orders = graft.Tables.orders(spark, sfDir001)
+      .selectExpr("o_custkey", "o_orderkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val events = graft.Tables.events(spark, sfDir001)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = orders.groupBy(_._1)
+    val expected = events.flatMap { case (eid, uid, ts) =>
+      val hits = byUser.getOrElse(uid, Array.empty[(Long, Long, Long)])
+        .filter { case (_, _, st) => ts >= st && ts < st + 7L * dayUs }
+      if (hits.isEmpty) None
+      else Some(eid -> ((hits.length.toLong, hits.map(_._2).min)))
+    }.toMap
+    val got = Sessions.defs("q25_interval_join")(spark, sfDir001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected,
+      "the day-bucket decomposition must reproduce the exact range-join match set")
+  }
+
   test("percentiles: interpolation matches the closed form on a known distribution") {
     val t = minUs(100)
     // values 1..5 for one event type: p50 = 3, p95 = 1 + 0.95*4 = 4.8
