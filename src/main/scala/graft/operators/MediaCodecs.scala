@@ -358,6 +358,43 @@ object MediaCodecs {
     * order) has B/G/R = (id*7 + 3p) mod 256 (+1, +2) — closed form
     * for the oracle.
     */
+  case class ResizedMeta(outWidth: Int, outHeight: Int,
+                         sumR: Long, sumG: Long, sumB: Long)
+
+  /** 2×2 box-filter downsample over the raw BMP pixel rows: each
+    * output pixel is the truncating integer mean of its 2×2 input
+    * block, odd edge rows/columns dropped (floor semantics). Blocks
+    * pair FILE rows (BMP stores bottom-up; pairing is identical
+    * either way for even heights, and for odd heights the dropped
+    * row is simply the last stored one — the spec the oracle
+    * replays). Returns the resized dimensions and exact per-channel
+    * sums of the output image, so a resampler regression (offset,
+    * stride, channel swap, rounding) is hash-visible.
+    */
+  def bmpResizeBox(b: Array[Byte]): ResizedMeta = {
+    val m = decodeBmp(b) // validates the container
+    val dataOff = u32(b, 10).toInt
+    val stride = ((m.width * 3 + 3) / 4) * 4
+    val (ow, oh) = (m.width / 2, m.height / 2)
+    def ch(rowOff: Int, c: Int, k: Int): Int = b(rowOff + 3 * c + k) & 0xff
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var by = 0
+    while (by < oh) {
+      val r0 = dataOff + (2 * by) * stride
+      val r1 = dataOff + (2 * by + 1) * stride
+      var bx = 0
+      while (bx < ow) {
+        val c0 = 2 * bx
+        sb += (ch(r0, c0, 0) + ch(r0, c0 + 1, 0) + ch(r1, c0, 0) + ch(r1, c0 + 1, 0)) / 4
+        sg += (ch(r0, c0, 1) + ch(r0, c0 + 1, 1) + ch(r1, c0, 1) + ch(r1, c0 + 1, 1)) / 4
+        sr += (ch(r0, c0, 2) + ch(r0, c0 + 1, 2) + ch(r1, c0, 2) + ch(r1, c0 + 1, 2)) / 4
+        bx += 1
+      }
+      by += 1
+    }
+    ResizedMeta(ow, oh, sr, sg, sb)
+  }
+
   def synthBmp(id: Long): Array[Byte] = synthBmpShifted(id, 0)
 
   /** synthBmp re-rendered with a uniform +delta brightness shift

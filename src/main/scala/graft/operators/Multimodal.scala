@@ -325,6 +325,30 @@ object Multimodal {
         .agg(count(lit(1)).as("n_sampled_frames"),
           countDistinct(col("media_id")).as("n_media"),
           sum(length(col("frame")).cast("long")).as("sampled_bytes"))
+    }),
+
+    // Image RESIZE over real decoded bytes — the preprocessing step a
+    // multimodal training pipeline runs on every image: a 2×2
+    // box-filter downsample (truncating integer mean, odd edges
+    // dropped) executed against the actual BMP pixel rows on
+    // executors. The check hashes the resized dimensions AND the
+    // exact per-channel sums of the OUTPUT image, so any resampler
+    // regression — offset, stride, channel order, rounding mode — is
+    // caught, not just the metadata. The oracle replays synthBmp's
+    // closed-form pixels through the same block arithmetic. Per-row
+    // UDF cost is pixels-proportional; the plan is a narrow map with
+    // no shuffle at all.
+    "mm12_image_resize" -> ((s, dir) => {
+      val synth = udf((id: Long) => MediaCodecs.synthBmp(id))
+      val rz = udf((p: Array[Byte]) => MediaCodecs.bmpResizeBox(p))
+      Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+        .filter(col("media_id") < 100)
+        .withColumn("m", rz(synth(col("media_id"))))
+        .select(col("media_id"),
+          col("m.outWidth").cast("long").as("out_width"),
+          col("m.outHeight").cast("long").as("out_height"),
+          col("m.sumR").as("sum_r"), col("m.sumG").as("sum_g"),
+          col("m.sumB").as("sum_b"))
     })
   )
 
@@ -554,6 +578,28 @@ object Multimodal {
          FROM hsh x JOIN hsh y
            ON x.w = y.w AND x.h = y.h AND x.media_id < y.media_id
          WHERE bit_count(xor(x.ahash, y.ahash)) <= 3""",
+    // synthBmp's closed-form pixels pushed through the same 2×2
+    // truncating block mean as the engine's byte-level resampler
+    "mm12_image_resize" -> {
+      val W = "(4 + doc_id % 4)"
+      val OW = s"($W // 2)"
+      val OH = "((2 + doc_id % 3) // 2)"
+      val p00 = s"((q // $OW) * 2 * $W + (q % $OW) * 2)"
+      val p10 = s"(((q // $OW) * 2 + 1) * $W + (q % $OW) * 2)"
+      def chan(k: Int) =
+        s"""CAST(list_sum(list_transform(range(0, $OW * $OH), q ->
+             (((doc_id * 7 + 3 * $p00 + $k) % 256)
+            + ((doc_id * 7 + 3 * ($p00 + 1) + $k) % 256)
+            + ((doc_id * 7 + 3 * $p10 + $k) % 256)
+            + ((doc_id * 7 + 3 * ($p10 + 1) + $k) % 256)) // 4)) AS BIGINT)"""
+      s"""SELECT doc_id AS media_id,
+            CAST($OW AS BIGINT) AS out_width,
+            CAST($OH AS BIGINT) AS out_height,
+            ${chan(2)} AS sum_r,
+            ${chan(1)} AS sum_g,
+            ${chan(0)} AS sum_b
+          FROM documents WHERE doc_id < 100"""
+    },
     "mm5_bmp_decode" ->
       """SELECT doc_id AS media_id,
            CAST(4 + doc_id % 4 AS BIGINT) AS width,

@@ -135,4 +135,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length === 64))
     // media 2 is shorter than one frame -> no rows
   }
+
+  test("BMP box resize: dims floor-halve and sums match a per-pixel recompute") {
+    // cover every (w, h) residue class of the synthesizer
+    (0L until 12L).foreach { id =>
+      val bytes = MediaCodecs.synthBmp(id)
+      val m = MediaCodecs.decodeBmp(bytes)
+      val r = MediaCodecs.bmpResizeBox(bytes)
+      assert(r.outWidth === m.width / 2 && r.outHeight === m.height / 2)
+      // independent recompute straight from the closed-form pixels
+      def v(p: Long, k: Long): Long = (id * 7 + 3 * p + k) % 256
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (by <- 0 until m.height / 2; bx <- 0 until m.width / 2) {
+        val p00 = (2L * by) * m.width + 2L * bx
+        val p10 = (2L * by + 1L) * m.width + 2L * bx
+        eb += (v(p00, 0) + v(p00 + 1, 0) + v(p10, 0) + v(p10 + 1, 0)) / 4
+        eg += (v(p00, 1) + v(p00 + 1, 1) + v(p10, 1) + v(p10 + 1, 1)) / 4
+        er += (v(p00, 2) + v(p00 + 1, 2) + v(p10, 2) + v(p10 + 1, 2)) / 4
+      }
+      assert((r.sumR, r.sumG, r.sumB) === ((er, eg, eb)),
+        s"id=$id ${m.width}x${m.height}: resampler diverged from closed form")
+    }
+  }
 }
