@@ -109,6 +109,28 @@ object EventStream {
         col("confirm_id"), col("confirm_ts"))
   }
 
+  /** q25's streaming twin — the interval join against a STATIC
+    * order-window table as a stream-static join. The same day-bucket
+    * decomposition turns the point-in-interval match into an
+    * equi-join on (user_id, bucket) with the exact range predicate as
+    * residual, so each micro-batch joins hash-to-hash against the
+    * (possibly broadcast) static side and NO state store is involved:
+    * stream-static inner joins are stateless by construction. Emits
+    * the raw match set in Append mode; the per-event aggregate is the
+    * batch surface's closing groupBy. Input schemas:
+    * events(event_id, user_id, ts_us), windows(user_id, o_orderkey,
+    * start_us, end_us).
+    */
+  def intervalJoinStream(events: DataFrame, orderWindows: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val buck = orderWindows.withColumn("bucket",
+      explode(expr(s"sequence(start_us DIV ${dayUs}L, (end_us - 1) DIV ${dayUs}L)")))
+    events.withColumn("bucket", expr(s"ts_us DIV ${dayUs}L"))
+      .join(buck, Seq("user_id", "bucket"))
+      .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("o_orderkey"))
+  }
+
   /** Bucket count for the tracks-table layout. Each micro-batch merge
     * rewrites only the buckets its ids hash into, so per-batch IO is
     * bounded by touched partitions, not table size. 32 here (tests +

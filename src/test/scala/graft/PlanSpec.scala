@@ -105,6 +105,15 @@ class PlanSpec extends SparkSpec {
         "global Sort here would range-shuffle every scored document")
   }
 
+  test("q25 interval join: bucketization yields an equi-join, never a range cross product") {
+    val plan = planOf("q25_interval_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the day-bucket decomposition must turn the range join into a " +
+        "hash-partitioned equi-join on (user, bucket); a nested-loop " +
+        "theta-join here is the per-user cross product the operator " +
+        "exists to avoid")
+  }
+
   test("rl1 fuzzy linkage: candidates come from equi-joins, never a cartesian") {
     val plan = planOf("rl1_fuzzy_link")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

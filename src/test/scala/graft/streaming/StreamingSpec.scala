@@ -800,4 +800,39 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.values.map(_._1).sum === nPurch)
     } finally q.stop()
   }
+
+  test("q25 streaming twin: stream-static interval join matches the batch match set") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val dayUs = 86400000000L
+    val base = 1700000000000000L
+    // windows: u1 has two overlapping 7-day windows, u2 one, u9 none matching
+    val windows = Seq(
+      (1L, 101L, base, base + 7L * dayUs),
+      (1L, 102L, base + 3L * dayUs, base + 10L * dayUs),
+      (2L, 201L, base, base + 7L * dayUs))
+      .toDF("user_id", "o_orderkey", "start_us", "end_us")
+    val evs = Seq(
+      (10L, 1L, base + 1L),              // inside 101 only
+      (11L, 1L, base + 4L * dayUs),      // inside 101 and 102
+      (12L, 1L, base + 8L * dayUs),      // inside 102 only
+      (13L, 2L, base + 7L * dayUs),      // exactly at end: exclusive -> no match
+      (14L, 2L, base + 7L * dayUs - 1L), // last µs inside
+      (15L, 9L, base + 1L))              // user without windows
+    val input = MemoryStream[(Long, Long, Long)]
+    val out = EventStream.intervalJoinStream(
+      input.toDF().toDF("event_id", "user_id", "ts_us"), windows)
+    val q = out.writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      input.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("ivj").select("event_id", "o_orderkey")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((10L, 101L), (11L, 101L), (11L, 102L), (12L, 102L), (14L, 201L)),
+        "stream-static bucketized join must reproduce the exact interval-match set")
+    } finally q.stop()
+  }
 }
