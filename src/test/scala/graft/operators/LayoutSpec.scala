@@ -73,4 +73,55 @@ class LayoutSpec extends SparkSpec {
     // the corruption is one deletion: distance exactly 1 on self-matches
     selfMatches.foreach { case (_, _, d) => assert(d === 1L) }
   }
+
+  test("hilbert index: bijective and continuous on the full order-4 curve; 16-bit form matches the twin") {
+    val sess = spark
+    import sess.implicits._
+    // the full 16x16 grid through the SAME fold expression at 4 bits:
+    // exhaustive bijectivity + continuity
+    val grid = (for (i <- 0 until 16; j <- 0 until 16)
+      yield (i.toLong, j.toLong)).toDF("sx", "sy")
+    val d = grid.withColumn("d", expr(Layout.hilbertSql("sx", "sy", bits = 4)))
+      .select("sx", "sy", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val order = d.map { case (i, j, v) => (v, (i, j)) }.sortBy(_._1)
+    assert(order.map(_._1).toSeq === (0L until 256L).toSeq,
+      "hilbert4 must be a bijection onto 0..255")
+    // continuity: each step of the curve moves to a 4-adjacent cell —
+    // the property Morton order lacks (its seam jumps) and the reason
+    // hilbert files have tighter boxes on range scans
+    order.map(_._2).toSeq.sliding(2).foreach {
+      case Seq((i1, j1), (i2, j2)) =>
+        assert((i1 - i2).abs + (j1 - j2).abs === 1L,
+          s"curve jumps from ($i1,$j1) to ($i2,$j2)")
+      case _ =>
+    }
+    // production 16-bit form: column expression == driver twin on a
+    // deterministic point sample across the full domain
+    val pts = (0 until 500).map { k =>
+      val x = (k * 2654435761L) & 0xffffL
+      val y = (k * 40503L + 17L) & 0xffffL
+      (x, y)
+    }
+    val got = pts.toDF("sx", "sy")
+      .withColumn("d", expr(Layout.hilbertSql("sx", "sy")))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === Layout.hilbertAt(x, y),
+        s"column hilbert($x,$y) diverges from the scala twin")
+    }
+  }
+
+  test("hilbert buckets cut total bounding-box area like z-order does") {
+    val n = 16
+    def boxArea(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(col("bucket"))
+        .agg(((max(col("l_partkey")) - min(col("l_partkey")) + 1) *
+          (max(col("l_suppkey")) - min(col("l_suppkey")) + 1)).as("area"))
+        .agg(sum(col("area"))).first().getLong(0)
+    val hArea = boxArea(Layout.hBuckets(li, "l_partkey", "l_suppkey", n))
+    val naive = li.withColumn("bucket", ntile(n).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+    assert(hArea * 4 < boxArea(naive), s"hilbert area $hArea not << naive")
+  }
 }
