@@ -77,6 +77,31 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
       col("text").cast("binary").as("payload"))
 
+  /** mm8's aHash near-dup pair pipeline (shared with ev5's
+    * evaluation): two crawls (+1000 ids, +4 brightness), size-class
+    * blocking, hamming <= 3 verify.
+    */
+  private def imageNeardupPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val synth = udf((id: Long, delta: Int) => MediaCodecs.synthBmpShifted(id, delta))
+    val ah = udf((p: Array[Byte]) => MediaCodecs.bmpAHash(p))
+    val base = Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+      .filter(col("media_id") < 50)
+    val imgs = base.select(col("media_id"), synth(col("media_id"), lit(0)).as("b"))
+      .unionByName(base.select((col("media_id") + 1000L).as("media_id"),
+        synth(col("media_id"), lit(4)).as("b")))
+      .withColumn("h", ah(col("b")))
+      .select(col("media_id"), col("h.width").as("w"), col("h.height").as("hh"),
+        col("h.ahash").as("ahash"))
+    imgs.as("x").join(imgs.as("y"),
+        col("x.w") === col("y.w") && col("x.hh") === col("y.hh") &&
+          col("x.media_id") < col("y.media_id"))
+      .withColumn("hamming",
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        col("hamming"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Decoded-metadata rollup per media kind: the decode UDF runs over
@@ -207,25 +232,29 @@ object Multimodal {
     // bits — exactly the fingerprint-stability property aHash is used
     // for. The oracle replays the closed-form pixels of BOTH crawls
     // and the same blocking + hamming verify.
-    "mm8_image_neardup" -> ((s, dir) => {
-      val synth = udf((id: Long, delta: Int) => MediaCodecs.synthBmpShifted(id, delta))
-      val ah = udf((p: Array[Byte]) => MediaCodecs.bmpAHash(p))
-      val base = Tables.documents(s, dir).select(col("doc_id").as("media_id"))
-        .filter(col("media_id") < 50)
-      val imgs = base.select(col("media_id"), synth(col("media_id"), lit(0)).as("b"))
-        .unionByName(base.select((col("media_id") + 1000L).as("media_id"),
-          synth(col("media_id"), lit(4)).as("b")))
-        .withColumn("h", ah(col("b")))
-        .select(col("media_id"), col("h.width").as("w"), col("h.height").as("hh"),
-          col("h.ahash").as("ahash"))
-      imgs.as("x").join(imgs.as("y"),
-          col("x.w") === col("y.w") && col("x.hh") === col("y.hh") &&
-            col("x.media_id") < col("y.media_id"))
-        .withColumn("hamming",
-          bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
-          col("hamming"))
+    "mm8_image_neardup" -> ((s, dir) => imageNeardupPairs(s, dir)),
+
+    // IMAGE near-dup EVALUATION against the planted brightness-shifted
+    // second crawl — ev2/ev3/ev4's harness on the aHash pipeline,
+    // extending the evaluation family to the image modality: recall =
+    // planted (id, id+1000) pairs recovered at hamming <= 3, n_extra =
+    // legitimate same-crawl collisions. Union-tagged single aggregate
+    // over the shared pair pipeline.
+    "ev5_image_neardup_eval" -> ((s, dir) => {
+      val pairs = imageNeardupPairs(s, dir)
+        .select(lit(1L).as("is_pair"), col("media_a"), col("media_b"))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_a")).filter(col("media_a") < 50)
+        .select(lit(0L).as("is_pair"), col("media_a"),
+          lit(null).cast("long").as("media_b"))
+      val hit = col("is_pair") === 1L && col("media_b") === col("media_a") + 1000L
+      pairs.unionByName(base).agg(
+          sum(lit(1L) - col("is_pair")).as("n_truth"),
+          sum(col("is_pair")).as("n_found"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("n_truth"), col("n_found"), col("n_hit"),
+          (col("n_hit") / col("n_truth")).as("recall"),
+          (col("n_found") - col("n_hit")).as("n_extra"))
     }),
 
     // Audio NEAR-DUPLICATE detection — completes the near-dup family
@@ -355,6 +384,34 @@ object Multimodal {
   private val kindSql =
     """CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
+
+  /** mm8's two-crawl aHash pipeline as shared oracle CTEs (pairs
+    * consumed by both the mm8 listing and ev5's evaluation).
+    */
+  private val mm8Ctes =
+    """crawls AS (
+           SELECT doc_id AS media_id, doc_id AS bid, 0 AS d
+           FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 1000, doc_id, 4 FROM documents WHERE doc_id < 50),
+         px AS (
+           SELECT media_id, bid, d,
+             CAST(4 + bid % 4 AS BIGINT) AS w, CAST(2 + bid % 3 AS BIGINT) AS h,
+             unnest(range(0, (4 + bid % 4) * (2 + bid % 3))) AS p
+           FROM crawls),
+         g AS (
+           SELECT media_id, w, h, p,
+             ((bid * 7 + 3 * p + d) % 256 + (bid * 7 + 3 * p + 1 + d) % 256 +
+              (bid * 7 + 3 * p + 2 + d) % 256) // 3 AS gray
+           FROM px),
+         m AS (SELECT media_id, CAST(SUM(gray) // COUNT(*) AS BIGINT) AS mean_gray
+               FROM g GROUP BY media_id),
+         hsh AS (
+           SELECT g.media_id, w, h,
+             CAST(SUM(CASE WHEN gray > mean_gray
+                           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ahash
+           FROM g JOIN m ON g.media_id = m.media_id
+           GROUP BY g.media_id, w, h)"""
 
   val oracles: Map[String, String] = Map(
     "mm1_media_metadata" ->
@@ -550,34 +607,32 @@ object Multimodal {
          WHERE bit_count(xor(x.fp, y.fp)) <= 2"""
     },
     "mm8_image_neardup" ->
-      """WITH crawls AS (
-           SELECT doc_id AS media_id, doc_id AS bid, 0 AS d
-           FROM documents WHERE doc_id < 50
-           UNION ALL
-           SELECT doc_id + 1000, doc_id, 4 FROM documents WHERE doc_id < 50),
-         px AS (
-           SELECT media_id, bid, d,
-             CAST(4 + bid % 4 AS BIGINT) AS w, CAST(2 + bid % 3 AS BIGINT) AS h,
-             unnest(range(0, (4 + bid % 4) * (2 + bid % 3))) AS p
-           FROM crawls),
-         g AS (
-           SELECT media_id, w, h, p,
-             ((bid * 7 + 3 * p + d) % 256 + (bid * 7 + 3 * p + 1 + d) % 256 +
-              (bid * 7 + 3 * p + 2 + d) % 256) // 3 AS gray
-           FROM px),
-         m AS (SELECT media_id, CAST(SUM(gray) // COUNT(*) AS BIGINT) AS mean_gray
-               FROM g GROUP BY media_id),
-         hsh AS (
-           SELECT g.media_id, w, h,
-             CAST(SUM(CASE WHEN gray > mean_gray
-                           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ahash
-           FROM g JOIN m ON g.media_id = m.media_id
-           GROUP BY g.media_id, w, h)
+      s"""WITH $mm8Ctes
          SELECT x.media_id AS media_a, y.media_id AS media_b,
            CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
          FROM hsh x JOIN hsh y
            ON x.w = y.w AND x.h = y.h AND x.media_id < y.media_id
          WHERE bit_count(xor(x.ahash, y.ahash)) <= 3""",
+    // ev2's union-tagged aggregate over mm8's closed-form pair pipeline
+    "ev5_image_neardup_eval" ->
+      s"""WITH $mm8Ctes,
+          pairs AS (SELECT x.media_id AS media_a, y.media_id AS media_b
+                    FROM hsh x JOIN hsh y
+                      ON x.w = y.w AND x.h = y.h AND x.media_id < y.media_id
+                    WHERE bit_count(xor(x.ahash, y.ahash)) <= 3),
+          u AS (SELECT 1 AS is_pair, media_a, media_b FROM pairs
+                UNION ALL SELECT 0, doc_id, NULL FROM documents WHERE doc_id < 50)
+          SELECT CAST(SUM(1 - is_pair) AS BIGINT) AS n_truth,
+            CAST(SUM(is_pair) AS BIGINT) AS n_found,
+            CAST(SUM(CASE WHEN is_pair = 1 AND media_b = media_a + 1000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+            CAST(SUM(CASE WHEN is_pair = 1 AND media_b = media_a + 1000
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(1 - is_pair) AS BIGINT) AS recall,
+            CAST(SUM(is_pair) AS BIGINT)
+              - CAST(SUM(CASE WHEN is_pair = 1 AND media_b = media_a + 1000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+          FROM u""",
     // synthBmp's closed-form pixels pushed through the same 2×2
     // truncating block mean as the engine's byte-level resampler
     "mm12_image_resize" -> {

@@ -315,10 +315,72 @@ object Profile {
           Tables.nation(s, dir), "n_nationkey", broadcastParent = true))
         .unionByName(rel("events.user_id->customer", Tables.events(s, dir), "user_id",
           Tables.customer(s, dir), "c_custkey", broadcastParent = true))
+    }),
+
+    // DATA-QUALITY RULE EVALUATION — a declarative constraint registry
+    // (not-null / range / set-membership / key-uniqueness) evaluated
+    // against lineitem in ONE aggregate pass: every row-level rule is
+    // a sum(violation) branch of the same scan, uniqueness rides the
+    // identical aggregate as count − countDistinct(key), and the
+    // 7-row report explodes from the single result row. The
+    // registry-drives-the-plan pattern of t14b/s3c/val1 applied to
+    // quality monitoring (Deequ-style); at 100 TB this is one
+    // map-side-combined scan, never a pass per rule.
+    "dq1_quality_rules" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val rowRules: Seq[(Long, String, String, org.apache.spark.sql.Column)] = Seq(
+        (1L, "not_null", "l_orderkey", col("l_orderkey").isNull),
+        (2L, "not_null", "l_returnflag", col("l_returnflag").isNull),
+        (3L, "range", "l_quantity",
+          !(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)),
+        (4L, "range", "l_discount",
+          !(col("l_discount") >= 0.0 && col("l_discount") <= 0.1)),
+        (5L, "in_set", "l_returnflag", !col("l_returnflag").isin("A", "N", "R")),
+        (6L, "in_set", "l_linestatus", !col("l_linestatus").isin("O", "F")))
+      val aggs =
+        rowRules.map { case (id, _, _, bad) =>
+          sum(when(bad, 1L).otherwise(0L)).as(s"v$id")
+        } ++ Seq(
+          count(lit(1)).as("n_rows"),
+          countDistinct(concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+            .as("n_distinct_keys"))
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val reportCols = rowRules.map { case (id, typ, c, _) =>
+        s"named_struct('rule_id', ${id}L, 'rule_type', '$typ', 'column_name', '$c', " +
+          s"'n_violations', v$id)"
+      } :+ ("named_struct('rule_id', 7L, 'rule_type', 'unique', " +
+        "'column_name', 'l_orderkey|l_linenumber', " +
+        "'n_violations', n_rows - n_distinct_keys)")
+      one.select(col("n_rows"),
+          explode(expr(reportCols.mkString("array(", ", ", ")"))).as("r"))
+        .select(col("r.rule_id"), col("r.rule_type"), col("r.column_name"),
+          col("n_rows"), col("r.n_violations"),
+          (col("r.n_violations") === 0L).as("passed"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "dq1_quality_rules" -> {
+      val rules = Seq(
+        (1, "not_null", "l_orderkey", "l_orderkey IS NULL"),
+        (2, "not_null", "l_returnflag", "l_returnflag IS NULL"),
+        (3, "range", "l_quantity", "NOT (l_quantity >= 1.0 AND l_quantity <= 50.0)"),
+        (4, "range", "l_discount", "NOT (l_discount >= 0.0 AND l_discount <= 0.1)"),
+        (5, "in_set", "l_returnflag", "l_returnflag NOT IN ('A', 'N', 'R')"),
+        (6, "in_set", "l_linestatus", "l_linestatus NOT IN ('O', 'F')"))
+      val rows = rules.map { case (id, typ, c, bad) =>
+        s"""SELECT CAST($id AS BIGINT) AS rule_id, '$typ' AS rule_type,
+              '$c' AS column_name, COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN $bad THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM lineitem"""
+      } :+
+        s"""SELECT CAST(7 AS BIGINT), 'unique', 'l_orderkey|l_linenumber', COUNT(*),
+              COUNT(*) - COUNT(DISTINCT concat_ws('|', l_orderkey, l_linenumber))
+            FROM lineitem"""
+      s"""SELECT rule_id, rule_type, column_name, n_rows, n_violations,
+            n_violations = 0 AS passed
+          FROM (${rows.mkString(" UNION ALL ")})"""
+    },
     "prof10_fk_integrity" -> {
       val rels = Seq(
         ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

@@ -176,4 +176,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(eChild === ev.length.toLong)
     assert(eOrphan === ev.count(k => !ck.contains(k)).toLong)
   }
+
+  test("dq1 quality rules: one aggregate pass, clean TPC-H columns pass, planted dirt fails") {
+    val report = run("dq1_quality_rules").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(report.size === 7)
+    val n = graft.Tables.lineitem(spark, sfDir).count()
+    report.values.foreach { case (_, nRows, _, _) => assert(nRows === n) }
+    // generator data is clean on the row-level constraints
+    (1L to 6L).foreach { id =>
+      val (_, _, viol, passed) = report(id)
+      assert(passed && viol === 0L, s"rule $id flagged $viol violations on clean data")
+    }
+    // ...but NOT on the (orderkey, linenumber) key — the synthetic
+    // generator draws linenumber randomly, so duplicates exist and the
+    // rule must count exactly count - distinct-keys of them
+    val keys = graft.Tables.lineitem(spark, sfDir)
+      .selectExpr("concat_ws('|', l_orderkey, l_linenumber)")
+      .collect().map(_.getString(0))
+    val expectedDups = keys.length.toLong - keys.distinct.length.toLong
+    val (_, _, dupViol, dupPassed) = report(7L)
+    assert(dupViol === expectedDups)
+    assert(dupPassed === (expectedDups == 0L))
+    // the registry drives detection: a corrupted frame flips the verdict
+    val sess = spark
+    import sess.implicits._
+    val dirty = Seq(
+      (1L, 1, 5.0, 0.05, "A", "O"),      // clean
+      (1L, 1, 99.0, 0.5, "X", "Z"),      // dup key + range + set violations
+      (2L, 1, 5.0, 0.05, null, "O"))     // null returnflag
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag", "l_linestatus")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    dirty.withColumn("l_partkey", lit(1L)).withColumn("l_suppkey", lit(1L))
+      .withColumn("l_extendedprice", lit(1.0)).withColumn("l_tax", lit(0.0))
+      .withColumn("l_shipdate", lit(null).cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val dr = graft.SparkEntry.queries("dq1_quality_rules")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(dr(2L) === 1L) // null returnflag
+    assert(dr(3L) === 1L) // quantity out of range
+    assert(dr(4L) === 1L) // discount out of range
+    assert(dr(5L) === 1L) // returnflag not in set (null isin -> null -> not counted)
+    assert(dr(6L) === 1L) // linestatus not in set
+    assert(dr(7L) === 1L) // one duplicated key
+  }
 }

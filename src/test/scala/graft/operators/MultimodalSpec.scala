@@ -157,4 +157,21 @@ class MultimodalSpec extends SparkSpec {
         s"id=$id ${m.width}x${m.height}: resampler diverged from closed form")
     }
   }
+
+  test("ev5 image-neardup eval reconciles with mm8's pair output") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).exists())
+    val pairs = graft.SparkEntry.queries("mm8_image_neardup")(spark, sfDir)
+      .select("media_a", "media_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nHit = pairs.count { case (a, b) => b == a + 1000L }
+    val row = graft.SparkEntry.queries("ev5_image_neardup_eval")(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) === 50L)
+    assert(row.getLong(1) === pairs.length.toLong)
+    assert(row.getLong(2) === nHit.toLong)
+    // +4 brightness only flips wrap-around pixels: aHash must recover
+    // most planted copies or the fingerprint is broken
+    assert(row.getDouble(3) > 0.5, s"planted-copy recall collapsed to ${row.getDouble(3)}")
+  }
 }
