@@ -317,6 +317,35 @@ object Profile {
           Tables.customer(s, dir), "c_custkey", broadcastParent = true))
     }),
 
+    // FUNCTIONAL-DEPENDENCY discovery — does column A determine column
+    // B? The schema-inference profiling a warehouse runs to find
+    // candidate keys and denormalization opportunities. Per candidate
+    // FD the plan is the two-level form: groupBy(A) with a single
+    // per-group countDistinct(B), then a one-row rollup — violations =
+    // Σ (ndv_B_in_group − 1), so fd_holds ⇔ zero extra pairs. The
+    // intermediate is keyspace-sized, each branch carries exactly ONE
+    // DISTINCT (prof1's lesson: multi-DISTINCT Expand duplicates the
+    // corpus per column), and the five relations union into one
+    // 5-row report.
+    "prof11_fd_discovery" -> ((s, dir) => {
+      def fd(name: String, df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+        df.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nb") > 1L, 1L).otherwise(0L)).as("n_violating_groups"),
+            sum(col("nb") - 1L).as("n_extra_pairs"))
+          .select(lit(name).as("fd"), col("n_groups"), col("n_violating_groups"),
+            col("n_extra_pairs"), (col("n_extra_pairs") === 0L).as("fd_holds"))
+      fd("nation.nationkey->name", Tables.nation(s, dir), "n_nationkey", "n_name")
+        .unionByName(fd("orders.orderkey->custkey", Tables.orders(s, dir),
+          "o_orderkey", "o_custkey"))
+        .unionByName(fd("events.event_id->user_id", Tables.events(s, dir),
+          "event_id", "user_id"))
+        .unionByName(fd("lineitem.orderkey->partkey", Tables.lineitem(s, dir),
+          "l_orderkey", "l_partkey"))
+        .unionByName(fd("customer.nationkey->mktsegment", Tables.customer(s, dir),
+          "c_nationkey", "c_mktsegment"))
+    }),
+
     // DATA-QUALITY RULE EVALUATION — a declarative constraint registry
     // (not-null / range / set-membership / key-uniqueness) evaluated
     // against lineitem in ONE aggregate pass: every row-level rule is
@@ -360,6 +389,21 @@ object Profile {
   )
 
   val oracles: Map[String, String] = Map(
+    "prof11_fd_discovery" -> {
+      val fds = Seq(
+        ("nation.nationkey->name", "nation", "n_nationkey", "n_name"),
+        ("orders.orderkey->custkey", "orders", "o_orderkey", "o_custkey"),
+        ("events.event_id->user_id", "events", "event_id", "user_id"),
+        ("lineitem.orderkey->partkey", "lineitem", "l_orderkey", "l_partkey"),
+        ("customer.nationkey->mktsegment", "customer", "c_nationkey", "c_mktsegment"))
+      fds.map { case (name, t, a, b) =>
+        s"""SELECT '$name' AS fd, COUNT(*) AS n_groups,
+              CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+              CAST(SUM(nb - 1) AS BIGINT) AS n_extra_pairs,
+              CAST(SUM(nb - 1) AS BIGINT) = 0 AS fd_holds
+            FROM (SELECT $a, COUNT(DISTINCT $b) AS nb FROM $t GROUP BY $a)"""
+      }.mkString(" UNION ALL ")
+    },
     "dq1_quality_rules" -> {
       val rules = Seq(
         (1, "not_null", "l_orderkey", "l_orderkey IS NULL"),

@@ -199,6 +199,28 @@ class CurationOpsSpec extends SparkSpec {
     val (_, _, dupViol, dupPassed) = report(7L)
     assert(dupViol === expectedDups)
     assert(dupPassed === (expectedDups == 0L))
+  }
+
+  test("prof11 FD discovery: verdicts match direct determination checks") {
+    val rows = run("prof11_fd_discovery").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows.size === 5)
+    def check(fd: String, df: org.apache.spark.sql.DataFrame, a: String, b: String) = {
+      val pairs = df.select(a, b).collect()
+        .map(r => (r.get(0).toString, r.get(1).toString))
+      val grouped = pairs.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+      val (nGroups, nExtra, holds) = rows(fd)
+      assert(nGroups === grouped.size.toLong, s"$fd group count")
+      assert(nExtra === grouped.values.map(_ - 1L).sum, s"$fd extra pairs")
+      assert(holds === grouped.values.forall(_ == 1), s"$fd verdict")
+    }
+    check("nation.nationkey->name", graft.Tables.nation(spark, sfDir),
+      "n_nationkey", "n_name")
+    check("lineitem.orderkey->partkey", graft.Tables.lineitem(spark, sfDir),
+      "l_orderkey", "l_partkey")
+    // a true key FD must hold, a fact FD must not (data sanity)
+    assert(rows("nation.nationkey->name")._3)
+    assert(!rows("lineitem.orderkey->partkey")._3)
     // the registry drives detection: a corrupted frame flips the verdict
     val sess = spark
     import sess.implicits._
