@@ -102,6 +102,31 @@ object Multimodal {
         col("hamming"))
   }
 
+  /** mm9's delta-energy near-dup pair pipeline (shared with ev6):
+    * two crawls (+1000 ids, +3 amplitude), length blocking,
+    * hamming <= 2 verify.
+    */
+  private def audioNeardupPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val synth = udf((id: Long, delta: Int) => MediaCodecs.synthWavShifted(id, delta))
+    val fp = udf((p: Array[Byte]) => MediaCodecs.wavFingerprint(p))
+    val base = Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+      .filter(col("media_id") < 50)
+    val clips = base.select(col("media_id"), synth(col("media_id"), lit(0)).as("b"))
+      .unionByName(base.select((col("media_id") + 1000L).as("media_id"),
+        synth(col("media_id"), lit(3)).as("b")))
+      .withColumn("f", fp(col("b")))
+      .select(col("media_id"), col("f.nSamples").cast("long").as("n_samples"),
+        col("f.fp").as("fp"))
+    clips.as("x").join(clips.as("y"),
+        col("x.n_samples") === col("y.n_samples") &&
+          col("x.media_id") < col("y.media_id"))
+      .withColumn("hamming",
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long"))
+      .filter(col("hamming") <= 2)
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        col("hamming"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Decoded-metadata rollup per media kind: the decode UDF runs over
@@ -266,25 +291,27 @@ object Multimodal {
     // samples — each length block holds exactly one (base, copy)
     // pair, and the oracle replays both crawls' closed-form samples
     // through the same windowing.
-    "mm9_audio_neardup" -> ((s, dir) => {
-      val synth = udf((id: Long, delta: Int) => MediaCodecs.synthWavShifted(id, delta))
-      val fp = udf((p: Array[Byte]) => MediaCodecs.wavFingerprint(p))
-      val base = Tables.documents(s, dir).select(col("doc_id").as("media_id"))
-        .filter(col("media_id") < 50)
-      val clips = base.select(col("media_id"), synth(col("media_id"), lit(0)).as("b"))
-        .unionByName(base.select((col("media_id") + 1000L).as("media_id"),
-          synth(col("media_id"), lit(3)).as("b")))
-        .withColumn("f", fp(col("b")))
-        .select(col("media_id"), col("f.nSamples").cast("long").as("n_samples"),
-          col("f.fp").as("fp"))
-      clips.as("x").join(clips.as("y"),
-          col("x.n_samples") === col("y.n_samples") &&
-            col("x.media_id") < col("y.media_id"))
-        .withColumn("hamming",
-          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long"))
-        .filter(col("hamming") <= 2)
-        .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
-          col("hamming"))
+    "mm9_audio_neardup" -> ((s, dir) => audioNeardupPairs(s, dir)),
+
+    // AUDIO near-dup EVALUATION against the planted amplitude-shifted
+    // second crawl — the eval harness on mm9's delta-energy
+    // fingerprints, completing the family across every near-dup
+    // pipeline (text ev2/ev3/ev4, image ev5, audio here).
+    "ev6_audio_neardup_eval" -> ((s, dir) => {
+      val pairs = audioNeardupPairs(s, dir)
+        .select(lit(1L).as("is_pair"), col("media_a"), col("media_b"))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_a")).filter(col("media_a") < 50)
+        .select(lit(0L).as("is_pair"), col("media_a"),
+          lit(null).cast("long").as("media_b"))
+      val hit = col("is_pair") === 1L && col("media_b") === col("media_a") + 1000L
+      pairs.unionByName(base).agg(
+          sum(lit(1L) - col("is_pair")).as("n_truth"),
+          sum(col("is_pair")).as("n_found"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("n_truth"), col("n_found"), col("n_hit"),
+          (col("n_hit") / col("n_truth")).as("recall"),
+          (col("n_found") - col("n_hit")).as("n_extra"))
     }),
 
     // Audio ENERGY SEGMENTATION — the VAD-shaped cut before
@@ -384,6 +411,30 @@ object Multimodal {
   private val kindSql =
     """CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
+
+  /** mm9's two-crawl delta-energy pipeline as shared oracle CTEs
+    * (consumed by the mm9 listing and ev6's evaluation).
+    */
+  private val mm9Ctes = {
+    def sTerm(iExpr: String) = s"((bid * 31 + 7 * ($iExpr) + d) % 2001 - 1000)"
+    def eTerm(wExpr: String) =
+      (0 until 4).map(j => sTerm(s"4 * ($wExpr) + $j")).mkString(" + ")
+    s"""crawls AS (
+           SELECT doc_id AS media_id, doc_id AS bid, 0 AS d
+           FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 1000, doc_id, 3 FROM documents WHERE doc_id < 50),
+         base AS (SELECT media_id, bid, d,
+                    CAST(64 + bid % 64 AS BIGINT) AS n FROM crawls),
+         fps AS (
+           SELECT media_id, n,
+             CAST(COALESCE(SUM(CASE WHEN ${eTerm("wdx")} > ${eTerm("wdx - 1")}
+                   THEN (CAST(1 AS BIGINT) << (wdx - 1)) ELSE 0 END), 0) AS BIGINT) AS fp
+           FROM (SELECT media_id, bid, d, n,
+                   unnest(range(1, CAST(least(32, n // 4) AS BIGINT))) AS wdx
+                 FROM base)
+           GROUP BY media_id, n)"""
+  }
 
   /** mm8's two-crawl aHash pipeline as shared oracle CTEs (pairs
     * consumed by both the mm8 listing and ev5's evaluation).
@@ -581,31 +632,33 @@ object Multimodal {
            GROUP BY 1, 2, 3)
          SELECT video_a, video_b, n_frames, n_matched
          FROM pairs WHERE n_matched * 4 >= n_frames * 3""",
-    "mm9_audio_neardup" -> {
-      def sTerm(iExpr: String) = s"((bid * 31 + 7 * ($iExpr) + d) % 2001 - 1000)"
-      def eTerm(wExpr: String) =
-        (0 until 4).map(j => sTerm(s"4 * ($wExpr) + $j")).mkString(" + ")
-      s"""WITH crawls AS (
-           SELECT doc_id AS media_id, doc_id AS bid, 0 AS d
-           FROM documents WHERE doc_id < 50
-           UNION ALL
-           SELECT doc_id + 1000, doc_id, 3 FROM documents WHERE doc_id < 50),
-         base AS (SELECT media_id, bid, d,
-                    CAST(64 + bid % 64 AS BIGINT) AS n FROM crawls),
-         fps AS (
-           SELECT media_id, n,
-             CAST(COALESCE(SUM(CASE WHEN ${eTerm("wdx")} > ${eTerm("wdx - 1")}
-                   THEN (CAST(1 AS BIGINT) << (wdx - 1)) ELSE 0 END), 0) AS BIGINT) AS fp
-           FROM (SELECT media_id, bid, d, n,
-                   unnest(range(1, CAST(least(32, n // 4) AS BIGINT))) AS wdx
-                 FROM base)
-           GROUP BY media_id, n)
+    "mm9_audio_neardup" ->
+      s"""WITH $mm9Ctes
          SELECT x.media_id AS media_a, y.media_id AS media_b,
            CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
          FROM fps x JOIN fps y
            ON x.n = y.n AND x.media_id < y.media_id
-         WHERE bit_count(xor(x.fp, y.fp)) <= 2"""
-    },
+         WHERE bit_count(xor(x.fp, y.fp)) <= 2""",
+    // the eval aggregate over mm9's closed-form pair pipeline
+    "ev6_audio_neardup_eval" ->
+      s"""WITH $mm9Ctes,
+          pairs AS (SELECT x.media_id AS media_a, y.media_id AS media_b
+                    FROM fps x JOIN fps y
+                      ON x.n = y.n AND x.media_id < y.media_id
+                    WHERE bit_count(xor(x.fp, y.fp)) <= 2),
+          u AS (SELECT 1 AS is_pair, media_a, media_b FROM pairs
+                UNION ALL SELECT 0, doc_id, NULL FROM documents WHERE doc_id < 50)
+          SELECT CAST(SUM(1 - is_pair) AS BIGINT) AS n_truth,
+            CAST(SUM(is_pair) AS BIGINT) AS n_found,
+            CAST(SUM(CASE WHEN is_pair = 1 AND media_b = media_a + 1000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+            CAST(SUM(CASE WHEN is_pair = 1 AND media_b = media_a + 1000
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(1 - is_pair) AS BIGINT) AS recall,
+            CAST(SUM(is_pair) AS BIGINT)
+              - CAST(SUM(CASE WHEN is_pair = 1 AND media_b = media_a + 1000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+          FROM u""",
     "mm8_image_neardup" ->
       s"""WITH $mm8Ctes
          SELECT x.media_id AS media_a, y.media_id AS media_b,

@@ -403,6 +403,20 @@ object Relational {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // CUBE with grouping_id — every subtotal combination of
+    // (returnflag, linestatus) in one pass plus the bitmask that tells
+    // a report consumer WHICH dimensions each row aggregates over
+    // (rollup covers only the prefix lattice; cube is the full one).
+    // Spark plans this as a single Expand + hash aggregate — 4x the
+    // rows through one shuffle, not 4 scans.
+    "q29_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          grouping_id().as("gid"))
+    }),
+
     // The engine is a SQL surface too: canonical tables registered as
     // views, queries in plain Spark SQL.
     "q15_sql_surface" -> ((s, dir) => {
@@ -599,6 +613,14 @@ object Relational {
       """SELECT event_type, source_id, COUNT(*) AS n
          FROM (SELECT event_type, user_id % 5 AS source_id FROM events)
          GROUP BY ROLLUP(event_type, source_id)""",
+    // GROUPING() bit order matches Spark's grouping_id (leftmost
+    // column = most significant bit)
+    "q29_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)""",
     "q15_sql_surface" ->
       """SELECT e.event_type, COUNT(*) AS n_events,
                 COUNT(DISTINCT o.o_orderkey) AS n_orders

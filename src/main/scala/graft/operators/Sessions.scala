@@ -154,6 +154,66 @@ object Sessions {
         .select(col("rank"), col("path"), col("n_sessions"))
     }),
 
+    // SEASONALITY PROFILE — event volume by (day-of-week, hour-of-day),
+    // the load-shape matrix capacity planning and anomaly baselines
+    // read. Both coordinates are pure integer arithmetic on epoch
+    // microseconds (no calendar functions — Spark and DuckDB number
+    // weekdays differently, so the day index is defined as
+    // days-since-epoch mod 7: 0 = Thursday 1970-01-01). One
+    // aggregate, 168 output rows.
+    "q27_seasonality" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val hourUs = 3600000000L
+      Tables.events(s, dir)
+        .select(unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("dow", expr(s"(ts_us DIV ${dayUs}L) % 7"))
+        .withColumn("hod", expr(s"(ts_us % ${dayUs}L) DIV ${hourUs}L"))
+        .groupBy(col("dow"), col("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+    }),
+
+    // TOP-K PER GROUP — the per-segment leaderboard (top-3 orders by
+    // total price within each market segment): rank window partitioned
+    // by the GROUP key, so each segment sorts independently across the
+    // cluster — k·|groups| output, no global sort, no driver merge.
+    // The customer dimension broadcasts onto the fact scan.
+    "q28_topk_per_group" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("c_mktsegment"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // QUANTILE DISCRETIZATION — bin every event's value by the global
+    // quartile cutpoints (the feature-binning step before model
+    // training / drift monitoring). The cutpoints are a 1-row exact
+    // percentile aggregate (a7's interpolation, which both engines
+    // compute identically) broadcast back onto the stream; assignment
+    // is pure per-row comparison, and the closing per-bin rollup
+    // bounds the output at 4 rows. At 100 TB the exact percentile
+    // swaps for approx_percentile — same plan shape.
+    "q26_quantile_bin" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("value"))
+      val cuts = ev.agg(
+        expr("percentile(value, 0.25D)").as("q1"),
+        expr("percentile(value, 0.5D)").as("q2"),
+        expr("percentile(value, 0.75D)").as("q3"))
+      ev.crossJoin(broadcast(cuts))
+        .withColumn("bin",
+          when(col("value") < col("q1"), 0L)
+            .when(col("value") < col("q2"), 1L)
+            .when(col("value") < col("q3"), 2L).otherwise(3L))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    }),
+
     // INTERVAL (range) JOIN — each event matched against every order
     // window [orderdate, orderdate + 7 d) of the same user, the
     // point-in-interval join Spark has no native operator for. The
@@ -385,6 +445,32 @@ object Sessions {
          SELECT ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank,
                 path, n_sessions
          FROM c""",
+    "q27_seasonality" ->
+      """SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+                (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q28_topk_per_group" ->
+      """WITH r AS (
+           SELECT c.c_mktsegment,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rank,
+             o.o_orderkey, o.o_totalprice
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+         SELECT c_mktsegment, rank, o_orderkey, o_totalprice
+         FROM r WHERE rank <= 3""",
+    // quantile_cont is the same linear interpolation as Spark's
+    // percentile (a7 pins the equality); bin edges are < on both sides
+    "q26_quantile_bin" ->
+      """WITH c AS (SELECT quantile_cont(value, 0.25) AS q1,
+                      quantile_cont(value, 0.5) AS q2,
+                      quantile_cont(value, 0.75) AS q3 FROM events)
+         SELECT CAST(CASE WHEN value < q1 THEN 0 WHEN value < q2 THEN 1
+                          WHEN value < q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+                COUNT(*) AS n_events,
+                MIN(value) AS min_value, MAX(value) AS max_value
+         FROM events CROSS JOIN c GROUP BY 1""",
     // the oracle states the interval join declaratively; the engine's
     // bucketized equi-join must produce the identical match set
     "q25_interval_join" ->

@@ -515,6 +515,32 @@ object TextAnalysis {
           col("total_bits").cast("double") / col("n_bigrams").cast("double"))
     }),
 
+    // CURRICULUM ordering — the short-to-long schedule curriculum
+    // training uses: documents phase by token-count difficulty bands,
+    // with ta13's deterministic md5 shuffle WITHIN each phase so a
+    // phase's internal order is unbiased but reproducible. Rank
+    // partitions are (phase, shard) with the shard count scaling as
+    // corpus/250 (ta13's bounded-sort discipline) — no global sort,
+    // no single-partition window. A training loader consumes rows in
+    // (phase, shard, ord) order.
+    "ta21_curriculum" -> ((s, dir) => {
+      val shards = math.max(8L, Tables.countStat(s, dir, "documents") / 250L)
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("phase",
+          when(col("n_tokens") <= 20L, 0L).when(col("n_tokens") <= 50L, 1L)
+            .when(col("n_tokens") <= 100L, 2L).otherwise(3L))
+        .withColumn("okey",
+          md5(concat(col("phase").cast("string"), lit(":"), col("doc_id").cast("string"))))
+        .withColumn("shard",
+          (conv(substring(col("okey"), 1, 8), 16, 10).cast("long") % shards))
+      val w = Window.partitionBy(col("phase"), col("shard"))
+        .orderBy(col("okey"), col("doc_id"))
+      keyed.withColumn("ord", row_number().over(w).cast("long"))
+        .select(col("phase"), col("shard"), col("ord"), col("doc_id"), col("n_tokens"))
+    }),
+
     "ta13_epoch_shuffle" -> ((s, dir) => {
       val epochs = 2
       val docs = Tables.documents(s, dir).select(col("doc_id"))
@@ -929,6 +955,27 @@ object TextAnalysis {
                 CAST(SUM(bits) AS BIGINT) AS total_bits,
                 CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS bits_per_token
          FROM scored GROUP BY doc_id""",
+    "ta21_curriculum" ->
+      """WITH keyed AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN len(string_split(text, ' ')) <= 20 THEN 0
+                       WHEN len(string_split(text, ' ')) <= 50 THEN 1
+                       WHEN len(string_split(text, ' ')) <= 100 THEN 2
+                       ELSE 3 END AS BIGINT) AS phase
+           FROM documents),
+         hashed AS (
+           SELECT doc_id, n_tokens, phase,
+             md5(CAST(phase AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS okey
+           FROM keyed),
+         sharded AS (
+           SELECT *, CAST(CAST('0x' || substr(okey, 1, 8) AS UBIGINT)
+               % GREATEST(8, (SELECT COUNT(*) FROM documents) // 250) AS BIGINT) AS shard
+           FROM hashed)
+         SELECT phase, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY phase, shard ORDER BY okey, doc_id)
+             AS BIGINT) AS ord,
+           doc_id, n_tokens
+         FROM sharded""",
     "ta13_epoch_shuffle" ->
       """WITH keyed AS (
            SELECT e.epoch, d.doc_id,
