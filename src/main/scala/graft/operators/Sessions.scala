@@ -174,18 +174,29 @@ object Sessions {
     }),
 
     // TOP-K PER GROUP — the per-segment leaderboard (top-3 orders by
-    // total price within each market segment): rank window partitioned
-    // by the GROUP key, so each segment sorts independently across the
-    // cluster — k·|groups| output, no global sort, no driver merge.
-    // The customer dimension broadcasts onto the fact scan.
+    // total price within each market segment). A window partitioned by
+    // the 5-value group key is the classic scale trap (each partition
+    // holds corpus/5 rows — ScaleGuard rule (d) catches exactly this),
+    // so the plan is the SALTED TWO-PHASE form: phase 1 ranks within
+    // (segment, salt) where the ~sqrt(N) salt keeps every window
+    // partition ~sqrt-sized; only the k·salts·segments phase-1
+    // survivors (sublinear) reach the phase-2 per-segment rank. The
+    // per-salt top-3 is a superset of the segment top-3, so the output
+    // is exactly the naive window's. Customer dimension broadcasts.
     "q28_topk_per_group" -> ((s, dir) => {
+      val saltN = math.max(8L,
+        math.sqrt(Tables.countStat(s, dir, "orders").toDouble).toLong)
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+      val w1 = Window.partitionBy(col("c_mktsegment"),
+        pmod(xxhash64(col("o_orderkey")), lit(saltN))).orderBy(ord: _*)
+      val w2 = Window.partitionBy(col("c_mktsegment")).orderBy(ord: _*)
       o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("r1", row_number().over(w1))
+        .filter(col("r1") <= 3)
+        .withColumn("rank", row_number().over(w2).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("c_mktsegment"), col("rank"), col("o_orderkey"), col("o_totalprice"))
     }),
@@ -253,6 +264,27 @@ object Sessions {
     // to one row per (custkey, date) (greatest orderkey wins) so the
     // match is deterministic. DuckDB's native ASOF LEFT JOIN is the
     // independent oracle.
+    // The SAME as-of semantics through the NATIVE operator — a custom
+    // LogicalPlan + SparkStrategy + SparkPlan (graft.plans.AsOfJoin)
+    // whose physical contract is one exchange + sort per side and an
+    // O(|L|+|R|), O(1)-state streaming merge per partition (q17's
+    // union trick materializes a running window instead). Hash-checked
+    // against the identical DuckDB ASOF LEFT JOIN oracle, so the
+    // custom exec's correctness rides the same differential gate.
+    "q17b_asof_native" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("k"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+        .agg(max(col("o_orderkey")).as("okey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("oprice"))
+        .select(col("k").as("rk"), col("t").as("rt"), col("okey"), col("oprice"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"), col("event_id"))
+      graft.plans.AsOfJoins.asof(ev, ord)
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts_us"),
+          col("okey").as("o_orderkey"), col("oprice").as("o_totalprice"))
+    }),
+
     "q17_asof_join" -> ((s, dir) => {
       val ord = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("k"),
@@ -483,6 +515,18 @@ object Sessions {
          FROM events e JOIN o ON e.user_id = o.user_id
            AND epoch_us(e.ts) >= o.start_us AND epoch_us(e.ts) < o.end_us
          GROUP BY 1""",
+    // identical declarative statement as q17 — the native exec must
+    // reproduce the window formulation bit-for-bit
+    "q17b_asof_native" ->
+      """WITH od AS (
+           SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,
+                  MAX(o_orderkey) AS okey,
+                  arg_max(o_totalprice, o_orderkey) AS oprice
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                o.okey AS o_orderkey, o.oprice AS o_totalprice
+         FROM events e ASOF LEFT JOIN od o
+           ON e.user_id = o.k AND epoch_us(e.ts) >= o.t""",
     "q17_asof_join" ->
       """WITH od AS (
            SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,

@@ -105,6 +105,17 @@ class PlanSpec extends SparkSpec {
         "global Sort here would range-shuffle every scored document")
   }
 
+  test("q17b native as-of join: custom exec plans one exchange per side and prunes columns") {
+    val plan = planOf("q17b_asof_native")
+    assert(plan.contains("AsOfJoin"),
+      "the custom strategy must plan the native exec, not fall back")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, // one per join side + the orders pre-aggregate
+      s"as-of join must cost a sort-merge join's shuffles, found $exchanges:\n$plan")
+    assert(!plan.contains("Window"),
+      "the native exec streams the merge — no window materialization")
+  }
+
   test("q25 interval join: bucketization yields an equi-join, never a range cross product") {
     val plan = planOf("q25_interval_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
