@@ -17,6 +17,8 @@ import graft.functions.{FlattenJsonExpr, SafeNameExpr, Utf16LengthExpr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator nodes: the native as-of join's planner rule
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("flatten_json_native"),
       new ExpressionInfo(classOf[FlattenJsonExpr].getName, "flatten_json_native"),

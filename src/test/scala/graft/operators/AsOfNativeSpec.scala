@@ -19,6 +19,56 @@ class AsOfNativeSpec extends SparkSpec {
     assert(out === Map(100L -> 900L, 101L -> 901L, 102L -> -1L, 103L -> -1L))
   }
 
+  test("native as-of join: randomized fixtures match a naive reference join") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val evs = (0 until 200).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, 1000L + i))
+      // rights unique per (key, ts) — the operator's determinism contract
+      val ords = rnd.shuffle(
+        (for (k <- 0L until 8L; t <- 0L until 50L) yield (k, t)).toList)
+        .take(60).zipWithIndex.map { case ((k, t), i) => (k, t, 5000L + i) }
+      val got = graft.plans.AsOfJoins.asof(
+          evs.toDF("k", "t", "event_id"), ords.toDF("rk", "rt", "okey"))
+        .select(col("event_id"), col("okey")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val expected = evs.map { case (k, t, id) =>
+        val c = ords.filter(o => o._1 == k && o._2 <= t)
+        id -> (if (c.isEmpty) -1L else c.maxBy(_._2)._3)
+      }.toMap
+      assert(got === expected, s"trial $trial diverged from the naive reference")
+    }
+  }
+
+  test("config-registered extensions serve the strategy and native functions") {
+    // `spark.sql.extensions` is a STATIC conf — unreachable once the
+    // shared test JVM holds a SparkContext — so the spec applies
+    // GraftExtensions to a sibling session exactly the way startup
+    // would, then restores the shared session.
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    try {
+      val s2 = org.apache.spark.sql.GraftPlanProbe
+        .sessionWithExtensions(prev, new graft.GraftExtensions()(_))
+      SparkSession.setActiveSession(s2)
+      SparkSession.setDefaultSession(s2)
+      import s2.implicits._
+      val out = graft.plans.AsOfJoins.asof(
+          Seq((1L, 10L, 1L)).toDF("k", "t", "id"),
+          Seq((1L, 5L, 7L)).toDF("rk", "rt", "v"))
+        .select("v").collect()
+      assert(out.head.getLong(0) === 7L)
+      // injected native function resolves by name
+      val fl = s2.sql("SELECT utf16_length('ab') AS n").collect().head.getInt(0)
+      assert(fl === 2)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("native as-of join equals the union-trick window formulation on real data") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).exists())

@@ -11,4 +11,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanProbe {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Build a sibling session on the SAME SparkContext with the given
+    * extensions applied — what `spark.sql.extensions` (a STATIC conf,
+    * unreachable once a shared test JVM holds a context) would do at
+    * startup. Lets AsOfNativeSpec prove the GraftExtensions injection
+    * path end-to-end.
+    */
+  def sessionWithExtensions(base: SparkSession,
+                            f: SparkSessionExtensions => Unit): SparkSession =
+    classic.GraftSessionFactory.withExtensions(
+      base.asInstanceOf[classic.SparkSession], f)
 }
