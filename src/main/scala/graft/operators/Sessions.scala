@@ -285,6 +285,27 @@ object Sessions {
           col("okey").as("o_orderkey"), col("oprice").as("o_totalprice"))
     }),
 
+    // FORWARD as-of through the SAME native exec — the "next order at
+    // or after the event" lookup (attribution windows, follow-up
+    // joins). Time negation maps forward onto backward semantics:
+    // latest -rt <= -lt  ⇔  earliest rt >= lt, so one operator serves
+    // both directions. DuckDB's ASOF with a <= condition is the
+    // independent oracle.
+    "q30_asof_forward" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("k"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+        .agg(min(col("o_orderkey")).as("okey"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("oprice"))
+        .select(col("k").as("rk"), (-col("t")).as("rnt"), col("okey"), col("oprice"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("k"), (-unix_micros(col("ts"))).as("nt"),
+          col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      graft.plans.AsOfJoins.asof(ev, ord)
+        .select(col("event_id"), col("k").as("user_id"), col("ts_us"),
+          col("okey").as("o_orderkey"), col("oprice").as("o_totalprice"))
+    }),
+
     "q17_asof_join" -> ((s, dir) => {
       val ord = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("k"),
@@ -515,6 +536,18 @@ object Sessions {
          FROM events e JOIN o ON e.user_id = o.user_id
            AND epoch_us(e.ts) >= o.start_us AND epoch_us(e.ts) < o.end_us
          GROUP BY 1""",
+    // DuckDB's ASOF with a <= condition picks the nearest following
+    // row — the forward direction the negated-time engine plan encodes
+    "q30_asof_forward" ->
+      """WITH od AS (
+           SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,
+                  MIN(o_orderkey) AS okey,
+                  arg_min(o_totalprice, o_orderkey) AS oprice
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                o.okey AS o_orderkey, o.oprice AS o_totalprice
+         FROM events e ASOF LEFT JOIN od o
+           ON e.user_id = o.k AND epoch_us(e.ts) <= o.t""",
     // identical declarative statement as q17 — the native exec must
     // reproduce the window formulation bit-for-bit
     "q17b_asof_native" ->
