@@ -31,6 +31,39 @@ object Warehouse {
 
   val defs: Map[String, Q] = Map(
 
+    // SCD TYPE-2 dimension maintenance — the history-keeping merge a
+    // warehouse runs when dimension attributes change (q11's users
+    // table is the SCD1 latest-wins form; this keeps every version
+    // with validity intervals). One key-equi join of the current
+    // dimension against the change batch, then a per-row explode
+    // emits closed-old + opened-new rows for real changes and passes
+    // unchanged/no-op rows through — no window, no self-join, and at
+    // 100 TB the change batch is the small side of a broadcast. The
+    // value-equality guard makes re-delivered no-op updates idempotent
+    // (no spurious version row), which the oracle's <> filter mirrors.
+    "w11_scd2_merge" -> ((s, dir) => {
+      val t = 1000L
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("acctbal"))
+      val upd = dim.filter(col("c_custkey") % 7 === 3)
+        .select(col("c_custkey"), (col("acctbal") + 100.5).as("new_acctbal"))
+      dim.join(upd, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"), explode(
+          when(col("new_acctbal").isNotNull && col("new_acctbal") =!= col("acctbal"),
+            array(
+              struct(col("acctbal").as("acctbal"), lit(0L).as("valid_from"),
+                lit(t).cast("long").as("valid_to"), lit(false).as("is_current")),
+              struct(col("new_acctbal").as("acctbal"), lit(t).as("valid_from"),
+                lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))))
+            .otherwise(array(
+              struct(col("acctbal").as("acctbal"), lit(0L).as("valid_from"),
+                lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))))
+        ).as("r"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("r.acctbal").as("acctbal"),
+          col("r.valid_from").as("valid_from"), col("r.valid_to").as("valid_to"),
+          col("r.is_current").as("is_current"))
+    }),
+
     // W1+W7: event-type dispatch + multi-table fan-out — track events
     // produce a `tracks` row AND a per-event-name table row
     // (events.go:17-164). One scan → explode of (table, id) structs;
@@ -268,6 +301,22 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "w11_scd2_merge" ->
+      """WITH upd AS (SELECT c_custkey, c_acctbal + 100.5 AS new_acctbal
+                      FROM customer WHERE c_custkey % 7 = 3)
+         SELECT c_custkey, c_mktsegment, c_acctbal AS acctbal,
+                CAST(0 AS BIGINT) AS valid_from, CAST(1000 AS BIGINT) AS valid_to,
+                FALSE AS is_current
+         FROM customer JOIN upd USING (c_custkey) WHERE new_acctbal <> c_acctbal
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, new_acctbal,
+                CAST(1000 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         FROM customer JOIN upd USING (c_custkey) WHERE new_acctbal <> c_acctbal
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_acctbal,
+                CAST(0 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         FROM customer LEFT JOIN upd USING (c_custkey)
+         WHERE new_acctbal IS NULL OR new_acctbal = c_acctbal""",
     "w7_multitable_fanout" ->
       """SELECT table_name, COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
          FROM (

@@ -244,4 +244,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(dr(6L) === 1L) // linestatus not in set
     assert(dr(7L) === 1L) // one duplicated key
   }
+
+  test("w11 SCD2 merge: versions partition time, exactly one current row per key") {
+    val rows = run("w11_scd2_merge").collect().map { r =>
+      (r.getLong(0), r.getDouble(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5))
+    }
+    val byKey = rows.groupBy(_._1)
+    val nKeys = graft.Tables.customer(spark, sfDir).count()
+    assert(byKey.size.toLong === nKeys, "every dimension key survives the merge")
+    byKey.foreach { case (k, vs) =>
+      val current = vs.filter(_._5)
+      assert(current.length === 1, s"key $k must have exactly one current row")
+      assert(current.head._4 === -1L, "current row is open-ended")
+      if (k % 7 == 3) {
+        assert(vs.length === 2, s"changed key $k keeps its closed history row")
+        val closed = vs.filter(!_._5).head
+        // the closed interval ends where the new one begins
+        assert(closed._4 === current.head._3)
+        assert(current.head._2 === closed._2 + 100.5)
+      } else {
+        assert(vs.length === 1, s"unchanged key $k must not grow a version")
+      }
+    }
+  }
 }
