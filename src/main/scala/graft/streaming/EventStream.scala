@@ -156,14 +156,15 @@ object EventStream {
     * (warehouse/router/upload.go:285-493). Swap the sink for
     * Delta/Iceberg MERGE INTO in production — same semantics.
     */
-  def mergeIntoTracks(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+  /** Self-heal a previous crash in a bucket swap's non-atomic window
+    * (stage-out rename done, swap-in rename not): the committed
+    * bucket survives at its dot-prefixed .old path — restore it
+    * before reading, so the streaming replay really does converge.
+    * Completed swaps' leftover .old dirs are just deleted.
+    */
+  private[streaming] def healCrashedSwaps(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Self-heal a previous crash in a bucket swap's non-atomic window
-    // (stage-out rename done, swap-in rename not): the committed
-    // bucket survives at its dot-prefixed .old path — restore it
-    // before reading, so the streaming replay really does converge.
-    // Completed swaps' leftover .old dirs are just deleted.
     if (fs.exists(new Path(path)))
       fs.listStatus(new Path(path)).map(_.getPath)
         .filter(p => p.getName.startsWith(".id_bucket=") && p.getName.endsWith(".old"))
@@ -174,40 +175,15 @@ object EventStream {
               throw new java.io.IOException(s"cannot restore $oldP to $live")
           } else fs.delete(oldP, true)
         }
-    val b = withBucket(batch)
-    // touched-bucket list is bounded by trackBuckets (config-sized,
-    // not data-sized) — this collect is a partition-pruning plan
-    // input, not a data collect
-    val touched = b.select("id_bucket").distinct()
-      .collect().map(_.getLong(0)).sorted
-    // "exists" = has at least one committed bucket dir; a bare dir
-    // left by a crash before any bucket landed must read as absent or
-    // every replay would die on an unreadable empty table
-    val tableExists = fs.exists(new Path(path)) &&
-      fs.listStatus(new Path(path)).exists(_.getPath.getName.startsWith("id_bucket="))
-    val all =
-      if (tableExists) {
-        // partition-pruned scan: only batch-touched bucket dirs are
-        // read. Partition discovery types id_bucket as int, so the
-        // prune filter uses int literals (a cast on the partition
-        // column would defeat pruning) and widens to long after.
-        val existing = spark.read.option("basePath", path).parquet(path)
-          .filter(col("id_bucket").isin(touched.map(_.toInt): _*))
-          .withColumn("id_bucket", col("id_bucket").cast("long"))
-        existing.unionByName(b.select(existing.columns.map(col): _*))
-      } else b
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("received_at").desc, col("timestamp").desc)
-    val merged = all
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-    val staging = new Path(path + "__staging")
-    fs.delete(staging, true) // leftover of a previous failed attempt
-    merged.write.partitionBy("id_bucket").parquet(staging.toString)
-    // crash before this point: live table untouched. Swap each merged
-    // bucket in with an atomic rename; every touched bucket has >=1
-    // row (its batch ids survive the window dedup), so no live bucket
-    // is ever left dangling.
+  }
+
+  /** Swap each staged touched bucket into the live table with atomic
+    * renames (stage-out to a dot-prefixed .old, swap-in, cleanup) —
+    * the crash-atomic tail shared by every bucketed merge sink.
+    */
+  private[streaming] def swapBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, staging: String, touched: Seq[Long]): Unit = {
+    import org.apache.hadoop.fs.Path
     fs.mkdirs(new Path(path))
     touched.foreach { k =>
       val src = new Path(s"$staging/id_bucket=$k")
@@ -224,7 +200,53 @@ object EventStream {
         fs.delete(old, true)
       }
     }
-    fs.delete(staging, true)
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Partition-pruned read of only the batch-touched bucket dirs (or
+    * None when no committed bucket exists yet). Partition discovery
+    * types id_bucket as int, so the prune filter uses int literals (a
+    * cast on the partition column would defeat pruning) and widens to
+    * long after.
+    */
+  private[streaming] def readTouchedBuckets(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      touched: Seq[Long]): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val tableExists = fs.exists(new Path(path)) &&
+      fs.listStatus(new Path(path)).exists(_.getPath.getName.startsWith("id_bucket="))
+    if (!tableExists) None
+    else Some(spark.read.option("basePath", path).parquet(path)
+      .filter(col("id_bucket").isin(touched.map(_.toInt): _*))
+      .withColumn("id_bucket", col("id_bucket").cast("long")))
+  }
+
+  def mergeIntoTracks(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healCrashedSwaps(fs, path)
+    val b = withBucket(batch)
+    // touched-bucket list is bounded by trackBuckets (config-sized,
+    // not data-sized) — this collect is a partition-pruning plan
+    // input, not a data collect
+    val touched = b.select("id_bucket").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val all = readTouchedBuckets(spark, fs, path, touched) match {
+      case Some(existing) => existing.unionByName(b.select(existing.columns.map(col): _*))
+      case None => b
+    }
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("received_at").desc, col("timestamp").desc)
+    val merged = all
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val staging = new Path(path + "__staging")
+    fs.delete(staging, true) // leftover of a previous failed attempt
+    merged.write.partitionBy("id_bucket").parquet(staging.toString)
+    // crash before this point: live table untouched. Every touched
+    // bucket has >=1 row (its batch ids survive the window dedup), so
+    // no live bucket is ever left dangling by the swap.
+    swapBuckets(fs, path, staging.toString, touched)
   }
 
   /** Per-(user, destination) delivery attempt. */

@@ -801,6 +801,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SCD2 streaming sink: versions accrete across micro-batches; replay is a no-op") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("scd2").toString + "/dim"
+    val ckpt = Files.createTempDirectory("scd2ck").toString
+    val input = MemoryStream[(String, Double, Long)]
+    val q = graft.streaming.Scd2Stream.startScd2Pipeline(
+      input.toDF().toDF("id", "value", "ts"), dir, ckpt)
+    try {
+      input.addData(("u1", 1.0, 10L), ("u2", 2.0, 10L))
+      q.processAllAvailable()
+      input.addData(("u1", 3.0, 20L), ("u2", 2.0, 20L), ("u3", 5.0, 20L))
+      q.processAllAvailable()
+      def snapshot() = spark.read.parquet(dir)
+        .select("id", "value", "valid_from", "valid_to", "is_current")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+      val expected = Set(
+        ("u1", 1.0, 10L, 20L, false), ("u1", 3.0, 20L, -1L, true),
+        ("u2", 2.0, 10L, -1L, true),
+        ("u3", 5.0, 20L, -1L, true))
+      assert(snapshot() === expected)
+      // at-least-once replay of the last batch: value == current -> no-op
+      val replay = Seq(("u1", 3.0, 20L), ("u2", 2.0, 20L), ("u3", 5.0, 20L))
+        .toDF("id", "value", "ts")
+      graft.streaming.Scd2Stream.scd2Merge(spark, dir, replay)
+      assert(snapshot() === expected, "replayed batch must not grow versions")
+    } finally q.stop()
+  }
+
   test("q25 streaming twin: stream-static interval join matches the batch match set") {
     val sess = spark
     import sess.implicits._
