@@ -89,6 +89,32 @@ object Search {
     // exploded tokens pre-shuffle, df broadcasts back, the only
     // corpus-wide shuffle is the per-doc dl aggregate (linear,
     // key-uniform), and the global top-20 is a TakeOrdered.
+    // PHRASE search — exact-adjacency retrieval over a POSITIONAL
+    // index: the two phrase terms are filtered out of the exploded
+    // token stream pre-shuffle (the positional-posting probe), and
+    // adjacency becomes an EQUI-join on (doc_id, first.pos + 1) =
+    // (doc_id, second.pos) — no theta-join, no per-doc array scan of
+    // non-matching documents. Top-20 by occurrence count via
+    // TakeOrdered. At 100 TB only postings of the two phrase terms
+    // ever shuffle.
+    "ts4_phrase_search" -> ((s, dir) => {
+      val (w1, w2) = ("join", "column")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(col("w").isin(w1, w2))
+      val a = toks.filter(col("w") === w1)
+        .select(col("doc_id"), (col("pos") + 1).as("nxt"))
+      val b = toks.filter(col("w") === w2)
+        .select(col("doc_id"), col("pos").as("nxt"))
+      val hits = a.join(b, Seq("doc_id", "nxt"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("n_hits").desc, col("doc_id").asc).limit(20)
+      hits.withColumn("rank",
+        row_number().over(Window.orderBy(col("n_hits").desc, col("doc_id").asc))
+          .cast("long"))
+        .select(col("rank"), col("doc_id"), col("n_hits"))
+    }),
+
     "ts3_bm25" -> ((s, dir) => {
       val k = 20
       val docs = Tables.documents(s, dir)
@@ -140,6 +166,22 @@ object Search {
              / COUNT(*) AS oov_rate
          FROM tok LEFT JOIN vocab v ON tok.w = v.w
          GROUP BY doc_id""",
+    "ts4_phrase_search" ->
+      """WITH tok AS (
+           SELECT doc_id, i - 1 AS pos, w[i] AS w
+           FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+                 FROM documents)),
+         hits AS (
+           SELECT a.doc_id, COUNT(*) AS n_hits
+           FROM tok a JOIN tok b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           WHERE a.w = 'join' AND b.w = 'column'
+           GROUP BY a.doc_id
+           ORDER BY n_hits DESC, a.doc_id LIMIT 20)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id) AS BIGINT) AS rank,
+                doc_id, n_hits
+         FROM hits""",
     // the saturation factor's expression tree is pinned to the engine's
     // shape parenthesis-for-parenthesis so the per-row doubles match
     // bit-for-bit; sums are over the floor-quantized BIGINTs only
