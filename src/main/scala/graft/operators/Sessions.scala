@@ -154,6 +154,35 @@ object Sessions {
         .select(col("rank"), col("path"), col("n_sessions"))
     }),
 
+    // ASSOCIATION RULES (market-basket over event types) — for every
+    // unordered type pair, support / both confidences / lift from
+    // exact integer co-occurrence counts (ratios are single
+    // correctly-rounded divisions of those integers, so both engines
+    // agree bit-for-bit). The self-join runs on the per-user DISTINCT
+    // type set, so each user contributes at most |alphabet|² pairs —
+    // the join blowup is bounded by the type alphabet, not the event
+    // count, and the only corpus-scale shuffle is the initial
+    // distinct.
+    "q31_association_rules" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val nUsers = ut.select(col("user_id")).distinct().count()
+      val singles = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val pairs = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(singles.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+        .join(broadcast(singles.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+          (col("n_both") / lit(nUsers)).as("support"),
+          (col("n_both") / col("n_a")).as("conf_a_b"),
+          (col("n_both") / col("n_b")).as("conf_b_a"),
+          ((col("n_both") * lit(nUsers)) / (col("n_a") * col("n_b"))).as("lift"))
+    }),
+
     // SEASONALITY PROFILE — event volume by (day-of-week, hour-of-day),
     // the load-shape matrix capacity planning and anomaly baselines
     // read. Both coordinates are pure integer arithmetic on epoch
@@ -498,6 +527,24 @@ object Sessions {
          SELECT ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank,
                 path, n_sessions
          FROM c""",
+    "q31_association_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ut),
+         s AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS n_both
+               FROM ut a JOIN ut b
+                 ON a.user_id = b.user_id AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+         SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b,
+           CAST(n_both AS DOUBLE) / n.nu AS support,
+           CAST(n_both AS DOUBLE) / sa.n AS conf_a_b,
+           CAST(n_both AS DOUBLE) / sb.n AS conf_b_a,
+           CAST(n_both * n.nu AS DOUBLE) / (sa.n * sb.n) AS lift
+         FROM p
+         JOIN s sa ON p.type_a = sa.event_type
+         JOIN s sb ON p.type_b = sb.event_type
+         CROSS JOIN n""",
     "q27_seasonality" ->
       """SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
                 (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
