@@ -21,40 +21,70 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
+  /** rl1's blocked fuzzy-link pair pipeline (shared with ev7's
+    * evaluation): deterministic single-deletion corruption, half-key
+    * pigeonhole blocking, levenshtein <= 1 verify.
+    */
+  private def fuzzyLinkPairs(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val master = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("name"))
+    val dirty = master.select(
+      col("c_custkey").as("d_key"),
+      expr("concat(substring(name, 1, CAST(c_custkey % 12 AS INT)), " +
+        "substring(name, CAST(c_custkey % 12 AS INT) + 2, 12))").as("d_name"))
+    // candidate blocks: first-6 OR last-6 chars equal (a deletion in
+    // one half leaves the other half's 6 chars aligned and intact)
+    val m = master
+      .withColumn("pre", substring(col("name"), 1, 6))
+      .withColumn("suf", substring(col("name"), 7, 6))
+    val d = dirty
+      .withColumn("pre", substring(col("d_name"), 1, 6))
+      .withColumn("suf", substring(col("d_name"), 6, 6))
+    val byPre = d.select(col("d_key"), col("d_name"), col("pre"))
+      .join(m.select(col("c_custkey"), col("name"), col("pre")), "pre")
+    val bySuf = d.select(col("d_key"), col("d_name"), col("suf"))
+      .join(m.select(col("c_custkey"), col("name"), col("suf")), "suf")
+    byPre.select(col("d_key"), col("d_name"), col("c_custkey"), col("name"))
+      .union(bySuf.select(col("d_key"), col("d_name"), col("c_custkey"), col("name")))
+      .distinct()
+      .withColumn("dist", levenshtein(col("d_name"), col("name")))
+      .filter(col("dist") <= 1)
+      .select(col("d_key"), col("c_custkey").as("matched_key"), col("dist").cast("long"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Link a "dirty" feed (one char deterministically dropped from a
     // 12-hex-char record key) back to its master records. Recall is 1
     // by the pigeonhole split; precision comes from the verify step.
-    "rl1_fuzzy_link" -> ((s, dir) => {
-      val master = Tables.customer(s, dir)
-        .select(col("c_custkey"),
-          substring(md5(col("c_custkey").cast("string")), 1, 12).as("name"))
-      val dirty = master.select(
-        col("c_custkey").as("d_key"),
-        expr("concat(substring(name, 1, CAST(c_custkey % 12 AS INT)), " +
-          "substring(name, CAST(c_custkey % 12 AS INT) + 2, 12))").as("d_name"))
-      // candidate blocks: first-6 OR last-6 chars equal (a deletion in
-      // one half leaves the other half's 6 chars aligned and intact)
-      val m = master
-        .withColumn("pre", substring(col("name"), 1, 6))
-        .withColumn("suf", substring(col("name"), 7, 6))
-      val d = dirty
-        .withColumn("pre", substring(col("d_name"), 1, 6))
-        .withColumn("suf", substring(col("d_name"), 6, 6))
-      val byPre = d.select(col("d_key"), col("d_name"), col("pre"))
-        .join(m.select(col("c_custkey"), col("name"), col("pre")), "pre")
-      val bySuf = d.select(col("d_key"), col("d_name"), col("suf"))
-        .join(m.select(col("c_custkey"), col("name"), col("suf")), "suf")
-      byPre.select(col("d_key"), col("d_name"), col("c_custkey"), col("name"))
-        .union(bySuf.select(col("d_key"), col("d_name"), col("c_custkey"), col("name")))
-        .distinct()
-        .withColumn("dist", levenshtein(col("d_name"), col("name")))
-        .filter(col("dist") <= 1)
-        .select(col("d_key"), col("c_custkey").as("matched_key"), col("dist").cast("long"))
+    "rl1_fuzzy_link" -> ((s, dir) => fuzzyLinkPairs(s, dir)),
+
+    // LINKAGE EVALUATION against the planted single-deletion
+    // corruption — the eval harness (ev2..ev6) applied to record
+    // linkage: every dirty record's truth match is its own master, so
+    // recall = self-matches recovered and n_extra counts collision
+    // blocks that also verified at distance <= 1. Union-tagged single
+    // aggregate over the shared pair pipeline.
+    "ev7_linkage_eval" -> ((s, dir) => {
+      val pairs = fuzzyLinkPairs(s, dir)
+        .select(lit(1L).as("is_pair"), col("d_key"), col("matched_key"))
+      val masters = Tables.customer(s, dir)
+        .select(lit(0L).as("is_pair"), col("c_custkey").as("d_key"),
+          lit(null).cast("long").as("matched_key"))
+      val hit = col("is_pair") === 1L && col("matched_key") === col("d_key")
+      pairs.unionByName(masters).agg(
+          sum(lit(1L) - col("is_pair")).as("n_truth"),
+          sum(col("is_pair")).as("n_found"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("n_truth"), col("n_found"), col("n_hit"),
+          (col("n_hit") / col("n_truth")).as("recall"),
+          (col("n_found") - col("n_hit")).as("n_extra"))
     }),
 
-    // Domain-AUTHORITY scoring — PageRank power iteration over the
+    // Domain-AUTHORITY scoring (see fuzzyLinkPairs above for rl1's
+    // pair pipeline shared with ev7) — PageRank power iteration over the
     // cross-domain link graph: the crawl-prioritization signal a
     // training-data pipeline uses to weight sources. Three damped
     // iterations in EXACT fixed-point integer arithmetic (rank unit
@@ -119,6 +149,39 @@ object Linkage {
            CAST(levenshtein(d_name, name) AS BIGINT) AS dist
          FROM cand
          WHERE levenshtein(d_name, name) <= 1""",
+    // rl1's CTE chain wrapped in the ev-family union-tagged aggregate
+    "ev7_linkage_eval" ->
+      """WITH master AS (
+           SELECT c_custkey, substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name
+           FROM customer),
+         dirty AS (
+           SELECT c_custkey AS d_key,
+             substr(name, 1, CAST(c_custkey % 12 AS INT)) ||
+             substr(name, CAST(c_custkey % 12 AS INT) + 2, 12) AS d_name
+           FROM master),
+         cand AS (
+           SELECT d.d_key, d.d_name, m.c_custkey, m.name
+           FROM dirty d JOIN master m
+             ON substr(d.d_name, 1, 6) = substr(m.name, 1, 6)
+           UNION
+           SELECT d.d_key, d.d_name, m.c_custkey, m.name
+           FROM dirty d JOIN master m
+             ON substr(d.d_name, 6, 6) = substr(m.name, 7, 6)),
+         pairs AS (SELECT d_key, c_custkey AS matched_key FROM cand
+                   WHERE levenshtein(d_name, name) <= 1),
+         u AS (SELECT 1 AS is_pair, d_key, matched_key FROM pairs
+               UNION ALL SELECT 0, c_custkey, NULL FROM customer)
+         SELECT CAST(SUM(1 - is_pair) AS BIGINT) AS n_truth,
+           CAST(SUM(is_pair) AS BIGINT) AS n_found,
+           CAST(SUM(CASE WHEN is_pair = 1 AND matched_key = d_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN is_pair = 1 AND matched_key = d_key
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(1 - is_pair) AS BIGINT) AS recall,
+           CAST(SUM(is_pair) AS BIGINT)
+             - CAST(SUM(CASE WHEN is_pair = 1 AND matched_key = d_key
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+         FROM u""",
     // three chained fixed-point iterations, floor // everywhere —
     // identical integers to the Spark loop
     "q21_domain_rank" -> {
