@@ -147,6 +147,32 @@ object Lifecycle {
     // up per date against the oracle on the original table: a sink
     // that misroutes a row to the wrong date dir, drops rows in the
     // repartition, or corrupts values breaks the hash.
+    // SNAPSHOT VERSIONING roundtrip — time travel over the versioned
+    // sink: commit the dimension as v0, commit the changed dimension
+    // as v1, then answer "what changed between snapshots" by reading
+    // BOTH versions back through readVersion and joining on the key.
+    // The oracle derives the same delta straight from the source
+    // table, so the check covers commit, version resolution and
+    // as-of reads end-to-end. SinksSpec pins the crash-atomicity
+    // (a failed commit leaves the previous latest readable).
+    "l13_snapshot_versioning" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_l13").toString
+      val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+      val v0 = Sinks.versionedWrite(dim, tmp)
+      val v1 = Sinks.versionedWrite(
+        dim.withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 3, col("c_acctbal") + 100.5)
+            .otherwise(col("c_acctbal"))), tmp)
+      val a = Sinks.readVersion(s, tmp, Some(v0))
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal_v0"))
+      val b = Sinks.readVersion(s, tmp, Some(v1))
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal_v1"))
+      a.join(b, "c_custkey")
+        .filter(col("acctbal_v0") =!= col("acctbal_v1"))
+        .select(col("c_custkey"), col("acctbal_v0"), col("acctbal_v1"),
+          lit(v0).as("from_version"), lit(v1).as("to_version"))
+    }),
+
     "l10_datalake_roundtrip" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_l10").toString
       Sinks.datalakeWrite(
@@ -351,6 +377,11 @@ object Lifecycle {
          SELECT 'POSTGRES', n, csv_uuid, NULL, 'true', 'false' FROM base, fmt
          UNION ALL
          SELECT 'CLICKHOUSE', n, csv_uuid, NULL, '1', '0' FROM base, fmt""",
+    "l13_snapshot_versioning" ->
+      """SELECT c_custkey, c_acctbal AS acctbal_v0,
+           c_acctbal + 100.5 AS acctbal_v1,
+           CAST(0 AS BIGINT) AS from_version, CAST(1 AS BIGINT) AS to_version
+         FROM customer WHERE c_custkey % 7 = 3""",
     "l10_datalake_roundtrip" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, COUNT(*) AS n,
            MIN(event_id) AS min_id, MAX(event_id) AS max_id,

@@ -407,4 +407,45 @@ object Sinks {
       .write.mode("append")
       .partitionBy("event_date")
       .parquet(dir)
+
+  /** SNAPSHOT VERSIONING (poor-man's time travel, the Delta/Iceberg
+    * contract on plain parquet): each commit writes a complete
+    * snapshot under a staged dot-directory, then one atomic rename
+    * publishes it as `v=N` — a crash mid-write leaves only the
+    * invisible staging dir, so the previous version stays the
+    * readable latest and a reader never sees a partial snapshot.
+    * Returns the committed version number.
+    */
+  def versionedWrite(df: DataFrame, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = latestVersion(spark, dir).map(_ + 1L).getOrElse(0L)
+    val staging = new Path(s"$dir/.staging_v$next")
+    fs.delete(staging, true)
+    df.write.parquet(staging.toString)
+    val live = new Path(s"$dir/v=$next")
+    if (!fs.rename(staging, live))
+      throw new java.io.IOException(s"cannot publish version $next at $live")
+    next
+  }
+
+  /** Highest committed version, None for an empty/absent table. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) None
+    else fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .reduceOption(_ max _)
+  }
+
+  /** Read a specific snapshot (time travel) or the latest. */
+  def readVersion(spark: SparkSession, dir: String,
+                  version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, dir))
+      .getOrElse(throw new java.util.NoSuchElementException(s"no versions at $dir"))
+    spark.read.parquet(s"$dir/v=$v")
+  }
 }

@@ -327,4 +327,27 @@ class SinksSpec extends SparkSpec {
     val one = spark.read.parquet(dir).filter(col("event_date") === "2024-01-01")
     assert(one.count() === 1)
   }
+
+  test("versioned commits are crash-atomic and versions are immutable time travel") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-versioned").toString + "/t"
+    val v0 = Sinks.versionedWrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), dir)
+    assert(v0 === 0L)
+    // a commit that dies mid-write must leave v0 the readable latest
+    val poison = Seq((1L, 10.0)).toDF("k", "v")
+      .withColumn("v", expr("v + CAST(raise_error('mid-write failure') AS DOUBLE)"))
+    intercept[Exception] { Sinks.versionedWrite(poison, dir) }
+    assert(Sinks.latestVersion(spark, dir) === Some(0L))
+    assert(Sinks.readVersion(spark, dir).count() === 2)
+    // the next good commit publishes v1; v0 stays byte-identical
+    val v1 = Sinks.versionedWrite(Seq((1L, 11.0), (2L, 20.0)).toDF("k", "v"), dir)
+    assert(v1 === 1L)
+    val asOf0 = Sinks.readVersion(spark, dir, Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(asOf0 === Map(1L -> 10.0, 2L -> 20.0), "old snapshot unchanged by new commits")
+    val latest = Sinks.readVersion(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(latest === Map(1L -> 11.0, 2L -> 20.0))
+  }
 }
