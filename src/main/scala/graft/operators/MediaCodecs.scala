@@ -144,6 +144,39 @@ object MediaCodecs {
     WavFp(n, fp)
   }
 
+  case class Decimated(nIn: Int, nOut: Int, sumKept: Long, sumAbsKept: Long)
+
+  /** Decimate-by-2 over the real PCM data chunk: keep every even
+    * sample index (0, 2, 4, …) and report exact integer sums of the
+    * kept signed samples and of their magnitudes — the audio twin of
+    * mm12's resize check (an off-by-one in the stride or a
+    * sign-extension bug shifts both sums).
+    */
+  def wavDecimate(b: Array[Byte]): Decimated = {
+    require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+      "not a RIFF/WAVE container")
+    var off = 12
+    var dataOff, dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val len = u32(b, off + 4).toInt
+      require(len >= 0 && off + 8 + len <= b.length, s"corrupt chunk $id at $off")
+      if (id == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1)
+    }
+    require(dataOff >= 0, "missing data chunk")
+    val n = dataLen / 2
+    var (s, a) = (0L, 0L)
+    var i = 0
+    while (i < n) {
+      val v = u16(b, dataOff + 2 * i).toShort.toLong
+      s += v
+      a += math.abs(v)
+      i += 2
+    }
+    Decimated(n, (n + 1) / 2, s, a)
+  }
+
   case class WavSeg(segNo: Int, startFrame: Int, nFrames: Int, energy: Long)
 
   /** Energy-based segmentation over REAL decoded samples — the

@@ -246,6 +246,25 @@ object Multimodal {
           col("m.sumB").as("sum_b"))
     }),
 
+    // Audio DECIMATION over real decoded bytes — the resample step of
+    // an audio pipeline, checked like mm12's resize: keep every even
+    // PCM sample and hash the exact integer sums of kept samples and
+    // magnitudes, so stride/sign-extension/offset regressions in the
+    // byte-level resampler are all oracle-visible. Narrow map, no
+    // shuffle.
+    "mm13_audio_decimate" -> ((s, dir) => {
+      val synth = udf((id: Long) => MediaCodecs.synthWav(id))
+      val dec = udf((p: Array[Byte]) => MediaCodecs.wavDecimate(p))
+      Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+        .filter(col("media_id") < 100)
+        .withColumn("m", dec(synth(col("media_id"))))
+        .select(col("media_id"),
+          col("m.nIn").cast("long").as("n_in"),
+          col("m.nOut").cast("long").as("n_out"),
+          col("m.sumKept").as("sum_kept"),
+          col("m.sumAbsKept").as("sum_abs_kept"))
+    }),
+
     // Image NEAR-DUPLICATE detection — the multimodal twin of ll5:
     // perceptual aHash fingerprints (REAL BMP decode), candidate pairs
     // blocked by size class (an equi-join on (width, height) — two
@@ -706,6 +725,20 @@ object Multimodal {
             ${chan(2)} AS sum_r,
             ${chan(1)} AS sum_g,
             ${chan(0)} AS sum_b
+          FROM documents WHERE doc_id < 100"""
+    },
+    // synthWav's closed-form samples through the same even-index
+    // decimation; all integer
+    "mm13_audio_decimate" -> {
+      val nOut = "((64 + doc_id % 64 + 1) // 2)"
+      val samp = "((doc_id * 31 + 7 * (2 * j)) % 2001 - 1000)"
+      s"""SELECT doc_id AS media_id,
+            CAST(64 + doc_id % 64 AS BIGINT) AS n_in,
+            CAST($nOut AS BIGINT) AS n_out,
+            CAST(list_sum(list_transform(range(0, $nOut), j -> $samp)) AS BIGINT)
+              AS sum_kept,
+            CAST(list_sum(list_transform(range(0, $nOut), j -> abs($samp))) AS BIGINT)
+              AS sum_abs_kept
           FROM documents WHERE doc_id < 100"""
     },
     "mm5_bmp_decode" ->

@@ -448,4 +448,25 @@ object Sinks {
       .getOrElse(throw new java.util.NoSuchElementException(s"no versions at $dir"))
     spark.read.parquet(s"$dir/v=$v")
   }
+
+  /** Retention for the versioned table: drop all but the newest
+    * `keep` snapshots (plus any crashed-commit staging leftovers).
+    * Deleting a whole `v=N` dir is atomic-enough for readers pinned
+    * to newer versions; the latest is never deleted (keep >= 1).
+    * Returns the removed version numbers.
+    */
+  def vacuumVersions(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the latest version")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return Seq.empty
+    fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(_.getName.startsWith(".staging_v"))
+      .foreach(fs.delete(_, true))
+    val versions = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
+    val drop = versions.dropRight(keep)
+    drop.foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
+    drop.toSeq
+  }
 }

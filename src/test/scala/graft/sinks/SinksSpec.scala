@@ -349,5 +349,11 @@ class SinksSpec extends SparkSpec {
     val latest = Sinks.readVersion(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(latest === Map(1L -> 11.0, 2L -> 20.0))
+    // retention: vacuum to the newest 1 keeps only the latest
+    val v2 = Sinks.versionedWrite(Seq((3L, 30.0)).toDF("k", "v"), dir)
+    assert(Sinks.vacuumVersions(spark, dir, keep = 1) === Seq(0L, 1L))
+    assert(Sinks.latestVersion(spark, dir) === Some(v2))
+    intercept[Exception] { Sinks.readVersion(spark, dir, Some(0L)).collect() }
+    assert(Sinks.readVersion(spark, dir).count() === 1)
   }
 }
