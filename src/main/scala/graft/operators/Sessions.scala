@@ -440,6 +440,30 @@ object Sessions {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // RETENTION BY ACQUISITION CHANNEL — q19's cohort curve segmented
+    // by how each user arrived (their deterministic first event type):
+    // per (channel, week-offset), distinct users still active. One
+    // user-keyed aggregate derives (channel, cohort week) per user —
+    // min_by on the total (ts, event_id) order — then the activity
+    // stream joins back on the user key; same two-exchange shape as
+    // q19 with the channel tag riding along free.
+    "q32_channel_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type"), expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+      // ar1's collision-free lpad order key: DuckDB's arg_min can't
+      // take a struct, so both engines minimize the same zero-padded
+      // (ts, id) string
+      val first = ev.groupBy(col("user_id")).agg(
+        min(col("week")).as("cohort_week"),
+        expr("min_by(event_type, concat(lpad(CAST(ts_us AS STRING), 20, '0'), " +
+          "lpad(CAST(event_id AS STRING), 20, '0')))").as("channel"))
+      ev.select(col("user_id"), col("week")).distinct()
+        .join(first, "user_id")
+        .groupBy(col("channel"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Exact interpolated percentiles per event type (reporting-style
     // latency/value distribution). Spark's percentile() and DuckDB's
     // quantile_cont() both compute lower + (pos - floor(pos)) * (upper
@@ -527,6 +551,17 @@ object Sessions {
          SELECT ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank,
                 path, n_sessions
          FROM c""",
+    "q32_channel_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                       epoch_us(ts) // 604800000000 AS week FROM events),
+         f AS (SELECT user_id, MIN(week) AS cohort_week,
+                 arg_min(event_type, lpad(CAST(ts_us AS VARCHAR), 20, '0') ||
+                   lpad(CAST(event_id AS VARCHAR), 20, '0')) AS channel
+               FROM ev GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, week FROM ev)
+         SELECT f.channel, a.week - f.cohort_week AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+         FROM a JOIN f USING (user_id) GROUP BY 1, 2""",
     "q31_association_rules" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
          n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ut),
