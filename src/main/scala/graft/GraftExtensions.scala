@@ -17,8 +17,9 @@ import graft.functions.{FlattenJsonExpr, SafeNameExpr, Utf16LengthExpr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // whole-operator nodes: the native as-of join's planner rule
+    // whole-operator nodes: native as-of join + limit-per-group
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.LimitPerGroupStrategy)
     ext.injectFunction((
       FunctionIdentifier("flatten_json_native"),
       new ExpressionInfo(classOf[FlattenJsonExpr].getName, "flatten_json_native"),

@@ -230,6 +230,32 @@ object Sessions {
         .select(col("c_mktsegment"), col("rank"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // The SAME leaderboard through the NATIVE limit-per-group exec
+    // (graft.plans.LimitPerGroup): both phases of q28's salted
+    // two-phase stream through the custom operator — no WindowExec
+    // frame state, no rank column materialized per row, O(1) state in
+    // the sorted pass. Only the <= 15 survivors get a rank window.
+    // Hash-checked against q28's identical oracle.
+    "q28b_topk_native" -> ((s, dir) => {
+      val saltN = math.max(8L,
+        math.sqrt(Tables.countStat(s, dir, "orders").toDouble).toLong)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(saltN)))
+      val phase1 = graft.plans.LimitPerGroup.limitPerGroup(joined,
+        Seq("c_mktsegment", "salt"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+      val phase2 = graft.plans.LimitPerGroup.limitPerGroup(phase1,
+        Seq("c_mktsegment"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+      phase2.withColumn("rank",
+          row_number().over(Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)).cast("long"))
+        .select(col("c_mktsegment"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // QUANTILE DISCRETIZATION — bin every event's value by the global
     // quartile cutpoints (the feature-binning step before model
     // training / drift monitoring). The cutpoints are a 1-row exact
@@ -586,6 +612,17 @@ object Sessions {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // same declarative statement as q28 — the native streaming exec
+    // must reproduce the rank-window formulation exactly
+    "q28b_topk_native" ->
+      """WITH r AS (
+           SELECT c.c_mktsegment,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rank,
+             o.o_orderkey, o.o_totalprice
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+         SELECT c_mktsegment, rank, o_orderkey, o_totalprice
+         FROM r WHERE rank <= 3""",
     "q28_topk_per_group" ->
       """WITH r AS (
            SELECT c.c_mktsegment,

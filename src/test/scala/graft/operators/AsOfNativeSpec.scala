@@ -69,6 +69,31 @@ class AsOfNativeSpec extends SparkSpec {
     }
   }
 
+  test("native limit-per-group: fixture semantics (short groups, exact k, ties)") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      ("a", 3.0, 1L), ("a", 2.0, 2L), ("a", 2.0, 3L), ("a", 1.0, 4L),
+      ("b", 9.0, 5L),
+      ("c", 5.0, 6L), ("c", 5.0, 7L))
+      .toDF("g", "v", "id")
+    val out = graft.plans.LimitPerGroup
+      .limitPerGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(out === Set(
+      ("a", 3.0, 1L), ("a", 2.0, 2L), // k=2 under (v desc, id asc): tie broken by id
+      ("b", 9.0, 5L),                 // short group passes whole
+      ("c", 5.0, 6L), ("c", 5.0, 7L)))
+  }
+
+  test("native limit-per-group q28b equals the window formulation q28 on real data") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).exists())
+    def rows(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows("q28b_topk_native") === rows("q28_topk_per_group"))
+  }
+
   test("native as-of join equals the union-trick window formulation on real data") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).exists())
