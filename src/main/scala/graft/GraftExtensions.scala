@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FlattenJsonExpr, SafeNameExpr, Utf16LengthExpr}
+import graft.functions.{FlattenJsonExpr, HilbertIndexExpr, SafeNameExpr, Utf16LengthExpr}
 
 /** Production injection point: register the engine's native Catalyst
   * expressions at session build time —
@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("utf16_length"),
       new ExpressionInfo(classOf[Utf16LengthExpr].getName, "utf16_length"),
       (children: Seq[Expression]) => Utf16LengthExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndexExpr].getName, "hilbert_index"),
+      (children: Seq[Expression]) => HilbertIndexExpr(children.head, children(1))))
   }
 }

@@ -137,7 +137,13 @@ object Layout {
     val (xLo, xHi, yLo, yHi) = (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
     def scale16(c: String, lo: Long, hi: Long): String =
       s"CAST((($c - $lo) * 65535) DIV ${math.max(1L, hi - lo)} AS BIGINT)"
-    df.withColumn("h", expr(hilbertSql(scale16(x, xLo, xHi), scale16(y, yLo, yHi))))
+    // production path: the codegen'd native expression (the fold form
+    // runs interpreted — 16 allocated structs per row — and measured
+    // 11.5 s vs sub-second over sf0.1 lineitem; LayoutSpec pins the
+    // two forms equal point-for-point)
+    graft.functions.HilbertIndexExpr.register(df.sparkSession)
+    df.withColumn("h",
+        expr(s"hilbert_index(${scale16(x, xLo, xHi)}, ${scale16(y, yLo, yHi)})"))
       .withColumn("bucket", shiftright(col("h"), shift) + lit(1L))
   }
 

@@ -96,19 +96,23 @@ class LayoutSpec extends SparkSpec {
           s"curve jumps from ($i1,$j1) to ($i2,$j2)")
       case _ =>
     }
-    // production 16-bit form: column expression == driver twin on a
+    // production 16-bit forms: the interpreted fold expression, the
+    // codegen'd native expression and the driver twin must agree on a
     // deterministic point sample across the full domain
     val pts = (0 until 500).map { k =>
       val x = (k * 2654435761L) & 0xffffL
       val y = (k * 40503L + 17L) & 0xffffL
       (x, y)
     }
+    graft.functions.HilbertIndexExpr.register(spark)
     val got = pts.toDF("sx", "sy")
       .withColumn("d", expr(Layout.hilbertSql("sx", "sy")))
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      .withColumn("dn", expr("hilbert_index(sx, sy)"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
     pts.foreach { case (x, y) =>
-      assert(got((x, y)) === Layout.hilbertAt(x, y),
-        s"column hilbert($x,$y) diverges from the scala twin")
+      val twin = Layout.hilbertAt(x, y)
+      assert(got((x, y)) === ((twin, twin)),
+        s"hilbert($x,$y): fold/native/twin disagree: ${got((x, y))} vs $twin")
     }
   }
 
