@@ -33,11 +33,14 @@ object BenchScale {
   // (ll12), and the two-level prefix-sum batcher (l1). Write-path
   // round-trips (d6/d8) are excluded: their cost is fixed IO, not a
   // plan shape that can go superlinear.
+  // Round-10 additions: ev4 (ll6's pair pipeline + the eval
+  // aggregate — probes the evaluation overhead stays O(pairs)) and
+  // ll24 (PQ/ADC coarse-stage ANN over 4-byte codes).
   private val heavy = Seq(
     "ll6_ngram_jaccard", "ll2_minhash_neardup", "ll5_simhash_neardup",
     "ll12_boilerplate_dedup", "ll18_cdc_dedup", "ll19_containment",
     "ll4b_ann_ivf_trained", "ll9_dedup_clusters", "ta16_dedup_report",
-    "l1_staging_batches")
+    "l1_staging_batches", "ev4_jaccard_eval", "ll24_pq_ann")
 
   /** Write a K-fold replica of the tables the heavy set reads. */
   private def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
