@@ -840,6 +840,42 @@ object Dedup {
     // LSH band candidates + exact-Jaccard verify — bounded linear
     // cost, exact precision, approximate recall (see jaccardStrategy;
     // the correctness-gate corpora stay on the exact branches).
+    // LSH BAND-PARAMETER TUNING — the index-tuning advisor an owner
+    // of the maintained signature table consults before changing the
+    // band/row split: for each (bands × rows-per-band) factorization
+    // of the 16-component signature, the CANDIDATE volume the
+    // band-bucket join would generate, how many planted copy-pairs
+    // those candidates recover, and the hit rate. All three configs
+    // read the SAME materialized signature table (one shingle +
+    // minhash pass total); each config costs one band self-join whose
+    // volume is exactly what the advisor is measuring. More bands of
+    // fewer rows = higher recall, more candidates — the table
+    // quantifies the trade on the corpus itself.
+    "ll25_band_tuning" -> ((s, dir) => {
+      val sigs = signatureTable(s, dir)
+      val nTruth = Tables.countStat(s, dir, "documents")
+      val configs = Seq((2, 8), (4, 4), (8, 2))
+      configs.map { case (nb, nr) =>
+        val bandRows = sigs.select(col("doc_id"),
+          posexplode(array((0 until nb).map(b =>
+            md5(concat_ws(",", (0 until nr).map(r => col(s"s${nr * b + r}")): _*))): _*))
+            .as(Seq("band", "bkey")))
+        val cand = bandRows.as("x").join(bandRows.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        cand.agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(when(col("doc_b") === col("doc_a") + 100000000L, 1L)
+              .otherwise(0L)), lit(0L)).as("n_hit"))
+          .select(lit(nb.toLong).as("bands"), lit(nr.toLong).as("rows_per_band"),
+            col("n_candidates"), col("n_hit"),
+            (col("n_hit") / lit(nTruth)).as("recall"),
+            when(col("n_candidates") > 0L, col("n_hit") / col("n_candidates"))
+              .otherwise(lit(0.0)).as("hit_rate"))
+      }.reduce(_ unionByName _)
+    }),
+
     "ll6_ngram_jaccard" -> ((s, dir) => jaccardPairs(s, dir)),
 
     // N-GRAM JACCARD EVALUATION against the planted two-crawl ground
@@ -1264,6 +1300,35 @@ object Dedup {
           JOIN sz za ON doc_a = za.doc_id
           JOIN sz zb ON doc_b = zb.doc_id
           WHERE n_common / (za.sz + zb.sz - n_common) >= 0.6""",
+    // each config's band CTE regenerated from the same sig CTE; the
+    // md5 key concat matches bandRowsOf's comma join
+    "ll25_band_tuning" -> {
+      def cfg(nb: Int, nr: Int) = {
+        val bandSql = (0 until nb).map(b =>
+          s"SELECT doc_id, $b AS band, md5(" +
+            (0 until nr).map(r => s"s${nr * b + r}").mkString(" || ',' || ") +
+            ") AS bkey FROM sig").mkString("\n UNION ALL ")
+        s"""SELECT CAST($nb AS BIGINT) AS bands, CAST($nr AS BIGINT) AS rows_per_band,
+              COUNT(*) AS n_candidates,
+              CAST(COALESCE(SUM(CASE WHEN doc_b = doc_a + 100000000
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+              CAST(COALESCE(SUM(CASE WHEN doc_b = doc_a + 100000000
+                                     THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                / (SELECT COUNT(*) FROM documents) AS recall,
+              CASE WHEN COUNT(*) > 0
+                   THEN CAST(COALESCE(SUM(CASE WHEN doc_b = doc_a + 100000000
+                                          THEN 1 ELSE 0 END), 0) AS DOUBLE) / COUNT(*)
+                   ELSE 0.0 END AS hit_rate
+            FROM (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM ($bandSql) x JOIN ($bandSql) y
+                    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
+      }
+      s"""WITH corpus AS $corpusSqlPerturbed,
+          sh AS ($shinglesSql),
+          sig AS (SELECT doc_id, ${sigSelect("s")} FROM sh GROUP BY doc_id)
+          ${cfg(2, 8)} UNION ALL ${cfg(4, 4)} UNION ALL ${cfg(8, 2)}"""
+    },
+
     // ev2's union-tagged aggregate over ll6's exact-Jaccard pairs
     "ev4_jaccard_eval" ->
       s"""WITH corpus AS $corpusSqlPerturbed,

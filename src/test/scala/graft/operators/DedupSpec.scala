@@ -253,4 +253,30 @@ class DedupSpec extends SparkSpec {
     // the found set must be exactly the ll5 pipeline's output
     assert(found === graft.SparkEntry.queries("ll5_simhash_neardup")(spark, sfDir).count())
   }
+
+  test("ll25 band tuning: the classic LSH trade holds and (4,4) matches production") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).exists())
+    val rows = graft.SparkEntry.queries("ll25_band_tuning")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows.keySet === Set((2L, 8L), (4L, 4L), (8L, 2L)))
+    val ordered = Seq((2L, 8L), (4L, 4L), (8L, 2L)).map(rows)
+    // more bands of fewer rows: candidates and recovered truth both
+    // non-decreasing — the recall/cost trade the advisor quantifies
+    ordered.sliding(2).foreach {
+      case Seq((c1, h1, _, _), (c2, h2, _, _)) =>
+        assert(c2 >= c1, "candidate volume must not shrink with more bands")
+        assert(h2 >= h1, "recall must not shrink with more bands")
+      case _ =>
+    }
+    rows.values.foreach { case (c, h, recall, hitRate) =>
+      assert(h <= c && recall >= 0.0 && recall <= 1.0 && hitRate >= 0.0 && hitRate <= 1.0)
+    }
+    // the production 4x4 config's candidate count is exactly what the
+    // ll2 pipeline's band join generates
+    val prod = Dedup.bandCandidates(
+      Dedup.signatureTable(spark, sfDir)).count()
+    assert(rows((4L, 4L))._1 === prod)
+  }
 }
