@@ -121,6 +121,39 @@ object Linkage {
           .select(col("domain"), col("r"))
       }
       rank.select(col("domain"), col("r").as("rank_fp"))
+    }),
+
+    // TRIANGLE ENUMERATION over the same cross-domain link graph —
+    // the second graph primitive (community density / clustering-
+    // coefficient input; PageRank q21 is the first). The classic
+    // scalable shape: canonicalize every undirected edge to (a < b),
+    // wedge-join e1(a,b)⋈e2(b,c) on the shared middle vertex, then
+    // close each wedge against the edge set with one more equi-join —
+    // never a cartesian, and each triangle is emitted exactly once as
+    // its sorted (a, b, c). At web scale the orientation key swaps to
+    // degree order so high-degree hubs don't own every wedge; the
+    // shape is identical.
+    "q33_triangle_count" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val n = Tables.countStat(s, dir, "documents")
+      // two link families: q21's (13x+7) plus an even-offset (7x+4) —
+      // with only odd offsets every link flips doc-id parity and the
+      // domain graph is BIPARTITE (zero triangles by construction)
+      def fam(mult: Long, off: Long) = docs.join(
+          docs.select(col("doc_id").as("tid"), col("source").as("dst")),
+          ((col("doc_id") * mult + off) % n) === col("tid"))
+        .select(col("source").as("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+      val raw = fam(13L, 7L).unionByName(fam(7L, 4L))
+      val edges = raw.select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val wedges = edges.as("e1").join(edges.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+      wedges.join(edges.as("e3"),
+          col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+        .select(col("wa").as("a"), col("wb").as("b"), col("wc").as("c"))
     })
   )
 
@@ -182,6 +215,25 @@ object Linkage {
              - CAST(SUM(CASE WHEN is_pair = 1 AND matched_key = d_key
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
          FROM u""",
+    // same canonical-edge wedge-close; the scalar-subquery count
+    // mirrors the memoized doc-count stat
+    "q33_triangle_count" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+          nn AS (SELECT COUNT(*) AS n FROM docs),
+          raw AS (SELECT d.source AS src, t.source AS dst
+                  FROM docs d CROSS JOIN nn
+                  JOIN docs t ON t.doc_id = (d.doc_id * 13 + 7) % nn.n
+                  WHERE d.source <> t.source
+                  UNION ALL
+                  SELECT d.source, t.source
+                  FROM docs d CROSS JOIN nn
+                  JOIN docs t ON t.doc_id = (d.doc_id * 7 + 4) % nn.n
+                  WHERE d.source <> t.source),
+          e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw)
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
     // three chained fixed-point iterations, floor // everywhere —
     // identical integers to the Spark loop
     "q21_domain_rank" -> {
