@@ -513,6 +513,40 @@ object Sessions {
     // The per-type medians are type-count-sized model state
     // (broadcast back); the minute aggregate is the only corpus-scale
     // shuffle, shared with A1's plan shape.
+    // A9: EWMA spike detection — the sequential-state twin of a8's
+    // median detector: per event type, an exponentially-weighted
+    // hourly-volume baseline (alpha = 1/4, exact milli-scaled integer
+    // recurrence f' = (3f + 1000c) DIV 4) and a spike flag where an
+    // hour's count exceeds TWICE the baseline carried into it. The
+    // corpus-scale step is the hour-bucket aggregate; the recurrence
+    // then folds over each type's hour series, which is bounded by
+    // the RETENTION CALENDAR (hours in window × types), not the event
+    // count — the ta6-class "state scales with time, not data"
+    // argument. The oracle replays the fold as a recursive CTE
+    // (d3b's pattern), bit-identical integers.
+    "a9_ewma_spikes" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("h"), col("c")))).as("hrs"))
+      series.select(col("event_type"), explode(expr(
+          """aggregate(
+               hrs,
+               named_struct('f', CAST(-1 AS BIGINT),
+                 'out', CAST(array() AS ARRAY<STRUCT<h: BIGINT, c: BIGINT,
+                   fprev: BIGINT, spike: BOOLEAN>>)),
+               (acc, x) -> named_struct(
+                 'f', IF(acc.f < 0, 1000 * x.c, (3 * acc.f + 1000 * x.c) DIV 4),
+                 'out', concat(acc.out, array(named_struct(
+                   'h', x.h, 'c', x.c,
+                   'fprev', IF(acc.f < 0, CAST(NULL AS BIGINT), acc.f),
+                   'spike', acc.f >= 0 AND 1000 * x.c > 2 * acc.f)))),
+               acc -> acc.out)""")).as("r"))
+        .select(col("event_type"), col("r.h").as("hour"), col("r.c").as("n_events"),
+          col("r.fprev").as("forecast_milli"), col("r.spike").as("spike"))
+    }),
+
     "a8_metric_anomaly" -> ((s, dir) => {
       val mins = Tables.events(s, dir)
         .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
@@ -577,6 +611,26 @@ object Sessions {
          SELECT ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank,
                 path, n_sessions
          FROM c""",
+    // the integer EWMA fold replayed as a recursive CTE, one
+    // recursion step per hour of the series (d3b's pattern)
+    "a9_ewma_spikes" ->
+      """WITH RECURSIVE mb AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                  COUNT(*) AS c FROM events GROUP BY 1, 2),
+         idx AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                 FROM mb),
+         rec AS (
+           SELECT event_type, h, c, rn, CAST(NULL AS BIGINT) AS fprev,
+                  CAST(1000 * c AS BIGINT) AS f, FALSE AS spike
+           FROM idx WHERE rn = 1
+           UNION ALL
+           SELECT i.event_type, i.h, i.c, i.rn, r.f,
+                  CAST((3 * r.f + 1000 * i.c) // 4 AS BIGINT),
+                  1000 * i.c > 2 * r.f
+           FROM rec r JOIN idx i
+             ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+         SELECT event_type, CAST(h AS BIGINT) AS hour, c AS n_events,
+                fprev AS forecast_milli, spike
+         FROM rec""",
     "q32_channel_retention" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
                        epoch_us(ts) // 604800000000 AS week FROM events),
