@@ -154,6 +154,40 @@ object Linkage {
       wedges.join(edges.as("e3"),
           col("wa") === col("e3.a") && col("wc") === col("e3.b"))
         .select(col("wa").as("a"), col("wb").as("b"), col("wc").as("c"))
+    }),
+
+    // LOCAL CLUSTERING COEFFICIENT — q33's triangles normalized per
+    // node: coeff(v) = triangles through v / wedges centered at v
+    // (deg·(deg−1)/2), reported in exact parts-per-million (single
+    // integer DIV — no float ratio to drift). Triangles attribute to
+    // all three corners via one explode; degrees come from the same
+    // canonical edge set. The density signal crawl prioritization
+    // reads next to q21's authority score.
+    "q34_clustering_coeff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val n = Tables.countStat(s, dir, "documents")
+      def fam(mult: Long, off: Long) = docs.join(
+          docs.select(col("doc_id").as("tid"), col("source").as("dst")),
+          ((col("doc_id") * mult + off) % n) === col("tid"))
+        .select(col("source").as("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+      val edges = fam(13L, 7L).unionByName(fam(7L, 4L))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = edges.select(col("a").as("v")).unionByName(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      val wedges = edges.as("e1").join(edges.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+      val tris = wedges.join(edges.as("e3"),
+          col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+        .select(explode(array(col("wa"), col("wb"), col("wc"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+      deg.join(tris, Seq("v"), "left")
+        .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+        .withColumn("coeff_ppm", expr(
+          "IF(degree < 2, 0L, n_triangles * 1000000L DIV (degree * (degree - 1) DIV 2))"))
+        .select(col("v").as("domain"), col("degree"), col("n_triangles"), col("coeff_ppm"))
     })
   )
 
@@ -234,6 +268,34 @@ object Linkage {
           FROM e e1
           JOIN e e2 ON e1.b = e2.a
           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+    // q33's edge/wedge CTEs plus corner attribution and the ppm DIV
+    "q34_clustering_coeff" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+          nn AS (SELECT COUNT(*) AS n FROM docs),
+          raw AS (SELECT d.source AS src, t.source AS dst
+                  FROM docs d CROSS JOIN nn
+                  JOIN docs t ON t.doc_id = (d.doc_id * 13 + 7) % nn.n
+                  WHERE d.source <> t.source
+                  UNION ALL
+                  SELECT d.source, t.source
+                  FROM docs d CROSS JOIN nn
+                  JOIN docs t ON t.doc_id = (d.doc_id * 7 + 4) % nn.n
+                  WHERE d.source <> t.source),
+          e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw),
+          deg AS (SELECT v, COUNT(*) AS degree
+                  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+          tri AS (SELECT e1.a, e1.b, e2.b AS c
+                  FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+          tc AS (SELECT v, COUNT(*) AS n_triangles
+                 FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                       UNION ALL SELECT c FROM tri) GROUP BY v)
+          SELECT deg.v AS domain, deg.degree,
+            CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+            CAST(CASE WHEN deg.degree < 2 THEN 0
+                 ELSE COALESCE(tc.n_triangles, 0) * 1000000
+                      // (deg.degree * (deg.degree - 1) // 2) END AS BIGINT) AS coeff_ppm
+          FROM deg LEFT JOIN tc ON deg.v = tc.v""",
     // three chained fixed-point iterations, floor // everywhere —
     // identical integers to the Spark loop
     "q21_domain_rank" -> {
