@@ -70,6 +70,39 @@ object Sessions {
         })
   }
 
+  /** a9's streaming twin input/state: hour-count records per type. */
+  case class HourCount(event_type: String, h: Long, c: Long)
+  case class EwmaState(f: Long)
+
+  /** a9's EWMA baseline as flatMapGroupsWithState: the per-type
+    * baseline f lives in the state store and every arriving hour
+    * bucket emits its (count, carried-forecast, spike) verdict as the
+    * batch fold would — across micro-batch boundaries. State is O(1)
+    * per type (one long), so the keyspace bound is the type alphabet.
+    * Rows within a batch process in hour order; the caller feeds
+    * closed hour buckets (the upstream watermarked window aggregate),
+    * so late data is resolved before this operator sees the bucket.
+    * Output fprev is -1 for the series head (no prior baseline).
+    */
+  def ewmaSpikeStream(series: org.apache.spark.sql.Dataset[HourCount])
+    : org.apache.spark.sql.Dataset[(String, Long, Long, Long, Boolean)] = {
+    import series.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    series.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (typ: String, it: Iterator[HourCount], state: GroupState[EwmaState]) => {
+          var f = state.getOption.map(_.f).getOrElse(-1L)
+          val out = Seq.newBuilder[(String, Long, Long, Long, Boolean)]
+          it.toSeq.sortBy(_.h).foreach { r =>
+            val spike = f >= 0L && 1000L * r.c > 2L * f
+            out += ((typ, r.h, r.c, f, spike))
+            f = if (f < 0L) 1000L * r.c else (3L * f + 1000L * r.c) / 4L
+          }
+          state.update(EwmaState(f))
+          out.result().iterator
+        })
+  }
+
   private val dec = DecimalType(18, 2)
   /** 30-minute inactivity gap, in microseconds. */
   private val gapUs = 1800000000L

@@ -801,6 +801,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a9 streaming twin: EWMA state carries across micro-batches like the batch fold") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).exists())
+    // the real per-type hour series, split across two micro-batches
+    val series = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(ts) DIV 3600000000 AS h")
+      .groupBy("event_type", "h").count()
+      .collect().map(r => graft.operators.Sessions.HourCount(
+        r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r.event_type, r.h))
+    val mid = series.map(_.h).sorted.apply(series.length / 2)
+    val input = MemoryStream[graft.operators.Sessions.HourCount]
+    val q = graft.operators.Sessions.ewmaSpikeStream(input.toDS())
+      .toDF("event_type", "hour", "n_events", "fprev", "spike")
+      .writeStream.format("memory").queryName("ewma").outputMode("append").start()
+    try {
+      input.addData(series.filter(_.h < mid).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(series.filter(_.h >= mid).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      val batch = graft.SparkEntry.queries("a9_ewma_spikes")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))).toMap
+      assert(streamed === batch,
+        "per-hour stream emissions must equal the batch EWMA fold, incl. across the batch split")
+    } finally q.stop()
+  }
+
   test("SCD2 streaming sink: versions accrete across micro-batches; replay is a no-op") {
     val sess = spark
     import sess.implicits._
