@@ -133,6 +133,32 @@ object Sessions {
           sum(col("value").cast(dec)).cast("double").as("sum_value"))
     }),
 
+    // SESSION-DEPTH DISTRIBUTION — the engagement histogram product
+    // analytics reads beside q16's session list: sessions bucketed by
+    // event count (1 / 2-5 / 6-10 / 11+), with the bounce share
+    // (single-event sessions) derivable from bucket 1. Rides q16's
+    // one (user, ts)-keyed exchange; the histogram aggregate sees one
+    // row per session.
+    "q35_session_depth" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_no", sum(col("brk")).over(run))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"))
+      sess.withColumn("depth_bucket",
+          when(col("n_events") === 1L, "1")
+            .when(col("n_events") <= 5L, "2-5")
+            .when(col("n_events") <= 10L, "6-10").otherwise("11+"))
+        .groupBy(col("depth_bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
+    }),
+
     // Event-transition matrix — the Markov journey counts product
     // analytics builds on sessionized streams: for consecutive events
     // of the same user WITHIN a session (the q16 30-min gap), count
@@ -621,6 +647,24 @@ object Sessions {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM g GROUP BY 1, 2""",
+    "q35_session_depth" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM e),
+         g AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_no
+           FROM f),
+         sess AS (SELECT user_id, sess_no, COUNT(*) AS n_events FROM g GROUP BY 1, 2)
+         SELECT CASE WHEN n_events = 1 THEN '1'
+                     WHEN n_events <= 5 THEN '2-5'
+                     WHEN n_events <= 10 THEN '6-10' ELSE '11+' END AS depth_bucket,
+                COUNT(*) AS n_sessions,
+                CAST(SUM(n_events) AS BIGINT) AS n_events
+         FROM sess GROUP BY 1""",
     "q24_top_paths" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
