@@ -472,6 +472,42 @@ object Sessions {
           col("f.tb").as("t_view"), col("f.tc").as("t_purchase"))
     }),
 
+    // TIME-BOUNDED funnel — q18's cascade with a CONVERSION WINDOW:
+    // each later stage counts only within 7 days of the previous
+    // stage's time (the contract real funnel reports carry; the
+    // unbounded form overstates conversion on long histories). Same
+    // single fold per user, the window is one more predicate per
+    // stage transition; the closing rollup emits the 3-row
+    // stage-conversion report.
+    "q36_funnel_windowed" -> ((s, dir) => {
+      val winUs = 7L * 86400000000L
+      val perUser = Tables.events(s, dir)
+        .withColumn("stage",
+          when(col("event_type") === "signup", 1)
+            .when(col("event_type") === "view", 2)
+            .when(col("event_type") === "purchase", 3))
+        .filter(col("stage").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("stage"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts_us"), col("stage")))).as("evs"))
+        .withColumn("f", expr(
+          s"""aggregate(evs,
+               named_struct('ta', CAST(NULL AS BIGINT), 'tb', CAST(NULL AS BIGINT), 'tc', CAST(NULL AS BIGINT)),
+               (acc, e) -> named_struct(
+                 'ta', CASE WHEN acc.ta IS NULL AND e.stage = 1 THEN e.ts_us ELSE acc.ta END,
+                 'tb', CASE WHEN acc.tb IS NULL AND acc.ta IS NOT NULL AND e.stage = 2
+                                 AND e.ts_us > acc.ta AND e.ts_us - acc.ta <= ${winUs}L
+                            THEN e.ts_us ELSE acc.tb END,
+                 'tc', CASE WHEN acc.tc IS NULL AND acc.tb IS NOT NULL AND e.stage = 3
+                                 AND e.ts_us > acc.tb AND e.ts_us - acc.tb <= ${winUs}L
+                            THEN e.ts_us ELSE acc.tc END))"""))
+      perUser.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("f.ta").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("f.tb").isNotNull, 1L).otherwise(0L)).as("n_view_7d"),
+          sum(when(col("f.tc").isNotNull, 1L).otherwise(0L)).as("n_purchase_7d"))
+    }),
+
     // LAST-TOUCH ATTRIBUTION — the campaign-credit query every event
     // analytics stack runs beside funnels (q18) and as-of state joins
     // (q17): each purchase credits the user's most recent preceding
@@ -820,6 +856,24 @@ object Sessions {
                 o.okey AS o_orderkey, o.oprice AS o_totalprice
          FROM events e ASOF LEFT JOIN od o
            ON e.user_id = o.k AND epoch_us(e.ts) >= o.t""",
+    // the min-time cascade with the 7-day predicate per transition —
+    // first-qualifying == MIN because the fold scans time order
+    "q36_funnel_windowed" ->
+      """WITH s AS (
+           SELECT user_id, epoch_us(ts) AS ts_us,
+                  CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3 END AS stage
+           FROM events WHERE event_type IN ('signup', 'view', 'purchase')),
+         a AS (SELECT user_id, MIN(ts_us) AS ta FROM s WHERE stage = 1 GROUP BY 1),
+         b AS (SELECT s.user_id, MIN(s.ts_us) AS tb FROM s JOIN a USING (user_id)
+               WHERE s.stage = 2 AND s.ts_us > a.ta
+                 AND s.ts_us - a.ta <= 604800000000 GROUP BY 1),
+         c AS (SELECT s.user_id, MIN(s.ts_us) AS tc FROM s JOIN b USING (user_id)
+               WHERE s.stage = 3 AND s.ts_us > b.tb
+                 AND s.ts_us - b.tb <= 604800000000 GROUP BY 1)
+         SELECT (SELECT COUNT(DISTINCT user_id) FROM s) AS n_users,
+                (SELECT COUNT(*) FROM a) AS n_signup,
+                (SELECT COUNT(*) FROM b) AS n_view_7d,
+                (SELECT COUNT(*) FROM c) AS n_purchase_7d""",
     "q18_funnel" ->
       """WITH s AS (
            SELECT user_id, epoch_us(ts) AS ts_us,

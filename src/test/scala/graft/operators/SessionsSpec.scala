@@ -156,6 +156,24 @@ class SessionsSpec extends SparkSpec {
       "the day-bucket decomposition must reproduce the exact range-join match set")
   }
 
+  test("a9 EWMA: a planted 10x hour is flagged, the recovered baseline absorbs it") {
+    val hourUs = 3600000000L
+    val counts = Seq(10, 10, 10, 100, 10, 10)
+    val evs = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i =>
+        ((h * 1000 + i).toLong, h * hourUs + i, 1L, "view", 1.0))
+    }
+    val dir = sfDirWith(evs)
+    val out = Sessions.defs("a9_ewma_spikes")(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(0L) === ((10L, -1L, false)), "series head has no baseline")
+    assert(out(3L) === ((100L, 10000L, true)), "10x the carried baseline must flag")
+    assert(out(4L) === ((10L, 32500L, false)),
+      "post-spike baseline (3*10000 + 100000)/4 absorbs the spike")
+    assert(out.values.count(_._3) === 1, "exactly one spike in the series")
+  }
+
   test("percentiles: interpolation matches the closed form on a known distribution") {
     val t = minUs(100)
     // values 1..5 for one event type: p50 = 3, p95 = 1 + 0.95*4 = 4.8
