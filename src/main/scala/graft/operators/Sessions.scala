@@ -213,6 +213,46 @@ object Sessions {
         .select(col("rank"), col("path"), col("n_sessions"))
     }),
 
+    // RFM SEGMENTATION — the classic CDP audience build: per user,
+    // recency (days since last purchase, against the corpus max
+    // timestamp), frequency (purchase count) and monetary (exact
+    // DECIMAL sum), each scored 0-2 by exact tercile cutpoints and
+    // packed into one rfm_code. Two 1-row scalar joins ("now", the
+    // six cutpoints — both broadcast aggregates); everything else is
+    // one user-keyed aggregate. Cutpoints use a7's percentile
+    // interpolation, which both engines compute identically.
+    "q37_rfm_segments" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      val now = p.agg(max(col("ts_us")).as("now_us"))
+      val base = p.crossJoin(broadcast(now))
+        .groupBy(col("user_id"))
+        .agg(expr(s"CAST(min(now_us - ts_us) DIV ${dayUs}L AS BIGINT)")
+            .as("recency_days"),
+          count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(dec)).cast("double").as("monetary"))
+      val cuts = base.agg(
+        expr("percentile(recency_days, 0.33333333D)").as("r1"),
+        expr("percentile(recency_days, 0.66666667D)").as("r2"),
+        expr("percentile(n_purchases, 0.33333333D)").as("f1"),
+        expr("percentile(n_purchases, 0.66666667D)").as("f2"),
+        expr("percentile(monetary, 0.33333333D)").as("m1"),
+        expr("percentile(monetary, 0.66666667D)").as("m2"))
+      base.crossJoin(broadcast(cuts))
+        .withColumn("r_score", // recent = LOW recency = best
+          when(col("recency_days") <= col("r1"), 2L)
+            .when(col("recency_days") <= col("r2"), 1L).otherwise(0L))
+        .withColumn("f_score",
+          when(col("n_purchases") > col("f2"), 2L)
+            .when(col("n_purchases") > col("f1"), 1L).otherwise(0L))
+        .withColumn("m_score",
+          when(col("monetary") > col("m2"), 2L)
+            .when(col("monetary") > col("m1"), 1L).otherwise(0L))
+        .select(col("user_id"), col("recency_days"), col("n_purchases"), col("monetary"),
+          (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm_code"))
+    }),
+
     // ASSOCIATION RULES (market-basket over event types) — for every
     // unordered type pair, support / both confidences / lift from
     // exact integer co-occurrence counts (ratios are single
@@ -755,6 +795,27 @@ object Sessions {
          SELECT f.channel, a.week - f.cohort_week AS week_offset,
            COUNT(DISTINCT a.user_id) AS n_users
          FROM a JOIN f USING (user_id) GROUP BY 1, 2""",
+    "q37_rfm_segments" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+                    FROM events WHERE event_type = 'purchase'),
+         nw AS (SELECT MAX(ts_us) AS now_us FROM p),
+         base AS (SELECT user_id,
+                    CAST(MIN(nw.now_us - ts_us) // 86400000000 AS BIGINT) AS recency_days,
+                    COUNT(*) AS n_purchases,
+                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+                  FROM p CROSS JOIN nw GROUP BY user_id),
+         cuts AS (SELECT quantile_cont(recency_days, 0.33333333) AS r1,
+                    quantile_cont(recency_days, 0.66666667) AS r2,
+                    quantile_cont(n_purchases, 0.33333333) AS f1,
+                    quantile_cont(n_purchases, 0.66666667) AS f2,
+                    quantile_cont(monetary, 0.33333333) AS m1,
+                    quantile_cont(monetary, 0.66666667) AS m2 FROM base)
+         SELECT user_id, recency_days, n_purchases, monetary,
+           CAST((CASE WHEN recency_days <= r1 THEN 2 WHEN recency_days <= r2 THEN 1 ELSE 0 END) * 100
+              + (CASE WHEN n_purchases > f2 THEN 2 WHEN n_purchases > f1 THEN 1 ELSE 0 END) * 10
+              + (CASE WHEN monetary > m2 THEN 2 WHEN monetary > m1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rfm_code
+         FROM base CROSS JOIN cuts""",
     "q31_association_rules" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
          n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ut),
