@@ -253,6 +253,29 @@ object Sessions {
           (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm_code"))
     }),
 
+    // VALUE CONCENTRATION — the Pareto question revenue analytics
+    // asks ("do 10% of users drive most of the value?"): per-user
+    // value totals in exact DECIMAL, the p90 cutpoint as a 1-row
+    // broadcast scalar, and one closing aggregate reporting the top
+    // decile's user count and value share in exact integer permille
+    // (the DECIMAL ratio is materialized before the double cast, so
+    // no cross-row float summation anywhere).
+    "q38_value_concentration" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("cents"))
+      val cut = per.agg(expr("percentile(CAST(cents AS DOUBLE), 0.9D)").as("p90"))
+      per.crossJoin(broadcast(cut))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("cents") > col("p90"), 1L).otherwise(0L)).as("n_top"),
+          sum(col("cents")).as("total_cents"),
+          sum(when(col("cents") > col("p90"), col("cents")).otherwise(0L)).as("top_cents"))
+        .select(col("n_users"), col("n_top"),
+          (col("total_cents") / lit(100.0)).as("total_value"),
+          (col("top_cents") / lit(100.0)).as("top_value"),
+          expr("top_cents * 1000 DIV total_cents").as("top_share_permille"))
+    }),
+
     // ASSOCIATION RULES (market-basket over event types) — for every
     // unordered type pair, support / both confidences / lift from
     // exact integer co-occurrence counts (ratios are single
@@ -795,6 +818,20 @@ object Sessions {
          SELECT f.channel, a.week - f.cohort_week AS week_offset,
            COUNT(DISTINCT a.user_id) AS n_users
          FROM a JOIN f USING (user_id) GROUP BY 1, 2""",
+    // exact integer cents end-to-end; doubles appear only in the two
+    // per-row output divisions
+    "q38_value_concentration" ->
+      """WITH per AS (SELECT user_id,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+                FROM events GROUP BY user_id),
+         cut AS (SELECT quantile_cont(CAST(cents AS DOUBLE), 0.9) AS p90 FROM per)
+         SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN cents > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value,
+           CAST(SUM(CASE WHEN cents > p90 THEN cents ELSE 0 END) AS BIGINT) / 100.0 AS top_value,
+           CAST(SUM(CASE WHEN cents > p90 THEN cents ELSE 0 END) AS BIGINT) * 1000
+             // CAST(SUM(cents) AS BIGINT) AS top_share_permille
+         FROM per CROSS JOIN cut""",
     "q37_rfm_segments" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value
                     FROM events WHERE event_type = 'purchase'),
