@@ -317,6 +317,33 @@ object Profile {
           Tables.customer(s, dir), "c_custkey", broadcastParent = true))
     }),
 
+    // CROSS-TABLE RECONCILIATION — dq1's row rules extended to the
+    // relationship a finance close actually audits: does each order's
+    // stored total equal its lines' recomputed total
+    // (extendedprice × (1−discount) × (1+tax))? Money is quantized to
+    // integer cents PER ROW (identical double expression tree, then
+    // floor/round — so the cross-row sums are order-free integers),
+    // and the report is one aggregate: orders checked, orders with no
+    // lines, mismatches beyond 1 cent, and the worst absolute drift.
+    "dq2_reconciliation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("cents", expr(
+          "CAST(floor(((l_extendedprice * (1.0D - l_discount)) * (1.0D + l_tax)) * 100.0D) AS BIGINT)"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("cents")).as("recomputed_cents"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100.0D) AS BIGINT)").as("stored_cents"))
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("recomputed_cents").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+          sum(when(col("recomputed_cents").isNotNull &&
+              abs(col("stored_cents") - col("recomputed_cents")) > 1L, 1L)
+            .otherwise(0L)).as("n_mismatched"),
+          max(when(col("recomputed_cents").isNotNull,
+            abs(col("stored_cents") - col("recomputed_cents")))).as("max_abs_diff_cents"))
+    }),
+
     // FUNCTIONAL-DEPENDENCY discovery — does column A determine column
     // B? The schema-inference profiling a warehouse runs to find
     // candidate keys and denormalization opportunities. Per candidate
@@ -389,6 +416,28 @@ object Profile {
   )
 
   val oracles: Map[String, String] = Map(
+    // the per-row money expression is pinned parenthesis-for-
+    // parenthesis; sums happen over the quantized integers only
+    "dq2_reconciliation" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(floor(((l_extendedprice * (CAST(1 AS DOUBLE) - l_discount))
+                  * (CAST(1 AS DOUBLE) + l_tax)) * CAST(100 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+               AS recomputed_cents
+           FROM lineitem GROUP BY 1),
+         o AS (SELECT o_orderkey,
+                 CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT) AS stored_cents
+               FROM orders)
+         SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN recomputed_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_lines,
+           CAST(SUM(CASE WHEN recomputed_cents IS NOT NULL
+                         AND abs(stored_cents - recomputed_cents) > 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(MAX(CASE WHEN recomputed_cents IS NOT NULL
+                         THEN abs(stored_cents - recomputed_cents) END) AS BIGINT)
+             AS max_abs_diff_cents
+         FROM o LEFT JOIN li ON o.o_orderkey = li.l_orderkey""",
     "prof11_fd_discovery" -> {
       val fds = Seq(
         ("nation.nationkey->name", "nation", "n_nationkey", "n_name"),

@@ -253,6 +253,30 @@ object Sessions {
           (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm_code"))
     }),
 
+    // REPEAT-PURCHASE LATENCY — the distribution of gaps between a
+    // user's consecutive purchases (the retention metric behind
+    // "time-to-second-order"): one lag over the (user, ts)-keyed
+    // purchase stream, integer day gaps, bucketed same-day / within-
+    // week / within-month / longer. Purchases are filtered before the
+    // exchange, so the window input is the purchase stream, not the
+    // event stream.
+    "q39_repurchase_latency" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .withColumn("gap_days", expr(s"(ts_us - prev_us) DIV ${dayUs}L"))
+        .withColumn("gap_bucket",
+          when(col("gap_days") === 0L, "same_day")
+            .when(col("gap_days") <= 7L, "within_week")
+            .when(col("gap_days") <= 30L, "within_month").otherwise("longer"))
+        .groupBy(col("gap_bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_days")).as("min_days"), max(col("gap_days")).as("max_days"))
+    }),
+
     // VALUE CONCENTRATION — the Pareto question revenue analytics
     // asks ("do 10% of users drive most of the value?"): per-user
     // value totals in exact DECIMAL, the p90 cutpoint as a 1-row
@@ -818,6 +842,20 @@ object Sessions {
          SELECT f.channel, a.week - f.cohort_week AS week_offset,
            COUNT(DISTINCT a.user_id) AS n_users
          FROM a JOIN f USING (user_id) GROUP BY 1, 2""",
+    "q39_repurchase_latency" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS prev_us
+                    FROM events WHERE event_type = 'purchase'),
+         g AS (SELECT (ts_us - prev_us) // 86400000000 AS gap_days
+               FROM p WHERE prev_us IS NOT NULL)
+         SELECT CASE WHEN gap_days = 0 THEN 'same_day'
+                     WHEN gap_days <= 7 THEN 'within_week'
+                     WHEN gap_days <= 30 THEN 'within_month' ELSE 'longer' END AS gap_bucket,
+                COUNT(*) AS n_gaps,
+                CAST(MIN(gap_days) AS BIGINT) AS min_days,
+                CAST(MAX(gap_days) AS BIGINT) AS max_days
+         FROM g GROUP BY 1""",
     // exact integer cents end-to-end; doubles appear only in the two
     // per-row output divisions
     "q38_value_concentration" ->
