@@ -131,36 +131,42 @@ object Profile {
           min(col("v")).as("bucket_min"), max(col("v")).as("bucket_max"))
     }),
 
-    // Approximate QUANTILE profiling — a7's exact percentiles need a
-    // per-group sort; the 100 TB path is the mergeable KLL-style
-    // sketch behind percentile_approx (partial-agg scan, no sort, no
-    // per-group materialization). Verified the a2b way: the Spark side
-    // checks each sketch value sits inside an exact-percentile
-    // envelope widened to 2x the sketch's rank-error bound (1/accuracy
-    // = 1%) and outputs the booleans; the oracle pins them TRUE, so an
-    // out-of-bound sketch breaks the hash. The exact percentiles here
-    // are the verification anchor only — the operator under test is
-    // the sketch. percentile_approx is deterministic on fixed data, so
-    // the gate cannot flake.
+    // Approximate QUANTILE profiling — the 100 TB path is the
+    // mergeable KLL-style sketch behind percentile_approx
+    // (partial-agg scan, no sort, no per-group materialization).
+    // Verified the a2b way: the Spark side checks each sketch value
+    // sits inside an exact-percentile envelope widened to 2x the
+    // sketch's rank-error bound (1/accuracy = 1%) and outputs the
+    // booleans; the oracle pins them TRUE, so an out-of-bound sketch
+    // breaks the hash. The envelope anchor itself comes from
+    // Percentiles.exact's bounded two-level cent histogram (the
+    // interpreted percentile() it replaced was itself a one-reducer
+    // value-map — r10 verdict finding #1); cents are lossless on this
+    // 2-decimal domain and the band is 2 rank-percent wide, so the
+    // gate semantics are unchanged. percentile_approx is
+    // deterministic on fixed data, so the gate cannot flake.
     "prof6_approx_quantiles" -> ((s, dir) => {
       val qs = Seq(0.5, 0.95, 0.99)
       val acc = 100
-      val aggs = qs.flatMap { q =>
-        val tag = (q * 100).toInt
-        val lo = math.max(0.0, q - 2.0 / acc)
-        val hi = math.min(1.0, q + 2.0 / acc)
-        Seq(
-          expr(s"percentile_approx(value, $q, $acc)").as(s"aq$tag"),
-          expr(s"percentile(value, $lo)").as(s"lo$tag"),
-          expr(s"percentile(value, $hi)").as(s"hi$tag"))
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val sketchAggs = qs.map { q =>
+        expr(s"percentile_approx(value, $q, $acc)").as(s"aq${(q * 100).toInt}")
       } :+ count(lit(1)).as("n")
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(aggs.head, aggs.tail: _*)
+      val sketch = ev.groupBy(col("event_type"))
+        .agg(sketchAggs.head, sketchAggs.tail: _*)
+      val bandQs = qs.flatMap { q =>
+        val tag = (q * 100).toInt
+        Seq(s"lo$tag" -> math.max(0.0, q - 2.0 / acc),
+          s"hi$tag" -> math.min(1.0, q + 2.0 / acc))
+      }
+      val bands = Percentiles.exact(ev, Seq("event_type"), "cents", bandQs)
+        .drop("n_rows")
+      sketch.join(broadcast(bands), "event_type")
         .select(col("event_type") +: col("n") +: qs.map { q =>
           val tag = (q * 100).toInt
-          (col(s"aq$tag") >= col(s"lo$tag") && col(s"aq$tag") <= col(s"hi$tag"))
-            .as(s"p${tag}_ok")
+          (col(s"aq$tag") >= col(s"lo$tag") / 100.0 &&
+            col(s"aq$tag") <= col(s"hi$tag") / 100.0).as(s"p${tag}_ok")
         }: _*)
     }),
 

@@ -219,26 +219,41 @@ object Sessions {
     // DECIMAL sum), each scored 0-2 by exact tercile cutpoints and
     // packed into one rfm_code. Two 1-row scalar joins ("now", the
     // six cutpoints — both broadcast aggregates); everything else is
-    // one user-keyed aggregate. Cutpoints use a7's percentile
+    // one user-keyed aggregate. Cutpoints use Percentiles.exact's
     // interpolation, which both engines compute identically.
     "q37_rfm_segments" -> ((s, dir) => {
       val dayUs = 86400000000L
       val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
       val now = p.agg(max(col("ts_us")).as("now_us"))
+      // monetary is carried as exact integer CENTS end-to-end: the
+      // cutpoints come from Percentiles.exact's two-level histogram
+      // (per-user totals are near-distinct, so interpreted
+      // percentile() would buffer a user-count-sized map on one
+      // reducer — r10 verdict finding #1); the three metrics melt
+      // into one (metric, value) stream so a single helper pass
+      // computes all six cutpoints.
       val base = p.crossJoin(broadcast(now))
         .groupBy(col("user_id"))
         .agg(expr(s"CAST(min(now_us - ts_us) DIV ${dayUs}L AS BIGINT)")
             .as("recency_days"),
           count(lit(1)).as("n_purchases"),
-          sum(col("value").cast(dec)).cast("double").as("monetary"))
-      val cuts = base.agg(
-        expr("percentile(recency_days, 0.33333333D)").as("r1"),
-        expr("percentile(recency_days, 0.66666667D)").as("r2"),
-        expr("percentile(n_purchases, 0.33333333D)").as("f1"),
-        expr("percentile(n_purchases, 0.66666667D)").as("f2"),
-        expr("percentile(monetary, 0.33333333D)").as("m1"),
-        expr("percentile(monetary, 0.66666667D)").as("m2"))
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)")
+            .as("cents"))
+      val melted = base.select(explode(array(
+        struct(lit("r").as("m"), col("recency_days").as("v")),
+        struct(lit("f").as("m"), col("n_purchases").as("v")),
+        struct(lit("m").as("m"), col("cents").as("v")))).as("t"))
+        .select(col("t.m").as("m"), col("t.v").as("v"))
+      val cuts = Percentiles
+        .exact(melted, Seq("m"), "v", Seq("c1" -> 0.33333333, "c2" -> 0.66666667))
+        .agg(
+          max(when(col("m") === "r", col("c1"))).as("r1"),
+          max(when(col("m") === "r", col("c2"))).as("r2"),
+          max(when(col("m") === "f", col("c1"))).as("f1"),
+          max(when(col("m") === "f", col("c2"))).as("f2"),
+          max(when(col("m") === "m", col("c1"))).as("m1"),
+          max(when(col("m") === "m", col("c2"))).as("m2"))
       base.crossJoin(broadcast(cuts))
         .withColumn("r_score", // recent = LOW recency = best
           when(col("recency_days") <= col("r1"), 2L)
@@ -247,9 +262,10 @@ object Sessions {
           when(col("n_purchases") > col("f2"), 2L)
             .when(col("n_purchases") > col("f1"), 1L).otherwise(0L))
         .withColumn("m_score",
-          when(col("monetary") > col("m2"), 2L)
-            .when(col("monetary") > col("m1"), 1L).otherwise(0L))
-        .select(col("user_id"), col("recency_days"), col("n_purchases"), col("monetary"),
+          when(col("cents") > col("m2"), 2L)
+            .when(col("cents") > col("m1"), 1L).otherwise(0L))
+        .select(col("user_id"), col("recency_days"), col("n_purchases"),
+          (col("cents") / lit(100.0)).as("monetary"),
           (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm_code"))
     }),
 
@@ -283,12 +299,17 @@ object Sessions {
     // broadcast scalar, and one closing aggregate reporting the top
     // decile's user count and value share in exact integer permille
     // (the DECIMAL ratio is materialized before the double cast, so
-    // no cross-row float summation anywhere).
+    // no cross-row float summation anywhere). The cutpoint comes from
+    // Percentiles.exact's two-level cent histogram — per-user totals
+    // are near-distinct, so interpreted percentile() would buffer a
+    // user-count-sized map on ONE reducer (r10 verdict finding #1);
+    // the histogram path's state is bounded by the cent RANGE instead.
     "q38_value_concentration" -> ((s, dir) => {
       val per = Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("cents"))
-      val cut = per.agg(expr("percentile(CAST(cents AS DOUBLE), 0.9D)").as("p90"))
+      val cut = Percentiles.exact(per, Nil, "cents", Seq("p90" -> 0.9))
+        .select(col("p90"))
       per.crossJoin(broadcast(cut))
         .agg(count(lit(1)).as("n_users"),
           sum(when(col("cents") > col("p90"), 1L).otherwise(0L)).as("n_top"),
@@ -404,23 +425,23 @@ object Sessions {
 
     // QUANTILE DISCRETIZATION — bin every event's value by the global
     // quartile cutpoints (the feature-binning step before model
-    // training / drift monitoring). The cutpoints are a 1-row exact
-    // percentile aggregate (a7's interpolation, which both engines
-    // compute identically) broadcast back onto the stream; assignment
-    // is pure per-row comparison, and the closing per-bin rollup
-    // bounds the output at 4 rows. At 100 TB the exact percentile
-    // swaps for approx_percentile — same plan shape.
+    // training / drift monitoring). Values quantize to exact integer
+    // CENTS (lossless on 2-decimal money; TablesSpec-class invariant)
+    // so the cutpoints come from Percentiles.exact's bounded two-level
+    // histogram instead of an interpreted percentile() whose
+    // value→count map sits on one reducer (r10 verdict finding #1);
+    // assignment is pure per-row comparison, and the closing per-bin
+    // rollup bounds the output at 4 rows.
     "q26_quantile_bin" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(col("value"))
-      val cuts = ev.agg(
-        expr("percentile(value, 0.25D)").as("q1"),
-        expr("percentile(value, 0.5D)").as("q2"),
-        expr("percentile(value, 0.75D)").as("q3"))
+      val ev = Tables.events(s, dir).select(col("value"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val cuts = Percentiles.exact(ev, Nil, "cents",
+        Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75)).drop("n_rows")
       ev.crossJoin(broadcast(cuts))
         .withColumn("bin",
-          when(col("value") < col("q1"), 0L)
-            .when(col("value") < col("q2"), 1L)
-            .when(col("value") < col("q3"), 2L).otherwise(3L))
+          when(col("cents") < col("q1"), 0L)
+            .when(col("cents") < col("q2"), 1L)
+            .when(col("cents") < col("q3"), 2L).otherwise(3L))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_events"),
           min(col("value")).as("min_value"), max(col("value")).as("max_value"))
@@ -673,20 +694,23 @@ object Sessions {
     }),
 
     // Exact interpolated percentiles per event type (reporting-style
-    // latency/value distribution). Spark's percentile() and DuckDB's
-    // quantile_cont() both compute lower + (pos - floor(pos)) * (upper
-    // - lower) at pos = (n-1)*q over the sorted values, so the doubles
-    // agree bit-for-bit. Exact percentile shuffles the value column
-    // only (column-pruned scan); at 100 TB swap in approx_percentile
-    // (t-digest) via the same GROUP BY — the plan shape is identical.
+    // latency/value distribution), computed on the lossless integer-
+    // cent domain through Percentiles.exact's two-level histogram —
+    // every stage's state is bounded by the cent RANGE, so unlike the
+    // interpreted percentile() (value→count map on the final reducer,
+    // r10 verdict finding #1) the plan survives a corpus-cardinality
+    // value column. Interpolation matches DuckDB's quantile_cont
+    // bit-for-bit (PercentilesSpec pins it against percentile()).
     "a7_value_percentiles" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(
-          expr("percentile(value, 0.5D)").as("p50"),
-          expr("percentile(value, 0.95D)").as("p95"),
-          expr("percentile(value, 0.99D)").as("p99"),
-          count(lit(1)).as("n"))
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      Percentiles.exact(ev, Seq("event_type"), "cents",
+        Seq("p50c" -> 0.5, "p95c" -> 0.95, "p99c" -> 0.99))
+        .select(col("event_type"),
+          (col("p50c") / lit(100.0)).as("p50"),
+          (col("p95c") / lit(100.0)).as("p95"),
+          (col("p99c") / lit(100.0)).as("p99"),
+          col("n_rows").as("n"))
     }),
 
     // A8: rate-anomaly flagging over the A1 minute buckets — the
@@ -877,18 +901,18 @@ object Sessions {
          base AS (SELECT user_id,
                     CAST(MIN(nw.now_us - ts_us) // 86400000000 AS BIGINT) AS recency_days,
                     COUNT(*) AS n_purchases,
-                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+                    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
                   FROM p CROSS JOIN nw GROUP BY user_id),
          cuts AS (SELECT quantile_cont(recency_days, 0.33333333) AS r1,
                     quantile_cont(recency_days, 0.66666667) AS r2,
                     quantile_cont(n_purchases, 0.33333333) AS f1,
                     quantile_cont(n_purchases, 0.66666667) AS f2,
-                    quantile_cont(monetary, 0.33333333) AS m1,
-                    quantile_cont(monetary, 0.66666667) AS m2 FROM base)
-         SELECT user_id, recency_days, n_purchases, monetary,
+                    quantile_cont(cents, 0.33333333) AS m1,
+                    quantile_cont(cents, 0.66666667) AS m2 FROM base)
+         SELECT user_id, recency_days, n_purchases, cents / 100.0 AS monetary,
            CAST((CASE WHEN recency_days <= r1 THEN 2 WHEN recency_days <= r2 THEN 1 ELSE 0 END) * 100
               + (CASE WHEN n_purchases > f2 THEN 2 WHEN n_purchases > f1 THEN 1 ELSE 0 END) * 10
-              + (CASE WHEN monetary > m2 THEN 2 WHEN monetary > m1 THEN 1 ELSE 0 END) AS BIGINT)
+              + (CASE WHEN cents > m2 THEN 2 WHEN cents > m1 THEN 1 ELSE 0 END) AS BIGINT)
              AS rfm_code
          FROM base CROSS JOIN cuts""",
     "q31_association_rules" ->
@@ -938,14 +962,16 @@ object Sessions {
     // quantile_cont is the same linear interpolation as Spark's
     // percentile (a7 pins the equality); bin edges are < on both sides
     "q26_quantile_bin" ->
-      """WITH c AS (SELECT quantile_cont(value, 0.25) AS q1,
-                      quantile_cont(value, 0.5) AS q2,
-                      quantile_cont(value, 0.75) AS q3 FROM events)
-         SELECT CAST(CASE WHEN value < q1 THEN 0 WHEN value < q2 THEN 1
-                          WHEN value < q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+      """WITH e AS (SELECT value, CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         c AS (SELECT quantile_cont(cents, 0.25) AS q1,
+                      quantile_cont(cents, 0.5) AS q2,
+                      quantile_cont(cents, 0.75) AS q3 FROM e)
+         SELECT CAST(CASE WHEN cents < q1 THEN 0 WHEN cents < q2 THEN 1
+                          WHEN cents < q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
                 COUNT(*) AS n_events,
                 MIN(value) AS min_value, MAX(value) AS max_value
-         FROM events CROSS JOIN c GROUP BY 1""",
+         FROM e CROSS JOIN c GROUP BY 1""",
     // the oracle states the interval join declaratively; the engine's
     // bucketized equi-join must produce the identical match set
     "q25_interval_join" ->
@@ -1050,9 +1076,9 @@ object Sessions {
          GROUP BY 1, 2""",
     "a7_value_percentiles" ->
       """SELECT event_type,
-                quantile_cont(value, 0.5) AS p50,
-                quantile_cont(value, 0.95) AS p95,
-                quantile_cont(value, 0.99) AS p99,
+                quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0 AS p50,
+                quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) / 100.0 AS p95,
+                quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) / 100.0 AS p99,
                 COUNT(*) AS n
          FROM events GROUP BY 1""",
     "a8_metric_anomaly" ->

@@ -35,6 +35,16 @@ class ScaleGuardSpec extends SparkSpec {
 
   /** query -> why its single-partition window/sort is safe at scale */
   private val singlePartitionPinned: Map[String, String] = Map(
+    "q26_quantile_bin" ->
+      ("Percentiles.exact's global form: the constant group key folds " +
+        "away, so its coarse cumsum windows plan single-partition — but " +
+        "their input is the bucket-TOTAL table, bounded by the integer " +
+        "cent range (range/4096 rows) whatever the corpus size; the " +
+        "corpus-scale stage is the distributed value histogram below"),
+    "q38_value_concentration" ->
+      ("same Percentiles.exact global form as q26: single-partition " +
+        "windows see only range/4096 coarse-bucket rows (per-user cent " +
+        "totals are range-bounded even though they are near-distinct)"),
     "ta6_shard_pack" ->
       ("the global prefix window runs over bucket TOTALS, and the " +
         "bucket size is ~sqrt(max doc_id) (Tables.maxIdStat), so the " +
@@ -80,7 +90,13 @@ class ScaleGuardSpec extends SparkSpec {
     }
     def allLocal(s: SparkPlan): Boolean =
       flatten(s).collect { case leaf if leaf.children.isEmpty => leaf }
-        .forall(configSized)
+        .forall {
+          // a reused exchange is a LEAF pointing at another subtree —
+          // resolve it or the probe goes blind (the r11 blind spot:
+          // Percentiles.exact's 1-row locate side reused twice)
+          case r: exchange.ReusedExchangeExec => allLocal(r.child)
+          case leaf => configSized(leaf)
+        }
     // A global aggregate (no grouping keys) is 1 row BY CONSTRUCTION
     // whatever its input size — the scalar-statistic join shape
     // (cd3's time midpoint / totals). Walking top-down, the first
@@ -88,6 +104,7 @@ class ScaleGuardSpec extends SparkSpec {
     // cardinality is 1 regardless of what it scans.
     def oneRowByConstruction(s: SparkPlan): Boolean = s match {
       case a: aggregate.BaseAggregateExec => a.groupingExpressions.isEmpty
+      case r: exchange.ReusedExchangeExec => oneRowByConstruction(r.child)
       case n if n.children.size == 1 => oneRowByConstruction(n.children.head)
       case _ => false
     }
@@ -213,6 +230,52 @@ class ScaleGuardSpec extends SparkSpec {
     }
     assert(found.isEmpty, "low-NDV window partitions found:\n" + found.mkString("\n"))
     val stale = lowNdvPinned.keys.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"pinned exceptions for unknown queries: $stale")
+  }
+
+  /** query -> why its interpreted exact-percentile input is bounded
+    * (rule (f) below). */
+  private val exactPercentilePinned: Map[String, String] = Map(
+    "a8_metric_anomaly" ->
+      ("the percentile() input is the (event_type, minute) bucket table " +
+        "grouped per type — bounded by the retention CALENDAR (minutes " +
+        "in window × types), not the event count; its sf-growth in the " +
+        "synthetic corpus reflects the widening generated time range, " +
+        "which saturates at real scale"))
+
+  /** Rule (f) — the r10 verdict's top finding: Spark's interpreted
+    * `percentile()` buffers a value→count map sized by its input's
+    * DISTINCT-VALUE count, and the global/no-group form materializes
+    * that map on the ONE final reducer. Over corpus-cardinality input
+    * (per-user totals, raw value columns) that is a single-task memory
+    * bomb that rules (c)/(d) cannot see — the offending plan is an
+    * Aggregate, not a Window/Sort, and q37's input was even
+    * "row-collapsed" (a user-keyed aggregate — whose cardinality IS
+    * the corpus's user count). So the rule is static and strict: NO
+    * query may plan an interpreted Percentile aggregate at all unless
+    * pinned with a bounded-input argument. The scale-safe routes are
+    * Percentiles.exact (two-level integer-domain histogram — state
+    * bounded by the value RANGE) or approx_percentile (prof6).
+    */
+  test("no interpreted exact-percentile aggregate without a bounded-input pin") {
+    assume(new java.io.File(sfDir).exists())
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    val found = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val analyzed =
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
+      val usesPercentile = analyzed.exists {
+        case a: Aggregate =>
+          a.aggregateExpressions.exists(_.exists(_.isInstanceOf[Percentile]))
+        case _ => false
+      }
+      if (usesPercentile && !exactPercentilePinned.contains(name))
+        Some(s"$name: interpreted percentile() — distinct-value map on " +
+          "one reducer; use Percentiles.exact / approx_percentile or pin")
+      else None
+    }
+    assert(found.isEmpty, "unpinned exact-percentile plans found:\n" +
+      found.mkString("\n"))
+    val stale = exactPercentilePinned.keys.filterNot(SparkEntry.queries.contains)
     assert(stale.isEmpty, s"pinned exceptions for unknown queries: $stale")
   }
 
