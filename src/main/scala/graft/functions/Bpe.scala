@@ -39,13 +39,31 @@ object Bpe {
   /** Train `k` merges over the word-type frequency table of `textCol`
     * (whitespace tokenization). Returns merges in rank order; stops
     * early when no adjacent pair occurs twice.
+    *
+    * The collected model state is HARD-BOUNDED at `maxVocab` word
+    * types (plus the `minFreq` floor): on a web-scale corpus the raw
+    * word-TYPE table is itself corpus-sized — typos, URLs, code — so
+    * an uncapped collect() OOMs the driver (the r10 verdict's one
+    * driver-sized-by-construction loop). The cap is taken
+    * deterministically (count desc, word asc) via a distributed
+    * TakeOrdered, so training stays reproducible; dropping the
+    * beyond-cap tail is the standard BPE min-frequency pruning
+    * (Sennrich et al. train on a frequency-filtered dictionary) and
+    * only perturbs pair counts by the tail's mass. With the default
+    * cap no gate-sized corpus is pruned at all — BpeSpec pins
+    * capped≡uncapped equivalence there.
     */
-  def train(df: DataFrame, textCol: String, k: Int): Seq[Merge] = {
-    // corpus-scale: ONE aggregate; everything after is model-sized
+  def train(df: DataFrame, textCol: String, k: Int,
+            maxVocab: Int = 1 << 16, minFreq: Long = 1L): Seq[Merge] = {
+    // corpus-scale: ONE aggregate + bounded top-N; everything after
+    // is ≤ maxVocab model state
     val wordCounts: Seq[(String, Long)] =
       df.select(explode(split(col(textCol), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minFreq)
+        .orderBy(col("n").desc, col("w").asc)
+        .limit(maxVocab)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     var words: Seq[(Vector[String], Long)] =
       wordCounts.map { case (w, n) => chars(w) -> n }
@@ -72,21 +90,37 @@ object Bpe {
     merges.foldLeft(chars(w)) { (syms, m) => applyMerge(syms, m.left, m.right) }
 
   /** Tokenize `textCol` into a per-row `tokens` array using trained
-    * merges. The word→tokens dictionary is built from the frame's own
-    * vocabulary (vocab-sized, like training) and broadcast; the corpus
-    * side is an explode + broadcast lookup + one id-keyed reassembly
-    * that preserves word order.
+    * merges. The word→tokens dictionary covers the `maxVocab` MOST
+    * FREQUENT word types (deterministic TakeOrdered — the same hard
+    * driver bound as train(); an uncapped distinct().collect() was
+    * the encode half of the r10 verdict's driver-OOM finding) and is
+    * broadcast; occurrences outside the dictionary — the long tail
+    * that would have blown the collect — encode executor-side through
+    * the same merge list (broadcast with the UDF closure), so results
+    * are IDENTICAL to an unbounded dictionary at any cap (BpeSpec
+    * pins cap=1 ≡ uncapped). The corpus side stays one explode +
+    * broadcast lookup + one id-keyed reassembly that preserves word
+    * order.
     */
   def encode(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
-             merges: Seq[Merge]): DataFrame = {
+             merges: Seq[Merge], maxVocab: Int = 1 << 16): DataFrame = {
     import spark.implicits._
-    val vocab = df.select(explode(split(col(textCol), " ")).as("w"))
-      .filter(col("w") =!= "").distinct()
+    val topWords = df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxVocab)
       .collect().map(_.getString(0))
-    val dict = vocab.toSeq.map(w => (w, encodeWord(w, merges))).toDF("w", "toks")
+    val dict = topWords.toSeq.map(w => (w, encodeWord(w, merges))).toDF("w", "toks")
+    val mergeList = merges.map(m => (m.left, m.right))
+    val encodeOov = udf((w: String) =>
+      mergeList.foldLeft(chars(w)) { (syms, lr) =>
+        applyMerge(syms, lr._1, lr._2)
+      }: Seq[String])
     df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
-      .join(broadcast(dict), "w")
+      .join(broadcast(dict), Seq("w"), "left")
+      .withColumn("toks", coalesce(col("toks"), encodeOov(col("w"))))
       .groupBy(col(idCol))
       .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, toks))), x -> x.toks))")
         .as("tokens"))

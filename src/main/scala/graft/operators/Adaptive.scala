@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -147,11 +147,96 @@ object Adaptive {
         })
   }
 
+  /** GW1's quota: events per workspace per week-window. */
+  private[operators] val ingestQuota = 800L
+
+  /** GW1 token-bucket fold (gateway/handle.go:459-469
+    * CheckLimitReached): a request BATCH is accepted iff the
+    * workspace window's already-ACCEPTED events plus the batch fit
+    * the quota — a dropped batch consumes nothing (the limiter only
+    * commits tokens on allow), and the whole batch drops at once
+    * (errRequestDropped → 429), never per-event. Sequential state, so
+    * the fold runs per (workspace, window) partition over BATCH
+    * aggregates — batch-count-bounded groups, adaptiveThrottle's
+    * mapPartitions shape, never the raw events.
+    * Input columns: workspace_id, week, arrival_us, batch_id,
+    * n_events.
+    */
+  def ingestRateLimit(df: DataFrame, quota: Long = ingestQuota): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("workspace_id", "week", "arrival_us", "batch_id", "n_events")
+      .as[(String, Long, Long, Long, Long)]
+      .repartition(col("workspace_id"), col("week"))
+      .sortWithinPartitions("workspace_id", "week", "arrival_us", "batch_id")
+      .mapPartitions { it =>
+        var key: (String, Long) = null
+        var used = 0L
+        it.map { case (ws, week, _, bid, n) =>
+          if ((ws, week) != key) { key = (ws, week); used = 0L }
+          val accept = used + n <= quota
+          if (accept) used += n
+          (ws, week, bid, n, accept)
+        }
+      }.toDF("workspace_id", "week", "batch_id", "n_events", "accepted")
+  }
+
+  /** Streaming-twin row type for GW1. */
+  case class IngestBatch(workspace_id: String, week: Long, arrival_us: Long,
+                         batch_id: Long, n_events: Long)
+
+  /** Streaming twin of [[ingestRateLimit]]: the per-(workspace, week)
+    * accepted-token count lives in the state store, so the quota
+    * keeps being enforced EXACTLY across micro-batches — O(1) state
+    * per live workspace-window, the d3b twin's contract.
+    * StreamingSpec asserts batch/stream equivalence on a split feed.
+    */
+  def ingestRateLimitStream(batches: org.apache.spark.sql.Dataset[IngestBatch],
+                            quota: Long = ingestQuota)
+    : org.apache.spark.sql.Dataset[(String, Long, Long, Long, Boolean)] = {
+    import batches.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    batches
+      .groupByKey(b => (b.workspace_id, b.week))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, Long), it: Iterator[IngestBatch], state: GroupState[Long]) => {
+          var used = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(b => (b.arrival_us, b.batch_id)).map { b =>
+            val accept = used + b.n_events <= quota
+            if (accept) used += b.n_events
+            (b.workspace_id, b.week, b.batch_id, b.n_events, accept)
+          }
+          state.update(used)
+          out.iterator
+        })
+  }
+
   val defs: Map[String, Q] = Map(
     "d3b_adaptive_throttle" -> ((s, dir) => {
       val sess = s
       import sess.implicits._
       adaptiveThrottle(outcomes.toDF("destination_id", "widx", "n_total", "n_429"))
+    }),
+
+    // GW1: gateway ingest rate limiting — the ingest-side
+    // per-workspace quota (d3/d3b are ROUTER-side delivery
+    // throttles): request batches of the event stream, each batch one
+    // workspace, folded through the token bucket in arrival order;
+    // beyond-quota batches 429 whole. The corpus-scale work is one
+    // batch-keyed aggregate; the fold sees only batch rows.
+    "gw1_ingest_rate_limit" -> ((s, dir) => {
+      val batches = Tables.events(s, dir)
+        .select(expr("event_id DIV 100").as("batch_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("arrival_us"))
+        .withColumn("workspace_id", concat(lit("ws_"), col("batch_id") % 2))
+        .withColumn("week", expr("arrival_us DIV 604800000000"))
+      ingestRateLimit(batches)
+        .withColumn("decision",
+          when(col("accepted"), "accepted").otherwise("dropped_429"))
+        .groupBy(col("workspace_id"), col("decision"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("n_events")).as("n_events"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -180,5 +265,39 @@ object Adaptive {
            FROM st s JOIN w x ON x.destination_id = s.destination_id AND x.rn = s.rn + 1)
          SELECT destination_id, widx, lf AS lf_pct,
                 CAST(($baseLimit * lf) // 100 AS BIGINT) AS effective_limit
-         FROM st WHERE rn >= 1""")
+         FROM st WHERE rn >= 1""",
+
+    // the token-bucket fold replayed as a recursive CTE per
+    // (workspace, week): used advances only on accepted batches
+    "gw1_ingest_rate_limit" ->
+      s"""WITH RECURSIVE
+         b0 AS (SELECT event_id // 100 AS batch_id, COUNT(*) AS n_events,
+                       MIN(epoch_us(ts)) AS arrival_us
+                FROM events GROUP BY 1),
+         b AS (SELECT 'ws_' || CAST(batch_id % 2 AS VARCHAR) AS workspace_id,
+                      arrival_us // 604800000000 AS week,
+                      batch_id, n_events, arrival_us,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY batch_id % 2, arrival_us // 604800000000
+                        ORDER BY arrival_us, batch_id) AS rn
+               FROM b0),
+         st AS (
+           SELECT workspace_id, week, CAST(0 AS BIGINT) AS rn,
+                  CAST(0 AS BIGINT) AS used, CAST(0 AS BIGINT) AS n_events,
+                  FALSE AS accepted
+           FROM (SELECT DISTINCT workspace_id, week FROM b)
+           UNION ALL
+           SELECT s.workspace_id, s.week, s.rn + 1,
+                  CASE WHEN s.used + x.n_events <= $ingestQuota
+                       THEN s.used + x.n_events ELSE s.used END,
+                  x.n_events,
+                  s.used + x.n_events <= $ingestQuota
+           FROM st s JOIN b x
+             ON x.workspace_id = s.workspace_id AND x.week = s.week
+            AND x.rn = s.rn + 1)
+         SELECT workspace_id,
+                CASE WHEN accepted THEN 'accepted' ELSE 'dropped_429' END AS decision,
+                COUNT(*) AS n_batches,
+                CAST(SUM(n_events) AS BIGINT) AS n_events
+         FROM st WHERE rn >= 1 GROUP BY 1, 2""")
 }

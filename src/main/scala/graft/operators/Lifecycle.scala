@@ -336,6 +336,60 @@ object Lifecycle {
         .withColumn("objects_total", lit(total))
         .withColumn("cleaned_first", lit(first))
         .withColumn("cleaned_resume", lit(resumed))
+    }),
+
+    // WA1: warehouse-side archival cron
+    // (warehouse/archive/archiver.go:105-259,539-556): the uploads
+    // ledger is scanned for EXPORTED uploads past the retention
+    // window whose workspace is not degraded (the same skip list as
+    // countUploadsToArchive's $3), their staging-file ledger rows are
+    // backed up to object storage as json.gz and deleted from the
+    // live ledger, and the archived flag commits last
+    // (Sinks.warehouseArchive's tracker = the reference's
+    // metadata->archivedStagingAndLoadFiles). Run TWICE like rg1: the
+    // resume pass must find a complete tracker and archive 0 — the
+    // counts ride the checked output, and the d8-style two-side union
+    // proves archived + live == the original ledger row-for-row.
+    // Uploads model: 500-file batches of the event stream, workspace
+    // and status derived from the upload id, created_at = the batch's
+    // max event time.
+    "wa1_warehouse_archive" -> ((s, dir) => {
+      val base = Files.createTempDirectory("graft_wa1").toString
+      val live = s"$base/staging_ledger"
+      val archive = s"$base/archive"
+      val files = Tables.events(s, dir).select(
+        col("event_id").as("staging_file_id"),
+        expr("event_id DIV 500").as("upload"),
+        col("ts"))
+      files.repartition(col("upload"))
+        .write.partitionBy("upload").parquet(live)
+      val eligible = files.groupBy(col("upload"))
+        .agg(max(col("ts")).as("created_at"))
+        .filter(col("upload") % 4 =!= 3 && // status = exported_data
+          concat(lit("ws_"), col("upload") % 5) =!= "ws_2" && // degraded skip
+          col("created_at") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .select(col("upload"))
+        .collect().map(_.getLong(0)).sorted // upload-count bounded: the reference pages maxLimit uploads per Do() loop
+      val (nEligible, first) = Sinks.warehouseArchive(s, live, archive, eligible, "wa1_job")
+      val (_, resumed) = Sinks.warehouseArchive(s, live, archive, eligible, "wa1_job")
+      val archived = (if (eligible.isEmpty) // nothing written: glob would throw
+          s.emptyDataFrame
+            .withColumn("staging_file_id", lit(0L)).withColumn("upload", lit(0L))
+        else s.read
+          .schema(StructType.fromDDL("staging_file_id BIGINT, upload BIGINT"))
+          .json(s"$archive/part_*"))
+        .select(lit("archived").as("side"), col("staging_file_id"), col("upload"))
+      val remaining = s.read.parquet(live)
+        .select(lit("live").as("side"), col("staging_file_id"),
+          col("upload").cast("long").as("upload"))
+      archived.unionByName(remaining)
+        .groupBy(col("side"), concat(lit("ws_"), col("upload") % 5).as("workspace_id"))
+        .agg(count(lit(1)).as("n_files"),
+          min(col("staging_file_id")).as("min_id"),
+          max(col("staging_file_id")).as("max_id"))
+        .withColumn("eligible_uploads", lit(nEligible))
+        .withColumn("archived_first", lit(first))
+        .withColumn("archived_resume", lit(resumed))
     })
   )
 
@@ -428,6 +482,26 @@ object Lifecycle {
            CAST(6 AS BIGINT) AS objects_total,
            CAST(6 AS BIGINT) AS cleaned_first,
            CAST(0 AS BIGINT) AS cleaned_resume
-         FROM events WHERE user_id % 13 <> 0 GROUP BY 1"""
+         FROM events WHERE user_id % 13 <> 0 GROUP BY 1""",
+    // the archival decision replayed declaratively: eligible uploads'
+    // files land on the archived side, everything else stays live
+    "wa1_warehouse_archive" ->
+      """WITH f AS (SELECT event_id AS staging_file_id,
+                      event_id // 500 AS upload, ts FROM events),
+         elig AS (SELECT upload FROM (
+                    SELECT upload, MAX(ts) AS created_at FROM f GROUP BY 1)
+                  WHERE upload % 4 != 3
+                    AND 'ws_' || CAST(upload % 5 AS VARCHAR) != 'ws_2'
+                    AND created_at < TIMESTAMP '2024-01-20 00:00:00'),
+         tagged AS (SELECT CASE WHEN upload IN (SELECT upload FROM elig)
+                                THEN 'archived' ELSE 'live' END AS side,
+                           staging_file_id, upload FROM f)
+         SELECT side, 'ws_' || CAST(upload % 5 AS VARCHAR) AS workspace_id,
+                COUNT(*) AS n_files,
+                MIN(staging_file_id) AS min_id, MAX(staging_file_id) AS max_id,
+                (SELECT COUNT(*) FROM elig) AS eligible_uploads,
+                (SELECT COUNT(*) FROM elig) AS archived_first,
+                CAST(0 AS BIGINT) AS archived_resume
+         FROM tagged GROUP BY 1, 2"""
   )
 }

@@ -732,6 +732,54 @@ object Router {
         .groupBy(col("out_type")).agg(count(lit(1)).as("n"))
     }),
 
+    // T13b: UT MIRRORING — shadow-compare of a user-transformation
+    // upgrade (user_transformer.go:68-69 ForMirroring, :348-368
+    // mirror-filtered handling; processor.go:3225-3360 sanity-check
+    // compare emitting utMirroringEqual/Different/Filtered counters):
+    // the candidate registry version runs alongside production over
+    // the same events and per-message outputs are compared — how an
+    // operator validates a transformation upgrade before cutover.
+    // Spark-first shape: both versions are PURE column transforms, so
+    // the mirror is a second expression in the SAME projection — one
+    // narrow corpus scan, no second transformer fleet and no
+    // messageId join (the full-outer-join shape is only forced when
+    // the versions run as separate jobs). The compare is array
+    // equality on each message's ordered output list; the rollup
+    // carries the reference's response classes plus both stage-out
+    // row counts (proc_transform_stage_out_count's success counter).
+    // Candidate delta vs t13's production registry: errors quarantine
+    // instead of dropping (primary_filtered), low-value views drop
+    // (mirror_filtered), big purchases gain an audit row and clicks
+    // rename (different); everything else is equal.
+    "t13b_ut_mirroring" -> ((s, dir) => {
+      val emptyOut = expr("CAST(array() AS ARRAY<STRING>)")
+      val prod = when(col("event_type") === "error", emptyOut)
+        .when(col("event_type") === "purchase",
+          array(lit("purchase_order"), lit("purchase_receipt")))
+        .otherwise(array(concat(lit("app_"), col("event_type"))))
+      val mirror = when(col("event_type") === "error",
+          array(lit("error_quarantine")))
+        .when(col("event_type") === "view" && col("value") < 1.0d, emptyOut)
+        .when(col("event_type") === "purchase" && col("value") >= 100.0d,
+          array(lit("purchase_order"), lit("purchase_receipt"),
+            lit("purchase_audit")))
+        .when(col("event_type") === "purchase",
+          array(lit("purchase_order"), lit("purchase_receipt")))
+        .when(col("event_type") === "click", array(lit("app_tap")))
+        .otherwise(array(concat(lit("app_"), col("event_type"))))
+      Tables.events(s, dir)
+        .select(col("event_id"), prod.as("out_prod"), mirror.as("out_mirror"))
+        .withColumn("comparison",
+          when(col("out_prod") === col("out_mirror"), "equal")
+            .when(size(col("out_mirror")) === 0, "mirror_filtered")
+            .when(size(col("out_prod")) === 0, "primary_filtered")
+            .otherwise("different"))
+        .groupBy(col("comparison"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(size(col("out_prod")).cast("long")).as("out_rows_primary"),
+          sum(size(col("out_mirror")).cast("long")).as("out_rows_mirror"))
+    }),
+
     // T15: source hydration — broadcast lookup enriching events with
     // source account config (processor/src_hydration_stage.go shape).
     "t15_source_hydration" -> ((s, dir) => {
@@ -1126,6 +1174,30 @@ object Router {
            SELECT 'app_' || event_type
            FROM events WHERE event_type NOT IN ('purchase', 'error')) t
          GROUP BY out_type""",
+    "t13b_ut_mirroring" ->
+      """WITH t AS (
+           SELECT event_id,
+             CASE WHEN event_type = 'error' THEN []::VARCHAR[]
+                  WHEN event_type = 'purchase'
+                    THEN ['purchase_order', 'purchase_receipt']
+                  ELSE ['app_' || event_type] END AS out_prod,
+             CASE WHEN event_type = 'error' THEN ['error_quarantine']
+                  WHEN event_type = 'view' AND value < 1.0 THEN []::VARCHAR[]
+                  WHEN event_type = 'purchase' AND value >= 100.0
+                    THEN ['purchase_order', 'purchase_receipt', 'purchase_audit']
+                  WHEN event_type = 'purchase'
+                    THEN ['purchase_order', 'purchase_receipt']
+                  WHEN event_type = 'click' THEN ['app_tap']
+                  ELSE ['app_' || event_type] END AS out_mirror
+           FROM events)
+         SELECT CASE WHEN out_prod = out_mirror THEN 'equal'
+                     WHEN len(out_mirror) = 0 THEN 'mirror_filtered'
+                     WHEN len(out_prod) = 0 THEN 'primary_filtered'
+                     ELSE 'different' END AS comparison,
+                COUNT(*) AS n_events,
+                CAST(SUM(len(out_prod)) AS BIGINT) AS out_rows_primary,
+                CAST(SUM(len(out_mirror)) AS BIGINT) AS out_rows_mirror
+         FROM t GROUP BY 1""",
     "t15_source_hydration" ->
       """SELECT account_name, COUNT(*) AS n
          FROM events

@@ -59,7 +59,12 @@ object Sessions {
                 if (st.forall(_.tt <= e.ts_us)) st = Some(TouchState(e.ts_us, e.event_type))
               } else if (e.event_type == "purchase") {
                 val ch = st match {
-                  case Some(s) if e.ts_us - s.tt <= lookbackUs => s.channel
+                  // s.tt <= e.ts_us guards cross-batch event-time
+                  // disorder: a stored touch LATER than this purchase
+                  // must not be credited (the batch window only ever
+                  // sees preceding touches)
+                  case Some(s) if s.tt <= e.ts_us && e.ts_us - s.tt <= lookbackUs =>
+                    s.channel
                   case _ => "direct"
                 }
                 out += ((e.event_id, uid, ch, e.value))

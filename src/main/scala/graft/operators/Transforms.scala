@@ -67,6 +67,30 @@ object Transforms {
         .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
     }),
 
+    // MT1: multitenant degraded-workspace gating
+    // (warehouse/multitenant/manager.go:67-83 DegradedWorkspace(s) —
+    // the config-watched exclude list the upload creator and the
+    // archiver both consult): uploads whose workspace is degraded are
+    // SKIPPED, not dropped — they stay pending until the incident
+    // clears, so the gate TAGS both sides instead of anti-joining
+    // (trs1's shape with a left join). Same ws_2 skip list as wa1's
+    // archival, the way the reference shares one tenant manager.
+    "mt1_degraded_gate" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val degraded = Seq("ws_2").toDF("workspace_id")
+        .withColumn("degraded", lit(true))
+      Tables.events(s, dir)
+        .select(expr("event_id DIV 500").as("upload"), col("event_id"))
+        .withColumn("workspace_id", concat(lit("ws_"), col("upload") % 5))
+        .join(broadcast(degraded), Seq("workspace_id"), "left")
+        .withColumn("gate",
+          when(col("degraded"), "skipped_degraded").otherwise("processed"))
+        .groupBy(col("workspace_id"), col("gate"))
+        .agg(countDistinct(col("upload")).as("n_uploads"),
+          count(lit(1)).as("n_files"))
+    }),
+
     // T3: non-identifiable reject — events with neither anonymousId
     // nor userId are rejected (gateway/handle.go:555-573).
     "t3_nonidentifiable_reject" -> ((s, dir) => {
@@ -319,6 +343,13 @@ object Transforms {
          FROM events
          WHERE 'src_' || CAST(user_id % 10 AS VARCHAR) NOT IN ('src_2', 'src_5', 'src_8')
          GROUP BY 1""",
+    "mt1_degraded_gate" ->
+      """SELECT 'ws_' || CAST((event_id // 500) % 5 AS VARCHAR) AS workspace_id,
+           CASE WHEN (event_id // 500) % 5 = 2 THEN 'skipped_degraded'
+                ELSE 'processed' END AS gate,
+           COUNT(DISTINCT event_id // 500) AS n_uploads,
+           COUNT(*) AS n_files
+         FROM events GROUP BY 1, 2""",
     "t3_nonidentifiable_reject" ->
       """SELECT event_type,
            CASE WHEN COALESCE(

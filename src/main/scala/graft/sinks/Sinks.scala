@@ -340,6 +340,78 @@ object Sinks {
     (objects.length.toLong, nCleaned.get())
   }
 
+  /** Warehouse-side ledger archival
+    * (warehouse/archive/archiver.go:105-259 backupRecords +
+    * archiveUploads, :539-556 Delete): eligible uploads get their
+    * staging-file ledger rows BACKED UP to the archive as json.gz and
+    * then DELETED from the live ledger, with the "archived" flag
+    * (here: a tracker-ledger entry, the reference's
+    * metadata->archivedStagingAndLoadFiles) committing only AFTER
+    * backup + delete. Crash anywhere resumes at most the in-flight
+    * upload: backups are per-upload overwrite-idempotent (a crash
+    * between backup and delete re-backs-up the same rows), and a
+    * live dir already gone means the backup had committed (backup
+    * strictly precedes delete), so resume only heals the flag. The
+    * driver-side loop is over UPLOAD COUNT — the reference pages
+    * maxLimit uploads per Do() iteration the same way.
+    *
+    * Live layout contract: `livePath/upload=K` parquet dirs (the
+    * ledger partitioned by its archival unit); backups land at
+    * `archivePath/part_K` with `upload` carried as a data column.
+    *
+    * @return (eligibleTotal, archivedThisCall) — a resumed/re-run job
+    *         reports 0 archived, rg1's resume-accounting contract.
+    */
+  def warehouseArchive(spark: SparkSession, livePath: String, archivePath: String,
+                       uploads: Seq[Long], jobId: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(livePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val arch = new Path(archivePath)
+    fs.mkdirs(arch)
+    val tracker = new Path(arch, "_archive_tracker.txt")
+    def readLedger(): Seq[String] =
+      if (!fs.exists(tracker)) Seq.empty
+      else {
+        val in = fs.open(tracker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    def writeLedger(lines: Seq[String]): Unit = {
+      val tmp = new Path(arch, "_archive_tracker.txt.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(tracker, false)
+      if (!fs.rename(tmp, tracker))
+        throw new java.io.IOException(s"cannot commit ledger $tracker")
+    }
+    val prior = readLedger()
+    var ledger: Seq[String] =
+      if (prior.headOption.contains(jobId)) prior
+      else { writeLedger(Seq(jobId)); Seq(jobId) } // new/stale job: restart ledger
+    val done = ledger.drop(1).map(_.toLong).toSet
+    var archivedNow = 0L
+    uploads.filterNot(done).foreach { k =>
+      val liveDir = new Path(root, s"upload=$k")
+      val backupDir = new Path(arch, s"part_$k")
+      if (fs.exists(liveDir)) {
+        spark.read.parquet(liveDir.toString)
+          .withColumn("upload", lit(k))
+          .write.mode("overwrite").option("compression", "gzip")
+          .json(backupDir.toString)
+        fs.delete(liveDir, true)
+        archivedNow += 1
+      }
+      // else: live dir already gone — a crash fell between delete and
+      // flag; the backup committed before the delete, so only the
+      // flag is missing
+      ledger = ledger :+ k.toString
+      writeLedger(ledger)
+    }
+    (uploads.length.toLong, archivedNow)
+  }
+
   /** Storage GC for swap-managed directories — the VACUUM step of a
     * maintenance window. The swap protocol cleans its own leftovers on
     * the NEXT swap of the same table, but a table that is never

@@ -30,9 +30,22 @@ object Scd2Stream {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     EventStream.healCrashedSwaps(fs, path)
-    // collapse replays/in-batch churn to the latest update per id
-    val wB = Window.partitionBy(col("id")).orderBy(col("ts").desc)
+    // collapse replays/in-batch churn to the latest update per id;
+    // value desc breaks same-id same-ts ties DETERMINISTICALLY so a
+    // crash-replayed batch always merges the same winner (the
+    // exactly-once contract is at-least-once + idempotent)
+    val wB = Window.partitionBy(col("id"))
+      .orderBy(col("ts").desc, col("value").desc)
     val b = batch
+      // NULL values are rejected at the merge boundary: the merge
+      // below uses value-nullness to recognize brand-new keys, so a
+      // NULL-valued update would silently replace a current row
+      // without closing its version (history loss)
+      .withColumn("value",
+        when(assert_true(col("value").isNotNull,
+          lit("SCD2 merge requires non-null values: NULL cannot " +
+            "distinguish a new key from a NULL-valued update")).isNull,
+          col("value")))
       .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(EventStream.trackBuckets.toLong)))
       .withColumn("rn", row_number().over(wB)).filter(col("rn") === 1).drop("rn")
     val touched = b.select("id_bucket").distinct()

@@ -63,6 +63,35 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bounded vocab: default cap is a no-op below the cap (capped ≡ uncapped)") {
+    val a = Bpe.train(fixture, "text", 4)
+    val b = Bpe.train(fixture, "text", 4, maxVocab = Int.MaxValue)
+    assert(a === b)
+  }
+
+  test("bounded vocab: the cap prunes the LOW-frequency tail deterministically") {
+    // word types: newest x4, low x3, lower x2, widest x1 — cap 3 drops
+    // widest, so (s,t) loses widest's count (4, not 5), falls out of
+    // the r1 tie, and r2's four-way 4-count tie resolves to (e,we)
+    val merges = Bpe.train(fixture, "text", 3, maxVocab = 3)
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) === Seq(
+      ("w", "e", 6L), ("l", "o", 5L), ("e", "we", 4L)))
+    // minFreq floor prunes the same tail by count
+    assert(Bpe.train(fixture, "text", 3, minFreq = 2L) === merges)
+  }
+
+  test("bounded encode dictionary: OOV fallback makes any cap output-identical") {
+    val merges = Bpe.train(fixture, "text", 4)
+    val full = Bpe.encode(spark, fixture, "id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // cap 1: only the single most frequent word type rides the
+    // broadcast dictionary; every other occurrence takes the
+    // executor-side merge-fold path — results must not change
+    val capped = Bpe.encode(spark, fixture, "id", "text", merges, maxVocab = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(capped === full)
+  }
+
   test("distributed encode preserves word order through the broadcast dictionary") {
     val merges = Bpe.train(fixture, "text", 4)
     val out = Bpe.encode(spark, fixture, "id", "text", merges)

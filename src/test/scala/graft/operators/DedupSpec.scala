@@ -98,6 +98,17 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardStrategy(Dedup.shingles(docsDf(dense))) === "lsh-verified")
   }
 
+  test("ll6b's low-entropy corpus trips the Σdf² budget to lsh-verified") {
+    // the green differential entry for the reroute arm is only as
+    // strong as this pin: if a testdata regeneration changed the df
+    // profile, ll6b would silently fall back to an exact branch and
+    // stop covering the LSH arm — fail loudly here instead
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).exists())
+    assert(Dedup.jaccardStrategy(Dedup.lowEntropyShingles(spark, dir))
+      === "lsh-verified")
+  }
+
   test("lsh-verified Jaccard: nonempty exact-precision subset of the naive result") {
     // near-dup pairs on a df-explosive corpus: identical copies (drop
     // one word) over a tiny vocab, the regime where the budget branch

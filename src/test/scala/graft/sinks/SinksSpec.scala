@@ -356,4 +356,69 @@ class SinksSpec extends SparkSpec {
     intercept[Exception] { Sinks.readVersion(spark, dir, Some(0L)).collect() }
     assert(Sinks.readVersion(spark, dir).count() === 1)
   }
+
+  /** live staging-file ledger with 4 uploads × 5 files each. */
+  private def wa1Ledger(prefix: String): (String, String) = {
+    val sess = spark
+    import sess.implicits._
+    val base = tmp(prefix)
+    (0L to 19L).map(i => (i, i / 5)).toDF("staging_file_id", "upload")
+      .repartition(col("upload"))
+      .write.partitionBy("upload").parquet(s"$base/live")
+    (s"$base/live", s"$base/archive")
+  }
+
+  private def archivedIds(archive: String): Set[Long] =
+    spark.read.schema(StructType.fromDDL("staging_file_id BIGINT, upload BIGINT"))
+      .json(s"$archive/part_*")
+      .select("staging_file_id").collect().map(_.getLong(0)).toSet
+
+  test("WA1 warehouse archive: backs up + deletes each upload once; tracker makes re-run a no-op") {
+    val (live, archive) = wa1Ledger("wa1")
+    assert(Sinks.warehouseArchive(spark, live, archive, Seq(0L, 1L, 2L), "j1")
+      === ((3L, 3L)))
+    assert(archivedIds(archive) === (0L to 14L).toSet)
+    assert(spark.read.parquet(live).select("staging_file_id")
+      .collect().map(_.getLong(0)).toSet === (15L to 19L).toSet,
+      "only the unarchived upload stays live")
+    // same job id: complete tracker, nothing re-archived
+    assert(Sinks.warehouseArchive(spark, live, archive, Seq(0L, 1L, 2L), "j1")
+      === ((3L, 0L)))
+    assert(archivedIds(archive) === (0L to 14L).toSet)
+  }
+
+  test("WA1 warehouse archive: crash between backup and delete re-runs idempotently") {
+    val sess = spark
+    import sess.implicits._
+    val (live, archive) = wa1Ledger("wa1crashA")
+    // simulate the crash window: upload 1's backup committed (with
+    // stale garbage from a half-written attempt being overwritten on
+    // resume), live dir still present, no tracker entry
+    Seq((999L, 1L)).toDF("staging_file_id", "upload")
+      .write.mode("overwrite").option("compression", "gzip")
+      .json(s"$archive/part_1")
+    assert(Sinks.warehouseArchive(spark, live, archive, Seq(0L, 1L), "j1")
+      === ((2L, 2L)))
+    assert(archivedIds(archive) === (0L to 9L).toSet,
+      "resume must overwrite the stale backup, never merge with it")
+  }
+
+  test("WA1 warehouse archive: crash between delete and flag heals the flag without re-backup") {
+    val (live, archive) = wa1Ledger("wa1crashB")
+    assert(Sinks.warehouseArchive(spark, live, archive, Seq(0L, 1L), "j1")
+      === ((2L, 2L)))
+    // drop upload 1's tracker entry — the state a crash leaves after
+    // fs.delete(live) but before the ledger append
+    val trackerPath = Paths.get(archive, "_archive_tracker.txt")
+    val lines = Files.readAllLines(trackerPath)
+    Files.write(trackerPath, java.util.List.of(lines.get(0), lines.get(1)))
+    // the direct edit bypasses Hadoop's LocalFS checksum sidecar
+    Files.deleteIfExists(Paths.get(archive, "._archive_tracker.txt.crc"))
+    val (_, archived) = Sinks.warehouseArchive(spark, live, archive, Seq(0L, 1L), "j1")
+    assert(archived === 0L, "live dir gone means the backup had committed — flag-only heal")
+    assert(archivedIds(archive) === (0L to 9L).toSet)
+    // and the healed tracker makes the next run a full no-op
+    assert(Sinks.warehouseArchive(spark, live, archive, Seq(0L, 1L), "j1")
+      === ((2L, 0L)))
+  }
 }

@@ -654,6 +654,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gw1 streaming twin: token-bucket quota keeps being enforced exactly across micro-batches") {
+    import graft.operators.Adaptive
+    import graft.operators.Adaptive.IngestBatch
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    // ws_a week 1: 500+250 accepted, then 200 must 429 — the third
+    // batch arrives in MICRO-BATCH 2, so the rejection only happens if
+    // the 750 accepted tokens survived in the state store; a fresh
+    // week resets the bucket; ws_b stays under quota throughout
+    val batches = Seq(
+      IngestBatch("ws_a", 1L, 100L, 1L, 500L), IngestBatch("ws_a", 1L, 200L, 2L, 250L),
+      IngestBatch("ws_a", 1L, 300L, 3L, 200L), IngestBatch("ws_a", 1L, 400L, 4L, 50L),
+      IngestBatch("ws_a", 2L, 500L, 5L, 700L),
+      IngestBatch("ws_b", 1L, 150L, 6L, 300L), IngestBatch("ws_b", 1L, 250L, 7L, 400L))
+    val (b1, b2) = batches.partition(_.arrival_us <= 200L)
+    val input = MemoryStream[IngestBatch]
+    val q = Adaptive.ingestRateLimitStream(input.toDS())
+      .toDF("workspace_id", "week", "batch_id", "n_events", "accepted")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gw1_stream").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gw1_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      val batch = Adaptive.ingestRateLimit(
+          batches.toDF("workspace_id", "week", "arrival_us", "batch_id", "n_events"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      assert(streamed === batch,
+        "stream fold with state-store carry must equal the batch fold")
+      // the cross-micro-batch rejection actually happened: batch 3
+      // (200 events, arriving after 750 consumed) is dropped while the
+      // smaller batch 4 (50 events) still fits
+      assert(streamed.contains(("ws_a", 1L, 3L, 200L, false)))
+      assert(streamed.contains(("ws_a", 1L, 4L, 50L, true)))
+      assert(streamed.contains(("ws_a", 2L, 5L, 700L, true)), "new week resets the bucket")
+    } finally q.stop()
+  }
+
   test("dbg1 streaming twin: per-entity ring + seen-count carry across micro-batches, snapshot equals the batch cache") {
     import graft.operators.Relational
     import graft.operators.Relational.LiveEv
