@@ -185,11 +185,30 @@ object Adaptive {
   case class IngestBatch(workspace_id: String, week: Long, arrival_us: Long,
                          batch_id: Long, n_events: Long)
 
+  /** GW1 streaming state: committed tokens + the high-water mark of
+    * the (arrival_us, batch_id) fold order already folded.
+    */
+  case class IngestQuotaState(used: Long, maxArr: Long, maxBid: Long)
+
   /** Streaming twin of [[ingestRateLimit]]: the per-(workspace, week)
     * accepted-token count lives in the state store, so the quota
     * keeps being enforced EXACTLY across micro-batches — O(1) state
     * per live workspace-window, the d3b twin's contract.
     * StreamingSpec asserts batch/stream equivalence on a split feed.
+    *
+    * Cross-batch disorder guard (the Sessions.attributionStream
+    * contract, which this twin was missing per the r11 advisor): the
+    * batch fold is a GLOBAL (arrival_us, batch_id) sort, but
+    * micro-batches only sort within themselves — a batch arriving in
+    * a LATER micro-batch yet EARLIER in fold order would fold against
+    * already-committed quota state and silently diverge from
+    * [[ingestRateLimit]]. The state tracks the fold-order high-water
+    * mark; an out-of-order batch is DENIED explicitly and commits
+    * nothing — a real-time limiter cannot rewind tokens it already
+    * granted, so "late into the past" is a drop, never a retroactive
+    * accept. Equivalence with the batch fold therefore holds exactly
+    * on in-fold-order feeds and degrades to documented denial
+    * otherwise (StreamingSpec pins both behaviors).
     */
   def ingestRateLimitStream(batches: org.apache.spark.sql.Dataset[IngestBatch],
                             quota: Long = ingestQuota)
@@ -199,14 +218,19 @@ object Adaptive {
     batches
       .groupByKey(b => (b.workspace_id, b.week))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: (String, Long), it: Iterator[IngestBatch], state: GroupState[Long]) => {
-          var used = state.getOption.getOrElse(0L)
+        (key: (String, Long), it: Iterator[IngestBatch],
+         state: GroupState[IngestQuotaState]) => {
+          var st = state.getOption.getOrElse(IngestQuotaState(0L, Long.MinValue, Long.MinValue))
           val out = it.toSeq.sortBy(b => (b.arrival_us, b.batch_id)).map { b =>
-            val accept = used + b.n_events <= quota
-            if (accept) used += b.n_events
+            val inOrder = b.arrival_us > st.maxArr ||
+              (b.arrival_us == st.maxArr && b.batch_id > st.maxBid)
+            val accept = inOrder && st.used + b.n_events <= quota
+            if (inOrder)
+              st = IngestQuotaState(st.used + (if (accept) b.n_events else 0L),
+                b.arrival_us, b.batch_id)
             (b.workspace_id, b.week, b.batch_id, b.n_events, accept)
           }
-          state.update(used)
+          state.update(st)
           out.iterator
         })
   }

@@ -368,10 +368,11 @@ object Lifecycle {
         .filter(col("upload") % 4 =!= 3 && // status = exported_data
           concat(lit("ws_"), col("upload") % 5) =!= "ws_2" && // degraded skip
           col("created_at") < lit("2024-01-20 00:00:00").cast("timestamp"))
-        .select(col("upload"))
-        .collect().map(_.getLong(0)).sorted // upload-count bounded: the reference pages maxLimit uploads per Do() loop
-      val (nEligible, first) = Sinks.warehouseArchive(s, live, archive, eligible, "wa1_job")
-      val (_, resumed) = Sinks.warehouseArchive(s, live, archive, eligible, "wa1_job")
+        .select(col("upload")) // stays a DataFrame: the archiver pages it maxLimit at a time, never a full collect
+      val (nEligible, first) =
+        Sinks.warehouseArchivePaged(s, live, archive, eligible, "wa1_job")
+      val (_, resumed) =
+        Sinks.warehouseArchivePaged(s, live, archive, eligible, "wa1_job")
       val archived = (if (eligible.isEmpty) // nothing written: glob would throw
           s.emptyDataFrame
             .withColumn("staging_file_id", lit(0L)).withColumn("upload", lit(0L))

@@ -73,10 +73,19 @@ object Percentiles {
     exactKeyed(keyed, joinKeys, partKeys.map(col), valueCol, qs, bucketWidth)
   }
 
-  private def exactKeyed(df: DataFrame, partKeys: Seq[String],
+  private def exactKeyed(df0: DataFrame, partKeys: Seq[String],
                          outKeys: Seq[org.apache.spark.sql.Column],
                          valueCol: String, qs: Seq[(String, Double)],
                          bucketWidth: Long): DataFrame = {
+    // percentile() skips NULL inputs; without this filter a null value
+    // would form its own histogram row (sorting first under the
+    // coarse/fine window order), inflating n_rows and shifting every
+    // target rank — the one divergence from the interpreted aggregate
+    // this header promises bit-equality with (PercentilesSpec pins
+    // the null case). NOTE: a group whose values are ALL null then
+    // vanishes entirely, same as percentile()'s null result dropping
+    // out of a dense-group join.
+    val df = df0.filter(col(valueCol).isNotNull)
     val pk = partKeys.map(col)
 
     // 1. distributed value histogram (≤ range rows, cluster-spread)

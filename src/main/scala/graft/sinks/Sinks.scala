@@ -345,71 +345,125 @@ object Sinks {
     * archiveUploads, :539-556 Delete): eligible uploads get their
     * staging-file ledger rows BACKED UP to the archive as json.gz and
     * then DELETED from the live ledger, with the "archived" flag
-    * (here: a tracker-ledger entry, the reference's
+    * (here: a watermark in the tracker file, the reference's
     * metadata->archivedStagingAndLoadFiles) committing only AFTER
-    * backup + delete. Crash anywhere resumes at most the in-flight
-    * upload: backups are per-upload overwrite-idempotent (a crash
-    * between backup and delete re-backs-up the same rows), and a
-    * live dir already gone means the backup had committed (backup
-    * strictly precedes delete), so resume only heals the flag. The
-    * driver-side loop is over UPLOAD COUNT — the reference pages
-    * maxLimit uploads per Do() iteration the same way.
+    * backup + delete.
+    *
+    * Scale contract (the reference pages maxLimit uploads per Do()
+    * iteration — archiver.go:539-556): the eligible set is a
+    * DataFrame, NEVER collected whole. Each page is a bounded
+    * `TakeOrdered(maxLimit)` in ascending upload order, and the whole
+    * page backs up in ONE distributed job (dynamic-partitioned json
+    * write + per-upload metadata renames), so driver memory is
+    * O(maxLimit) and the job count is O(eligible/maxLimit) — not one
+    * Spark job per upload, which at ~2e8 uploads (event_count/500 at
+    * 100 TB) would be a driver-sized loop. Ascending-order processing
+    * makes the committed flag a single watermark: done ≡
+    * upload ≤ watermark, O(1) tracker state at any corpus size.
+    *
+    * Crash anywhere resumes at most the in-flight PAGE: backups are
+    * overwrite-idempotent (a crash between backup and delete
+    * re-backs-up the same rows), and a live dir already gone means
+    * its backup had committed (backup strictly precedes delete), so
+    * resume only heals the flag by advancing the watermark.
     *
     * Live layout contract: `livePath/upload=K` parquet dirs (the
     * ledger partitioned by its archival unit); backups land at
     * `archivePath/part_K` with `upload` carried as a data column.
     *
+    * @param eligible one LONG column `upload`; must be re-evaluable
+    *                 (it is scanned once per page plus one count).
     * @return (eligibleTotal, archivedThisCall) — a resumed/re-run job
     *         reports 0 archived, rg1's resume-accounting contract.
     */
-  def warehouseArchive(spark: SparkSession, livePath: String, archivePath: String,
-                       uploads: Seq[Long], jobId: String): (Long, Long) = {
+  def warehouseArchivePaged(spark: SparkSession, livePath: String,
+                            archivePath: String, eligible: DataFrame,
+                            jobId: String, maxLimit: Int = 500): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val root = new Path(livePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val arch = new Path(archivePath)
     fs.mkdirs(arch)
     val tracker = new Path(arch, "_archive_tracker.txt")
-    def readLedger(): Seq[String] =
-      if (!fs.exists(tracker)) Seq.empty
+    // tracker format: line0 = jobId, line1 = watermark (highest upload
+    // id whose archival has committed; absent = none yet)
+    def readWatermark(): Option[Long] =
+      if (!fs.exists(tracker)) None
       else {
         val in = fs.open(tracker)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        if (lines.headOption.contains(jobId)) lines.drop(1).headOption.map(_.toLong)
+        else { writeTracker(None); None } // new/stale job: restart tracker
       }
-    def writeLedger(lines: Seq[String]): Unit = {
+    def writeTracker(wm: Option[Long]): Unit = {
       val tmp = new Path(arch, "_archive_tracker.txt.tmp")
       val out = fs.create(tmp, true)
-      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      try out.write((jobId +: wm.map(_.toString).toSeq)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
       fs.delete(tracker, false)
       if (!fs.rename(tmp, tracker))
-        throw new java.io.IOException(s"cannot commit ledger $tracker")
+        throw new java.io.IOException(s"cannot commit tracker $tracker")
     }
-    val prior = readLedger()
-    var ledger: Seq[String] =
-      if (prior.headOption.contains(jobId)) prior
-      else { writeLedger(Seq(jobId)); Seq(jobId) } // new/stale job: restart ledger
-    val done = ledger.drop(1).map(_.toLong).toSet
+    var watermark = readWatermark()
+    if (watermark.isEmpty) writeTracker(None) // claim the job id first
+    val nEligible = eligible.count()
     var archivedNow = 0L
-    uploads.filterNot(done).foreach { k =>
-      val liveDir = new Path(root, s"upload=$k")
-      val backupDir = new Path(arch, s"part_$k")
-      if (fs.exists(liveDir)) {
-        spark.read.parquet(liveDir.toString)
-          .withColumn("upload", lit(k))
-          .write.mode("overwrite").option("compression", "gzip")
-          .json(backupDir.toString)
-        fs.delete(liveDir, true)
-        archivedNow += 1
+    var more = true
+    while (more) {
+      val page = eligible
+        .filter(watermark.map(w => col("upload") > w).getOrElse(lit(true)))
+        .orderBy(col("upload")).limit(maxLimit)
+        .collect().map(_.getLong(0)) // bounded: ≤ maxLimit ids
+      if (page.isEmpty) more = false
+      else {
+        val present = page.filter(k => fs.exists(new Path(root, s"upload=$k")))
+        if (present.nonEmpty) {
+          // ONE distributed backup job for the whole page: read the
+          // page's live dirs together, re-emit `upload` as a payload
+          // column (partitionBy strips its key from the json), write
+          // dynamic-partitioned, then commit each upload's backup with
+          // a metadata rename into its `part_K` home.
+          val staging = new Path(arch, "_page_staging")
+          fs.delete(staging, true)
+          spark.read.option("basePath", livePath)
+            .parquet(present.map(k => s"$livePath/upload=$k"): _*)
+            .withColumn("upload", col("upload").cast("long"))
+            .withColumn("__part", col("upload"))
+            .repartition(col("__part"))
+            .write.partitionBy("__part").mode("overwrite")
+            .option("compression", "gzip").json(staging.toString)
+          present.foreach { k =>
+            val backupDir = new Path(arch, s"part_$k")
+            fs.delete(backupDir, true) // stale half-written attempt
+            if (!fs.rename(new Path(staging, s"__part=$k"), backupDir))
+              throw new java.io.IOException(s"cannot commit backup $backupDir")
+          }
+          fs.delete(staging, true)
+          present.foreach(k => fs.delete(new Path(root, s"upload=$k"), true))
+          archivedNow += present.length
+        }
+        // page members with no live dir: a prior crash fell between
+        // delete and flag — the backup committed before the delete,
+        // so advancing the watermark is the flag-only heal
+        watermark = Some(page.max)
+        writeTracker(watermark)
       }
-      // else: live dir already gone — a crash fell between delete and
-      // flag; the backup committed before the delete, so only the
-      // flag is missing
-      ledger = ledger :+ k.toString
-      writeLedger(ledger)
     }
-    (uploads.length.toLong, archivedNow)
+    (nEligible, archivedNow)
+  }
+
+  /** Seq-of-ids convenience wrapper over [[warehouseArchivePaged]]
+    * (tests and small callers); production callers pass the eligible
+    * DataFrame so nothing corpus-sized ever reaches the driver.
+    */
+  def warehouseArchive(spark: SparkSession, livePath: String, archivePath: String,
+                       uploads: Seq[Long], jobId: String): (Long, Long) = {
+    import spark.implicits._
+    warehouseArchivePaged(spark, livePath, archivePath,
+      uploads.toDF("upload"), jobId)
   }
 
   /** Storage GC for swap-managed directories — the VACUUM step of a

@@ -75,4 +75,35 @@ class PercentilesSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(want))
     assert(row.getLong(1) == 1000L)
   }
+
+  test("matches percentile() when the value column contains NULLs") {
+    // percentile() skips null inputs; exact() must too (the r11
+    // advisor caught the null bucket inflating n_rows and shifting
+    // every rank). A group of ONLY nulls yields a null percentile()
+    // — exact() drops it, same as a dense-group join would.
+    val rows: Seq[(String, java.lang.Long)] = Seq(
+      ("a", 1L), ("a", null), ("a", 5L), ("a", null), ("a", 9L),
+      ("a", 200L), ("b", null), ("b", 4L), ("c", null), ("c", null))
+    val df = rows.toDF("k", "v").repartition(3)
+    val got = Percentiles.exact(df, Seq("k"), "v", qs, 8L)
+      .collect().map(r => r.getString(0) ->
+        (qs.indices.map(i => r.getDouble(i + 1)), r.getLong(qs.size + 1))).toMap
+    assert(got.keySet === Set("a", "b"), "all-null group must vanish")
+    val aggExprs = qs.map { case (_, q) => expr(s"percentile(v, ${q}D)") } :+
+      count($"v") // non-null count = exact()'s n_rows
+    val want = df.filter($"v".isNotNull).select($"k").distinct()
+      .join(df.groupBy($"k").agg(aggExprs.head, aggExprs.tail: _*), "k")
+      .collect().map(r => r.getString(0) ->
+        (qs.indices.map(i => r.getDouble(i + 1)), r.getLong(qs.size + 1))).toMap
+    assert(got.keySet == want.keySet)
+    got.keySet.foreach { k =>
+      assert(got(k)._2 == want(k)._2, s"n_rows mismatch for $k")
+      qs.indices.foreach { i =>
+        val (g, w) = (got(k)._1(i), want(k)._1(i))
+        assert(java.lang.Double.doubleToLongBits(g) ==
+          java.lang.Double.doubleToLongBits(w),
+          s"group $k ${qs(i)._1}: exact=$g percentile()=$w")
+      }
+    }
+  }
 }

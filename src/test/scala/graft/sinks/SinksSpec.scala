@@ -407,11 +407,12 @@ class SinksSpec extends SparkSpec {
     val (live, archive) = wa1Ledger("wa1crashB")
     assert(Sinks.warehouseArchive(spark, live, archive, Seq(0L, 1L), "j1")
       === ((2L, 2L)))
-    // drop upload 1's tracker entry — the state a crash leaves after
-    // fs.delete(live) but before the ledger append
+    // rewind the watermark to upload 0 — the state a crash leaves
+    // after fs.delete(live) of upload 1 but before the flag commit
     val trackerPath = Paths.get(archive, "_archive_tracker.txt")
     val lines = Files.readAllLines(trackerPath)
-    Files.write(trackerPath, java.util.List.of(lines.get(0), lines.get(1)))
+    assert(lines.get(1) === "1", "watermark should have committed through upload 1")
+    Files.write(trackerPath, java.util.List.of(lines.get(0), "0"))
     // the direct edit bypasses Hadoop's LocalFS checksum sidecar
     Files.deleteIfExists(Paths.get(archive, "._archive_tracker.txt.crc"))
     val (_, archived) = Sinks.warehouseArchive(spark, live, archive, Seq(0L, 1L), "j1")
@@ -420,5 +421,22 @@ class SinksSpec extends SparkSpec {
     // and the healed tracker makes the next run a full no-op
     assert(Sinks.warehouseArchive(spark, live, archive, Seq(0L, 1L), "j1")
       === ((2L, 0L)))
+  }
+
+  test("WA1 warehouse archive: maxLimit pages the eligible set, same result, bounded collects") {
+    val sess = spark
+    import sess.implicits._
+    val (live, archive) = wa1Ledger("wa1page")
+    // maxLimit=1 forces 3 pages; outcome must match the one-page run
+    assert(Sinks.warehouseArchivePaged(spark, live, archive,
+      Seq(0L, 1L, 2L).toDF("upload"), "j1", maxLimit = 1) === ((3L, 3L)))
+    assert(archivedIds(archive) === (0L to 14L).toSet)
+    assert(spark.read.parquet(live).select("staging_file_id")
+      .collect().map(_.getLong(0)).toSet === (15L to 19L).toSet)
+    // resume across the SAME pages is a watermark-gated no-op
+    assert(Sinks.warehouseArchivePaged(spark, live, archive,
+      Seq(0L, 1L, 2L).toDF("upload"), "j1", maxLimit = 1) === ((3L, 0L)))
+    // a staging leftover must not pollute the part_* glob
+    assert(!Files.exists(Paths.get(archive, "_page_staging")))
   }
 }

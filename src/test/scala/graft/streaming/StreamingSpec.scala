@@ -699,6 +699,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gw1 streaming twin: an out-of-fold-order batch is denied and commits no tokens") {
+    import graft.operators.Adaptive
+    import graft.operators.Adaptive.IngestBatch
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    // micro-batch 1 folds arrival 300 (600 tokens committed);
+    // micro-batch 2 delivers arrival 100 LATE — the fold-order
+    // high-water mark must deny it outright (no retroactive accept,
+    // no token commit), so the in-order arrival 400 still fits
+    val input = MemoryStream[IngestBatch]
+    val q = Adaptive.ingestRateLimitStream(input.toDS())
+      .toDF("workspace_id", "week", "batch_id", "n_events", "accepted")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gw1_disorder").start()
+    try {
+      input.addData(IngestBatch("ws_a", 1L, 300L, 2L, 600L))
+      q.processAllAvailable()
+      input.addData(IngestBatch("ws_a", 1L, 100L, 1L, 100L), // late: denied
+        IngestBatch("ws_a", 1L, 400L, 3L, 200L)) // in-order: 600+200 fits
+      q.processAllAvailable()
+      val got = spark.table("gw1_disorder").collect()
+        .map(r => r.getLong(2) -> r.getBoolean(4)).toMap
+      assert(got === Map(2L -> true, 1L -> false, 3L -> true))
+    } finally q.stop()
+  }
+
   test("dbg1 streaming twin: per-entity ring + seen-count carry across micro-batches, snapshot equals the batch cache") {
     import graft.operators.Relational
     import graft.operators.Relational.LiveEv
