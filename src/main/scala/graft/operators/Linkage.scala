@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Fuzzy record linkage — entity resolution across tables whose join
@@ -188,8 +189,64 @@ object Linkage {
         .withColumn("coeff_ppm", expr(
           "IF(degree < 2, 0L, n_triangles * 1000000L DIV (degree * (degree - 1) DIV 2))"))
         .select(col("v").as("domain"), col("degree"), col("n_triangles"), col("coeff_ppm"))
+    }),
+
+    // LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007) over the
+    // q33 link graph — the third graph primitive beside authority
+    // (q21) and density (q34): topical source communities for
+    // domain-mix curation (ta11 weights by source; this groups
+    // sources first). SYNCHRONOUS deterministic LPA: every node
+    // starts as its own label; each of 3 rounds takes, per node, the
+    // most frequent neighbor label with ties broken lexicographically
+    // (min), so the result is engine-independent — async/random LPA
+    // would not be oracle-able. Plan shape per round: one edge⋈label
+    // equi-join + one (node, label) count + one per-node min(struct)
+    // pick — two key-partitioned shuffles, linear in edges, state =
+    // one label per node (never centralized; the iteration count is
+    // the only driver-side loop, the q21 contract).
+    "q40_label_propagation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val n = Tables.countStat(s, dir, "documents")
+      def fam(mult: Long, off: Long) = docs.join(
+          docs.select(col("doc_id").as("tid"), col("source").as("dst")),
+          ((col("doc_id") * mult + off) % n) === col("tid"))
+        .select(col("source").as("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+      val edges = fam(13L, 7L).unionByName(fam(7L, 4L))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val domains = docs.select(col("source").as("domain")).distinct()
+      labelPropagation(edges, domains, rounds = 3)
+        .select(col("domain"), col("lbl").as("community"))
     })
   )
+
+  /** Synchronous deterministic label propagation over canonical
+    * undirected edges (a, b): `rounds` iterations of most-frequent-
+    * neighbor-label with lexicographic-min tie-break; vertices with
+    * no edge keep their own label. See q40 above for the scale
+    * argument. Returns (domain, lbl).
+    */
+  private[operators] def labelPropagation(edges: DataFrame, vertices: DataFrame,
+                                          rounds: Int): DataFrame = {
+    val adj = edges.select(col("a").as("v"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("v"), col("a").as("nb")))
+    var labels = vertices.withColumn("lbl", col("domain"))
+    for (_ <- 1 to rounds) {
+      val picked = adj
+        .join(labels.select(col("domain").as("nb"), col("lbl")), "nb")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("neg", -col("c"))
+        .groupBy(col("v"))
+        .agg(min(struct(col("neg"), col("lbl"))).as("m"))
+        .select(col("v").as("domain"), col("m.lbl").as("new_lbl"))
+      labels = labels.join(picked, Seq("domain"), "left")
+        .withColumn("lbl", coalesce(col("new_lbl"), col("lbl"))) // isolated nodes keep theirs
+        .select(col("domain"), col("lbl"))
+    }
+    labels
+  }
 
   val oracles: Map[String, String] = Map(
     // Same construction, same two-block candidate generation, same
@@ -296,6 +353,36 @@ object Linkage {
                  ELSE COALESCE(tc.n_triangles, 0) * 1000000
                       // (deg.degree * (deg.degree - 1) // 2) END AS BIGINT) AS coeff_ppm
           FROM deg LEFT JOIN tc ON deg.v = tc.v""",
+    // three synchronous LPA rounds, the deterministic (count DESC,
+    // label ASC) pick as a ROW_NUMBER, isolated nodes carried by
+    // COALESCE — identical labels to the Spark loop
+    "q40_label_propagation" -> {
+      def round(i: Int) =
+        s"""v$i AS (SELECT adj.v, l.lbl, COUNT(*) AS c
+              FROM adj JOIN l${i - 1} l ON adj.nb = l.domain
+              GROUP BY 1, 2),
+            p$i AS (SELECT v, lbl FROM (
+              SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+                ORDER BY c DESC, lbl ASC) AS rn FROM v$i) WHERE rn = 1),
+            l$i AS (SELECT l.domain, COALESCE(p$i.lbl, l.lbl) AS lbl
+              FROM l${i - 1} l LEFT JOIN p$i ON l.domain = p$i.v)"""
+      s"""WITH docs AS (SELECT doc_id, source FROM documents),
+          nn AS (SELECT COUNT(*) AS n FROM docs),
+          raw AS (SELECT d.source AS src, t.source AS dst
+                  FROM docs d CROSS JOIN nn
+                  JOIN docs t ON t.doc_id = (d.doc_id * 13 + 7) % nn.n
+                  WHERE d.source <> t.source
+                  UNION ALL
+                  SELECT d.source, t.source
+                  FROM docs d CROSS JOIN nn
+                  JOIN docs t ON t.doc_id = (d.doc_id * 7 + 4) % nn.n
+                  WHERE d.source <> t.source),
+          e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw),
+          adj AS (SELECT a AS v, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+          l0 AS (SELECT DISTINCT source AS domain, source AS lbl FROM docs),
+          ${round(1)}, ${round(2)}, ${round(3)}
+          SELECT domain, lbl AS community FROM l3"""
+    },
     // three chained fixed-point iterations, floor // everywhere —
     // identical integers to the Spark loop
     "q21_domain_rank" -> {

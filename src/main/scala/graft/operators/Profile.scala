@@ -131,6 +131,33 @@ object Profile {
           min(col("v")).as("bucket_min"), max(col("v")).as("bucket_max"))
     }),
 
+    // EQUI-DEPTH histogram profiling — the other half of prof5's
+    // equi-width ANALYZE stats (optimizers keep both: equi-width for
+    // range cardinality, equi-depth for skew-robust selectivity).
+    // The 7 interior cut points (8 buckets) come from
+    // Percentiles.exact's two-level integer-cent histogram — state
+    // bounded by the cent RANGE, never the row count (interpreted
+    // percentile() here would be the r10 one-reducer value-map) —
+    // and ride back over the corpus as a broadcast 1-row cross join
+    // (rule (b)'s sanctioned shape); bucket id = how many cuts the
+    // value exceeds, one codegen'd comparison chain. At 100 TB: two
+    // bounded-state scans, no sort, no distinct.
+    "prof12_equidepth" -> ((s, dir) => {
+      val qs = (1 to 7).map(i => (s"q$i", i / 8.0))
+      val c = Tables.events(s, dir)
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val cuts = Percentiles.exact(c, Nil, "cents", qs)
+        .select(qs.map { case (a, _) => col(a) }: _*)
+      c.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          qs.map { case (a, _) =>
+            when(col("cents") > col(a), 1L).otherwise(0L)
+          }.reduce(_ + _))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+    }),
+
     // Approximate QUANTILE profiling — the 100 TB path is the
     // mergeable KLL-style sketch behind percentile_approx
     // (partial-agg scan, no sort, no per-group materialization).
@@ -612,6 +639,20 @@ object Profile {
          ex AS (SELECT key, COUNT(*) AS exact_n FROM keys WHERE key < 10 GROUP BY key)
          SELECT key, est, exact_n, est >= exact_n AS lower_bound_ok
          FROM est JOIN ex USING (key)""",
+    // quantile_cont == Percentiles.exact bit-for-bit on the integer
+    // cent domain (the PercentilesSpec contract), so the cut points —
+    // and therefore every bucket count — land identically
+    "prof12_equidepth" -> {
+      val cutDefs = (1 to 7)
+        .map(i => s"quantile_cont(cents, ${i / 8.0}) AS q$i").mkString(", ")
+      val bucketSum = (1 to 7)
+        .map(i => s"(CASE WHEN cents > cut.q$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          cut AS (SELECT $cutDefs FROM c)
+          SELECT CAST($bucketSum AS BIGINT) AS bucket, COUNT(*) AS n,
+            MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+          FROM c, cut GROUP BY 1"""
+    },
     // the oracle pins the envelope booleans TRUE (the Spark side
     // computes them from the live sketch) and recomputes n exactly
     "prof6_approx_quantiles" ->

@@ -149,6 +149,68 @@ object Similarity {
     assign(cents).select(col("vec_id"), col("cell"))
   }
 
+  /** Assignment of quantized vectors to the nearest of `cents`
+    * (literal-embedded centroids — model-sized, so the comparison is
+    * one codegen'd map over the scan): returns (vec_id, q, cell,
+    * dmin). Ties break to the lowest cell id (strict array_position
+    * of the min), truncating/squaring in exact integer arithmetic —
+    * the same contract as [[trainCells]]'s driver-side loop and the
+    * kmAssignSql oracle replay.
+    */
+  private[operators] def assignCells(qe: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val k = cents.length
+    val dists = cents.zipWithIndex.map { case (c, j) =>
+      expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
+        s"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"dist$j")
+    }
+    val distList = (0 until k).map(j => s"dist$j").mkString(",")
+    qe.select(col("vec_id") +: col("q") +: dists: _*)
+      .withColumn("cell",
+        (expr(s"array_position(array($distList), array_min(array($distList)))") - 1).cast("long"))
+      .withColumn("dmin", expr(s"array_min(array($distList))"))
+      .select(col("vec_id"), col("q"), col("cell"), col("dmin"))
+  }
+
+  /** FULL-CORPUS distributed Lloyd refinement — the complement of
+    * [[trainCells]]'s bounded-sample trainer, for when cluster
+    * QUALITY is the product (SemDeDup-style semantic curation) rather
+    * than a coarse ANN quantizer. This is MLlib KMeans' exact
+    * distributed shape: each iteration is ONE corpus scan whose
+    * assignment is a codegen'd map against literal centroids, feeding
+    * ONE partial-aggregated (cell, dim)-keyed sum — the shuffle
+    * carries at most tasks × k × dim rows and the driver collects
+    * k × dim longs (model-sized, the ll4b/mmdb precedent), so
+    * per-iteration cost is a linear scan at ANY corpus size and
+    * driver/reducer state never grows with the corpus. All arithmetic
+    * is the file's exact integer discipline (truncating division,
+    * empty cells keep their centroid), so the DuckDB oracle replays
+    * every iteration bit-for-bit via kmAssignSql/kmUpdateSql.
+    */
+  private[operators] def lloydRefine(qe: DataFrame, init: Array[Array[Long]],
+                                     iters: Int, dim: Int): Array[Array[Long]] = {
+    var cents = init
+    val k = cents.length
+    for (_ <- 1 to iters) {
+      val agg = assignCells(qe, cents)
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect() // k × dim rows — model-sized at any corpus size
+      val sums = Array.fill(k, dim)(0L)
+      val counts = new Array[Long](k)
+      agg.foreach { r =>
+        val (cell, pos) = (r.getLong(0).toInt, r.getInt(1))
+        sums(cell)(pos) = r.getLong(2)
+        counts(cell) = r.getLong(3)
+      }
+      cents = Array.tabulate(k) { j =>
+        if (counts(j) == 0L) cents(j)
+        else Array.tabulate(dim)(i => sums(j)(i) / counts(j)) // Long / truncates toward zero
+      }
+    }
+    cents
+  }
+
   /** Per-subspace deterministic Lloyd's k-means — the PRODUCT
     * QUANTIZATION trainer (Jegou et al., TPAMI 2011). Same sampling and
     * arithmetic discipline as [[trainCells]] (bounded driver-side
@@ -260,6 +322,29 @@ object Similarity {
         .withColumn("dot", dotExpr("q_emb", "embedding"))
         .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
       topK(scored, 5)
+    }),
+
+    // FULL-CORPUS k-means refinement (distributed Lloyd): 2
+    // iterations from the k lowest-id vectors, then a final
+    // assignment rolled up per cell with its exact integer inertia.
+    // ll4b trains on a bounded sample (the IVF quantizer contract —
+    // training cost corpus-independent); THIS operator is the other
+    // regime: when the clusters themselves are the product (semantic
+    // curation, SemDeDup's step 1), each Lloyd iteration is one
+    // corpus scan + one (cell, dim)-bounded aggregate — see
+    // lloydRefine. The oracle replays both iterations and the final
+    // assignment bit-for-bit.
+    "ll26_kmeans_refine" -> ((s, dir) => {
+      val qe = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      val init = qe.orderBy(col("vec_id")).limit(8)
+        .collect().map(_.getSeq[Long](1).toArray) // k rows — model-sized
+      val cents = lloydRefine(qe, init, iters = 2, dim = 64)
+      assignCells(qe, cents)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("vec_id")).as("min_vec_id"),
+          sum(col("dmin")).as("inertia"))
     }),
 
     // Embedding-cosine near-dup: candidate pairs from identical LSH
@@ -481,6 +566,40 @@ object Similarity {
           (col("vec_id") === col("rep_id") || col("rep_sim") < 0.9).as("kept"))
     }),
 
+    // SemDeDup with the PAPER's actual step 1 (Abbas et al. 2023
+    // §3: k-means cells, not ll17's LSH stand-in): cluster the
+    // two-crawl corpus with 2 distributed Lloyd iterations
+    // (lloydRefine — one scan + one model-sized aggregate per
+    // iteration), take the lowest-id member as each cell's
+    // representative, and keep a member iff its exact cosine to the
+    // representative stays under 0.9. Still corpus-linear: members
+    // never join members, each vector compares to exactly ONE
+    // broadcast representative. The oracle replays Lloyd + the
+    // representative rule end-to-end.
+    "ll27_semdedup_kmeans" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val perturbed = base.select((col("vec_id") + 10000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i < 32, CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT), x))")
+          .as("embedding"))
+      val corpus = base.unionByName(perturbed)
+      val qe = corpus.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      val init = qe.orderBy(col("vec_id")).limit(8)
+        .collect().map(_.getSeq[Long](1).toArray) // k rows — model-sized
+      val cents = lloydRefine(qe, init, iters = 2, dim = 64)
+      val e = withNorm(corpus)
+        .join(assignCells(qe, cents).select(col("vec_id"), col("cell")), "vec_id")
+      val reps = e.groupBy(col("cell")).agg(min(col("vec_id")).as("rep_id"))
+        .select(col("rep_id"))
+      val repVecs = e.join(broadcast(reps), col("vec_id") === col("rep_id"))
+        .select(col("cell"), col("rep_id"), col("embedding").as("rep_emb"),
+          col("nrm").as("rep_nrm"))
+      e.join(broadcast(repVecs), "cell")
+        .withColumn("rep_sim", dotExpr("embedding", "rep_emb") / sqrt(col("nrm") * col("rep_nrm")))
+        .select(col("vec_id"), col("cell"), col("rep_id"),
+          (col("vec_id") === col("rep_id") || col("rep_sim") < 0.9).as("kept"))
+    }),
+
     // Embedding OUTLIER filtering — the embedding-space quality gate:
     // per-label centroid over integer-quantized vectors, exact squared
     // L2 distance of each vector to its label's centroid, outlier =
@@ -599,6 +718,28 @@ object Similarity {
           GROUP BY 1""",
     "ll21_hard_negatives" -> annOracle("AND label <> q_label"),
     "ll4_ann_ivf" -> annOracle("AND label = q_label"),
+    // ll26: both Lloyd iterations + the final assignment replayed over
+    // the FULL corpus (c0 = the 8 lowest-id vectors); inertia = the
+    // chosen cell's exact integer distance, summed per cell.
+    "ll26_kmeans_refine" ->
+      s"""WITH qe AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, q AS c FROM qe ORDER BY vec_id LIMIT 8),
+          ${kmAssignSql("qe", "c0", "a0")},
+          ${kmUpdateSql("a0", "c0", "c1")},
+          ${kmAssignSql("qe", "c1", "a1")},
+          ${kmUpdateSql("a1", "c1", "c2")},
+          scored AS (SELECT e.vec_id, c.cid, list_sum(list_transform(range(1, 65),
+                       i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+                     FROM qe e, c2 c),
+          af AS (SELECT vec_id, cid AS cell, d FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY d, cid) AS rn FROM scored) WHERE rn = 1)
+          SELECT cell, COUNT(*) AS n_members, MIN(vec_id) AS min_vec_id,
+                 CAST(SUM(d) AS BIGINT) AS inertia
+          FROM af GROUP BY cell""",
     "ll4b_ann_ivf_trained" ->
       s"""WITH qe AS (SELECT vec_id,
               list_transform(embedding,
@@ -830,6 +971,41 @@ object Similarity {
     // Mirrors ll17: same two-crawl corpus and hyperplane buckets as
     // ll8's oracle, lowest-member representative per bucket, exact
     // cosine vs the representative decides the keep verdict.
+    // Mirrors ll27: the two-crawl corpus, both Lloyd iterations and
+    // the final assignment replayed over the union (ll26's CTE chain
+    // on the bigger corpus), then ll17's representative rule per
+    // k-means cell.
+    "ll27_semdedup_kmeans" ->
+      s"""WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000,
+              list_transform(range(1, 65),
+                i -> CASE WHEN i <= 32
+                          THEN CAST(CAST(embedding[i] AS DOUBLE) * 1.1 AS FLOAT)
+                          ELSE embedding[i] END)
+            FROM embeddings),
+          qe AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM corpus),
+          c0 AS (SELECT vec_id AS cid, q AS c FROM qe ORDER BY vec_id LIMIT 8),
+          ${kmAssignSql("qe", "c0", "a0")},
+          ${kmUpdateSql("a0", "c0", "c1")},
+          ${kmAssignSql("qe", "c1", "a1")},
+          ${kmUpdateSql("a1", "c1", "c2")},
+          ${kmAssignSql("qe", "c2", "af")},
+          e AS (SELECT c.vec_id, c.embedding, $normSql AS nrm, af.cell
+                FROM corpus c JOIN af ON c.vec_id = af.vec_id),
+          reps AS (SELECT cell, MIN(vec_id) AS rep_id FROM e GROUP BY cell),
+          rv AS (SELECT r.cell, r.rep_id, m.embedding AS rep_emb, m.nrm AS rep_nrm
+                 FROM reps r JOIN e m ON m.vec_id = r.rep_id)
+          SELECT m.vec_id, m.cell, rv.rep_id,
+            (m.vec_id = rv.rep_id OR
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(m.embedding[i] AS DOUBLE) * CAST(rv.rep_emb[i] AS DOUBLE)))
+             / sqrt(m.nrm * rv.rep_nrm) < 0.9) AS kept
+          FROM e m JOIN rv ON m.cell = rv.cell""",
     "ll17_semantic_dedup" -> {
       val bitsSql = (0 until 8).map(j =>
         s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")

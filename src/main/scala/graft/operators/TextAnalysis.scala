@@ -257,6 +257,33 @@ object TextAnalysis {
             .as("trimmed_md5"))
     }),
 
+    // BPE TOKENIZATION ROUND-TRIP — puts functions/Bpe on the
+    // differential board (it was lib+spec-only through round 11):
+    // train 40 merges on the corpus word-type table (ONE aggregate +
+    // vocab-sized driver model — the r11-bounded contract), encode
+    // every document through the broadcast dictionary, then verify
+    // LOSSLESSNESS end-to-end: the md5 of the tokens re-concatenated
+    // in order must equal the md5 of the space-stripped source text
+    // (spaces are the tokenizer's word separator, the only character
+    // class encode does not carry). BPE itself is not
+    // SQL-expressible; the round-trip identity IS — any dropped,
+    // reordered or corrupted token anywhere in train/encode breaks
+    // the hash, and the token-count bound rides as a pinned boolean
+    // (prof6's envelope pattern). At 100 TB: train = one word-count
+    // shuffle; encode = explode + broadcast-dict lookup + one
+    // doc-keyed reassembly.
+    "ta22_bpe_roundtrip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(length(regexp_replace(col("text"), " ", "")) > 0)
+      val merges = graft.functions.Bpe.train(d, "text", k = 40)
+      graft.functions.Bpe.encode(s, d, "doc_id", "text", merges)
+        .join(d, "doc_id")
+        .select(col("doc_id"),
+          md5(expr("concat_ws('', tokens)")).as("decoded_md5"),
+          (size(col("tokens")).cast("long") <=
+            length(regexp_replace(col("text"), " ", ""))).as("tokens_le_chars"))
+    }),
+
     // OVERLAPPING-WINDOW CHUNKING — the RAG-ingest / context-window
     // splitter: each document becomes 64-token chunks on a 48-token
     // stride (16-token overlap so no retrieval-relevant span is cut
@@ -719,6 +746,13 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // the round-trip identity: re-concatenated tokens == the
+    // space-stripped source, so the oracle never needs to replay BPE
+    // itself; the count bound is pinned TRUE (prof6's pattern)
+    "ta22_bpe_roundtrip" ->
+      """SELECT doc_id, md5(replace(text, ' ', '')) AS decoded_md5,
+           TRUE AS tokens_le_chars
+         FROM documents WHERE length(replace(text, ' ', '')) > 0""",
     "ta1_lang_id" -> {
       val scoreSql = stopwords.map { case (l, ws) =>
         s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS s_$l"

@@ -53,7 +53,13 @@ class ScaleGuardSpec extends SparkSpec {
     "ta19_sequence_pack" ->
       ("same two-level prefix as ta6: the global window sees only the " +
         "~sqrt(corpus) bucket-total table (rule (e) measures it); the " +
-        "per-doc cumulative sums stay bucket-partitioned"))
+        "per-doc cumulative sums stay bucket-partitioned"),
+    "prof12_equidepth" ->
+      ("same Percentiles.exact global form as q26/q38: the " +
+        "single-partition windows run over the coarse bucket-TOTAL " +
+        "table (cent range / 4096 rows at any corpus size); the " +
+        "corpus-scale stages are the distributed cent histogram and " +
+        "the broadcast-cut bucket count"))
 
   /** query -> why its nested-loop join is safe despite no local side.
     * All three pair the corpus against a BROADCAST of an explicitly

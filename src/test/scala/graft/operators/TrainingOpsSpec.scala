@@ -37,6 +37,72 @@ class TrainingOpsSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("ll26 distributed Lloyd == driver-side Lloyd when the sample is the full corpus") {
+    assume(new java.io.File(sfDir).exists())
+    val qe = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+    // trainCells(sampleStep=1) runs the SAME init (8 lowest ids) and
+    // the same 2 integer Lloyd iterations, just driver-side over the
+    // collected corpus — the distributed aggregate must agree on
+    // every final cell assignment
+    val init = qe.orderBy(col("vec_id")).limit(8)
+      .collect().map(_.getSeq[Long](1).toArray)
+    val distributed = Similarity
+      .assignCells(qe, Similarity.lloydRefine(qe, init, iters = 2, dim = 64))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val driverSide = Similarity.trainCells(qe, 8, 2, 64, sampleStep = 1L)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(distributed === driverSide)
+  }
+
+  test("q40 label propagation: distributed rounds equal a driver-side reference LPA") {
+    val sess = spark
+    import sess.implicits._
+    // seeded random graph; the reference is an independent plain-Scala
+    // synchronous LPA with the same (count desc, label asc) pick, so
+    // any divergence in the join/agg pipeline (vote counting, tie
+    // order, isolated-vertex carry) surfaces as a label mismatch
+    val rnd = new scala.util.Random(11)
+    val verts = (0 until 10).map(i => f"v$i%02d")
+    val edgeSet = (for {
+      i <- verts.indices; j <- (i + 1) until verts.length
+      if rnd.nextDouble() < 0.3
+    } yield (verts(i), verts(j))).toSeq
+    val vertices = (verts :+ "lone").toDF("domain")
+    val got = Linkage.labelPropagation(edgeSet.toDF("a", "b"), vertices, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val adj = (edgeSet ++ edgeSet.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var ref = (verts :+ "lone").map(v => v -> v).toMap
+    for (_ <- 1 to 3) ref = ref.map { case (v, old) =>
+      adj.get(v) match {
+        case None => v -> old
+        case Some(nbs) =>
+          val votes = nbs.groupBy(ref).view.mapValues(_.size).toSeq
+          v -> votes.minBy { case (lbl, c) => (-c, lbl) }._1
+      }
+    }
+    assert(got === ref)
+    assert(got("lone") === "lone", "isolated vertex keeps its own label")
+  }
+
+  test("prof12 equi-depth: buckets conserve the corpus and are value-ordered") {
+    val out = run("prof12_equidepth").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val n = graft.Tables.events(spark, sfDir).count()
+    assert(out.map(_._2).sum === n, "bucket counts conserve the corpus")
+    assert(out.forall(b => b._1 >= 0 && b._1 <= 7))
+    out.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._4 <= hi._3, s"bucket ${lo._1} range overlaps ${hi._1}")
+      case _ =>
+    }
+  }
+
   test("ll16 quantized ANN: high recall@5 against the exact brute-force baseline") {
     val exact = run("ll3_ann_topk").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
