@@ -350,7 +350,7 @@ object Lifecycle {
     // resume pass must find a complete tracker and archive 0 — the
     // counts ride the checked output, and the d8-style two-side union
     // proves archived + live == the original ledger row-for-row.
-    // Uploads model: 500-file batches of the event stream, workspace
+    // Uploads model: 2000-file batches of the event stream, workspace
     // and status derived from the upload id, created_at = the batch's
     // max event time.
     "wa1_warehouse_archive" -> ((s, dir) => {
@@ -359,7 +359,7 @@ object Lifecycle {
       val archive = s"$base/archive"
       val files = Tables.events(s, dir).select(
         col("event_id").as("staging_file_id"),
-        expr("event_id DIV 500").as("upload"),
+        expr("event_id DIV 2000").as("upload"),
         col("ts"))
       files.repartition(col("upload"))
         .write.partitionBy("upload").parquet(live)
@@ -488,7 +488,7 @@ object Lifecycle {
     // files land on the archived side, everything else stays live
     "wa1_warehouse_archive" ->
       """WITH f AS (SELECT event_id AS staging_file_id,
-                      event_id // 500 AS upload, ts FROM events),
+                      event_id // 2000 AS upload, ts FROM events),
          elig AS (SELECT upload FROM (
                     SELECT upload, MAX(ts) AS created_at FROM f GROUP BY 1)
                   WHERE upload % 4 != 3

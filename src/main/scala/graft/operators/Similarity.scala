@@ -337,6 +337,7 @@ object Similarity {
     "ll26_kmeans_refine" -> ((s, dir) => {
       val qe = Tables.embeddings(s, dir).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // init + per-iteration + final-assign scans
       val init = qe.orderBy(col("vec_id")).limit(8)
         .collect().map(_.getSeq[Long](1).toArray) // k rows — model-sized
       val cents = lloydRefine(qe, init, iters = 2, dim = 64)
@@ -584,11 +585,13 @@ object Similarity {
       val corpus = base.unionByName(perturbed)
       val qe = corpus.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // init + per-iteration + final-assign scans
       val init = qe.orderBy(col("vec_id")).limit(8)
         .collect().map(_.getSeq[Long](1).toArray) // k rows — model-sized
       val cents = lloydRefine(qe, init, iters = 2, dim = 64)
       val e = withNorm(corpus)
         .join(assignCells(qe, cents).select(col("vec_id"), col("cell")), "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // reps extract + member scan
       val reps = e.groupBy(col("cell")).agg(min(col("vec_id")).as("rep_id"))
         .select(col("rep_id"))
       val repVecs = e.join(broadcast(reps), col("vec_id") === col("rep_id"))
