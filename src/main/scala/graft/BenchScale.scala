@@ -36,11 +36,15 @@ object BenchScale {
   // Round-10 additions: ev4 (ll6's pair pipeline + the eval
   // aggregate — probes the evaluation overhead stays O(pairs)) and
   // ll24 (PQ/ADC coarse-stage ANN over 4-byte codes).
+  // Round-12 additions: ll26 (full-corpus distributed Lloyd — probes
+  // the per-iteration scan+aggregate stays linear) and ll27 (SemDeDup
+  // member-vs-broadcast-representative scan over the k-means cells).
   private val heavy = Seq(
     "ll6_ngram_jaccard", "ll2_minhash_neardup", "ll5_simhash_neardup",
     "ll12_boilerplate_dedup", "ll18_cdc_dedup", "ll19_containment",
     "ll4b_ann_ivf_trained", "ll9_dedup_clusters", "ta16_dedup_report",
-    "l1_staging_batches", "ev4_jaccard_eval", "ll24_pq_ann")
+    "l1_staging_batches", "ev4_jaccard_eval", "ll24_pq_ann",
+    "ll26_kmeans_refine", "ll27_semdedup_kmeans")
 
   /** Write a K-fold replica of the tables the heavy set reads. */
   private def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {

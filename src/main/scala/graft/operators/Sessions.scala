@@ -758,6 +758,52 @@ object Sessions {
           col("r.fprev").as("forecast_milli"), col("r.spike").as("spike"))
     }),
 
+    // A10: Holt double-exponential smoothing (level + TREND) — the
+    // forecaster a9's flat EWMA cannot be: a steadily growing series
+    // spikes a9 forever while Holt's trend term absorbs the slope.
+    // Same scale contract as a9: one corpus-scale hour aggregate,
+    // then a per-type fold over the calendar-bounded hour series.
+    // Exact milli-scaled integers, alpha = 3/10, beta = 1/10. The
+    // trend term can go NEGATIVE, so the recurrence leans on integer
+    // division agreeing on negatives across engines: Spark's DIV and
+    // DuckDB's // both truncate toward zero (-7 DIV 2 = -7 // 2 =
+    // -3; verified empirically this round), so the plain operators
+    // are bit-identical. The level recurrence l' = (3·1000c +
+    // 7(l+b)) DIV 10 runs inside the out-struct via a SECOND fold
+    // step: each element's new (l, b) derives only from acc, so the
+    // lambda stays single-assignment (no let-binding in Spark SQL
+    // lambdas). Forecast carried INTO an hour is l + b from the
+    // previous state; spike when the count exceeds twice a positive
+    // forecast.
+    "a10_holt_winters" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("h"), col("c")))).as("hrs"))
+      // lnew repeats textually (no let in SQL lambdas); it is the
+      // single source for both state updates
+      val lnew = "(3000 * x.c + 7 * (acc.l + acc.b)) DIV 10"
+      series.select(col("event_type"), explode(expr(
+          s"""aggregate(
+               hrs,
+               named_struct('l', CAST(-1 AS BIGINT), 'b', CAST(0 AS BIGINT),
+                 'out', CAST(array() AS ARRAY<STRUCT<h: BIGINT, c: BIGINT,
+                   fprev: BIGINT, spike: BOOLEAN>>)),
+               (acc, x) -> named_struct(
+                 'l', IF(acc.l < 0, 1000 * x.c, $lnew),
+                 'b', IF(acc.l < 0, CAST(0 AS BIGINT),
+                   (($lnew - acc.l) + 9 * acc.b) DIV 10),
+                 'out', concat(acc.out, array(named_struct(
+                   'h', x.h, 'c', x.c,
+                   'fprev', IF(acc.l < 0, CAST(NULL AS BIGINT), acc.l + acc.b),
+                   'spike', acc.l >= 0 AND acc.l + acc.b > 0
+                     AND 1000 * x.c > 2 * (acc.l + acc.b))))),
+               acc -> acc.out)""")).as("r"))
+        .select(col("event_type"), col("r.h").as("hour"), col("r.c").as("n_events"),
+          col("r.fprev").as("forecast_milli"), col("r.spike").as("spike"))
+    }),
+
     "a8_metric_anomaly" -> ((s, dir) => {
       val mins = Tables.events(s, dir)
         .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
@@ -842,6 +888,30 @@ object Sessions {
          FROM c""",
     // the integer EWMA fold replayed as a recursive CTE, one
     // recursion step per hour of the series (d3b's pattern)
+    // a9's recursive-CTE shape with the two-variable Holt state; the
+    // level recurrence repeats in the trend arm (no lateral let),
+    // and // == DIV on negatives (both truncate toward zero)
+    "a10_holt_winters" ->
+      """WITH RECURSIVE mb AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                  COUNT(*) AS c FROM events GROUP BY 1, 2),
+         idx AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                 FROM mb),
+         rec AS (
+           SELECT event_type, h, c, rn, CAST(NULL AS BIGINT) AS fprev,
+                  CAST(1000 * c AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+                  FALSE AS spike
+           FROM idx WHERE rn = 1
+           UNION ALL
+           SELECT i.event_type, i.h, i.c, i.rn,
+                  CAST(r.l + r.b AS BIGINT),
+                  CAST((3000 * i.c + 7 * (r.l + r.b)) // 10 AS BIGINT),
+                  CAST((((3000 * i.c + 7 * (r.l + r.b)) // 10 - r.l) + 9 * r.b) // 10 AS BIGINT),
+                  r.l + r.b > 0 AND 1000 * i.c > 2 * (r.l + r.b)
+           FROM rec r JOIN idx i
+             ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+         SELECT event_type, CAST(h AS BIGINT) AS hour, c AS n_events,
+                fprev AS forecast_milli, spike
+         FROM rec""",
     "a9_ewma_spikes" ->
       """WITH RECURSIVE mb AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
                   COUNT(*) AS c FROM events GROUP BY 1, 2),

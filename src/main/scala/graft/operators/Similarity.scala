@@ -567,6 +567,61 @@ object Similarity {
           (col("vec_id") === col("rep_id") || col("rep_sim") < 0.9).as("kept"))
     }),
 
+    // k-NN GRAPH construction — the curation primitive under
+    // graph-based diversity/dedup methods (and the build step of
+    // NN-descent/HNSW-class indexes): EVERY vector gets its top-3
+    // cosine neighbors, not just a bounded query set (ll3/ll7's
+    // regime). Brute force would be the n² trap; candidates come from
+    // ll8's 8-hyperplane LSH buckets (expected corpus/256 per
+    // bucket), so the pair volume is the banded-join budget and the
+    // per-vector top-3 is one high-NDV-keyed window. Rank ties break
+    // (sim DESC, neighbor ASC), mirrored in the oracle.
+    "ll28_knn_graph" -> ((s, dir) => {
+      val e = withNorm(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")))
+      val dims = 64
+      val withDots = (0 until 8).foldLeft(e) { (df, j) =>
+        df.withColumn(s"d$j", dotExpr("embedding", s"array(${hyperplane(j, dims).mkString(",")})"))
+      }
+      val bucketed = withDots
+        .withColumn("bucket",
+          (0 until 8).map(j =>
+            when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+      val nb = bucketed.select(col("bucket").as("nb_bucket"), col("vec_id").as("nb_id"),
+        col("embedding").as("nb_emb"), col("nrm").as("nb_nrm"))
+      val scored = bucketed.join(nb,
+          col("bucket") === col("nb_bucket") && col("vec_id") =!= col("nb_id"))
+        .withColumn("sim", dotExpr("embedding", "nb_emb") / sqrt(col("nrm") * col("nb_nrm")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("rank"), col("nb_id").as("neighbor_id"))
+    }),
+
+    // DIVERSITY COVERAGE SAMPLE (k-center-style coreset): one medoid
+    // per ll26 k-means cell — the member with the smallest exact
+    // integer distance to its cell centroid (ties to the lowest id).
+    // The greedy k-center chain is inherently sequential; the
+    // cluster-medoid relaxation is the standard distributed coreset
+    // (one Lloyd refinement + one min(struct) per cell), and every
+    // stage is the ll26 machinery, so cost is iters+1 linear scans
+    // and the output is k rows at any corpus size.
+    "ll29_diverse_sample" -> ((s, dir) => {
+      val qe = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // init + per-iteration + final-assign scans
+      val init = qe.orderBy(col("vec_id")).limit(8)
+        .collect().map(_.getSeq[Long](1).toArray) // k rows — model-sized
+      val cents = lloydRefine(qe, init, iters = 2, dim = 64)
+      assignCells(qe, cents)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct(col("dmin"), col("vec_id"))).as("m"))
+        .select(col("cell"), col("m.vec_id").as("medoid_id"),
+          col("m.dmin").as("medoid_dist"), col("n_members"))
+    }),
+
     // SemDeDup with the PAPER's actual step 1 (Abbas et al. 2023
     // §3: k-means cells, not ll17's LSH stand-in): cluster the
     // two-crawl corpus with 2 distributed Lloyd iterations
@@ -721,6 +776,59 @@ object Similarity {
           GROUP BY 1""",
     "ll21_hard_negatives" -> annOracle("AND label <> q_label"),
     "ll4_ann_ivf" -> annOracle("AND label = q_label"),
+    // ll28: the ll8/ll17 hyperplane-bucket CTEs + per-vector top-3
+    // window with the same (sim DESC, neighbor ASC) tie order
+    "ll28_knn_graph" -> {
+      val bitsSql = (0 until 8).map(j =>
+        s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      val dotsSql = (0 until 8).map { j =>
+        s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * hv$j[i])) AS d$j"
+      }.mkString(", ")
+      val hvDefs = (0 until 8).map { j =>
+        s"[${hyperplane(j, 64).mkString(", ")}]::DOUBLE[] AS hv$j"
+      }.mkString(", ")
+      s"""WITH h AS (SELECT $hvDefs),
+          d AS (SELECT vec_id, embedding, $normSql AS nrm, $dotsSql
+                FROM embeddings, h),
+          b AS (SELECT vec_id, embedding, nrm,
+                  CAST($bitsSql AS BIGINT) AS bucket FROM d),
+          scored AS (SELECT m.vec_id, n.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(m.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+                       / sqrt(m.nrm * n.nrm) AS sim
+                     FROM b m JOIN b n
+                       ON m.bucket = n.bucket AND m.vec_id <> n.vec_id)
+          SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+          FROM (SELECT vec_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, neighbor_id) AS rank
+                FROM scored)
+          WHERE rank <= 3"""
+    },
+    // ll29: the ll26 Lloyd replay, then one medoid per cell via
+    // ROW_NUMBER over (distance, vec_id)
+    "ll29_diverse_sample" ->
+      s"""WITH qe AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, q AS c FROM qe ORDER BY vec_id LIMIT 8),
+          ${kmAssignSql("qe", "c0", "a0")},
+          ${kmUpdateSql("a0", "c0", "c1")},
+          ${kmAssignSql("qe", "c1", "a1")},
+          ${kmUpdateSql("a1", "c1", "c2")},
+          scored AS (SELECT e.vec_id, c.cid, list_sum(list_transform(range(1, 65),
+                       i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+                     FROM qe e, c2 c),
+          af AS (SELECT vec_id, cid AS cell, d FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY d, cid) AS rn FROM scored) WHERE rn = 1)
+          SELECT cell, vec_id AS medoid_id, CAST(d AS BIGINT) AS medoid_dist, n_members
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                  ORDER BY d, vec_id) AS mrn,
+                  COUNT(*) OVER (PARTITION BY cell) AS n_members
+                FROM af)
+          WHERE mrn = 1""",
     // ll26: both Lloyd iterations + the final assignment replayed over
     // the FULL corpus (c0 = the 8 lowest-id vectors); inertia = the
     // chosen cell's exact integer distance, summed per cell.

@@ -174,6 +174,29 @@ class SessionsSpec extends SparkSpec {
     assert(out.values.count(_._3) === 1, "exactly one spike in the series")
   }
 
+  test("a10 Holt: a linear ramp never spikes (the trend term a9 lacks), a plateau break does") {
+    val hourUs = 3600000000L
+    // steady 10%-per-hour growth, then a genuine 10x break at hour 6
+    val counts = Seq(100, 110, 120, 130, 140, 150, 1500)
+    val evs = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i =>
+        ((h * 1000 + i).toLong, h * hourUs + i, 1L, "view", 1.0))
+    }
+    val dir = sfDirWith(evs)
+    val out = Sessions.defs("a10_holt_winters")(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(0L)._2 === -1L, "series head has no forecast")
+    assert((1L to 5L).forall(h => !out(h)._3),
+      s"the ramp must never spike under a trend-aware forecast: $out")
+    assert(out(6L)._3, "the 10x plateau break must still flag")
+    // the learned positive trend shows up as strictly growing
+    // carried forecasts along the ramp
+    val fs = (1L to 6L).map(h => out(h)._2)
+    assert(fs == fs.sorted && fs.distinct == fs,
+      s"forecasts must strictly increase along the ramp, got $fs")
+  }
+
   test("percentiles: interpolation matches the closed form on a known distribution") {
     val t = minUs(100)
     // values 1..5 for one event type: p50 = 3, p95 = 1 + 0.95*4 = 4.8
