@@ -22,6 +22,40 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** prof7's streaming input/state: one sketch ROW (hash function j)
+    * per group; per-micro-batch (cell, count) partial aggregates
+    * arrive, the w-bounded counter map lives in the state store.
+    */
+  case class CmsCell(j: Int, cell: Int, c: Long)
+  case class CmsRowState(ver: Long, counts: Map[Int, Long])
+
+  /** Streaming twin of prof7's CMS build — the "incrementally
+    * maintainable" claim made concrete: counters ONLY ADD, so the
+    * state-store merge of per-batch partial aggregates equals the
+    * batch build EXACTLY (not an envelope — StreamingSpec pins
+    * equality). Keyed by hash row j (d=4 groups), state ≤ w counters
+    * per group at any corpus size; input rows are the upstream
+    * watermarked (j, cell) micro-batch aggregates, never raw events.
+    * Emits a full w-bounded snapshot per batch tagged with a
+    * monotone version, so the latest version IS the live sketch.
+    */
+  def cmsStream(updates: org.apache.spark.sql.Dataset[CmsCell])
+    : org.apache.spark.sql.Dataset[(Int, Long, Int, Long)] = {
+    import updates.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    updates.groupByKey(_.j)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (j: Int, it: Iterator[CmsCell], state: GroupState[CmsRowState]) => {
+          val st = state.getOption.getOrElse(CmsRowState(0L, Map.empty))
+          val merged = it.foldLeft(st.counts) { (m, u) =>
+            m.updated(u.cell, m.getOrElse(u.cell, 0L) + u.c)
+          }
+          val next = CmsRowState(st.ver + 1, merged)
+          state.update(next)
+          merged.iterator.map { case (cell, v) => (j, next.ver, cell, v) }
+        })
+  }
+
   val defs: Map[String, Q] = Map(
     "prof1_table_stats" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)

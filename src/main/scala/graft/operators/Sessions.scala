@@ -108,6 +108,43 @@ object Sessions {
         })
   }
 
+  /** a10's streaming state: Holt level + trend, milli-scaled. */
+  case class HoltState(l: Long, b: Long)
+
+  /** a10's Holt (level + trend) forecaster as flatMapGroupsWithState
+    * — ewmaSpikeStream's shape with the two-variable state, so the
+    * trajectory continues EXACTLY across micro-batches: O(1) state
+    * per event type (two longs), hour buckets arrive closed from the
+    * upstream watermarked aggregate, and the integer recurrence is
+    * the a10 batch fold verbatim (Scala / == SQL DIV on every input
+    * including negative trends — truncation toward zero all around).
+    * fprev emits -1 for the series head.
+    */
+  def holtStream(series: org.apache.spark.sql.Dataset[HourCount])
+    : org.apache.spark.sql.Dataset[(String, Long, Long, Long, Boolean)] = {
+    import series.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    series.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (typ: String, it: Iterator[HourCount], state: GroupState[HoltState]) => {
+          var st = state.getOption.getOrElse(HoltState(-1L, 0L))
+          val out = Seq.newBuilder[(String, Long, Long, Long, Boolean)]
+          it.toSeq.sortBy(_.h).foreach { r =>
+            val fprev = if (st.l < 0L) -1L else st.l + st.b
+            val spike = st.l >= 0L && fprev > 0L && 1000L * r.c > 2L * fprev
+            out += ((typ, r.h, r.c, fprev, spike))
+            st =
+              if (st.l < 0L) HoltState(1000L * r.c, 0L)
+              else {
+                val lnew = (3000L * r.c + 7L * (st.l + st.b)) / 10L
+                HoltState(lnew, ((lnew - st.l) + 9L * st.b) / 10L)
+              }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
   private val dec = DecimalType(18, 2)
   /** 30-minute inactivity gap, in microseconds. */
   private val gapUs = 1800000000L

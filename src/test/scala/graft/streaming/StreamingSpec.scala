@@ -907,6 +907,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a10 streaming twin: Holt level+trend state carries exactly across micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).exists())
+    val series = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(ts) DIV 3600000000 AS h")
+      .groupBy("event_type", "h").count()
+      .collect().map(r => graft.operators.Sessions.HourCount(
+        r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r.event_type, r.h))
+    val mid = series.map(_.h).sorted.apply(series.length / 2)
+    val input = MemoryStream[graft.operators.Sessions.HourCount]
+    val q = graft.operators.Sessions.holtStream(input.toDS())
+      .toDF("event_type", "hour", "n_events", "fprev", "spike")
+      .writeStream.format("memory").queryName("holt").outputMode("append").start()
+    try {
+      input.addData(series.filter(_.h < mid).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(series.filter(_.h >= mid).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("holt")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      val batch = graft.SparkEntry.queries("a10_holt_winters")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))).toMap
+      assert(streamed === batch,
+        "per-hour stream emissions must equal the batch Holt fold, incl. across the batch split")
+    } finally q.stop()
+  }
+
+  test("prof7 streaming twin: CMS counters merged across micro-batches equal the batch build exactly") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).exists())
+    // the prof7 hashing verbatim: d=4 md5-derived rows over w=1024
+    def cellsOf(pred: String) = spark.sql(s"""
+      SELECT j, cell, COUNT(*) AS c FROM (
+        SELECT CAST(j AS INT) AS j,
+               CAST(pmod(conv(substring(md5(CAST(j AS STRING) || ':' ||
+                 CAST(user_id % 100 AS STRING)), 1, 8), 16, 10), 1024) AS INT) AS cell
+        FROM parquet.`$sfDir/events.parquet`
+        LATERAL VIEW explode(sequence(0, 3)) t AS j
+        WHERE $pred) GROUP BY 1, 2""")
+      .collect().map(r => graft.operators.Profile.CmsCell(
+        r.getInt(0), r.getInt(1), r.getLong(2)))
+    val input = MemoryStream[graft.operators.Profile.CmsCell]
+    val q = graft.operators.Profile.cmsStream(input.toDS())
+      .toDF("j", "ver", "cell", "value")
+      .writeStream.format("memory").queryName("cms").outputMode("append").start()
+    try {
+      input.addData(cellsOf("user_id % 2 = 0").toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(cellsOf("user_id % 2 = 1").toIndexedSeq: _*)
+      q.processAllAvailable()
+      val snap = spark.table("cms").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      val latest = snap.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val vmax = rows.map(_._2).max
+        rows.filter(_._2 == vmax).toSeq
+      }.map(r => (r._1, r._3) -> r._4).toMap
+      val batch = cellsOf("TRUE").map(c => (c.j, c.cell) -> c.c).toMap
+      assert(latest === batch,
+        "state-store merge of the two half-corpus sketches must equal the whole-corpus build")
+    } finally q.stop()
+  }
+
   test("SCD2 streaming sink: versions accrete across micro-batches; replay is a no-op") {
     val sess = spark
     import sess.implicits._
