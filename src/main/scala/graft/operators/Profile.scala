@@ -479,6 +479,28 @@ object Profile {
         .select(col("r.rule_id"), col("r.rule_type"), col("r.column_name"),
           col("n_rows"), col("r.n_violations"),
           (col("r.n_violations") === 0L).as("passed"))
+    }),
+
+    // DQ3: k-ANONYMITY audit (Sweeney 2002) — the privacy gate a
+    // training-data release runs before shipping records containing
+    // quasi-identifiers: every (nation, segment, balance-band)
+    // equivalence class of the customer table is sized, and a class
+    // under k = 5 members is re-identifiable (its records are the
+    // suppression/generalization work queue). One hash aggregate over
+    // the QI tuple — class cardinality is QI-domain-bounded, never
+    // corpus-bounded, so the report stays small at any scale. The
+    // balance band quantizes through DECIMAL cents then integer DIV
+    // (trunc parity on negative balances verified this round).
+    "dq3_k_anonymity" -> ((s, dir) => {
+      val k = 5L
+      Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 100000")
+            .as("bal_band"))
+        .groupBy(col("nation"), col("segment"), col("bal_band"))
+        .agg(count(lit(1)).as("n_records"))
+        .withColumn("k_anonymous", col("n_records") >= k)
     })
   )
 
@@ -673,6 +695,13 @@ object Profile {
          ex AS (SELECT key, COUNT(*) AS exact_n FROM keys WHERE key < 10 GROUP BY key)
          SELECT key, est, exact_n, est >= exact_n AS lower_bound_ok
          FROM est JOIN ex USING (key)""",
+    // the same DECIMAL-cents quantization and trunc division
+    "dq3_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000 AS bal_band,
+           COUNT(*) AS n_records,
+           COUNT(*) >= 5 AS k_anonymous
+         FROM customer GROUP BY 1, 2, 3""",
     // quantile_cont == Percentiles.exact bit-for-bit on the integer
     // cent domain (the PercentilesSpec contract), so the cut points —
     // and therefore every bucket count — land identically

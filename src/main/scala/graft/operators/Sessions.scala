@@ -841,6 +841,54 @@ object Sessions {
           col("r.fprev").as("forecast_milli"), col("r.spike").as("spike"))
     }),
 
+    // Q41: KAPLAN-MEIER time-to-first-purchase survival — the
+    // censoring-aware read q19/q32's retention curves cannot give:
+    // users who never purchased are CENSORED at the observation
+    // horizon, not treated as eternal non-converters. Duration =
+    // first-purchase day − first-seen day (censored at max observed
+    // day); the estimator S ← S·(n_risk − d)/n_risk folds over the
+    // DURATION series, which is calendar-bounded (a9/a10's "state
+    // scales with time, not data" contract) after one user-keyed
+    // aggregate and one duration-keyed rollup — the only corpus-scale
+    // shuffles. Survival in exact integer ppm with truncating
+    // division (DIV ≡ // on both engines); the at-risk count derives
+    // inside the fold from the series totals, so no second pass.
+    "q41_survival_km" -> ((s, dir) => {
+      val day = 86400000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) DIV $day").as("day"),
+          col("event_type"))
+      val horizon = ev.agg(max(col("day")).as("dmax")) // 1-row broadcast scalar
+      val per = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"),
+          min(when(col("event_type") === "purchase", col("day"))).as("dp"))
+      val series = per.crossJoin(broadcast(horizon))
+        .withColumn("t",
+          when(col("dp").isNotNull, col("dp") - col("d0"))
+            .otherwise(col("dmax") - col("d0")))
+        .groupBy(col("t"))
+        .agg(sum(when(col("dp").isNotNull, 1L).otherwise(0L)).as("d"),
+          sum(when(col("dp").isNotNull, 0L).otherwise(1L)).as("c"))
+      series.agg(array_sort(collect_list(struct(col("t"), col("d"), col("c")))).as("ts"))
+        .select(explode(expr(
+          """aggregate(ts,
+               named_struct(
+                 'rem', aggregate(ts, CAST(0 AS BIGINT), (a, x) -> a + x.d + x.c),
+                 's', CAST(1000000 AS BIGINT),
+                 'out', CAST(array() AS ARRAY<STRUCT<t: BIGINT, n_risk: BIGINT,
+                   d: BIGINT, c: BIGINT, surv_ppm: BIGINT>>)),
+               (acc, x) -> named_struct(
+                 'rem', acc.rem - x.d - x.c,
+                 's', (acc.s * (acc.rem - x.d)) DIV acc.rem,
+                 'out', concat(acc.out, array(named_struct(
+                   't', x.t, 'n_risk', acc.rem, 'd', x.d, 'c', x.c,
+                   'surv_ppm', (acc.s * (acc.rem - x.d)) DIV acc.rem)))),
+               acc -> acc.out)""")).as("r"))
+        .select(col("r.t").as("t_days"), col("r.n_risk"),
+          col("r.d").as("n_events"), col("r.c").as("n_censored"),
+          col("r.surv_ppm"))
+    }),
+
     "a8_metric_anomaly" -> ((s, dir) => {
       val mins = Tables.events(s, dir)
         .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
@@ -925,6 +973,38 @@ object Sessions {
          FROM c""",
     // the integer EWMA fold replayed as a recursive CTE, one
     // recursion step per hour of the series (d3b's pattern)
+    // the KM product as a recursive CTE over the row-numbered
+    // duration series; the at-risk count carries as running state and
+    // // matches DIV's truncation exactly
+    "q41_survival_km" ->
+      """WITH RECURSIVE per AS (
+           SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) // 86400000000 END) AS dp
+           FROM events GROUP BY 1),
+         mx AS (SELECT MAX(epoch_us(ts) // 86400000000) AS dmax FROM events),
+         series AS (
+           SELECT CASE WHEN dp IS NOT NULL THEN dp - d0
+                       ELSE (SELECT dmax FROM mx) - d0 END AS t,
+             CAST(SUM(CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN dp IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM per GROUP BY 1),
+         idx AS (SELECT *, ROW_NUMBER() OVER (ORDER BY t) AS rn FROM series),
+         tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM series),
+         rec AS (
+           SELECT t, d, c, rn, (SELECT n FROM tot) AS n_risk,
+             CAST((1000000 * ((SELECT n FROM tot) - d)) // (SELECT n FROM tot)
+               AS BIGINT) AS s
+           FROM idx WHERE rn = 1
+           UNION ALL
+           SELECT i.t, i.d, i.c, i.rn,
+             CAST(r.n_risk - r.d - r.c AS BIGINT),
+             CAST((r.s * (r.n_risk - r.d - r.c - i.d)) // (r.n_risk - r.d - r.c)
+               AS BIGINT)
+           FROM rec r JOIN idx i ON i.rn = r.rn + 1)
+         SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
+                s AS surv_ppm
+         FROM rec""",
     // a9's recursive-CTE shape with the two-variable Holt state; the
     // level recurrence repeats in the trend arm (no lateral let),
     // and // == DIV on negatives (both truncate toward zero)

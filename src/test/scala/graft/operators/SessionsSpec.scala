@@ -197,6 +197,26 @@ class SessionsSpec extends SparkSpec {
       s"forecasts must strictly increase along the ramp, got $fs")
   }
 
+  test("q41 Kaplan-Meier: hand-computed survival with censoring") {
+    val dayUs = 86400000000L
+    // u1: seen d0, purchase d1 (t=1); u2: seen d0, never (censored at
+    // horizon 3 -> t=3); u3: purchase immediately (t=0); u4: seen d1,
+    // purchase d3 (t=2). KM: S(0)=3/4, S(1)=1/2, S(2)=1/4, S(3)=1/4.
+    val dir = sfDirWith(Seq(
+      (1L, 0L, 1L, "view", 1.0), (2L, dayUs, 1L, "purchase", 1.0),
+      (3L, 0L, 2L, "view", 1.0),
+      (4L, 0L, 3L, "purchase", 1.0),
+      (5L, dayUs, 4L, "view", 1.0), (6L, 3 * dayUs, 4L, "purchase", 1.0)))
+    val out = Sessions.defs("q41_survival_km")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out === Map(
+      0L -> ((4L, 1L, 0L, 750000L)),
+      1L -> ((3L, 1L, 0L, 500000L)),
+      2L -> ((2L, 1L, 0L, 250000L)),
+      3L -> ((1L, 0L, 1L, 250000L))))
+  }
+
   test("percentiles: interpolation matches the closed form on a known distribution") {
     val t = minUs(100)
     // values 1..5 for one event type: p50 = 3, p95 = 1 + 0.95*4 = 4.8
