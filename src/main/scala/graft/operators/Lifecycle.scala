@@ -40,6 +40,26 @@ object Lifecycle {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     }),
 
+    // L5c: ORC load-file roundtrip — the fourth columnar load-file
+    // format (reference load-file formats are CSV/JSON/Parquet per
+    // warehouse provider; ORC is the Hive-lineage datalake sibling a
+    // Spark-native engine gets for free and several lakehouse
+    // deployments require). Same write→read→rollup differential as
+    // l5: any loss in the ORC encoder, stripe split, or partition
+    // routing breaks the hash.
+    "l5c_orc_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_l5c").toString
+      val ev = Tables.events(s, dir).select(
+        col("event_type").as("table_name"),
+        col("event_id"), col("user_id"), col("value"))
+      Sinks.writeLoadFiles(ev, tmp, "orc", loadTs)
+      Readers.orcLoadFiles(s, tmp)
+        .groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    }),
+
     // L5b: PROVIDER-format load-file roundtrip — the same events
     // written through three provider encoders (BQ = gzip JSON with
     // both load-time columns; POSTGRES = gzip CSV with RFC3339-milli
@@ -396,6 +416,11 @@ object Lifecycle {
 
   val oracles: Map[String, String] = Map(
     "l5_load_file_roundtrip" ->
+      """SELECT event_type AS table_name, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         FROM events GROUP BY 1""",
+    "l5c_orc_roundtrip" ->
       """SELECT event_type AS table_name, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            MIN(event_id) AS min_id, MAX(event_id) AS max_id

@@ -211,6 +211,65 @@ object Similarity {
     cents
   }
 
+  /** Streaming input row / state for [[miniBatchKmeansStream]]. */
+  case class VecRow(vec_id: Long, q: Seq[Long])
+  case class OnlineKmState(ver: Long, counts: Seq[Long], cents: Seq[Seq[Long]])
+
+  /** MINI-BATCH k-means (Sculley, WWW 2010) as a streaming state
+    * operator — the ONLINE third regime of the trainer family:
+    * trainCells trains on a bounded sample (corpus-independent cost),
+    * lloydRefine refines over the full corpus (one scan per
+    * iteration), and THIS maintains centroids as embeddings ARRIVE,
+    * no rescan ever. Per point: assign to the nearest current
+    * centroid (lowest-cell ties), bump its count n, move the centroid
+    * by the standard per-center learning rate 1/n:
+    * c ← c + (x − c)/n, exact truncating integer division. The first
+    * k points (vec_id order) seed the centroids with n = 1. State is
+    * k×dim longs + k counts — model-sized forever — in ONE state-
+    * store group: updates are inherently sequential (each assignment
+    * depends on every prior move), the same reason faiss trains its
+    * quantizer on one node; the corpus-scale work upstream is the
+    * (already-aggregated) arrival feed itself. Rows fold in vec_id
+    * order within a batch; StreamingSpec pins exact equality against
+    * an independent driver-side reference on a split feed. Emits a
+    * per-batch (version, cell, n, centroid-checksum) snapshot — the
+    * latest version IS the live quantizer.
+    */
+  def miniBatchKmeansStream(vecs: org.apache.spark.sql.Dataset[VecRow],
+                            k: Int, dim: Int)
+    : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    vecs.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, it: Iterator[VecRow], state: GroupState[OnlineKmState]) => {
+          val st = state.getOption.getOrElse(OnlineKmState(0L, Seq.empty, Seq.empty))
+          val counts = st.counts.toBuffer
+          val cents = st.cents.map(_.toArray).toBuffer
+          it.toSeq.sortBy(_.vec_id).foreach { p =>
+            if (cents.length < k) { cents += p.q.toArray; counts += 1L }
+            else {
+              var best = 0; var bestD = Long.MaxValue
+              var j = 0
+              while (j < k) {
+                var d = 0L; var i = 0
+                while (i < dim) { val t = p.q(i) - cents(j)(i); d += t * t; i += 1 }
+                if (d < bestD) { bestD = d; best = j } // strict < : ties keep lowest j
+                j += 1
+              }
+              counts(best) += 1L
+              val c = cents(best); val n = counts(best)
+              var i = 0
+              while (i < dim) { c(i) += (p.q(i) - c(i)) / n; i += 1 }
+            }
+          }
+          val next = OnlineKmState(st.ver + 1L, counts.toSeq, cents.map(_.toSeq).toSeq)
+          state.update(next)
+          cents.indices.iterator.map(j =>
+            (next.ver, j.toLong, counts(j), cents(j).sum))
+        })
+  }
+
   /** Per-subspace deterministic Lloyd's k-means — the PRODUCT
     * QUANTIZATION trainer (Jegou et al., TPAMI 2011). Same sampling and
     * arithmetic discipline as [[trainCells]] (bounded driver-side

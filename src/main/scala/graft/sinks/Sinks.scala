@@ -28,6 +28,7 @@ object Sinks {
       case "csv" => w.option("header", "true").option("compression", "gzip").csv(dir)
       case "json" => w.option("compression", "gzip").json(dir)
       case "parquet" => w.parquet(dir)
+      case "orc" => w.orc(dir)
       case other => throw new IllegalArgumentException(s"unknown load-file format: $other")
     }
   }

@@ -38,6 +38,9 @@ object Readers {
   def parquetLoadFiles(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  def orcLoadFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** L12 over real JDBC: the reverse-ETL extract reading a warehouse
     * table through Spark's JDBC source (warehouse/source/source.go
     * reads the customer's warehouse over database/sql the same way).

@@ -978,6 +978,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mini-batch k-means streaming: state trajectory equals a driver-side reference on a split feed") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).exists())
+    val (k, dim) = (4, 64)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .collect().map(r => graft.operators.Similarity.VecRow(
+        r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_.vec_id)
+    val mid = vecs.length / 2
+    val input = MemoryStream[graft.operators.Similarity.VecRow]
+    val q = graft.operators.Similarity.miniBatchKmeansStream(input.toDS(), k, dim)
+      .toDF("ver", "cell", "n", "checksum")
+      .writeStream.format("memory").queryName("mbkm").outputMode("append").start()
+    try {
+      input.addData(vecs.take(mid).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(vecs.drop(mid).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val snap = spark.table("mbkm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val vmax = snap.map(_._1).max
+      val latest = snap.filter(_._1 == vmax).map(r => r._2 -> ((r._3, r._4))).toMap
+      // independent reference: the same fold in plain Scala over the
+      // same two-batch order
+      val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val cents = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      vecs.foreach { p =>
+        if (cents.length < k) { cents += p.q.toArray; counts += 1L }
+        else {
+          var best = 0; var bestD = Long.MaxValue
+          var j = 0
+          while (j < k) {
+            var d = 0L; var i = 0
+            while (i < dim) { val t = p.q(i) - cents(j)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          counts(best) += 1L
+          val c = cents(best); val n = counts(best)
+          var i = 0
+          while (i < dim) { c(i) += (p.q(i) - c(i)) / n; i += 1 }
+        }
+      }
+      val ref = cents.indices.map(j => j.toLong -> ((counts(j), cents(j).sum))).toMap
+      assert(vmax === 2L, "two micro-batches, two state versions")
+      assert(latest === ref,
+        "the state-store trajectory must equal the sequential reference fold exactly")
+    } finally q.stop()
+  }
+
   test("SCD2 streaming sink: versions accrete across micro-batches; replay is a no-op") {
     val sess = spark
     import sess.implicits._
