@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FlattenJsonExpr, HilbertIndexExpr, SafeNameExpr, Utf16LengthExpr}
+import graft.functions.{DotProductExpr, FlattenJsonExpr, HilbertIndexExpr, SafeNameExpr, SqDistExpr, Utf16LengthExpr}
 
 /** Production injection point: register the engine's native Catalyst
   * expressions at session build time —
@@ -36,5 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hilbert_index"),
       new ExpressionInfo(classOf[HilbertIndexExpr].getName, "hilbert_index"),
       (children: Seq[Expression]) => HilbertIndexExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_native"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_native"),
+      (children: Seq[Expression]) => DotProductExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sqdist_native"),
+      new ExpressionInfo(classOf[SqDistExpr].getName, "sqdist_native"),
+      (children: Seq[Expression]) => SqDistExpr(children.head, children(1))))
   }
 }

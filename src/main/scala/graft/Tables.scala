@@ -14,8 +14,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every query path enters through a table load, so this is the
+    // one choke point that guarantees the native vector kernels
+    // (dot_native/sqdist_native) are registered before any expression
+    // referencing them resolves — idempotent map-put, same
+    // session-local mechanism as hilbert_index (production installs
+    // them via GraftExtensions instead)
+    graft.functions.VectorExprs.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** The canonical loader for a table name — `events` (and any future
     * table with a normalizing loader) routes through it, everything

@@ -32,13 +32,19 @@ object Similarity {
 
   /** Sum of elementwise double products, sequential fold in element
     * order (deterministic, bit-identical to the oracle's list_sum).
+    * Round 12: the `aggregate(zip_with(...))` HOF form moved to the
+    * codegen'd native kernel `dot_native` (functions/VectorExprs) —
+    * HOFs are CodegenFallback, and this product is the inner loop of
+    * every ANN/semantic-dedup query; VectorExprsSpec pins the two
+    * forms bit-for-bit so the DuckDB list_sum oracle contract is
+    * unchanged. Registration is guaranteed by Tables.load (the
+    * query-path choke point) / GraftExtensions (production).
     */
   private def dotExpr(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    expr(s"dot_native($a, $b)")
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm",
-      expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+    df.withColumn("nrm", expr("dot_native(embedding, embedding)"))
 
   /** Deterministic {-1,+1} hyperplane component: +1 iff the first hex
     * digit of md5("h<j>:<i>") is >= 8. Same formula in the oracle SQL.
@@ -102,8 +108,7 @@ object Similarity {
                                     sampleStep: Long): DataFrame = {
     def assign(cents: Array[Array[Long]]): DataFrame = {
       val dists = cents.zipWithIndex.map { case (c, j) =>
-        expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
-          s"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"dist$j")
+        expr(s"sqdist_native(q, array(${c.mkString(",")}))").as(s"dist$j")
       }
       val distList = (0 until k).map(j => s"dist$j").mkString(",")
       qe.select(col("vec_id") +: col("q") +: dists: _*)
@@ -160,8 +165,7 @@ object Similarity {
   private[operators] def assignCells(qe: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     val k = cents.length
     val dists = cents.zipWithIndex.map { case (c, j) =>
-      expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
-        s"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"dist$j")
+      expr(s"sqdist_native(q, array(${c.mkString(",")}))").as(s"dist$j")
     }
     val distList = (0 until k).map(j => s"dist$j").mkString(",")
     qe.select(col("vec_id") +: col("q") +: dists: _*)
@@ -738,9 +742,7 @@ object Similarity {
         .select(col("label"), array((0 until dim).map(i =>
           expr(s"CAST(s$i DIV n AS BIGINT)")): _*).as("c"))
       val d = qe.join(broadcast(cents), "label")
-        .withColumn("dist",
-          expr("aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("dist", expr("sqdist_native(q, c)"))
         .select(col("vec_id"), col("label"), col("dist"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds stats AND the final join — one distance pass
       val stats = d.groupBy(col("label"))
