@@ -841,6 +841,28 @@ object Sessions {
           col("r.fprev").as("forecast_milli"), col("r.spike").as("spike"))
     }),
 
+    // Q42: TRAILING 7-DAY REVENUE — the RANGE-frame sliding window
+    // (value-range frame over event-time days, not ROWS: a user
+    // active on days {1, 9} must NOT see day 1 inside day 9's
+    // trailing week, which a rows-frame would include). Per-user
+    // daily rollup first (the only corpus-scale shuffle), then the
+    // range frame runs per user over their ACTIVE days — high-NDV
+    // partition key, frame state bounded by the 7-day window.
+    // Money in DECIMAL-summed integer cents (q38's discipline).
+    "q42_trailing_revenue" -> ((s, dir) => {
+      val day = 86400000000L
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), expr(s"unix_micros(ts) DIV $day").as("day"))
+        .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("day_cents"),
+          count(lit(1)).as("day_purchases"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("trail7_cents", sum(col("day_cents")).over(w))
+        .withColumn("trail7_purchases", sum(col("day_purchases")).over(w))
+    }),
+
     // Q41: KAPLAN-MEIER time-to-first-purchase survival — the
     // censoring-aware read q19/q32's retention curves cannot give:
     // users who never purchased are CENSORED at the observation
@@ -973,6 +995,20 @@ object Sessions {
          FROM c""",
     // the integer EWMA fold replayed as a recursive CTE, one
     // recursion step per hour of the series (d3b's pattern)
+    // the same RANGE frame declaratively; integer-cent sums agree
+    // exactly under any evaluation order
+    "q42_trailing_revenue" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS day_cents,
+             COUNT(*) AS day_purchases
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT user_id, day, day_cents, day_purchases,
+           CAST(SUM(day_cents) OVER (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_cents,
+           CAST(SUM(day_purchases) OVER (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_purchases
+         FROM daily""",
     // the KM product as a recursive CTE over the row-numbered
     // duration series; the at-risk count carries as running state and
     // // matches DIV's truncation exactly

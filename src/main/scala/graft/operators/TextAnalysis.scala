@@ -395,6 +395,46 @@ object TextAnalysis {
           when(col("score") > 0, lit("keep")).otherwise(lit("drop")))
     }),
 
+    // EV8: CLASSIFIER CALIBRATION (reliability diagram) — the eval
+    // an operator runs before trusting ta10's scores as a curation
+    // gate: ta10's integer score deciled into 10 equal-width bins
+    // (exact integer bucket arithmetic off a broadcast 1-row min/max,
+    // prof5's shape), each bin scored against ta2's independent
+    // rule-based verdict as the reference label; a well-calibrated
+    // classifier shows keep-rate rising monotonically with score.
+    // Completes the eval family (ev1-ev7) with the ML-quality leg.
+    // Corpus-scale work = the two existing pipelines' aggregates +
+    // one bin rollup; everything else is broadcast.
+    "ev8_classifier_calibration" -> ((s, dir) => {
+      val k = 256
+      val weights = s.range(k).select(col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w"), col("id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000).as("w"))
+      val feats = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "concat(ws, IF(size(ws) >= 2, " +
+            "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1])), " +
+            "CAST(array() AS ARRAY<STRING>)))")).as("f"))
+        .withColumn("bucket",
+          conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % k)
+      val scores = feats.join(broadcast(weights), "bucket")
+        .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
+      val truth = withQualityVerdict(Tables.documents(s, dir)
+          .withColumn("ws", split(col("text"), " ")))
+        .select(col("doc_id"),
+          when(col("verdict") === "keep", 1L).otherwise(0L).as("actual"))
+      val mm = scores.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+      scores.join(truth, "doc_id")
+        .crossJoin(broadcast(mm)) // 1-row scalar, rule (b)'s shape
+        .withColumn("bin", expr("(score - lo) * 10 DIV (hi - lo + 1)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("actual")).as("n_keep"),
+          min(col("score")).as("score_lo"), max(col("score")).as("score_hi"))
+        .withColumn("keep_permille", expr("n_keep * 1000 DIV n_docs"))
+    }),
+
     // Temperature-weighted DOMAIN MIXING — the multi-source sampling
     // step of a training-data pipeline (alpha = 0.5 upsampling of
     // small domains, the multilingual-LM recipe): each language
@@ -894,6 +934,42 @@ object TextAnalysis {
          SELECT doc_id, CAST(SUM(w.w) AS BIGINT) AS score, COUNT(*) AS n_feats,
            CASE WHEN CAST(SUM(w.w) AS BIGINT) > 0 THEN 'keep' ELSE 'drop' END AS verdict
          FROM fb JOIN w USING (bucket) GROUP BY doc_id""",
+    // ta10's score CTEs + ta2's verdict subquery + the exact integer
+    // bin/permille arithmetic
+    "ev8_classifier_calibration" ->
+      s"""WITH w AS (SELECT bucket,
+             CAST(CAST('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 8) AS UBIGINT)
+               % 2001 AS BIGINT) - 1000 AS w
+           FROM range(256) t(bucket)),
+         f AS (SELECT doc_id,
+                 unnest(list_concat(ws,
+                   list_transform(range(len(ws) - 1),
+                     i -> ws[i + 1] || ' ' || ws[i + 2]))) AS f
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         fb AS (SELECT doc_id,
+                  CAST(CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) % 256 AS BIGINT)
+                    AS bucket
+                FROM f),
+         sc AS (SELECT doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+                FROM fb JOIN w USING (bucket) GROUP BY doc_id),
+         tr AS (SELECT doc_id,
+                  CASE WHEN n_words BETWEEN 20 AND 100
+                        AND (n_chars - (n_words - 1)) / n_words < 8
+                        AND stop_hits / n_words >= 0.02
+                       THEN 1 ELSE 0 END AS actual
+                FROM (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                        CAST(length(text) AS BIGINT) AS n_chars,
+                        CAST(len(list_filter(string_split(text, ' '),
+                          w -> w IN ${inList(stopwords.head._2)})) AS BIGINT) AS stop_hits
+                      FROM documents)),
+         mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM sc)
+         SELECT (score - lo) * 10 // (hi - lo + 1) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(actual) AS BIGINT) AS n_keep,
+           MIN(score) AS score_lo, MAX(score) AS score_hi,
+           (CAST(SUM(actual) AS BIGINT) * 1000) // COUNT(*) AS keep_permille
+         FROM sc JOIN tr USING (doc_id) CROSS JOIN mm
+         GROUP BY 1""",
     "ta11_domain_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
          w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
