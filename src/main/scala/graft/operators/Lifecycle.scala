@@ -60,6 +60,30 @@ object Lifecycle {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     }),
 
+    // L14: BACKFILL PLANNER — the incremental-recompute decision of a
+    // partitioned pipeline: given a processing watermark (here: the
+    // top 1/5 of event ids is "late-arriving" — derived from the
+    // memoized max-id stat, so both engines draw the same line),
+    // which date partitions does the late data touch, how many late
+    // rows vs the partition's full size (the recompute cost a
+    // scheduler weighs), and does the partition need recomputing at
+    // all. One scan fans both sides (late flag is a projection);
+    // per-date rollup is partition-count-bounded. Partitions with NO
+    // late rows never appear — the plan IS the work list.
+    "l14_backfill_plan" -> ((s, dir) => {
+      val wm = Tables.maxIdStat(s, dir, "events", "event_id") * 4L / 5L
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).cast("string").as("partition_date"),
+          col("event_id"))
+        .groupBy(col("partition_date"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_id") > wm, 1L).otherwise(0L)).as("n_late"),
+          min(when(col("event_id") > wm, col("event_id"))).as("first_late_id"),
+          max(when(col("event_id") > wm, col("event_id"))).as("last_late_id"))
+        .filter(col("n_late") > 0L)
+        .withColumn("late_permille", expr("n_late * 1000 DIV n_rows"))
+    }),
+
     // L5b: PROVIDER-format load-file roundtrip — the same events
     // written through three provider encoders (BQ = gzip JSON with
     // both load-time columns; POSTGRES = gzip CSV with RFC3339-milli
@@ -425,6 +449,19 @@ object Lifecycle {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            MIN(event_id) AS min_id, MAX(event_id) AS max_id
          FROM events GROUP BY 1""",
+    // the same watermark line derived from the same max
+    "l14_backfill_plan" ->
+      """WITH wm AS (SELECT MAX(event_id) * 4 // 5 AS w FROM events)
+         SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS partition_date,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_id > wm.w THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           MIN(CASE WHEN event_id > wm.w THEN event_id END) AS first_late_id,
+           MAX(CASE WHEN event_id > wm.w THEN event_id END) AS last_late_id,
+           (CAST(SUM(CASE WHEN event_id > wm.w THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+             // COUNT(*) AS late_permille
+         FROM events CROSS JOIN wm
+         GROUP BY 1
+         HAVING SUM(CASE WHEN event_id > wm.w THEN 1 ELSE 0 END) > 0""",
     "s6_staging_scan" ->
       """SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

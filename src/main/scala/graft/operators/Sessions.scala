@@ -549,6 +549,34 @@ object Sessions {
           col("okey").as("o_orderkey"), col("oprice").as("o_totalprice"))
     }),
 
+    // W12: DIMENSION-AS-OF-EVENT-TIME — the classic warehouse
+    // temporal query, composing two existing subsystems: w11's SCD2
+    // versioning (two balance versions per every-7th customer, the
+    // flip at the 2024-01-15 boundary) and the NATIVE as-of join
+    // (plans/AsOfJoin.scala). Because SCD2 versions PARTITION time,
+    // "latest valid_from <= event ts" IS the valid version — no
+    // valid_to residual needed; each event reads the balance that was
+    // current when it happened. Exchanges placed by
+    // EnsureRequirements exactly like q17b; DuckDB's native ASOF JOIN
+    // over the replayed version table is the independent oracle.
+    "w12_scd2_asof" -> ((s, dir) => {
+      val flipUs = 1705276800000000L // 2024-01-15, inside the event range
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val versions = dim.select(col("c_custkey"), explode(
+          when(col("c_custkey") % 7 === 3, array(
+            struct(col("c_acctbal").as("bal"), lit(0L).as("vf")),
+            struct((col("c_acctbal") + 100.5).as("bal"), lit(flipUs).as("vf"))))
+            .otherwise(array(struct(col("c_acctbal").as("bal"), lit(0L).as("vf"))))
+        ).as("v"))
+        .select(col("c_custkey").as("rk"), col("v.vf").as("rt"), col("v.bal").as("bal"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"), col("event_id"))
+      graft.plans.AsOfJoins.asof(ev, versions)
+        .select(col("event_id"), col("k").as("user_id"),
+          col("t").as("ts_us"), col("bal").as("acctbal_at_event"))
+    }),
+
     // FORWARD as-of through the SAME native exec — the "next order at
     // or after the event" lookup (attribution windows, follow-up
     // joins). Time negation maps forward onto backward semantics:
@@ -1224,6 +1252,19 @@ object Sessions {
                 o.okey AS o_orderkey, o.oprice AS o_totalprice
          FROM events e ASOF LEFT JOIN od o
            ON e.user_id = o.k AND epoch_us(e.ts) <= o.t""",
+    // DuckDB's native ASOF over the replayed SCD2 version table —
+    // the version valid at each event's timestamp
+    "w12_scd2_asof" ->
+      """WITH v AS (
+           SELECT c_custkey AS rk, CAST(0 AS BIGINT) AS rt, c_acctbal AS bal
+           FROM customer
+           UNION ALL
+           SELECT c_custkey, CAST(1705276800000000 AS BIGINT), c_acctbal + 100.5
+           FROM customer WHERE c_custkey % 7 = 3)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                v.bal AS acctbal_at_event
+         FROM events e ASOF LEFT JOIN v
+           ON e.user_id = v.rk AND epoch_us(e.ts) >= v.rt""",
     // identical declarative statement as q17 — the native exec must
     // reproduce the window formulation bit-for-bit
     "q17b_asof_native" ->
