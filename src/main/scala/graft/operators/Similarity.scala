@@ -721,6 +721,46 @@ object Similarity {
           (col("vec_id") === col("rep_id") || col("rep_sim") < 0.9).as("kept"))
     }),
 
+    // CP3: the composed EMBEDDING-CURATION RELEASE — round 12's
+    // answer to cp1/cp2's text pipelines, one Catalyst plan end to
+    // end: 2-iteration distributed Lloyd clusters the two-crawl
+    // corpus (ll26), SemDeDup's representative rule marks the keep
+    // set (ll27), and each cell ships a manifest row — member/kept
+    // counts plus the KEPT-set medoid (ll29's coreset pick restricted
+    // to survivors, ties to the lowest id). The manifest is what a
+    // release pipeline hands the trainer: k rows, one per cell, at
+    // any corpus size.
+    "cp3_embedding_curation" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val perturbed = base.select((col("vec_id") + 10000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i < 32, CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT), x))")
+          .as("embedding"))
+      val corpus = base.unionByName(perturbed)
+      val qe = corpus.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // init + iterations + final assign
+      val init = qe.orderBy(col("vec_id")).limit(8)
+        .collect().map(_.getSeq[Long](1).toArray) // k rows — model-sized
+      val cents = lloydRefine(qe, init, iters = 2, dim = 64)
+      val e = withNorm(corpus)
+        .join(assignCells(qe, cents), "vec_id") // brings cell AND dmin
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // reps + rollup
+      val reps = e.groupBy(col("cell")).agg(min(col("vec_id")).as("rep_id"))
+        .select(col("rep_id"))
+      val repVecs = e.join(broadcast(reps), col("vec_id") === col("rep_id"))
+        .select(col("cell"), col("rep_id"), col("embedding").as("rep_emb"),
+          col("nrm").as("rep_nrm"))
+      e.join(broadcast(repVecs), "cell")
+        .withColumn("kept", col("vec_id") === col("rep_id") ||
+          dotExpr("embedding", "rep_emb") / sqrt(col("nrm") * col("rep_nrm")) < 0.9)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("kept"), struct(col("dmin"), col("vec_id")))).as("m"))
+        .select(col("cell"), col("n_members"), col("n_kept"),
+          col("m.vec_id").as("medoid_id"), col("m.dmin").as("medoid_dist"))
+    }),
+
     // Embedding OUTLIER filtering — the embedding-space quality gate:
     // per-label centroid over integer-quantized vectors, exact squared
     // L2 distance of each vector to its label's centroid, outlier =
@@ -1143,6 +1183,52 @@ object Similarity {
     // Mirrors ll17: same two-crawl corpus and hyperplane buckets as
     // ll8's oracle, lowest-member representative per bucket, exact
     // cosine vs the representative decides the keep verdict.
+    // cp3: ll27's CTE chain + the kept-set medoid per cell
+    "cp3_embedding_curation" ->
+      s"""WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000,
+              list_transform(range(1, 65),
+                i -> CASE WHEN i <= 32
+                          THEN CAST(CAST(embedding[i] AS DOUBLE) * 1.1 AS FLOAT)
+                          ELSE embedding[i] END)
+            FROM embeddings),
+          qe AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM corpus),
+          c0 AS (SELECT vec_id AS cid, q AS c FROM qe ORDER BY vec_id LIMIT 8),
+          ${kmAssignSql("qe", "c0", "a0")},
+          ${kmUpdateSql("a0", "c0", "c1")},
+          ${kmAssignSql("qe", "c1", "a1")},
+          ${kmUpdateSql("a1", "c1", "c2")},
+          scored AS (SELECT e.vec_id, c.cid, list_sum(list_transform(range(1, 65),
+                       i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+                     FROM qe e, c2 c),
+          af AS (SELECT vec_id, cid AS cell, d FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY d, cid) AS rn FROM scored) WHERE rn = 1),
+          e AS (SELECT c.vec_id, c.embedding, $normSql AS nrm, af.cell, af.d
+                FROM corpus c JOIN af ON c.vec_id = af.vec_id),
+          reps AS (SELECT cell, MIN(vec_id) AS rep_id FROM e GROUP BY cell),
+          rv AS (SELECT r.cell, r.rep_id, m.embedding AS rep_emb, m.nrm AS rep_nrm
+                 FROM reps r JOIN e m ON m.vec_id = r.rep_id),
+          kt AS (SELECT m.vec_id, m.cell, m.d,
+                   (m.vec_id = rv.rep_id OR
+                    list_sum(list_transform(range(1, 65),
+                      i -> CAST(m.embedding[i] AS DOUBLE) * CAST(rv.rep_emb[i] AS DOUBLE)))
+                    / sqrt(m.nrm * rv.rep_nrm) < 0.9) AS kept
+                 FROM e m JOIN rv ON m.cell = rv.cell)
+          SELECT cell, COUNT(*) AS n_members,
+            CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            arg_min(CASE WHEN kept THEN vec_id END,
+              CASE WHEN kept THEN lpad(CAST(d AS VARCHAR), 20, '0') ||
+                lpad(CAST(vec_id AS VARCHAR), 20, '0') END) AS medoid_id,
+            CAST(arg_min(CASE WHEN kept THEN d END,
+              CASE WHEN kept THEN lpad(CAST(d AS VARCHAR), 20, '0') ||
+                lpad(CAST(vec_id AS VARCHAR), 20, '0') END) AS BIGINT) AS medoid_dist
+          FROM kt GROUP BY cell""",
     // Mirrors ll27: the two-crawl corpus, both Lloyd iterations and
     // the final assignment replayed over the union (ll26's CTE chain
     // on the bigger corpus), then ll17's representative rule per
