@@ -332,6 +332,36 @@ object Errors {
       .withColumnRenamed("normalized", "error_message")
 
   val defs: Map[String, Q] = Map(
+    // ER3: dead-letter REPLAY planner — the drain half of the stash
+    // loop (processor stash unstash + router/utils Drain +
+    // router backoff, the dr1/d1 decision classes applied to the
+    // error stash): each failed delivery carries a status code and an
+    // attempt count; terminal 4xx aborts, exhausted retries (>= 3
+    // attempts) abort, everything else lands in an exponential-
+    // backoff replay slot (1 << attempts minutes, the router's
+    // doubling schedule). Output = the per-day replay work list a
+    // scheduler drains — one scan with the error filter PUSHED, one
+    // (date, decision, slot)-keyed rollup; slot cardinality is the
+    // attempt cap, so the plan is calendar × classes sized.
+    "er3_error_replay" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"),
+          to_date(col("ts")).cast("string").as("failed_date"),
+          (lit(400L) + (col("event_id") % 8) * 25L).as("status_code"),
+          (col("event_id") % 5 + 1L).as("attempts"))
+        .withColumn("decision",
+          when(col("status_code") < 500L, lit("aborted_4xx"))
+            .when(col("attempts") >= 3L, lit("aborted_max_attempts"))
+            .otherwise(lit("replay")))
+        .withColumn("backoff_min",
+          when(col("decision") === "replay",
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(attempts AS INT))"))
+            .otherwise(lit(null).cast("long")))
+        .groupBy(col("failed_date"), col("decision"), col("backoff_min"))
+        .agg(count(lit(1)).as("n_jobs"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    }),
     "er1_error_extract" -> ((s, dir) => {
       val sess = s
       import sess.implicits._
@@ -468,5 +498,16 @@ object Errors {
 
   val oracles: Map[String, String] = Map(
     "er1_error_extract" -> er1Sql,
-    "er2_error_groups" -> er2Sql)
+    "er2_error_groups" -> er2Sql,
+    // same integer code/attempt derivations; << agrees across engines
+    "er3_error_replay" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS failed_date,
+           CASE WHEN 400 + (event_id % 8) * 25 < 500 THEN 'aborted_4xx'
+                WHEN event_id % 5 + 1 >= 3 THEN 'aborted_max_attempts'
+                ELSE 'replay' END AS decision,
+           CAST(CASE WHEN 400 + (event_id % 8) * 25 >= 500 AND event_id % 5 + 1 < 3
+                     THEN 1 << (event_id % 5 + 1) END AS BIGINT) AS backoff_min,
+           COUNT(*) AS n_jobs, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         FROM events WHERE event_type = 'error'
+         GROUP BY 1, 2, 3""")
 }
