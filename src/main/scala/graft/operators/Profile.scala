@@ -501,6 +501,138 @@ object Profile {
         .groupBy(col("nation"), col("segment"), col("bal_band"))
         .agg(count(lit(1)).as("n_records"))
         .withColumn("k_anonymous", col("n_records") >= k)
+    }),
+
+    // DQ4: BENFORD FIRST-DIGIT AUDIT (Benford 1938; Nigrini's fraud-
+    // detection use) — the anomaly screen an ingest-quality gate runs
+    // over monetary amounts: naturally-occurring multi-magnitude
+    // amounts follow P(d) = log10(1 + 1/d); a synthetic or tampered
+    // feed doesn't. One scan, one 9-row aggregate; the expected
+    // distribution is 9 plan literals computed once at build (the
+    // SAME integer ppm constants are interpolated into the oracle, so
+    // no transcendental runs in either engine) and the observed share
+    // divides by the memoized order-count statistic — no second scan,
+    // no window.
+    "dq4_benford" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val nOrders = Tables.countStat(s, dir, "orders")
+      val expected = (1L to 9L)
+        .map(d => (d, math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong))
+      val expDf = expected.toDF("digit", "expected_ppm")
+      Tables.orders(s, dir)
+        .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)" +
+          " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+        .withColumn("observed_ppm", expr(s"n_orders * 1000000L DIV ${nOrders}L"))
+        .join(broadcast(expDf), "digit")
+        .withColumn("deviation_ppm", abs(col("observed_ppm") - col("expected_ppm")))
+    }),
+
+    // PROF13: ROBUST OUTLIERS BY MEDIAN ABSOLUTE DEVIATION — the
+    // skew-immune sibling of ll11's z-score outliers (one whale
+    // shifts a mean+stddev fence; the median/MAD fence doesn't move,
+    // Hampel's classic estimator). Both location and spread come from
+    // Percentiles.exact, so every stage is the bounded bucket-count
+    // machinery (no corpus-sized percentile buffer — the r10 verdict
+    // item that machinery exists to prevent); deviations stay in
+    // doubled integer cents (2·cents keeps the x.5 medians exact) and
+    // the 3·MAD fence compares 2·dev2 > 3·round(2·mad2) — all-integer
+    // arithmetic both engines reproduce bit-for-bit. The nation-keyed
+    // joins broadcast a 25-row model table back over the scan.
+    "prof13_mad_outliers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("nation"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+      val med = Percentiles.exact(c, Seq("nation"), "cents", Seq("medc" -> 0.5))
+        .select(col("nation"), col("medc"))
+      val dev = c.join(broadcast(med), "nation")
+        .withColumn("dev2",
+          abs(col("cents") * 2 - expr("CAST(round(medc * 2) AS BIGINT)")))
+      val mad = Percentiles.exact(dev.select(col("nation"), col("dev2")),
+          Seq("nation"), "dev2", Seq("mad2" -> 0.5))
+        .select(col("nation"), col("mad2"))
+      dev.join(broadcast(mad), "nation")
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+          (max(col("medc")) / lit(100.0)).as("median_bal"),
+          (max(col("mad2")) / lit(200.0)).as("mad"),
+          sum(when(col("dev2") * 2 > expr("CAST(round(mad2 * 2) AS BIGINT)") * 3,
+            1L).otherwise(0L)).as("n_outliers"))
+    }),
+
+    // KMV1: BOTTOM-K DISTINCT SKETCH PROFILING — prof4's NDV column
+    // re-profiled through the KMV/theta sketch (Beyer et al.
+    // SIGMOD'07): per event type plus the merged ALL row, the k=64
+    // smallest md5 hashes of user_id. Unlike HLL the sketch content
+    // is a deterministic function of the input SET, so the oracle
+    // replays it with a rank-k window and checks VALUE equality, not
+    // an envelope. One partial-agg scan per grouping (k longs per
+    // group on the shuffle — never the distinct set); the exact NDV
+    // rides alongside to show estimator calibration.
+    "kmv1_sketch_ndv" -> ((s, dir) => {
+      val k = 64
+      val kmv = udaf(new graft.functions.KmvAggregator(k))
+      val hashed = Tables.events(s, dir).select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"),
+        col("user_id"))
+      val perType = hashed.groupBy(col("event_type").as("grp"))
+        .agg(kmv(col("hv")).as("sk"), countDistinct(col("user_id")).as("ndv_exact"))
+      val all = hashed
+        .agg(kmv(col("hv")).as("sk"), countDistinct(col("user_id")).as("ndv_exact"))
+        .select(lit("ALL").as("grp"), col("sk"), col("ndv_exact"))
+      perType.unionByName(all).select(col("grp"),
+        size(col("sk")).cast("long").as("n_sketch"),
+        expr("sk[size(sk) - 1]").as("kth_hash"),
+        expr(s"CAST(CASE WHEN size(sk) < $k THEN size(sk) " +
+          s"ELSE ${k - 1}L * 4294967296L DIV sk[size(sk) - 1] END AS BIGINT)")
+          .as("ndv_est"),
+        col("ndv_exact"))
+    }),
+
+    // KMV2: SKETCH SET OPERATIONS — the capability HLL registers
+    // cannot give (a2c can only union): |A ∪ B| from the merged
+    // sketch and |A ∩ B| from the inclusion fraction — the k smallest
+    // union hashes are computable from the two k-bounded sketches
+    // alone, and the share of them present in BOTH sketches estimates
+    // Jaccard (the DataSketches theta-intersection rule). Three
+    // bounded aggregates over one scan + a 1-row broadcast assembly;
+    // exact counts ride alongside. All arithmetic is integer DIV on
+    // plan-literal k and the 2^32 hash domain, so the estimate itself
+    // is oracle-exact.
+    "kmv2_sketch_setops" -> ((s, dir) => {
+      val k = 64
+      val kmv = udaf(new graft.functions.KmvAggregator(k))
+      val hashed = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("hv"),
+          col("user_id"))
+      val skA = hashed.filter(col("event_type") === "click")
+        .agg(kmv(col("hv")).as("ska"))
+      val skB = hashed.filter(col("event_type") === "purchase")
+        .agg(kmv(col("hv")).as("skb"))
+      val skU = hashed.agg(kmv(col("hv")).as("sku"))
+      val exact = hashed.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("ia"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ib"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("ia") === 1L && col("ib") === 1L, 1L).otherwise(0L))
+            .as("exact_intersection"))
+      skU.crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
+        .crossJoin(broadcast(exact))
+        .withColumn("est_union",
+          expr(s"CAST(CASE WHEN size(sku) < $k THEN size(sku) " +
+            s"ELSE ${k - 1}L * 4294967296L DIV sku[size(sku) - 1] END AS BIGINT)"))
+        .withColumn("n_common",
+          size(array_intersect(col("sku"), array_intersect(col("ska"), col("skb"))))
+            .cast("long"))
+        .select(col("est_union"), col("n_common"),
+          expr("CAST(n_common * est_union DIV size(sku) AS BIGINT)")
+            .as("est_intersection"),
+          col("exact_union"), col("exact_intersection"))
     })
   )
 
@@ -741,6 +873,97 @@ object Profile {
            user_id, CAST(c AS BIGINT) AS n_rows,
            CAST(c AS DOUBLE) / total AS share
          FROM c CROSS JOIN t
-         ORDER BY c DESC, user_id LIMIT 10"""
+         ORDER BY c DESC, user_id LIMIT 10""",
+    // same floor(log10(1+1/d)·1e6) plan literals as the Spark side —
+    // both engines compare against identical integer constants
+    "dq4_benford" -> {
+      val values = (1L to 9L)
+        .map(d => s"($d, ${math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong})")
+        .mkString(", ")
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+          g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
+          t AS (SELECT COUNT(*) AS n FROM orders),
+          e AS (SELECT * FROM (VALUES $values) v(digit, expected_ppm))
+          SELECT g.digit, n_orders,
+            CAST(n_orders * 1000000 // t.n AS BIGINT) AS observed_ppm,
+            CAST(expected_ppm AS BIGINT) AS expected_ppm,
+            CAST(abs(n_orders * 1000000 // t.n - expected_ppm) AS BIGINT)
+              AS deviation_ppm
+          FROM g JOIN e ON g.digit = e.digit CROSS JOIN t"""
+    },
+    // quantile_cont == Percentiles.exact (the PercentilesSpec
+    // contract) at both the location and the spread stage; all
+    // comparisons in doubled integer cents
+    "prof13_mad_outliers" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM customer),
+         med AS (SELECT nation, quantile_cont(cents, 0.5) AS medc FROM c GROUP BY 1),
+         dev AS (SELECT nation, cents, medc,
+                   abs(cents * 2 - CAST(round(medc * 2) AS BIGINT)) AS dev2
+                 FROM c JOIN med USING (nation)),
+         mad AS (SELECT nation, quantile_cont(dev2, 0.5) AS mad2 FROM dev GROUP BY 1)
+         SELECT dev.nation, COUNT(*) AS n_customers,
+           MAX(medc) / 100.0 AS median_bal,
+           MAX(mad2) / 200.0 AS mad,
+           CAST(SUM(CASE WHEN dev2 * 2 > CAST(round(mad2 * 2) AS BIGINT) * 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev JOIN mad ON dev.nation = mad.nation
+         GROUP BY 1""",
+    // the sketch is a deterministic function of the input set: the
+    // rank-k window over distinct hashes reproduces it exactly
+    "kmv1_sketch_ndv" ->
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+               AS UBIGINT) AS BIGINT) AS hv
+           FROM events),
+         ha AS (SELECT * FROM h UNION ALL SELECT DISTINCT 'ALL' AS grp, hv FROM h),
+         r AS (SELECT grp, hv,
+                 ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv) AS rn
+               FROM ha),
+         sk AS (SELECT grp, COUNT(*) AS n_sketch, MAX(hv) AS kth_hash
+                FROM r WHERE rn <= 64 GROUP BY 1),
+         ex AS (SELECT event_type AS grp, COUNT(DISTINCT user_id) AS ndv_exact
+                FROM events GROUP BY 1
+                UNION ALL
+                SELECT 'ALL', COUNT(DISTINCT user_id) FROM events)
+         SELECT grp, CAST(n_sketch AS BIGINT) AS n_sketch, kth_hash,
+           CAST(CASE WHEN n_sketch < 64 THEN n_sketch
+                     ELSE 63 * 4294967296 // kth_hash END AS BIGINT) AS ndv_est,
+           CAST(ndv_exact AS BIGINT) AS ndv_exact
+         FROM sk JOIN ex USING (grp)""",
+    "kmv2_sketch_setops" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+               AS UBIGINT) AS BIGINT) AS hv
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         ska AS (SELECT hv FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+                                 FROM h WHERE event_type = 'click') WHERE rn <= 64),
+         skb AS (SELECT hv FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+                                 FROM h WHERE event_type = 'purchase') WHERE rn <= 64),
+         hu AS (SELECT DISTINCT hv FROM h),
+         sku AS (SELECT hv FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+                                 FROM hu) WHERE rn <= 64),
+         su AS (SELECT COUNT(*) AS nu, MAX(hv) AS kth FROM sku),
+         com AS (SELECT COUNT(*) AS n_common FROM sku
+                 WHERE hv IN (SELECT hv FROM ska) AND hv IN (SELECT hv FROM skb)),
+         ex AS (SELECT COUNT(DISTINCT user_id) AS exact_union,
+                  (SELECT COUNT(*) FROM
+                    (SELECT user_id FROM events WHERE event_type = 'click'
+                     INTERSECT
+                     SELECT user_id FROM events WHERE event_type = 'purchase'))
+                    AS exact_intersection
+                FROM events WHERE event_type IN ('click', 'purchase'))
+         SELECT
+           CAST(CASE WHEN nu < 64 THEN nu ELSE 63 * 4294967296 // kth END
+             AS BIGINT) AS est_union,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common * (CASE WHEN nu < 64 THEN nu
+                                 ELSE 63 * 4294967296 // kth END) // nu
+             AS BIGINT) AS est_intersection,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_intersection AS BIGINT) AS exact_intersection
+         FROM su CROSS JOIN com CROSS JOIN ex"""
   )
 }
