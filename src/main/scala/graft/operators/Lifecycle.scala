@@ -6,6 +6,7 @@ import java.sql.Timestamp
 import graft.{Q, Tables}
 import graft.sinks.Sinks
 import graft.sources.Readers
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StructType}
 
@@ -82,6 +83,35 @@ object Lifecycle {
           max(when(col("event_id") > wm, col("event_id"))).as("last_late_id"))
         .filter(col("n_late") > 0L)
         .withColumn("late_permille", expr("n_late * 1000 DIV n_rows"))
+    }),
+
+    // L15: SMALL-FILE COMPACTION PLANNER — the OPTIMIZE step every
+    // datalake table needs after d8/l10-style partitioned writes
+    // accumulate under-sized files (Delta/Iceberg's bin-packing
+    // compaction, planned declaratively): per partition date, files
+    // under the target size are greedily packed in file-id order into
+    // target-sized rewrite bins ((cum − bytes) DIV target — ta6's
+    // shard rule applied to bytes), and single-file bins drop out
+    // (nothing to merge). The ledger aggregate is the only
+    // corpus-scale shuffle; the packing windows run over FILE
+    // METADATA (corpus/file-size rows, partition-bounded per window),
+    // which is exactly the scale a real table-format compactor
+    // plans over.
+    "l15_compaction_plan" -> ((s, dir) => {
+      val target = 4096L
+      val files = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).cast("string").as("dt"),
+          (col("event_id") % 40L).as("file_id"))
+        .agg((sum(length(col("props")).cast("long")) + count(lit(1)) * 64L)
+          .as("bytes"))
+      val small = files.filter(col("bytes") < target)
+      val w = Window.partitionBy(col("dt")).orderBy(col("file_id"))
+      small.withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin_id", expr(s"(cum - bytes) DIV ${target}L"))
+        .groupBy(col("dt"), col("bin_id"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+          min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+        .filter(col("n_files") >= 2L)
     }),
 
     // L5b: PROVIDER-format load-file roundtrip — the same events
@@ -462,6 +492,22 @@ object Lifecycle {
          FROM events CROSS JOIN wm
          GROUP BY 1
          HAVING SUM(CASE WHEN event_id > wm.w THEN 1 ELSE 0 END) > 0""",
+    // same greedy byte-packing rule; length() counts characters in
+    // both engines and the ledger aggregate is replayed exactly
+    "l15_compaction_plan" ->
+      """WITH f AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+             event_id % 40 AS file_id,
+             CAST(SUM(length(props)) + COUNT(*) * 64 AS BIGINT) AS bytes
+           FROM events GROUP BY 1, 2),
+         sm AS (SELECT * FROM f WHERE bytes < 4096),
+         c AS (SELECT dt, file_id, bytes,
+                 CAST(SUM(bytes) OVER (PARTITION BY dt ORDER BY file_id)
+                   AS BIGINT) AS cum
+               FROM sm)
+         SELECT dt, CAST((cum - bytes) // 4096 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           MIN(file_id) AS first_file, MAX(file_id) AS last_file
+         FROM c GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
     "s6_staging_scan" ->
       """SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

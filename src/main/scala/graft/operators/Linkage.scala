@@ -219,6 +219,54 @@ object Linkage {
       val domains = docs.select(col("source").as("domain")).distinct()
       labelPropagation(edges, domains, rounds = 3)
         .select(col("domain"), col("lbl").as("community"))
+    }),
+
+    // Q43: LINK PREDICTION by the RESOURCE-ALLOCATION index (Zhou,
+    // Lü & Zhang, EPJ B 2009) over the q33/q34/q40 domain link graph
+    // — the fourth graph primitive: which NOT-yet-linked domain pairs
+    // the graph's wedge structure predicts (crawl-frontier
+    // prioritization for corpus growth). RA = Σ_w 1/deg(w) over
+    // common neighbors w — like Adamic-Adar but with 1/deg instead of
+    // 1/log(deg), which keeps the score in exact integer ppm
+    // (1000000 DIV deg — no transcendental in either engine). Plan:
+    // the two-path enumeration is ONE neighbor-keyed self equi-join
+    // of the adjacency list (cost Σ_w deg(w)², bounded because nodes
+    // are DOMAINS — metadata scale, the corpus only feeds the edge
+    // dedup); existing edges leave via one anti-join; top-20 rides
+    // the q28 TakeOrdered shape, the rank window touching only the
+    // 20 survivors.
+    "q43_link_prediction" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val n = Tables.countStat(s, dir, "documents")
+      def fam(mult: Long, off: Long) = docs.join(
+          docs.select(col("doc_id").as("tid"), col("source").as("dst")),
+          ((col("doc_id") * mult + off) % n) === col("tid"))
+        .select(col("source").as("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+      val edges = fam(13L, 7L).unionByName(fam(7L, 4L))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val adj = edges.select(col("a").as("v"), col("b").as("nb"))
+        .unionByName(edges.select(col("b").as("v"), col("a").as("nb")))
+      val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val twoPath = adj.as("l")
+        .join(adj.as("r"), col("l.nb") === col("r.nb") && col("l.v") < col("r.v"))
+        .select(col("l.v").as("na"), col("r.v").as("nb2"), col("l.nb").as("w"))
+      val scored = twoPath
+        .join(broadcast(deg).withColumnRenamed("v", "w"), "w")
+        .groupBy(col("na"), col("nb2"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("1000000L DIV d")).as("score_ppm"))
+        .join(edges, col("na") === col("a") && col("nb2") === col("b"), "left_anti")
+        .orderBy(col("score_ppm").desc, col("na").asc, col("nb2").asc)
+        .limit(20)
+      scored.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_ppm").desc, col("na").asc, col("nb2").asc))
+            .cast("long"))
+        .select(col("rank"), col("na").as("node_a"), col("nb2").as("node_b"),
+          col("n_common"), col("score_ppm"))
     })
   )
 
@@ -405,6 +453,34 @@ object Linkage {
           r0 AS (SELECT domain, CAST(1000000000000 AS BIGINT) AS r FROM domains),
           ${iter(1)}, ${iter(2)}, ${iter(3)}
           SELECT domain, CAST(r AS BIGINT) AS rank_fp FROM r3"""
-    }
+    },
+    // q33's edge CTEs + the wedge self-join; 1000000 // deg keeps the
+    // RA score in exact integers both engines agree on
+    "q43_link_prediction" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+          nn AS (SELECT COUNT(*) AS n FROM docs),
+          raw AS (SELECT d.source AS src, t.source AS dst
+                  FROM docs d CROSS JOIN nn
+                  JOIN docs t ON t.doc_id = (d.doc_id * 13 + 7) % nn.n
+                  WHERE d.source <> t.source
+                  UNION ALL
+                  SELECT d.source, t.source
+                  FROM docs d CROSS JOIN nn
+                  JOIN docs t ON t.doc_id = (d.doc_id * 7 + 4) % nn.n
+                  WHERE d.source <> t.source),
+          e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw),
+          adj AS (SELECT a AS v, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+          deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+          tp AS (SELECT l.v AS na, r.v AS nb2, l.nb AS w
+                 FROM adj l JOIN adj r ON l.nb = r.nb AND l.v < r.v),
+          sc AS (SELECT na, nb2, COUNT(*) AS n_common,
+                   CAST(SUM(1000000 // d) AS BIGINT) AS score_ppm
+                 FROM tp JOIN deg ON tp.w = deg.v GROUP BY 1, 2),
+          pred AS (SELECT * FROM sc WHERE NOT EXISTS (
+                     SELECT 1 FROM e WHERE e.a = sc.na AND e.b = sc.nb2))
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, na, nb2)
+                   AS BIGINT) AS rank,
+                 na AS node_a, nb2 AS node_b, n_common, score_ppm
+          FROM pred ORDER BY score_ppm DESC, na, nb2 LIMIT 20"""
   )
 }

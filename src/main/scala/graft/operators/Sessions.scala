@@ -891,6 +891,44 @@ object Sessions {
         .withColumn("trail7_purchases", sum(col("day_purchases")).over(w))
     }),
 
+    // A11: CLASSICAL SEASONAL DECOMPOSITION (trend / seasonal /
+    // remainder, the moving-average method behind STL's first pass) —
+    // the structural read a8/a9 alert on and a10 forecasts over:
+    // WHICH hour-of-day carries each event type's load, separated
+    // from trend. Trend = trailing-24h RANGE-frame mean over ACTIVE
+    // hours (the q42 lesson: a rows frame is wrong across gaps);
+    // seasonal index = per-(type, hour-of-day) mean of the detrended
+    // series; remainder = what's left, reported as its mean absolute
+    // value per cell. Everything after the one corpus-scale
+    // hour-bucket aggregate folds over the CALENDAR-bounded series
+    // (a9/a10's "state scales with time, not data" contract); all
+    // arithmetic is milli-scaled truncating-integer (DIV ≡ //), so
+    // the 5×24 index table lands bit-identically in both engines.
+    "a11_seasonal_decompose" -> ((s, dir) => {
+      val hour = 3600000000L
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr(s"unix_micros(ts) DIV $hour").as("h_idx"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h_idx"))
+        .rangeBetween(-23, Window.currentRow)
+      val t = h
+        .withColumn("num", sum(col("c")).over(w))
+        .withColumn("den", count(lit(1)).over(w))
+        .withColumn("trend_milli", expr("num * 1000L DIV den"))
+        .withColumn("hod", col("h_idx") % 24)
+        .withColumn("detr", col("c") * 1000L - col("trend_milli"))
+      val sidx = t.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("detr")).as("sd"))
+        .withColumn("seasonal_milli", expr("sd DIV n_hours"))
+        .select(col("event_type"), col("hod"), col("n_hours"), col("seasonal_milli"))
+      t.join(broadcast(sidx), Seq("event_type", "hod"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(max(col("seasonal_milli")).as("seasonal_milli"),
+          max(col("n_hours")).as("n_hours"),
+          expr("sum(abs(detr - seasonal_milli)) DIV max(n_hours)")
+            .as("mean_abs_remainder_milli"))
+    }),
+
     // Q41: KAPLAN-MEIER time-to-first-purchase survival — the
     // censoring-aware read q19/q32's retention curves cannot give:
     // users who never purchased are CENSORED at the observation
@@ -1037,6 +1075,28 @@ object Sessions {
            CAST(SUM(day_purchases) OVER (PARTITION BY user_id ORDER BY day
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_purchases
          FROM daily""",
+    // same trailing RANGE frame + milli-integer folds; // matches DIV
+    "a11_seasonal_decompose" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h_idx,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, h_idx, c,
+                 CAST(SUM(c) OVER w * 1000 // COUNT(*) OVER w AS BIGINT)
+                   AS trend_milli
+               FROM h WINDOW w AS (PARTITION BY event_type ORDER BY h_idx
+                 RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         d AS (SELECT event_type, h_idx % 24 AS hod,
+                 c * 1000 - trend_milli AS detr
+               FROM t),
+         sidx AS (SELECT event_type, hod, COUNT(*) AS n_hours,
+                    CAST(SUM(detr) // COUNT(*) AS BIGINT) AS seasonal_milli
+                  FROM d GROUP BY 1, 2)
+         SELECT d.event_type, d.hod, MAX(seasonal_milli) AS seasonal_milli,
+           CAST(MAX(n_hours) AS BIGINT) AS n_hours,
+           CAST(SUM(abs(detr - seasonal_milli)) // MAX(n_hours) AS BIGINT)
+             AS mean_abs_remainder_milli
+         FROM d JOIN sidx ON d.event_type = sidx.event_type AND d.hod = sidx.hod
+         GROUP BY 1, 2""",
     // the KM product as a recursive CTE over the row-numbered
     // duration series; the at-risk count carries as running state and
     // // matches DIV's truncation exactly
