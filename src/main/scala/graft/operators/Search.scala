@@ -139,6 +139,47 @@ object Search {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
           .cast("long"))
         .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+    }),
+
+    // TS5: "MORE LIKE THIS" — document-to-document tf-idf similarity
+    // (ts1/ts3 rank docs against a QUERY; this ranks doc PAIRS, the
+    // related-content/recommendation read). Candidate pairs come from
+    // the inverted index: postings self-join per term, with the
+    // posting lists df-CAPPED (2 ≤ df ≤ 32) — the classic stop-word/
+    // hapax cut that bounds the self-join at Σ df·min(df, cap) and is
+    // part of the operator's CONTRACT (the oracle applies the same
+    // cap), not a silent truncation. Weights are the rational permille
+    // idf (N·1000 DIV (df+1) — no log, ts1's trick) times tf; the
+    // score length-normalizes the weight dot by DIV (dl_a + dl_b)
+    // (Dice-style), keeping every value an exact integer. Top-20 is
+    // a TakeOrdered; the rank window touches 20 rows.
+    "ts5_more_like_this" -> ((s, dir) => {
+      val nDocs = Tables.countStat(s, dir, "documents")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 32)
+        .withColumn("idfq", expr(s"${nDocs}L * 1000L DIV (df + 1)"))
+      val wts = tf.join(broadcast(dft), "w")
+        .select(col("w"), col("doc_id"), (col("tf") * col("idfq")).as("wt"))
+      val pairs = wts.as("a")
+        .join(wts.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(expr("a.wt * b.wt")).as("dot"), count(lit(1)).as("n_shared"))
+      val scored = pairs
+        .join(dl.select(col("doc_id").as("doc_a"), col("dl").as("dla")), "doc_a")
+        .join(dl.select(col("doc_id").as("doc_b"), col("dl").as("dlb")), "doc_b")
+        .withColumn("score", expr("dot DIV (dla + dlb)"))
+        .orderBy(col("score").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(20)
+      scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_a").asc,
+          col("doc_b").asc)).cast("long"))
+        .select(col("rank"), col("doc_a"), col("doc_b"), col("n_shared"),
+          col("score"))
     })
   )
 
@@ -205,6 +246,33 @@ object Search {
                  FROM c GROUP BY doc_id)
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
                  doc_id, score, n_terms
-          FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
+          FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+    // same df cap, rational permille idf, and Dice length DIV — every
+    // value an exact integer both engines agree on
+    "ts5_more_like_this" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+          dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+          tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+          n AS (SELECT COUNT(*) AS n FROM documents),
+          dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+                  HAVING COUNT(*) BETWEEN 2 AND 32),
+          wts AS (SELECT w, doc_id,
+                    CAST(tf * (n.n * 1000 // (df + 1)) AS BIGINT) AS wt
+                  FROM tf JOIN dft USING (w) CROSS JOIN n),
+          pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(SUM(a.wt * b.wt) AS BIGINT) AS dot,
+                   COUNT(*) AS n_shared
+                 FROM wts a JOIN wts b
+                   ON a.w = b.w AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          sc AS (SELECT doc_a, doc_b, n_shared,
+                   CAST(dot // (la.dl + lb.dl) AS BIGINT) AS score
+                 FROM pr JOIN dl la ON pr.doc_a = la.doc_id
+                 JOIN dl lb ON pr.doc_b = lb.doc_id)
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_a, doc_b)
+                   AS BIGINT) AS rank,
+                 doc_a, doc_b, n_shared, score
+          FROM sc ORDER BY score DESC, doc_a, doc_b LIMIT 20"""
   )
 }

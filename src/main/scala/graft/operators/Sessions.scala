@@ -929,6 +929,70 @@ object Sessions {
             .as("mean_abs_remainder_milli"))
     }),
 
+    // Q44: MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) —
+    // the data-driven upgrade of q23's last-touch rule: model user
+    // journeys as a first-order chain over touch channels with
+    // absorbing CONVERSION/NULL states, then credit each channel by
+    // how much total conversion probability DISAPPEARS when that
+    // channel's state is removed (redirected to NULL). The
+    // corpus-scale work is exactly q22's lag-pair transition count;
+    // the chain itself is CHANNEL-DOMAIN-sized (≤ (k+2)² ppm entries,
+    // justified model-sized collect, the ll4b trainer contract), and
+    // conversion probability is a 12-step power iteration folded in
+    // exact integer ppm — truncate once per (step, state) AFTER the
+    // product sum, absorbing states self-loop at exactly 1e6 — so the
+    // oracle's 12 unrolled CTE steps (the q21/q40 pattern; recursive
+    // CTEs can't aggregate) reproduce every mass bit-for-bit.
+    "q44_markov_attribution" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val chans = Seq("view", "click", "signup")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val t = Tables.events(s, dir)
+        .filter(col("event_type").isin(chans :+ "purchase": _*))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+      val trans = t.filter(col("rn") === 1)
+        .select(lit("START").as("src"), col("event_type").as("dst"))
+        .unionByName(t.filter(col("event_type") =!= "purchase")
+          .select(col("event_type").as("src"),
+            coalesce(col("nxt"), lit("NULL")).as("dst")))
+      val m = trans.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      val tot = m.groupBy(col("src")).agg(sum(col("c")).as("tc"))
+      val prob = m.join(tot, "src")
+        .select(col("src"), col("dst"), expr("c * 1000000L DIV tc").as("ppm"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq // ≤ (channels+2)² rows — model-sized, never corpus-sized
+      def convPpm(removed: Option[String]): Long = {
+        val redirected = prob.flatMap { case (src, dst, ppm) =>
+          if (removed.contains(src)) None
+          else Some((src, if (removed.contains(dst)) "NULL" else dst, ppm))
+        }.groupBy(x => (x._1, x._2))
+          .map { case ((a, b), xs) => (a, b, xs.map(_._3).sum) }.toSeq
+        val chain = redirected ++
+          Seq(("purchase", "purchase", 1000000L), ("NULL", "NULL", 1000000L))
+        var mass = Map("START" -> 1000000L).withDefaultValue(0L)
+        for (_ <- 1 to 12) {
+          val nm = scala.collection.mutable.Map.empty[String, Long]
+            .withDefaultValue(0L)
+          for ((src, dst, ppm) <- chain) nm(dst) += mass(src) * ppm
+          mass = nm.map { case (st, v) => st -> v / 1000000L }
+            .toMap.withDefaultValue(0L)
+        }
+        mass("purchase")
+      }
+      val full = convPpm(None)
+      val eff = chans.map(c => (c, convPpm(Some(c))))
+      val totRe = eff.map { case (_, wo) => full - wo }.sum
+      eff.map { case (c, wo) =>
+        val re = full - wo
+        (c, full, wo, re, if (totRe == 0L) 0L else re * 1000000L / totRe)
+      }.toDF("channel", "conv_full_ppm", "conv_without_ppm",
+        "removal_effect_ppm", "attribution_ppm")
+    }),
+
     // Q41: KAPLAN-MEIER time-to-first-purchase survival — the
     // censoring-aware read q19/q32's retention curves cannot give:
     // users who never purchased are CENSORED at the observation
@@ -1097,6 +1161,59 @@ object Sessions {
              AS mean_abs_remainder_milli
          FROM d JOIN sidx ON d.event_type = sidx.event_type AND d.hod = sidx.hod
          GROUP BY 1, 2""",
+    // the 12-step power iteration unrolled (q21/q40's pattern —
+    // recursive CTEs can't aggregate); one // truncation per
+    // (step, state) after the product sum, matching the Spark fold
+    "q44_markov_attribution" -> {
+      def step(i: Int) =
+        s"""v$i AS (SELECT p.r, p.dst AS state,
+              CAST(SUM(v.mass * p.ppm) // 1000000 AS BIGINT) AS mass
+              FROM v${i - 1} v JOIN probr2 p ON v.r = p.r AND v.state = p.src
+              GROUP BY 1, 2)"""
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+            FROM events
+            WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+          sq AS (SELECT event_type,
+                   LEAD(event_type) OVER w AS nxt,
+                   ROW_NUMBER() OVER w AS rn
+                 FROM t
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          trans AS (SELECT 'START' AS src, event_type AS dst FROM sq WHERE rn = 1
+                    UNION ALL
+                    SELECT event_type, COALESCE(nxt, 'NULL') FROM sq
+                    WHERE event_type <> 'purchase'),
+          m AS (SELECT src, dst, COUNT(*) AS c FROM trans GROUP BY 1, 2),
+          tot AS (SELECT src, SUM(c) AS tc FROM m GROUP BY 1),
+          prob AS (SELECT src, dst, CAST(c * 1000000 // tc AS BIGINT) AS ppm
+                   FROM m JOIN tot USING (src)),
+          rem AS (SELECT * FROM (VALUES ('none'), ('view'), ('click'), ('signup'))
+                  x(r)),
+          probr AS (SELECT rem.r, src,
+                      CASE WHEN dst = rem.r THEN 'NULL' ELSE dst END AS dst,
+                      CAST(SUM(ppm) AS BIGINT) AS ppm
+                    FROM prob CROSS JOIN rem WHERE src <> rem.r GROUP BY 1, 2, 3),
+          probr2 AS (SELECT * FROM probr
+                     UNION ALL
+                     SELECT rem.r, a.s, a.s, CAST(1000000 AS BIGINT)
+                     FROM (VALUES ('purchase'), ('NULL')) a(s) CROSS JOIN rem),
+          v0 AS (SELECT r, 'START' AS state, CAST(1000000 AS BIGINT) AS mass
+                 FROM rem),
+          ${(1 to 12).map(step).mkString(",\n          ")},
+          conv AS (SELECT r,
+                     COALESCE(MAX(CASE WHEN state = 'purchase' THEN mass END), 0)
+                       AS c
+                   FROM v12 GROUP BY 1),
+          base AS (SELECT c AS full FROM conv WHERE r = 'none'),
+          eff AS (SELECT r AS channel, base.full AS f, c AS wo, base.full - c AS re
+                  FROM conv CROSS JOIN base WHERE r <> 'none'),
+          s2 AS (SELECT SUM(re) AS tot_re FROM eff)
+          SELECT channel, CAST(f AS BIGINT) AS conv_full_ppm,
+            CAST(wo AS BIGINT) AS conv_without_ppm,
+            CAST(re AS BIGINT) AS removal_effect_ppm,
+            CAST(CASE WHEN tot_re = 0 THEN 0
+                      ELSE re * 1000000 // tot_re END AS BIGINT) AS attribution_ppm
+          FROM eff CROSS JOIN s2"""
+    },
     // the KM product as a recursive CTE over the row-numbered
     // duration series; the at-risk count carries as running state and
     // // matches DIV's truncation exactly

@@ -168,6 +168,43 @@ object TextAnalysis {
             .as("shard_id"))
     }),
 
+    // TA23: SYSTEMATIC PPS SAMPLE (probability proportional to size,
+    // Madow 1949 — the survey-sampling standard): walk the corpus in
+    // doc_id order and take one sampling unit every `step` tokens, so
+    // a document's selection count is EXACTLY proportional to its
+    // token mass (ta9 samples documents uniformly; training-data
+    // token budgets want token-mass sampling, and long docs can
+    // legitimately win multiple units). A doc is selected iff its
+    // token interval ((cum−w), cum] straddles a step multiple —
+    // n_units = cum DIV step − (cum−w) DIV step, all integers, zero
+    // randomness. Same two-level sqrt-bucket prefix sum as ta6 (no
+    // window ever sees more than ~√N rows); the step derives from the
+    // memoized token-total statistic, not a second scan.
+    "ta23_pps_sample" -> ((s, dir) => {
+      val units = 100L
+      val tot = Tables.sumStat(s, dir, "documents", "size(split(text, ' '))")
+      val step = math.max(1L, tot / units)
+      val maxId = Tables.maxIdStat(s, dir, "documents", "doc_id")
+      val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)"))
+      val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val local = d.withColumn("cum_local", sum(col("n_tokens")).over(wLocal))
+      val wPrefix = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
+        .withColumn("prefix", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
+        .select(col("bucket"), col("prefix"))
+      local.join(prefix, "bucket")
+        .withColumn("cum", col("prefix") + col("cum_local"))
+        .withColumn("n_units",
+          expr(s"cum DIV ${step}L - (cum - n_tokens) DIV ${step}L"))
+        .filter(col("n_units") > 0L)
+        .select(col("doc_id"), col("n_tokens"), col("n_units"))
+    }),
+
     // Fixed-length SEQUENCE PACKING — the last hop before a training
     // loader: concatenate the corpus (doc_id order) into back-to-back
     // 512-token sequences, splitting documents across sequence
@@ -1013,6 +1050,21 @@ object TextAnalysis {
                FROM (SELECT doc_id,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                      FROM documents))""",
+    // same straddle rule; the step derives from the in-query token
+    // total exactly as the Spark side's memoized statistic does
+    "ta23_pps_sample" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         st AS (SELECT GREATEST(1, CAST(SUM(n_tokens) // 100 AS BIGINT)) AS step
+                FROM d),
+         c AS (SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+               FROM d)
+         SELECT doc_id, n_tokens,
+           CAST(cum // st.step - (cum - n_tokens) // st.step AS BIGINT) AS n_units
+         FROM c CROSS JOIN st
+         WHERE cum // st.step - (cum - n_tokens) // st.step > 0""",
     "ta12_bigram_rarity" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
                     WHERE len(string_split(text, ' ')) >= 2),

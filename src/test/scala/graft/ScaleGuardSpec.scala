@@ -54,6 +54,11 @@ class ScaleGuardSpec extends SparkSpec {
       ("same two-level prefix as ta6: the global window sees only the " +
         "~sqrt(corpus) bucket-total table (rule (e) measures it); the " +
         "per-doc cumulative sums stay bucket-partitioned"),
+    "ta23_pps_sample" ->
+      ("same two-level prefix as ta6/ta19: the global prefix window " +
+        "runs over the ~sqrt(corpus) bucket-TOTAL table (rule (e) " +
+        "measures it); per-doc cumulative token sums stay " +
+        "bucket-partitioned"),
     "prof12_equidepth" ->
       ("same Percentiles.exact global form as q26/q38: the " +
         "single-partition windows run over the coarse bucket-TOTAL " +
