@@ -183,6 +183,50 @@ object Layout {
           min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
           min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
           min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+    }),
+
+    // ZO3: ZONE-MAP SKIPPING EFFECTIVENESS — the metric zo1/zo2
+    // optimize FOR, measured directly: model ingest-ordered data
+    // files as 4096-row l_orderkey slabs, build each file's
+    // (min, max) ship-day zone map (exactly the parquet row-group /
+    // Delta file stats a lakehouse prunes on), and replay 8
+    // deterministic ship-day range predicates (derived from the
+    // global min/max — each an eighth-width slice) against the maps.
+    // A file is skipped iff max < lo OR min > hi; the report pairs
+    // rows_scanned with rows_matching, so (scanned − matching) is the
+    // false-positive scan cost that layout clustering exists to
+    // remove. Plan shape: ONE file-stats aggregate + ONE predicate
+    // probe, both against an 8-row broadcast of the predicate set —
+    // file count is corpus/4096, never joined to itself.
+    "zo3_zonemap_skip" -> ((s, dir) => {
+      val day = 86400000000L
+      val li = Tables.lineitem(s, dir)
+        .select(expr("l_orderkey DIV 4096").as("file_id"),
+          expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV $day")
+            .as("ship_day"))
+      val zones = li.groupBy(col("file_id"))
+        .agg(min(col("ship_day")).as("f_min"), max(col("ship_day")).as("f_max"),
+          count(lit(1)).as("f_rows"))
+      val mm = li.agg(min(col("ship_day")).as("lo"), max(col("ship_day")).as("hi"))
+      val preds = s.range(8).select(col("id").as("pred_id"))
+        .crossJoin(broadcast(mm)) // 1-row scalar, rule (b)'s shape
+        .withColumn("span", col("hi") - col("lo") + 1)
+        .select(col("pred_id"),
+          expr("lo + pred_id * span DIV 8").as("p_lo"),
+          expr("lo + pred_id * span DIV 8 + span DIV 16").as("p_hi"))
+      val probed = zones.crossJoin(broadcast(preds)) // 8-row predicate set
+        .withColumn("pruned",
+          when(col("f_max") < col("p_lo") || col("f_min") > col("p_hi"), 1L)
+            .otherwise(0L))
+      val matches = li.crossJoin(broadcast(preds))
+        .filter(col("ship_day") >= col("p_lo") && col("ship_day") <= col("p_hi"))
+        .groupBy(col("pred_id")).agg(count(lit(1)).as("rows_matching"))
+      probed.groupBy(col("pred_id"), col("p_lo"), col("p_hi"))
+        .agg(count(lit(1)).as("n_files"), sum(col("pruned")).as("n_pruned"),
+          sum(expr("IF(pruned = 1, 0L, f_rows)")).as("rows_scanned"))
+        .join(matches, Seq("pred_id"), "left")
+        .withColumn("rows_matching", coalesce(col("rows_matching"), lit(0L)))
+        .withColumn("skip_permille", expr("n_pruned * 1000 DIV n_files"))
     })
   )
 
@@ -235,6 +279,39 @@ object Layout {
             MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp,
             MIN(z) AS min_z, MAX(z) AS max_z
           FROM bt GROUP BY bucket"""
-    }
+    },
+    // same slab/zone-map model and eighth-width predicate derivation;
+    // all bounds integer so the prune decision is bit-identical
+    "zo3_zonemap_skip" ->
+      """WITH li AS (SELECT l_orderkey // 4096 AS file_id,
+             CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS ship_day
+           FROM lineitem),
+          z AS (SELECT file_id, MIN(ship_day) AS f_min, MAX(ship_day) AS f_max,
+                  COUNT(*) AS f_rows
+                FROM li GROUP BY 1),
+          mm AS (SELECT MIN(ship_day) AS lo, MAX(ship_day) AS hi FROM li),
+          p AS (SELECT CAST(pred_id AS BIGINT) AS pred_id,
+                  CAST(lo + pred_id * (hi - lo + 1) // 8 AS BIGINT) AS p_lo,
+                  CAST(lo + pred_id * (hi - lo + 1) // 8
+                    + (hi - lo + 1) // 16 AS BIGINT) AS p_hi
+                FROM range(8) t(pred_id) CROSS JOIN mm),
+          pr AS (SELECT pred_id, p_lo, p_hi,
+                   CASE WHEN f_max < p_lo OR f_min > p_hi THEN 1 ELSE 0 END
+                     AS pruned,
+                   f_rows
+                 FROM z CROSS JOIN p),
+          mt AS (SELECT pred_id, COUNT(*) AS rows_matching
+                 FROM li CROSS JOIN p
+                 WHERE ship_day BETWEEN p_lo AND p_hi
+                 GROUP BY 1),
+          ag AS (SELECT pred_id, p_lo, p_hi, COUNT(*) AS n_files,
+                   CAST(SUM(pruned) AS BIGINT) AS n_pruned,
+                   CAST(SUM(CASE WHEN pruned = 1 THEN 0 ELSE f_rows END)
+                     AS BIGINT) AS rows_scanned
+                 FROM pr GROUP BY 1, 2, 3)
+          SELECT ag.pred_id, p_lo, p_hi, n_files, n_pruned, rows_scanned,
+            COALESCE(rows_matching, 0) AS rows_matching,
+            n_pruned * 1000 // n_files AS skip_permille
+          FROM ag LEFT JOIN mt ON ag.pred_id = mt.pred_id"""
   )
 }

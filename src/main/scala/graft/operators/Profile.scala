@@ -561,6 +561,42 @@ object Profile {
             1L).otherwise(0L)).as("n_outliers"))
     }),
 
+    // PROF14: φ² INDEPENDENCE AUDIT (normalized chi-squared) — are
+    // two categorical columns associated? Pearson's raw χ² DIVERGES
+    // with N (any microscopic dependence is "significant" at corpus
+    // scale, and its (oN−rc)² term overflows even DECIMAL(38) there),
+    // so the profiled statistic is the scale-INVARIANT effect size
+    // φ² = χ²/N, per cell in ppb: every term is a bounded ppm ratio
+    // (obs ≤ 1e6, exp ≤ 1e6) whatever the corpus size — exact integer
+    // with ONE documented truncation per ratio, identical in both
+    // engines. Cells = event_type × epoch-weekday domain (the
+    // engine-independent integer weekday, no calendar functions).
+    // Corpus-scale work is one cell-count aggregate; the row/col
+    // margins are cell-domain rollups.
+    "prof14_independence" -> ((s, dir) => {
+      val day = 86400000000L
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) DIV $day % 7").as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+      val ct = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("n_total"))
+      cells.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(n)) // 1-row scalar, rule (b)'s shape
+        .withColumn("obs_ppm", expr("o * 1000000L DIV n_total"))
+        .withColumn("exp_ppm", expr(
+          "CAST(CAST(r AS DECIMAL(38,0)) * c * 1000000 " +
+            "DIV (CAST(n_total AS DECIMAL(38,0)) * n_total) AS BIGINT)"))
+        .withColumn("phi2_contrib_ppb", expr(
+          "IF(exp_ppm = 0, 0L, (obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) " +
+            "* 1000 DIV exp_ppm)"))
+        .select(col("event_type"), col("dow"), col("o"), col("r"), col("c"),
+          col("n_total"), col("obs_ppm"), col("exp_ppm"),
+          col("phi2_contrib_ppb"))
+    }),
+
     // KMV1: BOTTOM-K DISTINCT SKETCH PROFILING — prof4's NDV column
     // re-profiled through the KMV/theta sketch (Beyer et al.
     // SIGMOD'07): per event type plus the merged ALL row, the k=64
@@ -911,6 +947,29 @@ object Profile {
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM dev JOIN mad ON dev.nation = mad.nation
          GROUP BY 1""",
+    // bounded ppm ratios make φ² exact integer: HUGEINT margins
+    // mirror the Spark side's DECIMAL(38) cross-multiplication
+    "prof14_independence" ->
+      """WITH cells AS (SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT) AS dow,
+             COUNT(*) AS o
+           FROM events GROUP BY 1, 2),
+          rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+                 FROM cells GROUP BY 1),
+          ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+          n AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells),
+          j AS (SELECT cells.event_type, cells.dow, o, r, c, n_total,
+                  o * 1000000 // n_total AS obs_ppm,
+                  CAST(CAST(r AS HUGEINT) * c * 1000000
+                    // (CAST(n_total AS HUGEINT) * n_total) AS BIGINT) AS exp_ppm
+                FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+                CROSS JOIN n)
+          SELECT event_type, dow, o, r, c, n_total,
+            CAST(obs_ppm AS BIGINT) AS obs_ppm, exp_ppm,
+            CAST(CASE WHEN exp_ppm = 0 THEN 0
+                      ELSE (obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) * 1000
+                           // exp_ppm END AS BIGINT) AS phi2_contrib_ppb
+          FROM j""",
     // the sketch is a deterministic function of the input set: the
     // rank-k window over distinct hashes reproduces it exactly
     "kmv1_sketch_ndv" ->

@@ -993,6 +993,85 @@ object Sessions {
         "removal_effect_ppm", "attribution_ppm")
     }),
 
+    // Q45: CUSUM CHANGEPOINT (Page 1954) — where did this metric's
+    // level SHIFT? a8/a9 flag pointwise anomalies against a rolling
+    // band; CUSUM instead finds the single day that best splits the
+    // series into two regimes: the argmax of |S_t| where
+    // S_t = Σ_{i≤t}(x_i − mean). Held exactly integer by scaling
+    // through the day count: S'_t = n_days·cum_t − t·total
+    // (= n_days·S_t, same argmax, zero floats). The corpus-scale
+    // stage is ONE daily-count aggregate; every window runs over the
+    // (event_type × day)-domain table, bounded by the calendar
+    // whatever the corpus size. Earliest-day tie-break both engines
+    // order identically.
+    "q45_cusum_changepoint" -> ((s, dir) => {
+      val day = 86400000000L
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) DIV $day").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+      val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val scored = daily
+        .withColumn("cum", sum(col("n")).over(wd))
+        .withColumn("idx", row_number().over(wd).cast("long"))
+        .join(tot, "event_type")
+        .withColumn("s_scaled", expr("n_days * cum - idx * total"))
+        .withColumn("abs_s", abs(col("s_scaled")))
+      val wPick = Window.partitionBy(col("event_type"))
+        .orderBy(col("abs_s").desc, col("day").asc)
+      scored.withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          col("s_scaled"), col("abs_s"), col("n_days"), col("total"))
+    }),
+
+    // Q46: INTERPOLATION ALIGNMENT JOIN — the time-series-alignment
+    // read between q17's as-of (step-function: carry the LAST anchor)
+    // and a true resample: for each browse event BETWEEN two of the
+    // user's purchases, linearly interpolate the purchase value at
+    // the event's timestamp (sensor-gap filling / value imputation).
+    // ONE pass, NO join: purchases and browse events ride the same
+    // user-partitioned window, the bracketing anchors come from
+    // last/first(ignoreNulls) over open-ended frames (q17's union
+    // trick), and the interpolation is exact integer:
+    // prev + (next−prev)·(ts−prev_t) DIV (next_t−prev_t), with the
+    // equal-timestamp bracket degenerating to prev (DuckDB's // would
+    // raise on /0; both engines truncate identical otherwise).
+    "q46_interp_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+      val anchored = e
+        .withColumn("a_t",
+          when(col("event_type") === "purchase", col("ts_us")))
+        .withColumn("a_c",
+          when(col("event_type") === "purchase", col("cents")))
+        .withColumn("prev_t", last(col("a_t"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_c", last(col("a_c"), ignoreNulls = true).over(wPrev))
+        .withColumn("next_t", first(col("a_t"), ignoreNulls = true).over(wNext))
+        .withColumn("next_c", first(col("a_c"), ignoreNulls = true).over(wNext))
+      anchored
+        .filter(col("event_type") =!= "purchase" &&
+          col("prev_t").isNotNull && col("next_t").isNotNull)
+        .withColumn("interp_cents", expr(
+          "IF(next_t = prev_t, prev_c, " +
+            "prev_c + (next_c - prev_c) * (ts_us - prev_t) DIV (next_t - prev_t))"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("interp_cents")).as("sum_interp_cents"),
+          min(col("interp_cents")).as("min_interp_cents"),
+          max(col("interp_cents")).as("max_interp_cents"))
+        .withColumn("avg_interp_cents",
+          expr("sum_interp_cents DIV n_events"))
+    }),
+
     // Q41: KAPLAN-MEIER time-to-first-purchase survival — the
     // censoring-aware read q19/q32's retention curves cannot give:
     // users who never purchased are CENSORED at the observation
@@ -1214,6 +1293,71 @@ object Sessions {
                       ELSE re * 1000000 // tot_re END AS BIGINT) AS attribution_ppm
           FROM eff CROSS JOIN s2"""
     },
+    // n_days·cum − idx·total keeps CUSUM exactly integer; earliest
+    // day breaks argmax ties in both engines
+    "q45_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+          tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+                    COUNT(*) AS n_days
+                  FROM daily GROUP BY 1),
+          c AS (SELECT d.event_type, day,
+                  CAST(SUM(n) OVER (PARTITION BY d.event_type ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type
+                    ORDER BY day) AS BIGINT) AS idx,
+                  total, n_days
+                FROM daily d JOIN tot USING (event_type)),
+          sc AS (SELECT event_type, day,
+                  CAST(n_days * cum - idx * total AS BIGINT) AS s_scaled,
+                  CAST(abs(n_days * cum - idx * total) AS BIGINT) AS abs_s,
+                  n_days, total
+                 FROM c),
+          pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY abs_s DESC, day ASC) AS rk
+                   FROM sc)
+          SELECT event_type, day AS change_day, s_scaled, abs_s,
+            CAST(n_days AS BIGINT) AS n_days, total
+          FROM pick WHERE rk = 1""",
+    // the same single-pass bracket via IGNORE NULLS frames; the CASE
+    // guards the equal-timestamp bracket before // sees a zero
+    "q46_interp_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+          a AS (SELECT *,
+                  CASE WHEN event_type = 'purchase' THEN ts_us END AS a_t,
+                  CASE WHEN event_type = 'purchase' THEN cents END AS a_c
+                FROM e),
+          b AS (SELECT *,
+                  LAST_VALUE(a_t IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+                  LAST_VALUE(a_c IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_c,
+                  FIRST_VALUE(a_t IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t,
+                  FIRST_VALUE(a_c IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+                FROM a),
+          i AS (SELECT event_type,
+                  CASE WHEN next_t = prev_t THEN prev_c
+                       ELSE prev_c + (next_c - prev_c) * (ts_us - prev_t)
+                            // (next_t - prev_t) END AS interp_cents
+                FROM b
+                WHERE event_type <> 'purchase'
+                  AND prev_t IS NOT NULL AND next_t IS NOT NULL)
+          SELECT event_type, COUNT(*) AS n_events,
+            CAST(SUM(interp_cents) AS BIGINT) AS sum_interp_cents,
+            CAST(MIN(interp_cents) AS BIGINT) AS min_interp_cents,
+            CAST(MAX(interp_cents) AS BIGINT) AS max_interp_cents,
+            CAST(SUM(interp_cents) // COUNT(*) AS BIGINT) AS avg_interp_cents
+          FROM i GROUP BY 1""",
     // the KM product as a recursive CTE over the row-numbered
     // duration series; the at-risk count carries as running state and
     // // matches DIV's truncation exactly

@@ -472,6 +472,123 @@ object TextAnalysis {
         .withColumn("keep_permille", expr("n_keep * 1000 DIV n_docs"))
     }),
 
+    // EV9: ROC AUC, EXACT AND TIE-AWARE (Mann-Whitney U with average
+    // ranks) — the threshold-free companion to ev8's calibration bins:
+    // AUC = P(score_pos > score_neg) + ½P(tie), computed from the
+    // SCORE HISTOGRAM, never a per-document global rank: group docs by
+    // exact integer score, then each distinct score's average rank is
+    // cum_before + (n+1)/2 — held in HALF-UNITS (rank2 = 2·cum_before
+    // + n + 1) so everything stays integer, and the final scalar
+    // division runs in DECIMAL(38) (npos·nneg·1e6 overflows a long at
+    // web scale). The prefix over distinct scores is the ev8/prof5
+    // two-level shape: a 4096-wide coarse-bucket table (score-RANGE-
+    // bounded, not corpus-bounded) takes the one single-partition
+    // window; per-score cumsums stay bucket-partitioned. Trunc-div
+    // bucketing is monotone in the score, so no sign offset is needed.
+    "ev9_auc" -> ((s, dir) => {
+      val k = 256
+      val weights = s.range(k).select(col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w"), col("id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000).as("w"))
+      val feats = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "concat(ws, IF(size(ws) >= 2, " +
+            "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1])), " +
+            "CAST(array() AS ARRAY<STRING>)))")).as("f"))
+        .withColumn("bucket",
+          conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % k)
+      val scores = feats.join(broadcast(weights), "bucket")
+        .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
+      val truth = withQualityVerdict(Tables.documents(s, dir)
+          .withColumn("ws", split(col("text"), " ")))
+        .select(col("doc_id"),
+          when(col("verdict") === "keep", 1L).otherwise(0L).as("actual"))
+      val fine = scores.join(truth, "doc_id")
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("actual")).as("p"))
+        .withColumn("cb", expr("score DIV 4096"))
+      val wCoarse = Window.orderBy(col("cb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val coarse = fine.groupBy(col("cb")).agg(sum(col("n")).as("bn"))
+        .withColumn("prefix", coalesce(sum(col("bn")).over(wCoarse), lit(0L)))
+        .select(col("cb"), col("prefix"))
+      val wLocal = Window.partitionBy(col("cb")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      fine
+        .withColumn("local_before", coalesce(sum(col("n")).over(wLocal), lit(0L)))
+        .join(coarse, "cb")
+        .withColumn("cum_before", col("prefix") + col("local_before"))
+        .agg(sum(expr("p * (2 * cum_before + n + 1)")).as("rpos2"),
+          sum(col("p")).as("npos"), sum(expr("n - p")).as("nneg"))
+        .withColumn("auc_ppm", expr(
+          "IF(npos = 0 OR nneg = 0, 0L, CAST(" +
+            "(CAST(rpos2 AS DECIMAL(38,0)) - CAST(npos AS DECIMAL(38,0)) * (npos + 1)) " +
+            "* 1000000 DIV (2 * CAST(npos AS DECIMAL(38,0)) * nneg) AS BIGINT))"))
+        .select(col("npos"), col("nneg"), col("auc_ppm"))
+    }),
+
+    // EV10: CUMULATIVE GAIN / LIFT TABLE — the "how deep do I curate"
+    // read of ta10's classifier: docs deciled by score DESCENDING
+    // (ties broken by doc_id, so both engines bucket identically) and
+    // each decile scored by cumulative keep-capture (gain) and lift
+    // over the base rate. The global per-doc rank is the same
+    // two-level shape as ev9: within-4096-score-bucket row_numbers
+    // stay bucket-partitioned, only the score-range-bounded coarse
+    // prefix runs single-partition; the decile rollup's cumulative
+    // window sees exactly 10 rows. Lift cross-multiplies in
+    // DECIMAL(38) (cum_pos · N · 1e6 overflows a long at web scale).
+    "ev10_lift_gain" -> ((s, dir) => {
+      val k = 256
+      val weights = s.range(k).select(col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w"), col("id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000).as("w"))
+      val feats = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "concat(ws, IF(size(ws) >= 2, " +
+            "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1])), " +
+            "CAST(array() AS ARRAY<STRING>)))")).as("f"))
+        .withColumn("bucket",
+          conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % k)
+      val scores = feats.join(broadcast(weights), "bucket")
+        .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
+      val truth = withQualityVerdict(Tables.documents(s, dir)
+          .withColumn("ws", split(col("text"), " ")))
+        .select(col("doc_id"),
+          when(col("verdict") === "keep", 1L).otherwise(0L).as("actual"))
+      val docs = scores.join(truth, "doc_id")
+        .withColumn("cb", expr("score DIV 4096"))
+      val wCoarse = Window.orderBy(col("cb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val coarse = docs.groupBy(col("cb")).agg(count(lit(1)).as("bn"))
+        .withColumn("prefix", coalesce(sum(col("bn")).over(wCoarse), lit(0L)))
+        .select(col("cb"), col("prefix"))
+      val wLocal = Window.partitionBy(col("cb"))
+        .orderBy(col("score"), col("doc_id"))
+      val nTotal = docs.agg(count(lit(1)).as("n_total"),
+        sum(col("actual")).as("tot_pos"))
+      val wDecile = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      docs
+        .withColumn("rn", row_number().over(wLocal).cast("long"))
+        .join(coarse, "cb")
+        .crossJoin(broadcast(nTotal)) // 1-row scalar, rule (b)'s shape
+        .withColumn("rank_asc", col("prefix") + col("rn"))
+        .withColumn("decile", expr("(n_total - rank_asc) * 10 DIV n_total"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("actual")).as("n_pos"),
+          max(col("n_total")).as("n_total"), max(col("tot_pos")).as("tot_pos"))
+        .withColumn("cum_docs", sum(col("n_docs")).over(wDecile))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wDecile))
+        .withColumn("gain_permille", expr("cum_pos * 1000 DIV tot_pos"))
+        .withColumn("lift_ppm", expr(
+          "CAST(CAST(cum_pos AS DECIMAL(38,0)) * n_total * 1000000 " +
+            "DIV (CAST(cum_docs AS DECIMAL(38,0)) * tot_pos) AS BIGINT)"))
+        .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_docs"),
+          col("cum_pos"), col("gain_permille"), col("lift_ppm"))
+    }),
+
     // Temperature-weighted DOMAIN MIXING — the multi-source sampling
     // step of a training-data pipeline (alpha = 0.5 upsampling of
     // small domains, the multilingual-LM recipe): each language
@@ -1007,6 +1124,105 @@ object TextAnalysis {
            (CAST(SUM(actual) AS BIGINT) * 1000) // COUNT(*) AS keep_permille
          FROM sc JOIN tr USING (doc_id) CROSS JOIN mm
          GROUP BY 1""",
+    // the oracle ranks with ONE global window over distinct scores
+    // (it never scales); the engine's two-level half-unit rank
+    // algebra must reproduce it exactly. HUGEINT sums mirror the
+    // Spark side's DECIMAL(38) scalar division.
+    "ev9_auc" ->
+      s"""WITH w AS (SELECT bucket,
+             CAST(CAST('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 8) AS UBIGINT)
+               % 2001 AS BIGINT) - 1000 AS w
+           FROM range(256) t(bucket)),
+         f AS (SELECT doc_id,
+                 unnest(list_concat(ws,
+                   list_transform(range(len(ws) - 1),
+                     i -> ws[i + 1] || ' ' || ws[i + 2]))) AS f
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         fb AS (SELECT doc_id,
+                  CAST(CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) % 256 AS BIGINT)
+                    AS bucket
+                FROM f),
+         sc AS (SELECT doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+                FROM fb JOIN w USING (bucket) GROUP BY doc_id),
+         tr AS (SELECT doc_id,
+                  CASE WHEN n_words BETWEEN 20 AND 100
+                        AND (n_chars - (n_words - 1)) / n_words < 8
+                        AND stop_hits / n_words >= 0.02
+                       THEN 1 ELSE 0 END AS actual
+                FROM (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                        CAST(length(text) AS BIGINT) AS n_chars,
+                        CAST(len(list_filter(string_split(text, ' '),
+                          w -> w IN ${inList(stopwords.head._2)})) AS BIGINT) AS stop_hits
+                      FROM documents)),
+         g AS (SELECT score, COUNT(*) AS n, CAST(SUM(actual) AS BIGINT) AS p
+               FROM sc JOIN tr USING (doc_id) GROUP BY score),
+         c AS (SELECT score, n, p,
+                 COALESCE(SUM(n) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+               FROM g),
+         agg AS (SELECT SUM(p * (2 * cum_before + n + 1)) AS rpos2,
+                   CAST(SUM(p) AS BIGINT) AS npos,
+                   CAST(SUM(n - p) AS BIGINT) AS nneg
+                 FROM c)
+         SELECT npos, nneg,
+           CAST(CASE WHEN npos = 0 OR nneg = 0 THEN 0
+                     ELSE (rpos2 - npos * (npos + 1)) * 1000000
+                          // (2 * npos * nneg) END AS BIGINT) AS auc_ppm
+         FROM agg""",
+    // same scorer/truth; the oracle deciles off one global rank
+    // (score DESC, doc_id ASC — both engines bucket identically)
+    "ev10_lift_gain" ->
+      s"""WITH w AS (SELECT bucket,
+             CAST(CAST('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 8) AS UBIGINT)
+               % 2001 AS BIGINT) - 1000 AS w
+           FROM range(256) t(bucket)),
+         f AS (SELECT doc_id,
+                 unnest(list_concat(ws,
+                   list_transform(range(len(ws) - 1),
+                     i -> ws[i + 1] || ' ' || ws[i + 2]))) AS f
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         fb AS (SELECT doc_id,
+                  CAST(CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) % 256 AS BIGINT)
+                    AS bucket
+                FROM f),
+         sc AS (SELECT doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+                FROM fb JOIN w USING (bucket) GROUP BY doc_id),
+         tr AS (SELECT doc_id,
+                  CASE WHEN n_words BETWEEN 20 AND 100
+                        AND (n_chars - (n_words - 1)) / n_words < 8
+                        AND stop_hits / n_words >= 0.02
+                       THEN 1 ELSE 0 END AS actual
+                FROM (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                        CAST(length(text) AS BIGINT) AS n_chars,
+                        CAST(len(list_filter(string_split(text, ' '),
+                          w -> w IN ${inList(stopwords.head._2)})) AS BIGINT) AS stop_hits
+                      FROM documents)),
+         j AS (SELECT sc.doc_id, score, actual FROM sc JOIN tr USING (doc_id)),
+         t AS (SELECT COUNT(*) AS n_total, CAST(SUM(actual) AS BIGINT) AS tot_pos
+               FROM j),
+         r AS (SELECT actual,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id) AS BIGINT)
+                   AS rank_asc
+               FROM j),
+         d AS (SELECT (t.n_total - rank_asc) * 10 // t.n_total AS decile,
+                 COUNT(*) AS n_docs, CAST(SUM(actual) AS BIGINT) AS n_pos,
+                 MAX(t.n_total) AS n_total, MAX(t.tot_pos) AS tot_pos
+               FROM r CROSS JOIN t GROUP BY 1),
+         cum AS (SELECT decile, n_docs, n_pos, n_total, tot_pos,
+                   CAST(SUM(n_docs) OVER (ORDER BY decile
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+                   CAST(SUM(n_pos) OVER (ORDER BY decile
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+                 FROM d)
+         SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos, cum_docs,
+           cum_pos,
+           CAST(cum_pos * 1000 // tot_pos AS BIGINT) AS gain_permille,
+           CAST(CAST(cum_pos AS HUGEINT) * n_total * 1000000
+             // (CAST(cum_docs AS HUGEINT) * tot_pos) AS BIGINT) AS lift_ppm
+         FROM cum""",
     "ta11_domain_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
          w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),

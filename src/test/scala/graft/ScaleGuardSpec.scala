@@ -59,6 +59,16 @@ class ScaleGuardSpec extends SparkSpec {
         "runs over the ~sqrt(corpus) bucket-TOTAL table (rule (e) " +
         "measures it); per-doc cumulative token sums stay " +
         "bucket-partitioned"),
+    "ev9_auc" ->
+      ("the AUC rank prefix is the two-level histogram shape: the one " +
+        "single-partition window runs over the 4096-wide coarse-bucket " +
+        "table, bounded by the classifier's integer SCORE RANGE (weights " +
+        "±1000 × features/doc), not the corpus; per-score cumsums stay " +
+        "bucket-partitioned and rule (e) measures the coarse growth"),
+    "ev10_lift_gain" ->
+      ("two pinned windows: the coarse rank prefix (score-range-bounded " +
+        "bucket table, same shape as ev9) and the decile cumulative " +
+        "window, whose input is the 10-row decile rollup"),
     "prof12_equidepth" ->
       ("same Percentiles.exact global form as q26/q38: the " +
         "single-partition windows run over the coarse bucket-TOTAL " +
@@ -85,7 +95,9 @@ class ScaleGuardSpec extends SparkSpec {
     "ll21_hard_negatives" ->
       "brute-force k×n baseline (label anti-filter); broadcast query side bounded to <10 rows",
     "ev1_ann_recall" ->
-      "recall harness composes ll3's brute-force anchor with the pruned path; both query sides bounded to <10 rows")
+      "recall harness composes ll3's brute-force anchor with the pruned path; both query sides bounded to <10 rows",
+    "zo3_zonemap_skip" ->
+      "zone-map probe: corpus/file-stats side × a BROADCAST 8-row derived predicate set (s.range(8) + 1-row min/max scalar); cost 8·n")
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(flatten)
