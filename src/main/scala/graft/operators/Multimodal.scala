@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads
@@ -402,6 +403,51 @@ object Multimodal {
           sum(length(col("frame")).cast("long")).as("sampled_bytes"))
     }),
 
+    // MM14: SHOT-BOUNDARY DETECTION — the video-segmentation step a
+    // multimodal pipeline runs before frame dedup/captioning: decode
+    // each frame (real BMP bytes, mm10's synthesizer), aHash it, and
+    // call a CUT wherever consecutive frames' dimensions change or
+    // their 64-bit aHash hamming distance exceeds 10 (content
+    // constant within a planted shot, only the small pixel-shift
+    // delta varies — so within-shot distances stay tiny and every
+    // true cut jumps). The planted truth (ceil(n_frames/shot_len))
+    // rides alongside detected shots, making this its own eval. Per
+    // video the lag window is frame-count-sized and media_id-keyed
+    // (cardinality grows WITH the corpus — the scalable partitioning);
+    // decode+hash is a narrow per-row map.
+    "mm14_shot_boundary" -> ((s, dir) => {
+      val synth = udf((fid: Long, delta: Int) => MediaCodecs.synthBmpShifted(fid, delta))
+      val ah = udf((p: Array[Byte]) => MediaCodecs.bmpAHash(p))
+      val base = Tables.documents(s, dir).select(col("doc_id").as("bid"))
+        .filter(col("bid") < 30)
+        .withColumn("n_frames", lit(8L) + col("bid") % 5L)
+        .withColumn("shot_len", lit(3L) + col("bid") % 2L)
+      val frames = base
+        .withColumn("f", explode(sequence(lit(0L), col("n_frames") - 1L)))
+        .withColumn("fid", col("bid") * 100L + expr("f DIV shot_len"))
+        .withColumn("d", expr("CAST(f % shot_len AS INT)"))
+        .withColumn("h", ah(synth(col("fid"), col("d"))))
+        .select(col("bid"), col("n_frames"), col("shot_len"), col("f"),
+          col("h.width").as("w"), col("h.height").as("hh"),
+          col("h.ahash").as("ahash"))
+      val wLag = Window.partitionBy(col("bid")).orderBy(col("f"))
+      frames
+        .withColumn("pw", lag(col("w"), 1).over(wLag))
+        .withColumn("ph", lag(col("hh"), 1).over(wLag))
+        .withColumn("pa", lag(col("ahash"), 1).over(wLag))
+        .withColumn("cut", expr(
+          "CASE WHEN pa IS NULL THEN 0L " +
+            "WHEN w <> pw OR hh <> ph THEN 1L " +
+            "WHEN bit_count(ahash ^ pa) > 10 THEN 1L ELSE 0L END"))
+        .groupBy(col("bid").as("video_id"))
+        .agg(max(col("n_frames")).as("n_frames"),
+          max(col("shot_len")).as("shot_len"),
+          sum(col("cut")).as("n_cuts"))
+        .withColumn("n_shots_detected", col("n_cuts") + 1L)
+        .withColumn("n_shots_true",
+          expr("(n_frames + shot_len - 1) DIV shot_len"))
+    }),
+
     // Image RESIZE over real decoded bytes — the preprocessing step a
     // multimodal training pipeline runs on every image: a 2×2
     // box-filter downsample (truncating integer mean, odd edges
@@ -651,6 +697,53 @@ object Multimodal {
            GROUP BY 1, 2, 3)
          SELECT video_a, video_b, n_frames, n_matched
          FROM pairs WHERE n_matched * 4 >= n_frames * 3""",
+    // mm10's closed-form pixel/aHash replay with the shot-indexed
+    // content id and within-shot delta, then one LAG pass per video
+    "mm14_shot_boundary" ->
+      """WITH vids AS (
+           SELECT doc_id AS bid, CAST(8 + doc_id % 5 AS BIGINT) AS n_frames,
+                  CAST(3 + doc_id % 2 AS BIGINT) AS shot_len
+           FROM documents WHERE doc_id < 30),
+         fr AS (
+           SELECT bid, n_frames, shot_len, CAST(u.f AS BIGINT) AS f,
+                  bid * 100 + u.f // shot_len AS fid,
+                  u.f % shot_len AS d
+           FROM vids CROSS JOIN UNNEST(range(0, n_frames)) AS u(f)),
+         px AS (
+           SELECT bid, n_frames, shot_len, f, fid, d,
+             CAST(4 + fid % 4 AS BIGINT) AS w, CAST(2 + fid % 3 AS BIGINT) AS h,
+             unnest(range(0, (4 + fid % 4) * (2 + fid % 3))) AS p
+           FROM fr),
+         g AS (
+           SELECT bid, n_frames, shot_len, f, w, h, p,
+             ((fid * 7 + 3 * p + d) % 256 + (fid * 7 + 3 * p + 1 + d) % 256 +
+              (fid * 7 + 3 * p + 2 + d) % 256) // 3 AS gray
+           FROM px),
+         m AS (SELECT bid, f, CAST(SUM(gray) // COUNT(*) AS BIGINT) AS mean_gray
+               FROM g GROUP BY bid, f),
+         hsh AS (
+           SELECT g.bid, n_frames, shot_len, g.f, w, h,
+             CAST(SUM(CASE WHEN gray > mean_gray
+                           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ahash
+           FROM g JOIN m ON g.bid = m.bid AND g.f = m.f
+           GROUP BY g.bid, n_frames, shot_len, g.f, w, h),
+         lg AS (
+           SELECT bid, n_frames, shot_len, f, w, h, ahash,
+             LAG(w) OVER wv AS pw, LAG(h) OVER wv AS ph,
+             LAG(ahash) OVER wv AS pa
+           FROM hsh WINDOW wv AS (PARTITION BY bid ORDER BY f)),
+         cuts AS (
+           SELECT bid, n_frames, shot_len,
+             CASE WHEN pa IS NULL THEN 0
+                  WHEN w <> pw OR h <> ph THEN 1
+                  WHEN bit_count(xor(ahash, pa)) > 10 THEN 1 ELSE 0 END AS cut
+           FROM lg)
+         SELECT bid AS video_id, MAX(n_frames) AS n_frames,
+           MAX(shot_len) AS shot_len, CAST(SUM(cut) AS BIGINT) AS n_cuts,
+           CAST(SUM(cut) + 1 AS BIGINT) AS n_shots_detected,
+           CAST((MAX(n_frames) + MAX(shot_len) - 1) // MAX(shot_len) AS BIGINT)
+             AS n_shots_true
+         FROM cuts GROUP BY bid""",
     "mm9_audio_neardup" ->
       s"""WITH $mm9Ctes
          SELECT x.media_id AS media_a, y.media_id AS media_b,

@@ -294,6 +294,60 @@ object TextAnalysis {
             .as("trimmed_md5"))
     }),
 
+    // TA24: KNESER-NEY BIGRAM LM (Kneser & Ney ICASSP'95, absolute
+    // discount d = 0.75) — the smoothed LM behind ta14's quality
+    // scoring, ESTIMATED DISTRIBUTED and held exactly rational: with
+    // d = 3/4, P_kn(w2|w1) = (4·c12−3)/(4·c1) + λ·P_cont where
+    // λ = 3·N1+(w1·)/(4·c1) and P_cont(w2) = N1+(·w2)/|bigram types|.
+    // In ppm with ONE documented truncation per term:
+    //   term1 = (4·c12−3)·250000 DIV c1          (c12 ≥ 1 ⇒ no clamp)
+    //   λ_ppm = 750000·N1f DIV c1
+    //   pcont = N1b·1000000 DIV B
+    //   p_kn  = term1 + λ_ppm·pcont DIV 1000000
+    // The novelty vs a raw MLE: continuation counts N1+ back off to
+    // how many CONTEXTS a word completes, not how often it occurs.
+    // Corpus-scale work: one bigram count aggregate + two distinct-
+    // count rollups — the classic map-side-combinable shape; the
+    // report is the top-3 continuations of the 5 heaviest contexts
+    // (TakeOrdered 5 → broadcast, so the rank window sees ≤ 5
+    // partitions of top-k rows).
+    "ta24_kneser_ney" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+      val c12 = toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val ctx = c12.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+      val back = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+      val btypes = c12.agg(count(lit(1)).as("b")) // 1-row scalar
+      val top5 = ctx.orderBy(col("c1").desc, col("w1").asc).limit(5)
+      val scored = c12.join(broadcast(top5), "w1")
+        .join(back, "w2")
+        .crossJoin(broadcast(btypes)) // 1-row scalar, rule (b)'s shape
+        .withColumn("term1_ppm", expr("(4 * c12 - 3) * 250000L DIV c1"))
+        .withColumn("lambda_ppm", expr("750000L * n1f DIV c1"))
+        .withColumn("pcont_ppm", expr("n1b * 1000000L DIV b"))
+        .withColumn("p_kn_ppm",
+          expr("term1_ppm + lambda_ppm * pcont_ppm DIV 1000000L"))
+      // top-3 per context through the native salted LimitPerGroup
+      // (q28b's shape) — a heavy context's continuation list never
+      // sorts in one task; the final rank window sees ≤ 15 rows
+      val salted = scored.withColumn("salt", pmod(xxhash64(col("w2")), lit(64L)))
+      val phase1 = graft.plans.LimitPerGroup.limitPerGroup(salted,
+        Seq("w1", "salt"), Seq("p_kn_ppm" -> false, "w2" -> true), 3)
+      val phase2 = graft.plans.LimitPerGroup.limitPerGroup(phase1,
+        Seq("w1"), Seq("p_kn_ppm" -> false, "w2" -> true), 3)
+      phase2.withColumn("rank",
+          row_number().over(Window.partitionBy(col("w1"))
+            .orderBy(col("p_kn_ppm").desc, col("w2").asc)).cast("long"))
+        .select(col("w1"), col("rank"), col("w2"), col("c12"), col("c1"),
+          col("n1f"), col("n1b"), col("p_kn_ppm"))
+    }),
+
     // BPE TOKENIZATION ROUND-TRIP — puts functions/Bpe on the
     // differential board (it was lib+spec-only through round 11):
     // train 40 merges on the corpus word-type table (ONE aggregate +
@@ -941,6 +995,35 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     // the round-trip identity: re-concatenated tokens == the
+    // the same rational KN terms with // per term; the oracle ranks
+    // with one plain window (it never scales)
+    "ta24_kneser_ney" ->
+      """WITH bg AS (SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+             FROM (SELECT string_split(text, ' ') AS ws FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+                  unnest(range(len(ws) - 1)) AS t(i)),
+          c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+          ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                    COUNT(*) AS n1f
+                  FROM c12 GROUP BY 1),
+          back AS (SELECT w2, COUNT(*) AS n1b FROM c12 GROUP BY 1),
+          bt AS (SELECT COUNT(*) AS b FROM c12),
+          top5 AS (SELECT w1, c1, n1f FROM ctx
+                   ORDER BY c1 DESC, w1 ASC LIMIT 5),
+          sc AS (SELECT c12.w1, c12.w2, c12.c12, t.c1, t.n1f, back.n1b,
+                   (4 * c12.c12 - 3) * 250000 // t.c1
+                     + (750000 * t.n1f // t.c1)
+                       * (back.n1b * 1000000 // bt.b) // 1000000
+                     AS p_kn_ppm
+                 FROM c12 JOIN top5 t USING (w1) JOIN back USING (w2)
+                 CROSS JOIN bt),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+                  ORDER BY p_kn_ppm DESC, w2 ASC) AS rank
+                FROM sc)
+          SELECT w1, CAST(rank AS BIGINT) AS rank, w2, c12, c1,
+            CAST(n1f AS BIGINT) AS n1f, CAST(n1b AS BIGINT) AS n1b,
+            CAST(p_kn_ppm AS BIGINT) AS p_kn_ppm
+          FROM r WHERE rank <= 3""",
     // space-stripped source, so the oracle never needs to replay BPE
     // itself; the count bound is pinned TRUE (prof6's pattern)
     "ta22_bpe_roundtrip" ->
