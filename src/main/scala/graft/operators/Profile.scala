@@ -529,6 +529,43 @@ object Profile {
         .withColumn("deviation_ppm", abs(col("observed_ppm") - col("expected_ppm")))
     }),
 
+    // DQ5: FRESHNESS / SLA AUDIT — the staleness leg the dq family
+    // lacked (dq1 rules, dq2 reconciliation, dq3 k-anon, dq4 Benford):
+    // per event stream, when did data LAST arrive and is the recent
+    // arrival RATE collapsing? Staleness = lag behind the freshest
+    // stream's max day, bucketed into the classic fresh ≤ 1d /
+    // stale ≤ 7d / dead tiers; the rate check compares the final-day
+    // volume against the stream's lifetime daily average in ppm (a
+    // silent-upstream detector that fires BEFORE staleness does).
+    // One daily aggregate; everything else runs on the
+    // (streams × days)-domain table with a 1-row watermark scalar.
+    "dq5_freshness_sla" -> ((s, dir) => {
+      val day = 86400000000L
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) DIV $day").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val perStream = daily.groupBy(col("event_type"))
+        .agg(max(col("d")).as("last_day"), sum(col("n")).as("n_total"),
+          count(lit(1)).as("n_days"),
+          max(struct(col("d"), col("n"))).as("last")) // (max day, its count)
+        .select(col("event_type"), col("last_day"), col("n_total"),
+          col("n_days"), col("last.n").as("last_day_n"))
+      val wm = perStream.agg(max(col("last_day")).as("watermark"))
+      perStream.crossJoin(broadcast(wm)) // 1-row scalar, rule (b)
+        .withColumn("staleness_days", col("watermark") - col("last_day"))
+        .withColumn("sla_tier", expr(
+          "CASE WHEN watermark - last_day <= 1 THEN 'fresh' " +
+            "WHEN watermark - last_day <= 7 THEN 'stale' ELSE 'dead' END"))
+        .withColumn("avg_daily_n", expr("n_total DIV n_days"))
+        .withColumn("last_rate_ppm", expr(
+          "IF(n_total = 0, 0L, last_day_n * n_days * 1000000L DIV n_total)"))
+        .withColumn("rate_collapsed", col("last_rate_ppm") < 500000L)
+        .select(col("event_type"), col("last_day"), col("staleness_days"),
+          col("sla_tier"), col("n_days"), col("avg_daily_n"),
+          col("last_day_n"), col("last_rate_ppm"), col("rate_collapsed"))
+    }),
+
     // PROF13: ROBUST OUTLIERS BY MEDIAN ABSOLUTE DEVIATION — the
     // skew-immune sibling of ll11's z-score outliers (one whale
     // shifts a mean+stddev fence; the median/MAD fence doesn't move,
@@ -912,6 +949,36 @@ object Profile {
          ORDER BY c DESC, user_id LIMIT 10""",
     // same floor(log10(1+1/d)·1e6) plan literals as the Spark side —
     // both engines compare against identical integer constants
+    // arg-max day count via (day, n) struct-max on the Spark side =
+    // the window-free MAX pair; the oracle reads it with arg_max-like
+    // self-join-free ordering
+    "dq5_freshness_sla" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+          ps AS (SELECT event_type, MAX(d) AS last_day,
+                   CAST(SUM(n) AS BIGINT) AS n_total, COUNT(*) AS n_days
+                 FROM daily GROUP BY 1),
+          ln AS (SELECT daily.event_type, CAST(n AS BIGINT) AS last_day_n
+                 FROM daily JOIN ps ON daily.event_type = ps.event_type
+                   AND daily.d = ps.last_day),
+          wm AS (SELECT MAX(last_day) AS watermark FROM ps)
+          SELECT ps.event_type, last_day,
+            CAST(watermark - last_day AS BIGINT) AS staleness_days,
+            CASE WHEN watermark - last_day <= 1 THEN 'fresh'
+                 WHEN watermark - last_day <= 7 THEN 'stale'
+                 ELSE 'dead' END AS sla_tier,
+            CAST(n_days AS BIGINT) AS n_days,
+            n_total // n_days AS avg_daily_n,
+            last_day_n,
+            CASE WHEN n_total = 0 THEN 0
+                 ELSE last_day_n * n_days * 1000000 // n_total END
+              AS last_rate_ppm,
+            (CASE WHEN n_total = 0 THEN 0
+                  ELSE last_day_n * n_days * 1000000 // n_total END) < 500000
+              AS rate_collapsed
+          FROM ps JOIN ln ON ps.event_type = ln.event_type CROSS JOIN wm""",
     "dq4_benford" -> {
       val values = (1L to 9L)
         .map(d => s"($d, ${math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong})")

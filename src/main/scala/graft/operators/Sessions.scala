@@ -108,6 +108,43 @@ object Sessions {
         })
   }
 
+  /** q45's streaming sibling state: Page's one-sided CUSUM pair. */
+  case class CusumState(sPos: Long, sNeg: Long)
+
+  /** ONLINE CUSUM control chart (Page 1954) — the streaming sibling
+    * of q45's retrospective changepoint scan: q45 needs the series
+    * mean (a batch statistic), the online form tracks drift against a
+    * CONFIGURED reference instead, the standard control-chart
+    * deployment. State per key is two longs:
+    *   S⁺ = max(0, S⁺ + (x − ref − slack)),
+    *   S⁻ = max(0, S⁻ + (ref − x − slack)),
+    * alarm when either exceeds h (then reset, the chart restart
+    * convention). Exactly integer, O(1) state forever, hour buckets
+    * arrive closed from the upstream watermarked aggregate exactly
+    * like holtStream's.
+    */
+  def cusumStream(series: org.apache.spark.sql.Dataset[HourCount],
+      ref: Long, slack: Long, h: Long)
+    : org.apache.spark.sql.Dataset[(String, Long, Long, Long, Long, Boolean)] = {
+    import series.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    series.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (typ: String, it: Iterator[HourCount], state: GroupState[CusumState]) => {
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = Seq.newBuilder[(String, Long, Long, Long, Long, Boolean)]
+          it.toSeq.sortBy(_.h).foreach { r =>
+            val sPos = math.max(0L, st.sPos + (r.c - ref - slack))
+            val sNeg = math.max(0L, st.sNeg + (ref - r.c - slack))
+            val alarm = sPos > h || sNeg > h
+            out += ((typ, r.h, r.c, sPos, sNeg, alarm))
+            st = if (alarm) CusumState(0L, 0L) else CusumState(sPos, sNeg)
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
   /** a10's streaming state: Holt level + trend, milli-scaled. */
   case class HoltState(l: Long, b: Long)
 
@@ -993,6 +1030,42 @@ object Sessions {
         "removal_effect_ppm", "attribution_ppm")
     }),
 
+    // Q47: PERIOD-OVER-PERIOD DELTA ATTRIBUTION (the Adtributor read,
+    // Bhagwan et al. NSDI'14, with L1 share-shift in place of its
+    // JS-divergence surprise — exact integer, same ranking intent):
+    // q45 says WHEN the metric moved; this says WHICH dimension slice
+    // moved it. The timeline splits at the deterministic midpoint
+    // day; each (event_type × epoch-weekday) slice's share of total
+    // volume is compared across the halves in ppm, and slices rank by
+    // absolute share shift. Corpus-scale work is ONE slice-count
+    // aggregate; shares, ranks and the 1-row midpoint scalar all live
+    // on the ≤ |types|·7-row slice table.
+    "q47_delta_attribution" -> ((s, dir) => {
+      val day = 86400000000L
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) DIV $day").as("d"))
+        .withColumn("dow", expr("d % 7"))
+      val mid = e.agg(expr("(min(d) + max(d) + 1) DIV 2").as("mid"))
+      val sliced = e.crossJoin(broadcast(mid)) // 1-row scalar, rule (b)
+        .groupBy(col("event_type"), col("dow"))
+        .agg(sum(when(col("d") < col("mid"), 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(col("d") >= col("mid"), 1L).otherwise(0L)).as("cnt_b"))
+      val tot = sliced.agg(sum(col("cnt_a")).as("tot_a"),
+        sum(col("cnt_b")).as("tot_b"))
+      val wRank = Window.orderBy(col("abs_shift").desc,
+        col("event_type").asc, col("dow").asc)
+      sliced.crossJoin(broadcast(tot)) // slice-domain × 1-row scalar
+        .withColumn("share_a_ppm", expr("cnt_a * 1000000L DIV tot_a"))
+        .withColumn("share_b_ppm", expr("cnt_b * 1000000L DIV tot_b"))
+        .withColumn("shift_ppm", col("share_b_ppm") - col("share_a_ppm"))
+        .withColumn("abs_shift", abs(col("shift_ppm")))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .select(col("rank"), col("event_type"), col("dow"), col("cnt_a"),
+          col("cnt_b"), col("share_a_ppm"), col("share_b_ppm"),
+          col("shift_ppm"))
+    }),
+
     // Q45: CUSUM CHANGEPOINT (Page 1954) — where did this metric's
     // level SHIFT? a8/a9 flag pointwise anomalies against a rolling
     // band; CUSUM instead finds the single day that best splits the
@@ -1293,6 +1366,35 @@ object Sessions {
                       ELSE re * 1000000 // tot_re END AS BIGINT) AS attribution_ppm
           FROM eff CROSS JOIN s2"""
     },
+    // same midpoint split and ppm share algebra; the rank window runs
+    // over the slice-domain table in both engines
+    "q47_delta_attribution" ->
+      """WITH e AS (SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT) AS dow
+           FROM events),
+          mid AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM e),
+          sl AS (SELECT event_type, dow,
+                   CAST(SUM(CASE WHEN d < mid THEN 1 ELSE 0 END) AS BIGINT)
+                     AS cnt_a,
+                   CAST(SUM(CASE WHEN d >= mid THEN 1 ELSE 0 END) AS BIGINT)
+                     AS cnt_b
+                 FROM e CROSS JOIN mid GROUP BY 1, 2),
+          tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+                    CAST(SUM(cnt_b) AS BIGINT) AS tot_b
+                  FROM sl),
+          sh AS (SELECT event_type, dow, cnt_a, cnt_b,
+                   cnt_a * 1000000 // tot_a AS share_a_ppm,
+                   cnt_b * 1000000 // tot_b AS share_b_ppm
+                 FROM sl CROSS JOIN tot)
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+              abs(share_b_ppm - share_a_ppm) DESC, event_type, dow)
+              AS BIGINT) AS rank,
+            event_type, dow, cnt_a, cnt_b,
+            CAST(share_a_ppm AS BIGINT) AS share_a_ppm,
+            CAST(share_b_ppm AS BIGINT) AS share_b_ppm,
+            CAST(share_b_ppm - share_a_ppm AS BIGINT) AS shift_ppm
+          FROM sh""",
     // n_days·cum − idx·total keeps CUSUM exactly integer; earliest
     // day breaks argmax ties in both engines
     "q45_cusum_changepoint" ->

@@ -69,6 +69,11 @@ class ScaleGuardSpec extends SparkSpec {
       ("two pinned windows: the coarse rank prefix (score-range-bounded " +
         "bucket table, same shape as ev9) and the decile cumulative " +
         "window, whose input is the 10-row decile rollup"),
+    "q47_delta_attribution" ->
+      ("the rank window's input is the (event_type × weekday) slice " +
+        "table — ≤ |types|·7 rows at any corpus size (rule (e) " +
+        "measures it); the corpus-scale stage is the slice-count " +
+        "aggregate below the window"),
     "prof12_equidepth" ->
       ("same Percentiles.exact global form as q26/q38: the " +
         "single-partition windows run over the coarse bucket-TOTAL " +

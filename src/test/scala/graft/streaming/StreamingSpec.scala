@@ -940,6 +940,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q45 streaming sibling: online CUSUM alarms on both drift directions and carries state across batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    // ref=10, slack=2, h=20: up-drift alarms at h=3 (S+ = 18+18 = 36),
+    // down-drift alarms at h=7 (S- = 6+7+8 = 21); both reset after
+    val counts = Seq(10L, 10L, 30L, 30L, 10L, 2L, 1L, 0L)
+    val series = counts.zipWithIndex.map { case (c, i) =>
+      graft.operators.Sessions.HourCount("view", i.toLong, c)
+    }
+    val input = MemoryStream[graft.operators.Sessions.HourCount]
+    val q = graft.operators.Sessions.cusumStream(input.toDS(), 10L, 2L, 20L)
+      .toDF("event_type", "hour", "n", "s_pos", "s_neg", "alarm")
+      .writeStream.format("memory").queryName("cusum").outputMode("append").start()
+    try {
+      input.addData(series.take(4): _*) // split INSIDE the up-drift run
+      q.processAllAvailable()
+      input.addData(series.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum").orderBy("hour")
+        .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toSeq
+      // driver-side reference fold of the same recurrence
+      var (sp, sn) = (0L, 0L)
+      val expect = series.map { r =>
+        val p = math.max(0L, sp + (r.c - 10L - 2L))
+        val n = math.max(0L, sn + (10L - r.c - 2L))
+        val alarm = p > 20L || n > 20L
+        if (alarm) { sp = 0L; sn = 0L } else { sp = p; sn = n }
+        (r.h, p, n, alarm)
+      }
+      assert(streamed == expect)
+      assert(streamed.count(_._4) == 2, "one alarm per drift direction")
+    } finally q.stop()
+  }
+
   test("prof7 streaming twin: CMS counters merged across micro-batches equal the batch build exactly") {
     val sess = spark
     import sess.implicits._
