@@ -38,13 +38,19 @@ object BenchScale {
   // ll24 (PQ/ADC coarse-stage ANN over 4-byte codes).
   // Round-12 additions: ll26 (full-corpus distributed Lloyd — probes
   // the per-iteration scan+aggregate stays linear) and ll27 (SemDeDup
-  // member-vs-broadcast-representative scan over the k-means cells).
+  // member-vs-broadcast-representative scan over the k-means cells);
+  // late-round-12: ts5 (df-capped postings self-join — the cap bounds
+  // candidate pairs at Σ df·min(df,32), the probe measures it), ta24
+  // (bigram-type aggregate + continuation rollups under replica-
+  // tagged vocabulary growth) and ev9 (two-level histogram-rank AUC —
+  // probes the coarse-bucket prefix stays score-range-bounded).
   private val heavy = Seq(
     "ll6_ngram_jaccard", "ll2_minhash_neardup", "ll5_simhash_neardup",
     "ll12_boilerplate_dedup", "ll18_cdc_dedup", "ll19_containment",
     "ll4b_ann_ivf_trained", "ll9_dedup_clusters", "ta16_dedup_report",
     "l1_staging_batches", "ev4_jaccard_eval", "ll24_pq_ann",
-    "ll26_kmeans_refine", "ll27_semdedup_kmeans")
+    "ll26_kmeans_refine", "ll27_semdedup_kmeans",
+    "ts5_more_like_this", "ta24_kneser_ney", "ev9_auc")
 
   /** Write a K-fold replica of the tables the heavy set reads. */
   private def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {

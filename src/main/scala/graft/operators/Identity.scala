@@ -355,6 +355,58 @@ object Identity {
       connectedComponents(edges)
         .groupBy(col("comp").as("rudder_id"))
         .agg(count(lit(1)).as("n_properties"), max(col("node")).as("max_property"))
+    }),
+
+    // L8D: IDENTITY UNMERGE — the DELETE direction of the incremental
+    // engine (applyRule covers incremental ADD): a GDPR regulation
+    // (rg1's shape) erases every merge edge of the regulated users
+    // (user_id % 97 == 0), which can SPLIT components that were only
+    // glued through those users. The incremental contract: only the
+    // old components that CONTAIN a regulated node recompute (CC over
+    // their surviving edges — nodes orphaned by the deletion drop out
+    // of the mapping, exactly what erasure means); every other
+    // component carries over untouched from the maintained mapping.
+    // At 100 TB the recompute subgraph is the regulated slice of the
+    // graph, never the graph — deletion is a PREDICATE (no join), the
+    // affected-component split is one mapping join. The graph here is
+    // a CHAIN-ISLAND topology (each 25-user island is a path glued
+    // through shared device nodes — l8's %37/%53 graph collapses to
+    // one giant component, where unmerge has nothing to split):
+    // deleting a mid-chain user PROVABLY splits its island in two,
+    // while untouched islands carry over from the old mapping. The
+    // oracle runs the FULL closure over surviving edges, so the
+    // differential gate proves incremental == full recompute, splits
+    // included.
+    "l8d_identity_unmerge" -> ((s, dir) => {
+      val u = Tables.events(s, dir).select(col("user_id")).distinct()
+        .withColumn("island", expr("user_id DIV 25"))
+        .withColumn("pos", expr("user_id % 25"))
+      // user u links its own device slot and (mid-island) the next
+      // slot — a path of ≤25 users per island
+      val edges = u.select((col("user_id") + 100000L).as("src"),
+          (col("island") * 1000L + col("pos")).as("dst"))
+        .union(u.filter(col("pos") < 24L)
+          .select((col("user_id") + 100000L).as("src"),
+            (col("island") * 1000L + col("pos") + 1L).as("dst")))
+        .distinct()
+      val old = connectedComponents(edges).toDF("node", "comp") // maintained table
+      val delComps = old
+        .filter(col("node") >= 100000L && (col("node") - 100000L) % 97 === 0)
+        .select(col("comp")).distinct()
+      val kept = edges.filter((col("src") - 100000L) % 97 =!= 0)
+      val affectedEdges = kept
+        .join(old.select(col("node").as("src"), col("comp").as("oldc")), "src")
+        .join(delComps.select(col("comp").as("oldc")), "oldc")
+        .select(col("src"), col("dst"))
+      val recomputed = connectedComponents(affectedEdges).toDF("node", "comp")
+        .withColumn("recomputed", lit(true))
+      val carried = old
+        .join(delComps.select(col("comp").as("c2")),
+          col("comp") === col("c2"), "left_anti")
+        .withColumn("recomputed", lit(false))
+      carried.unionByName(recomputed)
+        .groupBy(col("comp"), col("recomputed"))
+        .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
     })
   )
 
@@ -409,6 +461,45 @@ object Identity {
          labels AS (
            SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
          SELECT comp AS rudder_id, COUNT(*) AS n_properties, MAX(node) AS max_property
-         FROM labels GROUP BY comp"""
+         FROM labels GROUP BY comp""",
+    // the oracle is the FULL closure over surviving edges — proving
+    // the engine's carry/recompute split equals a full recompute; the
+    // recomputed flag derives from the BEFORE closure (old comp holds
+    // a regulated node)
+    "l8d_identity_unmerge" ->
+      """WITH RECURSIVE
+         u AS (SELECT DISTINCT user_id, user_id // 25 AS island,
+                 user_id % 25 AS pos
+               FROM events),
+         base_edges AS (
+           SELECT user_id + 100000 AS src, island * 1000 + pos AS dst FROM u
+           UNION
+           SELECT user_id + 100000 AS src, island * 1000 + pos + 1 AS dst
+           FROM u WHERE pos < 24),
+         sym AS (SELECT src AS a, dst AS b FROM base_edges
+                 UNION SELECT dst AS a, src AS b FROM base_edges),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         labels AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+         delc AS (SELECT DISTINCT comp FROM labels
+                  WHERE node >= 100000 AND (node - 100000) % 97 = 0),
+         kept AS (SELECT * FROM base_edges WHERE (src - 100000) % 97 <> 0),
+         sym2 AS (SELECT src AS a, dst AS b FROM kept
+                  UNION SELECT dst AS a, src AS b FROM kept),
+         reach2(a, b) AS (
+           SELECT a, b FROM sym2
+           UNION
+           SELECT r.a, s.b FROM reach2 r JOIN sym2 s ON r.b = s.a),
+         labels2 AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach2 GROUP BY a),
+         flagged AS (
+           SELECT l2.node, l2.comp,
+             (l.comp IN (SELECT comp FROM delc)) AS recomputed
+           FROM labels2 l2 JOIN labels l ON l2.node = l.node)
+         SELECT comp, recomputed, COUNT(*) AS n_nodes, MAX(node) AS max_node
+         FROM flagged GROUP BY comp, recomputed"""
   )
 }
