@@ -180,6 +180,61 @@ object Search {
           col("doc_b").asc)).cast("long"))
         .select(col("rank"), col("doc_a"), col("doc_b"), col("n_shared"),
           col("score"))
+    }),
+
+    // TS6: SPELL CORRECTION by deletion-key blocking (the SymSpell
+    // candidate rule, Garbe 2012) — fix the hapax typos a crawl is
+    // full of WITHOUT any all-pairs edit-distance scan: a word's
+    // candidate set is every dictionary word (count ≥ 5) sharing a
+    // delete-1 variant key with it, an EQUI-join on the key; the
+    // exact levenshtein == 1 gate then runs only on those candidates
+    // (both engines ship classic Levenshtein). Best suggestion =
+    // highest count, lexicographic tie-break; report the top-50 by
+    // suggestion weight. Everything is WORD-TYPE-table-sized (the
+    // BPE/ta8 vocab contract, never corpus-row-sized); keys per word
+    // ≤ len+1 ≤ 13, so the key join is vocab-linear.
+    "ts6_spell_correct" -> ((s, dir) => {
+      // noisy-crawl view: every 7th doc's first word loses one
+      // interior character (position keyed by doc_id) — the planted
+      // typo stream the corrector must map back to the dictionary
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(explode(expr(
+          "concat(array(CASE WHEN doc_id % 7 = 0 AND length(ws[0]) >= 4 " +
+            "THEN concat(substring(ws[0], 1, 1 + CAST(doc_id % (length(ws[0]) - 3) AS INT)), " +
+            "substring(ws[0], 3 + CAST(doc_id % (length(ws[0]) - 3) AS INT), 20)) " +
+            "ELSE ws[0] END), " +
+            "slice(ws, 2, greatest(size(ws) - 1, 0)))")).as("w"))
+      val vocab = toks.filter(length(col("w")).between(3, 12))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // scale-FREE thresholds off the max count (absolute cutoffs
+      // break under corpus growth): dictionary ≥ max/10, suspected
+      // typo ≤ max/50 — cross-multiplied so no truncation divergence
+      val mx = vocab.agg(max(col("cnt")).as("mx"))
+      val banded = vocab.crossJoin(broadcast(mx)) // 1-row scalar, rule (b)
+      def delKeys(df: org.apache.spark.sql.DataFrame) = df.select(col("w"), col("cnt"),
+        explode(expr("array_distinct(concat(array(w), " +
+          "transform(sequence(1, length(w)), " +
+          "i -> concat(substring(w, 1, i - 1), substring(w, i + 1, 20)))))"))
+          .as("key"))
+      val rare = delKeys(banded.filter(col("cnt") * 50 <= col("mx")))
+        .select(col("w").as("misspelled"), col("key"))
+      val dict = delKeys(banded.filter(col("cnt") * 10 >= col("mx")))
+        .select(col("w").as("suggestion"), col("cnt").as("sugg_cnt"), col("key"))
+      val wBest = Window.partitionBy(col("misspelled"))
+        .orderBy(col("sugg_cnt").desc, col("suggestion").asc)
+      rare.join(dict, "key")
+        .select(col("misspelled"), col("suggestion"), col("sugg_cnt")).distinct()
+        .filter(levenshtein(col("misspelled"), col("suggestion")) === 1)
+        .withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .orderBy(col("sugg_cnt").desc, col("misspelled").asc)
+        .limit(50)
+        .withColumn("rank", row_number().over(Window.orderBy(
+          col("sugg_cnt").desc, col("misspelled").asc)).cast("long"))
+        .select(col("rank"), col("misspelled"), col("suggestion"),
+          col("sugg_cnt"))
     })
   )
 
@@ -273,6 +328,43 @@ object Search {
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_a, doc_b)
                    AS BIGINT) AS rank,
                  doc_a, doc_b, n_shared, score
-          FROM sc ORDER BY score DESC, doc_a, doc_b LIMIT 20"""
+          FROM sc ORDER BY score DESC, doc_a, doc_b LIMIT 20""",
+    // same deletion-key blocking + exact levenshtein gate; DuckDB's
+    // levenshtein is the same classic distance
+    "ts6_spell_correct" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents WHERE len(string_split(text, ' ')) >= 1),
+          tok AS (SELECT unnest(list_concat(
+                   [CASE WHEN doc_id % 7 = 0 AND len(ws[1]) >= 4
+                         THEN substr(ws[1], 1, 1 + doc_id % (len(ws[1]) - 3))
+                              || substr(ws[1], 3 + doc_id % (len(ws[1]) - 3), 20)
+                         ELSE ws[1] END],
+                   ws[2:])) AS w
+                 FROM b),
+          v AS (SELECT w, COUNT(*) AS cnt FROM tok
+                WHERE len(w) BETWEEN 3 AND 12 GROUP BY w),
+          mx AS (SELECT MAX(cnt) AS mx FROM v),
+          rk AS (SELECT w AS misspelled, unnest(list_distinct(
+                   list_prepend(w, list_transform(range(1, len(w) + 1),
+                     i -> substr(w, 1, i - 1) || substr(w, i + 1, 20))))) AS key
+                 FROM v CROSS JOIN mx WHERE cnt * 50 <= mx),
+          dk AS (SELECT w AS suggestion, cnt AS sugg_cnt, unnest(list_distinct(
+                   list_prepend(w, list_transform(range(1, len(w) + 1),
+                     i -> substr(w, 1, i - 1) || substr(w, i + 1, 20))))) AS key
+                 FROM v CROSS JOIN mx WHERE cnt * 10 >= mx),
+          cand AS (SELECT DISTINCT misspelled, suggestion, sugg_cnt
+                   FROM rk JOIN dk USING (key)
+                   WHERE levenshtein(misspelled, suggestion) = 1),
+          best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY misspelled
+                     ORDER BY sugg_cnt DESC, suggestion ASC) AS rk
+                   FROM cand),
+          top AS (SELECT misspelled, suggestion, CAST(sugg_cnt AS BIGINT)
+                    AS sugg_cnt
+                  FROM best WHERE rk = 1
+                  ORDER BY sugg_cnt DESC, misspelled ASC LIMIT 50)
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY sugg_cnt DESC,
+              misspelled ASC) AS BIGINT) AS rank,
+            misspelled, suggestion, sugg_cnt
+          FROM top"""
   )
 }

@@ -1030,6 +1030,37 @@ object Sessions {
         "removal_effect_ppm", "attribution_ppm")
     }),
 
+    // Q48: AUDIENCE OVERLAP MATRIX — the segment-intersection read
+    // every activation/audience product ships (and the input to reach
+    // /frequency planning): for each pair of behavioral audiences
+    // ("users who did X"), the exact intersection, Jaccard and
+    // containment. The per-user type set is |types|-bounded, so the
+    // membership self-join explodes ≤ |types|²/2 rows PER USER —
+    // linear in users whatever the corpus — and the matrix itself is
+    // |types|²-domain. All integer ppm.
+    "q48_audience_overlap" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val both = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      both
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .withColumn("jaccard_ppm",
+          expr("n_both * 1000000L DIV (n_a + n_b - n_both)"))
+        .withColumn("containment_ppm",
+          expr("n_both * 1000000L DIV least(n_a, n_b)"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"), col("jaccard_ppm"), col("containment_ppm"))
+    }),
+
     // Q47: PERIOD-OVER-PERIOD DELTA ATTRIBUTION (the Adtributor read,
     // Bhagwan et al. NSDI'14, with L1 share-shift in place of its
     // JS-divergence surprise — exact integer, same ranking intent):
@@ -1366,6 +1397,20 @@ object Sessions {
                       ELSE re * 1000000 // tot_re END AS BIGINT) AS attribution_ppm
           FROM eff CROSS JOIN s2"""
     },
+    "q48_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+          sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+          both_t AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       COUNT(*) AS n_both
+                     FROM ut a JOIN ut b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+                     GROUP BY 1, 2)
+          SELECT type_a, type_b,
+            CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b, n_both,
+            n_both * 1000000 // (sa.n + sb.n - n_both) AS jaccard_ppm,
+            n_both * 1000000 // LEAST(sa.n, sb.n) AS containment_ppm
+          FROM both_t JOIN sz sa ON both_t.type_a = sa.event_type
+          JOIN sz sb ON both_t.type_b = sb.event_type""",
     // same midpoint split and ppm share algebra; the rank window runs
     // over the slice-domain table in both engines
     "q47_delta_attribution" ->

@@ -124,6 +124,53 @@ object Warehouse {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // W13: SCHEMA COMPATIBILITY CLASSIFIER — the governance verdict
+    // layered over L3's consolidation and L11's DDL diff: given a
+    // column's (v1, v2) type pair, is the evolution backward-
+    // compatible or breaking? Classes: added (new nullable column —
+    // compatible), removed (breaking), unchanged, widened (type rank
+    // moves UP the l4 coercion direction boolean→int→float→datetime→
+    // string→json — compatible, the warehouse can coerce old rows),
+    // narrowed (breaking — existing rows can't demote losslessly).
+    // Registry-fixture shape (w6/t14's pattern): the version pair
+    // table is config-sized; against a live ledger the input is l3's
+    // consolidated schema at two uploads.
+    "w13_schema_compat" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val fixture = Seq(
+        ("identifies", "user_id", "int", "int"),
+        ("identifies", "email", "string", "string"),
+        ("identifies", "age", "int", "float"),
+        ("identifies", "plan", "string", "int"),
+        ("tracks", "event", "string", "string"),
+        ("tracks", "revenue", "float", "string"),
+        ("tracks", "ts", "datetime", "string"),
+        ("tracks", "legacy_flag", "boolean", ""),
+        ("tracks", "context_ip", "", "string"),
+        ("pages", "url", "string", "string"),
+        ("pages", "referrer", "string", ""),
+        ("pages", "load_ms", "", "int"),
+        ("pages", "is_bounce", "boolean", "int"),
+        ("users", "received_at", "datetime", "datetime"),
+        ("users", "raw_payload", "json", "string"))
+      def rk(c: String) = s"CASE $c WHEN 'boolean' THEN 1 WHEN 'int' THEN 2 " +
+        "WHEN 'float' THEN 3 WHEN 'datetime' THEN 4 WHEN 'string' THEN 5 " +
+        "WHEN 'json' THEN 6 ELSE 0 END"
+      fixture.toDF("tbl", "col_name", "old_type", "new_type")
+        .withColumn("change", expr(
+          "CASE WHEN old_type = '' THEN 'added' " +
+            "WHEN new_type = '' THEN 'removed' " +
+            "WHEN old_type = new_type THEN 'unchanged' " +
+            s"WHEN ${rk("new_type")} > ${rk("old_type")} THEN 'widened' " +
+            "ELSE 'narrowed' END"))
+        .withColumn("verdict", expr(
+          "CASE change WHEN 'removed' THEN 'breaking' " +
+            "WHEN 'narrowed' THEN 'breaking' " +
+            "WHEN 'added' THEN 'backward_compatible' " +
+            "ELSE 'compatible' END"))
+    }),
+
     // W6: safe name mangling (safe.go:33-277) on an inline fixture of
     // hostile identifiers, mirrored by the oracle's regexp chain.
     "w6_safe_names" -> ((s, dir) => {
@@ -344,6 +391,43 @@ object Warehouse {
                 COUNT(*) AS n
          FROM events WHERE props LIKE '%"k"%'
          GROUP BY 1, 2, 3""",
+    // same rank chain and class rules over the shared fixture
+    "w13_schema_compat" ->
+      """WITH f(tbl, col_name, old_type, new_type) AS (VALUES
+           ('identifies', 'user_id', 'int', 'int'),
+           ('identifies', 'email', 'string', 'string'),
+           ('identifies', 'age', 'int', 'float'),
+           ('identifies', 'plan', 'string', 'int'),
+           ('tracks', 'event', 'string', 'string'),
+           ('tracks', 'revenue', 'float', 'string'),
+           ('tracks', 'ts', 'datetime', 'string'),
+           ('tracks', 'legacy_flag', 'boolean', ''),
+           ('tracks', 'context_ip', '', 'string'),
+           ('pages', 'url', 'string', 'string'),
+           ('pages', 'referrer', 'string', ''),
+           ('pages', 'load_ms', '', 'int'),
+           ('pages', 'is_bounce', 'boolean', 'int'),
+           ('users', 'received_at', 'datetime', 'datetime'),
+           ('users', 'raw_payload', 'json', 'string')),
+          c AS (SELECT *,
+              CASE WHEN old_type = '' THEN 'added'
+                   WHEN new_type = '' THEN 'removed'
+                   WHEN old_type = new_type THEN 'unchanged'
+                   WHEN (CASE new_type WHEN 'boolean' THEN 1 WHEN 'int' THEN 2
+                          WHEN 'float' THEN 3 WHEN 'datetime' THEN 4
+                          WHEN 'string' THEN 5 WHEN 'json' THEN 6 ELSE 0 END)
+                      > (CASE old_type WHEN 'boolean' THEN 1 WHEN 'int' THEN 2
+                          WHEN 'float' THEN 3 WHEN 'datetime' THEN 4
+                          WHEN 'string' THEN 5 WHEN 'json' THEN 6 ELSE 0 END)
+                     THEN 'widened'
+                   ELSE 'narrowed' END AS change
+            FROM f)
+          SELECT tbl, col_name, old_type, new_type, change,
+            CASE change WHEN 'removed' THEN 'breaking'
+                 WHEN 'narrowed' THEN 'breaking'
+                 WHEN 'added' THEN 'backward_compatible'
+                 ELSE 'compatible' END AS verdict
+          FROM c""",
     "w6_safe_names" ->
       """SELECT raw,
            CASE WHEN mangled IN ('select','from','where','group','order','by','table','column',
