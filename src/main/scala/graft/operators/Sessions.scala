@@ -1030,6 +1030,87 @@ object Sessions {
         "removal_effect_ppm", "attribution_ppm")
     }),
 
+    // A12: AUTOCORRELATION PERIODICITY (integer ACF) — q27/a11 ASSUME
+    // the daily cycle; this DETECTS the cycle length: the lag-k
+    // autocorrelation of the hourly series over a DENSE hour grid
+    // (gap hours count zero — ACF over present-hours-only sees false
+    // lags), centered exactly by scaling through the grid size
+    // (y = H·x − T, so Σy = 0 without a single rational), with
+    // r_k = Σ y_t·y_{t+k} / Σ y² in ppm via one DECIMAL(38) division
+    // per (type, lag). The corpus-scale stage is ONE hourly count
+    // aggregate; the dense grid, the 36-lag shifted join and the
+    // argmax flag all live on the calendar×lag domain.
+    "a12_autocorrelation" -> ((s, dir) => {
+      val hourUs = 3600000000L
+      val counts = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val span = counts.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+          sum(col("n")).as("total"))
+        .withColumn("hours", col("h1") - col("h0") + 1L)
+      val grid = span.select(col("event_type"), col("total"), col("hours"),
+          explode(expr("sequence(h0, h1)")).as("h"))
+        .join(counts, Seq("event_type", "h"), "left")
+        .withColumn("y", expr("hours * coalesce(n, 0L) - total"))
+        .select(col("event_type"), col("h"), col("y"))
+      val den = grid.groupBy(col("event_type"))
+        .agg(sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("den"))
+      val lags = s.range(1, 37).select(col("id").as("lag_h"))
+      val num = grid.as("g1").crossJoin(broadcast(lags))
+        .join(grid.as("g2"),
+          col("g2.event_type") === col("g1.event_type") &&
+            col("g2.h") === col("g1.h") + col("lag_h"))
+        .groupBy(col("g1.event_type").as("event_type"), col("lag_h"))
+        .agg(sum(expr("CAST(g1.y AS DECIMAL(38,0)) * g2.y")).as("num"))
+      val wPeak = Window.partitionBy(col("event_type"))
+        .orderBy(col("acf_ppm").desc, col("lag_h").asc)
+      num.join(den, "event_type")
+        .withColumn("acf_ppm", expr("CAST(num * 1000000 DIV den AS BIGINT)"))
+        .withColumn("is_peak",
+          row_number().over(wPeak) === 1 && col("lag_h") >= 2L)
+        .select(col("event_type"), col("lag_h"), col("acf_ppm"), col("is_peak"))
+    }),
+
+    // Q49: GINI REVENUE CONCENTRATION — the scalar complement of
+    // q38's top-decile share: how unequal is per-user spend? The
+    // rank-weighted identity G = (2Σrᵢxᵢ − (n+1)Σx) / (nΣx) with
+    // tie-AVERAGE ranks, computed from the per-user-cents HISTOGRAM
+    // in ev9's half-unit rank algebra — never a per-user global rank:
+    // Σ2rᵢxᵢ = Σ_v v·n_v·(2·cum_before + n_v + 1). The one
+    // single-partition prefix runs over the 4096-wide coarse-bucket
+    // table (cent-RANGE-bounded); the final scalar division runs in
+    // DECIMAL(38) (n·Σx·1e6 overflows a long at web scale).
+    "q49_gini_concentration" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)")
+          .as("cents"))
+      val fine = perUser.groupBy(col("cents")).agg(count(lit(1)).as("nv"))
+        .withColumn("cb", expr("cents DIV 4096"))
+      val wCoarse = Window.orderBy(col("cb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val coarse = fine.groupBy(col("cb")).agg(sum(col("nv")).as("bn"))
+        .withColumn("prefix", coalesce(sum(col("bn")).over(wCoarse), lit(0L)))
+        .select(col("cb"), col("prefix"))
+      val wLocal = Window.partitionBy(col("cb")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      fine
+        .withColumn("local_before", coalesce(sum(col("nv")).over(wLocal), lit(0L)))
+        .join(coarse, "cb")
+        .withColumn("cum_before", col("prefix") + col("local_before"))
+        .agg(sum(col("nv")).as("n_users"),
+          sum(expr("CAST(cents AS DECIMAL(38,0)) * nv")).as("s1"),
+          sum(expr("CAST(cents AS DECIMAL(38,0)) * nv * (2 * cum_before + nv + 1)"))
+            .as("s2h"))
+        .withColumn("gini_ppm", expr(
+          "CAST((s2h - (n_users + 1) * s1) * 1000000 DIV (n_users * s1) AS BIGINT)"))
+        .select(col("n_users"), expr("CAST(s1 AS BIGINT)").as("total_cents"),
+          col("gini_ppm"))
+    }),
+
     // Q48: AUDIENCE OVERLAP MATRIX — the segment-intersection read
     // every activation/audience product ships (and the input to reach
     // /frequency planning): for each pair of behavioral audiences
@@ -1397,6 +1478,60 @@ object Sessions {
                       ELSE re * 1000000 // tot_re END AS BIGINT) AS attribution_ppm
           FROM eff CROSS JOIN s2"""
     },
+    // dense grid via range(); HUGEINT products mirror DECIMAL(38)
+    "a12_autocorrelation" ->
+      """WITH c AS (SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+          sp AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1,
+                   CAST(SUM(n) AS BIGINT) AS total,
+                   MAX(h) - MIN(h) + 1 AS hours
+                 FROM c GROUP BY 1),
+          g AS (SELECT sp.event_type, t.h,
+                  hours * COALESCE(n, 0) - total AS y
+                FROM sp CROSS JOIN UNNEST(range(sp.h0, sp.h1 + 1)) AS t(h)
+                LEFT JOIN c ON c.event_type = sp.event_type AND c.h = t.h),
+          den AS (SELECT event_type,
+                    SUM(CAST(y AS HUGEINT) * y) AS den
+                  FROM g GROUP BY 1),
+          lg AS (SELECT CAST(lag_h AS BIGINT) AS lag_h
+                 FROM range(1, 37) t(lag_h)),
+          num AS (SELECT g1.event_type, lag_h,
+                    SUM(CAST(g1.y AS HUGEINT) * g2.y) AS num
+                  FROM g g1 CROSS JOIN lg
+                  JOIN g g2 ON g2.event_type = g1.event_type
+                    AND g2.h = g1.h + lag_h
+                  GROUP BY 1, 2),
+          acf AS (SELECT num.event_type, lag_h,
+                    CAST(num * 1000000 // den AS BIGINT) AS acf_ppm
+                  FROM num JOIN den ON num.event_type = den.event_type),
+          pk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY acf_ppm DESC, lag_h ASC) AS rk
+                 FROM acf)
+          SELECT event_type, lag_h, acf_ppm,
+            (rk = 1 AND lag_h >= 2) AS is_peak
+          FROM pk""",
+    // one plain global rank window in the oracle (it never scales);
+    // the engine's two-level half-unit histogram must reproduce it
+    "q49_gini_concentration" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          g AS (SELECT cents, COUNT(*) AS nv FROM pu GROUP BY 1),
+          c AS (SELECT cents, nv,
+                  COALESCE(SUM(nv) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+                FROM g),
+          agg AS (SELECT CAST(SUM(nv) AS BIGINT) AS n_users,
+                    SUM(CAST(cents AS HUGEINT) * nv) AS s1,
+                    SUM(CAST(cents AS HUGEINT) * nv * (2 * cum_before + nv + 1))
+                      AS s2h
+                  FROM c)
+          SELECT n_users, CAST(s1 AS BIGINT) AS total_cents,
+            CAST((s2h - (n_users + 1) * s1) * 1000000
+              // (n_users * s1) AS BIGINT) AS gini_ppm
+          FROM agg""",
     "q48_audience_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
           sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
