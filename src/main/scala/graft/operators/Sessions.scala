@@ -1030,6 +1030,50 @@ object Sessions {
         "removal_effect_ppm", "attribution_ppm")
     }),
 
+    // Q50: RFM SEGMENT MIGRATION MATRIX — q37 scores customers ONCE;
+    // the CRM read is how they MOVE: value terciles (p33/p67 cuts
+    // from Percentiles.exact, per era so each period is judged
+    // against its own distribution) in the two midpoint-split halves,
+    // then the 4×4 transition matrix including the CHURNED (seg_b =
+    // −1) and NEW (seg_a = −1) borders — the rows a retention team
+    // actually acts on. Cut comparison uses prof13's doubled-integer
+    // trick (cents·2 vs round(cut·2)) so interpolated .5 cuts stay
+    // exact. Corpus-scale work: one per-(era, user) aggregate + one
+    // full-outer self-align on user_id; the matrix is 16-domain.
+    "q50_rfm_migration" -> ((s, dir) => {
+      val day = 86400000000L
+      val e = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr(s"unix_micros(ts) DIV $day").as("d"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val mid = e.agg(expr("(min(d) + max(d) + 1) DIV 2").as("mid"))
+      val eras = e.crossJoin(broadcast(mid)) // 1-row scalar, rule (b)
+        .withColumn("era",
+          when(col("d") < col("mid"), lit("a")).otherwise(lit("b")))
+        .groupBy(col("era"), col("user_id")).agg(sum(col("cents")).as("cents"))
+      val cuts = Percentiles.exact(eras, Seq("era"), "cents",
+          Seq("c33" -> 0.33, "c67" -> 0.67))
+        .select(col("era"), col("c33"), col("c67"))
+      val seg = eras.join(broadcast(cuts), "era")
+        .withColumn("seg", expr(
+          "CASE WHEN cents * 2 > CAST(round(c67 * 2) AS BIGINT) THEN 2L " +
+            "WHEN cents * 2 > CAST(round(c33 * 2) AS BIGINT) THEN 1L " +
+            "ELSE 0L END"))
+      val a = seg.filter(col("era") === "a")
+        .select(col("user_id"), col("seg").as("seg_a"))
+      val b = seg.filter(col("era") === "b")
+        .select(col("user_id"), col("seg").as("seg_b"))
+      val m = a.join(b, Seq("user_id"), "full_outer")
+        .select(coalesce(col("seg_a"), lit(-1L)).as("seg_a"),
+          coalesce(col("seg_b"), lit(-1L)).as("seg_b"))
+        .groupBy(col("seg_a"), col("seg_b")).agg(count(lit(1)).as("n_users"))
+      val rowTot = m.groupBy(col("seg_a")).agg(sum(col("n_users")).as("row_n"))
+      m.join(broadcast(rowTot), "seg_a")
+        .withColumn("row_share_ppm", expr("n_users * 1000000L DIV row_n"))
+        .select(col("seg_a"), col("seg_b"), col("n_users"), col("row_n"),
+          col("row_share_ppm"))
+    }),
+
     // A12: AUTOCORRELATION PERIODICITY (integer ACF) — q27/a11 ASSUME
     // the daily cycle; this DETECTS the cycle length: the lag-k
     // autocorrelation of the hourly series over a DENSE hour grid
@@ -1478,6 +1522,36 @@ object Sessions {
                       ELSE re * 1000000 // tot_re END AS BIGINT) AS attribution_ppm
           FROM eff CROSS JOIN s2"""
     },
+    // quantile_cont matches Percentiles.exact's interpolation (the
+    // prof12/q26 contract); same doubled-integer cut comparison
+    "q50_rfm_migration" ->
+      """WITH e AS (SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+          mid AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM e),
+          er AS (SELECT CASE WHEN d < mid THEN 'a' ELSE 'b' END AS era,
+                   user_id, CAST(SUM(cents) AS BIGINT) AS cents
+                 FROM e CROSS JOIN mid GROUP BY 1, 2),
+          cuts AS (SELECT era, quantile_cont(cents, 0.33) AS c33,
+                     quantile_cont(cents, 0.67) AS c67
+                   FROM er GROUP BY era),
+          sg AS (SELECT er.era, user_id,
+                   CASE WHEN cents * 2 > CAST(round(c67 * 2) AS BIGINT) THEN 2
+                        WHEN cents * 2 > CAST(round(c33 * 2) AS BIGINT) THEN 1
+                        ELSE 0 END AS seg
+                 FROM er JOIN cuts USING (era)),
+          a AS (SELECT user_id, seg AS seg_a FROM sg WHERE era = 'a'),
+          b AS (SELECT user_id, seg AS seg_b FROM sg WHERE era = 'b'),
+          m AS (SELECT CAST(COALESCE(seg_a, -1) AS BIGINT) AS seg_a,
+                  CAST(COALESCE(seg_b, -1) AS BIGINT) AS seg_b,
+                  COUNT(*) AS n_users
+                FROM a FULL OUTER JOIN b USING (user_id) GROUP BY 1, 2),
+          rt AS (SELECT seg_a, CAST(SUM(n_users) AS BIGINT) AS row_n
+                 FROM m GROUP BY 1)
+          SELECT m.seg_a, seg_b, n_users, row_n,
+            n_users * 1000000 // row_n AS row_share_ppm
+          FROM m JOIN rt ON m.seg_a = rt.seg_a""",
     // dense grid via range(); HUGEINT products mirror DECIMAL(38)
     "a12_autocorrelation" ->
       """WITH c AS (SELECT event_type,
