@@ -1030,6 +1030,47 @@ object Sessions {
         "removal_effect_ppm", "attribution_ppm")
     }),
 
+    // AB1: EXPERIMENT READOUT (two-proportion conversion test) — the
+    // A/B analysis an event pipeline feeds: deterministic 50/50
+    // assignment (user_id parity — the hash-mod bucketing every
+    // experimentation platform uses), per-arm conversion to purchase,
+    // uplift in ppm, and the 2×2 Pearson χ² held EXACTLY integer by a
+    // documented staged divide order (N·(ad−bc)² overflows naively;
+    // interleaving ·/DIV keeps every intermediate inside DECIMAL(38))
+    // against the χ²₁ 95% critical value 3.841 as an integer-milli
+    // plan constant — no distribution function runs in either engine.
+    // Corpus-scale work: ONE per-user aggregate; the readout is a
+    // 2-row rollup pivoted to one line. Conversion = a purchase of
+    // >= $50 (plain purchase saturates at 100% on this corpus, which
+    // would only ever exercise the degenerate-margin guard).
+    "ab1_experiment_readout" -> ((s, dir) => {
+      val conv = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 50.0, 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm", expr("user_id % 2"))
+      val arms = conv.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      arms.agg(
+          max(when(col("arm") === 0, col("n_users"))).as("n_c"),
+          max(when(col("arm") === 0, col("n_conv"))).as("conv_c"),
+          max(when(col("arm") === 1, col("n_users"))).as("n_t"),
+          max(when(col("arm") === 1, col("n_conv"))).as("conv_t"))
+        .withColumn("rate_c_ppm", expr("conv_c * 1000000L DIV n_c"))
+        .withColumn("rate_t_ppm", expr("conv_t * 1000000L DIV n_t"))
+        .withColumn("uplift_ppm", col("rate_t_ppm") - col("rate_c_ppm"))
+        .withColumn("chi2_milli", expr(
+          "IF(conv_t + conv_c = 0 OR n_t + n_c - conv_t - conv_c = 0, 0L, " +
+            "CAST(((CAST(conv_t AS DECIMAL(38,0)) * (n_c - conv_c) " +
+            "- CAST(n_t - conv_t AS DECIMAL(38,0)) * conv_c) " +
+            "* (CAST(conv_t AS DECIMAL(38,0)) * (n_c - conv_c) " +
+            "- CAST(n_t - conv_t AS DECIMAL(38,0)) * conv_c) " +
+            "DIV n_t) * (n_t + n_c) DIV n_c DIV (conv_t + conv_c) " +
+            "* 1000 DIV (n_t + n_c - conv_t - conv_c) AS BIGINT))"))
+        .withColumn("significant", col("chi2_milli") > 3841L)
+    }),
+
     // Q50: RFM SEGMENT MIGRATION MATRIX — q37 scores customers ONCE;
     // the CRM read is how they MOVE: value terciles (p33/p67 cuts
     // from Percentiles.exact, per era so each period is judged
@@ -1522,6 +1563,44 @@ object Sessions {
                       ELSE re * 1000000 // tot_re END AS BIGINT) AS attribution_ppm
           FROM eff CROSS JOIN s2"""
     },
+    // identical staged divide order — HUGEINT mirrors DECIMAL(38)
+    "ab1_experiment_readout" ->
+      """WITH cv AS (SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 50
+                      THEN 1 ELSE 0 END) AS converted
+           FROM events GROUP BY 1),
+          arms AS (SELECT user_id % 2 AS arm, COUNT(*) AS n_users,
+                     CAST(SUM(converted) AS BIGINT) AS n_conv
+                   FROM cv GROUP BY 1),
+          p AS (SELECT
+                  CAST(MAX(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_c,
+                  MAX(CASE WHEN arm = 0 THEN n_conv END) AS conv_c,
+                  CAST(MAX(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n_t,
+                  MAX(CASE WHEN arm = 1 THEN n_conv END) AS conv_t
+                FROM arms)
+          SELECT n_c, conv_c, n_t, conv_t,
+            conv_c * 1000000 // n_c AS rate_c_ppm,
+            conv_t * 1000000 // n_t AS rate_t_ppm,
+            conv_t * 1000000 // n_t - conv_c * 1000000 // n_c AS uplift_ppm,
+            CAST(CASE WHEN conv_t + conv_c = 0
+                        OR n_t + n_c - conv_t - conv_c = 0 THEN 0
+                 ELSE ((CAST(conv_t AS HUGEINT) * (n_c - conv_c)
+                        - CAST(n_t - conv_t AS HUGEINT) * conv_c)
+                       * (CAST(conv_t AS HUGEINT) * (n_c - conv_c)
+                          - CAST(n_t - conv_t AS HUGEINT) * conv_c)
+                       // n_t) * (n_t + n_c) // n_c // (conv_t + conv_c)
+                       * 1000 // (n_t + n_c - conv_t - conv_c)
+                 END AS BIGINT) AS chi2_milli,
+            CAST(CASE WHEN conv_t + conv_c = 0
+                        OR n_t + n_c - conv_t - conv_c = 0 THEN 0
+                 ELSE ((CAST(conv_t AS HUGEINT) * (n_c - conv_c)
+                        - CAST(n_t - conv_t AS HUGEINT) * conv_c)
+                       * (CAST(conv_t AS HUGEINT) * (n_c - conv_c)
+                          - CAST(n_t - conv_t AS HUGEINT) * conv_c)
+                       // n_t) * (n_t + n_c) // n_c // (conv_t + conv_c)
+                       * 1000 // (n_t + n_c - conv_t - conv_c)
+                 END AS BIGINT) > 3841 AS significant
+          FROM p""",
     // quantile_cont matches Percentiles.exact's interpolation (the
     // prof12/q26 contract); same doubled-integer cut comparison
     "q50_rfm_migration" ->

@@ -335,6 +335,79 @@ object TextAnalysis {
             .as("trimmed_md5"))
     }),
 
+    // CP4: CLASSIFIER RELEASE GATE — the ev family composed into the
+    // ONE decision a curation pipeline actually ships on: from the
+    // maintained score table, (a) ev9's tie-aware AUC, (b) ev10's
+    // top-decile lift, (c) ev8's calibration bins reduced to a
+    // MONOTONICITY verdict (keep-rate non-decreasing in score bin),
+    // crossed into a single release row: released ⇔ AUC beats
+    // coin-flip by 10 points AND the top decile concentrates ≥ 1.2×
+    // the base rate AND calibration is monotone. Every leg reads the
+    // same cached artifact, so the whole gate is three bounded
+    // aggregates over one columnar scan.
+    "cp4_eval_release" -> ((s, dir) => {
+      val st = scoredTruth(s, dir)
+      // leg (a): AUC via the two-level half-unit histogram (ev9)
+      val fine = st.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("actual")).as("p"))
+        .withColumn("cb", expr("score DIV 4096"))
+      val wCoarse = Window.orderBy(col("cb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val coarse = fine.groupBy(col("cb")).agg(sum(col("n")).as("bn"))
+        .withColumn("prefix", coalesce(sum(col("bn")).over(wCoarse), lit(0L)))
+        .select(col("cb"), col("prefix"))
+      val wLocal = Window.partitionBy(col("cb")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val auc = fine
+        .withColumn("local_before", coalesce(sum(col("n")).over(wLocal), lit(0L)))
+        .join(coarse, "cb")
+        .withColumn("cum_before", col("prefix") + col("local_before"))
+        .agg(sum(expr("p * (2 * cum_before + n + 1)")).as("rpos2"),
+          sum(col("p")).as("npos"), sum(expr("n - p")).as("nneg"))
+        .select(expr(
+          "IF(npos = 0 OR nneg = 0, 0L, CAST(" +
+            "(CAST(rpos2 AS DECIMAL(38,0)) - CAST(npos AS DECIMAL(38,0)) * (npos + 1)) " +
+            "* 1000000 DIV (2 * CAST(npos AS DECIMAL(38,0)) * nneg) AS BIGINT))")
+          .as("auc_ppm"))
+      // leg (b): top-decile lift via the two-level exact rank (ev10)
+      val docs = st.withColumn("cb", expr("score DIV 4096"))
+      val coarseN = docs.groupBy(col("cb")).agg(count(lit(1)).as("bn"))
+        .withColumn("prefix", coalesce(sum(col("bn")).over(wCoarse), lit(0L)))
+        .select(col("cb"), col("prefix"))
+      val wRank = Window.partitionBy(col("cb"))
+        .orderBy(col("score"), col("doc_id"))
+      val nTotal = docs.agg(count(lit(1)).as("n_total"),
+        sum(col("actual")).as("tot_pos"))
+      val lift = docs
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .join(coarseN, "cb")
+        .crossJoin(broadcast(nTotal)) // 1-row scalar, rule (b)'s shape
+        .filter(expr("(n_total - (prefix + rn)) * 10 DIV n_total = 0"))
+        .agg(count(lit(1)).as("d_docs"), sum(col("actual")).as("d_pos"),
+          max(col("n_total")).as("n_total"), max(col("tot_pos")).as("tot_pos"))
+        .select(expr(
+          "CAST(CAST(d_pos AS DECIMAL(38,0)) * n_total * 1000000 " +
+            "DIV (CAST(d_docs AS DECIMAL(38,0)) * tot_pos) AS BIGINT)")
+          .as("top_decile_lift_ppm"))
+      // leg (c): calibration monotonicity over ev8's equal-width bins
+      val mm = st.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+      val bins = st.crossJoin(broadcast(mm))
+        .withColumn("bin", expr("(score - lo) * 10 DIV (hi - lo + 1)"))
+        .groupBy(col("bin"))
+        .agg(expr("sum(actual) * 1000 DIV count(1)").as("keep_permille"))
+      val wBin = Window.orderBy(col("bin"))
+      val mono = bins
+        .withColumn("prev", lag(col("keep_permille"), 1).over(wBin))
+        .agg(min(expr("IF(prev IS NULL, 1L, IF(keep_permille >= prev, 1L, 0L))"))
+          .as("m"))
+        .select((col("m") === 1L).as("calibration_monotone"))
+      auc.crossJoin(lift).crossJoin(mono) // three 1-row legs
+        .withColumn("released",
+          col("auc_ppm") >= 600000L &&
+            col("top_decile_lift_ppm") >= 1200000L &&
+            col("calibration_monotone"))
+    }),
+
     // TA24: KNESER-NEY BIGRAM LM (Kneser & Ney ICASSP'95, absolute
     // discount d = 0.75) — the smoothed LM behind ta14's quality
     // scoring, ESTIMATED DISTRIBUTED and held exactly rational: with
@@ -1195,6 +1268,79 @@ object TextAnalysis {
            (CAST(SUM(actual) AS BIGINT) * 1000) // COUNT(*) AS keep_permille
          FROM sc JOIN tr USING (doc_id) CROSS JOIN mm
          GROUP BY 1""",
+    // the three ev legs' oracle algebra crossed into the single
+    // release row; HUGEINT mirrors DECIMAL(38)
+    "cp4_eval_release" ->
+      s"""WITH w AS (SELECT bucket,
+             CAST(CAST('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 8) AS UBIGINT)
+               % 2001 AS BIGINT) - 1000 AS w
+           FROM range(256) t(bucket)),
+         f AS (SELECT doc_id,
+                 unnest(list_concat(ws,
+                   list_transform(range(len(ws) - 1),
+                     i -> ws[i + 1] || ' ' || ws[i + 2]))) AS f
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         fb AS (SELECT doc_id,
+                  CAST(CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) % 256 AS BIGINT)
+                    AS bucket
+                FROM f),
+         sc AS (SELECT doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+                FROM fb JOIN w USING (bucket) GROUP BY doc_id),
+         tr AS (SELECT doc_id,
+                  CASE WHEN n_words BETWEEN 20 AND 100
+                        AND (n_chars - (n_words - 1)) / n_words < 8
+                        AND stop_hits / n_words >= 0.02
+                       THEN 1 ELSE 0 END AS actual
+                FROM (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                        CAST(length(text) AS BIGINT) AS n_chars,
+                        CAST(len(list_filter(string_split(text, ' '),
+                          w -> w IN ${inList(stopwords.head._2)})) AS BIGINT) AS stop_hits
+                      FROM documents)),
+         j AS (SELECT sc.doc_id, score, actual FROM sc JOIN tr USING (doc_id)),
+         g AS (SELECT score, COUNT(*) AS n, CAST(SUM(actual) AS BIGINT) AS p
+               FROM j GROUP BY score),
+         c AS (SELECT score, n, p,
+                 COALESCE(SUM(n) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+               FROM g),
+         agg AS (SELECT SUM(p * (2 * cum_before + n + 1)) AS rpos2,
+                   CAST(SUM(p) AS BIGINT) AS npos,
+                   CAST(SUM(n - p) AS BIGINT) AS nneg
+                 FROM c),
+         auc AS (SELECT CAST(CASE WHEN npos = 0 OR nneg = 0 THEN 0
+                       ELSE (rpos2 - npos * (npos + 1)) * 1000000
+                            // (2 * npos * nneg) END AS BIGINT) AS auc_ppm
+                 FROM agg),
+         t AS (SELECT COUNT(*) AS n_total, CAST(SUM(actual) AS BIGINT) AS tot_pos
+               FROM j),
+         r AS (SELECT actual,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id) AS BIGINT)
+                   AS rank_asc
+               FROM j),
+         d0 AS (SELECT COUNT(*) AS d_docs, CAST(SUM(actual) AS BIGINT) AS d_pos
+                FROM r CROSS JOIN t
+                WHERE (t.n_total - rank_asc) * 10 // t.n_total = 0),
+         lift AS (SELECT CAST(CAST(d_pos AS HUGEINT) * t.n_total * 1000000
+                    // (CAST(d_docs AS HUGEINT) * t.tot_pos) AS BIGINT)
+                    AS top_decile_lift_ppm
+                  FROM d0 CROSS JOIN t),
+         mmx AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM j),
+         bins AS (SELECT (score - lo) * 10 // (hi - lo + 1) AS bin,
+                    CAST(SUM(actual) * 1000 // COUNT(*) AS BIGINT)
+                      AS keep_permille
+                  FROM j CROSS JOIN mmx GROUP BY 1),
+         mono AS (SELECT MIN(CASE WHEN prev IS NULL THEN 1
+                      WHEN keep_permille >= prev THEN 1 ELSE 0 END) = 1
+                    AS calibration_monotone
+                  FROM (SELECT keep_permille,
+                          LAG(keep_permille) OVER (ORDER BY bin) AS prev
+                        FROM bins))
+         SELECT auc_ppm, top_decile_lift_ppm, calibration_monotone,
+           (auc_ppm >= 600000 AND top_decile_lift_ppm >= 1200000
+             AND calibration_monotone) AS released
+         FROM auc CROSS JOIN lift CROSS JOIN mono""",
     // the oracle ranks with ONE global window over distinct scores
     // (it never scales); the engine's two-level half-unit rank
     // algebra must reproduce it exactly. HUGEINT sums mirror the

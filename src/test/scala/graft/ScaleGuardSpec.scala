@@ -69,6 +69,10 @@ class ScaleGuardSpec extends SparkSpec {
       ("two pinned windows: the coarse rank prefix (score-range-bounded " +
         "bucket table, same shape as ev9) and the decile cumulative " +
         "window, whose input is the 10-row decile rollup"),
+    "cp4_eval_release" ->
+      ("composes ev9's + ev10's pinned two-level coarse prefixes and " +
+        "ev8's 10-bin monotonicity lag — every single-partition window " +
+        "input is score-range-bounded or 10-row, never the corpus"),
     "q47_delta_attribution" ->
       ("the rank window's input is the (event_type × weekday) slice " +
         "table — ≤ |types|·7 rows at any corpus size (rule (e) " +
