@@ -1030,6 +1030,80 @@ object Sessions {
         "removal_effect_ppm", "attribution_ppm")
     }),
 
+    // Q51: NEXT-EVENT PREDICTION ACCURACY — q22 estimates the
+    // transition matrix; this EVALUATES it as a model, the
+    // train-on-past / score-on-future holdout read: per-user lag
+    // transitions split at the midpoint day BY SOURCE EVENT, era-A
+    // counts give each source state's argmax next event (max count,
+    // lexicographic tie — state-domain-sized model), and era-B
+    // transitions score against that prediction in ppm. The
+    // corpus-scale stages are q22's ONE windowed lag pass + one
+    // count aggregate; model pick and the scoring rollup live on the
+    // |types|²-domain.
+    "q51_next_event_accuracy" -> ((s, dir) => {
+      val day = 86400000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val t = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("d", expr(s"ts_us DIV $day"))
+      val mid = t.agg(expr("(min(d) + max(d) + 1) DIV 2").as("mid"))
+      val tagged = t.crossJoin(broadcast(mid)) // 1-row scalar, rule (b)
+        .withColumn("era",
+          when(col("d") < col("mid"), lit("a")).otherwise(lit("b")))
+      val model = tagged.filter(col("era") === "a")
+        .groupBy(col("event_type"), col("nxt")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("c").desc, col("nxt").asc)))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("nxt").as("predicted"),
+          col("c").as("train_support"))
+      tagged.filter(col("era") === "b")
+        .join(broadcast(model), "event_type")
+        .groupBy(col("event_type"), col("predicted"), col("train_support"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy_ppm",
+          expr("n_correct * 1000000L DIV n_transitions"))
+    }),
+
+    // A13: ALERT EPISODES (flap suppression) — the step between a8/
+    // a9's pointwise anomaly flags and a page that a human reads:
+    // anomalous hours (count ≥ 1.5× the stream's lifetime hourly
+    // mean, cross-multiplied so no truncation divergence) within ≤ 2
+    // quiet hours of each other merge into ONE episode (q16's
+    // gaps-and-islands on the sparse anomalous-hour series), and the
+    // report is per-episode: span, active hours, peak. One hourly
+    // aggregate is the corpus-scale stage; islands run per type over
+    // the calendar-bounded anomalous series.
+    "a13_alert_episodes" -> ((s, dir) => {
+      val hourUs = 3600000000L
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) DIV $hourUs").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("hrs"))
+      val anom = hourly.join(broadcast(stats), "event_type")
+        .filter(col("n") * col("hrs") * 2 >= col("tot") * 3) // n ≥ 1.5×mean
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      anom
+        .withColumn("prev_h", lag(col("h"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_h").isNull || col("h") - col("prev_h") > 3L, 1L)
+            .otherwise(0L))
+        .withColumn("episode", sum(col("brk")).over(run))
+        .groupBy(col("event_type"), col("episode"))
+        .agg(min(col("h")).as("start_h"), max(col("h")).as("end_h"),
+          count(lit(1)).as("n_anomalous_hours"), max(col("n")).as("peak_n"))
+        .withColumn("span_hours", col("end_h") - col("start_h") + 1L)
+    }),
+
     // AB1: EXPERIMENT READOUT (two-proportion conversion test) — the
     // A/B analysis an event pipeline feeds: deterministic 50/50
     // assignment (user_id parity — the hash-mod bucketing every
@@ -1563,6 +1637,58 @@ object Sessions {
                       ELSE re * 1000000 // tot_re END AS BIGINT) AS attribution_ppm
           FROM eff CROSS JOIN s2"""
     },
+    // same lag pass, era-by-source split, argmax model and scoring
+    "q51_next_event_accuracy" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS nxt
+           FROM events),
+          tr AS (SELECT event_type, nxt,
+                   CAST(ts_us // 86400000000 AS BIGINT) AS d
+                 FROM t WHERE nxt IS NOT NULL),
+          mid AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM tr),
+          tg AS (SELECT event_type, nxt,
+                   CASE WHEN d < mid THEN 'a' ELSE 'b' END AS era
+                 FROM tr CROSS JOIN mid),
+          m AS (SELECT event_type, nxt AS predicted, c AS train_support
+                FROM (SELECT event_type, nxt, COUNT(*) AS c,
+                        ROW_NUMBER() OVER (PARTITION BY event_type
+                          ORDER BY COUNT(*) DESC, nxt ASC) AS rk
+                      FROM tg WHERE era = 'a' GROUP BY 1, 2)
+                WHERE rk = 1)
+          SELECT tg.event_type, predicted, train_support,
+            COUNT(*) AS n_transitions,
+            CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_correct,
+            CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS accuracy_ppm
+          FROM tg JOIN m ON tg.event_type = m.event_type
+          WHERE era = 'b'
+          GROUP BY 1, 2, 3""",
+    // same cross-multiplied threshold and >3-hour break rule
+    "a13_alert_episodes" ->
+      """WITH hourly AS (SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+          st AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot,
+                   COUNT(*) AS hrs
+                 FROM hourly GROUP BY 1),
+          an AS (SELECT hourly.event_type, h, n
+                 FROM hourly JOIN st ON hourly.event_type = st.event_type
+                 WHERE n * hrs * 2 >= tot * 3),
+          br AS (SELECT event_type, h, n,
+                   CASE WHEN LAG(h) OVER w IS NULL
+                          OR h - LAG(h) OVER w > 3 THEN 1 ELSE 0 END AS brk
+                 FROM an WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+          ep AS (SELECT event_type, h, n,
+                   CAST(SUM(brk) OVER (PARTITION BY event_type ORDER BY h
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS episode
+                 FROM br)
+          SELECT event_type, episode, MIN(h) AS start_h, MAX(h) AS end_h,
+            COUNT(*) AS n_anomalous_hours, CAST(MAX(n) AS BIGINT) AS peak_n,
+            MAX(h) - MIN(h) + 1 AS span_hours
+          FROM ep GROUP BY 1, 2""",
     // identical staged divide order — HUGEINT mirrors DECIMAL(38)
     "ab1_experiment_readout" ->
       """WITH cv AS (SELECT user_id,
