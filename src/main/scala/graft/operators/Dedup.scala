@@ -911,6 +911,42 @@ object Dedup {
         .select(col("n_truth"), col("n_found"), col("n_hit"),
           (col("n_hit") / col("n_truth")).as("recall"),
           (col("n_found") - col("n_hit")).as("n_extra"))
+    }),
+
+    // LL30: DEDUP THRESHOLD SWEEP (precision/recall curve) — ev4
+    // scores ONE operating point (0.6); this is the TUNING step that
+    // chooses it: exact Jaccard permille for every co-shingled pair
+    // of the planted two-crawl corpus once, then a 5-point threshold
+    // sweep (500‰..900‰, a broadcast 5-row grid) rolls precision and
+    // recall per cut against the planted-twin truth. The pair scan
+    // runs ONCE — the sweep multiplies only the scored-pair table by
+    // 5, never the corpus; scoring uses ll6's inverted-index shape
+    // (this corpus sits in its exact regime; high-df corpora reroute
+    // through the Σdf² budget exactly as ll6 documents).
+    "ll30_threshold_sweep" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val sh = shingleTable(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val scored = sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+        .withColumn("jp", expr("n_common * 1000 DIV (sza + szb - n_common)"))
+        .select(col("doc_a"), col("doc_b"), col("jp"))
+      val nTruth = Tables.countStat(s, dir, "documents")
+      val ths = Seq(500L, 600L, 700L, 800L, 900L).toDF("threshold")
+      scored.crossJoin(broadcast(ths))
+        .filter(col("jp") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pred"),
+          sum(when(col("doc_b") === col("doc_a") + 100000000L, 1L)
+            .otherwise(0L)).as("n_hit"))
+        .withColumn("n_truth", lit(nTruth))
+        .withColumn("precision_ppm", expr("n_hit * 1000000L DIV n_pred"))
+        .withColumn("recall_ppm", expr("n_hit * 1000000L DIV n_truth"))
     })
   )
 
@@ -1421,6 +1457,35 @@ object Dedup {
             CAST(SUM(is_pair) AS BIGINT)
               - CAST(SUM(CASE WHEN is_pair = 1 AND doc_b = doc_a + 100000000
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
-          FROM u"""
+          FROM u""",
+    // same pair scan + integer-permille score; thresholds as a VALUES
+    // grid, truth = every base doc's planted twin
+    "ll30_threshold_sweep" ->
+      s"""WITH corpus AS $corpusSqlPerturbed,
+          sh AS ($shinglesSql),
+          sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+          inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+                    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2),
+          scored AS (SELECT doc_a, doc_b,
+                       CAST(n_common * 1000 // (za.sz + zb.sz - n_common)
+                         AS BIGINT) AS jp
+                     FROM inter
+                     JOIN sz za ON doc_a = za.doc_id
+                     JOIN sz zb ON doc_b = zb.doc_id),
+          th AS (SELECT CAST(threshold AS BIGINT) AS threshold
+                 FROM (VALUES (500), (600), (700), (800), (900)) t(threshold)),
+          nt AS (SELECT COUNT(*) AS n_truth FROM documents)
+          SELECT threshold, COUNT(*) AS n_pred,
+            CAST(SUM(CASE WHEN doc_b = doc_a + 100000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit,
+            CAST(MAX(nt.n_truth) AS BIGINT) AS n_truth,
+            CAST(SUM(CASE WHEN doc_b = doc_a + 100000000 THEN 1 ELSE 0 END)
+              * 1000000 // COUNT(*) AS BIGINT) AS precision_ppm,
+            CAST(SUM(CASE WHEN doc_b = doc_a + 100000000 THEN 1 ELSE 0 END)
+              * 1000000 // MAX(nt.n_truth) AS BIGINT) AS recall_ppm
+          FROM scored CROSS JOIN th CROSS JOIN nt
+          WHERE jp >= threshold
+          GROUP BY threshold"""
   )
 }
