@@ -23,6 +23,16 @@ object Search {
   private val queryTerms = Seq("spark", "merge", "vector")
   private def termList = queryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
+  /** NDCG@20 position discounts floor(1e6/log2(i+1)) as INTEGER PLAN
+    * LITERALS (dq4's Benford trick) — computed once at build, shared
+    * verbatim with the oracle, so no transcendental runs in either
+    * engine at query time.
+    */
+  private val ndcgDiscounts: Seq[(Long, Long)] = (1 to 20).map(i =>
+    (i.toLong, math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong))
+  private def discountValues = ndcgDiscounts
+    .map { case (p, d) => s"($p, $d)" }.mkString(", ")
+
   val defs: Map[String, Q] = Map(
 
     // Keyword search: tokenize, keep only query terms (the scan-side
@@ -139,6 +149,51 @@ object Search {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
           .cast("long"))
         .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+    }),
+
+    // EV11: NDCG@20 RANKING EVAL — the IR-quality leg of the ev
+    // family, scored over ts3's BM25 top-20: graded relevance = the
+    // matched-query-term count each ranked doc already carries, DCG =
+    // Σ rel·disc(pos) with the log2 position discounts baked as 20
+    // integer-ppm plan literals (no transcendental at query time),
+    // IDCG from the same 20 rows re-ranked by relevance, NDCG in ppm
+    // by one integer division. Everything after ts3's corpus stages
+    // runs on 20 rows.
+    "ev11_ndcg" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val k = 20
+      val docs = Tables.documents(s, dir)
+      val nDocs = Tables.countStat(s, dir, "documents")
+      val totTok = Tables.sumStat(s, dir, "documents", "size(split(text, ' '))")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = toks.filter(col("w").isin(queryTerms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .withColumn("idfq", expr(s"CAST((${nDocs}L * 1000000L) DIV (df + 1) AS BIGINT)"))
+      val contrib = tf.join(broadcast(dft), "w").join(dl, "doc_id")
+        .withColumn("c", expr(
+          "floor(CAST(idfq AS DOUBLE) * ((CAST(tf AS DOUBLE) * 2.2D) / " +
+            "(CAST(tf AS DOUBLE) + (1.2D * (0.25D + (0.75D * " +
+            s"((CAST(dl AS DOUBLE) * CAST(${nDocs}L AS DOUBLE)) / CAST(${totTok}L AS DOUBLE))))))))"))
+      val ranked = contrib.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("score"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(k)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+            .cast("long"))
+      val disc = ndcgDiscounts.toDF("pos", "disc_ppm")
+      val dcg = ranked.join(broadcast(disc), col("rank") === col("pos"))
+        .agg(sum(expr("n_terms * disc_ppm")).as("dcg"))
+      val idcg = ranked
+        .withColumn("ipos", row_number().over(Window.orderBy(
+          col("n_terms").desc, col("doc_id").asc)).cast("long"))
+        .join(broadcast(disc), col("ipos") === col("pos"))
+        .agg(sum(expr("n_terms * disc_ppm")).as("idcg"))
+      dcg.crossJoin(idcg) // two 1-row legs
+        .withColumn("ndcg_ppm", expr("dcg * 1000000L DIV idcg"))
     }),
 
     // TS5: "MORE LIKE THIS" — document-to-document tf-idf similarity
@@ -302,6 +357,39 @@ object Search {
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
                  doc_id, score, n_terms
           FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+    // ts3's ranking CTEs + the SAME 20 discount literals; ideal
+    // re-rank by (relevance DESC, doc_id) in both engines
+    "ev11_ndcg" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+          tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+                 WHERE w IN $termList GROUP BY 1, 2),
+          dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+          n AS (SELECT COUNT(*) AS n FROM documents),
+          tt AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot FROM documents),
+          c AS (SELECT tf.doc_id,
+                  CAST(floor(CAST((n.n * 1000000) // (df + 1) AS DOUBLE) *
+                    ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+                     (CAST(tf AS DOUBLE) + (CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                       (CAST(0.75 AS DOUBLE) *
+                        ((CAST(dl AS DOUBLE) * CAST(n.n AS DOUBLE)) / CAST(tt.tot AS DOUBLE)))))))) AS BIGINT) AS c
+                FROM tf JOIN dft USING (w) JOIN dl USING (doc_id)
+                CROSS JOIN n CROSS JOIN tt),
+          sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score, COUNT(*) AS n_terms
+                 FROM c GROUP BY doc_id),
+          rk AS (SELECT doc_id, n_terms,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                 FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+          disc(pos, disc_ppm) AS (VALUES $discountValues),
+          dcg AS (SELECT CAST(SUM(n_terms * disc_ppm) AS BIGINT) AS dcg
+                  FROM rk JOIN disc ON rank = pos),
+          ik AS (SELECT n_terms,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_terms DESC, doc_id) AS BIGINT) AS ipos
+                 FROM rk),
+          idcg AS (SELECT CAST(SUM(n_terms * disc_ppm) AS BIGINT) AS idcg
+                   FROM ik JOIN disc ON ipos = pos)
+          SELECT dcg, idcg, CAST(dcg * 1000000 // idcg AS BIGINT) AS ndcg_ppm
+          FROM dcg CROSS JOIN idcg""",
     // same df cap, rational permille idf, and Dice length DIV — every
     // value an exact integer both engines agree on
     "ts5_more_like_this" ->
