@@ -1145,6 +1145,34 @@ object Sessions {
         .withColumn("significant", col("chi2_milli") > 3841L)
     }),
 
+    // AB2: SAMPLE-SIZE ADVISOR (experiment power) — ab1's companion
+    // question: how many users per arm before the readout MEANS
+    // anything? The two-proportion formula n = (z_{α/2}+z_β)²·2p(1−p)
+    // / δ² at 95% confidence / 80% power, with (1.95996+0.84162)² =
+    // 7.84886 baked as the integer-milli plan literal 7849 (dq4's
+    // trick — no quantile function runs in either engine), baseline p
+    // from the observed control arm, MDE = 10% relative. All exact
+    // integer in ppm; the verdict column compares the arm actually
+    // collected against the requirement.
+    "ab2_sample_size" -> ((s, dir) => {
+      val conv = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 50.0, 1L).otherwise(0L))
+          .as("converted"))
+        .filter(col("user_id") % 2 === 0) // control arm
+      conv.agg(count(lit(1)).as("n_c"), sum(col("converted")).as("conv_c"))
+        .withColumn("p_ppm", expr("conv_c * 1000000L DIV n_c"))
+        .withColumn("delta_ppm", expr("p_ppm DIV 10"))
+        .withColumn("n_per_arm", expr(
+          "IF(delta_ppm = 0 OR p_ppm = 0 OR p_ppm = 1000000, 0L, " +
+            "7849L * 2 * p_ppm * (1000000 - p_ppm) " +
+            "DIV (1000 * delta_ppm * delta_ppm))"))
+        .withColumn("enough_data", col("n_c") >= col("n_per_arm"))
+        .select(col("n_c"), col("conv_c"), col("p_ppm"), col("delta_ppm"),
+          col("n_per_arm"), col("enough_data"))
+    }),
+
     // Q50: RFM SEGMENT MIGRATION MATRIX — q37 scores customers ONCE;
     // the CRM read is how they MOVE: value terciles (p33/p67 cuts
     // from Percentiles.exact, per era so each period is judged
@@ -1689,6 +1717,32 @@ object Sessions {
             COUNT(*) AS n_anomalous_hours, CAST(MAX(n) AS BIGINT) AS peak_n,
             MAX(h) - MIN(h) + 1 AS span_hours
           FROM ep GROUP BY 1, 2""",
+    // same 7849-milli plan literal and ppm algebra
+    "ab2_sample_size" ->
+      """WITH cv AS (SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 50
+                      THEN 1 ELSE 0 END) AS converted
+           FROM events GROUP BY 1),
+          c AS (SELECT COUNT(*) AS n_c,
+                  CAST(SUM(converted) AS BIGINT) AS conv_c
+                FROM cv WHERE user_id % 2 = 0),
+          p AS (SELECT n_c, conv_c,
+                  conv_c * 1000000 // n_c AS p_ppm,
+                  conv_c * 1000000 // n_c // 10 AS delta_ppm
+                FROM c)
+          SELECT CAST(n_c AS BIGINT) AS n_c, conv_c,
+            CAST(p_ppm AS BIGINT) AS p_ppm,
+            CAST(delta_ppm AS BIGINT) AS delta_ppm,
+            CAST(CASE WHEN delta_ppm = 0 OR p_ppm = 0 OR p_ppm = 1000000
+                   THEN 0
+                   ELSE 7849 * 2 * p_ppm * (1000000 - p_ppm)
+                        // (1000 * delta_ppm * delta_ppm) END AS BIGINT)
+              AS n_per_arm,
+            n_c >= CASE WHEN delta_ppm = 0 OR p_ppm = 0 OR p_ppm = 1000000
+                     THEN 0
+                     ELSE 7849 * 2 * p_ppm * (1000000 - p_ppm)
+                          // (1000 * delta_ppm * delta_ppm) END AS enough_data
+          FROM p""",
     // identical staged divide order — HUGEINT mirrors DECIMAL(38)
     "ab1_experiment_readout" ->
       """WITH cv AS (SELECT user_id,

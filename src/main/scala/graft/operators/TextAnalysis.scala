@@ -335,6 +335,39 @@ object TextAnalysis {
             .as("trimmed_md5"))
     }),
 
+    // TA25: DEDUP TOKEN-BUDGET REPORT — ta16 reports dedup impact in
+    // DOCUMENTS; the currency a training run actually budgets is
+    // TOKENS: per source, how much token mass survives exact dedup
+    // (ll1's keep-min-doc rule — a duplicate group spanning sources
+    // credits its tokens to the keeper's source, exactly what a
+    // cross-source dedup does to a mixture weight). One content-hash
+    // aggregate + one source rollup; savings in exact ppm.
+    "ta25_dedup_token_report" -> ((s, dir) => {
+      // two-crawl scenario (ll1/ta16's corpus, source column kept):
+      // the recrawl duplicates every doc verbatim at +1e8, so dedup
+      // reclaims exactly the recrawl's token mass — the report must
+      // show it per source (the base documents table is dup-free and
+      // would report zero everywhere)
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val two = base.unionByName(base.select(
+        (col("doc_id") + 100000000L).as("doc_id"), col("source"), col("text")))
+      val d = two.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+      val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      d.join(keep, "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("doc_id") === col("keep_id"), col("n_tokens"))
+            .otherwise(0L)).as("tokens_kept"))
+        .withColumn("token_savings_ppm",
+          expr("(tokens_total - tokens_kept) * 1000000L DIV tokens_total"))
+    }),
+
     // CP4: CLASSIFIER RELEASE GATE — the ev family composed into the
     // ONE decision a curation pipeline actually ships on: from the
     // maintained score table, (a) ev9's tie-aware AUC, (b) ev10's
@@ -1268,6 +1301,26 @@ object TextAnalysis {
            (CAST(SUM(actual) AS BIGINT) * 1000) // COUNT(*) AS keep_permille
          FROM sc JOIN tr USING (doc_id) CROSS JOIN mm
          GROUP BY 1""",
+    "ta25_dedup_token_report" ->
+      """WITH two AS (SELECT doc_id, source, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 100000000, source, text FROM documents),
+          d AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(text) AS h
+           FROM two),
+          k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_kept,
+            CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+            CAST(SUM(CASE WHEN doc_id = keep_id THEN n_tokens ELSE 0 END)
+              AS BIGINT) AS tokens_kept,
+            CAST((SUM(n_tokens) - SUM(CASE WHEN doc_id = keep_id
+                  THEN n_tokens ELSE 0 END)) * 1000000
+              // SUM(n_tokens) AS BIGINT) AS token_savings_ppm
+          FROM d JOIN k USING (h)
+          GROUP BY source""",
     // the three ev legs' oracle algebra crossed into the single
     // release row; HUGEINT mirrors DECIMAL(38)
     "cp4_eval_release" ->
