@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -37,6 +38,27 @@ object VectorExprs {
     case ArrayType(LongType, _) => 3
     case other => throw new IllegalArgumentException(
       s"dot_native/sqdist_native need a numeric array, got $other")
+  }
+
+  /** Plan-time input validation (shared by both exprs): misuse fails
+    * analysis with an AnalysisException instead of surfacing as a raw
+    * IllegalArgumentException at execution (the lazy typeCode would
+    * otherwise pass analysis unconditionally). `allowed` lists the
+    * element types the expression's kernel actually handles — dot
+    * takes any numeric array, sqdist integer arrays only (its
+    * accumulator is a long and its element reads are integral).
+    */
+  private[functions] def checkArrayInputs(name: String,
+      left: Expression, right: Expression,
+      allowed: Set[DataType]): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(et, _) => allowed.contains(et)
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name needs ${allowed.map(_.simpleString).toSeq.sorted.mkString("/")} arrays, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
   @inline private def elemD(a: ArrayData, i: Int, t: Int): Double = t match {
@@ -85,6 +107,10 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkArrayInputs(prettyName, left, right,
+      Set(FloatType, DoubleType, IntegerType, LongType))
+
   private lazy val (ta, tb) =
     (VectorExprs.typeCode(left.dataType), VectorExprs.typeCode(right.dataType))
 
@@ -113,6 +139,10 @@ case class SqDistExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkArrayInputs(prettyName, left, right,
+      Set(IntegerType, LongType))
 
   private lazy val (ta, tb) =
     (VectorExprs.typeCode(left.dataType), VectorExprs.typeCode(right.dataType))

@@ -191,11 +191,14 @@ object Dedup {
       .drop("grp")
   }
 
-  /** Exact Jaccard >= 0.6 pairs from a (doc_id, sh) table via the
+  /** Exact Jaccard >= t pairs from a (doc_id, sh) table via the
     * naive inverted-index join (every shared shingle generates a
-    * candidate row).
+    * candidate row). The threshold is a permille integer (default
+    * 600 = the ll6 operating point) so sweep callers (ll30) share
+    * this pipeline instead of re-deriving the pair scan.
     */
-  private[operators] def jaccardFromShingles(sh: DataFrame): DataFrame = {
+  private[operators] def jaccardFromShingles(sh: DataFrame,
+                                             minJaccardMille: Long = 600L): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -205,44 +208,49 @@ object Dedup {
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
       .withColumn("jaccard",
         col("n_common") / (col("za.sz") + col("zb.sz") - col("n_common")))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= minJaccardMille / 1000.0)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 
   /** The same pairs via PREFIX FILTERING (all-pairs/ppjoin): under a
-    * global rarest-first shingle order, any pair with J >= 3/5 shares
+    * global rarest-first shingle order, any pair with J >= t shares
     * a shingle within each doc's prefix of length |X| - ceil(t|X|) + 1
-    * (computed in exact integer arithmetic — a float ceil(0.6*sz) can
+    * (computed in exact integer arithmetic — a float ceil(t*sz) can
     * round a representation error up and silently shorten the prefix,
-    * breaking the recall guarantee). Candidates come from prefix
-    * shingles only, the exact intersection is counted just for
-    * candidates — identical output, and the O(df^2) frequent-shingle
-    * pair blowup is gone. This is the strategy for df-skewed corpora
-    * at 100 TB; DedupSpec asserts result equality with the naive join.
+    * breaking the recall guarantee; with t in permille the ceil is
+    * (sz*mille + 999) div 1000, identical to the old (sz*3+4) div 5
+    * at the 600 default). Candidates come from prefix shingles only,
+    * the exact intersection is counted just for candidates —
+    * identical output, and the O(df^2) frequent-shingle pair blowup
+    * is gone. This is the strategy for df-skewed corpora at 100 TB;
+    * DedupSpec asserts result equality with the naive join.
     */
-  private[operators] def prefixFilteredJaccard(sh: DataFrame): DataFrame = {
+  private[operators] def prefixFilteredJaccard(sh: DataFrame,
+                                               minJaccardMille: Long = 600L): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
     val prefixes = sh.join(dfreq, "sh")
       .join(sizes, "doc_id")
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("sz") - expr("(sz * 3 + 4) div 5") + 1)
+      .filter(col("rk") <=
+        col("sz") - expr(s"(sz * ${minJaccardMille}L + 999) div 1000") + 1)
       .select(col("doc_id"), col("sh"))
     val cand = prefixes.as("x").join(prefixes.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    exactJaccardOfCandidates(cand, sh)
+    exactJaccardOfCandidates(cand, sh, minJaccardMille)
   }
 
-  /** Exact Jaccard >= 0.6 verification of candidate (doc_a, doc_b)
+  /** Exact Jaccard >= t verification of candidate (doc_a, doc_b)
     * pairs against the full (doc_id, sh) table — the shared verify
     * tail of the prefix-filtered and LSH-candidate strategies. Cost is
     * candidate-bounded: shingles are touched only for docs that appear
     * in `cand`.
     */
-  private[operators] def exactJaccardOfCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
+  private[operators] def exactJaccardOfCandidates(cand: DataFrame, sh: DataFrame,
+                                                  minJaccardMille: Long = 600L): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     cand
       .join(sh.as("fa"), col("doc_a") === col("fa.doc_id"))
@@ -254,7 +262,7 @@ object Dedup {
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
       .withColumn("jaccard",
         col("n_common") / (col("za.sz") + col("zb.sz") - col("n_common")))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= minJaccardMille / 1000.0)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 
@@ -388,8 +396,11 @@ object Dedup {
                                (build: => DataFrame): DataFrame = {
     val key = s.sparkContext.applicationId + "|" + dir
     cache.computeIfAbsent(key, _ => {
+      // MD5 of the full key, not a 32-bit hashCode: two (session,
+      // sfDir) keys colliding would overwrite each other's artifact
       val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        s"/graft-$name-" + java.lang.Integer.toHexString(key.hashCode)
+        s"/graft-$name-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       build.write.mode("overwrite").parquet(p)
       s.read.parquet(p).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
@@ -915,23 +926,27 @@ object Dedup {
 
     // LL30: DEDUP THRESHOLD SWEEP (precision/recall curve) — ev4
     // scores ONE operating point (0.6); this is the TUNING step that
-    // chooses it: exact Jaccard permille for every co-shingled pair
+    // chooses it: exact Jaccard permille for every pair at J >= 0.5
     // of the planted two-crawl corpus once, then a 5-point threshold
     // sweep (500‰..900‰, a broadcast 5-row grid) rolls precision and
     // recall per cut against the planted-twin truth. The pair scan
-    // runs ONCE — the sweep multiplies only the scored-pair table by
-    // 5, never the corpus; scoring uses ll6's inverted-index shape
-    // (this corpus sits in its exact regime; high-df corpora reroute
-    // through the Σdf² budget exactly as ll6 documents).
+    // runs ONCE, THROUGH THE SHARED ADAPTIVE PIPELINE
+    // (jaccardPairsOf at 500‰) — so a high-df corpus reroutes the
+    // sweep through the Σdf²-budget LSH arm exactly like ll6/ev4
+    // (r12 verdict #2: the previous hardcoded inverted-index
+    // self-join contradicted this contract). J >= 0.5 in exact
+    // double arithmetic is equivalent to integer jp >= 500 (the
+    // sweep's lowest cut): for rationals with denominators this
+    // small, the double quotient crosses 0.5 exactly when the exact
+    // ratio does. The sweep multiplies only the scored-pair table by
+    // 5, never the corpus.
     "ll30_threshold_sweep" -> ((s, dir) => {
       val sess = s
       import sess.implicits._
       val sh = shingleTable(s, dir)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val scored = sh.as("x").join(sh.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
+      val scored = jaccardPairsOf(sh, signatureTable(s, dir),
+          "ll30_threshold_sweep", minJaccardMille = 500L)
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
         .withColumn("jp", expr("n_common * 1000 DIV (sza + szb - n_common)"))
@@ -966,14 +981,15 @@ object Dedup {
     * one on the fly).
     */
   private[operators] def jaccardPairsOf(sh: DataFrame, sigs: => DataFrame,
-                                        tag: String): DataFrame = {
+                                        tag: String,
+                                        minJaccardMille: Long = 600L): DataFrame = {
     val branch = jaccardStrategy(sh)
     if (sys.props.contains("graft.cc.profile"))
       System.err.println(s"[graft] $tag strategy: $branch")
     branch match {
-      case "prefix-filtered" => prefixFilteredJaccard(sh)
-      case "inverted-index" => jaccardFromShingles(sh)
-      case _ => exactJaccardOfCandidates(bandCandidates(sigs), sh)
+      case "prefix-filtered" => prefixFilteredJaccard(sh, minJaccardMille)
+      case "inverted-index" => jaccardFromShingles(sh, minJaccardMille)
+      case _ => exactJaccardOfCandidates(bandCandidates(sigs), sh, minJaccardMille)
     }
   }
 

@@ -311,8 +311,11 @@ object Identity {
       val ev = Tables.events(s, dir)
       val e1 = ev.select((col("user_id") + 100000L).as("src"), (col("user_id") % 37).as("dst"))
       val e2 = ev.select((col("user_id") + 100000L).as("src"), (col("user_id") % 53 + 1000L).as("dst"))
+      // MD5 of the full key, not a 32-bit hashCode: two (session,
+      // sfDir) keys colliding would overwrite each other's artifact
       val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-idmap-" + java.lang.Integer.toHexString(key.hashCode)
+        "/graft-idmap-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       connectedComponents(e1.union(e2).distinct()).toDF("node", "comp")
         .write.mode("overwrite").parquet(p)
       p

@@ -108,8 +108,10 @@ object Sessions {
         })
   }
 
-  /** q45's streaming sibling state: Page's one-sided CUSUM pair. */
-  case class CusumState(sPos: Long, sNeg: Long)
+  /** q45's streaming sibling state: Page's one-sided CUSUM pair plus
+    * the fold-order high-water mark (last folded hour).
+    */
+  case class CusumState(sPos: Long, sNeg: Long, maxH: Long)
 
   /** ONLINE CUSUM control chart (Page 1954) — the streaming sibling
     * of q45's retrospective changepoint scan: q45 needs the series
@@ -122,6 +124,16 @@ object Sessions {
     * convention). Exactly integer, O(1) state forever, hour buckets
     * arrive closed from the upstream watermarked aggregate exactly
     * like holtStream's.
+    *
+    * Cross-batch disorder guard (the ingestRateLimitStream contract):
+    * the recurrence is order-sensitive, but micro-batches only sort
+    * within themselves — an hour bucket arriving in a LATER
+    * micro-batch yet EARLIER in series order would fold against
+    * already-committed chart state and silently diverge. The state
+    * tracks the last folded hour; a late bucket is DROPPED (no
+    * emission, no state change) — a live control chart cannot rewind
+    * alarms it already raised. StreamingSpec pins both the in-order
+    * equivalence and the late-drop.
     */
   def cusumStream(series: org.apache.spark.sql.Dataset[HourCount],
       ref: Long, slack: Long, h: Long)
@@ -131,22 +143,27 @@ object Sessions {
     series.groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (typ: String, it: Iterator[HourCount], state: GroupState[CusumState]) => {
-          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, Long.MinValue))
           val out = Seq.newBuilder[(String, Long, Long, Long, Long, Boolean)]
           it.toSeq.sortBy(_.h).foreach { r =>
-            val sPos = math.max(0L, st.sPos + (r.c - ref - slack))
-            val sNeg = math.max(0L, st.sNeg + (ref - r.c - slack))
-            val alarm = sPos > h || sNeg > h
-            out += ((typ, r.h, r.c, sPos, sNeg, alarm))
-            st = if (alarm) CusumState(0L, 0L) else CusumState(sPos, sNeg)
+            if (r.h > st.maxH) {
+              val sPos = math.max(0L, st.sPos + (r.c - ref - slack))
+              val sNeg = math.max(0L, st.sNeg + (ref - r.c - slack))
+              val alarm = sPos > h || sNeg > h
+              out += ((typ, r.h, r.c, sPos, sNeg, alarm))
+              st = if (alarm) CusumState(0L, 0L, r.h)
+                   else CusumState(sPos, sNeg, r.h)
+            }
           }
           state.update(st)
           out.result().iterator
         })
   }
 
-  /** a10's streaming state: Holt level + trend, milli-scaled. */
-  case class HoltState(l: Long, b: Long)
+  /** a10's streaming state: Holt level + trend, milli-scaled, plus
+    * the fold-order high-water mark (last folded hour).
+    */
+  case class HoltState(l: Long, b: Long, maxH: Long)
 
   /** a10's Holt (level + trend) forecaster as flatMapGroupsWithState
     * — ewmaSpikeStream's shape with the two-variable state, so the
@@ -155,27 +172,41 @@ object Sessions {
     * upstream watermarked aggregate, and the integer recurrence is
     * the a10 batch fold verbatim (Scala / == SQL DIV on every input
     * including negative trends — truncation toward zero all around).
-    * fprev emits -1 for the series head.
+    * fprev is None for the series head — the same NULL the batch
+    * a10_holt_winters emits, so stream and batch rows union/diff
+    * without caller-side normalization (r12 advisor finding).
+    *
+    * Cross-batch disorder guard (the ingestRateLimitStream contract):
+    * the recurrence is order-sensitive, but micro-batches only sort
+    * within themselves — a late hour bucket folding against
+    * already-committed level/trend state would silently diverge from
+    * the batch fold. The state tracks the last folded hour; a late
+    * bucket is DROPPED (no emission, no state change) — a live
+    * forecaster cannot rewind forecasts it already issued.
+    * StreamingSpec pins both the in-order equivalence and the
+    * late-drop.
     */
   def holtStream(series: org.apache.spark.sql.Dataset[HourCount])
-    : org.apache.spark.sql.Dataset[(String, Long, Long, Long, Boolean)] = {
+    : org.apache.spark.sql.Dataset[(String, Long, Long, Option[Long], Boolean)] = {
     import series.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     series.groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (typ: String, it: Iterator[HourCount], state: GroupState[HoltState]) => {
-          var st = state.getOption.getOrElse(HoltState(-1L, 0L))
-          val out = Seq.newBuilder[(String, Long, Long, Long, Boolean)]
+          var st = state.getOption.getOrElse(HoltState(-1L, 0L, Long.MinValue))
+          val out = Seq.newBuilder[(String, Long, Long, Option[Long], Boolean)]
           it.toSeq.sortBy(_.h).foreach { r =>
-            val fprev = if (st.l < 0L) -1L else st.l + st.b
-            val spike = st.l >= 0L && fprev > 0L && 1000L * r.c > 2L * fprev
-            out += ((typ, r.h, r.c, fprev, spike))
-            st =
-              if (st.l < 0L) HoltState(1000L * r.c, 0L)
-              else {
-                val lnew = (3000L * r.c + 7L * (st.l + st.b)) / 10L
-                HoltState(lnew, ((lnew - st.l) + 9L * st.b) / 10L)
-              }
+            if (r.h > st.maxH) {
+              val fprev = if (st.l < 0L) None else Some(st.l + st.b)
+              val spike = fprev.exists(f => f > 0L && 1000L * r.c > 2L * f)
+              out += ((typ, r.h, r.c, fprev, spike))
+              st =
+                if (st.l < 0L) HoltState(1000L * r.c, 0L, r.h)
+                else {
+                  val lnew = (3000L * r.c + 7L * (st.l + st.b)) / 10L
+                  HoltState(lnew, ((lnew - st.l) + 9L * st.b) / 10L, r.h)
+                }
+            }
           }
           state.update(st)
           out.result().iterator
@@ -526,33 +557,37 @@ object Sessions {
           min(col("value")).as("min_value"), max(col("value")).as("max_value"))
     }),
 
-    // INTERVAL (range) JOIN — each event matched against every order
-    // window [orderdate, orderdate + 7 d) of the same user, the
+    // INTERVAL (range) JOIN — each event matched against every
+    // purchase window [purchase ts, ts + 7 d) of the same user, the
     // point-in-interval join Spark has no native operator for. The
     // naive theta-join degenerates to a per-user cross product, so
     // the scalable plan BUCKETIZES time: each interval explodes into
     // its <= 8 covering day-buckets, each event hashes to its single
     // bucket, and the match becomes an EQUI-join on (user, bucket)
     // with the exact range predicate as a residual filter — shuffle
-    // volume is |events| + 8·|orders|, never the product. An event
+    // volume is |events| + 8·|purchases|, never the product. An event
     // falls in exactly one bucket and an interval covers each bucket
     // once, so no post-join dedup is needed. The per-event aggregate
-    // keeps the output bounded by the event count.
+    // keeps the output bounded by the event count. Intervals are
+    // derived IN EVENT TIME (purchases open the windows) so the match
+    // set is structurally nonempty — every purchase matches at least
+    // itself (r12 verdict #1: the prior orders-derived intervals sat
+    // in 1995–2001 against 2024 events and never matched a row).
     "q25_interval_join" -> ((s, dir) => {
       val dayUs = 86400000000L
-      val ord = Tables.orders(s, dir)
-        .select(col("o_custkey").as("user_id"), col("o_orderkey"),
-          unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"))
-        .withColumn("end_us", col("start_us") + lit(7L * dayUs))
-      val buck = ord.withColumn("bucket",
-        explode(expr(s"sequence(start_us DIV ${dayUs}L, (end_us - 1) DIV ${dayUs}L)")))
       val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
-        .withColumn("bucket", expr(s"ts_us DIV ${dayUs}L"))
-      ev.join(buck, Seq("user_id", "bucket"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val win = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("start_us"), (col("ts_us") + lit(7L * dayUs)).as("end_us"))
+      val buck = win.withColumn("bucket",
+        explode(expr(s"sequence(start_us DIV ${dayUs}L, (end_us - 1) DIV ${dayUs}L)")))
+      ev.withColumn("bucket", expr(s"ts_us DIV ${dayUs}L"))
+        .join(buck, Seq("user_id", "bucket"))
         .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
         .groupBy(col("event_id"))
-        .agg(count(lit(1)).as("n_active"), min(col("o_orderkey")).as("first_orderkey"))
+        .agg(count(lit(1)).as("n_active"), min(col("purchase_id")).as("first_purchase"))
     }),
 
     // As-of join: each event picks up the customer's most recent order
@@ -2165,16 +2200,19 @@ object Sessions {
                 MIN(value) AS min_value, MAX(value) AS max_value
          FROM e CROSS JOIN c GROUP BY 1""",
     // the oracle states the interval join declaratively; the engine's
-    // bucketized equi-join must produce the identical match set
+    // bucketized equi-join must produce the identical match set.
+    // Windows open at purchase events (same table, same time range),
+    // so every purchase matches at least itself — nonempty by
+    // construction at every scale.
     "q25_interval_join" ->
-      """WITH o AS (SELECT o_custkey AS user_id, o_orderkey,
-                      epoch_us(o_orderdate) AS start_us,
-                      epoch_us(o_orderdate) + 604800000000 AS end_us
-                    FROM orders)
+      """WITH w AS (SELECT event_id AS purchase_id, user_id,
+                      epoch_us(ts) AS start_us,
+                      epoch_us(ts) + 604800000000 AS end_us
+                    FROM events WHERE event_type = 'purchase')
          SELECT e.event_id, COUNT(*) AS n_active,
-                MIN(o.o_orderkey) AS first_orderkey
-         FROM events e JOIN o ON e.user_id = o.user_id
-           AND epoch_us(e.ts) >= o.start_us AND epoch_us(e.ts) < o.end_us
+                MIN(w.purchase_id) AS first_purchase
+         FROM events e JOIN w ON e.user_id = w.user_id
+           AND epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
          GROUP BY 1""",
     // DuckDB's ASOF with a <= condition picks the nearest following
     // row — the forward direction the negated-time engine plan encodes

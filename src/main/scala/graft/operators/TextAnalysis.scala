@@ -49,8 +49,12 @@ object TextAnalysis {
           .withColumn("ws", split(col("text"), " ")))
         .select(col("doc_id"),
           when(col("verdict") === "keep", 1L).otherwise(0L).as("actual"))
+      // collision-resistant digest of the FULL key: a 32-bit hashCode
+      // can collide across (session, sfDir) keys, silently crossing
+      // score artifacts between corpora
       val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-evalscores-" + java.lang.Integer.toHexString(key.hashCode)
+        "/graft-evalscores-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       scores.join(truth, "doc_id")
         .write.mode("overwrite").parquet(p)
       p
@@ -395,28 +399,38 @@ object TextAnalysis {
         .withColumn("local_before", coalesce(sum(col("n")).over(wLocal), lit(0L)))
         .join(coarse, "cb")
         .withColumn("cum_before", col("prefix") + col("local_before"))
-        .agg(sum(expr("p * (2 * cum_before + n + 1)")).as("rpos2"),
+        .agg(sum(expr("CAST(p AS DECIMAL(38,0)) * (2 * cum_before + n + 1)")).as("rpos2"),
           sum(col("p")).as("npos"), sum(expr("n - p")).as("nneg"))
         .select(expr(
           "IF(npos = 0 OR nneg = 0, 0L, CAST(" +
             "(CAST(rpos2 AS DECIMAL(38,0)) - CAST(npos AS DECIMAL(38,0)) * (npos + 1)) " +
             "* 1000000 DIV (2 * CAST(npos AS DECIMAL(38,0)) * nneg) AS BIGINT))")
           .as("auc_ppm"))
-      // leg (b): top-decile lift via the two-level exact rank (ev10)
-      val docs = st.withColumn("cb", expr("score DIV 4096"))
-      val coarseN = docs.groupBy(col("cb")).agg(count(lit(1)).as("bn"))
+      // leg (b): top-decile lift via ev10's histogram-pure interval
+      // algebra — each (score, actual) histogram row's overlap with
+      // the top-decile rank interval [N - (N-1) DIV 10, N] is pure
+      // arithmetic; no per-doc window anywhere (r12 verdict #3)
+      val fineA = st.groupBy(col("score"), col("actual"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cb", expr("score DIV 4096"))
+      val coarseN = fineA.groupBy(col("cb")).agg(sum(col("n")).as("bn"))
         .withColumn("prefix", coalesce(sum(col("bn")).over(wCoarse), lit(0L)))
         .select(col("cb"), col("prefix"))
-      val wRank = Window.partitionBy(col("cb"))
-        .orderBy(col("score"), col("doc_id"))
-      val nTotal = docs.agg(count(lit(1)).as("n_total"),
+      val wLocalA = Window.partitionBy(col("cb"))
+        .orderBy(col("score"), col("actual"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nTotal = st.agg(count(lit(1)).as("n_total"),
         sum(col("actual")).as("tot_pos"))
-      val lift = docs
-        .withColumn("rn", row_number().over(wRank).cast("long"))
+      val lift = fineA
+        .withColumn("local_before", coalesce(sum(col("n")).over(wLocalA), lit(0L)))
         .join(coarseN, "cb")
         .crossJoin(broadcast(nTotal)) // 1-row scalar, rule (b)'s shape
-        .filter(expr("(n_total - (prefix + rn)) * 10 DIV n_total = 0"))
-        .agg(count(lit(1)).as("d_docs"), sum(col("actual")).as("d_pos"),
+        .withColumn("lo", col("prefix") + col("local_before") + 1)
+        .withColumn("hi", col("prefix") + col("local_before") + col("n"))
+        .withColumn("cnt", expr(
+          "least(hi, n_total) - greatest(lo, n_total - (n_total - 1) DIV 10) + 1"))
+        .filter(col("cnt") > 0)
+        .agg(sum(col("cnt")).as("d_docs"), sum(expr("actual * cnt")).as("d_pos"),
           max(col("n_total")).as("n_total"), max(col("tot_pos")).as("tot_pos"))
         .select(expr(
           "CAST(CAST(d_pos AS DECIMAL(38,0)) * n_total * 1000000 " +
@@ -662,8 +676,12 @@ object TextAnalysis {
     // SCORE HISTOGRAM, never a per-document global rank: group docs by
     // exact integer score, then each distinct score's average rank is
     // cum_before + (n+1)/2 — held in HALF-UNITS (rank2 = 2·cum_before
-    // + n + 1) so everything stays integer, and the final scalar
-    // division runs in DECIMAL(38) (npos·nneg·1e6 overflows a long at
+    // + n + 1) so everything stays integer; the rank-mass sum
+    // accumulates in DECIMAL(38) (the per-row product p·2N overflows
+    // a long before the final division does — DuckDB widens SUM to
+    // HUGEINT, so plain BIGINT would diverge silently exactly at
+    // scale) and the final scalar division runs in DECIMAL(38)
+    // (npos·nneg·1e6 overflows a long at
     // web scale). The prefix over distinct scores is the ev8/prof5
     // two-level shape: a 4096-wide coarse-bucket table (score-RANGE-
     // bounded, not corpus-bounded) takes the one single-partition
@@ -685,7 +703,7 @@ object TextAnalysis {
         .withColumn("local_before", coalesce(sum(col("n")).over(wLocal), lit(0L)))
         .join(coarse, "cb")
         .withColumn("cum_before", col("prefix") + col("local_before"))
-        .agg(sum(expr("p * (2 * cum_before + n + 1)")).as("rpos2"),
+        .agg(sum(expr("CAST(p AS DECIMAL(38,0)) * (2 * cum_before + n + 1)")).as("rpos2"),
           sum(col("p")).as("npos"), sum(expr("n - p")).as("nneg"))
         .withColumn("auc_ppm", expr(
           "IF(npos = 0 OR nneg = 0, 0L, CAST(" +
@@ -695,37 +713,53 @@ object TextAnalysis {
     }),
 
     // EV10: CUMULATIVE GAIN / LIFT TABLE — the "how deep do I curate"
-    // read of ta10's classifier: docs deciled by score DESCENDING
-    // (ties broken by doc_id, so both engines bucket identically) and
+    // read of ta10's classifier: docs deciled by score DESCENDING and
     // each decile scored by cumulative keep-capture (gain) and lift
-    // over the base rate. The global per-doc rank is the same
-    // two-level shape as ev9: within-4096-score-bucket row_numbers
-    // stay bucket-partitioned, only the score-range-bounded coarse
-    // prefix runs single-partition; the decile rollup's cumulative
-    // window sees exactly 10 rows. Lift cross-multiplies in
-    // DECIMAL(38) (cum_pos · N · 1e6 overflows a long at web scale).
+    // over the base rate. HISTOGRAM-PURE (r12 verdict #3): the tie
+    // order within a score is (actual, doc_id), so each
+    // (score, actual) histogram row owns a CONTIGUOUS ascending-rank
+    // interval [cum_before+1, cum_before+n] — no window ever
+    // enumerates raw docs (the old per-score-bucket row_number held a
+    // corpus fraction when scores concentrate in one 4096-bucket).
+    // Decile membership is integer interval algebra: ranks in decile
+    // d are those with (n_total - r)*10 DIV n_total = d, i.e.
+    // r ∈ [n_total - ((d+1)·N - 1) DIV 10, n_total - (d·N + 9) DIV 10],
+    // so a histogram row explodes into its ≤ 10 overlapping deciles
+    // with an arithmetic overlap count. The two-level prefix keeps
+    // the single-partition window score-RANGE-bounded (4096-wide
+    // coarse buckets); per-(score,actual) cumsums stay
+    // bucket-partitioned. Lift cross-multiplies in DECIMAL(38)
+    // (cum_pos · N · 1e6 overflows a long at web scale).
     "ev10_lift_gain" -> ((s, dir) => {
-      val docs = scoredTruth(s, dir)
+      val fine = scoredTruth(s, dir)
+        .groupBy(col("score"), col("actual"))
+        .agg(count(lit(1)).as("n"))
         .withColumn("cb", expr("score DIV 4096"))
       val wCoarse = Window.orderBy(col("cb"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val coarse = docs.groupBy(col("cb")).agg(count(lit(1)).as("bn"))
+      val coarse = fine.groupBy(col("cb")).agg(sum(col("n")).as("bn"))
         .withColumn("prefix", coalesce(sum(col("bn")).over(wCoarse), lit(0L)))
         .select(col("cb"), col("prefix"))
       val wLocal = Window.partitionBy(col("cb"))
-        .orderBy(col("score"), col("doc_id"))
-      val nTotal = docs.agg(count(lit(1)).as("n_total"),
+        .orderBy(col("score"), col("actual"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nTotal = scoredTruth(s, dir).agg(count(lit(1)).as("n_total"),
         sum(col("actual")).as("tot_pos"))
       val wDecile = Window.orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      docs
-        .withColumn("rn", row_number().over(wLocal).cast("long"))
+      fine
+        .withColumn("local_before", coalesce(sum(col("n")).over(wLocal), lit(0L)))
         .join(coarse, "cb")
         .crossJoin(broadcast(nTotal)) // 1-row scalar, rule (b)'s shape
-        .withColumn("rank_asc", col("prefix") + col("rn"))
-        .withColumn("decile", expr("(n_total - rank_asc) * 10 DIV n_total"))
+        .withColumn("lo", col("prefix") + col("local_before") + 1)
+        .withColumn("hi", col("prefix") + col("local_before") + col("n"))
+        .withColumn("decile", explode(expr(
+          "sequence((n_total - hi) * 10 DIV n_total, (n_total - lo) * 10 DIV n_total)")))
+        .withColumn("r_lo", expr("n_total - ((decile + 1) * n_total - 1) DIV 10"))
+        .withColumn("r_hi", expr("n_total - (decile * n_total + 9) DIV 10"))
+        .withColumn("cnt", expr("least(hi, r_hi) - greatest(lo, r_lo) + 1"))
         .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("actual")).as("n_pos"),
+        .agg(sum(col("cnt")).as("n_docs"), sum(expr("actual * cnt")).as("n_pos"),
           max(col("n_total")).as("n_total"), max(col("tot_pos")).as("tot_pos"))
         .withColumn("cum_docs", sum(col("n_docs")).over(wDecile))
         .withColumn("cum_pos", sum(col("n_pos")).over(wDecile))
@@ -1369,7 +1403,7 @@ object TextAnalysis {
          t AS (SELECT COUNT(*) AS n_total, CAST(SUM(actual) AS BIGINT) AS tot_pos
                FROM j),
          r AS (SELECT actual,
-                 CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id) AS BIGINT)
+                 CAST(ROW_NUMBER() OVER (ORDER BY score, actual, doc_id) AS BIGINT)
                    AS rank_asc
                FROM j),
          d0 AS (SELECT COUNT(*) AS d_docs, CAST(SUM(actual) AS BIGINT) AS d_pos
@@ -1442,7 +1476,8 @@ object TextAnalysis {
                           // (2 * npos * nneg) END AS BIGINT) AS auc_ppm
          FROM agg""",
     // same scorer/truth; the oracle deciles off one global rank
-    // (score DESC, doc_id ASC — both engines bucket identically)
+    // (score, actual, doc_id — the negatives-first tie order that
+    // makes the engine side a pure histogram computation)
     "ev10_lift_gain" ->
       s"""WITH w AS (SELECT bucket,
              CAST(CAST('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 8) AS UBIGINT)
@@ -1474,7 +1509,7 @@ object TextAnalysis {
          t AS (SELECT COUNT(*) AS n_total, CAST(SUM(actual) AS BIGINT) AS tot_pos
                FROM j),
          r AS (SELECT actual,
-                 CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id) AS BIGINT)
+                 CAST(ROW_NUMBER() OVER (ORDER BY score, actual, doc_id) AS BIGINT)
                    AS rank_asc
                FROM j),
          d AS (SELECT (t.n_total - rank_asc) * 10 // t.n_total AS decile,

@@ -109,6 +109,57 @@ class DedupSpec extends SparkSpec {
       === "lsh-verified")
   }
 
+  test("threshold threading: 500‰ prefix filtering matches the naive join, " +
+    "and the sweep survives the budget regime through the shared pipeline") {
+    // ll30 runs jaccardPairsOf at 500‰ — both exact branches must
+    // agree at the lowered cut (the generalized prefix-length ceil),
+    // and on a df-explosive corpus the SAME call must route to the
+    // LSH arm and still emit only true J>=0.5 pairs (exact precision)
+    // per-doc-unique words make J exactly computable: a doc of w
+    // distinct words has 2w-1 shingles, its drop-k prefix copy shares
+    // 2(w-k)-1 of them, so J = (2w-2k-1)/(2w-1); k = round(0.45w)
+    // places every planted pair inside [0.5, 0.6) for w in 12..16,
+    // and the drop-1 copies of the first five docs sit around 0.9
+    val base = (1L to 25L).map { i =>
+      val w = 12 + (i % 5).toInt
+      i -> (1 to w).map(j => s"w${i}_$j").mkString(" ")
+    }
+    val docs = base.map { case (i, t) =>
+      val w = t.split(" ").length
+      (i + 100L) -> t.split(" ").drop(math.round(0.45 * w).toInt).mkString(" ")
+    } ++ base.take(5).map { case (i, t) =>
+      (i + 200L) -> t.split(" ").drop(1).mkString(" ")
+    } ++ base
+    val sh = Dedup.shingles(docsDf(docs))
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "n_common").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive500 = collectPairs(Dedup.jaccardFromShingles(sh, 500L))
+    val filtered500 = collectPairs(Dedup.prefixFilteredJaccard(sh, 500L))
+    val naive600 = collectPairs(Dedup.jaccardFromShingles(sh))
+    assert(naive500.nonEmpty && (naive500 diff naive600).nonEmpty,
+      "fixture should contain pairs between 0.5 and 0.6 so the cut matters")
+    assert(filtered500 === naive500,
+      "the generalized prefix length must preserve recall at the 500‰ cut")
+    // budget regime: tiny vocab → lsh-verified; the sweep's entry
+    // point must route there and keep exact precision at 500‰
+    val rnd = new scala.util.Random(23)
+    val vocab3 = Vector("v1", "v2", "v3")
+    val dense = (1L to 40L).map(i =>
+      i -> Seq.fill(14)(vocab3(rnd.nextInt(vocab3.size))).mkString(" "))
+    val denseDocs = dense ++ dense.map { case (i, t) =>
+      (i + 100L) -> t.split(" ").drop(1).mkString(" ")
+    }
+    val dsh = Dedup.shingles(docsDf(denseDocs))
+    assert(Dedup.jaccardStrategy(dsh) === "lsh-verified")
+    val swept = collectPairs(Dedup.jaccardPairsOf(dsh,
+      Dedup.minhashSignatures(dsh), "spec-sweep", 500L))
+    val denseNaive = collectPairs(Dedup.jaccardFromShingles(dsh, 500L))
+    assert(swept.nonEmpty, "the budget arm should recover near-identical pairs")
+    assert(swept.subsetOf(denseNaive),
+      "sweep pairs through the LSH arm must all be true J>=0.5 pairs")
+  }
+
   test("lsh-verified Jaccard: nonempty exact-precision subset of the naive result") {
     // near-dup pairs on a df-explosive corpus: identical copies (drop
     // one word) over a tiny vocab, the regime where the budget branch

@@ -66,9 +66,11 @@ class EvalMetricsSpec extends SparkSpec {
     val ps = pairs()
     val n = ps.size.toLong
     val totPos = ps.map(_._3).sum
-    // literal: rank ascending by (score, doc_id) — the query's exact
-    // tie order, which matters when a decile boundary cuts a tie group
-    val ranked = ps.sortBy(p => (p._2, p._1)).zipWithIndex
+    // literal: rank ascending by (score, actual, doc_id) — the
+    // query's exact tie order (negatives before positives within a
+    // score, which is what makes the engine side histogram-pure);
+    // it matters when a decile boundary cuts a tie group
+    val ranked = ps.sortBy(p => (p._2, p._3, p._1)).zipWithIndex
       .map { case ((_, _, actual), i) => (i + 1L, actual) }
     val byDecile = ranked.groupBy { case (rank, _) => (n - rank) * 10 / n }
     val expect = byDecile.map { case (d, xs) =>

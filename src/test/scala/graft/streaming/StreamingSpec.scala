@@ -929,14 +929,71 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(series.filter(_.h >= mid).toIndexedSeq: _*)
       q.processAllAvailable()
-      val streamed = spark.table("holt")
-        .collect().map(r => (r.getString(0), r.getLong(1)) ->
-          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
-      val batch = graft.SparkEntry.queries("a10_holt_winters")(spark, sfDir)
-        .collect().map(r => (r.getString(0), r.getLong(1)) ->
-          ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))).toMap
+      // IDENTICAL null handling on both sides: the stream's None fprev
+      // lands as SQL NULL, the batch head row is NULL — no sentinel
+      // normalization anywhere (r12 advisor finding)
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2),
+            if (r.isNullAt(3)) Option.empty[Long] else Some(r.getLong(3)),
+            r.getBoolean(4)))).toMap
+      val streamed = asMap(spark.table("holt"))
+      val batch = asMap(graft.SparkEntry.queries("a10_holt_winters")(spark, sfDir))
       assert(streamed === batch,
         "per-hour stream emissions must equal the batch Holt fold, incl. across the batch split")
+    } finally q.stop()
+  }
+
+  test("holtStream disorder guard: a late hour bucket is dropped, the trajectory unrewound") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val mk = (h: Long, c: Long) => graft.operators.Sessions.HourCount("view", h, c)
+    val input = MemoryStream[graft.operators.Sessions.HourCount]
+    val q = graft.operators.Sessions.holtStream(input.toDS())
+      .toDF("event_type", "hour", "n_events", "fprev", "spike")
+      .writeStream.format("memory").queryName("holtdis").outputMode("append").start()
+    try {
+      input.addData(mk(0L, 10L), mk(1L, 12L), mk(2L, 14L))
+      q.processAllAvailable()
+      input.addData(mk(1L, 999L), mk(3L, 16L)) // hour 1 is LATE: already folded
+      q.processAllAvailable()
+      val rows = spark.table("holtdis").orderBy("hour").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((0L, 10L), (1L, 12L), (2L, 14L), (3L, 16L)),
+        "the late hour-1 re-send must produce NO output row")
+      // hour 3's forecast must come from the fold that never saw the
+      // late row: replay the recurrence driver-side
+      var (l, b) = (10000L, 0L)
+      for (c <- Seq(12L, 14L)) {
+        val lnew = (3000L * c + 7L * (l + b)) / 10L
+        b = ((lnew - l) + 9L * b) / 10L; l = lnew
+      }
+      val f3 = spark.table("holtdis").filter(col("hour") === 3L).collect().head.getLong(3)
+      assert(f3 == l + b, "hour-3 fprev must be the undisturbed trajectory")
+    } finally q.stop()
+  }
+
+  test("cusumStream disorder guard: a late hour bucket is dropped, chart state unrewound") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val mk = (h: Long, c: Long) => graft.operators.Sessions.HourCount("view", h, c)
+    val input = MemoryStream[graft.operators.Sessions.HourCount]
+    val q = graft.operators.Sessions.cusumStream(input.toDS(), 10L, 2L, 20L)
+      .toDF("event_type", "hour", "n", "s_pos", "s_neg", "alarm")
+      .writeStream.format("memory").queryName("cusumdis").outputMode("append").start()
+    try {
+      input.addData(mk(0L, 15L), mk(1L, 15L))
+      q.processAllAvailable()
+      input.addData(mk(0L, 100L), mk(2L, 15L)) // hour 0 re-sent late: dropped
+      q.processAllAvailable()
+      val rows = spark.table("cusumdis").orderBy("hour").collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getBoolean(5)))
+      // S+ advances 3 per bucket (15-10-2); the late 100-count bucket
+      // would have alarmed instantly had it folded
+      assert(rows.toSeq == Seq((0L, 3L, false), (1L, 6L, false), (2L, 9L, false)),
+        "the late hour-0 re-send must neither emit nor corrupt the chart")
     } finally q.stop()
   }
 
