@@ -56,6 +56,48 @@ class HllAggregator(p: Int = 12) extends Aggregator[String, Array[Byte], Long] {
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
+/** The registers-out form of HllAggregator — the FIRST-level report
+  * writer persists these sketch BYTES (reference:
+  * enterprise/trackedusers/users_reporter.go:104-190 marshals
+  * hll.ToBytes() into tracked_users_reports rows) so a second-level
+  * consumer can re-aggregate stored reports without the raw ids.
+  * Identical register math to HllAggregator; only finish differs.
+  */
+class HllSketchAggregator(p: Int = 12) extends Aggregator[String, Array[Byte], Array[Byte]] {
+  private val inner = new HllAggregator(p)
+  override def zero: Array[Byte] = inner.zero
+  override def reduce(buf: Array[Byte], value: String): Array[Byte] = inner.reduce(buf, value)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+  override def finish(buf: Array[Byte]): Array[Byte] = buf
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Second-level merge of STORED sketch bytes — the reporting
+  * flusher's aggregator (reference:
+  * enterprise/reporting/flusher/aggregator/tracked_users_inapp.go:40-108
+  * decodes each row's hll bytes and Union()s them per key). Input is
+  * a persisted register array, merge is register-wise max (exact:
+  * merge(sketch(A), sketch(B)) == sketch(A ∪ B)), output the
+  * bias-corrected estimate. State is 2^p bytes per group regardless
+  * of how many stored reports merge — the property that makes the
+  * second level as cheap as the first at 100 TB.
+  */
+class HllMergeAggregator(p: Int = 12) extends Aggregator[Array[Byte], Array[Byte], Long] {
+  private val m = 1 << p
+  override def zero: Array[Byte] = new Array[Byte](m)
+  override def reduce(buf: Array[Byte], value: Array[Byte]): Array[Byte] =
+    if (value == null) buf else merge(buf, value)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+  override def finish(buf: Array[Byte]): Long = HllAggregator.estimate(buf)
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
 object HllAggregator {
   /** Bias-corrected HLL estimate with linear-counting small range.
     *

@@ -21,6 +21,43 @@ object Transforms {
 
   private def k = get_json_object(col("props"), "$.k").cast("long")
 
+  /** The flusher's getRange loop (flusher.go:232-259) run to a batch
+    * FIXPOINT in closed form: assigns each minute-grain report row
+    * its flush window and drops rows whose window hasn't flushed yet.
+    * start_{k+1} = end_k and each end clamps to min(start + 30 min,
+    * next hour boundary), so every window from the third onward is an
+    * aligned half-hour bucket — only the first two boundaries (e0,
+    * e1) depend on the corpus min, both scalar arithmetic riding a
+    * 1-row broadcast. currentUTC = the minute after the last report;
+    * windows ending within the 10-min recent-exclusion of it are
+    * pending, not flushed. TransformsSpec proves the closed form
+    * equals a literal getRange iteration on an hour-UNALIGNED corpus.
+    */
+  private[operators] def flushWindowed(
+      reports: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val HALF = 1800000000L // 30-min flushWindow, µs
+    val HOUR = 3600000000L
+    val scal = reports.agg(
+        min(col("reported_at_us")).as("m0"),
+        (max(col("reported_at_us")) + lit(60000000L) - lit(600000000L)).as("lim"))
+      .withColumn("e0", least(col("m0") + lit(HALF),
+        (expr(s"m0 DIV ${HOUR}L") + 1) * lit(HOUR)))
+      .withColumn("e1", least(col("e0") + lit(HALF),
+        (expr(s"e0 DIV ${HOUR}L") + 1) * lit(HOUR)))
+    reports
+      .crossJoin(broadcast(scal)) // 1-row scalar, rule (b)'s shape
+      .withColumn("window_start_us",
+        when(col("reported_at_us") < col("e0"), col("m0"))
+          .when(col("reported_at_us") < col("e1"), col("e0"))
+          .otherwise(expr(s"(reported_at_us DIV ${HALF}L) * ${HALF}L")))
+      .withColumn("window_end_us",
+        when(col("window_start_us") === col("m0"), col("e0"))
+          .when(col("window_start_us") === col("e0"), col("e1"))
+          .otherwise(col("window_start_us") + lit(HALF)))
+      .filter(col("window_end_us") <= col("lim")) // recent-exclusion gate
+      .drop("m0", "lim", "e0", "e1")
+  }
+
   val defs: Map[String, Q] = Map(
 
     // T1: suppression against an explicit regulation list — the
@@ -323,6 +360,64 @@ object Transforms {
           when(col("event_id") % 2 === 0, concat(lit("user_"), col("user_id"))))
         .groupBy(col("event_type"))
         .agg(hll(col("uid")).as("n_users_sketch"))
+    }),
+
+    // A2d: the reporting FLUSHER's second-level aggregation — the
+    // read path a2c only stores for (reference:
+    // enterprise/reporting/flusher/flusher.go:232-303 +
+    // flusher/aggregator/tracked_users_inapp.go:40-108): persisted
+    // minute-grain HLL sketch rows are re-aggregated per (workspace,
+    // source, instance) across a flush window by MERGING the stored
+    // sketch BYTES — never re-reading raw events — and the merged
+    // reports are split into send batches of batchSizeToReporting.
+    // Window rule (getRange, flusher.go:232-259): start = min pending
+    // reported_at, end = min(start + flushWindow, next hour boundary)
+    // — an aggregate never straddles an hour — and nothing within
+    // recentExclusionWindow of now flushes (inserts still landing).
+    // The batch analog runs the flush loop to a FIXPOINT in closed
+    // form: because start_{k+1} = end_k and each end clamps to the
+    // hour, every window from the third onward is an aligned
+    // half-hour bucket — only the first two boundaries (e0, e1)
+    // depend on the corpus min, both scalar arithmetic. currentUTC =
+    // the minute after the last report. Two real levels: level 1
+    // WRITES sketch rows to parquet (HllSketchAggregator bytes),
+    // level 2 reads the artifact back and merges registers
+    // (HllMergeAggregator) — 2^p bytes of state per group at any
+    // scale, identical by the merge-exactness law to a sketch built
+    // from the window's raw ids, which is exactly what the oracle
+    // mirrors register-for-register (a2c's math, window-grouped).
+    // The batch split is the send loop (flusher.go:279-303): reports
+    // ordered by key within a window, batch_id = ordinal DIV 4. The
+    // per-window rank partition is grain-bounded (|ws|·|src|·|inst| =
+    // 30 rows max), never corpus-bounded.
+    "a2d_flusher_agg" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val sketch = udaf(new graft.functions.HllSketchAggregator(12))
+      val hmerge = udaf(new graft.functions.HllMergeAggregator(12))
+      val minuteRows = Tables.events(s, dir)
+        .withColumn("uid",
+          when(col("event_id") % 2 === 0, concat(lit("user_"), col("user_id"))))
+        .groupBy(
+          expr("(unix_micros(ts) DIV 60000000) * 60000000").as("reported_at_us"),
+          concat(lit("ws_"), col("user_id") % 3).as("workspace_id"),
+          concat(lit("src_"), col("user_id") % 5).as("source_id"),
+          concat(lit("inst_"), col("event_id") % 2).as("instance_id"))
+        .agg(sketch(col("uid")).as("registers"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_a2d").toString + "/reports"
+      minuteRows.write.mode("overwrite").parquet(store)
+      val reports = s.read.parquet(store) // the STORED sketches, read back
+      val wBatch = Window.partitionBy(col("window_start_us"))
+        .orderBy(col("workspace_id"), col("source_id"), col("instance_id"))
+      flushWindowed(reports)
+        .groupBy(col("window_start_us"), col("workspace_id"),
+          col("source_id"), col("instance_id"))
+        .agg(count(lit(1)).as("n_reports"),
+          hmerge(col("registers")).as("tracked_users"))
+        .withColumn("rn", row_number().over(wBatch).cast("long"))
+        .withColumn("batch_id", expr("(rn - 1) DIV 4"))
+        .drop("rn")
     })
   )
 
@@ -502,6 +597,75 @@ object Transforms {
                       THEN 4096 * ln(4096.0 / zeros)
                       ELSE $rawEst END) AS BIGINT) AS n_users_sketch
          FROM grp g LEFT JOIN est e ON g.event_type = e.event_type"""
+    },
+    // a2d: the flusher's merged-sketch estimate is, by the
+    // register-wise-max merge law, identical to a sketch built from
+    // the window's raw uids — so the oracle states the second level
+    // declaratively with a2c's register math grouped by (window,
+    // workspace, source, instance). Window boundaries are the same
+    // closed-form same-hour algebra (only e0/e1 depend on the corpus
+    // min; every later window is an aligned half-hour bucket), and
+    // the recent-exclusion gate drops windows ending after
+    // max-minute + 1 min - 10 min.
+    "a2d_flusher_agg" -> {
+      val rankCase = (1 to 52)
+        .map(r => s"WHEN rest >= ${BigInt(1) << (64 - r)} THEN $r").mkString(" ")
+      val rawEst = """(0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 /
+                      (CAST(num AS DOUBLE) / 18446744073709551616.0)"""
+      s"""WITH base AS (SELECT
+             (epoch_us(ts) // 60000000) * 60000000 AS minute_us,
+             'ws_' || CAST(user_id % 3 AS VARCHAR) AS workspace_id,
+             'src_' || CAST(user_id % 5 AS VARCHAR) AS source_id,
+             'inst_' || CAST(event_id % 2 AS VARCHAR) AS instance_id,
+             CASE WHEN event_id % 2 = 0 THEN 'user_' || CAST(user_id AS VARCHAR) END AS uid
+           FROM events),
+         scal AS (SELECT m0, lim,
+             least(m0 + 1800000000, (m0 // 3600000000 + 1) * 3600000000) AS e0
+           FROM (SELECT MIN(minute_us) AS m0,
+                        MAX(minute_us) + 60000000 - 600000000 AS lim FROM base)),
+         scal2 AS (SELECT m0, e0, lim,
+             least(e0 + 1800000000, (e0 // 3600000000 + 1) * 3600000000) AS e1
+           FROM scal),
+         win AS (SELECT b.*,
+             CASE WHEN minute_us < e0 THEN m0
+                  WHEN minute_us < e1 THEN e0
+                  ELSE (minute_us // 1800000000) * 1800000000 END AS window_start_us,
+             m0, e0, e1, lim
+           FROM base b CROSS JOIN scal2),
+         flush AS (SELECT * FROM (
+             SELECT *, CASE WHEN window_start_us = m0 THEN e0
+                            WHEN window_start_us = e0 THEN e1
+                            ELSE window_start_us + 1800000000 END AS window_end_us
+             FROM win) t WHERE window_end_us <= lim),
+         grp AS (SELECT window_start_us, workspace_id, source_id, instance_id,
+                   COUNT(DISTINCT minute_us) AS n_reports
+                 FROM flush GROUP BY 1, 2, 3, 4),
+         h AS (SELECT window_start_us, workspace_id, source_id, instance_id,
+                 CAST('0x' || substr(md5(uid), 1, 16) AS UBIGINT) AS h
+               FROM flush WHERE uid IS NOT NULL),
+         rk AS (SELECT window_start_us, workspace_id, source_id, instance_id,
+                  h >> 52 AS idx,
+                  CASE WHEN rest = 0 THEN 53 $rankCase END AS rank
+                FROM (SELECT *, (h % 4503599627370496) * 4096 AS rest FROM h)),
+         reg AS (SELECT window_start_us, workspace_id, source_id, instance_id,
+                   idx, MAX(rank) AS reg
+                 FROM rk GROUP BY 1, 2, 3, 4, 5),
+         est AS (SELECT window_start_us, workspace_id, source_id, instance_id,
+                   SUM(1::HUGEINT << (64 - reg)) + (4096 - COUNT(*)) * (1::HUGEINT << 64) AS num,
+                   4096 - COUNT(*) AS zeros
+                 FROM reg GROUP BY 1, 2, 3, 4),
+         fin AS (SELECT g.window_start_us, g.workspace_id, g.source_id,
+                   g.instance_id, g.n_reports,
+                   CAST(round(CASE WHEN e.zeros IS NULL THEN 0.0
+                         WHEN $rawEst <= 2.5 * 4096 AND zeros > 0
+                         THEN 4096 * ln(4096.0 / zeros)
+                         ELSE $rawEst END) AS BIGINT) AS tracked_users
+                 FROM grp g LEFT JOIN est e
+                   USING (window_start_us, workspace_id, source_id, instance_id))
+         SELECT *, (ROW_NUMBER() OVER (PARTITION BY window_start_us
+                      ORDER BY workspace_id, source_id, instance_id) - 1) // 4
+                     AS batch_id
+         FROM fin"""
     }
   )
 }

@@ -39,6 +39,29 @@ class HllSpec extends SparkSpec {
     assert(once.toSeq === thrice.toSeq)
   }
 
+  test("second level: merging STORED sketch bytes equals sketching the raw union") {
+    // the flusher path (a2d): level 1 persists registers per minute,
+    // level 2 merges the stored bytes — the estimate must be the one
+    // a single sketch over all the window's ids would give
+    val sess = spark
+    import sess.implicits._
+    val df = (1 to 30000).map(i => (s"m${i % 7}", s"k${i % 5}", s"user_${i % 4000}"))
+      .toDF("minute", "key", "uid")
+    val sk = udaf(new HllSketchAggregator(12))
+    val mg = udaf(new HllMergeAggregator(12))
+    val store = java.nio.file.Files.createTempDirectory("graft_hll2").toString
+    df.groupBy("minute", "key").agg(sk(col("uid")).as("registers"))
+      .write.mode("overwrite").parquet(store)
+    val twoLevel = spark.read.parquet(store)
+      .groupBy("key").agg(mg(col("registers")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val one = udaf(new HllAggregator(12))
+    val oneLevel = df.groupBy("key").agg(one(col("uid")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoLevel === oneLevel,
+      "stored-sketch merge must be lossless vs the direct sketch")
+  }
+
   test("udaf surface: groupBy sketch counts track exact distincts") {
     val sess = spark
     import sess.implicits._
