@@ -465,6 +465,58 @@ object Lifecycle {
         .withColumn("eligible_uploads", lit(nEligible))
         .withColumn("archived_first", lit(first))
         .withColumn("archived_resume", lit(resumed))
+    }),
+
+    // SJ1: warehouse SOURCE-JOB execution lifecycle
+    // (warehouse/source/source.go:63-276): reverse-ETL job runs
+    // insert one job per distinct table in the run's table_uploads —
+    // EXCLUDING discards and identity-resolution tables
+    // (source.go:82-96) — and a processing loop drains them through
+    // waiting → executing → succeeded/failed/aborted with the repo's
+    // pre-increment attempt cap (Sinks.sourceJobsRun). Jobs here:
+    // jobRun = event_id % 5, table = the warehouse table its event
+    // type feeds (signup/error map to the two EXCLUDED tables, so the
+    // filter is exercised); job_id is pure arithmetic (jr·3 + table
+    // index), no window. Try outcomes are a deterministic md5 coin
+    // (≈1/3 success) the oracle replays; maxAttempt = 1 gives every
+    // job up to 3 tries. Run TWICE like rg1/wa1: the resume pass must
+    // find every job terminal and execute 0 — the counts ride the
+    // checked output, and the per-job terminal rows come from the
+    // ledger's own latest-state read path, not from the jobs input.
+    "sj1_source_jobs" -> ((s, dir) => {
+      val tidx = when(col("table_name") === "orders", 0L)
+        .when(col("table_name") === "pages", 1L).otherwise(2L)
+      val jobs = Tables.events(s, dir)
+        .select((col("event_id") % 5).as("jr"), col("event_type"))
+        .distinct()
+        .withColumn("table_name",
+          when(col("event_type") === "purchase", "orders")
+            .when(col("event_type") === "click", "pages")
+            .when(col("event_type") === "view", "screens")
+            .when(col("event_type") === "signup", "rudder_identity_merge_rules")
+            .otherwise("rudder_discards"))
+        .filter(!lower(col("table_name")).isin(
+          "rudder_discards", "rudder_identity_mappings", "rudder_identity_merge_rules"))
+        .select((col("jr") * 3 + tidx).as("job_id"),
+          concat(lit("jr_"), col("jr")).as("job_run_id"), col("table_name"))
+        .distinct()
+      def ok(run: String, tbl: String, tryNo: Long): Boolean = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$run|$tbl|$tryNo".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 3 == 0
+      }
+      val ledger = Files.createTempDirectory("graft_sj1").toString + "/ledger"
+      val (e1, t1) = Sinks.sourceJobsRun(s, ledger, jobs, 1, 4, ok)
+      val (e2, _) = Sinks.sourceJobsRun(s, ledger, jobs, 1, 4, ok)
+      val wLatest = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
+      s.read.parquet(ledger)
+        .withColumn("rn", row_number().over(wLatest)).filter(col("rn") === 1)
+        .select(col("job_run_id"), col("table_name"), col("status"),
+          col("attempt").as("attempts"))
+        .withColumn("executed_first", lit(e1))
+        .withColumn("terminal_first", lit(t1))
+        .withColumn("executed_resume", lit(e2))
     })
   )
 
@@ -611,6 +663,37 @@ object Lifecycle {
                 (SELECT COUNT(*) FROM elig) AS eligible_uploads,
                 (SELECT COUNT(*) FROM elig) AS archived_first,
                 CAST(0 AS BIGINT) AS archived_resume
-         FROM tagged GROUP BY 1, 2"""
+         FROM tagged GROUP BY 1, 2""",
+    // the lifecycle replayed declaratively: a job succeeds at the
+    // first try whose md5 coin lands 0 mod 3 (tries 1..maxAttempt+2);
+    // succeeded keeps attempts = failures before success, aborted
+    // carries the full try count. executed_first = total tries across
+    // jobs; the resume pass executes nothing.
+    "sj1_source_jobs" ->
+      """WITH tu AS (SELECT DISTINCT event_id % 5 AS jr,
+             CASE event_type WHEN 'purchase' THEN 'orders'
+                  WHEN 'click' THEN 'pages' WHEN 'view' THEN 'screens'
+                  WHEN 'signup' THEN 'rudder_identity_merge_rules'
+                  ELSE 'rudder_discards' END AS table_name
+           FROM events),
+         jobs AS (SELECT 'jr_' || CAST(jr AS VARCHAR) AS job_run_id, table_name
+                  FROM tu
+                  WHERE lower(table_name) NOT IN ('rudder_discards',
+                    'rudder_identity_mappings', 'rudder_identity_merge_rules')),
+         att AS (SELECT job_run_id, table_name, a.try,
+                   CAST('0x' || substr(md5(job_run_id || '|' || table_name
+                       || '|' || CAST(a.try AS VARCHAR)), 1, 8) AS UBIGINT)
+                     % 3 = 0 AS ok
+                 FROM jobs CROSS JOIN generate_series(1, 3) a(try)),
+         fin AS (SELECT job_run_id, table_name,
+                   MIN(CASE WHEN ok THEN try END) AS succ_at
+                 FROM att GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(COALESCE(succ_at, 3)) AS BIGINT) AS executed_first,
+                        CAST(COUNT(*) AS BIGINT) AS terminal_first FROM fin)
+         SELECT job_run_id, table_name,
+           CASE WHEN succ_at IS NOT NULL THEN 'succeeded' ELSE 'aborted' END AS status,
+           CAST(COALESCE(succ_at - 1, 3) AS BIGINT) AS attempts,
+           executed_first, terminal_first, CAST(0 AS BIGINT) AS executed_resume
+         FROM fin CROSS JOIN tot"""
   )
 }

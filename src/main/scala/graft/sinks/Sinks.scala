@@ -596,4 +596,96 @@ object Sinks {
     drop.foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
     drop.toSeq
   }
+
+  /** Warehouse SOURCE-JOB execution lifecycle (reference:
+    * warehouse/source/source.go:63-276 + internal/repo/source.go):
+    * pending reverse-ETL source jobs walk waiting → executing →
+    * succeeded / failed / aborted with the repo's exact attempt
+    * algebra — on failure `status = CASE WHEN attempt > maxAttempt
+    * THEN aborted ELSE failed END, attempt = attempt + 1` (the
+    * PRE-increment attempt is compared, so a job gets maxAttempt + 2
+    * tries before aborting), on success attempt is left as the
+    * number of failures that preceded it. Run() first Resets
+    * executing|failed jobs back to waiting (crash recovery — a claim
+    * published but never resolved must requeue WITHOUT counting as a
+    * failure), then drains GetToProcess pages of `batchSize`
+    * (waiting|failed, job-id order) until none remain.
+    *
+    * The ledger is an l2-style append-only state log (latest seq per
+    * job wins) so every transition is a new parquet row — the
+    * executing append IS the crash window Reset covers, which the
+    * `crashAfterBatches` hook exposes to SinksSpec. The job table is
+    * control-plane metadata (one row per (jobRun, table), never
+    * event-grain), so the per-page collect is batchSize-bounded and
+    * the round count is bounded by (maxAttempt + 2) · ceil(jobs /
+    * batchSize) — at 100 TB the data this lifecycle gates moves
+    * through l12/rg1's distributed paths; only the STATE lives here.
+    *
+    * Try outcomes are delegated (the reference's notifier round-trip);
+    * `outcome(jobRunId, tableName, tryNo)` must be deterministic so a
+    * resumed run converges to the uninterrupted run's terminal states.
+    * Returns (jobs executed, terminal states appended) — a resume on
+    * a drained ledger does (0, 0).
+    */
+  def sourceJobsRun(spark: SparkSession, ledgerDir: String, jobs: DataFrame,
+                    maxAttempt: Int, batchSize: Int,
+                    outcome: (String, String, Long) => Boolean,
+                    crashAfterBatches: Int = Int.MaxValue): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    val fs = new Path(ledgerDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(ledgerDir))) // InsertJobs: seed waiting rows
+      jobs.select(col("job_id"), col("job_run_id"), col("table_name"),
+          lit(0L).as("seq"), lit("waiting").as("status"), lit(0L).as("attempt"))
+        .write.parquet(ledgerDir)
+    val wLatest = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
+    def latest() = spark.read.parquet(ledgerDir)
+      .withColumn("rn", row_number().over(wLatest)).filter(col("rn") === 1).drop("rn")
+    var seq = spark.read.parquet(ledgerDir).agg(max(col("seq"))).head.getLong(0)
+    def append(rows: Seq[(Long, String, String, Long, String, Long)]): Unit = {
+      val sess = spark
+      import sess.implicits._
+      rows.toDF("job_id", "job_run_id", "table_name", "seq", "status", "attempt")
+        .coalesce(1).write.mode("append").parquet(ledgerDir)
+    }
+    // Reset (repo/source.go Reset): executing|failed -> waiting,
+    // attempt PRESERVED (a crash is not a failure)
+    val stuck = latest().filter(col("status").isin("executing", "failed"))
+      .select("job_id", "job_run_id", "table_name", "attempt")
+      .collect() // batchSize·rounds-bounded: only non-terminal jobs
+    if (stuck.nonEmpty) {
+      seq += 1
+      append(stuck.toSeq.map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), seq, "waiting", r.getLong(3))))
+    }
+    var executed = 0L
+    var terminal = 0L
+    var batches = 0
+    var drained = false
+    while (!drained && batches < crashAfterBatches) {
+      val page = latest().filter(col("status").isin("waiting", "failed"))
+        .orderBy(col("job_id")).limit(batchSize)
+        .select("job_id", "job_run_id", "table_name", "attempt")
+        .collect() // GetToProcess page: batchSize-bounded by construction
+      if (page.isEmpty) drained = true
+      else {
+        batches += 1
+        seq += 1 // MarkExecuting commits BEFORE outcomes: the crash window
+        append(page.toSeq.map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), seq, "executing", r.getLong(3))))
+        if (batches != crashAfterBatches) { // crash point: claims out, no outcomes back
+          seq += 1
+          append(page.toSeq.map { r =>
+            val (id, run, tbl, att) =
+              (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+            executed += 1
+            if (outcome(run, tbl, att + 1)) { terminal += 1; (id, run, tbl, seq, "succeeded", att) }
+            else if (att > maxAttempt) { terminal += 1; (id, run, tbl, seq, "aborted", att + 1) }
+            else (id, run, tbl, seq, "failed", att + 1)
+          })
+        }
+      }
+    }
+    (executed, terminal)
+  }
 }

@@ -439,4 +439,68 @@ class SinksSpec extends SparkSpec {
     // a staging leftover must not pollute the part_* glob
     assert(!Files.exists(Paths.get(archive, "_page_staging")))
   }
+
+  private def sjJobs(n: Int) = {
+    val sess = spark
+    import sess.implicits._
+    (0 until n).map(i => (i.toLong, s"jr_${i % 3}", s"table_$i"))
+      .toDF("job_id", "job_run_id", "table_name")
+  }
+
+  private def sjStates(ledger: String): Map[Long, (String, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
+    spark.read.parquet(ledger)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("job_id", "status", "attempt")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+  }
+
+  // succeeds on try 2 for even jobs, try 3 for jobs % 3 == 1, never otherwise
+  private def sjOutcome(run: String, tbl: String, tryNo: Long): Boolean = {
+    val id = tbl.stripPrefix("table_").toLong
+    (id % 2 == 0 && tryNo == 2) || (id % 3 == 1 && tryNo == 3)
+  }
+
+  test("source jobs: terminal states follow the pre-increment attempt cap") {
+    val ledger = tmp("graft_sj_cap") + "/ledger"
+    // maxAttempt = 1 -> 3 tries; job 0,2,4.. succeed on try 2 with
+    // attempts=1; 1,7 succeed on try 3 with attempts=2; 3,5 abort at 3
+    val (executed, terminal) =
+      Sinks.sourceJobsRun(spark, ledger, sjJobs(8), 1, 3, sjOutcome)
+    val st = sjStates(ledger)
+    assert(st(0L) === (("succeeded", 1L)) && st(4L) === (("succeeded", 1L)))
+    assert(st(1L) === (("succeeded", 2L)) && st(7L) === (("succeeded", 2L)))
+    assert(st(3L) === (("aborted", 3L)) && st(5L) === (("aborted", 3L)))
+    assert(terminal === 8L)
+    assert(executed === st.values.map {
+      case ("succeeded", a) => a + 1; case (_, a) => a }.sum)
+  }
+
+  test("source jobs: crash after the first claim batch resumes to identical terminals") {
+    val clean = tmp("graft_sj_clean") + "/ledger"
+    Sinks.sourceJobsRun(spark, clean, sjJobs(7), 1, 3, sjOutcome)
+    val ledger = tmp("graft_sj_crash") + "/ledger"
+    // crash: batch 1's executing rows committed, outcomes never return
+    val (e0, t0) = Sinks.sourceJobsRun(spark, ledger, sjJobs(7), 1, 3, sjOutcome,
+      crashAfterBatches = 1)
+    assert(e0 === 0L && t0 === 0L)
+    val dangling = sjStates(ledger).values.count(_._1 == "executing")
+    assert(dangling === 3, "the crashed batch must leave executing rows")
+    // resume: Reset requeues the executing claims WITHOUT counting a
+    // failure, and the deterministic outcomes converge to the clean run
+    Sinks.sourceJobsRun(spark, ledger, sjJobs(7), 1, 3, sjOutcome)
+    assert(sjStates(ledger) === sjStates(clean))
+    // a second resume finds everything terminal and does nothing
+    assert(Sinks.sourceJobsRun(spark, ledger, sjJobs(7), 1, 3, sjOutcome)
+      === ((0L, 0L)))
+  }
+
+  test("source jobs: every job aborts under an always-failing notifier, in pages") {
+    val ledger = tmp("graft_sj_abort") + "/ledger"
+    val (executed, terminal) =
+      Sinks.sourceJobsRun(spark, ledger, sjJobs(5), 1, 2, (_, _, _) => false)
+    assert(executed === 15L && terminal === 5L) // 3 tries each, batchSize 2
+    assert(sjStates(ledger).values.toSet === Set(("aborted", 3L)))
+  }
 }
