@@ -962,6 +962,48 @@ object Dedup {
         .withColumn("n_truth", lit(nTruth))
         .withColumn("precision_ppm", expr("n_hit * 1000000L DIV n_pred"))
         .withColumn("recall_ppm", expr("n_hit * 1000000L DIV n_truth"))
+    }),
+
+    // LL31: EVAL-SET DECONTAMINATION — the train/test overlap sweep a
+    // training corpus runs before release (the GPT-3 appendix-C rule:
+    // a training doc is contaminated if it shares any 13-gram with a
+    // benchmark doc; docs under 13 words are trivially clean). The
+    // benchmark is a deterministic slice of the base documents
+    // (doc_id % 41 = 0); the training corpus is the two-crawl set, so
+    // part of the truth is structural — each benchmark doc's exact
+    // copy (itself, 100% overlap → drop) and its perturbed
+    // second-crawl twin must surface — while the generator's planted
+    // cross-doc boilerplate yields genuine partial 'scrub' hits on
+    // unrelated docs, exactly the long-tail a real decontamination
+    // pass exists to catch. Grams are md5-hashed to 60-bit longs so the
+    // shuffle carries 8 bytes, never the 13-word string; ONE left
+    // join on the gram hash gives both the per-doc total and the
+    // contaminated count (no second corpus pass). The benchmark-gram
+    // side is |bench|·|doc|-sized, NOT broadcastable at 100 TB — the
+    // shuffle equi-join is the intended plan (AQE handles the skew a
+    // boilerplate gram would cause; grams are distinct per doc so no
+    // single gram multiplies rows). Verdict: 'drop' at >= 80% gram
+    // overlap (an eval twin), 'scrub' for a partial span hit.
+    "ll31_decontamination" -> ((s, dir) => {
+      def grams(df: DataFrame) = df
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 13)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(ws) - 13), i -> " +
+            "CAST(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, 13))), 1, 15), " +
+            "16, 10) AS BIGINT))"))).as("g"))
+      val bench = grams(Tables.documents(s, dir)
+          .filter(col("doc_id") % 41 === 0).select(col("doc_id"), col("text")))
+        .select(col("g")).distinct()
+      grams(corpus(s, dir, perturb = true))
+        .join(bench.withColumn("hit", lit(1L)), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .filter(col("n_contaminated") > 0)
+        .withColumn("action",
+          when(col("n_contaminated") * 5 >= col("n_grams") * 4, "drop")
+            .otherwise("scrub"))
     })
   )
 
@@ -1502,6 +1544,33 @@ object Dedup {
               * 1000000 // MAX(nt.n_truth) AS BIGINT) AS recall_ppm
           FROM scored CROSS JOIN th CROSS JOIN nt
           WHERE jp >= threshold
-          GROUP BY threshold"""
+          GROUP BY threshold""",
+    // the contamination rule restated declaratively: per training doc,
+    // how many of its distinct 13-grams appear anywhere in the
+    // benchmark slice's gram set; same 60-bit md5 gram hashing
+    "ll31_decontamination" ->
+      s"""WITH corpus AS $corpusSqlPerturbed,
+          tg AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(w) - 11),
+                     i -> CAST(CAST('0x' || substr(md5(array_to_string(w[i:i+12], ' ')),
+                       1, 15) AS UBIGINT) AS BIGINT)))) AS g
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+                 WHERE len(w) >= 13),
+          bench AS (SELECT DISTINCT
+                      CAST(CAST('0x' || substr(md5(array_to_string(w[i:i+12], ' ')),
+                        1, 15) AS UBIGINT) AS BIGINT) AS g
+                    FROM (SELECT string_split(text, ' ') AS w FROM documents
+                          WHERE doc_id % 41 = 0),
+                         unnest(range(1, len(w) - 11)) AS t(i)
+                    WHERE len(w) >= 13),
+          hits AS (SELECT doc_id, COUNT(*) AS n_grams,
+                     CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_contaminated
+                   FROM tg LEFT JOIN bench b USING (g)
+                   GROUP BY 1)
+          SELECT doc_id, n_grams, n_contaminated,
+            CASE WHEN n_contaminated * 5 >= n_grams * 4 THEN 'drop'
+                 ELSE 'scrub' END AS action
+          FROM hits WHERE n_contaminated > 0"""
   )
 }

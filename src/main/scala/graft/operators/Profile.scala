@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Table statistics profiler — the ANALYZE-TABLE step a warehouse
@@ -664,6 +665,43 @@ object Profile {
         col("ndv_exact"))
     }),
 
+    // PROF15: SHUFFLE-SKEW ADVISOR — the plan-time profile a 100 TB
+    // groupBy/join needs BEFORE it runs: for each candidate grouping
+    // key, the heavy-hitter share, the skew factor (how many times
+    // the mean the heaviest key holds), and the SALT factor that
+    // would level the heaviest key across a 32-partition shuffle —
+    // ceil(max_key_rows / (rows/32)), the number the ll2/gw1-style
+    // salted pipelines take as their `salt` parameter and AQE's
+    // skew-join split emulates at runtime. Each key costs one
+    // map-side-combinable count aggregate + a 3-number rollup; the
+    // cross-multiplications (max·n_keys, max·1e6) run in DECIMAL(38)
+    // because both factors are corpus-sized at web scale. event_type
+    // (NDV 5) is the planted pathology: its advisor row recommends a
+    // real salt while user-grain keys come back salt-free.
+    "prof15_skew_advisor" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def diag(name: String, key: Column) =
+        ev.groupBy(key.cast("string").as("k")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            max(col("c")).as("max_key_rows"))
+          .withColumn("key_name", lit(name))
+      Seq(
+        diag("user_id", col("user_id")),
+        diag("event_type", col("event_type")),
+        diag("user_day", concat(col("user_id").cast("string"), lit("|"),
+          expr("CAST(unix_micros(ts) DIV 86400000000L AS STRING)"))))
+        .reduce(_ unionByName _)
+        .withColumn("hh_share_ppm", expr(
+          "CAST(CAST(max_key_rows AS DECIMAL(38,0)) * 1000000 DIV n_rows AS BIGINT)"))
+        .withColumn("skew_x_permille", expr(
+          "CAST(CAST(max_key_rows AS DECIMAL(38,0)) * n_keys * 1000 DIV n_rows AS BIGINT)"))
+        .withColumn("rec_salt", expr(
+          "greatest(1L, CAST((CAST(max_key_rows AS DECIMAL(38,0)) * 32 + n_rows - 1) " +
+            "DIV n_rows AS BIGINT))"))
+        .select(col("key_name"), col("n_keys"), col("n_rows"), col("max_key_rows"),
+          col("hh_share_ppm"), col("skew_x_permille"), col("rec_salt"))
+    }),
+
     // KMV2: SKETCH SET OPERATIONS — the capability HLL registers
     // cannot give (a2c can only union): |A ∪ B| from the merged
     // sketch and |A ∩ B| from the inclusion fraction — the k smallest
@@ -1059,6 +1097,33 @@ object Profile {
                      ELSE 63 * 4294967296 // kth_hash END AS BIGINT) AS ndv_est,
            CAST(ndv_exact AS BIGINT) AS ndv_exact
          FROM sk JOIN ex USING (grp)""",
+    // the advisor arithmetic restated per key; HUGEINT stands in for
+    // the engine's DECIMAL(38) cross-multiplications
+    "prof15_skew_advisor" ->
+      """WITH d AS (
+           SELECT 'user_id' AS key_name, COUNT(*) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows
+           FROM (SELECT COUNT(*) AS c FROM events
+                 GROUP BY CAST(user_id AS VARCHAR)) t1
+           UNION ALL
+           SELECT 'event_type', COUNT(*), CAST(SUM(c) AS BIGINT),
+             CAST(MAX(c) AS BIGINT)
+           FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_type) t2
+           UNION ALL
+           SELECT 'user_day', COUNT(*), CAST(SUM(c) AS BIGINT),
+             CAST(MAX(c) AS BIGINT)
+           FROM (SELECT COUNT(*) AS c FROM events
+                 GROUP BY CAST(user_id AS VARCHAR) || '|' ||
+                          CAST(epoch_us(ts) // 86400000000 AS VARCHAR)) t3)
+         SELECT key_name, n_keys, n_rows, max_key_rows,
+           CAST(CAST(max_key_rows AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+             AS hh_share_ppm,
+           CAST(CAST(max_key_rows AS HUGEINT) * n_keys * 1000 // n_rows AS BIGINT)
+             AS skew_x_permille,
+           CAST(greatest(1, (CAST(max_key_rows AS HUGEINT) * 32 + n_rows - 1)
+             // n_rows) AS BIGINT) AS rec_salt
+         FROM d""",
     "kmv2_sketch_setops" ->
       """WITH h AS (SELECT DISTINCT event_type,
              CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -61,6 +61,52 @@ object TextAnalysis {
     })
     s.read.parquet(path)
   }
+
+  /** Kneser-Ney bigram LM over the full corpus (ta24's math factored
+    * out so ta26's perplexity filter scores with the SAME estimates):
+    * exact-rational ppm with absolute discount d = 3/4 — see ta24's
+    * doc comment for the term-by-term derivation. One bigram-count
+    * aggregate + two distinct-count rollups; output is
+    * bigram-TYPE-bounded (vocab², never corpus-sized).
+    */
+  private[operators] def knBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val c12 = toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val back = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val btypes = c12.agg(count(lit(1)).as("b")) // 1-row scalar
+    c12.join(ctx, "w1")
+      .join(back, "w2")
+      .crossJoin(broadcast(btypes)) // 1-row scalar, rule (b)'s shape
+      .withColumn("term1_ppm", expr("(4 * c12 - 3) * 250000L DIV c1"))
+      .withColumn("lambda_ppm", expr("750000L * n1f DIV c1"))
+      .withColumn("pcont_ppm", expr("n1b * 1000000L DIV b"))
+      .withColumn("p_kn_ppm",
+        expr("term1_ppm + lambda_ppm * pcont_ppm DIV 1000000L"))
+  }
+
+  /** Exact-integer floor(log2) in MILLI-BITS of a column named `x`
+    * (1 <= x < 2^20): the exponent is a 20-arm CASE over power-of-two
+    * literals, the fraction an 8-arm CASE over the 3-bit mantissa
+    * m = x·8 >> e — the dq4 trick (transcendentals as integer plan
+    * literals), generated ONCE here so the Spark expression and the
+    * DuckDB oracle interpolate the identical text and can never
+    * disagree on a constant. Max error ~0.17 bits (the mantissa
+    * quantum), deterministic in both engines.
+    */
+  private[operators] val log2ExpCase: String = (19 to 1 by -1)
+    .map(e => s"WHEN x >= ${1L << e} THEN $e").mkString("CASE ", " ", " ELSE 0 END")
+  private[operators] val log2FracCase: String =
+    Seq(0, 169, 321, 459, 584, 700, 807, 906).zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 8} THEN $v" }
+      .mkString("CASE m ", " ", " ELSE 0 END")
 
   /** Tiny per-language stopword lists for the n-gram/stopword
     * language-ID heuristic. Fixed and mirrored in the oracle — the
@@ -473,27 +519,10 @@ object TextAnalysis {
     // (TakeOrdered 5 → broadcast, so the rank window sees ≤ 5
     // partitions of top-k rows).
     "ta24_kneser_ney" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(ws) - 2), " +
-            "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("bg"))
-        .select(col("bg.w1"), col("bg.w2"))
-      val c12 = toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val ctx = c12.groupBy(col("w1"))
-        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
-      val back = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
-      val btypes = c12.agg(count(lit(1)).as("b")) // 1-row scalar
-      val top5 = ctx.orderBy(col("c1").desc, col("w1").asc).limit(5)
-      val scored = c12.join(broadcast(top5), "w1")
-        .join(back, "w2")
-        .crossJoin(broadcast(btypes)) // 1-row scalar, rule (b)'s shape
-        .withColumn("term1_ppm", expr("(4 * c12 - 3) * 250000L DIV c1"))
-        .withColumn("lambda_ppm", expr("750000L * n1f DIV c1"))
-        .withColumn("pcont_ppm", expr("n1b * 1000000L DIV b"))
-        .withColumn("p_kn_ppm",
-          expr("term1_ppm + lambda_ppm * pcont_ppm DIV 1000000L"))
+      val lm = knBigramLm(s, dir)
+      val top5 = lm.groupBy(col("w1")).agg(max(col("c1")).as("c1"))
+        .orderBy(col("c1").desc, col("w1").asc).limit(5).select(col("w1"))
+      val scored = lm.join(broadcast(top5), "w1")
       // top-3 per context through the native salted LimitPerGroup
       // (q28b's shape) — a heavy context's continuation list never
       // sorts in one task; the final rank window sees ≤ 15 rows
@@ -507,6 +536,44 @@ object TextAnalysis {
             .orderBy(col("p_kn_ppm").desc, col("w2").asc)).cast("long"))
         .select(col("w1"), col("rank"), col("w2"), col("c12"), col("c1"),
           col("n1f"), col("n1b"), col("p_kn_ppm"))
+    }),
+
+    // TA26: PERPLEXITY FILTER — the CCNet/quality-LM curation step
+    // ta24 builds the model for: every document is scored by its mean
+    // per-bigram SURPRISAL under the corpus Kneser-Ney LM and gated
+    // at a fixed cross-entropy budget (high-perplexity docs read as
+    // noise against the corpus language). All exact integers:
+    // surprisal of a bigram is floor(log2(1e6 / p_kn_ppm)) in
+    // MILLI-BITS via the generated exponent+mantissa CASE literals
+    // (log2ExpCase/log2FracCase — the dq4 transcendental trick, one
+    // shared string so the oracle cannot drift), summed per doc and
+    // divided once. Plan shape: the LM is bigram-TYPE-bounded so the
+    // (w1, w2) join broadcasts under AQE at vocab scale and hash-
+    // shuffles past it; doc bigrams flow through ONE explode — no
+    // per-doc window, no float anywhere. The 4.8-bit keep threshold
+    // sits at the corpus's median cross-entropy — a vocab-shape
+    // constant, not a corpus-size one (mean surprisal is
+    // scale-invariant under corpus replication — the ll6b/ts6
+    // scale-free-threshold rule), and both engines compare the same
+    // exact integer so the gate can never flake at the boundary.
+    "ta26_perplexity_filter" -> ((s, dir) => {
+      val lm = knBigramLm(s, dir).select(col("w1"), col("w2"), col("p_kn_ppm"))
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      bg.join(lm, Seq("w1", "w2"))
+        .withColumn("x", expr("greatest(1L, 1000000 DIV p_kn_ppm)"))
+        .withColumn("e", expr(log2ExpCase))
+        .withColumn("m", expr("(x * 8) DIV shiftleft(1L, CAST(e AS INT))"))
+        .withColumn("s_mb", expr(s"CAST(e * 1000 + ($log2FracCase) AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("s_mb")).as("surprisal_mb"))
+        .withColumn("mean_mb", expr("surprisal_mb DIV n_bigrams"))
+        .withColumn("keep", col("mean_mb") <= 4800L)
     }),
 
     // BPE TOKENIZATION ROUND-TRIP — puts functions/Bpe on the
@@ -769,6 +836,54 @@ object TextAnalysis {
             "DIV (CAST(cum_docs AS DECIMAL(38,0)) * tot_pos) AS BIGINT)"))
         .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_docs"),
           col("cum_pos"), col("gain_permille"), col("lift_ppm"))
+    }),
+
+    // EV12: CORPUS BLEU PRECISION LEGS — the generated-text side of
+    // the eval family (ev1–11 score classifiers/rankers; this scores
+    // GENERATIONS against references): corpus-level MODIFIED n-gram
+    // precision (Papineni et al. 2002) for n = 1..3 — per doc, each
+    // candidate n-gram's credit is clipped at the reference's count
+    // of that gram (Σ min(c_cand, c_ref) / Σ c_cand), then summed
+    // over the corpus before the one division, all exact integers in
+    // ppm. Two planted "model outputs" make the metric's design
+    // point CHECKABLE: a suffix copy (first word dropped) keeps
+    // every n-gram order-intact — precision 1e6 at every n — while a
+    // sorted bag-of-words keeps the unigram MULTISET (unigram
+    // precision 1e6) but destroys order, so the n=2/3 legs collapse;
+    // any engine bug that ignores clipping or order shows as a
+    // diverging row. Plan shape: ONE corpus scan per side — the
+    // three n-gram widths explode from a single nested transform —
+    // then a (doc, n, gram)-keyed join; per-doc gram keys mean no
+    // gram ever multiplies rows across docs, so the join shuffles
+    // |grams| rows whatever the corpus.
+    "ev12_bleu_precision" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 4) // shifted cand must still hold a trigram
+      val cands = docs.select(col("doc_id"), lit("shifted").as("model"),
+          expr("slice(ws, 2, size(ws) - 1)").as("ws"))
+        .unionByName(docs.select(col("doc_id"), lit("sorted").as("model"),
+          array_sort(col("ws")).as("ws")))
+      val gramsCol = expr(
+        "explode(flatten(transform(array(1, 2, 3), n -> " +
+          "transform(sequence(0, size(ws) - n), i -> " +
+          "struct(n AS n, concat_ws(' ', slice(ws, i + 1, n)) AS g)))))")
+      val cc = cands.select(col("model"), col("doc_id"), gramsCol.as("x"))
+        .groupBy(col("model"), col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+        .agg(count(lit(1)).as("cc"))
+      val rc = docs.select(col("doc_id"), gramsCol.as("x"))
+        .groupBy(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+        .agg(count(lit(1)).as("rc"))
+      val matched = cc.join(rc, Seq("doc_id", "n", "g"))
+        .groupBy(col("model"), col("n"))
+        .agg(sum(least(col("cc"), col("rc"))).as("matched_ngrams"))
+      val candTot = cc.groupBy(col("model"), col("n"))
+        .agg(sum(col("cc")).as("cand_ngrams"))
+      val refTot = rc.groupBy(col("n")).agg(sum(col("rc")).as("ref_ngrams"))
+      candTot.join(matched, Seq("model", "n")).join(refTot, Seq("n"))
+        .select(col("model"), col("n").cast("long").as("n"),
+          col("matched_ngrams"), col("cand_ngrams"), col("ref_ngrams"),
+          expr("matched_ngrams * 1000000L DIV cand_ngrams").as("precision_ppm"))
     }),
 
     // Temperature-weighted DOMAIN MIXING — the multi-source sampling
@@ -1152,6 +1267,47 @@ object TextAnalysis {
             CAST(n1f AS BIGINT) AS n1f, CAST(n1b AS BIGINT) AS n1b,
             CAST(p_kn_ppm AS BIGINT) AS p_kn_ppm
           FROM r WHERE rank <= 3""",
+    // the same KN estimates scored over every doc's bigram stream;
+    // the log2 CASE arms are interpolated from the SAME Scala
+    // constants the engine plan uses
+    "ta26_perplexity_filter" ->
+      s"""WITH bg AS (SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+             FROM (SELECT string_split(text, ' ') AS ws FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+                  unnest(range(len(ws) - 1)) AS t(i)),
+          c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+          ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                    COUNT(*) AS n1f
+                  FROM c12 GROUP BY 1),
+          back AS (SELECT w2, COUNT(*) AS n1b FROM c12 GROUP BY 1),
+          bt AS (SELECT COUNT(*) AS b FROM c12),
+          lm AS (SELECT c12.w1, c12.w2,
+                   (4 * c12.c12 - 3) * 250000 // t.c1
+                     + (750000 * t.n1f // t.c1)
+                       * (back.n1b * 1000000 // bt.b) // 1000000
+                     AS p_kn_ppm
+                 FROM c12 JOIN ctx t USING (w1) JOIN back USING (w2)
+                 CROSS JOIN bt),
+          db AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 2),
+                      unnest(range(len(ws) - 1)) AS t(i)),
+          sx AS (SELECT doc_id, greatest(1, 1000000 // p_kn_ppm) AS x
+                 FROM db JOIN lm USING (w1, w2)),
+          se AS (SELECT doc_id, x, $log2ExpCase AS e FROM sx),
+          sm AS (SELECT doc_id, e, (x * 8) // (1::BIGINT << CAST(e AS INT)) AS m
+                 FROM se),
+          sc AS (SELECT doc_id,
+                   CAST(e * 1000 + ($log2FracCase) AS BIGINT) AS s_mb
+                 FROM sm),
+          agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                    CAST(SUM(s_mb) AS BIGINT) AS surprisal_mb
+                  FROM sc GROUP BY 1)
+          SELECT doc_id, n_bigrams, surprisal_mb,
+            surprisal_mb // n_bigrams AS mean_mb,
+            surprisal_mb // n_bigrams <= 4800 AS keep
+          FROM agg""",
     // space-stripped source, so the oracle never needs to replay BPE
     // itself; the count bound is pinned TRUE (prof6's pattern)
     "ta22_bpe_roundtrip" ->
@@ -1528,6 +1684,34 @@ object TextAnalysis {
            CAST(CAST(cum_pos AS HUGEINT) * n_total * 1000000
              // (CAST(cum_docs AS HUGEINT) * tot_pos) AS BIGINT) AS lift_ppm
          FROM cum""",
+    // the clipped-precision definition restated declaratively: per
+    // (doc, n, gram), candidate credit = min(cand count, ref count);
+    // same two planted model outputs, same >= 4-word doc filter
+    "ev12_bleu_precision" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 4),
+         cands AS (SELECT doc_id, 'shifted' AS model, ws[2:len(ws)] AS ws FROM docs
+                   UNION ALL
+                   SELECT doc_id, 'sorted' AS model, list_sort(ws) AS ws FROM docs),
+         cg AS (SELECT model, doc_id, nn.n,
+                  array_to_string(ws[i:i+nn.n-1], ' ') AS g
+                FROM cands CROSS JOIN (VALUES (1), (2), (3)) nn(n),
+                     unnest(range(1, len(ws) - nn.n + 2)) t(i)),
+         rg AS (SELECT doc_id, nn.n, array_to_string(ws[i:i+nn.n-1], ' ') AS g
+                FROM docs CROSS JOIN (VALUES (1), (2), (3)) nn(n),
+                     unnest(range(1, len(ws) - nn.n + 2)) t(i)),
+         cc AS (SELECT model, doc_id, n, g, COUNT(*) AS cc FROM cg GROUP BY ALL),
+         rc AS (SELECT doc_id, n, g, COUNT(*) AS rc FROM rg GROUP BY ALL),
+         m AS (SELECT model, n, CAST(SUM(least(cc, rc)) AS BIGINT) AS matched_ngrams
+               FROM cc JOIN rc USING (doc_id, n, g) GROUP BY 1, 2),
+         ct AS (SELECT model, n, CAST(SUM(cc) AS BIGINT) AS cand_ngrams
+                FROM cc GROUP BY 1, 2),
+         rt AS (SELECT n, CAST(SUM(rc) AS BIGINT) AS ref_ngrams FROM rc GROUP BY 1)
+         SELECT model, CAST(n AS BIGINT) AS n, matched_ngrams, cand_ngrams,
+           ref_ngrams,
+           CAST(matched_ngrams * 1000000 // cand_ngrams AS BIGINT) AS precision_ppm
+         FROM ct JOIN m USING (model, n) JOIN rt USING (n)""",
     "ta11_domain_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
          w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),

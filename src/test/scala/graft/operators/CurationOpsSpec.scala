@@ -268,4 +268,91 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("ll31 decontamination: equals a literal 13-gram replay; eval copies and twins surface") {
+    val rows = run("ll31_decontamination").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows.nonEmpty)
+    // literal replay of the rule on the gate corpus (the generator
+    // plants real boilerplate, so NON-benchmark docs legitimately
+    // surface with partial 'scrub' hits — the operator's whole point)
+    val base = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(text, ' ') AS ws").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector)
+    val train = base ++ base.map { case (id, ws) => (id + 100000000L) -> ws.drop(1) }
+    def grams(ws: Vector[String]) =
+      if (ws.length < 13) Set.empty[String]
+      else ws.sliding(13).map(_.mkString(" ")).toSet
+    val bench = base.filter(_._1 % 41 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = train.flatMap { case (id, ws) =>
+      val g = grams(ws)
+      val hit = g.count(bench.contains)
+      if (hit == 0) None
+      else Some(id -> ((g.size.toLong, hit.toLong,
+        if (hit * 5 >= g.size * 4) "drop" else "scrub")))
+    }.toMap
+    assert(rows === expected, "engine result must equal the literal gram replay")
+    // the benchmark docs themselves are verbatim in training -> 'drop'
+    val benchIds = base.filter(d => d._1 % 41 == 0 && d._2.length >= 13).map(_._1)
+    benchIds.foreach { id =>
+      val (ng, nc, action) = rows(id)
+      assert(nc === ng && action === "drop",
+        s"exact eval copy $id must be fully contaminated")
+    }
+    // every >= 14-word benchmark doc's perturbed twin surfaces too
+    base.filter(d => d._1 % 41 == 0 && d._2.length >= 14).foreach { case (id, _) =>
+      assert(rows.contains(id + 100000000L), s"twin of $id missing")
+    }
+  }
+
+  test("ev12 BLEU legs: order-preserving copy scores 1e6 at every n, sorted bag only at n=1") {
+    val rows = run("ev12_bleu_precision").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(rows.size === 6)
+    Seq(1L, 2L, 3L).foreach(n => assert(rows(("shifted", n)) === 1000000L,
+      s"a suffix copy must have perfect clipped precision at n=$n"))
+    assert(rows(("sorted", 1L)) === 1000000L,
+      "sorting preserves the unigram multiset exactly")
+    assert(rows(("sorted", 2L)) < 500000L && rows(("sorted", 3L)) < rows(("sorted", 2L)),
+      "destroyed order must collapse the higher-n legs monotonically")
+  }
+
+  test("ta26 perplexity: surprisal equals a driver-side LM replay on the gate corpus") {
+    val got = run("ta26_perplexity_filter").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // literal replay: KN ppm estimates + milli-bit log2 quantization
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(text, ' ') AS ws").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).filter(_._2.length >= 2)
+    val bgs = docs.flatMap { case (_, ws) => ws.sliding(2).map(p => (p(0), p(1))) }
+    val c12 = bgs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1f = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val n1b = c12.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val b = c12.size.toLong
+    val frac = Vector(0L, 169L, 321L, 459L, 584L, 700L, 807L, 906L)
+    def surprisal(w1: String, w2: String): Long = {
+      val p = (4 * c12((w1, w2)) - 3) * 250000L / c1(w1) +
+        (750000L * n1f(w1) / c1(w1)) * (n1b(w2) * 1000000L / b) / 1000000L
+      val x = math.max(1L, 1000000L / p)
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      e * 1000L + frac(((x * 8) >> e).toInt - 8)
+    }
+    docs.foreach { case (id, ws) =>
+      val mbs = ws.sliding(2).map(p => surprisal(p(0), p(1))).toVector
+      assert(got(id) === ((mbs.length.toLong, mbs.sum)),
+        s"doc $id surprisal diverges from the literal fold")
+    }
+  }
+
+  test("prof15 skew advisor: salt recommendation levels the heavy key, identity keys salt-free") {
+    val rows = run("prof15_skew_advisor").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6)))).toMap
+    val (nk, nr, mx, salt) = rows("event_type")
+    assert(nk <= 8 && salt >= 2, "the 5-type key must recommend a real salt")
+    // the recommendation's contract: max/salt fits a 32-way even split
+    assert(mx <= salt * ((nr + 31) / 32),
+      "salted heavy key must fit the per-partition budget")
+    assert(rows("user_day")._4 === 1L, "fine-grain keys need no salt")
+  }
 }
