@@ -964,10 +964,15 @@ object Dedup {
         .withColumn("recall_ppm", expr("n_hit * 1000000L DIV n_truth"))
     }),
 
-    // LL31: EVAL-SET DECONTAMINATION — the train/test overlap sweep a
-    // training corpus runs before release (the GPT-3 appendix-C rule:
-    // a training doc is contaminated if it shares any 13-gram with a
-    // benchmark doc; docs under 13 words are trivially clean). The
+    // LL31: EVAL-SET DECONTAMINATION, exact 13-GRAM SPAN RULE — the
+    // GPT-3 appendix-C sweep (a training doc is contaminated if it
+    // shares ANY 13-gram with a benchmark doc; docs under 13 words
+    // are trivially clean), complementing ll10's cheap 3-gram
+    // shingle-overlap probe: ll10 broadcasts an eval-suite-sized
+    // benchmark and flags on an absolute shared-shingle count, while
+    // this is the precise long-span rule with a FRACTIONAL verdict
+    // (drop vs scrub) and a shuffle-join plan that stands when the
+    // benchmark side outgrows a broadcast. The
     // benchmark is a deterministic slice of the base documents
     // (doc_id % 41 = 0); the training corpus is the two-crawl set, so
     // part of the truth is structural — each benchmark doc's exact

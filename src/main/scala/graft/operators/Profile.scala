@@ -504,6 +504,37 @@ object Profile {
         .withColumn("k_anonymous", col("n_records") >= k)
     }),
 
+    // DQ6: L-DIVERSITY — the re-identification audit k-anonymity
+    // alone misses (Machanavajjhala et al., ICDE'06): a
+    // quasi-identifier group can be k-large yet expose everyone in it
+    // if they all share one SENSITIVE value. Same dq3 QI grouping
+    // (nation, segment, balance band); the sensitive attribute is the
+    // customer's order priority profile — per group, the number of
+    // DISTINCT top priorities among its members must be >= l = 3.
+    // Plan shape: one join customer→latest-order (the q05 latest-per-
+    // key window, user-keyed so partitions are order-count bounded),
+    // then ONE two-level aggregate: distinct sensitive values per
+    // group via (group, value) pre-aggregation — map-side combinable,
+    // no countDistinct shuffle of raw rows.
+    "dq6_l_diversity" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val latest = Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderpriority").as("sensitive"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 100000")
+            .as("bal_band"))
+        .join(latest, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("nation"), col("segment"), col("bal_band"), col("sensitive"))
+        .agg(count(lit(1)).as("nv"))
+        .groupBy(col("nation"), col("segment"), col("bal_band"))
+        .agg(sum(col("nv")).as("n_records"), count(lit(1)).as("n_sensitive"))
+        .withColumn("l_diverse", col("n_sensitive") >= 3L)
+    }),
+
     // DQ4: BENFORD FIRST-DIGIT AUDIT (Benford 1938; Nigrini's fraud-
     // detection use) — the anomaly screen an ingest-quality gate runs
     // over monetary amounts: naturally-occurring multi-magnitude
@@ -945,6 +976,22 @@ object Profile {
            COUNT(*) AS n_records,
            COUNT(*) >= 5 AS k_anonymous
          FROM customer GROUP BY 1, 2, 3""",
+    // same QI grouping, sensitive = latest order's priority (q05's
+    // latest-per-key tie order: date desc, orderkey desc)
+    "dq6_l_diversity" ->
+      """WITH latest AS (SELECT o_custkey, o_orderpriority AS sensitive
+           FROM (SELECT o_custkey, o_orderpriority,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 FROM orders) t WHERE rn = 1)
+         SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           c_mktsegment AS segment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000 AS bal_band,
+           COUNT(*) AS n_records,
+           CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT sensitive) >= 3 AS l_diverse
+         FROM customer JOIN latest ON c_custkey = o_custkey
+         GROUP BY 1, 2, 3""",
     // quantile_cont == Percentiles.exact bit-for-bit on the integer
     // cent domain (the PercentilesSpec contract), so the cut points —
     // and therefore every bucket count — land identically

@@ -590,6 +590,40 @@ object Sessions {
         .agg(count(lit(1)).as("n_active"), min(col("purchase_id")).as("first_purchase"))
     }),
 
+    // INTERVAL-OVERLAP join — q25's harder sibling: BOTH sides are
+    // intervals (purchase windows [ts, ts+3d) × same-user signup
+    // windows [ts, ts+1d)), matched on s1 < e2 AND s2 < e1. Unlike
+    // the point case, two overlapping intervals share MANY day
+    // buckets, so a naive bucket equi-join double-counts; the
+    // classic fix attributes each pair to exactly ONE shared bucket —
+    // the one holding max(s1, s2), which lies in both intervals
+    // whenever they overlap (max(s1,s2) < min(e1,e2)) — as a second
+    // residual predicate. Shuffle volume stays |A|·span + |B|·span,
+    // never the per-user product, and no post-join distinct is
+    // needed at any scale. Nonempty by construction whenever a user
+    // signs up within 3 days around a purchase.
+    "q52_interval_overlap" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val pw = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("s1"), (col("ts_us") + lit(3L * dayUs)).as("e1"))
+        .withColumn("bucket",
+          explode(expr(s"sequence(s1 DIV ${dayUs}L, (e1 - 1) DIV ${dayUs}L)")))
+      val sw = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts_us").as("s2"), (col("ts_us") + lit(1L * dayUs)).as("e2"))
+        .withColumn("bucket",
+          explode(expr(s"sequence(s2 DIV ${dayUs}L, (e2 - 1) DIV ${dayUs}L)")))
+      pw.join(sw, Seq("user_id", "bucket"))
+        .filter(col("s1") < col("e2") && col("s2") < col("e1") &&
+          col("bucket") === expr(s"greatest(s1, s2) DIV ${dayUs}L"))
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_overlapping"), min(col("signup_id")).as("first_signup"))
+    }),
+
     // As-of join: each event picks up the customer's most recent order
     // at-or-before the event timestamp. Spark has no ASOF JOIN, and the
     // naive range join explodes; the scalable plan is the union trick —
@@ -2213,6 +2247,22 @@ object Sessions {
                 MIN(w.purchase_id) AS first_purchase
          FROM events e JOIN w ON e.user_id = w.user_id
            AND epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+         GROUP BY 1""",
+    // the overlap join stated as the naive theta join — the engine's
+    // single-bucket attribution must reproduce the identical pair set
+    "q52_interval_overlap" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+                      epoch_us(ts) AS s1,
+                      epoch_us(ts) + 259200000000 AS e1
+                    FROM events WHERE event_type = 'purchase'),
+         g AS (SELECT event_id AS signup_id, user_id,
+                 epoch_us(ts) AS s2,
+                 epoch_us(ts) + 86400000000 AS e2
+               FROM events WHERE event_type = 'signup')
+         SELECT purchase_id, COUNT(*) AS n_overlapping,
+                MIN(signup_id) AS first_signup
+         FROM p JOIN g ON p.user_id = g.user_id
+           AND p.s1 < g.e2 AND g.s2 < p.e1
          GROUP BY 1""",
     // DuckDB's ASOF with a <= condition picks the nearest following
     // row — the forward direction the negated-time engine plan encodes

@@ -159,6 +159,42 @@ class SessionsSpec extends SparkSpec {
       "the day-bucket decomposition must reproduce the exact range-join match set")
   }
 
+  test("q52 interval overlap: single-bucket attribution counts each overlapping pair exactly once") {
+    assume(new java.io.File("/root/testdata/sf0.001").exists())
+    val sfDir001 = "/root/testdata/sf0.001"
+    val dayUs = 86400000000L
+    val events = graft.Tables.events(spark, sfDir001)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchases = events.filter(_._3 == "purchase")
+      .map { case (eid, uid, _, ts) => (eid, uid, ts, ts + 3L * dayUs) }
+    val signups = events.filter(_._3 == "signup")
+      .map { case (eid, uid, _, ts) => (eid, uid, ts, ts + 1L * dayUs) }
+      .groupBy(_._2)
+    // literal theta join: s1 < e2 && s2 < e1, same user
+    val expected = purchases.flatMap { case (pid, uid, s1, e1) =>
+      val hits = signups.getOrElse(uid, Array.empty[(Long, Long, Long, Long)])
+        .filter { case (_, _, s2, e2) => s1 < e2 && s2 < e1 }
+      if (hits.isEmpty) None
+      else Some(pid -> ((hits.length.toLong, hits.map(_._1).min)))
+    }.toMap
+    // multi-bucket overlaps must exist, or the dedup trick is untested:
+    // some pair must share >= 2 day buckets (any signup inside a
+    // purchase window does, both covering the signup's bucket + next)
+    val multi = purchases.exists { case (_, uid, s1, e1) =>
+      signups.getOrElse(uid, Array.empty[(Long, Long, Long, Long)])
+        .exists { case (_, _, s2, e2) =>
+          s1 < e2 && s2 < e1 &&
+            (math.min(e1, e2) - 1) / dayUs > math.max(s1, s2) / dayUs }
+    }
+    assert(expected.nonEmpty, "overlaps must exist at sf0.001")
+    assert(multi, "fixture must contain a pair sharing multiple buckets")
+    val got = Sessions.defs("q52_interval_overlap")(spark, sfDir001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected,
+      "bucketized overlap join must equal the naive theta join with no double counting")
+  }
+
   test("a9 EWMA: a planted 10x hour is flagged, the recovered baseline absorbs it") {
     val hourUs = 3600000000L
     val counts = Seq(10, 10, 10, 100, 10, 10)
