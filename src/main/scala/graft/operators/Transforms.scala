@@ -21,6 +21,33 @@ object Transforms {
 
   private def k = get_json_object(col("props"), "$.k").cast("long")
 
+  /** a2d's STREAMING sibling — the flusher as a continuous query:
+    * stored minute-grain sketch rows stream in, merge per (workspace,
+    * source, instance) inside tumbling 30-minute event-time windows,
+    * and a window's merged estimate emits exactly once when the
+    * 10-minute WATERMARK passes its end — the watermark IS
+    * getRange's recentExclusionWindow ("don't flush where inserts
+    * are still landing"), and append-mode emission IS the
+    * flush-then-delete contract (a flushed window is never revised;
+    * late sketch rows drop). State per open group is the 2^p-byte
+    * register array, bounded by (keys × open windows) whatever the
+    * corpus. The batch closed form's first two UNALIGNED windows are
+    * a bootstrap artifact of "start = min pending" on a cold store; a
+    * continuous service is always in the aligned steady state this
+    * window produces — StreamingSpec pins the equivalence on aligned
+    * input plus the exclusion and late-drop rules.
+    */
+  def flusherStream(reports: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hmerge = udaf(new graft.functions.HllMergeAggregator(12))
+    reports
+      .withWatermark("rts", "10 minutes")
+      .groupBy(window(col("rts"), "30 minutes"), col("workspace_id"),
+        col("source_id"), col("instance_id"))
+      .agg(count(lit(1)).as("n_reports"), hmerge(col("registers")).as("tracked_users"))
+      .select(col("window.start").as("window_start"), col("workspace_id"),
+        col("source_id"), col("instance_id"), col("n_reports"), col("tracked_users"))
+  }
+
   /** The flusher's getRange loop (flusher.go:232-259) run to a batch
     * FIXPOINT in closed form: assigns each minute-grain report row
     * its flush window and drops rows whose window hasn't flushed yet.

@@ -1191,4 +1191,55 @@ class StreamingSpec extends SparkSpec {
         "stream-static bucketized join must reproduce the exact interval-match set")
     } finally q.stop()
   }
+
+  test("flusher stream: windows close on the watermark, merged sketches equal the stored-bytes fold, late rows drop") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val agg = new graft.functions.HllAggregator(12)
+    def sketch(ids: Seq[String]): Array[Byte] = ids.foldLeft(agg.zero)(agg.reduce)
+    def row(min: Int, key: String, ids: Seq[String]) =
+      (java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00"), key, sketch(ids))
+    val input = MemoryStream[(java.sql.Timestamp, String, Array[Byte])]
+    val reports = input.toDF().toDF("rts", "workspace_id", "registers")
+      .withColumn("source_id", lit("src_0")).withColumn("instance_id", lit("inst_0"))
+    val q = graft.operators.Transforms.flusherStream(reports)
+      .writeStream.format("memory").queryName("flush_out").outputMode("append").start()
+    try {
+      // window [00:00, 00:30): two keys, overlapping id sets per minute
+      input.addData(
+        row(1, "ws_a", Seq("u1", "u2")), row(7, "ws_a", Seq("u2", "u3")),
+        row(3, "ws_b", Seq("u9")))
+      q.processAllAvailable()
+      assert(spark.table("flush_out").count() === 0,
+        "no window may flush before the watermark passes its end")
+      // event time 00:41 -> watermark 00:31 closes [00:00, 00:30) only
+      input.addData(row(41, "ws_a", Seq("u4")))
+      q.processAllAvailable()
+      val closed = spark.table("flush_out")
+        .select("workspace_id", "n_reports", "tracked_users")
+        .as[(String, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      // merged estimate == the register-wise fold of the STORED bytes
+      val estA = graft.functions.HllAggregator.estimate(
+        agg.merge(sketch(Seq("u1", "u2")), sketch(Seq("u2", "u3"))))
+      val estB = graft.functions.HllAggregator.estimate(sketch(Seq("u9")))
+      assert(closed === Map("ws_a" -> ((2L, estA)), "ws_b" -> ((1L, estB))),
+        "exactly the watermark-closed window may flush, with the merged-sketch estimate")
+      // a LATE row for the flushed window must be dropped, not revised
+      input.addData(row(5, "ws_a", Seq("u7", "u8")))
+      input.addData(row(55, "ws_a", Seq("u5"))) // advance watermark to 00:45
+      q.processAllAvailable()
+      val after = spark.table("flush_out")
+        .filter(col("workspace_id") === "ws_a" &&
+          col("window_start") === java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+        .select("n_reports", "tracked_users").as[(Long, Long)].collect().toSeq
+      assert(after === Seq((2L, estA)),
+        "a flushed window is never revised by a late sketch row")
+      // the watermark at 00:45 also closes [00:30, 01:00)'s first half:
+      // window [00:30,01:00) end 01:00 > 00:45 -> still open, not emitted
+      assert(spark.table("flush_out").count() === 2,
+        "windows whose end is past the watermark stay pending")
+    } finally q.stop()
+  }
 }
