@@ -44,13 +44,21 @@ object BenchScale {
   // (bigram-type aggregate + continuation rollups under replica-
   // tagged vocabulary growth) and ev9 (two-level histogram-rank AUC —
   // probes the coarse-bucket prefix stays score-range-bounded).
+  // Round-13 additions (the r12 verdict's unprobed heavies): prof13
+  // (TWO full Percentiles.exact passes + broadcast model joins — the
+  // double corpus scan must stay linear), q50 (per-era
+  // Percentiles.exact + a full-outer user alignment) and ev10 (the
+  // histogram-pure decile interval algebra that replaced the per-doc
+  // rank window — probes that the (score, actual) histogram, not the
+  // corpus, bounds the window input).
   private val heavy = Seq(
     "ll6_ngram_jaccard", "ll2_minhash_neardup", "ll5_simhash_neardup",
     "ll12_boilerplate_dedup", "ll18_cdc_dedup", "ll19_containment",
     "ll4b_ann_ivf_trained", "ll9_dedup_clusters", "ta16_dedup_report",
     "l1_staging_batches", "ev4_jaccard_eval", "ll24_pq_ann",
     "ll26_kmeans_refine", "ll27_semdedup_kmeans",
-    "ts5_more_like_this", "ta24_kneser_ney", "ev9_auc")
+    "ts5_more_like_this", "ta24_kneser_ney", "ev9_auc",
+    "prof13_mad_outliers", "q50_rfm_migration", "ev10_lift_gain")
 
   /** Write a K-fold replica of the tables the heavy set reads. */
   private def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
@@ -85,6 +93,17 @@ object BenchScale {
         case c => col(c)
       }.toSeq: _*)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // prof13's input: rows grow K× per nation while the 25-nation
+    // group domain stays fixed — the scaling a per-group exact
+    // percentile actually faces
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    cust.crossJoin(broadcast(reps))
+      .select(cust.columns.map {
+        case "c_custkey" => (col("c_custkey") * k + col("rep")).as("c_custkey")
+        case c => col(c)
+      }.toSeq: _*)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
     val em = spark.read.parquet(s"$src/embeddings.parquet")
     val idCol = em.columns.find(_.endsWith("_id")).getOrElse("vec_id")

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Q
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
@@ -362,6 +363,46 @@ object Errors {
         .agg(count(lit(1)).as("n_jobs"),
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     }),
+    // ER4: ERROR-BUDGET BURN-RATE ALERTS — the multi-window SRE read
+    // of the error stash (dq5 gates freshness; this gates delivery
+    // HEALTH): per destination and hour, the failure share in ppm
+    // over the 1-hour and trailing-6-hour windows, expressed as a
+    // burn MULTIPLE of the 5% error budget (permille). The
+    // two-window rule is the standard fast-burn/slow-burn alert
+    // ladder: page only when BOTH windows burn hot (a lone hot hour
+    // is noise; a hot 6-hour window with a cool current hour is
+    // already recovering), warn on a sustained slow burn. All exact
+    // integer DIV. Plan shape: ONE corpus aggregate to (destination,
+    // hour) — everything after runs on the calendar-bounded hour
+    // series, destination-partitioned RANGE frame (q42's active-hour
+    // lesson: a rows-frame would silently widen across gaps).
+    "er4_burn_rate" -> ((s, dir) => {
+      val budget = 50000L // 5% of deliveries may fail, ppm
+      val hourUs = 3600000000L
+      val hours = graft.Tables.events(s, dir)
+        .select(concat(lit("dest_"), col("event_id") % 4).as("destination"),
+          expr(s"unix_micros(ts) DIV ${hourUs}L").as("h"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+        .groupBy(col("destination"), col("h"))
+        .agg(count(lit(1)).as("n"), sum(col("err")).as("n_err"))
+      val w6 = Window.partitionBy(col("destination")).orderBy(col("h"))
+        .rangeBetween(-5, 0)
+      hours
+        .withColumn("rate_ppm", expr("n_err * 1000000L DIV n"))
+        .withColumn("n6", sum(col("n")).over(w6))
+        .withColumn("err6", sum(col("n_err")).over(w6))
+        .withColumn("rate6_ppm", expr("err6 * 1000000L DIV n6"))
+        .withColumn("burn_short_pm", expr(s"rate_ppm * 1000L DIV ${budget}L"))
+        .withColumn("burn_long_pm", expr(s"rate6_ppm * 1000L DIV ${budget}L"))
+        .withColumn("tier",
+          when(col("burn_short_pm") >= 8000L && col("burn_long_pm") >= 5000L, "page")
+            .when(col("burn_long_pm") >= 4000L, "warn")
+            .otherwise("ok"))
+        .select(col("destination"), col("h"), col("n"), col("n_err"),
+          col("rate_ppm"), col("rate6_ppm"),
+          col("burn_short_pm"), col("burn_long_pm"), col("tier"))
+    }),
+
     "er1_error_extract" -> ((s, dir) => {
       val sess = s
       import sess.implicits._
@@ -499,6 +540,33 @@ object Errors {
   val oracles: Map[String, String] = Map(
     "er1_error_extract" -> er1Sql,
     "er2_error_groups" -> er2Sql,
+    // same derivations; DuckDB's integer RANGE frame matches Spark's
+    // rangeBetween(-5, 0) on the hour index
+    "er4_burn_rate" ->
+      """WITH hrs AS (SELECT 'dest_' || CAST(event_id % 4 AS VARCHAR) AS destination,
+             epoch_us(ts) // 3600000000 AS h,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_err
+           FROM events GROUP BY 1, 2),
+         win AS (SELECT *,
+             CAST(SUM(n) OVER (PARTITION BY destination ORDER BY h
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n6,
+             CAST(SUM(n_err) OVER (PARTITION BY destination ORDER BY h
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS err6
+           FROM hrs),
+         rates AS (SELECT *,
+             n_err * 1000000 // n AS rate_ppm,
+             err6 * 1000000 // n6 AS rate6_ppm
+           FROM win)
+         SELECT destination, h, n, n_err, rate_ppm, rate6_ppm,
+           rate_ppm * 1000 // 50000 AS burn_short_pm,
+           rate6_ppm * 1000 // 50000 AS burn_long_pm,
+           CASE WHEN rate_ppm * 1000 // 50000 >= 8000
+                 AND rate6_ppm * 1000 // 50000 >= 5000 THEN 'page'
+                WHEN rate6_ppm * 1000 // 50000 >= 4000 THEN 'warn'
+                ELSE 'ok' END AS tier
+         FROM rates""",
     // same integer code/attempt derivations; << agrees across engines
     "er3_error_replay" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS failed_date,

@@ -62,14 +62,20 @@ object TextAnalysis {
     s.read.parquet(path)
   }
 
-  /** Kneser-Ney bigram LM over the full corpus (ta24's math factored
-    * out so ta26's perplexity filter scores with the SAME estimates):
-    * exact-rational ppm with absolute discount d = 3/4 — see ta24's
-    * doc comment for the term-by-term derivation. One bigram-count
-    * aggregate + two distinct-count rollups; output is
-    * bigram-TYPE-bounded (vocab², never corpus-sized).
+  /** Kneser-Ney bigram LM (ta24's math factored out so ta26's
+    * perplexity filter scores with the SAME estimates): exact-rational
+    * ppm with absolute discount d = 3/4 — see ta24's doc comment for
+    * the term-by-term derivation. One bigram-count aggregate + two
+    * distinct-count rollups; output is bigram-TYPE-bounded (vocab²,
+    * never corpus-sized). `topContexts = Some(n)` restricts c12 to
+    * the n heaviest contexts via a broadcast BEFORE the scoring
+    * joins — ta24's report shape, where scoring all types first
+    * measurably went superlinear under the replica probe (the K=8
+    * regression that motivated this parameter); the full-LM form is
+    * for consumers that score every bigram anyway (ta26).
     */
-  private[operators] def knBigramLm(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def knBigramLm(s: SparkSession, dir: String,
+                                    topContexts: Option[Int] = None): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -82,7 +88,12 @@ object TextAnalysis {
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
     val back = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
     val btypes = c12.agg(count(lit(1)).as("b")) // 1-row scalar
-    c12.join(ctx, "w1")
+    val ctxUse = topContexts match {
+      case Some(n) =>
+        broadcast(ctx.orderBy(col("c1").desc, col("w1").asc).limit(n))
+      case None => ctx
+    }
+    c12.join(ctxUse, "w1")
       .join(back, "w2")
       .crossJoin(broadcast(btypes)) // 1-row scalar, rule (b)'s shape
       .withColumn("term1_ppm", expr("(4 * c12 - 3) * 250000L DIV c1"))
@@ -519,10 +530,7 @@ object TextAnalysis {
     // (TakeOrdered 5 → broadcast, so the rank window sees ≤ 5
     // partitions of top-k rows).
     "ta24_kneser_ney" -> ((s, dir) => {
-      val lm = knBigramLm(s, dir)
-      val top5 = lm.groupBy(col("w1")).agg(max(col("c1")).as("c1"))
-        .orderBy(col("c1").desc, col("w1").asc).limit(5).select(col("w1"))
-      val scored = lm.join(broadcast(top5), "w1")
+      val scored = knBigramLm(s, dir, topContexts = Some(5))
       // top-3 per context through the native salted LimitPerGroup
       // (q28b's shape) — a heavy context's continuation list never
       // sorts in one task; the final rank window sees ≤ 15 rows
