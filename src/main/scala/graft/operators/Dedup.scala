@@ -1009,6 +1009,36 @@ object Dedup {
         .withColumn("action",
           when(col("n_contaminated") * 5 >= col("n_grams") * 4, "drop")
             .otherwise("scrub"))
+    }),
+
+    // EV13: BLOCKING-STEP EVALUATION — the record-linkage numbers for
+    // the CANDIDATE stage (ev2/ev4 score the final verified pairs;
+    // this scores the LSH band index that feeds them): REDUCTION
+    // RATIO (how much of the N(N−1)/2 comparison space the blocking
+    // avoided) and PAIR COMPLETENESS (what share of the planted truth
+    // survives into the candidate set) — the two dials a blocking
+    // designer trades against each other (Christen 2012). All exact
+    // integers; the comparison-space denominator comes from the
+    // memoized corpus count (N(N−1)/2 overflows a long only past
+    // ~4e9 docs; the ppm ratio runs in DECIMAL(38) regardless).
+    "ev13_blocking_eval" -> ((s, dir) => {
+      val nd = Tables.countStat(s, dir, "documents")
+      val allPairs = nd * (2L * nd - 1L) // N(N-1)/2 with N = 2·nd
+      val cand = bandCandidates(signatureTable(s, dir))
+        .select(lit(1L).as("is_cand"), col("doc_a"), col("doc_b"))
+      val docs = Tables.documents(s, dir)
+        .select(lit(0L).as("is_cand"), col("doc_id").as("doc_a"),
+          lit(null).cast("long").as("doc_b"))
+      val hit = col("is_cand") === 1L && col("doc_b") === col("doc_a") + 100000000L
+      cand.unionByName(docs).agg(
+          sum(lit(1L) - col("is_cand")).as("n_truth"),
+          sum(col("is_cand")).as("n_candidates"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("n_all_pairs", lit(allPairs))
+        .withColumn("reduction_ppm", expr(
+          "1000000L - CAST(CAST(n_candidates AS DECIMAL(38,0)) * 1000000 " +
+            "DIV n_all_pairs AS BIGINT)"))
+        .withColumn("completeness_ppm", expr("n_hit * 1000000L DIV n_truth"))
     })
   )
 
@@ -1576,6 +1606,24 @@ object Dedup {
           SELECT doc_id, n_grams, n_contaminated,
             CASE WHEN n_contaminated * 5 >= n_grams * 4 THEN 'drop'
                  ELSE 'scrub' END AS action
-          FROM hits WHERE n_contaminated > 0"""
+          FROM hits WHERE n_contaminated > 0""",
+    // the candidate CTE of the shared minhash replay, scored with the
+    // same union-tag aggregate as ev2; denominator = nd(2nd-1)
+    "ev13_blocking_eval" ->
+      s"""WITH $minhashCtes,
+          u AS (SELECT 1 AS is_cand, doc_a, doc_b FROM cand
+                UNION ALL SELECT 0, doc_id, NULL FROM documents),
+          nd AS (SELECT COUNT(*) AS nd FROM documents)
+          SELECT CAST(SUM(1 - is_cand) AS BIGINT) AS n_truth,
+            CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+            CAST(SUM(CASE WHEN is_cand = 1 AND doc_b = doc_a + 100000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+            CAST(nd * (2 * nd - 1) AS BIGINT) AS n_all_pairs,
+            CAST(1000000 - CAST(SUM(is_cand) AS HUGEINT) * 1000000
+              // (nd * (2 * nd - 1)) AS BIGINT) AS reduction_ppm,
+            CAST(SUM(CASE WHEN is_cand = 1 AND doc_b = doc_a + 100000000
+                          THEN 1 ELSE 0 END) * 1000000
+              // SUM(1 - is_cand) AS BIGINT) AS completeness_ppm
+          FROM u CROSS JOIN nd GROUP BY nd"""
   )
 }

@@ -624,6 +624,77 @@ object Sessions {
         .agg(count(lit(1)).as("n_overlapping"), min(col("signup_id")).as("first_signup"))
     }),
 
+    // INCREMENTAL SESSIONIZATION — the daily-merge shape q16 needs in
+    // production: yesterday's session TABLE plus today's events,
+    // WITHOUT re-sessionizing history. Only one fusion is possible
+    // per user: stored events all precede the split and delta events
+    // all follow it, so a user's LAST stored session fuses with their
+    // FIRST delta session iff the cross-boundary gap closes
+    // (d.start − s.end <= gap); every other session on both sides
+    // passes through untouched. The gap here is 24 h — visit islands
+    // rather than q16's 30-min click sessions — chosen so the fusion
+    // branch is STRUCTURALLY EXERCISED at every sf (93 users fuse at
+    // sf0.01, 8 at sf0.001; at this corpus's event density a 30-min
+    // gap never straddles the boundary, which would leave the merge
+    // rule as unexercised as the r12 verdict found q25's join).
+    // Session sums stay DECIMAL until the
+    // final edge cast, so the one fused addition is exact and the
+    // incremental result equals the full recompute BIT-FOR-BIT —
+    // which is precisely what the oracle checks: it recomputes all
+    // sessions from scratch (l8's incremental == full differential
+    // pattern). Identity is (user, session_start): stable across
+    // both computations, unlike the island number. Corpus-scale work
+    // = sessionizing the two slices (user-keyed windows); the merge
+    // itself touches two rows per user.
+    "q53_incremental_sessionize" -> ((s, dir) => {
+      val splitUs = 1705708800000000L // 2024-01-20 00:00 UTC, mid-corpus
+      val mergeGapUs = 86400000000L // 24 h visit islands (see doc comment)
+      def sessionsOf(ev: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+          .withColumn("brk",
+            when(col("prev_us").isNull || col("ts_us") - col("prev_us") > mergeGapUs, 1L)
+              .otherwise(0L))
+          .withColumn("sess_no", sum(col("brk")).over(run))
+          .groupBy(col("user_id"), col("sess_no"))
+          .agg(min(col("ts_us")).as("session_start_us"),
+            max(col("ts_us")).as("session_end_us"),
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(dec)).as("sum_dec"))
+          .drop("sess_no")
+      }
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+      val stored = sessionsOf(ev.filter(col("ts_us") < splitUs))
+      val delta = sessionsOf(ev.filter(col("ts_us") >= splitUs))
+      val wLast = Window.partitionBy(col("user_id")).orderBy(col("session_start_us").desc)
+      val wFirst = Window.partitionBy(col("user_id")).orderBy(col("session_start_us").asc)
+      val lastStored = stored.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1).drop("rn")
+      val firstDelta = delta.withColumn("rn", row_number().over(wFirst))
+        .filter(col("rn") === 1).drop("rn")
+      val fused = lastStored.as("a")
+        .join(firstDelta.as("b"), Seq("user_id"))
+        .filter(col("b.session_start_us") - col("a.session_end_us") <= mergeGapUs)
+        .select(col("user_id"),
+          col("a.session_start_us").as("session_start_us"),
+          col("b.session_end_us").as("session_end_us"),
+          (col("a.n_events") + col("b.n_events")).as("n_events"),
+          (col("a.sum_dec") + col("b.sum_dec")).as("sum_dec"))
+      val dropA = fused.select(col("user_id"),
+        col("session_start_us")) // last stored keys that fused
+      val dropB = fused.join(firstDelta.select(col("user_id"),
+          col("session_start_us").as("b_start")), Seq("user_id"))
+        .select(col("user_id"), col("b_start").as("session_start_us"))
+      stored.join(dropA, Seq("user_id", "session_start_us"), "left_anti")
+        .unionByName(delta.join(dropB, Seq("user_id", "session_start_us"), "left_anti"))
+        .unionByName(fused)
+        .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+          col("n_events"), col("sum_dec").cast("double").as("sum_value"))
+    }),
+
     // As-of join: each event picks up the customer's most recent order
     // at-or-before the event timestamp. Spark has no ASOF JOIN, and the
     // naive range join explodes; the scalable plan is the union trick —
@@ -2264,6 +2335,24 @@ object Sessions {
          FROM p JOIN g ON p.user_id = g.user_id
            AND p.s1 < g.e2 AND g.s2 < p.e1
          GROUP BY 1""",
+    // the oracle re-sessionizes EVERYTHING from scratch — equality
+    // proves the boundary-fusion rule (incremental == full, the l8
+    // differential pattern); identity is (user, session_start)
+    "q53_incremental_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 86400000000 THEN 1 ELSE 0 END AS brk
+           FROM e),
+         g AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_no
+           FROM f)
+         SELECT user_id, MIN(ts_us) AS session_start_us,
+                MAX(ts_us) AS session_end_us, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM g GROUP BY user_id, sess_no""",
     // DuckDB's ASOF with a <= condition picks the nearest following
     // row — the forward direction the negated-time engine plan encodes
     "q30_asof_forward" ->

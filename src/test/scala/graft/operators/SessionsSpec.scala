@@ -195,6 +195,40 @@ class SessionsSpec extends SparkSpec {
       "bucketized overlap join must equal the naive theta join with no double counting")
   }
 
+  test("q53 incremental sessionize: fusions are exercised and the merge equals full recompute") {
+    assume(new java.io.File("/root/testdata/sf0.001").exists())
+    val sfDir001 = "/root/testdata/sf0.001"
+    val splitUs = 1705708800000000L
+    val gapUs = 86400000000L
+    val events = graft.Tables.events(spark, sfDir001)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the fusion branch must be live: some user's last stored event and
+    // first delta event close the gap across the boundary (the q25
+    // lesson — a structurally dead branch makes the differential hollow)
+    val fusedUsers = events.groupBy(_._1).count { case (_, evs) =>
+      val before = evs.filter(_._3 < splitUs).map(_._3)
+      val after = evs.filter(_._3 >= splitUs).map(_._3)
+      before.nonEmpty && after.nonEmpty && after.min - before.max <= gapUs
+    }
+    assert(fusedUsers > 0, "fixture must fuse at least one boundary session")
+    // literal full sessionization driver-side
+    val expected = events.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      val islands = sorted.foldLeft(Vector.empty[Vector[(Long, Long, Long)]]) {
+        case (acc, e) =>
+          if (acc.nonEmpty && e._3 - acc.last.last._3 <= gapUs)
+            acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+      }
+      islands.map(i => (uid, i.head._3) -> ((i.last._3, i.length.toLong)))
+    }.toMap
+    val got = Sessions.defs("q53_incremental_sessionize")(spark, sfDir001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected,
+      "incremental boundary merge must equal the from-scratch sessionization")
+  }
+
   test("a9 EWMA: a planted 10x hour is flagged, the recovered baseline absorbs it") {
     val hourUs = 3600000000L
     val counts = Seq(10, 10, 10, 100, 10, 10)
