@@ -154,6 +154,8 @@ object Layout {
     // locality-superior curve. Same per-row-arithmetic plan contract:
     // no global window, no sampling, write side is
     // repartition("bucket") + sortWithinPartitions("h").
+    "zo4_bloom_skip" -> bloomSkipDef,
+
     "zo2_hilbert_layout" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
@@ -230,7 +232,89 @@ object Layout {
     })
   )
 
+  // ZO4: BLOOM FILE-SKIP AUDIT — the point-predicate complement of
+  // zo3's zone maps (range metadata skips range predicates; a
+  // per-file Bloom over a high-NDV column skips EQUALITY probes, the
+  // Parquet bloom_filter_enabled / Delta BLOOMFILTER INDEX shape).
+  // Each 2000-event file gets a 16 Kib 4-hash Bloom over user_id
+  // (ll20's exact md5⊕seed arithmetic, so the oracle replays false
+  // positives included); a 7-probe lookup workload (6 present ids
+  // spread over the domain + 1 absent) is then audited per probe:
+  // files the Bloom would read (n_maybe), files that truly hold the
+  // user (n_actual), the skip rate, and the false-positive read tax.
+  // Plan: ONE scan builds the distinct (file, bit) set; probes are a
+  // broadcast 28-row position table; the audit join is
+  // bit-position-keyed — file count × probe count is metadata-scale.
+  private def bloomSkipDef: Q = (s, dir) => {
+    val m = 16384L
+    val maxUid = Tables.maxIdStat(s, dir, "events", "user_id")
+    val sess = s
+    import sess.implicits._
+    val probeDf = ((0 to 5).map(k => k * maxUid / 6) :+ (maxUid + 1000L))
+      .toDF("probe_user")
+    def posCols(c: Column): Seq[Column] = {
+      val base = conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+      (0 until 4).map(j => pmod(base.bitwiseXOR(lit(Dedup.sigSeeds(j))), lit(m)))
+    }
+    val ev = Tables.events(s, dir)
+      .select(expr("event_id DIV 2000").as("file"), col("user_id"))
+    val bits = ev.select(col("file"),
+      explode(array(posCols(col("user_id")): _*)).as("p")).distinct()
+    val nFiles = ev.agg(countDistinct(col("file")).as("n_files"))
+    val ppos = probeDf.select(col("probe_user"),
+      posexplode(array(posCols(col("probe_user")): _*)).as(Seq("j", "p")))
+    val maybe = ppos.join(bits, Seq("p"))
+      .groupBy(col("probe_user"), col("file"))
+      .agg(count(lit(1)).as("nset"))
+      .filter(col("nset") === 4L)
+      .groupBy(col("probe_user")).agg(count(lit(1)).as("n_maybe"))
+    val actual = ev.join(probeDf, col("user_id") === col("probe_user"))
+      .select(col("probe_user"), col("file")).distinct()
+      .groupBy(col("probe_user")).agg(count(lit(1)).as("n_actual"))
+    probeDf.join(maybe, Seq("probe_user"), "left")
+      .join(actual, Seq("probe_user"), "left")
+      .crossJoin(broadcast(nFiles)) // 1-row scalar, rule (b)'s shape
+      .withColumn("n_maybe", coalesce(col("n_maybe"), lit(0L)))
+      .withColumn("n_actual", coalesce(col("n_actual"), lit(0L)))
+      .withColumn("n_skipped", col("n_files") - col("n_maybe"))
+      .withColumn("skip_ppm", expr("n_skipped * 1000000L DIV n_files"))
+      .withColumn("false_pos_files", col("n_maybe") - col("n_actual"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // replays the exact Bloom arithmetic — same seeds, same modulus,
+    // same false positives (ll20's contract, per file)
+    "zo4_bloom_skip" -> {
+      val seedRows = (0 until 4)
+        .map(j => s"($j, CAST(${Dedup.sigSeeds(j)} AS BIGINT))").mkString(", ")
+      s"""WITH seeds(j, sd) AS (VALUES $seedRows),
+          f AS (SELECT event_id // 2000 AS file, user_id FROM events),
+          mx AS (SELECT MAX(user_id) AS mu FROM events),
+          probes AS (SELECT k * mu // 6 AS probe_user
+                     FROM generate_series(0, 5) t(k) CROSS JOIN mx
+                     UNION ALL SELECT mu + 1000 FROM mx),
+          bits AS (SELECT DISTINCT file,
+                     xor(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT), sd) % 16384 AS p
+                   FROM f, seeds),
+          ppos AS (SELECT probe_user, j,
+                     xor(CAST('0x' || substr(md5(CAST(probe_user AS VARCHAR)), 1, 15)
+                       AS BIGINT), sd) % 16384 AS p
+                   FROM probes, seeds),
+          mb AS (SELECT probe_user, file FROM ppos JOIN bits USING (p)
+                 GROUP BY 1, 2 HAVING COUNT(*) = 4),
+          nmay AS (SELECT probe_user, COUNT(*) AS n_maybe FROM mb GROUP BY 1),
+          act AS (SELECT probe_user, COUNT(DISTINCT file) AS n_actual
+                  FROM f JOIN probes ON user_id = probe_user GROUP BY 1),
+          nf AS (SELECT CAST(COUNT(DISTINCT file) AS BIGINT) AS n_files FROM f)
+          SELECT probe_user, COALESCE(n_maybe, 0) AS n_maybe,
+            COALESCE(n_actual, 0) AS n_actual, n_files,
+            n_files - COALESCE(n_maybe, 0) AS n_skipped,
+            (n_files - COALESCE(n_maybe, 0)) * 1000000 // n_files AS skip_ppm,
+            COALESCE(n_maybe, 0) - COALESCE(n_actual, 0) AS false_pos_files
+          FROM probes LEFT JOIN nmay USING (probe_user)
+          LEFT JOIN act USING (probe_user) CROSS JOIN nf"""
+    },
     // the 16-step fold replayed as a 16-level recursive CTE; each
     // source row walks the recursion independently (UNION ALL), the
     // i = -1 generation carries the finished index
