@@ -89,6 +89,13 @@ class HllMergeAggregator(p: Int = 12) extends Aggregator[Array[Byte], Array[Byte
   override def reduce(buf: Array[Byte], value: Array[Byte]): Array[Byte] =
     if (value == null) buf else merge(buf, value)
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    // a sketch row written at a different precision (or truncated in
+    // transit) must surface as a clear error, not an out-of-bounds
+    // throw mid-loop (shorter input) or a silent prefix-merge that
+    // under-counts (longer input)
+    require(b.length == m,
+      s"HLL sketch length ${b.length} != expected $m (precision mismatch " +
+        s"between sketch writer and merger, or corrupt stored sketch)")
     var i = 0
     while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a

@@ -314,14 +314,20 @@ object Dedup {
     }
   }
 
-  /** LSH band rows of a signature table: 4 band keys per doc, each
-    * the md5 of 4 consecutive signature components.
+  /** LSH band rows of a signature table: `nb` band keys per doc, each
+    * the md5 of `nr` consecutive signature components (nb·nr = nSig).
+    * The default 4×4 scheme has its S-curve midpoint at
+    * (1/4)^(1/4) ≈ 0.707 — right for the 0.6 operating point; callers
+    * sweeping LOWER thresholds pass a wider scheme (8×2, midpoint
+    * ≈ 0.354) so recall at the low cuts is not structurally biased.
     */
-  private[graft] def bandRowsOf(sigs: DataFrame): DataFrame = {
-    val banded = sigs.select(col("doc_id") +: (0 until 4).map(b =>
-      md5(concat_ws(",", (0 until 4).map(r => col(s"s${4 * b + r}")): _*)).as(s"b$b")): _*)
+  private[graft] def bandRowsOf(sigs: DataFrame, nb: Int = 4): DataFrame = {
+    require(nSig % nb == 0, s"band count $nb must divide nSig=$nSig")
+    val nr = nSig / nb
+    val banded = sigs.select(col("doc_id") +: (0 until nb).map(b =>
+      md5(concat_ws(",", (0 until nr).map(r => col(s"s${nr * b + r}")): _*)).as(s"b$b")): _*)
     banded.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b => col(s"b$b")): _*)).as(Seq("band", "bkey")))
+      posexplode(array((0 until nb).map(b => col(s"b$b")): _*)).as(Seq("band", "bkey")))
   }
 
   /** Signature-overlap verification of candidate (doc_a, doc_b) pairs
@@ -359,8 +365,8 @@ object Dedup {
     * -> signature-overlap verify at >= 8/16.
     */
   /** LSH band-bucket candidate pairs from a signature table. */
-  private[operators] def bandCandidates(sigs: DataFrame): DataFrame = {
-    val bandRows = bandRowsOf(sigs)
+  private[operators] def bandCandidates(sigs: DataFrame, nb: Int = 4): DataFrame = {
+    val bandRows = bandRowsOf(sigs, nb)
     bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1066,7 +1072,14 @@ object Dedup {
     branch match {
       case "prefix-filtered" => prefixFilteredJaccard(sh, minJaccardMille)
       case "inverted-index" => jaccardFromShingles(sh, minJaccardMille)
-      case _ => exactJaccardOfCandidates(bandCandidates(sigs), sh, minJaccardMille)
+      case _ =>
+        // match the band scheme to the operating point: the default
+        // 4×4 scheme's S-curve midpoint (≈0.707) sits above a sub-600‰
+        // cut, so a threshold sweep routed through this arm would
+        // measure LSH-conditional recall exactly at the cuts it exists
+        // to choose; 8×2 (midpoint ≈0.354) keeps recall ≥ ~0.9 at 500‰
+        val nb = if (minJaccardMille < 600L) 8 else 4
+        exactJaccardOfCandidates(bandCandidates(sigs, nb), sh, minJaccardMille)
     }
   }
 

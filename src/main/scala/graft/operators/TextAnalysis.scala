@@ -574,7 +574,14 @@ object TextAnalysis {
             "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
         .select(col("doc_id"), col("b.w1"), col("b.w2"))
       bg.join(lm, Seq("w1", "w2"))
-        .withColumn("x", expr("greatest(1L, 1000000 DIV p_kn_ppm)"))
+        // clamp the PROBABILITY, not the quotient: a p_kn_ppm that
+        // floors to 0 (frequent context + singleton continuation at
+        // web scale) must map to MAX surprisal (x = 1e6), not to the
+        // minimum — and `1000000 DIV 0` is NULL (or throws under
+        // ANSI), which greatest(1L, NULL) would silently turn into
+        // surprisal 0, letting the noisiest docs through the gate
+        .withColumn("x",
+          expr("greatest(1L, 1000000 DIV greatest(1L, p_kn_ppm))"))
         .withColumn("e", expr(log2ExpCase))
         .withColumn("m", expr("(x * 8) DIV shiftleft(1L, CAST(e AS INT))"))
         .withColumn("s_mb", expr(s"CAST(e * 1000 + ($log2FracCase) AS BIGINT)"))
@@ -1301,7 +1308,8 @@ object TextAnalysis {
                        FROM documents
                        WHERE len(string_split(text, ' ')) >= 2),
                       unnest(range(len(ws) - 1)) AS t(i)),
-          sx AS (SELECT doc_id, greatest(1, 1000000 // p_kn_ppm) AS x
+          sx AS (SELECT doc_id,
+                   greatest(1, 1000000 // greatest(1, p_kn_ppm)) AS x
                  FROM db JOIN lm USING (w1, w2)),
           se AS (SELECT doc_id, x, $log2ExpCase AS e FROM sx),
           sm AS (SELECT doc_id, e, (x * 8) // (1::BIGINT << CAST(e AS INT)) AS m

@@ -59,6 +59,17 @@ object Transforms {
     * windows ending within the 10-min recent-exclusion of it are
     * pending, not flushed. TransformsSpec proves the closed form
     * equals a literal getRange iteration on an hour-UNALIGNED corpus.
+    *
+    * DENSITY PRECONDITION: the closed form assumes start_{k+1} =
+    * end_k. The reference's literal loop restarts each cycle at
+    * min(pending reported_at) (getStart reads the store), so the two
+    * agree only when every window boundary has a pending report —
+    * i.e. a minute-dense store, which a continuously-reporting
+    * service is in steady state. After a data gap the reference
+    * opens an UNALIGNED window at the next pending minute where this
+    * closed form bucket-aligns it. FlusherSpec pins the dense
+    * equivalence AND the gap divergence; sparse stores need the
+    * literal-loop variant.
     */
   private[operators] def flushWindowed(
       reports: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

@@ -62,6 +62,22 @@ class HllSpec extends SparkSpec {
       "stored-sketch merge must be lossless vs the direct sketch")
   }
 
+  test("second level: a precision-mismatched stored sketch fails fast, not silently") {
+    // a sketch written at p=11 (1024 registers) reaching a p=12
+    // merger must surface as a clear error — previously a longer
+    // input was silently prefix-merged (under-count) and a shorter
+    // one threw ArrayIndexOutOfBounds mid-loop
+    val mg = new HllMergeAggregator(12)
+    val short = new Array[Byte](1 << 11)
+    val long = new Array[Byte](1 << 13)
+    val e1 = intercept[IllegalArgumentException](mg.reduce(mg.zero, short))
+    assert(e1.getMessage.contains("precision mismatch"))
+    val e2 = intercept[IllegalArgumentException](mg.merge(mg.zero, long))
+    assert(e2.getMessage.contains("precision mismatch"))
+    // null stored rows still skip (a group with no sketch yet)
+    assert(mg.reduce(mg.zero, null).toSeq === mg.zero.toSeq)
+  }
+
   test("udaf surface: groupBy sketch counts track exact distincts") {
     val sess = spark
     import sess.implicits._

@@ -334,7 +334,9 @@ class CurationOpsSpec extends SparkSpec {
     def surprisal(w1: String, w2: String): Long = {
       val p = (4 * c12((w1, w2)) - 3) * 250000L / c1(w1) +
         (750000L * n1f(w1) / c1(w1)) * (n1b(w2) * 1000000L / b) / 1000000L
-      val x = math.max(1L, 1000000L / p)
+      // the engine clamps the PROBABILITY (p=0 → max surprisal), not
+      // the quotient — mirror it exactly
+      val x = math.max(1L, 1000000L / math.max(1L, p))
       val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
       e * 1000L + frac(((x * 8) >> e).toInt - 8)
     }
@@ -343,6 +345,21 @@ class CurationOpsSpec extends SparkSpec {
       assert(got(id) === ((mbs.length.toLong, mbs.sum)),
         s"doc $id surprisal diverges from the literal fold")
     }
+  }
+
+  test("ta26 clamp: a zero-probability bigram scores MAX surprisal, never the minimum") {
+    // the web-scale regime (c1 > 250000, singleton continuation,
+    // >1e6 bigram types) floors p_kn_ppm to 0; the surprisal
+    // expression must map that to x = 1e6 (~19.9 bits), not to 1
+    // (0 bits) via NULL-swallowing greatest — the exact expression
+    // strings the ta26 plan uses, evaluated at the boundary
+    val row = spark.sql(
+      """SELECT greatest(1L, 1000000 DIV greatest(1L, p_kn_ppm)) AS x
+         FROM VALUES (0L), (1L), (1000000L) AS t(p_kn_ppm)
+         ORDER BY p_kn_ppm""").collect().map(_.getLong(0))
+    assert(row(0) === 1000000L, "p=0 must clamp to max surprisal, not min")
+    assert(row(1) === 1000000L)
+    assert(row(2) === 1L, "a certain bigram has zero surprisal")
   }
 
   test("prof15 skew advisor: salt recommendation levels the heavy key, identity keys salt-free") {

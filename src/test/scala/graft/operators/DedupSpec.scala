@@ -341,4 +341,26 @@ class DedupSpec extends SparkSpec {
       Dedup.signatureTable(spark, sfDir)).count()
     assert(rows((4L, 4L))._1 === prod)
   }
+
+  test("band scheme follows the operating point: a J≈0.5 pair invisible to 4×4 " +
+    "is caught by the 8×2 scheme the sub-600‰ sweep uses") {
+    val sess = spark
+    import sess.implicits._
+    // two docs sharing exactly 8/16 signature components, arranged so
+    // no 4-consecutive run is fully shared (every 4×4 band misses)
+    // but positions (0,1), (4,5), (8,9), (12,13) pair up (8×2 hits) —
+    // the structural recall gap the parameterization closes
+    val shared = Set(0, 1, 4, 5, 8, 9, 12, 13)
+    val a = (0 until 16).map(i => 100L + i)
+    val b = (0 until 16).map(i => if (shared(i)) 100L + i else 900L + i)
+    val sigs = Seq((1L, a), (2L, b))
+      .map { case (id, s) => (id, s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7),
+        s(8), s(9), s(10), s(11), s(12), s(13), s(14), s(15)) }
+      .toDF("doc_id" +: (0 until 16).map(i => s"s$i"): _*)
+    assert(Dedup.bandCandidates(sigs, 4).count() === 0L,
+      "the 0.6-point scheme must miss this J≈0.5 pair (the documented bias)")
+    assert(Dedup.bandCandidates(sigs, 8).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)),
+      "the wide scheme must catch it")
+  }
 }

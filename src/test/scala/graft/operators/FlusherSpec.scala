@@ -65,6 +65,58 @@ class FlusherSpec extends SparkSpec {
     assert(closedForm(minutes) === expected)
   }
 
+  /** The reference loop with its ACTUAL restart rule: each cycle's
+    * start = min(pending reported_at) (getStart reads the store), so
+    * after a data gap the next window opens UNALIGNED at the next
+    * pending minute. On a dense corpus this agrees with
+    * getRangeReplay; the divergence only appears past a >30-min gap.
+    */
+  private def getRangeReplayGapAware(minutes: Seq[Long]): Map[Long, Long] = {
+    val lim = minutes.max + MIN - 600000000L
+    var pending = minutes.sorted
+    val out = Map.newBuilder[Long, Long]
+    var done = false
+    while (!done && pending.nonEmpty) {
+      val start = pending.head // getStart: min pending, NOT previous end
+      val end = math.min(start + HALF, (start / HOUR + 1) * HOUR)
+      if (end <= lim) {
+        val (in, rest) = pending.span(_ < end)
+        in.filter(_ >= start).foreach(t => out += t -> start)
+        pending = rest
+      } else done = true
+    }
+    out.result()
+  }
+
+  test("density precondition: closed form == gap-aware replay on dense stores only") {
+    // minute-dense corpus (a report at every minute, so min pending
+    // == previous window end): the two replay rules and the closed
+    // form all agree — the steady state of a continuously-reporting
+    // service
+    val dense = (0L until 200L).map(i => 47L * MIN + i * MIN)
+    assert(getRangeReplayGapAware(dense) === getRangeReplay(dense))
+    assert(closedForm(dense) === getRangeReplayGapAware(dense))
+
+    // sparse corpus with a 75-min gap: the reference restarts the
+    // post-gap window at the next pending minute (UNALIGNED), the
+    // closed form bucket-aligns it — the documented divergence that
+    // scopes flushWindowed to dense stores
+    val gapped = (0L until 40L).map(_ * MIN) ++
+      (0L until 120L).map(i => 115L * MIN + i * MIN)
+    val ref = getRangeReplayGapAware(gapped)
+    val cf = closedForm(gapped)
+    assert(ref !== cf, "a >30-min gap must expose the density precondition")
+    // the divergence is confined to alignment AFTER the gap: pre-gap
+    // assignments agree, and the reference's post-gap window opens
+    // unaligned at the next pending minute where the closed form
+    // bucket-aligns it
+    val post = 115L * MIN
+    assert(ref.filter(_._1 < 40L * MIN) === cf.filter(_._1 < 40L * MIN),
+      "pre-gap assignments must agree")
+    assert(ref(post) === post, "reference opens the post-gap window at min pending")
+    assert(cf(post) === (post / HALF) * HALF, "closed form bucket-aligns it")
+  }
+
   test("every flushed window is within one hour and at most 30 minutes long") {
     val base = 13L * MIN
     val minutes = (0L until 300L).map(i => base + i * 3L * MIN)
