@@ -517,6 +517,48 @@ object Lifecycle {
         .withColumn("executed_first", lit(e1))
         .withColumn("terminal_first", lit(t1))
         .withColumn("executed_resume", lit(e2))
+    }),
+
+    // NT1: the notifier claim/orphan-requeue queue
+    // (services/notifier/notifier.go:390-664, repo.go:95-558) — the
+    // coordination service between the warehouse router and its
+    // upload workers. 40 SCALE-FREE jobs (distinct o_orderkey % 40 —
+    // the queue is control-plane metadata whatever the corpus size)
+    // publish under 5 batches with (job % 3 + 1) priorities; 12
+    // workers claim in (priority, id) order, two of them die holding
+    // their first claim — RunMaintenance's orphan sweep requeues
+    // both after the 2-round claim timeout WITHOUT costing an
+    // attempt. Outcomes are the sj1 md5 coin (≈1/3 success) the
+    // oracle replays; maxAttempt = 0 gives each job the repo's
+    // pre-increment maxAttempt + 2 = 2 tries. Every transition is an
+    // append to the parquet ledger (crash recovery is SinksSpec's
+    // job); the checked rows come back through getByBatchID's
+    // pre-delete read, with the executed / orphan / batch-completion
+    // counters riding as pinned columns — orphan_requeues = the two
+    // planted deaths, batches_completed = all 5 (every batch drains
+    // terminal and is deleted).
+    "nt1_notifier_queue" -> ((s, dir) => {
+      val jobs = Tables.orders(s, dir)
+        .select((col("o_orderkey") % 40).as("job_id")).distinct()
+        .withColumn("batch_id", concat(lit("b_"), col("job_id") % 5))
+        .withColumn("priority", col("job_id") % 3 + 1)
+      def coin(batch: String, job: Long, tryNo: Long): Boolean = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$batch|$job|$tryNo".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 3 == 0
+      }
+      val ledger = Files.createTempDirectory("graft_nt1").toString + "/ledger"
+      val (executed, orphans, _, batchesDone) = graft.sinks.Notifier.run(
+        s, ledger, jobs, maxAttempt = 0, nWorkers = 12,
+        orphanTimeoutRounds = 2, outcome = coin,
+        deadAfterFirstClaim = Set(10, 11))
+      graft.sinks.Notifier.returnedJobs(s, ledger)
+        .select(col("job_id"), col("batch_id"), col("priority"),
+          col("status"), col("attempt").as("attempts"))
+        .withColumn("executed", lit(executed))
+        .withColumn("orphan_requeues", lit(orphans))
+        .withColumn("batches_completed", lit(batchesDone))
     })
   )
 
@@ -694,6 +736,33 @@ object Lifecycle {
            CASE WHEN succ_at IS NOT NULL THEN 'succeeded' ELSE 'aborted' END AS status,
            CAST(COALESCE(succ_at - 1, 3) AS BIGINT) AS attempts,
            executed_first, terminal_first, CAST(0 AS BIGINT) AS executed_resume
+         FROM fin CROSS JOIN tot""",
+    // nt1 replayed declaratively: claim order and orphan requeues
+    // never change a job's terminal state (a dead worker's claim
+    // requeues with attempt preserved), so each job's fate is the
+    // first try whose coin lands 0 mod 3 among maxAttempt + 2 = 2
+    // tries. orphan_requeues = the two planted worker deaths;
+    // batches_completed = all 5 (every batch drains terminal).
+    "nt1_notifier_queue" ->
+      """WITH j AS (SELECT DISTINCT o_orderkey % 40 AS job_id FROM orders),
+         jobs AS (SELECT job_id, 'b_' || CAST(job_id % 5 AS VARCHAR) AS batch_id,
+                    job_id % 3 + 1 AS priority FROM j),
+         att AS (SELECT job_id, batch_id, priority, a.try,
+                   CAST('0x' || substr(md5(batch_id || '|'
+                       || CAST(job_id AS VARCHAR) || '|'
+                       || CAST(a.try AS VARCHAR)), 1, 8) AS UBIGINT)
+                     % 3 = 0 AS ok
+                 FROM jobs CROSS JOIN generate_series(1, 2) a(try)),
+         fin AS (SELECT job_id, batch_id, priority,
+                   MIN(CASE WHEN ok THEN try END) AS succ_at
+                 FROM att GROUP BY 1, 2, 3),
+         tot AS (SELECT CAST(SUM(COALESCE(succ_at, 2)) AS BIGINT) AS executed
+                 FROM fin)
+         SELECT job_id, batch_id, priority,
+           CASE WHEN succ_at IS NOT NULL THEN 'succeeded' ELSE 'aborted' END AS status,
+           CAST(COALESCE(succ_at - 1, 2) AS BIGINT) AS attempts,
+           executed, CAST(2 AS BIGINT) AS orphan_requeues,
+           CAST(5 AS BIGINT) AS batches_completed
          FROM fin CROSS JOIN tot"""
   )
 }

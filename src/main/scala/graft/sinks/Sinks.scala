@@ -638,46 +638,57 @@ object Sinks {
       jobs.select(col("job_id"), col("job_run_id"), col("table_name"),
           lit(0L).as("seq"), lit("waiting").as("status"), lit(0L).as("attempt"))
         .write.parquet(ledgerDir)
+    // ONE distributed read establishes the latest state per job; the
+    // drain loop then evolves a DRIVER map — the ledger is metadata-
+    // grain (one row per (jobRun, table) transition), so this collect
+    // is the same jobs-bound as any GetToProcess page, and it removes
+    // the per-page full-ledger window re-read that made a 15-row
+    // board cost ~10 Spark jobs. Appends stay distributed and
+    // BYTE-IDENTICAL to the paged form: durability and the
+    // crash-window semantics live in the parquet log, not the map.
     val wLatest = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
-    def latest() = spark.read.parquet(ledgerDir)
-      .withColumn("rn", row_number().over(wLatest)).filter(col("rn") === 1).drop("rn")
-    var seq = spark.read.parquet(ledgerDir).agg(max(col("seq"))).head.getLong(0)
+    val init = spark.read.parquet(ledgerDir)
+      .withColumn("rn", row_number().over(wLatest)).filter(col("rn") === 1)
+      .select("job_id", "job_run_id", "table_name", "seq", "status", "attempt")
+      .collect()
+    // job_id -> (run, table, status, attempt)
+    val state = scala.collection.mutable.Map(init.map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(4), r.getLong(5)))): _*)
+    var seq = init.map(_.getLong(3)).foldLeft(0L)(math.max)
     def append(rows: Seq[(Long, String, String, Long, String, Long)]): Unit = {
       val sess = spark
       import sess.implicits._
+      rows.foreach { case (id, run, tbl, _, st, att) => state(id) = (run, tbl, st, att) }
       rows.toDF("job_id", "job_run_id", "table_name", "seq", "status", "attempt")
         .coalesce(1).write.mode("append").parquet(ledgerDir)
     }
     // Reset (repo/source.go Reset): executing|failed -> waiting,
     // attempt PRESERVED (a crash is not a failure)
-    val stuck = latest().filter(col("status").isin("executing", "failed"))
-      .select("job_id", "job_run_id", "table_name", "attempt")
-      .collect() // batchSize·rounds-bounded: only non-terminal jobs
+    val stuck = state.toSeq.collect {
+      case (id, (run, tbl, st, att)) if st == "executing" || st == "failed" =>
+        (id, run, tbl, att)
+    }
     if (stuck.nonEmpty) {
       seq += 1
-      append(stuck.toSeq.map(r =>
-        (r.getLong(0), r.getString(1), r.getString(2), seq, "waiting", r.getLong(3))))
+      append(stuck.map { case (id, run, tbl, att) => (id, run, tbl, seq, "waiting", att) })
     }
     var executed = 0L
     var terminal = 0L
     var batches = 0
     var drained = false
     while (!drained && batches < crashAfterBatches) {
-      val page = latest().filter(col("status").isin("waiting", "failed"))
-        .orderBy(col("job_id")).limit(batchSize)
-        .select("job_id", "job_run_id", "table_name", "attempt")
-        .collect() // GetToProcess page: batchSize-bounded by construction
+      val page = state.toSeq.collect { // GetToProcess page, job-id order
+        case (id, (run, tbl, st, att)) if st == "waiting" || st == "failed" =>
+          (id, run, tbl, att)
+      }.sortBy(_._1).take(batchSize)
       if (page.isEmpty) drained = true
       else {
         batches += 1
         seq += 1 // MarkExecuting commits BEFORE outcomes: the crash window
-        append(page.toSeq.map(r =>
-          (r.getLong(0), r.getString(1), r.getString(2), seq, "executing", r.getLong(3))))
+        append(page.map { case (id, run, tbl, att) => (id, run, tbl, seq, "executing", att) })
         if (batches != crashAfterBatches) { // crash point: claims out, no outcomes back
           seq += 1
-          append(page.toSeq.map { r =>
-            val (id, run, tbl, att) =
-              (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+          append(page.map { case (id, run, tbl, att) =>
             executed += 1
             if (outcome(run, tbl, att + 1)) { terminal += 1; (id, run, tbl, seq, "succeeded", att) }
             else if (att > maxAttempt) { terminal += 1; (id, run, tbl, seq, "aborted", att + 1) }

@@ -503,4 +503,110 @@ class SinksSpec extends SparkSpec {
     assert(executed === 15L && terminal === 5L) // 3 tries each, batchSize 2
     assert(sjStates(ledger).values.toSet === Set(("aborted", 3L)))
   }
+
+  // ---- notifier queue (services/notifier) ----
+
+  private def ntJobs(n: Int) = {
+    val sess = spark
+    import sess.implicits._
+    (0 until n).map(i => (i.toLong, s"b_${i % 3}", (i % 2).toLong + 1))
+      .toDF("job_id", "batch_id", "priority")
+  }
+
+  // job succeeds on try 2 iff even, on try 1 iff id % 5 == 1
+  private def ntOutcome(batch: String, job: Long, tryNo: Long): Boolean =
+    (job % 2 == 0 && tryNo == 2) || (job % 5 == 1 && tryNo == 1)
+
+  private def ntStates(ledger: String): Map[Long, (String, Long)] =
+    graft.sinks.Notifier.returnedJobs(spark, ledger)
+      .collect().map(r => r.getLong(0) -> ((r.getString(3), r.getLong(4)))).toMap
+
+  test("notifier: pre-increment attempt cap, claim algebra, batch completion") {
+    val ledger = tmp("graft_nt_cap") + "/ledger"
+    // maxAttempt = 0 -> 2 tries; even jobs succeed on try 2
+    // (attempts=1), job 1 on try 1 (attempts=0), odd non-%5==1 abort
+    val (executed, orphans, refreshes, batches) = graft.sinks.Notifier.run(
+      spark, ledger, ntJobs(6), maxAttempt = 0, nWorkers = 4,
+      orphanTimeoutRounds = 2, outcome = ntOutcome)
+    val st = ntStates(ledger)
+    assert(st(0L) === (("succeeded", 1L)) && st(4L) === (("succeeded", 1L)))
+    assert(st(1L) === (("succeeded", 0L)))
+    assert(st(3L) === (("aborted", 2L)) && st(5L) === (("aborted", 2L)))
+    assert(orphans === 0L && refreshes === 0L)
+    assert(batches === 3L, "all three batches drain terminal and delete")
+    assert(executed === st.values.map {
+      case ("succeeded", a) => a + 1; case (_, a) => a }.sum)
+    // the deletion tombstone is the LAST word in the raw ledger
+    val raw = spark.read.parquet(ledger)
+    assert(raw.filter(col("status") === "deleted").count() === 6L)
+  }
+
+  test("notifier: claims follow (priority, id) order") {
+    val ledger = tmp("graft_nt_prio") + "/ledger"
+    // 1 worker, everything succeeds on try 1: the succeeded rows'
+    // seq order IS the claim order
+    graft.sinks.Notifier.run(spark, ledger, ntJobs(6), 0, 1, 2, (_, _, _) => true)
+    val order = spark.read.parquet(ledger)
+      .filter(col("status") === "succeeded")
+      .orderBy("seq").select("priority", "job_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(order === order.sorted, s"claim order violated: $order")
+    assert(order.head._1 === 1L && order.last._1 === 2L)
+  }
+
+  test("notifier: a dead worker's claim orphan-requeues without costing an attempt") {
+    val clean = tmp("graft_nt_clean") + "/ledger"
+    graft.sinks.Notifier.run(spark, clean, ntJobs(8), 0, 3, 2, ntOutcome)
+    val ledger = tmp("graft_nt_dead") + "/ledger"
+    // worker 0 dies holding its first claim (job 0, the lowest
+    // (priority, id)); maintenance requeues it after 2 rounds and the
+    // terminals converge to the clean run's
+    val (_, orphans, _, batches) = graft.sinks.Notifier.run(
+      spark, ledger, ntJobs(8), 0, 3, 2, ntOutcome,
+      deadAfterFirstClaim = Set(0))
+    assert(orphans === 1L, "exactly the dead worker's claim requeues")
+    assert(batches === 3L)
+    assert(ntStates(ledger) === ntStates(clean),
+      "an orphan requeue must not change any terminal state")
+    // the requeue row preserved the attempt (crash is not a failure)
+    val requeued = spark.read.parquet(ledger)
+      .filter(col("status") === "waiting" && col("seq") > 0)
+    assert(requeued.count() === 1L && requeued.head.getLong(5) === 0L)
+  }
+
+  test("notifier: crash mid-claim resumes to identical terminals") {
+    val clean = tmp("graft_nt_clean2") + "/ledger"
+    graft.sinks.Notifier.run(spark, clean, ntJobs(7), 0, 3, 2, ntOutcome)
+    val ledger = tmp("graft_nt_crash") + "/ledger"
+    // crash after round 1: three executing claims committed, no
+    // outcomes reported
+    val (e0, o0, _, b0) = graft.sinks.Notifier.run(
+      spark, ledger, ntJobs(7), 0, 3, 2, ntOutcome, crashAfterRounds = 1)
+    assert(e0 === 0L && o0 === 0L && b0 === 0L)
+    assert(ntStates(ledger).values.count(_._1 == "executing") === 3,
+      "the crashed round must leave executing rows")
+    // resume: the round clock continues, the stale claims age into
+    // the orphan sweep, and the deterministic outcomes converge
+    val (_, orphans, _, batches) = graft.sinks.Notifier.run(
+      spark, ledger, ntJobs(7), 0, 3, 2, ntOutcome)
+    assert(orphans === 3L, "every stranded claim must requeue")
+    assert(batches === 3L)
+    assert(ntStates(ledger) === ntStates(clean))
+    // a second resume is a no-op on the drained queue
+    assert(graft.sinks.Notifier.run(spark, ledger, ntJobs(7), 0, 3, 2, ntOutcome)
+      === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("notifier: a slow worker's RefreshClaim heartbeat defeats the orphan sweep") {
+    val ledger = tmp("graft_nt_slow") + "/ledger"
+    // worker 0 holds its claim 4 rounds (>> the 2-round timeout) but
+    // heartbeats every round — it must resolve itself, never requeue
+    val (executed, orphans, refreshes, batches) = graft.sinks.Notifier.run(
+      spark, ledger, ntJobs(4), 0, 2, 2, (_, _, _) => true,
+      slowHold = Some((0, 4)))
+    assert(orphans === 0L, "a refreshed claim must never orphan")
+    assert(refreshes >= 3L, "the heartbeat must fire while holding")
+    assert(executed === 4L && batches === 3L)
+    assert(ntStates(ledger).values.forall(_._1 == "succeeded"))
+  }
 }
