@@ -34,7 +34,8 @@ object SparkEntry {
     (operators.Profile.defs, operators.Profile.oracles),
     (operators.Errors.defs, operators.Errors.oracles),
     (operators.Adaptive.defs, operators.Adaptive.oracles),
-    (operators.Activation.defs, operators.Activation.oracles)
+    (operators.Activation.defs, operators.Activation.oracles),
+    (operators.Scheduling.defs, operators.Scheduling.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
