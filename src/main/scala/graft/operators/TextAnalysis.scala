@@ -166,7 +166,69 @@ object TextAnalysis {
         when(col("n_words").between(20, 100) && col("avg_word_len") < 8 &&
           col("stop_ratio") >= 0.02, lit("keep")).otherwise(lit("flag")))
 
+  /** ta27's STATIC tokenizer: a released BPE is a fixed artifact
+    * shipped to every consumer, so its merge table lives here as a
+    * literal — (left, right, marker) with markers outside the corpus
+    * alphabet (text is lowercase ASCII). Each merge rewrites the
+    * symbol string left-to-right non-overlapping, which is EXACTLY
+    * what a sequential one-char-marker `replace` chain does — so the
+    * encode is a pure codegen string expression on the Spark side and
+    * the identical SQL in DuckDB (one shared constant, the dq4
+    * convention), and BpeSpec pins the chain ≡ Bpe.encodeWord on the
+    * same merges. Includes two SECOND-LEVEL merges ("at"+"a",
+    * "th"+"e") so the marker-composition path is exercised, not just
+    * base pairs.
+    */
+  private[operators] val ta27Merges: Seq[(String, String)] = Seq(
+    "at" -> "A", "er" -> "B", "Aa" -> "C", "st" -> "D",
+    "th" -> "E", "Ee" -> "F", "ow" -> "G", "in" -> "H")
+
+  /** The merge list in Bpe.Merge form (markers resolved back to their
+    * symbol pairs) — what encodeWord applies; kept next to the chain
+    * so the two representations cannot drift.
+    */
+  private[operators] val ta27BpeMerges: Seq[graft.functions.Bpe.Merge] =
+    Seq("a" -> "t", "e" -> "r", "at" -> "a", "s" -> "t",
+      "t" -> "h", "th" -> "e", "o" -> "w", "i" -> "n")
+      .zipWithIndex.map { case ((l, r), i) =>
+        graft.functions.Bpe.Merge(i, l, r, 0L)
+      }
+
+  /** replace-chain encode of column `c`: the token count of a word is
+    * the LENGTH of the fully-marked string.
+    */
+  private[operators] def ta27Chain(c: String): String =
+    ta27Merges.foldLeft(c) { case (acc, (pat, mk)) =>
+      s"replace($acc, '$pat', '$mk')"
+    }
+
   val defs: Map[String, Q] = Map(
+
+    // TA27: TOKENIZER FERTILITY REPORT — the number that sizes a
+    // vocab and sets per-language token budgets (pairs with ta25's
+    // token accounting): for a FIXED tokenizer, tokens-per-1k-words
+    // and bytes-per-1k-tokens per language. Corpus-linear SINGLE
+    // scan: explode words with lang, aggregate — the encode is the
+    // static replace chain above, pure whole-stage-codegen string
+    // functions (no UDF, no dictionary collect; an open-vocab corpus
+    // flows straight through). All-integer permille ratios; text is
+    // ASCII so chars == bytes on both engines.
+    "ta27_tokenizer_fertility" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("tok_n", expr(s"CAST(length(${ta27Chain("w")}) AS BIGINT)"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(length(col("w")).cast("long")).as("n_bytes"),
+          sum(col("tok_n")).as("n_tokens"))
+        .withColumn("tokens_per_1k_words",
+          expr("n_tokens * 1000 DIV n_words"))
+        .withColumn("bytes_per_1k_tokens",
+          expr("n_bytes * 1000 DIV n_tokens"))
+    }),
 
     // Language ID: score = stopword hits per language; prediction =
     // first language (in fixed order) achieving the max score, or
@@ -1252,6 +1314,24 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // the SAME replace chain, generated from the same constant
+    "ta27_tokenizer_fertility" ->
+      s"""WITH words AS (SELECT lang, doc_id, w
+             FROM (SELECT lang, doc_id,
+                     unnest(string_split(text, ' ')) AS w FROM documents)
+             WHERE w <> ''),
+          toks AS (SELECT lang, doc_id, w,
+                     CAST(length(${ta27Chain("w")}) AS BIGINT) AS tok_n
+                   FROM words),
+          agg AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+                    COUNT(*) AS n_words,
+                    CAST(SUM(length(w)) AS BIGINT) AS n_bytes,
+                    CAST(SUM(tok_n) AS BIGINT) AS n_tokens
+                  FROM toks GROUP BY 1)
+          SELECT lang, n_docs, n_words, n_bytes, n_tokens,
+            n_tokens * 1000 // n_words AS tokens_per_1k_words,
+            n_bytes * 1000 // n_tokens AS bytes_per_1k_tokens
+          FROM agg""",
     // the round-trip identity: re-concatenated tokens == the
     // the same rational KN terms with // per term; the oracle ranks
     // with one plain window (it never scales)

@@ -347,6 +347,38 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("ta27 tokenizer: the marker-replace chain is EXACTLY Bpe.encodeWord " +
+    "on the static merges, and the fertility accounting closes") {
+    val sess = spark
+    import sess.implicits._
+    // adversarial words: second-level merges ("at"+"a", "th"+"e"),
+    // overlapping candidates, repeated patterns, marker composition
+    val words = Seq("data", "the", "batch", "fast", "window", "customer",
+      "thethe", "atat", "aaat", "thee", "stream", "a", "x", "theater")
+    val viaChain = words.toDF("w")
+      .withColumn("n", expr(s"length(${TextAnalysis.ta27Chain("w")})"))
+      .withColumn("marked", expr(TextAnalysis.ta27Chain("w")))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    words.foreach { w =>
+      val toks = graft.functions.Bpe.encodeWord(w, TextAnalysis.ta27BpeMerges)
+      assert(viaChain(w)._1 === toks.size,
+        s"'$w': chain ${viaChain(w)} vs encodeWord $toks")
+      // the marked string's chars map 1:1 onto the BPE symbols
+      assert(toks.map(_.length).sum === w.length,
+        s"'$w': tokens must conserve characters")
+    }
+    // fertility report: accounting closes on the gate corpus
+    val rows = run("ta27_tokenizer_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nBytes, nToks) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nToks >= nWords, "every word is at least one token")
+      assert(nToks <= nBytes, "merges only shrink the char tokenization")
+      assert(r.getLong(5) === nToks * 1000 / nWords)
+      assert(r.getLong(6) === nBytes * 1000 / nToks)
+    }
+  }
+
   test("ta26 clamp: a zero-probability bigram scores MAX surprisal, never the minimum") {
     // the web-scale regime (c1 > 250000, singleton continuation,
     // >1e6 bigram types) floors p_kn_ppm to 0; the surprisal
