@@ -3,6 +3,104 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
+/** SPARSE/DENSE aggregation buffer for the HLL aggregators (the
+  * HyperLogLog++ sparse-mode idea, Heule et al. 2013): a group that
+  * has only seen a handful of ids carries a few (idx, rank) entries —
+  * 3 bytes each — instead of the full 2^p register array. This is a
+  * SCALE property, not an accuracy one: a minute-grain rollup in its
+  * sparse regime (groups ≈ rows, e.g. a2d's (minute, workspace,
+  * source, instance) table early in saturation) would otherwise push
+  * group-count × 2^p bytes through partial aggregation and the
+  * shuffle — the K=8 replica probe measured that as a 1.22 exponent
+  * before this buffer (BENCH_SCALE r14). Registers after densify are
+  * BIT-IDENTICAL to the always-dense form (the entry log keeps every
+  * (idx, rank); densify takes the max), so estimates, stored sketch
+  * bytes and the DuckDB oracle replays are unchanged.
+  *
+  * Layout: [tag 0][n: u16][(idx: u16, rank: u8) × n, capacity-padded]
+  * — an append log (duplicate idx allowed, resolved at densify),
+  * grown ×2 in place and switched to [tag 1][2^p registers] once n
+  * reaches `switchEntries` (≈ 1.5 KB, under half the dense size).
+  */
+private[functions] object HllBuffer {
+  val TagSparse: Byte = 0
+  val TagDense: Byte = 1
+  val switchEntries = 512
+
+  def empty: Array[Byte] = new Array[Byte](3) // tag 0, n = 0
+
+  private def n(b: Array[Byte]): Int = ((b(1) & 0xff) << 8) | (b(2) & 0xff)
+  private def setN(b: Array[Byte], v: Int): Unit = {
+    b(1) = (v >>> 8).toByte; b(2) = v.toByte
+  }
+  private def capacity(b: Array[Byte]): Int = (b.length - 3) / 3
+
+  def densify(b: Array[Byte], m: Int): Array[Byte] =
+    if (b(0) == TagDense) b
+    else {
+      val d = new Array[Byte](1 + m)
+      d(0) = TagDense
+      val cnt = n(b)
+      var i = 0
+      while (i < cnt) {
+        val off = 3 + 3 * i
+        val idx = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+        val rank = b(off + 2)
+        if (rank > d(1 + idx)) d(1 + idx) = rank
+        i += 1
+      }
+      d
+    }
+
+  /** The raw 2^p register array (no tag) — the stored-sketch format. */
+  def registers(b: Array[Byte], m: Int): Array[Byte] =
+    java.util.Arrays.copyOfRange(densify(b, m), 1, 1 + m)
+
+  def add(b: Array[Byte], idx: Int, rank: Byte, m: Int): Array[Byte] =
+    if (b(0) == TagDense) {
+      if (rank > b(1 + idx)) b(1 + idx) = rank
+      b
+    } else {
+      val cnt = n(b)
+      if (cnt + 1 >= switchEntries) {
+        val d = densify(b, m)
+        if (rank > d(1 + idx)) d(1 + idx) = rank
+        d
+      } else {
+        val t = if (cnt < capacity(b)) b
+        else { // grow ×2 (at least 16 entries)
+          val grown = new Array[Byte](3 + 3 * math.max(16, cnt * 2))
+          System.arraycopy(b, 0, grown, 0, 3 + 3 * cnt)
+          grown
+        }
+        val off = 3 + 3 * cnt
+        t(off) = (idx >>> 8).toByte; t(off + 1) = idx.toByte; t(off + 2) = rank
+        setN(t, cnt + 1)
+        t
+      }
+    }
+
+  def merge(a: Array[Byte], b: Array[Byte], m: Int): Array[Byte] =
+    if (a(0) == TagDense && b(0) == TagDense) {
+      var i = 1
+      while (i <= m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    } else if (b(0) == TagDense) merge(b, a, m) // fold sparse a into dense b
+    else {
+      // b is sparse: replay its entry log into a
+      var acc = a
+      val cnt = n(b)
+      var i = 0
+      while (i < cnt) {
+        val off = 3 + 3 * i
+        val idx = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+        acc = add(acc, idx, b(off + 2), m)
+        i += 1
+      }
+      acc
+    }
+}
+
 /** Mergeable HyperLogLog sketch as a typed Spark Aggregator — the
   * stored-sketch form of A2 tracked-users (reference:
   * enterprise/trackedusers/users_reporter.go:44-46,104-190 keeps
@@ -18,8 +116,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * The reduce/merge buffers are register-wise max, so partial
   * aggregation is exact: merge(sketch(A), sketch(B)) ==
   * sketch(A ∪ B) register-for-register — the property HllSpec asserts.
-  * At 100 TB the shuffle carries 2^p bytes per group instead of the
-  * distinct id set.
+  * At 100 TB the shuffle carries at most 2^p bytes per group — and in
+  * the sparse regime only the [[HllBuffer]] entry log — instead of
+  * the distinct id set.
   */
 class HllAggregator(p: Int = 12) extends Aggregator[String, Array[Byte], Long] {
   private val m = 1 << p
@@ -30,27 +129,30 @@ class HllAggregator(p: Int = 12) extends Aggregator[String, Array[Byte], Long] {
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 
-  override def zero: Array[Byte] = new Array[Byte](m)
+  override def zero: Array[Byte] = HllBuffer.empty
 
   override def reduce(buf: Array[Byte], value: String): Array[Byte] = {
-    if (value != null) {
+    if (value == null) buf
+    else {
       val h = hash64(value)
       val idx = (h >>> (64 - p)).toInt
       val rest = h << p
       val rank = (if (rest == 0L) 64 - p + 1
                   else java.lang.Long.numberOfLeadingZeros(rest) + 1).toByte
-      if (rank > buf(idx)) buf(idx) = rank
+      HllBuffer.add(buf, idx, rank, m)
     }
-    buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-    a
-  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllBuffer.merge(a, b, m)
 
-  override def finish(buf: Array[Byte]): Long = HllAggregator.estimate(buf)
+  /** The densified raw registers of a buffer — what the stored-sketch
+    * form persists and what HllSpec compares register-for-register.
+    */
+  def registersOf(buf: Array[Byte]): Array[Byte] = HllBuffer.registers(buf, m)
+
+  override def finish(buf: Array[Byte]): Long =
+    HllAggregator.estimate(registersOf(buf))
 
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
@@ -68,7 +170,10 @@ class HllSketchAggregator(p: Int = 12) extends Aggregator[String, Array[Byte], A
   override def zero: Array[Byte] = inner.zero
   override def reduce(buf: Array[Byte], value: String): Array[Byte] = inner.reduce(buf, value)
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
-  override def finish(buf: Array[Byte]): Array[Byte] = buf
+  // stored format is the PLAIN 2^p register array (no buffer tag), so
+  // everything persisted before the sparse-buffer change — and every
+  // DuckDB register replay — reads identically
+  override def finish(buf: Array[Byte]): Array[Byte] = inner.registersOf(buf)
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }

@@ -902,8 +902,15 @@ object Dedup {
     // "lsh-verified" here — this is the arm a 100 TB low-entropy
     // corpus actually exercises, previously spec-only.
     "ll6b_jaccard_lsh_budget" -> ((s, dir) => {
-      val sh = lowEntropyShingles(s, dir)
-      jaccardPairsOf(sh, minhashSignatures(sh), "ll6b_jaccard_lsh_budget")
+      // the low-entropy corpus gets the SAME maintained-index
+      // treatment as the main shingle/signature tables: jaccardPairsOf
+      // forces the shingle frame once for the strategy statistic and
+      // twice more in the verify joins, and the signature build reads
+      // it again — un-materialized, each touch re-split and re-hashed
+      // the whole remapped corpus (the r14 bench's #3 constant)
+      val sh = lowEntropyShingleTable(s, dir)
+      jaccardPairsOf(sh, lowEntropySignatureTable(s, dir),
+        "ll6b_jaccard_lsh_budget")
     }),
 
     // N-GRAM JACCARD EVALUATION against the planted two-crawl ground
@@ -1096,6 +1103,20 @@ object Dedup {
     shingles(corpus(s, dir, perturb = true).select(col("doc_id"),
       expr("concat_ws(' ', transform(split(text, ' '), " +
         "w -> substring(md5(w), 1, 1)))").as("text")))
+
+  /** Materialized forms of the low-entropy shingle/signature tables —
+    * the same build-once-read-everywhere storage story as
+    * shingleTable/signatureTable, for the LSH-arm consumers (ll6b)
+    * whose adaptive pipeline touches the shingle frame four times.
+    */
+  private val leShCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[operators] def lowEntropyShingleTable(s: SparkSession, dir: String): DataFrame =
+    materializedTable(leShCache, s, dir, "leshtable")(lowEntropyShingles(s, dir))
+
+  private val leSigCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[operators] def lowEntropySignatureTable(s: SparkSession, dir: String): DataFrame =
+    materializedTable(leSigCache, s, dir, "lesigtable")(
+      minhashSignatures(lowEntropyShingleTable(s, dir)))
 
   /** CDC chunk occurrences of a (doc_id, text) frame: one row per
     * chunk with its content hash `h` and word count `nw`. Boundaries

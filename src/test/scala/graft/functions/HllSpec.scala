@@ -12,8 +12,10 @@ class HllSpec extends SparkSpec {
 
   private val agg = new HllAggregator(12)
 
+  // densified REGISTERS of a fold — sparse/dense buffering is an
+  // internal layout; every invariant here is about the registers
   private def sketch(values: Seq[String]) =
-    values.foldLeft(agg.zero)(agg.reduce)
+    agg.registersOf(values.foldLeft(agg.zero)(agg.reduce))
 
   test("estimate within 5% at 50k distinct") {
     val est = HllAggregator.estimate(sketch((1 to 50000).map("v" + _)))
@@ -28,9 +30,37 @@ class HllSpec extends SparkSpec {
   test("merge is exact: sketch(A union B) == merge(sketch(A), sketch(B))") {
     val a = (1 to 10000).map("a" + _)
     val b = (1 to 10000).map("b" + _) ++ (1 to 5000).map("a" + _) // overlap
-    val merged = agg.merge(sketch(a), sketch(b))
+    def buf(vs: Seq[String]) = vs.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.registersOf(agg.merge(buf(a), buf(b)))
     val direct = sketch(a ++ b)
     assert(merged.toSeq === direct.toSeq, "register-wise max must be associative/idempotent")
+  }
+
+  test("sparse buffers: every merge combination densifies to the same registers") {
+    // small sets stay in the sparse entry-log regime; a 1k set is
+    // dense — all four merge arms must agree with the direct sketch
+    def buf(vs: Seq[String]) = vs.foldLeft(agg.zero)(agg.reduce)
+    val tiny1 = (1 to 20).map("x" + _)
+    val tiny2 = (10 to 40).map("x" + _) // overlap
+    val big = (1 to 5000).map("y" + _)
+    assert(buf(tiny1)(0) === 0.toByte, "a 20-id group must stay sparse")
+    assert(buf(big)(0) === 1.toByte, "a 5k-id group must have switched dense")
+    // sparse + sparse
+    assert(agg.registersOf(agg.merge(buf(tiny1), buf(tiny2))).toSeq ===
+      sketch(tiny1 ++ tiny2).toSeq)
+    // sparse + dense and dense + sparse
+    assert(agg.registersOf(agg.merge(buf(tiny1), buf(big))).toSeq ===
+      sketch(tiny1 ++ big).toSeq)
+    assert(agg.registersOf(agg.merge(buf(big), buf(tiny1))).toSeq ===
+      sketch(big ++ tiny1).toSeq)
+    // the log keeps duplicate idx entries and densify maxes them
+    val dup = (1 to 20).flatMap(i => Seq.fill(5)("x" + i))
+    assert(sketch(dup).toSeq === sketch(tiny1).toSeq)
+    // crossing the switch threshold mid-fold is lossless
+    val crossing = (1 to 600).map("z" + _)
+    assert(buf(crossing)(0) === 1.toByte)
+    assert(HllAggregator.estimate(sketch(crossing)) ===
+      agg.finish(buf(crossing)))
   }
 
   test("duplicates don't move the estimate") {

@@ -1197,7 +1197,10 @@ class StreamingSpec extends SparkSpec {
     import sess.implicits._
     implicit val sq = spark.sqlContext
     val agg = new graft.functions.HllAggregator(12)
-    def sketch(ids: Seq[String]): Array[Byte] = ids.foldLeft(agg.zero)(agg.reduce)
+    // STORED sketches are the plain register array (what the sketch
+    // writer's finish emits), not the tagged aggregation buffer
+    def sketch(ids: Seq[String]): Array[Byte] =
+      agg.registersOf(ids.foldLeft(agg.zero)(agg.reduce))
     def row(min: Int, key: String, ids: Seq[String]) =
       (java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00"), key, sketch(ids))
     val input = MemoryStream[(java.sql.Timestamp, String, Array[Byte])]
@@ -1221,8 +1224,11 @@ class StreamingSpec extends SparkSpec {
         .as[(String, Long, Long)].collect()
         .map(t => t._1 -> ((t._2, t._3))).toMap
       // merged estimate == the register-wise fold of the STORED bytes
+      // (HllMergeAggregator is the stored-register merger; agg.merge
+      // operates on tagged aggregation buffers, not stored arrays)
+      val mg = new graft.functions.HllMergeAggregator(12)
       val estA = graft.functions.HllAggregator.estimate(
-        agg.merge(sketch(Seq("u1", "u2")), sketch(Seq("u2", "u3"))))
+        mg.merge(sketch(Seq("u1", "u2")), sketch(Seq("u2", "u3"))))
       val estB = graft.functions.HllAggregator.estimate(sketch(Seq("u9")))
       assert(closed === Map("ws_a" -> ((2L, estA)), "ws_b" -> ((1L, estB))),
         "exactly the watermark-closed window may flush, with the merged-sketch estimate")
