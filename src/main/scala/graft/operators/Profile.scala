@@ -58,6 +58,61 @@ object Profile {
   }
 
   val defs: Map[String, Q] = Map(
+
+    // PROF16: PAIRWISE PEARSON CORRELATION, exact integers — the
+    // numeric sibling of prof14's φ² (categorical) and a12's
+    // autocorrelation (temporal): r² in ppm plus the sign, never a
+    // float accumulation. Two passes per table (prof13's shape):
+    // pass 1 takes integer means (one documented truncation, SUM DIV
+    // n — both engines truncate toward zero on the non-negative
+    // sums), pass 2 sums centered cross-products in DECIMAL(38)/
+    // HUGEINT (per-row products are range-bounded; the SUMS are what
+    // overflow a long at web scale), then r²_ppm = Sxy²·1e6 DIV
+    // (Sxx·Syy) with a clamped divisor (ta26's rule: a constant
+    // column yields Sxx = 0 and must read r² = 0, not NULL/throw).
+    // The three lineitem pairs are INDEPENDENCE reads (the synthetic
+    // columns draw independently — the profiler must report ≈ 0, not
+    // invent structure); documents (n_words, n_chars) is the
+    // structural POSITIVE anchor (chars ≈ Σ word lengths) proving the
+    // statistic detects real dependence.
+    "prof16_correlation" -> ((s, dir) => {
+      def corrLegs(df: org.apache.spark.sql.DataFrame,
+                   pairs: Seq[(String, String, String)]) = {
+        val cols = pairs.flatMap { case (_, x, y) => Seq(x, y) }.distinct
+        def m(c: String) = expr(
+          s"CAST(SUM(CAST($c AS DECIMAL(38,0))) DIV COUNT(1) AS BIGINT)").as(s"m_$c")
+        val meanCols = count(lit(1)).as("n") +: cols.map(m)
+        val means = df.agg(meanCols.head, meanCols.tail: _*)
+        val aggs = pairs.flatMap { case (tag, x, y) => Seq(
+          sum(expr(s"CAST(($x - m_$x) * ($y - m_$y) AS DECIMAL(38,0))")).as(s"sxy_$tag"),
+          sum(expr(s"CAST(($x - m_$x) * ($x - m_$x) AS DECIMAL(38,0))")).as(s"sxx_$tag"),
+          sum(expr(s"CAST(($y - m_$y) * ($y - m_$y) AS DECIMAL(38,0))")).as(s"syy_$tag"))
+        } :+ max(col("n")).as("n")
+        val wide = df.crossJoin(broadcast(means)) // 1-row scalar, rule (b)
+          .agg(aggs.head, aggs.tail: _*)
+        val legs = pairs.map { case (tag, _, _) =>
+          s"named_struct('pair', '$tag', " +
+            s"'sign_r', CAST(CASE WHEN sxy_$tag > 0 THEN 1 WHEN sxy_$tag < 0 " +
+            s"THEN -1 ELSE 0 END AS BIGINT), " +
+            s"'r2_ppm', CAST(sxy_$tag * sxy_$tag * 1000000 " +
+            s"DIV greatest(CAST(1 AS DECIMAL(38,0)), sxx_$tag * syy_$tag) AS BIGINT))"
+        }.mkString(", ")
+        wide.select(col("n"), explode(expr(s"array($legs)")).as("x"))
+          .select(col("x.pair"), col("n"), col("x.sign_r"), col("x.r2_ppm"))
+      }
+      val li = Tables.lineitem(s, dir).select(
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_c"),
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      val docs = Tables.documents(s, dir).select(
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        length(col("text")).cast("long").as("nc"))
+      corrLegs(li, Seq(("qty_price", "qty", "price_c"),
+          ("qty_disc", "qty", "disc_c"), ("part_supp", "pk", "sk")))
+        .unionByName(corrLegs(docs, Seq(("words_chars", "nw", "nc"))))
+    }),
+
     "prof1_table_stats" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       // (name, numeric?) — quantity is whole-valued double, profiled as int
@@ -779,6 +834,57 @@ object Profile {
   )
 
   val oracles: Map[String, String] = Map(
+    // same two-pass centered sums; HUGEINT carries what Spark holds
+    // in DECIMAL(38)
+    "prof16_correlation" -> {
+      val pairs = Seq(("qty_price", "qty", "m_qty", "price_c", "m_price_c"),
+        ("qty_disc", "qty", "m_qty", "disc_c", "m_disc_c"),
+        ("part_supp", "pk", "m_pk", "sk", "m_sk"))
+      val sums = pairs.flatMap { case (tag, x, mx, y, my) => Seq(
+        s"CAST(SUM(CAST(($x - $mx) AS HUGEINT) * ($y - $my)) AS HUGEINT) AS sxy_$tag",
+        s"CAST(SUM(CAST(($x - $mx) AS HUGEINT) * ($x - $mx)) AS HUGEINT) AS sxx_$tag",
+        s"CAST(SUM(CAST(($y - $my) AS HUGEINT) * ($y - $my)) AS HUGEINT) AS syy_$tag")
+      }.mkString(", ")
+      val legs = pairs.map { case (tag, _, _, _, _) =>
+        s"SELECT '$tag' AS pair, n, " +
+          s"CAST(CASE WHEN sxy_$tag > 0 THEN 1 WHEN sxy_$tag < 0 THEN -1 " +
+          s"ELSE 0 END AS BIGINT) AS sign_r, " +
+          s"CAST(sxy_$tag * sxy_$tag * 1000000 " +
+          s"// greatest(CAST(1 AS HUGEINT), sxx_$tag * syy_$tag) AS BIGINT) " +
+          s"AS r2_ppm FROM wide"
+      }.mkString(" UNION ALL ")
+      s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+              CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+              l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+          means AS (SELECT COUNT(*) AS n,
+              CAST(SUM(qty) // COUNT(*) AS BIGINT) AS m_qty,
+              CAST(SUM(price_c) // COUNT(*) AS BIGINT) AS m_price_c,
+              CAST(SUM(disc_c) // COUNT(*) AS BIGINT) AS m_disc_c,
+              CAST(SUM(pk) // COUNT(*) AS BIGINT) AS m_pk,
+              CAST(SUM(sk) // COUNT(*) AS BIGINT) AS m_sk
+            FROM li),
+          wide AS (SELECT MAX(n) AS n, $sums FROM li CROSS JOIN means),
+          d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                  CAST(length(text) AS BIGINT) AS nc FROM documents),
+          dmeans AS (SELECT COUNT(*) AS n,
+              CAST(SUM(nw) // COUNT(*) AS BIGINT) AS m_nw,
+              CAST(SUM(nc) // COUNT(*) AS BIGINT) AS m_nc FROM d),
+          dwide AS (SELECT MAX(n) AS n,
+              CAST(SUM(CAST((nw - m_nw) AS HUGEINT) * (nc - m_nc)) AS HUGEINT) AS sxy_wc,
+              CAST(SUM(CAST((nw - m_nw) AS HUGEINT) * (nw - m_nw)) AS HUGEINT) AS sxx_wc,
+              CAST(SUM(CAST((nc - m_nc) AS HUGEINT) * (nc - m_nc)) AS HUGEINT) AS syy_wc
+            FROM d CROSS JOIN dmeans),
+          dleg AS (SELECT 'words_chars' AS pair, n,
+              CAST(CASE WHEN sxy_wc > 0 THEN 1 WHEN sxy_wc < 0 THEN -1
+                ELSE 0 END AS BIGINT) AS sign_r,
+              CAST(sxy_wc * sxy_wc * 1000000
+                // greatest(CAST(1 AS HUGEINT), sxx_wc * syy_wc) AS BIGINT)
+                AS r2_ppm
+            FROM dwide)
+          SELECT pair, n, sign_r, r2_ppm FROM ($legs UNION ALL
+            SELECT pair, n, sign_r, r2_ppm FROM dleg)"""
+    },
     // the per-row money expression is pinned parenthesis-for-
     // parenthesis; sums happen over the quantized integers only
     "dq2_reconciliation" ->

@@ -260,6 +260,52 @@ object TextAnalysis {
           coalesce(lag(col("n_tokens"), 1).over(w) - col("n_tokens"), lit(0L)))
     }),
 
+    // TA29: PADDING-WASTE REPORT — the training-efficiency read that
+    // justifies length-bucketed batching: for batch size B = 16,
+    // padded tokens (every doc pads to its batch's max length) under
+    // (a) ARRIVAL-order batching (batch = doc_id DIV B — one linear
+    // groupBy) vs (b) LENGTH-SORTED batching. The sorted leg never
+    // sorts the corpus: padding depends only on the LENGTH MULTISET,
+    // so batch maxima come from the length HISTOGRAM — a full batch
+    // ends inside length L exactly (cum DIV B − prev_cum DIV B)
+    // times, the partial tail (n mod B docs) pads to the global max
+    // (it holds the largest lengths). One scan + a length-domain
+    // window (bounded by max doc length, ScaleGuard-pinned), zero
+    // corpus-sized exchanges. waste_ppm = the fraction of compute
+    // that is padding — the number that picks the batching strategy.
+    "ta29_padding_waste" -> ((s, dir) => {
+      val B = 16
+      val lens = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("len"))
+      val arrival = lens.groupBy(expr(s"doc_id DIV $B").as("b"))
+        .agg(count(lit(1)).as("cnt"), max(col("len")).as("mx"),
+          sum(col("len")).as("tot"))
+        .agg(lit("arrival").as("strategy"),
+          sum(col("cnt")).as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("tot")).as("total_tokens"),
+          sum(col("cnt") * col("mx")).as("padded_tokens"))
+      val w = Window.orderBy(col("len")) // length-domain histogram
+      val sorted = lens.groupBy(col("len")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("prev", col("cum") - col("c"))
+        .agg(
+          sum(col("c")).as("n_docs"),
+          sum(col("c") * col("len")).as("total_tokens"),
+          sum(expr(s"(cum DIV $B - prev DIV $B) * ${B}L * len"))
+            .as("full_padded"),
+          max(col("cum")).as("n"), max(col("len")).as("lmax"))
+        .select(lit("length_sorted").as("strategy"), col("n_docs"),
+          expr(s"(n + ${B - 1}) DIV $B").as("n_batches"),
+          col("total_tokens"),
+          expr(s"full_padded + (n % $B) * lmax").as("padded_tokens"))
+      arrival.unionByName(sorted)
+        .withColumn("waste_ppm", expr(
+          "(padded_tokens - total_tokens) * 1000000 DIV padded_tokens"))
+    }),
+
     // Language ID: score = stopword hits per language; prediction =
     // first language (in fixed order) achieving the max score, or
     // 'unknown' when all scores are 0.
@@ -1366,6 +1412,37 @@ object TextAnalysis {
             n_tokens * 1000 // n_words AS tokens_per_1k_words,
             n_bytes * 1000 // n_tokens AS bytes_per_1k_tokens
           FROM agg""",
+    // naive replay: the oracle MAY sort (it never scales); batch
+    // membership by row_number over (len) — padding is invariant to
+    // tie order, which is exactly why the engine's histogram algebra
+    // is exact
+    "ta29_padding_waste" ->
+      """WITH lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+             FROM documents),
+          arr AS (SELECT doc_id // 16 AS b, COUNT(*) AS cnt,
+                    MAX(len) AS mx, CAST(SUM(len) AS BIGINT) AS tot
+                  FROM lens GROUP BY 1),
+          arrival AS (SELECT 'arrival' AS strategy,
+              CAST(SUM(cnt) AS BIGINT) AS n_docs,
+              COUNT(*) AS n_batches,
+              CAST(SUM(tot) AS BIGINT) AS total_tokens,
+              CAST(SUM(cnt * mx) AS BIGINT) AS padded_tokens
+            FROM arr),
+          rk AS (SELECT len, (ROW_NUMBER() OVER (ORDER BY len) - 1) // 16 AS b
+                 FROM lens),
+          sb AS (SELECT b, COUNT(*) AS cnt, MAX(len) AS mx,
+                   CAST(SUM(len) AS BIGINT) AS tot
+                 FROM rk GROUP BY 1),
+          srt AS (SELECT 'length_sorted' AS strategy,
+              CAST(SUM(cnt) AS BIGINT) AS n_docs,
+              COUNT(*) AS n_batches,
+              CAST(SUM(tot) AS BIGINT) AS total_tokens,
+              CAST(SUM(cnt * mx) AS BIGINT) AS padded_tokens
+            FROM sb)
+          SELECT strategy, n_docs, n_batches, total_tokens, padded_tokens,
+            (padded_tokens - total_tokens) * 1000000 // padded_tokens
+              AS waste_ppm
+          FROM (SELECT * FROM arrival UNION ALL SELECT * FROM srt)""",
     "ta28_vocab_sweep" -> {
       val legs = Seq(0, 2, 4, 6, 8).map { k =>
         val chain = ta27Merges.take(k).foldLeft("w") { case (acc, (p, m)) =>

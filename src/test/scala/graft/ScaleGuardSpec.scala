@@ -87,7 +87,12 @@ class ScaleGuardSpec extends SparkSpec {
     "ta28_vocab_sweep" ->
       ("the lag window's input is the exploded 5-row merge-prefix " +
         "array off a 1-row global aggregate — the corpus-scale stage " +
-        "is the single scan computing the 5 chain-length sums below"))
+        "is the single scan computing the 5 chain-length sums below"),
+    "ta29_padding_waste" ->
+      ("the cumulative window runs over the LENGTH HISTOGRAM, bounded " +
+        "by the max document length whatever the corpus size (padding " +
+        "depends only on the length multiset); the corpus-scale stages " +
+        "are the two linear groupBys below"))
 
   /** query -> why its nested-loop join is safe despite no local side.
     * All three pair the corpus against a BROADCAST of an explicitly

@@ -232,6 +232,29 @@ class DedupSpec extends SparkSpec {
     assert(bucketed === brute, "hamming<=3 implies an intact 3-of-6 block combo (pigeonhole)")
   }
 
+  test("recursive pigeonhole: oversized buckets keep exact hamming<=3 recall") {
+    // 80 identical docs put > 64 members in every (combo, ckey)
+    // bucket — the adaptive sub-bucket arm — plus two near-dup
+    // variants; the pipeline must equal the brute-force hamming pairs
+    val base = "join hash row batch scan filter merge order data table"
+    val docs = (1L to 80L).map(i => i -> base) ++
+      Seq(200L -> base.split(" ").drop(1).mkString(" "),
+        201L -> (base + " extra word"))
+    val sh = Dedup.simhash(docsDf(docs))
+    val got = Dedup.simhashPairsOf(sh).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp = sh.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val brute = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      if java.lang.Long.bitCount(fp(a)._1 ^ fp(b)._1) +
+        java.lang.Long.bitCount(fp(a)._2 ^ fp(b)._2) <= 3
+    } yield (a, b)).toSet
+    assert(brute.size >= 80L * 79 / 2, "the identical block must fully pair")
+    assert(got === brute,
+      "sub-bucketing an oversized bucket must lose no hamming<=3 pair")
+  }
+
   test("cluster resolution: pairs close transitively, one kept doc per cluster") {
     val sess = spark
     import sess.implicits._
