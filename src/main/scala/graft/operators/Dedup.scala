@@ -442,21 +442,25 @@ object Dedup {
 
   /** Manku candidates with RECURSIVE pigeonhole on oversized buckets.
     *
-    * A low-entropy corpus (boilerplate-heavy web text; the gate
-    * corpus's closed 30-word vocab is the extreme) CLUSTERS its
-    * fingerprints, so some (combo, ckey) buckets hold a large corpus
-    * fraction and the bucket self-join goes quadratic — the K-replica
-    * probe shows the per-replica-quadratic's exponent-1.0 signature
-    * (BENCH_SCALE r14, ll5 ~1.04 while true near-linear heavies sit
-    * at 0.6-0.9). Manku's own remedy is to pigeonhole AGAIN inside
-    * the bucket: members share the combo's 3 blocks exactly, so all
-    * <= 3 errors of a qualifying pair lie in the 3 UNUSED blocks
-    * (<= 33 bits) — split those into 4 byte-ranges and >= 1 range is
-    * intact, so a (sub, skey) equi-join inside the bucket loses NO
-    * hamming<=3 pair while dividing the quadratic term by the
-    * sub-bucket fan-out. Applied ADAPTIVELY (buckets > 64 members):
-    * uniform-fingerprint corpora keep the flat 20-rows/doc plan and
-    * never pay the 4x sub-explode.
+    * The bucket self-join is quadratic in the largest (combo, ckey)
+    * bucket, and a clustered-fingerprint corpus (heavy shared
+    * boilerplate; an 80-identical-doc block in DedupSpec is the
+    * extreme) overloads buckets. Manku's own remedy is to pigeonhole
+    * AGAIN inside the bucket: members share the combo's 3 blocks
+    * exactly, so all <= 3 errors of a qualifying pair lie in the 3
+    * UNUSED blocks (<= 33 bits) — split those into 4 byte-ranges and
+    * >= 1 range is intact, so a (sub, skey) equi-join inside the
+    * bucket loses NO hamming<=3 pair while dividing the quadratic
+    * term by the sub-bucket fan-out.
+    *
+    * The escalation is a PLANNER STATISTIC (jaccardStrategy's
+    * pattern): one max-bucket-count aggregate over the persisted
+    * bands decides the branch. Uniform-fingerprint corpora — the
+    * replica probe measured the gate corpus's max bucket at 9 across
+    * an 8x replication, and its ll5 exponent ~1.0 is the honest
+    * LINEAR cost of the 20-rows/doc candidate explode, not a
+    * quadratic — keep the flat plan and never pay the sizes join or
+    * the 4x sub-explode.
     */
   private[operators] def simhashPairsOf(sh: DataFrame): DataFrame = {
     val bigBucket = 64L
@@ -481,26 +485,37 @@ object Dedup {
       .select(col("doc_id"), col("sim_lo"), col("sim_hi"), col("combo"),
         col("kk.ckey").as("ckey"), col("kk.ukey").as("ukey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds sizes + both join sides
-    val sizes = bands.groupBy(col("combo"), col("ckey"))
-      .agg(count(lit(1)).as("cnt"))
-    val withSz = bands.join(sizes, Seq("combo", "ckey"))
     def pairCols(j: DataFrame) = j
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sim_lo").as("la"), col("x.sim_hi").as("ha"),
         col("y.sim_lo").as("lb"), col("y.sim_hi").as("hb"))
-    val small = withSz.filter(col("cnt") <= bigBucket)
-    val pairsSmall = pairCols(small.as("x").join(small.as("y"),
-      col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&
-        col("x.doc_id") < col("y.doc_id")))
-    val big = withSz.filter(col("cnt") > bigBucket)
-      .select(col("doc_id"), col("sim_lo"), col("sim_hi"), col("combo"),
-        col("ckey"), posexplode(array((0 until 4).map(i =>
-          expr(s"shiftright(ukey, ${8 * i}) & 255")): _*)).as(Seq("sub", "skey")))
-    val pairsBig = pairCols(big.as("x").join(big.as("y"),
-      col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&
-        col("x.sub") === col("y.sub") && col("x.skey") === col("y.skey") &&
-        col("x.doc_id") < col("y.doc_id")))
-    pairsSmall.unionByName(pairsBig)
+    // planner statistic: one aggregate over the persisted bands
+    val maxBucket = bands.groupBy(col("combo"), col("ckey"))
+      .agg(count(lit(1)).as("cnt")).agg(max(col("cnt"))).head.getLong(0)
+    val candidates = if (maxBucket <= bigBucket) {
+      // uniform fingerprints: the flat 20-rows/doc plan
+      pairCols(bands.as("x").join(bands.as("y"),
+        col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id")))
+    } else {
+      val sizes = bands.groupBy(col("combo"), col("ckey"))
+        .agg(count(lit(1)).as("cnt"))
+      val withSz = bands.join(sizes, Seq("combo", "ckey"))
+      val small = withSz.filter(col("cnt") <= bigBucket)
+      val pairsSmall = pairCols(small.as("x").join(small.as("y"),
+        col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id")))
+      val big = withSz.filter(col("cnt") > bigBucket)
+        .select(col("doc_id"), col("sim_lo"), col("sim_hi"), col("combo"),
+          col("ckey"), posexplode(array((0 until 4).map(i =>
+            expr(s"shiftright(ukey, ${8 * i}) & 255")): _*)).as(Seq("sub", "skey")))
+      val pairsBig = pairCols(big.as("x").join(big.as("y"),
+        col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&
+          col("x.sub") === col("y.sub") && col("x.skey") === col("y.skey") &&
+          col("x.doc_id") < col("y.doc_id")))
+      pairsSmall.unionByName(pairsBig)
+    }
+    candidates
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("hamming") <= 3)
