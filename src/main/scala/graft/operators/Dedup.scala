@@ -453,17 +453,24 @@ object Dedup {
     * bucket loses NO hamming<=3 pair while dividing the quadratic
     * term by the sub-bucket fan-out.
     *
-    * The escalation is a PLANNER STATISTIC (jaccardStrategy's
-    * pattern): one max-bucket-count aggregate over the persisted
-    * bands decides the branch. Uniform-fingerprint corpora — the
-    * replica probe measured the gate corpus's max bucket at 9 across
-    * an 8x replication, and its ll5 exponent ~1.0 is the honest
-    * LINEAR cost of the 20-rows/doc candidate explode, not a
-    * quadratic — keep the flat plan and never pay the sizes join or
-    * the 4x sub-explode.
+    * The escalation is a SAMPLED planner statistic: a 1% sample of
+    * the persisted bands estimates the max bucket (a bucket of B
+    * members shows ~B/100 sampled rows — exact enough to separate
+    * thousands from dozens; either branch is CORRECT, so the
+    * estimate, like an AQE decision, can only affect cost). The
+    * threshold sits where the quadratic actually bites: a few
+    * thousand members (64²-pair buckets are CHEAPER flat than any
+    * sizes-join + 4x sub-explode — the r14 probe measured a
+    * 64-member threshold escalating on marginal cross-replica
+    * collisions and sextupling ll5's replica cost). Uniform-
+    * fingerprint corpora (the gate corpus's max bucket is single-
+    * digit across an 8x replication; ll5's ~0.9 exponent is the
+    * honest linear cost of the 20-rows/doc explode) pay only the
+    * sampled census.
     */
-  private[operators] def simhashPairsOf(sh: DataFrame): DataFrame = {
-    val bigBucket = 64L
+  private[operators] def simhashPairsOf(sh: DataFrame,
+                                        bigBucket: Long = 4096L,
+                                        censusSampleRate: Double = 0.01): DataFrame = {
     val blocks: Seq[org.apache.spark.sql.Column] = Seq(
       col("sim_lo").bitwiseAND(lit(2047L)),
       shiftright(col("sim_lo"), 11).bitwiseAND(lit(2047L)),
@@ -489,10 +496,16 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sim_lo").as("la"), col("x.sim_hi").as("ha"),
         col("y.sim_lo").as("lb"), col("y.sim_hi").as("hb"))
-    // planner statistic: one aggregate over the persisted bands
-    val maxBucket = bands.groupBy(col("combo"), col("ckey"))
-      .agg(count(lit(1)).as("cnt")).agg(max(col("cnt"))).head.getLong(0)
-    val candidates = if (maxBucket <= bigBucket) {
+    // sampled census: estimated max bucket ≈ sampledMax / rate; the
+    // sample shuffle is rate-sized, never the full band table
+    val sampledMax = bands.sample(withReplacement = false, censusSampleRate, seed = 7L)
+      .groupBy(col("combo"), col("ckey"))
+      .agg(count(lit(1)).as("cnt")).agg(max(col("cnt"))).head match {
+        case r if r.isNullAt(0) => 0L // empty sample
+        case r => r.getLong(0)
+      }
+    val escalate = sampledMax >= math.max(2L, (bigBucket * censusSampleRate / 2).toLong)
+    val candidates = if (!escalate) {
       // uniform fingerprints: the flat 20-rows/doc plan
       pairCols(bands.as("x").join(bands.as("y"),
         col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&

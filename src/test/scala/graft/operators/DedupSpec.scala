@@ -233,15 +233,18 @@ class DedupSpec extends SparkSpec {
   }
 
   test("recursive pigeonhole: oversized buckets keep exact hamming<=3 recall") {
-    // 80 identical docs put > 64 members in every (combo, ckey)
-    // bucket — the adaptive sub-bucket arm — plus two near-dup
-    // variants; the pipeline must equal the brute-force hamming pairs
+    // 80 identical docs overload every (combo, ckey) bucket past the
+    // (test-scaled) threshold — the escalated sub-bucket arm — plus
+    // two near-dup variants; the pipeline must equal the brute-force
+    // hamming pairs. Full-rate census so the branch fires
+    // deterministically at fixture size.
     val base = "join hash row batch scan filter merge order data table"
     val docs = (1L to 80L).map(i => i -> base) ++
       Seq(200L -> base.split(" ").drop(1).mkString(" "),
         201L -> (base + " extra word"))
     val sh = Dedup.simhash(docsDf(docs))
-    val got = Dedup.simhashPairsOf(sh).select("doc_a", "doc_b").collect()
+    val got = Dedup.simhashPairsOf(sh, bigBucket = 8L, censusSampleRate = 1.0)
+      .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val fp = sh.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
