@@ -966,6 +966,36 @@ object Dedup {
 
     "ll6_ngram_jaccard" -> ((s, dir) => jaccardPairs(s, dir)),
 
+    // LL32: CROSS-CRAWL NOVELTY RATE — the "how fast is the corpus
+    // actually changing" read a recurring crawl pipeline budgets by:
+    // per source, the share of the INCOMING crawl's distinct shingles
+    // unseen in the maintained index (the complement of what the
+    // dedup family removes; a source whose novelty tends to 0 is pure
+    // recrawl cost). Crawl A is the maintained shingle index; the
+    // incoming crawl is each doc re-fetched with its head dropped and
+    // a deterministic per-doc UPDATE appended (two revision-tag
+    // words), shingled on arrival — the stored twin alone would be
+    // vacuous (dropping a word creates NO new shingles, novelty
+    // structurally 0: the q25 hollow-green lesson). Two
+    // distinct-rollups + one shingle-keyed left join, map-side
+    // combinable at any corpus size.
+    "ll32_novelty_rate" -> ((s, dir) => {
+      val a = shingleTable(s, dir).filter(col("doc_id") < 100000000L)
+        .select(col("sh")).distinct()
+      val incoming = Tables.documents(s, dir).select(col("doc_id"), expr(
+        "concat(substring(text, instr(text, ' ') + 1), " +
+          "' rel', doc_id % 5, ' upd', doc_id % 7)").as("text"))
+      val b = shingles(incoming)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), col("sh")).distinct()
+      b.join(a.withColumn("seen", lit(1L)), Seq("sh"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000 DIV n_shingles"))
+    }),
+
     // The SAME adaptive operator on the low-entropy fixture corpus,
     // where the Σdf² candidate budget reroutes to the third branch:
     // MinHash-LSH band candidates verified by EXACT Jaccard (exact
@@ -1270,6 +1300,25 @@ object Dedup {
     "ll1_exact_dedup" ->
       s"""SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
           FROM $corpusSqlExact GROUP BY 1""",
+    "ll32_novelty_rate" ->
+      s"""WITH corpus AS $corpusSqlPerturbed,
+          sh AS ($shinglesSql),
+          a AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 100000000),
+          inc AS (SELECT doc_id,
+              substr(text, strpos(text, ' ') + 1)
+                || ' rel' || CAST(doc_id % 5 AS VARCHAR)
+                || ' upd' || CAST(doc_id % 7 AS VARCHAR) AS text
+            FROM documents),
+          bsh AS (${shinglesSqlFrom("inc")}),
+          b AS (SELECT DISTINCT d.source, s.sh
+                FROM bsh s JOIN documents d ON s.doc_id = d.doc_id)
+          SELECT b.source, COUNT(*) AS n_shingles,
+            CAST(SUM(CASE WHEN a.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_novel,
+            CAST(SUM(CASE WHEN a.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000 // COUNT(*) AS novelty_ppm
+          FROM b LEFT JOIN a ON b.sh = a.sh
+          GROUP BY 1""",
     "ll2_minhash_neardup" ->
       s"""WITH $minhashCtes
           SELECT doc_a, doc_b, n_match, n_match / 16.0 AS est_sim

@@ -268,6 +268,53 @@ object Relational {
     // Latest-status-per-key — jobsdb DISTINCT ON/LATERAL LIMIT 1 scan
     // (jobsdb/jobsdb_get.go:104-128, S5): row_number window, single
     // shuffle on the partition key.
+    // JD1: MULTI-CONSUMER PENDING-EVENTS ACCOUNTING
+    // (jobsdb/jobsdb_multiconsumer.go:20-60 `v_last_c_` view =
+    // DISTINCT ON (job_id, consumer) ... ORDER BY id DESC;
+    // jobsdb_pending_events.go:9-80): one stored job fans to N
+    // consumers, each tracked to its OWN latest status — a job
+    // contributes one pending event per consumer and a per-consumer
+    // terminal decrements exactly that destination; the job is
+    // complete only when EVERY consumer is terminal. Fixture: every
+    // third event is a job with two consumers; each (job, consumer)
+    // leg carries a status LOG (seq 1..first-terminal, md5-coin
+    // states the oracle replays), and the engine computes the view
+    // with max_by(state, seq) — q05's latest-row shape at (job,
+    // consumer) grain — then the per-destination pending identity
+    // pending = assigned − terminal and the all-consumers-terminal
+    // completion rollup (1-row broadcast, rule b).
+    "jd1_multiconsumer_pending" -> ((s, dir) => {
+      val coin = (k: Int) =>
+        s"CAST(conv(substring(md5(concat(job_id, '|', consumer, '|', $k)), 1, 4), 16, 10) AS BIGINT) % 5"
+      val legs = Tables.events(s, dir)
+        .filter(col("event_id") % 3 === 0)
+        .select(col("event_id").as("job_id"))
+        .select(col("job_id"), explode(array(
+          concat(lit("d_"), col("job_id") % 4),
+          concat(lit("d_"), col("job_id") % 2 + 4))).as("consumer"))
+        .withColumn("first_term", expr(
+          s"CASE WHEN ${coin(1)} < 2 THEN 1 WHEN ${coin(2)} < 2 THEN 2 " +
+            s"WHEN ${coin(3)} < 2 THEN 3 END"))
+      val statusLog = legs
+        .select(col("job_id"), col("consumer"),
+          explode(expr("sequence(1, coalesce(first_term, 3))")).as("seq"))
+        .withColumn("state", expr(
+          "CASE CAST(conv(substring(md5(concat(job_id, '|', consumer, '|', seq)), 1, 4), 16, 10) AS BIGINT) % 5 " +
+            "WHEN 0 THEN 'succeeded' WHEN 1 THEN 'aborted' ELSE 'executing' END"))
+      val latest = statusLog.groupBy(col("job_id"), col("consumer"))
+        .agg(expr("max_by(state, seq)").as("latest_state"))
+        .withColumn("terminal",
+          col("latest_state").isin("succeeded", "aborted"))
+      val complete = latest.groupBy(col("job_id"))
+        .agg(min(when(col("terminal"), 1L).otherwise(0L)).as("all_term"))
+        .agg(sum(col("all_term")).as("jobs_complete"))
+      latest.groupBy(col("consumer").as("dest"))
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(when(col("terminal"), 1L).otherwise(0L)).as("n_terminal"))
+        .withColumn("n_pending", col("n_assigned") - col("n_terminal"))
+        .crossJoin(broadcast(complete))
+    }),
+
     "q05_latest_per_user" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)
@@ -543,6 +590,41 @@ object Relational {
     "q04_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    // the same coin-generated status log, latest per (job, consumer)
+    // via arg_max — the v_last_c_ view replayed
+    "jd1_multiconsumer_pending" ->
+      """WITH jobs AS (SELECT event_id AS job_id FROM events
+             WHERE event_id % 3 = 0),
+          legs0 AS (SELECT job_id,
+              unnest(['d_' || CAST(job_id % 4 AS VARCHAR),
+                      'd_' || CAST(job_id % 2 + 4 AS VARCHAR)]) AS consumer
+            FROM jobs),
+          legs AS (SELECT job_id, consumer,
+              CASE WHEN CAST('0x' || substr(md5(concat(job_id, '|', consumer, '|', 1)), 1, 4) AS BIGINT) % 5 < 2 THEN 1
+                   WHEN CAST('0x' || substr(md5(concat(job_id, '|', consumer, '|', 2)), 1, 4) AS BIGINT) % 5 < 2 THEN 2
+                   WHEN CAST('0x' || substr(md5(concat(job_id, '|', consumer, '|', 3)), 1, 4) AS BIGINT) % 5 < 2 THEN 3
+              END AS first_term
+            FROM legs0),
+          log AS (SELECT job_id, consumer, s.seq,
+              CASE CAST('0x' || substr(md5(concat(job_id, '|', consumer, '|', s.seq)), 1, 4) AS BIGINT) % 5
+                WHEN 0 THEN 'succeeded' WHEN 1 THEN 'aborted'
+                ELSE 'executing' END AS state
+            FROM legs, unnest(generate_series(1, COALESCE(first_term, 3))) s(seq)),
+          latest AS (SELECT job_id, consumer,
+              arg_max(state, seq) AS latest_state
+            FROM log GROUP BY 1, 2),
+          lt AS (SELECT *, latest_state IN ('succeeded', 'aborted') AS terminal
+                 FROM latest),
+          cmp AS (SELECT CAST(SUM(all_term) AS BIGINT) AS jobs_complete
+                  FROM (SELECT job_id,
+                          MIN(CASE WHEN terminal THEN 1 ELSE 0 END) AS all_term
+                        FROM lt GROUP BY 1))
+          SELECT consumer AS dest, COUNT(*) AS n_assigned,
+            CAST(SUM(CASE WHEN terminal THEN 1 ELSE 0 END) AS BIGINT) AS n_terminal,
+            COUNT(*) - CAST(SUM(CASE WHEN terminal THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pending,
+            jobs_complete
+          FROM lt CROSS JOIN cmp GROUP BY 1, 5""",
     "q05_latest_per_user" ->
       """SELECT user_id, event_id, event_type FROM (
            SELECT user_id, event_id, event_type,

@@ -182,6 +182,46 @@ class PlanSpec extends SparkSpec {
       "l8 must not re-run CC over the events table")
   }
 
+  test("ta27/ta28 tokenizer reads: zero joins, zero UDFs — one codegen scan each") {
+    Seq("ta27_tokenizer_fertility", "ta28_vocab_sweep").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q must not join: the encode is a string chain")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$q must stay whole-stage-codegen (no UDF)")
+      val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans === 1, s"$q must read the corpus exactly once, saw $scans scans")
+    }
+  }
+
+  test("ev12 BLEU is map-local: no join before the 6-group rollup") {
+    val plan = planOf("ev12_bleu_precision")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "clipping is per-(cand, ref) row-local — a gram join is the plan regression " +
+        "this test exists to catch")
+  }
+
+  test("sch1 scheduling gate: the config side broadcasts, the decision tree fuses") {
+    val plan = planOf("sch1_upload_scheduling")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the 9-row config fixture must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "a warehouse-config gate must never shuffle for its config")
+  }
+
+  test("trk1 tracker: warehouse config broadcasts; the staging probe aggregates partially") {
+    val plan = planOf("trk1_sync_stuck")
+    assert(plan.contains("BroadcastExchange"), "the 6-row warehouse table must broadcast")
+    assert(plan.contains("partial_max") || plan.contains("partial"),
+      "the probe aggregate must combine map-side")
+  }
+
+  test("prof16 correlation: two aggregate passes, means broadcast, no corpus self-join") {
+    val plan = planOf("prof16_correlation")
+    assert(plan.contains("BroadcastExchange"), "the 1-row means must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the centered pass must never shuffle-join the corpus")
+  }
+
   test("bucketed tracks read is partition-pruned to the touched buckets") {
     val sess = spark
     import sess.implicits._
