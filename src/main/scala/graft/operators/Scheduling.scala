@@ -188,6 +188,72 @@ object Scheduling {
     })
   )
 
+  /** trk1's per-warehouse streaming state: the newest staging file
+    * seen (id-ordered, the getOldestStagingFile probe picks by max
+    * id) and the newest QUALIFYING upload completion time.
+    */
+  case class SyncState(probeId: Long, probeCreatedMin: Long, lastUploadMin: Long)
+
+  /** One tagged record per input event: a staging-file landing
+    * (kind = 's') or an upload status transition (kind = 'u').
+    */
+  case class SyncEvent(wh: Long, kind: String, id: Long,
+                       timeMin: Long, status: String)
+
+  /** trk1's STREAMING sibling — the cron tracker as a continuous
+    * query instead of a scheduled scan (tracker.go's RunCronTracker
+    * loop): staging-file landings and upload transitions arrive as
+    * one tagged stream, state per warehouse is TWO timestamps + an id
+    * (O(1) forever, the property that lets this run as a resident
+    * monitor at any staging volume), and each trigger emits the
+    * warehouse's current verdict — missing = 1 when the tracked
+    * staging file has no qualifying (exported_data / aborted /
+    * *_failed) upload AFTER it once it ages past the probe delay.
+    * The batch trk1 window ((now − 2·tw, now − tw)) needs "now";
+    * here the caller passes nowMin per trigger the same way the
+    * reference's cron tick reads the clock — determinism in tests
+    * comes from driving it with event-time nows.
+    */
+  def syncStuckStream(events: org.apache.spark.sql.Dataset[SyncEvent],
+                      twMin: Long)
+    : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.wh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (wh: Long, it: Iterator[SyncEvent], state: GroupState[SyncState]) => {
+          var st = state.getOption.getOrElse(SyncState(Long.MinValue, Long.MinValue, Long.MinValue))
+          var nowMin = Long.MinValue
+          it.foreach { e =>
+            nowMin = math.max(nowMin, e.timeMin)
+            e.kind match {
+              case "s" =>
+                // max-id staging file wins, like the probe's ORDER BY id DESC
+                if (e.id > st.probeId)
+                  st = st.copy(probeId = e.id, probeCreatedMin = e.timeMin)
+              case _ =>
+                val qualifies = e.status == "exported_data" ||
+                  e.status == "aborted" || e.status.endsWith("_failed")
+                if (qualifies && e.timeMin > st.lastUploadMin)
+                  st = st.copy(lastUploadMin = e.timeMin)
+            }
+          }
+          state.update(st)
+          // verdict for this trigger: the tracked file must be old
+          // enough to probe (past tw) and have no qualifying upload
+          // after it
+          if (st.probeId == Long.MinValue) Iterator.empty
+          else {
+            val aged = st.probeCreatedMin <= nowMin - twMin
+            val missing =
+              if (!aged) 0L
+              else if (st.lastUploadMin > st.probeCreatedMin) 0L
+              else 1L
+            Iterator.single((wh, st.probeCreatedMin, st.lastUploadMin, missing))
+          }
+        })
+  }
+
   val oracles: Map[String, String] = Map(
     "sch1_upload_scheduling" -> {
       val cte = schedExprs("//").map { case (n, e) => s"$e AS $n" }

@@ -1248,4 +1248,49 @@ class StreamingSpec extends SparkSpec {
         "windows whose end is past the watermark stay pending")
     } finally q.stop()
   }
+
+  test("sync-stuck stream: missing flag raises once the probe ages without a " +
+    "qualifying upload, clears on one, and re-arms on a new staging file") {
+    import graft.operators.Scheduling.SyncEvent
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[SyncEvent]
+    val q = graft.operators.Scheduling.syncStuckStream(input.toDS(), twMin = 60L)
+      .toDF("wh", "probe_created_min", "last_upload_min", "missing")
+      .writeStream.format("memory").queryName("sync_out")
+      .outputMode("append").start()
+    def latest(): Map[Long, (Long, Long)] = {
+      q.processAllAvailable()
+      spark.table("sync_out").as[(Long, Long, Long, Long)].collect()
+        .zipWithIndex.groupBy(_._1._1)
+        .map { case (wh, rows) => wh -> {
+          val r = rows.maxBy(_._2)._1; (r._2, r._4)
+        } }
+    }
+    try {
+      // both warehouses land a staging file at t=100: too FRESH to
+      // probe at tw=60, neither is missing
+      input.addData(SyncEvent(0L, "s", 1L, 100L, ""),
+        SyncEvent(1L, "s", 1L, 100L, ""))
+      assert(latest() === Map(0L -> ((100L, 0L)), 1L -> ((100L, 0L))))
+      // t=180: wh0 completes an upload (exported_data) — healthy; wh1
+      // only sees the clock (a non-qualifying transition) — its aged
+      // file has no qualifying upload: STUCK
+      input.addData(SyncEvent(0L, "u", 0L, 180L, "exported_data"),
+        SyncEvent(1L, "u", 0L, 180L, "exporting_data"))
+      assert(latest() === Map(0L -> ((100L, 0L)), 1L -> ((100L, 1L))))
+      // wh1's sync lands at t=190: clears; wh0 gets a NEW staging
+      // file (id 2, t=190) that ages past tw by t=260 with only the
+      // OLD upload behind it: stuck again (re-armed)
+      input.addData(SyncEvent(1L, "u", 0L, 190L, "exporting_data_failed"),
+        SyncEvent(0L, "s", 2L, 190L, ""))
+      assert(latest() === Map(0L -> ((190L, 0L)), 1L -> ((100L, 0L))))
+      input.addData(SyncEvent(0L, "u", 0L, 260L, "waiting"))
+      assert(latest()(0L) === ((190L, 1L)),
+        "a new staging file past tw with no newer qualifying upload re-arms")
+      // state stays O(1): the same SyncState fields drive every verdict
+      assert(latest()(1L)._2 === 0L)
+    } finally q.stop()
+  }
 }
