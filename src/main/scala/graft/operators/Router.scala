@@ -237,6 +237,45 @@ object Router {
     // per-row status then comes from one co-partitioned equi-join of
     // the events against their group's admission threshold (the k-th
     // smallest (ts, event_id) pair; exact because pairs are unique).
+    // D9: DYNAMIC WORKER-BUFFER ADVISOR
+    // (router/worker_buffer_calculator.go:40-70): buffer size per
+    // delivery worker = ceil(max(throughput SMA, pickup batch /
+    // workers, jobs-to-batch) × scaling) with the SLOW-START arm —
+    // SMA under 1 job/tick forces buffer 1 to introduce backpressure.
+    // Ticks are calendar HOURS on a DENSE grid (one sequence()
+    // explode off the global span scalar — calendar-bounded whatever
+    // the corpus, a11's pattern; hour grain keeps both arms live at
+    // gate scale — minute ticks read as slow-start everywhere; the
+    // grid runs 12 ticks past the last event so the feed-stopped
+    // slow-start collapse to buffer 1 is pinned at every sf), all integer milli-arithmetic, one
+    // documented truncation in the SMA and an exact (x·2+999) DIV
+    // 1000 ceiling. Config: batch 16 / 8 workers (m2 = 2),
+    // jobs-to-batch 3, scale 2.0, minBuffer 1.
+    "d9_buffer_advisor" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val ev = Tables.events(s, dir).select(
+        (col("user_id") % 4).as("dest"),
+        expr("unix_micros(ts) DIV 3600000000").as("m"))
+      val counts = ev.groupBy(col("dest"), col("m")).agg(count(lit(1)).as("cnt"))
+      val grid = ev.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+        .select(explode(expr("sequence(m0, m1 + 12)")).as("m")) // 12 idle ticks: the feed-stopped slow-start regime
+        .crossJoin(broadcast((0L until 4L).toDF("dest")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dest")).orderBy(col("m")).rangeBetween(-9, 0)
+      grid.join(counts, Seq("dest", "m"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("sum_w", sum(col("cnt") * 1000).over(w))
+        .withColumn("n_w", count(lit(1)).over(w))
+        .withColumn("sma_milli", expr("sum_w DIV n_w"))
+        .withColumn("buffer_size", expr(
+          """CASE WHEN sma_milli < 1000 THEN 1L
+             ELSE greatest((greatest(sma_milli, 3000L) * 2 + 999) DIV 1000, 1L)
+             END"""))
+        .select(col("dest"), col("m"), col("cnt"), col("sma_milli"),
+          col("buffer_size"))
+    }),
+
     "d3_throttle" -> ((s, dir) => {
       val minK = udaf(new graft.functions.MinKAggregator(5))
       val ev = Tables.events(s, dir)
@@ -818,6 +857,30 @@ object Router {
   )
 
   val oracles: Map[String, String] = Map(
+    "d9_buffer_advisor" ->
+      """WITH ev AS (SELECT user_id % 4 AS dest,
+              epoch_us(ts) // 3600000000 AS m FROM events),
+          counts AS (SELECT dest, m, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+          span AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM ev),
+          grid AS (SELECT g.m, d.dest
+                   FROM (SELECT unnest(generate_series(m0, m1 + 12)) AS m
+                         FROM span) g
+                   CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS dest) d),
+          dense AS (SELECT g.dest, g.m, COALESCE(c.cnt, 0) AS cnt
+                    FROM grid g LEFT JOIN counts c
+                      ON g.dest = c.dest AND g.m = c.m),
+          sma AS (SELECT dest, m, cnt,
+              CAST(SUM(cnt * 1000) OVER w AS BIGINT)
+                // COUNT(*) OVER w AS sma_milli
+            FROM dense
+            WINDOW w AS (PARTITION BY dest ORDER BY m
+                         RANGE BETWEEN 9 PRECEDING AND CURRENT ROW))
+          SELECT CAST(dest AS BIGINT) AS dest, m, CAST(cnt AS BIGINT) AS cnt,
+            CAST(sma_milli AS BIGINT) AS sma_milli,
+            CAST(CASE WHEN sma_milli < 1000 THEN 1
+              ELSE greatest((greatest(sma_milli, 3000) * 2 + 999) // 1000, 1)
+              END AS BIGINT) AS buffer_size
+          FROM sma""",
     "d2_event_order_barrier" ->
       """SELECT destination,
            CASE WHEN first_failed IS NULL OR event_id < first_failed THEN 'delivered'
