@@ -90,14 +90,27 @@ object Profile {
         } :+ max(col("n")).as("n")
         val wide = df.crossJoin(broadcast(means)) // 1-row scalar, rule (b)
           .agg(aggs.head, aggs.tail: _*)
+        // magnitude normalization BEFORE the cross-multiplication:
+        // Sxy²·1e6 needs ~43 digits at web scale (6e12 rows of
+        // cent-grain prices), past DECIMAL(38)/HUGEINT — dividing all
+        // three sums by the same sc leaves the ratio exact up to a
+        // ≤ 1e-15 relative quantization (sc > 1 only once |Sxy| tops
+        // 1e15), mirrored bit-for-bit in the oracle
         val legs = pairs.map { case (tag, _, _) =>
           s"named_struct('pair', '$tag', " +
             s"'sign_r', CAST(CASE WHEN sxy_$tag > 0 THEN 1 WHEN sxy_$tag < 0 " +
             s"THEN -1 ELSE 0 END AS BIGINT), " +
-            s"'r2_ppm', CAST(sxy_$tag * sxy_$tag * 1000000 " +
-            s"DIV greatest(CAST(1 AS DECIMAL(38,0)), sxx_$tag * syy_$tag) AS BIGINT))"
+            s"'r2_ppm', CAST(CAST(sxy_$tag DIV sc_$tag AS DECIMAL(38,0)) " +
+            s"* (sxy_$tag DIV sc_$tag) " + // Spark DIV yields LONG — promote before squaring
+            s"* 1000000 DIV greatest(CAST(1 AS DECIMAL(38,0)), " +
+            s"CAST(sxx_$tag DIV sc_$tag AS DECIMAL(38,0)) " +
+            s"* (syy_$tag DIV sc_$tag)) AS BIGINT))"
         }.mkString(", ")
-        wide.select(col("n"), explode(expr(s"array($legs)")).as("x"))
+        val scaled = pairs.foldLeft(wide) { case (df, (tag, _, _)) =>
+          df.withColumn(s"sc_$tag", expr(
+            s"greatest(CAST(1 AS DECIMAL(38,0)), abs(sxy_$tag) DIV 1000000000000000)"))
+        }
+        scaled.select(col("n"), explode(expr(s"array($legs)")).as("x"))
           .select(col("x.pair"), col("n"), col("x.sign_r"), col("x.r2_ppm"))
       }
       val li = Tables.lineitem(s, dir).select(
@@ -849,10 +862,14 @@ object Profile {
         s"SELECT '$tag' AS pair, n, " +
           s"CAST(CASE WHEN sxy_$tag > 0 THEN 1 WHEN sxy_$tag < 0 THEN -1 " +
           s"ELSE 0 END AS BIGINT) AS sign_r, " +
-          s"CAST(sxy_$tag * sxy_$tag * 1000000 " +
-          s"// greatest(CAST(1 AS HUGEINT), sxx_$tag * syy_$tag) AS BIGINT) " +
-          s"AS r2_ppm FROM wide"
+          s"CAST((sxy_$tag // sc_$tag) * (sxy_$tag // sc_$tag) * 1000000 " +
+          s"// greatest(CAST(1 AS HUGEINT), " +
+          s"(sxx_$tag // sc_$tag) * (syy_$tag // sc_$tag)) AS BIGINT) " +
+          s"AS r2_ppm FROM scaled"
       }.mkString(" UNION ALL ")
+      val scs = pairs.map { case (tag, _, _, _, _) =>
+        s"greatest(CAST(1 AS HUGEINT), abs(sxy_$tag) // 1000000000000000) AS sc_$tag"
+      }.mkString(", ")
       s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
               CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
@@ -865,6 +882,7 @@ object Profile {
               CAST(SUM(sk) // COUNT(*) AS BIGINT) AS m_sk
             FROM li),
           wide AS (SELECT MAX(n) AS n, $sums FROM li CROSS JOIN means),
+          scaled AS (SELECT *, $scs FROM wide),
           d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
                   CAST(length(text) AS BIGINT) AS nc FROM documents),
           dmeans AS (SELECT COUNT(*) AS n,
@@ -875,13 +893,18 @@ object Profile {
               CAST(SUM(CAST((nw - m_nw) AS HUGEINT) * (nw - m_nw)) AS HUGEINT) AS sxx_wc,
               CAST(SUM(CAST((nc - m_nc) AS HUGEINT) * (nc - m_nc)) AS HUGEINT) AS syy_wc
             FROM d CROSS JOIN dmeans),
+          dscaled AS (SELECT *,
+              greatest(CAST(1 AS HUGEINT), abs(sxy_wc) // 1000000000000000)
+                AS sc_wc
+            FROM dwide),
           dleg AS (SELECT 'words_chars' AS pair, n,
               CAST(CASE WHEN sxy_wc > 0 THEN 1 WHEN sxy_wc < 0 THEN -1
                 ELSE 0 END AS BIGINT) AS sign_r,
-              CAST(sxy_wc * sxy_wc * 1000000
-                // greatest(CAST(1 AS HUGEINT), sxx_wc * syy_wc) AS BIGINT)
+              CAST((sxy_wc // sc_wc) * (sxy_wc // sc_wc) * 1000000
+                // greatest(CAST(1 AS HUGEINT),
+                  (sxx_wc // sc_wc) * (syy_wc // sc_wc)) AS BIGINT)
                 AS r2_ppm
-            FROM dwide)
+            FROM dscaled)
           SELECT pair, n, sign_r, r2_ppm FROM ($legs UNION ALL
             SELECT pair, n, sign_r, r2_ppm FROM dleg)"""
     },
