@@ -207,6 +207,44 @@ object Relational {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // A14: BURSTINESS (Fano factor) per event type — the
+    // dispersion-vs-Poisson read that separates steady traffic from
+    // bursty (Fano = Var/mean of per-hour counts; 1e6 ppm = Poisson,
+    // above = bursty, below = regular). Dense calendar-hour grid off
+    // one span scalar (idle hours COUNT toward dispersion — d9's
+    // grid), then prof16's two-pass exact-integer variance: integer
+    // milli-mean (one documented truncation), DECIMAL(38) centered
+    // squares (hour counts at web scale overflow a long when
+    // squared), fano_ppm = ss·1e6 DIV (n·mean_milli). Pairs with
+    // a12's autocorrelation: a12 reads WHEN the load repeats, this
+    // reads HOW SPIKY it is.
+    "a14_burstiness" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("h"))
+      val counts = ev.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("cnt"))
+      val types = ev.select(col("event_type")).distinct()
+      val grid = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(expr("sequence(h0, h1)")).as("h"))
+        .crossJoin(broadcast(types))
+      val dense = grid.join(counts, Seq("event_type", "h"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val means = dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("total"))
+        .withColumn("mean_milli", expr("total * 1000 DIV n_hours"))
+      dense.join(broadcast(means), "event_type")
+        .groupBy(col("event_type"), col("n_hours"), col("total"), col("mean_milli"))
+        .agg(sum(expr(
+          "CAST((cnt * 1000 - mean_milli) * (cnt * 1000 - mean_milli) " +
+            "AS DECIMAL(38,0))")).as("ss"))
+        .withColumn("fano_ppm", expr(
+          "CAST(ss * 1000 DIV greatest(CAST(1 AS DECIMAL(38,0)), " +
+            "CAST(n_hours AS DECIMAL(38,0)) * mean_milli) AS BIGINT)"))
+        .select(col("event_type"), col("n_hours"), col("total"),
+          col("mean_milli"), col("fano_ppm"))
+    }),
+
     // Distinct parameter values — jobsdb/jobsdb.go:155-161 (A4).
     // distinct() is a shuffle on user_id only after column pruning; at
     // scale the parquet scan reads one column.
@@ -563,6 +601,31 @@ object Relational {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "a3_pileup_counts" ->
       "SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2",
+    "a14_burstiness" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+             FROM events),
+          counts AS (SELECT event_type, h, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+          span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+          grid AS (SELECT t.event_type, g.h
+                   FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM span) g
+                   CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+          dense AS (SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt
+                    FROM grid g LEFT JOIN counts c
+                      ON g.event_type = c.event_type AND g.h = c.h),
+          means AS (SELECT event_type, COUNT(*) AS n_hours,
+              CAST(SUM(cnt) AS BIGINT) AS total,
+              CAST(SUM(cnt) AS BIGINT) * 1000 // COUNT(*) AS mean_milli
+            FROM dense GROUP BY 1),
+          ss AS (SELECT d.event_type, m.n_hours, m.total, m.mean_milli,
+              SUM(CAST((d.cnt * 1000 - m.mean_milli) AS HUGEINT)
+                * (d.cnt * 1000 - m.mean_milli)) AS ss
+            FROM dense d JOIN means m ON d.event_type = m.event_type
+            GROUP BY 1, 2, 3, 4)
+          SELECT event_type, n_hours, total,
+            CAST(mean_milli AS BIGINT) AS mean_milli,
+            CAST(ss * 1000 // greatest(CAST(1 AS HUGEINT),
+              CAST(n_hours AS HUGEINT) * mean_milli) AS BIGINT) AS fano_ppm
+          FROM ss""",
     "a4_distinct_values" ->
       "SELECT DISTINCT user_id FROM events",
     "q01_pricing_agg" ->

@@ -119,6 +119,13 @@ object TextAnalysis {
       .map { case (v, i) => s"WHEN ${i + 8} THEN $v" }
       .mkString("CASE m ", " ", " ELSE 0 END")
 
+  /** ts7's wide-range variant of log2ExpCase: PMI ratios in ppm reach
+    * ~1e11 (well past ta26's 2^20 surprisal domain), so the exponent
+    * arms run to 2^44. Same construction, same mantissa CASE.
+    */
+  private[operators] val log2ExpCaseWide: String = (44 to 1 by -1)
+    .map(e => s"WHEN x >= ${1L << e} THEN $e").mkString("CASE ", " ", " ELSE 0 END")
+
   /** Tiny per-language stopword lists for the n-gram/stopword
     * language-ID heuristic. Fixed and mirrored in the oracle — the
     * check verifies the scoring pipeline, not linguistic truth.
@@ -258,6 +265,46 @@ object TextAnalysis {
           expr("n_tokens * 1000 DIV n_words"))
         .withColumn("marginal_tokens_saved",
           coalesce(lag(col("n_tokens"), 1).over(w) - col("n_tokens"), lit(0L)))
+    }),
+
+    // TS7: PMI COLLOCATIONS — the classic collocation miner (Church &
+    // Hanks 1990): pointwise mutual information of adjacent word
+    // pairs, log2(P(xy) / (P(x)·P(y))) in MILLI-BITS, ranked top-20.
+    // Exact integers end to end: the ratio rides as ppm
+    // (c_xy·N·1e6 DIV (c_x·c_y), DECIMAL(38) cross-multiplication),
+    // the log2 is the dq4 exponent+mantissa CASE (wide arms — PMI
+    // ratios reach ~1e11), and the 1e6 offset is subtracted through
+    // the SAME quantizer (log2_mb(1e6) = 19906), so both engines
+    // agree bit-for-bit and negative PMI stays representable. Support
+    // gate is scale-FREE (pair mass ≥ 0.001% of N — an absolute count
+    // would flip with sf). Corpus-scale work: one bigram aggregate +
+    // one unigram rollup, both map-side combinable; top-20 is
+    // TakeOrdered, never a global sort.
+    "ts7_pmi_collocations" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+      val cxy = toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      val cx = cxy.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+      val cy = cxy.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
+      val n = cxy.agg(sum(col("c_xy")).as("n_bigrams"))
+      cxy.join(cx, "w1").join(cy, "w2").crossJoin(broadcast(n))
+        .filter(col("c_xy") * 100000 >= col("n_bigrams")) // scale-free support
+        .withColumn("x", expr(
+          "CAST(CAST(c_xy AS DECIMAL(38,0)) * n_bigrams * 1000000 " +
+            "DIV (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"))
+        .withColumn("e", expr(log2ExpCaseWide))
+        .withColumn("m", expr("(x * 8) DIV shiftleft(1L, CAST(e AS INT))"))
+        .withColumn("pmi_mb", expr(
+          s"CAST(e * 1000 + ($log2FracCase) - 19906 AS BIGINT)"))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+          col("pmi_mb"))
+        .orderBy(col("pmi_mb").desc, col("w1"), col("w2"))
+        .limit(20)
     }),
 
     // TA29: PADDING-WASTE REPORT — the training-efficiency read that
@@ -1412,6 +1459,26 @@ object TextAnalysis {
             n_tokens * 1000 // n_words AS tokens_per_1k_words,
             n_bytes * 1000 // n_tokens AS bytes_per_1k_tokens
           FROM agg""",
+    "ts7_pmi_collocations" ->
+      s"""WITH bg AS (SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+             FROM (SELECT string_split(text, ' ') AS ws FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+                  unnest(range(len(ws) - 1)) AS t(i)),
+          cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+          cx AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY 1),
+          cy AS (SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM cxy GROUP BY 1),
+          nt AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bigrams FROM cxy),
+          r AS (SELECT w1, w2, c_xy, c_x, c_y,
+              CAST(CAST(c_xy AS HUGEINT) * n_bigrams * 1000000
+                // (CAST(c_x AS HUGEINT) * c_y) AS BIGINT) AS x
+            FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN nt
+            WHERE c_xy * 100000 >= n_bigrams),
+          e1 AS (SELECT *, $log2ExpCaseWide AS e FROM r),
+          m1 AS (SELECT *, (x * 8) // (1::BIGINT << CAST(e AS INT)) AS m FROM e1)
+          SELECT w1, w2, c_xy, c_x, c_y,
+            CAST(e * 1000 + ($log2FracCase) - 19906 AS BIGINT) AS pmi_mb
+          FROM m1
+          ORDER BY pmi_mb DESC, w1, w2 LIMIT 20""",
     // naive replay: the oracle MAY sort (it never scales); batch
     // membership by row_number over (len) — padding is invariant to
     // tie order, which is exactly why the engine's histogram algebra
