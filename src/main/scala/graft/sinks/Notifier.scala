@@ -145,9 +145,15 @@ object Notifier {
       }.sorted.take(freeWorkers.size)
       // drained only when nothing is claimable, held, OR executing —
       // a job stranded with a dead worker is still in flight until
-      // the orphan sweep requeues it
+      // the orphan sweep requeues it. If every worker is gone and
+      // nothing can resolve, STOP instead of spinning: the queue
+      // (like the reference with zero subscribers) simply has no
+      // progress to make; the remaining jobs stay waiting for the
+      // next run's workers.
       val inFlight = state.values.exists(_._3 == "executing")
       if (claimable.isEmpty && holding.isEmpty && !inFlight) drained = true
+      else if (freeWorkers.isEmpty && holding.isEmpty &&
+        deadGone.size == nWorkers) drained = true
       else {
         val claims = freeWorkers.zip(claimable)
         if (claims.nonEmpty) {

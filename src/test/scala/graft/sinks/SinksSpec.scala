@@ -597,6 +597,24 @@ class SinksSpec extends SparkSpec {
       === ((0L, 0L, 0L, 0L)))
   }
 
+  test("notifier: a fully-dead worker pool terminates instead of spinning, " +
+    "and the stranded ledger recovers on the next run") {
+    val ledger = tmp("graft_nt_allgone") + "/ledger"
+    // both workers die holding their first claims: the run must
+    // RETURN (no progress is possible), leaving a recoverable ledger
+    val (e0, _, _, b0) = graft.sinks.Notifier.run(
+      spark, ledger, ntJobs(5), 0, 2, 2, ntOutcome,
+      deadAfterFirstClaim = Set(0, 1))
+    assert(e0 === 0L && b0 === 0L)
+    // a later run with live workers sweeps the orphans and drains
+    val (_, orphans, _, batches) = graft.sinks.Notifier.run(
+      spark, ledger, ntJobs(5), 0, 2, 2, ntOutcome)
+    assert(orphans === 2L && batches === 3L)
+    val clean = tmp("graft_nt_allgone_clean") + "/ledger"
+    graft.sinks.Notifier.run(spark, clean, ntJobs(5), 0, 2, 2, ntOutcome)
+    assert(ntStates(ledger) === ntStates(clean))
+  }
+
   test("notifier: a slow worker's RefreshClaim heartbeat defeats the orphan sweep") {
     val ledger = tmp("graft_nt_slow") + "/ledger"
     // worker 0 holds its claim 4 rounds (>> the 2-round timeout) but
