@@ -121,6 +121,10 @@ private[functions] object HllBuffer {
   * the distinct id set.
   */
 class HllAggregator(p: Int = 12) extends Aggregator[String, Array[Byte], Long] {
+  // HllBuffer's sparse entry log encodes the register index as u16 —
+  // a p > 16 would silently truncate indices and corrupt the sketch,
+  // so the documented domain is enforced at construction.
+  require(p >= 4 && p <= 16, s"HLL precision p=$p outside [4, 16]")
   private val m = 1 << p
 
   private def hash64(s: String): Long = {
@@ -189,6 +193,7 @@ class HllSketchAggregator(p: Int = 12) extends Aggregator[String, Array[Byte], A
   * second level as cheap as the first at 100 TB.
   */
 class HllMergeAggregator(p: Int = 12) extends Aggregator[Array[Byte], Array[Byte], Long] {
+  require(p >= 4 && p <= 16, s"HLL precision p=$p outside [4, 16]")
   private val m = 1 << p
   override def zero: Array[Byte] = new Array[Byte](m)
   override def reduce(buf: Array[Byte], value: Array[Byte]): Array[Byte] =

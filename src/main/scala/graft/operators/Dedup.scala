@@ -1706,10 +1706,32 @@ object Dedup {
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
           FROM u""",
     // same pair scan + integer-permille score; thresholds as a VALUES
-    // grid, truth = every base doc's planted twin
-    "ll30_threshold_sweep" ->
+    // grid, truth = every base doc's planted twin. The oracle REPLAYS
+    // jaccardPairsOf's routing decision (rare-share < 0.25 AND
+    // Σdf² > 16·occ → the LSH arm) and, when that arm engages,
+    // restricts the exhaustive pair set to the same 8×2 band
+    // candidates the engine verifies — so a corpus change that
+    // reroutes the sweep stays oracle-exact instead of diverging on
+    // LSH-conditional recall (the r14 advisor's probabilistic-
+    // guarantee finding). On exact-arm corpora the candidate filter
+    // is a no-op by construction.
+    "ll30_threshold_sweep" -> {
+      val bandSql8x2 = (0 until 8).map(b =>
+        s"SELECT doc_id, $b AS band, md5(s${2 * b} || ',' || s${2 * b + 1}) " +
+          "AS bkey FROM sig").mkString("\n UNION ALL ")
       s"""WITH corpus AS $corpusSqlPerturbed,
           sh AS ($shinglesSql),
+          dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+          strat AS (SELECT
+              (SUM(CASE WHEN df <= 2 THEN df ELSE 0 END) * 1.0 / SUM(df) < 0.25
+               AND SUM(df * df) > 16 * SUM(df)) AS use_lsh
+            FROM dfreq),
+          sig AS (SELECT doc_id, ${sigSelect("s")} FROM sh GROUP BY doc_id),
+          band AS ($bandSql8x2),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM band x JOIN band y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                       AND x.doc_id < y.doc_id),
           sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
           inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
                     FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
@@ -1719,7 +1741,10 @@ object Dedup {
                          AS BIGINT) AS jp
                      FROM inter
                      JOIN sz za ON doc_a = za.doc_id
-                     JOIN sz zb ON doc_b = zb.doc_id),
+                     JOIN sz zb ON doc_b = zb.doc_id
+                     CROSS JOIN strat
+                     WHERE (NOT use_lsh) OR EXISTS (SELECT 1 FROM cand c
+                       WHERE c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b)),
           th AS (SELECT CAST(threshold AS BIGINT) AS threshold
                  FROM (VALUES (500), (600), (700), (800), (900)) t(threshold)),
           nt AS (SELECT COUNT(*) AS n_truth FROM documents)
@@ -1733,7 +1758,8 @@ object Dedup {
               * 1000000 // MAX(nt.n_truth) AS BIGINT) AS recall_ppm
           FROM scored CROSS JOIN th CROSS JOIN nt
           WHERE jp >= threshold
-          GROUP BY threshold""",
+          GROUP BY threshold"""
+    },
     // the contamination rule restated declaratively: per training doc,
     // how many of its distinct 13-grams appear anywhere in the
     // benchmark slice's gram set; same 60-bit md5 gram hashing

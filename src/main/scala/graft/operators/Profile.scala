@@ -83,10 +83,14 @@ object Profile {
           s"CAST(SUM(CAST($c AS DECIMAL(38,0))) DIV COUNT(1) AS BIGINT)").as(s"m_$c")
         val meanCols = count(lit(1)).as("n") +: cols.map(m)
         val means = df.agg(meanCols.head, meanCols.tail: _*)
+        // One factor is promoted to DECIMAL(38,0) BEFORE each per-row
+        // multiply: ID-valued pairs (part_supp) scale with SF and the
+        // centered product wraps silently in LONG past 2^63 — the
+        // oracle already casts one operand to HUGEINT first.
         val aggs = pairs.flatMap { case (tag, x, y) => Seq(
-          sum(expr(s"CAST(($x - m_$x) * ($y - m_$y) AS DECIMAL(38,0))")).as(s"sxy_$tag"),
-          sum(expr(s"CAST(($x - m_$x) * ($x - m_$x) AS DECIMAL(38,0))")).as(s"sxx_$tag"),
-          sum(expr(s"CAST(($y - m_$y) * ($y - m_$y) AS DECIMAL(38,0))")).as(s"syy_$tag"))
+          sum(expr(s"CAST($x - m_$x AS DECIMAL(38,0)) * ($y - m_$y)")).as(s"sxy_$tag"),
+          sum(expr(s"CAST($x - m_$x AS DECIMAL(38,0)) * ($x - m_$x)")).as(s"sxx_$tag"),
+          sum(expr(s"CAST($y - m_$y AS DECIMAL(38,0)) * ($y - m_$y)")).as(s"syy_$tag"))
         } :+ max(col("n")).as("n")
         val wide = df.crossJoin(broadcast(means)) // 1-row scalar, rule (b)
           .agg(aggs.head, aggs.tail: _*)
@@ -106,9 +110,19 @@ object Profile {
             s"CAST(sxx_$tag DIV sc_$tag AS DECIMAL(38,0)) " +
             s"* (syy_$tag DIV sc_$tag)) AS BIGINT))"
         }.mkString(", ")
+        // sc keys off max(|Sxy|,|Sxx|,|Syy|), not |Sxy| alone: for a
+        // weakly-correlated pair Sxy ≈ 0 forces sc = 1 while Sxx/Syy
+        // still top a LONG, and Spark's DIV-returns-LONG would NULL —
+        // greatest() then swallows the NULL into a divisor of 1 and a
+        // garbage r2_ppm. Keyed to the max, every quotient ≤ ~1e15
+        // fits a LONG. (sc itself stays a LONG: it would need a sum
+        // past 9.2e33 to overflow — 6e12 rows of deviations > 1e10,
+        // outside even the 100 TB cent-grain domain.)
         val scaled = pairs.foldLeft(wide) { case (df, (tag, _, _)) =>
           df.withColumn(s"sc_$tag", expr(
-            s"greatest(CAST(1 AS DECIMAL(38,0)), abs(sxy_$tag) DIV 1000000000000000)"))
+            s"greatest(CAST(1 AS DECIMAL(38,0)), " +
+              s"greatest(abs(sxy_$tag), abs(sxx_$tag), abs(syy_$tag)) " +
+              s"DIV 1000000000000000)"))
         }
         scaled.select(col("n"), explode(expr(s"array($legs)")).as("x"))
           .select(col("x.pair"), col("n"), col("x.sign_r"), col("x.r2_ppm"))
@@ -868,7 +882,9 @@ object Profile {
           s"AS r2_ppm FROM scaled"
       }.mkString(" UNION ALL ")
       val scs = pairs.map { case (tag, _, _, _, _) =>
-        s"greatest(CAST(1 AS HUGEINT), abs(sxy_$tag) // 1000000000000000) AS sc_$tag"
+        s"greatest(CAST(1 AS HUGEINT), " +
+          s"greatest(abs(sxy_$tag), abs(sxx_$tag), abs(syy_$tag)) " +
+          s"// 1000000000000000) AS sc_$tag"
       }.mkString(", ")
       s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
@@ -894,8 +910,9 @@ object Profile {
               CAST(SUM(CAST((nc - m_nc) AS HUGEINT) * (nc - m_nc)) AS HUGEINT) AS syy_wc
             FROM d CROSS JOIN dmeans),
           dscaled AS (SELECT *,
-              greatest(CAST(1 AS HUGEINT), abs(sxy_wc) // 1000000000000000)
-                AS sc_wc
+              greatest(CAST(1 AS HUGEINT),
+                greatest(abs(sxy_wc), abs(sxx_wc), abs(syy_wc))
+                  // 1000000000000000) AS sc_wc
             FROM dwide),
           dleg AS (SELECT 'words_chars' AS pair, n,
               CAST(CASE WHEN sxy_wc > 0 THEN 1 WHEN sxy_wc < 0 THEN -1

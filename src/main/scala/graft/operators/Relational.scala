@@ -236,8 +236,12 @@ object Relational {
       dense.join(broadcast(means), "event_type")
         .groupBy(col("event_type"), col("n_hours"), col("total"), col("mean_milli"))
         .agg(sum(expr(
-          "CAST((cnt * 1000 - mean_milli) * (cnt * 1000 - mean_milli) " +
-            "AS DECIMAL(38,0))")).as("ss"))
+          // One factor is promoted to DECIMAL(38,0) BEFORE the multiply:
+          // the product wraps silently in LONG once |cnt*1000 - mean_milli|
+          // tops ~3.04e9 (~3M events in one type-hour), exactly the regime
+          // this read exists for. Mirrors the oracle's HUGEINT operand cast.
+          "CAST(cnt * 1000 - mean_milli AS DECIMAL(38,0)) * " +
+            "(cnt * 1000 - mean_milli)")).as("ss"))
         .withColumn("fano_ppm", expr(
           "CAST(ss * 1000 DIV greatest(CAST(1 AS DECIMAL(38,0)), " +
             "CAST(n_hours AS DECIMAL(38,0)) * mean_milli) AS BIGINT)"))
