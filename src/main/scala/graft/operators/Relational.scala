@@ -357,6 +357,52 @@ object Relational {
         .crossJoin(broadcast(complete))
     }),
 
+    // JD2: READ-EXCLUDED PARTITIONS (jobsdb/
+    // jobsdb_read_excluded_partitions.go:15-116 + jobsdb_get.go:
+    // 431-445) — a persisted partition blocklist that queue reads
+    // anti-filter on, UNLESS the caller passes explicit
+    // partitionFilters (filters and exclusions are mutually
+    // exclusive). partition_id follows DefaultParititionFunction's
+    // shape (jobsdb.go:590-596): workspace + "-" + hash(user_id) %
+    // numPartitions (8, a power of two; md5 stands in for murmur3 so
+    // both engines audit the same hash). The ledger is exercised
+    // end-to-end: add the idx-1/idx-4 partitions of every workspace,
+    // re-add one (ON CONFLICT DO NOTHING — appends nothing), remove
+    // one live id plus one absent id (DELETE no-op), then reconstruct
+    // and anti-join. The exclusion set is metadata-grain (≤
+    // workspaces × numPartitions), so the read path is a BROADCAST
+    // anti-join — the 100 TB scan never shuffles for it. Two legs
+    // prove both read modes: `excluded_scan` (default path, blocklist
+    // applied) and `partition_filter` (explicit filters INCLUDING an
+    // excluded partition, proving exclusions are bypassed).
+    "jd2_read_excluded" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        expr("concat('ws', user_id % 3, '-', " +
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 8)")
+          .as("partition_id"))
+      val ledger = java.nio.file.Files.createTempDirectory("graft_jd2")
+        .toString + "/ledger"
+      graft.sinks.Sinks.addReadExcludedPartitionIDs(s, ledger,
+        (0 until 3).flatMap(w => Seq(s"ws$w-1", s"ws$w-4")))
+      graft.sinks.Sinks.addReadExcludedPartitionIDs(s, ledger, Seq("ws0-1"))
+      graft.sinks.Sinks.removeReadExcludedPartitionIDs(s, ledger,
+        Seq("ws1-4", "ws9-0"))
+      val excluded = graft.sinks.Sinks.readExcludedPartitionIDs(s, ledger)
+      val exDf = broadcast(excluded.toDF("partition_id"))
+      val openLeg = ev.join(exDf, Seq("partition_id"), "left_anti")
+        .groupBy(col("partition_id"))
+        .agg(count(lit(1)).as("n_jobs"), countDistinct(col("user_id")).as("n_users"))
+        .withColumn("leg", lit("excluded_scan"))
+      val filterLeg = ev.filter(col("partition_id").isin("ws0-1", "ws0-2"))
+        .groupBy(col("partition_id"))
+        .agg(count(lit(1)).as("n_jobs"), countDistinct(col("user_id")).as("n_users"))
+        .withColumn("leg", lit("partition_filter"))
+      openLeg.unionByName(filterLeg)
+        .select(col("leg"), col("partition_id"), col("n_jobs"), col("n_users"))
+    }),
+
     "q05_latest_per_user" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)
@@ -692,6 +738,40 @@ object Relational {
               AS n_pending,
             jobs_complete
           FROM lt CROSS JOIN cmp GROUP BY 1, 5""",
+    // the planted ledger op sequence replayed declaratively:
+    // latest-op-wins reconstruction (the engine's idempotent appends
+    // drop no-op rows, which never changes the latest op per id),
+    // then the same NOT EXISTS anti-filter / explicit-filter legs
+    "jd2_read_excluded" ->
+      """WITH ev AS (SELECT event_id, user_id,
+             'ws' || (user_id % 3) || '-' ||
+               (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8) AS partition_id
+           FROM events),
+          ops AS (SELECT * FROM (VALUES
+             ('ws0-1', 'add', 1), ('ws0-4', 'add', 1), ('ws1-1', 'add', 1),
+             ('ws1-4', 'add', 1), ('ws2-1', 'add', 1), ('ws2-4', 'add', 1),
+             ('ws0-1', 'add', 2),
+             ('ws1-4', 'remove', 3), ('ws9-0', 'remove', 3))
+            t(partition_id, op, seq)),
+          excl AS (SELECT partition_id FROM (
+              SELECT partition_id, arg_max(op, seq) AS last_op
+              FROM ops GROUP BY 1)
+            WHERE last_op = 'add'),
+          open_leg AS (SELECT 'excluded_scan' AS leg, partition_id,
+              COUNT(*) AS n_jobs, COUNT(DISTINCT user_id) AS n_users
+            FROM ev WHERE NOT EXISTS (SELECT 1 FROM excl
+              WHERE excl.partition_id = ev.partition_id)
+            GROUP BY 1, 2),
+          filt AS (SELECT 'partition_filter' AS leg, partition_id,
+              COUNT(*) AS n_jobs, COUNT(DISTINCT user_id) AS n_users
+            FROM ev WHERE partition_id IN ('ws0-1', 'ws0-2')
+            GROUP BY 1, 2)
+          SELECT leg, partition_id, CAST(n_jobs AS BIGINT) AS n_jobs,
+            CAST(n_users AS BIGINT) AS n_users FROM open_leg
+          UNION ALL
+          SELECT leg, partition_id, CAST(n_jobs AS BIGINT),
+            CAST(n_users AS BIGINT) FROM filt""",
     "q05_latest_per_user" ->
       """SELECT user_id, event_id, event_type FROM (
            SELECT user_id, event_id, event_type,

@@ -699,4 +699,81 @@ object Sinks {
     }
     (executed, terminal)
   }
+
+  /** JobsDB read-excluded partitions — the persisted partition
+    * blocklist that read queries must skip (reference:
+    * jobsdb/jobsdb_read_excluded_partitions.go:15-116). The reference
+    * keeps a `{prefix}_read_excluded_partitions` table (add =
+    * `ON CONFLICT DO NOTHING`, remove = DELETE) mirrored into an
+    * in-memory set that jobsdb_get.go:436-445 anti-filters reads on
+    * (`NOT EXISTS` against the exclusions table), UNLESS the caller
+    * passes explicit partitionFilters — exclusions and filters are
+    * mutually exclusive (jobsdb_get.go:431-433).
+    *
+    * Spark mapping: an append-only parquet op log `(seq, op,
+    * partition_id)` with latest-op-wins reconstruction — the same
+    * crash-safe ledger shape as sourceJobsRun. Idempotence comes out
+    * structurally: adding an already-excluded id or removing an
+    * absent one appends NOTHING (the reference's no-op INSERT/DELETE),
+    * so replayed batches cannot grow the log. The set is
+    * metadata-grain (≤ workspaces × numPartitions ids), so the
+    * driver-side collect is the same bound as the reference's
+    * in-memory map, and readers consume it as a broadcast anti-join —
+    * the 100 TB scan never shuffles.
+    */
+  def readExcludedPartitionIDs(spark: SparkSession, ledgerDir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    val fs = new Path(ledgerDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(ledgerDir))) Seq.empty
+    else {
+      val wLatest = Window.partitionBy(col("partition_id")).orderBy(col("seq").desc)
+      spark.read.parquet(ledgerDir)
+        .withColumn("rn", row_number().over(wLatest)).filter(col("rn") === 1)
+        .filter(col("op") === "add")
+        .select("partition_id")
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+  }
+
+  private def appendExclusionOps(spark: SparkSession, ledgerDir: String,
+                                 op: String, ids: Seq[String]): Long = {
+    if (ids.isEmpty) 0L
+    else {
+      val sess = spark
+      import sess.implicits._
+      val current = readExcludedPartitionIDs(spark, ledgerDir).toSet
+      // the reference dedups (lo.Uniq) and sorts (deadlock avoidance —
+      // here: deterministic ledger bytes) before writing
+      val effective = ids.distinct.sorted.filter(id =>
+        if (op == "add") !current.contains(id) else current.contains(id))
+      if (effective.isEmpty) 0L
+      else {
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(ledgerDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val seq0 =
+          if (!fs.exists(new Path(ledgerDir))) 0L
+          else spark.read.parquet(ledgerDir).agg(max(col("seq"))).collect()(0).getLong(0)
+        effective.map(id => (seq0 + 1L, op, id)).toDF("seq", "op", "partition_id")
+          .coalesce(1).write.mode("append").parquet(ledgerDir)
+        effective.size.toLong
+      }
+    }
+  }
+
+  /** Add partition IDs to the read-exclusion list; returns how many
+    * were newly excluded (duplicates within the batch and already-
+    * excluded ids are no-ops, the `ON CONFLICT DO NOTHING` contract).
+    */
+  def addReadExcludedPartitionIDs(spark: SparkSession, ledgerDir: String,
+                                  ids: Seq[String]): Long =
+    appendExclusionOps(spark, ledgerDir, "add", ids)
+
+  /** Remove partition IDs from the read-exclusion list; absent ids
+    * are no-ops (the reference's unconditional DELETE). Returns how
+    * many were actually un-excluded.
+    */
+  def removeReadExcludedPartitionIDs(spark: SparkSession, ledgerDir: String,
+                                     ids: Seq[String]): Long =
+    appendExclusionOps(spark, ledgerDir, "remove", ids)
 }

@@ -245,4 +245,14 @@ class PlanSpec extends SparkSpec {
     assert(total > 5, s"fixture should span many buckets, got $total")
     assert(files <= 2, s"pruned scan must read <=2 bucket dirs' files, read $files")
   }
+
+  test("jd2 read-excluded partitions: the blocklist anti-join broadcasts") {
+    val plan = planOf("jd2_read_excluded")
+    // the exclusion set is metadata-grain (<= workspaces x
+    // numPartitions ids); at 100 TB it must ride a broadcast
+    // anti-join — a shuffle here would repartition the whole queue
+    // scan to skip a handful of partitions
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"exclusions must apply as a broadcast anti-join:\n$plan")
+  }
 }

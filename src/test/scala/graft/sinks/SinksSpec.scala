@@ -627,4 +627,28 @@ class SinksSpec extends SparkSpec {
     assert(executed === 4L && batches === 3L)
     assert(ntStates(ledger).values.forall(_._1 == "succeeded"))
   }
+
+  test("read-excluded partitions: add/remove ledger is idempotent and ordered") {
+    val ledger = tmp("graft_jd2") + "/ledger"
+    // empty ledger reads as no exclusions
+    assert(Sinks.readExcludedPartitionIDs(spark, ledger) === Seq.empty)
+    // add dedups the batch (lo.Uniq) and returns the newly-excluded count
+    assert(Sinks.addReadExcludedPartitionIDs(spark, ledger,
+      Seq("ws0-3", "ws0-1", "ws0-3")) === 2L)
+    assert(Sinks.readExcludedPartitionIDs(spark, ledger) === Seq("ws0-1", "ws0-3"))
+    // re-adding an excluded id is ON CONFLICT DO NOTHING: no new rows
+    val rowsBefore = spark.read.parquet(ledger).count()
+    assert(Sinks.addReadExcludedPartitionIDs(spark, ledger, Seq("ws0-1")) === 0L)
+    assert(spark.read.parquet(ledger).count() === rowsBefore)
+    // removing an absent id is a no-op DELETE; a live one un-excludes
+    assert(Sinks.removeReadExcludedPartitionIDs(spark, ledger,
+      Seq("ws9-9", "ws0-3")) === 1L)
+    assert(Sinks.readExcludedPartitionIDs(spark, ledger) === Seq("ws0-1"))
+    // an id can cycle: re-add after remove re-excludes it
+    assert(Sinks.addReadExcludedPartitionIDs(spark, ledger, Seq("ws0-3")) === 1L)
+    assert(Sinks.readExcludedPartitionIDs(spark, ledger) === Seq("ws0-1", "ws0-3"))
+    // empty batch is a no-op (the reference early-returns)
+    assert(Sinks.addReadExcludedPartitionIDs(spark, ledger, Seq.empty) === 0L)
+    assert(Sinks.removeReadExcludedPartitionIDs(spark, ledger, Seq.empty) === 0L)
+  }
 }
