@@ -114,6 +114,69 @@ object Transforms {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     }),
 
+    // T1c: SUPPRESSION BACKUP LIFECYCLE — the T1 family's operational
+    // contract (suppression-backup-service/ + enterprise/
+    // suppress-user/factory.go:69-120): a live instance token-syncs
+    // regulations in pages, the backup service exports FULL and
+    // LATEST (trailing 30 days) artifacts, and a fresh instance
+    // restores latest-first (fast to serve), then full, then RESUMES
+    // the sync from the backup's stored token — never re-syncs from
+    // zero. The regulation feed is a deterministic md5-coin fixture
+    // (~20% cancels, ~25% wildcard-source entries, 12h spacing so the
+    // 30-day window cuts at seq 60); the feed, both backup stores,
+    // and the anti-join against events are all replayed by the
+    // oracle. Legs: `live` (the instance that never restarted),
+    // `restored_full_resume` (restore + delta sync — must EQUAL live
+    // row-for-row: the roundtrip equivalence), and
+    // `restored_latest_only` (the fast-boot partial store —
+    // non-vacuously different). n_delta = rows pulled by the
+    // post-backup sync (80 for live and the resumed restore, 0 for
+    // the latest-only boot).
+    "t1c_suppression_backup" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val feed = s.range(1, 201).select(
+        col("id").as("seq"),
+        lit("ws0").as("workspace_id"),
+        expr("concat('user_', CAST(conv(substring(md5(concat('sup|', id)), 1, 8), 16, 10) AS BIGINT) % 150)")
+          .as("user_id"),
+        expr("CAST(conv(substring(md5(concat('cxl|', id)), 1, 4), 16, 10) AS BIGINT) % 5 = 0")
+          .as("canceled"),
+        (lit(1700000000000000L) + col("id") * lit(43200000000L)).as("created_at_us"),
+        expr("CASE WHEN CAST(conv(substring(md5(concat('wld|', id)), 1, 4), 16, 10) AS BIGINT) % 4 = 0 " +
+          "THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE array(concat('src_', id % 10)) END").as("source_ids"))
+      val base = java.nio.file.Files.createTempDirectory("graft_t1c").toString
+      val live = s"$base/live"
+      graft.sinks.Suppression.sync(s, live, feed.filter(col("seq") <= 120), 50)
+      graft.sinks.Suppression.backupFull(s, live, s"$base/full")
+      graft.sinks.Suppression.backupLatest(s, live, s"$base/latest",
+        30L * 24 * 3600 * 1000000L)
+      val liveDelta = graft.sinks.Suppression.sync(s, live, feed, 50)
+      graft.sinks.Suppression.restore(s, s"$base/latest", s"$base/boot_latest")
+      graft.sinks.Suppression.restore(s, s"$base/full", s"$base/boot_full")
+      val resumeDelta = graft.sinks.Suppression.sync(s, s"$base/boot_full", feed, 50)
+      def legOf(storeDir: String, name: String, delta: Long) = {
+        val eff = graft.sinks.Suppression.effectiveSet(s, storeDir)
+        val nEntries = s.read.parquet(storeDir).count()
+        val nSupp = eff.count()
+        val kept = Tables.events(s, dir)
+          .select(concat(lit("user_"), col("user_id")).as("uid"),
+            concat(lit("src_"), col("user_id") % 10).as("src"))
+          .join(broadcast(eff), // suppression list is metadata-grain: broadcast, never shuffle events
+            col("uid") === col("user_id") &&
+              (size(col("source_ids")) === 0 ||
+                array_contains(col("source_ids"), col("src"))),
+            "left_anti")
+          .count()
+        Seq((name, nEntries, nSupp, kept, delta))
+          .toDF("leg", "n_entries", "n_suppressed", "n_kept", "n_delta")
+      }
+      legOf(live, "live", liveDelta)
+        .unionByName(legOf(s"$base/boot_full", "restored_full_resume", resumeDelta))
+        .unionByName(legOf(s"$base/boot_latest", "restored_latest_only", 0L))
+    }),
+
     // T2: event blocking filter — drop events whose (eventType) is in
     // the workspace blocklist (gateway/handle.go:604-634, drop at
     // processor.go:2038-2063). Broadcast anti-join shape.
@@ -466,6 +529,47 @@ object Transforms {
            SELECT 'user_' || CAST(i AS VARCHAR)
            FROM generate_series(0, 149, 7) t(i))
          GROUP BY event_type""",
+    // the whole lifecycle replayed declaratively: live and
+    // restored-full-resume stores are the complete feed, the
+    // latest-only store is the 30-day window (12h spacing → seq
+    // 60..120); deltas are the page math the engine's sync returns
+    "t1c_suppression_backup" -> {
+      def eff(name: String, pred: String) =
+        s"""eff_$name AS (SELECT user_id, source_ids FROM (
+              SELECT user_id, source_ids, canceled,
+                ROW_NUMBER() OVER (PARTITION BY workspace_id, user_id
+                                   ORDER BY seq DESC) AS rn
+              FROM feed WHERE $pred) t
+            WHERE rn = 1 AND NOT canceled)"""
+      def leg(name: String, pred: String, delta: Long) =
+        s"""SELECT '$name' AS leg,
+            (SELECT COUNT(*) FROM feed WHERE $pred) AS n_entries,
+            (SELECT COUNT(*) FROM eff_$name) AS n_suppressed,
+            (SELECT COUNT(*) FROM events e WHERE NOT EXISTS (
+               SELECT 1 FROM eff_$name f
+               WHERE f.user_id = 'user_' || e.user_id
+                 AND (len(f.source_ids) = 0
+                      OR list_contains(f.source_ids, 'src_' || (e.user_id % 10)))))
+              AS n_kept,
+            CAST($delta AS BIGINT) AS n_delta"""
+      s"""WITH feed AS (
+            SELECT seq, 'ws0' AS workspace_id,
+              'user_' || (CAST('0x' || substr(md5('sup|' || seq), 1, 8)
+                 AS BIGINT) % 150) AS user_id,
+              CAST('0x' || substr(md5('cxl|' || seq), 1, 4) AS BIGINT) % 5 = 0
+                AS canceled,
+              CASE WHEN CAST('0x' || substr(md5('wld|' || seq), 1, 4)
+                     AS BIGINT) % 4 = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE ['src_' || (seq % 10)] END AS source_ids
+            FROM generate_series(1, 200) t(seq)),
+          ${eff("live", "seq <= 200")},
+          ${eff("full", "seq <= 200")},
+          ${eff("latest", "seq BETWEEN 60 AND 120")}
+          ${leg("live", "seq <= 200", 80L)}
+          UNION ALL ${leg("full", "seq <= 200", 80L).replace("'full' AS leg", "'restored_full_resume' AS leg")}
+          UNION ALL ${leg("latest", "seq BETWEEN 60 AND 120", 0L).replace("'latest' AS leg", "'restored_latest_only' AS leg")}"""
+    },
     "t2_event_blocking" ->
       """SELECT event_type, COUNT(*) AS n FROM events
          WHERE event_type NOT IN ('error', 'signup')

@@ -628,6 +628,49 @@ class SinksSpec extends SparkSpec {
     assert(ntStates(ledger).values.forall(_._1 == "succeeded"))
   }
 
+  test("suppression backup: restore-and-resume converges to the live store") {
+    val sess = spark
+    import sess.implicits._
+    def feedOf(n: Int) = (1 to n).map { i =>
+      (i.toLong, "ws0", s"user_${i % 5}", i % 7 == 0,
+        1000000L * i, if (i % 4 == 0) Seq.empty[String] else Seq(s"src_${i % 3}"))
+    }.toDF("seq", "workspace_id", "user_id", "canceled", "created_at_us", "source_ids")
+    val base = tmp("graft_t1c_spec")
+    // live instance syncs 12 of an eventual 20 regulations, in pages of 5
+    assert(Suppression.sync(spark, s"$base/live", feedOf(12), 5) === 12L)
+    assert(Suppression.token(spark, s"$base/live") === 12L)
+    Suppression.backupFull(spark, s"$base/live", s"$base/full")
+    // live moves on
+    assert(Suppression.sync(spark, s"$base/live", feedOf(20), 5) === 8L)
+    // fresh instance: restore carries the token, resume pulls ONLY the delta
+    assert(Suppression.restore(spark, s"$base/full", s"$base/boot") === 12L)
+    assert(Suppression.sync(spark, s"$base/boot", feedOf(20), 5) === 8L)
+    val live = Suppression.effectiveSet(spark, s"$base/live")
+      .orderBy("user_id").collect().toSeq
+    val boot = Suppression.effectiveSet(spark, s"$base/boot")
+      .orderBy("user_id").collect().toSeq
+    assert(live === boot, "restored+resumed store must equal the live store")
+    assert(live.nonEmpty, "fixture must suppress someone")
+    // latest export windows by regulation time and keeps the token:
+    // window = 8 ticks -> entries 12-8=4..12, i.e. seq >= 4
+    Suppression.backupLatest(spark, s"$base/live", s"$base/latest", 8000000L)
+    assert(Suppression.token(spark, s"$base/latest") === 20L)
+    assert(spark.read.parquet(s"$base/latest").agg(min("seq")).first().getLong(0) === 12L)
+    // crash window: a stale token re-pulls the last page; duplicate seq
+    // rows are identical, so the effective set is unchanged
+    Suppression.sync(spark, s"$base/crash", feedOf(20), 5)
+    val before = Suppression.effectiveSet(spark, s"$base/crash")
+      .orderBy("user_id").collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(s"$base/crash")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/crash/_token.txt"), true)
+    out.write("15\n".getBytes("UTF-8")); out.close()
+    assert(Suppression.sync(spark, s"$base/crash", feedOf(20), 5) === 5L)
+    val after = Suppression.effectiveSet(spark, s"$base/crash")
+      .orderBy("user_id").collect().toSeq
+    assert(before === after, "a re-pulled page must not change the effective set")
+  }
+
   test("read-excluded partitions: add/remove ledger is idempotent and ordered") {
     val ledger = tmp("graft_jd2") + "/ledger"
     // empty ledger reads as no exclusions
