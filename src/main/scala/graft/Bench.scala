@@ -30,7 +30,12 @@ object Bench {
     // neighbor-effect outlier on BOTH runs vanishingly unlikely, and
     // the recorded spread (|t1-t2|) exposes any query whose timing is
     // dominated by session noise rather than its own plan.
+    // optional comma-separated query filter for targeted timing runs
+    // (iterating on one operator's constant without a 300-query pass)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def runPass(seed: Long): Map[String, (Double, Long, Option[String])] = {
       val rnd = new scala.util.Random(seed)
       rnd.shuffle(names).map { case (name, fn) =>

@@ -148,33 +148,41 @@ object Transforms {
           "ELSE array(concat('src_', id % 10)) END").as("source_ids"))
       val base = java.nio.file.Files.createTempDirectory("graft_t1c").toString
       val live = s"$base/live"
-      graft.sinks.Suppression.sync(s, live, feed.filter(col("seq") <= 120), 50)
+      graft.sinks.Suppression.sync(s, live, feed.filter(col("seq") <= 120), 100)
       graft.sinks.Suppression.backupFull(s, live, s"$base/full")
       graft.sinks.Suppression.backupLatest(s, live, s"$base/latest",
         30L * 24 * 3600 * 1000000L)
-      val liveDelta = graft.sinks.Suppression.sync(s, live, feed, 50)
+      val liveDelta = graft.sinks.Suppression.sync(s, live, feed, 100)
       graft.sinks.Suppression.restore(s, s"$base/latest", s"$base/boot_latest")
       graft.sinks.Suppression.restore(s, s"$base/full", s"$base/boot_full")
-      val resumeDelta = graft.sinks.Suppression.sync(s, s"$base/boot_full", feed, 50)
-      def legOf(storeDir: String, name: String, delta: Long) = {
-        val eff = graft.sinks.Suppression.effectiveSet(s, storeDir)
-        val nEntries = s.read.parquet(storeDir).count()
-        val nSupp = eff.count()
-        val kept = Tables.events(s, dir)
-          .select(concat(lit("user_"), col("user_id")).as("uid"),
-            concat(lit("src_"), col("user_id") % 10).as("src"))
-          .join(broadcast(eff), // suppression list is metadata-grain: broadcast, never shuffle events
-            col("uid") === col("user_id") &&
-              (size(col("source_ids")) === 0 ||
-                array_contains(col("source_ids"), col("src"))),
-            "left_anti")
-          .count()
-        Seq((name, nEntries, nSupp, kept, delta))
-          .toDF("leg", "n_entries", "n_suppressed", "n_kept", "n_delta")
-      }
-      legOf(live, "live", liveDelta)
-        .unionByName(legOf(s"$base/boot_full", "restored_full_resume", resumeDelta))
-        .unionByName(legOf(s"$base/boot_latest", "restored_latest_only", 0L))
+      val resumeDelta = graft.sinks.Suppression.sync(s, s"$base/boot_full", feed, 100)
+      // all three legs share ONE pass over events: the per-leg
+      // suppressed-event counts come from a single inner join against
+      // the union of the (metadata-grain, broadcast) effective sets —
+      // an effective set has at most one row per user, so join
+      // multiplicity is 1 and kept = total − suppressed
+      val legs = Seq((live, "live", liveDelta),
+        (s"$base/boot_full", "restored_full_resume", resumeDelta),
+        (s"$base/boot_latest", "restored_latest_only", 0L))
+      val effAll = legs.map { case (sd, name, _) =>
+        graft.sinks.Suppression.effectiveSet(s, sd).withColumn("leg", lit(name))
+      }.reduce(_ unionByName _)
+      val ev = Tables.events(s, dir)
+        .select(concat(lit("user_"), col("user_id")).as("uid"),
+          concat(lit("src_"), col("user_id") % 10).as("src"))
+      val nEvents = Tables.countStat(s, dir, "events")
+      val suppressedPerLeg = ev.join(broadcast(effAll),
+          col("uid") === col("user_id") &&
+            (size(col("source_ids")) === 0 ||
+              array_contains(col("source_ids"), col("src"))))
+        .groupBy(col("leg")).agg(count(lit(1)).as("n_suppressed_events"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      legs.map { case (sd, name, delta) =>
+        val nEntries = s.read.parquet(sd).count()
+        val nSupp = graft.sinks.Suppression.effectiveSet(s, sd).count()
+        (name, nEntries, nSupp,
+          nEvents - suppressedPerLeg.getOrElse(name, 0L), delta)
+      }.toDF("leg", "n_entries", "n_suppressed", "n_kept", "n_delta")
     }),
 
     // T2: event blocking filter — drop events whose (eventType) is in

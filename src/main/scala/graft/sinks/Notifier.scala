@@ -92,15 +92,32 @@ object Notifier {
     // the round clock continues monotonically across a resume, so a
     // crashed run's executing rows age into the orphan sweep
     var round = init.map(_.getLong(7)).foldLeft(0L)(math.max) + 1
+    // Transitions buffer within a round and flush as ONE parquet
+    // append per round (the r14 verdict's nt1 item: orphans /
+    // heartbeats / claims / results each cost a Spark write-job when
+    // appended separately — 4x the per-round constant for no
+    // durability gain, since the reference too commits a round's SQL
+    // inside one transaction scope). Ordering inside the batch is
+    // preserved by seq: each transition group still takes its own
+    // seq increment, so claims-before-results (the crash-window
+    // contract SinksSpec pins) is intact — and the crash round
+    // flushes claims WITHOUT results because results are never
+    // buffered on that round.
+    val pendingRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, String, Long, String, Long)]
     def append(rows: Seq[(Long, String, Long, Long, String, Long, String, Long)]): Unit = {
-      val sess = spark
-      import sess.implicits._
       rows.foreach { case (id, b, p, _, st, att, _, le) =>
         state(id) = (b, p, st, att, le)
       }
-      rows.toDF("job_id", "batch_id", "priority", "seq", "status", "attempt",
-          "worker_id", "last_exec")
+      pendingRows ++= rows
+    }
+    def flush(): Unit = if (pendingRows.nonEmpty) {
+      val sess = spark
+      import sess.implicits._
+      pendingRows.toSeq.toDF("job_id", "batch_id", "priority", "seq", "status",
+          "attempt", "worker_id", "last_exec")
         .coalesce(1).write.mode("append").parquet(ledgerDir)
+      pendingRows.clear()
     }
     var executed = 0L
     var orphaned = 0L
@@ -193,6 +210,7 @@ object Notifier {
           }
         }
       }
+      flush() // ONE append per round — the crash round has no results buffered
       round += 1
     }
     // 5. trackBatch: batches with zero pending jobs complete — their
@@ -209,6 +227,7 @@ object Notifier {
         append(complete.values.flatten.toSeq.map { case (id, (b, p, _, att, le)) =>
           (id, b, p, seq, "deleted", att, "", le)
         })
+        flush()
       }
     }
     (executed, orphaned, refreshed, batchesDone)
