@@ -72,7 +72,7 @@ object Dedup {
     """(SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 100000000, text FROM documents)"""
 
-  private val corpusSqlPerturbed =
+  private[operators] val corpusSqlPerturbed =
     """(SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 100000000, substr(text, strpos(text, ' ') + 1) FROM documents)"""
 
@@ -88,7 +88,7 @@ object Dedup {
           .as("sh"))
 
   // mirrors shingles(): 1-based list indexing
-  private def shinglesSqlFrom(table: String): String =
+  private[operators] def shinglesSqlFrom(table: String): String =
     s"""SELECT doc_id,
          unnest(list_distinct(list_transform(range(1, len(w) - 1),
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
@@ -97,7 +97,7 @@ object Dedup {
 
   private val shinglesSql = shinglesSqlFrom("corpus")
 
-  private val nSig = 16 // MinHash signature length; 4 bands x 4 rows
+  private[operators] val nSig = 16 // MinHash signature length; 4 bands x 4 rows
 
   /** Per-component xor seeds: min(h(x) XOR c_i) over fixed random
     * constants c_i is a standard cheap MinHash family — ONE base hash
@@ -1264,7 +1264,7 @@ object Dedup {
           "'nw', CAST(ends[j] - starts[j] + 1 AS BIGINT))), c -> c.nw > 0)")).as("c"))
       .select(col("doc_id"), col("c.h").as("h"), col("c.nw").as("nw"))
 
-  private def sigSelect(prefix: String): String =
+  private[operators] def sigSelect(prefix: String): String =
     (0 until nSig).map(i =>
       s"min(xor(CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT), " +
         s"CAST(${sigSeeds(i)} AS BIGINT))) AS $prefix$i").mkString(", ")

@@ -93,6 +93,204 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
     }),
 
+    // CP5: the FULL PRETRAINING-DATA RELEASE — the cp family's
+    // capstone: every curation stage the library ships, composed in
+    // execution order over the two-crawl corpus, with a per-stage
+    // ATTRITION LEDGER (each document is attributed to the FIRST gate
+    // that drops it) and the release manifest (per-split shard rows).
+    // Stages, each reusing the named operator's exact semantics:
+    //   1 exact dedup (ll1: keep min doc_id per content hash)
+    //   2 MinHash near-dup among exact survivors (ll2: band
+    //     candidates verified at >= 8/16 matching signature
+    //     components ~ J >= 0.5; keep-min resolution)
+    //   3 semantic dedup (ll8's hyperplane-bucketed cosine >= 0.8) on
+    //     the crawl-aligned embedding snapshots (the second crawl's
+    //     re-embeddings are the +1e8-id perturbed twins) — catches
+    //     the reordered-template twins whose 3-gram Jaccard is ~0,
+    //     invisible to MinHash
+    //   4 decontamination: the benchmark slice itself (doc_id % 41 =
+    //     0, the eval holdout) plus ll31's exact 13-gram GPT-3 rule
+    //     ('drop' verdict = >= 80% of the doc's grams contaminated)
+    //   5 quality gate (ta2's verdict)
+    //   6 perplexity gate (ta26's KN mean surprisal > 4800 milli-bits)
+    //   7 PPS token sampling to a 100-unit budget (ta23: docs whose
+    //     cumulative-token span crosses no unit boundary sample out)
+    //   8 deterministic splits (ta15's hash rule, 80/10/10) + ta6
+    //     shard packing at a 2000-token budget
+    // CONSERVATION is structural: input = Σ gate rows + Σ shard rows
+    // (docs and tokens) — PipelineSpec asserts it, and the 'input'
+    // row makes it oracle-visible. Scale shape: gates 1-6 are
+    // independent per-doc flags (one corpus scan per stage family —
+    // PlanSpec pins the scan count), the near-dup side reads the
+    // maintained signature index, and the only ordered structures are
+    // the two sqrt-bucketed prefix sums (PPS cumsum + shard packing).
+    "cp5_pretraining_release" -> ((s, dir) => {
+      // the second crawl is realistically mixed: stable pages
+      // re-crawl IDENTICAL (doc_id % 17 = 0 — the exact-dedup gate's
+      // prey), template re-renders keep the bag of words but reorder
+      // it (% 19 = 3 — 3-gram Jaccard ≈ 0, invisible to MinHash, but
+      // the re-embedding is near-identical, so ONLY the semantic gate
+      // catches these), everything else drifts by the standard
+      // first-word perturbation (the near-dedup gate's prey)
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val twins = base.select((col("doc_id") + 100000000L).as("doc_id"),
+        when(col("doc_id") % 17 === 0, col("text"))
+          .when(col("doc_id") % 19 === 3,
+            concat_ws(" ", reverse(split(col("text"), " "))))
+          .otherwise(expr("substring(text, instr(text, ' ') + 1)")).as("text"))
+      val cor = base.unionByName(twins)
+      // gates 1 + 5 ride the same scan: content-hash window + ta2 row flags
+      val wEx = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val flagged = TextAnalysis.withQualityVerdict(
+          cor.withColumn("h", md5(col("text")))
+            .withColumn("ws", split(col("text"), " ")))
+        .withColumn("exact_dup", row_number().over(wEx) > 1)
+        .select(col("doc_id"), col("n_words").as("nt"), col("verdict"),
+          col("exact_dup"))
+      // gate 2: near-dup among exact survivors (signatures built over
+      // THIS corpus — the custom twin mix isn't the maintained
+      // index's; per-doc signatures depend only on the doc itself)
+      val surv1 = flagged.filter(!col("exact_dup")).select(col("doc_id"))
+      val sigs1 = Dedup.minhashSignatures(
+        Dedup.shingles(cor.join(surv1, "doc_id")))
+      val nearDrop = Dedup.verifyPairs(Dedup.bandCandidates(sigs1), sigs1)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      // gate 3: embedding near-dup, crawl-aligned ids
+      val embBase = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val embTwin = embBase.select((col("vec_id") + 100000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i < 32, CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT), x))")
+          .as("embedding"))
+      val emb = (0 until 8).foldLeft(
+          Similarity.withNorm(embBase.unionByName(embTwin))) { (df, j) =>
+        df.withColumn(s"d$j", Similarity.dotExpr("embedding",
+          s"array(${Similarity.hyperplane(j, 64).mkString(",")})"))
+      }
+      val bucketed = emb
+        .withColumn("bucket", (0 until 8).map(j =>
+          when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val semDrop = bucketed.as("x").join(bucketed.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .withColumn("sim",
+          Similarity.dotExpr("x.embedding", "y.embedding") /
+            sqrt(col("x.nrm") * col("y.nrm")))
+        .filter(col("sim") >= 0.8)
+        .select(col("y.vec_id").as("doc_id")).distinct()
+        .withColumn("sem_dup", lit(true))
+      // gate 4: ll31's 13-gram rule, 'drop' verdict only
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 13)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(ws) - 13), i -> " +
+            "CAST(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, 13))), 1, 15), " +
+            "16, 10) AS BIGINT))"))).as("g"))
+      val benchG = grams(Tables.documents(s, dir)
+          .filter(col("doc_id") % 41 === 0).select(col("doc_id"), col("text")))
+        .select(col("g")).distinct()
+      val deconDrop = grams(cor)
+        .join(broadcast(benchG.withColumn("hit", lit(1L))), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .filter(col("n_contaminated") * 5 >= col("n_grams") * 4)
+        .select(col("doc_id")).withColumn("decon_drop", lit(true))
+      // gate 6: ta26's surprisal over the two-crawl corpus, LM on the
+      // base crawl
+      val lm = TextAnalysis.knBigramLm(s, dir)
+        .select(col("w1"), col("w2"), col("p_kn_ppm"))
+      val pplDrop = cor
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+        .join(lm, Seq("w1", "w2"))
+        .withColumn("x",
+          expr("greatest(1L, 1000000 DIV greatest(1L, p_kn_ppm))"))
+        .withColumn("e", expr(TextAnalysis.log2ExpCase))
+        .withColumn("m", expr("(x * 8) DIV shiftleft(1L, CAST(e AS INT))"))
+        .withColumn("s_mb", expr(
+          s"CAST(e * 1000 + (${TextAnalysis.log2FracCase}) AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("s_mb")).as("surprisal_mb"))
+        .filter(expr("surprisal_mb DIV n_bigrams") > 4800L)
+        .select(col("doc_id")).withColumn("ppl_drop", lit(true))
+      // attribution: first gate wins
+      val att = flagged
+        .join(nearDrop, Seq("doc_id"), "left")
+        .join(semDrop, Seq("doc_id"), "left")
+        .join(broadcast(deconDrop), Seq("doc_id"), "left")
+        .join(pplDrop, Seq("doc_id"), "left")
+        .withColumn("gate",
+          when(col("exact_dup"), "exact_dedup")
+            .when(col("near_dup"), "near_dedup")
+            .when(col("sem_dup"), "semantic_dedup")
+            .when(col("doc_id") % 41 === 0 && col("doc_id") < 100000000L,
+              "decontamination") // the benchmark holdout itself
+            .when(col("decon_drop"), "decontamination")
+            .when(col("verdict") =!= "keep", "quality")
+            .when(col("ppl_drop"), "perplexity"))
+        .select(col("doc_id"), col("nt"), col("gate"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds ledger + survivors
+      // gate 7: PPS to 100 units over the survivors (ta23's two-level
+      // sqrt-bucketed cumsum; the unit step is an in-plan scalar)
+      val surv = att.filter(col("gate").isNull).select(col("doc_id"), col("nt"))
+      val maxId = Tables.maxIdStat(s, dir, "documents", "doc_id")
+      val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
+      val d7 = surv.withColumn("bucket", expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)"))
+      val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val local = d7.withColumn("cum_local", sum(col("nt")).over(wLocal))
+      val wPrefix = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = d7.groupBy(col("bucket")).agg(sum(col("nt")).as("btot"))
+        .withColumn("prefix", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
+        .select(col("bucket"), col("prefix"))
+      val tot = surv.agg(sum(col("nt")).as("tot"))
+      val pps = local.join(prefix, "bucket")
+        .withColumn("cum", col("prefix") + col("cum_local"))
+        .crossJoin(broadcast(tot)) // 1-row scalar, rule (b)
+        .withColumn("n_units", expr(
+          "cum DIV greatest(1L, tot DIV 100) - (cum - nt) DIV greatest(1L, tot DIV 100)"))
+      // gate 8: splits + shard packing over the sampled release
+      val bucket100 = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(100L))
+      val sp = pps.filter(col("n_units") > 0L)
+        .withColumn("split",
+          when(bucket100 < 80, "train").when(bucket100 < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("split"), col("nt"),
+          expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)").as("bucket"))
+      val wL2 = Window.partitionBy(col("split"), col("bucket")).orderBy(col("doc_id"))
+      val local2 = sp.withColumn("cum_local", sum(col("nt")).over(wL2))
+      val wP2 = Window.partitionBy(col("split")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix2 = sp.groupBy(col("split"), col("bucket")).agg(sum(col("nt")).as("btot"))
+        .withColumn("prefix", coalesce(sum(col("btot")).over(wP2), lit(0L)))
+        .select(col("split"), col("bucket"), col("prefix"))
+      val shards = local2.join(prefix2, Seq("split", "bucket"))
+        .withColumn("shard_id",
+          expr("CAST((prefix + cum_local - nt) DIV 2000 AS BIGINT)"))
+        .groupBy(col("split"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .select(concat(lit("shard:"), col("split"), lit(":"), col("shard_id")).as("stage"),
+          col("n_docs"), col("n_tokens"))
+      // the ledger + manifest + the conservation-visible input row
+      val gates = att.filter(col("gate").isNotNull)
+        .groupBy(col("gate"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .select(concat(lit("gate:"), col("gate")).as("stage"),
+          col("n_docs"), col("n_tokens"))
+      val ppsOut = pps.filter(col("n_units") === 0L)
+        .groupBy(lit("gate:pps_sampled_out").as("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val input = att.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .select(lit("input").as("stage"), col("n_docs"), col("n_tokens"))
+      gates.unionByName(ppsOut).unionByName(shards).unionByName(input)
+    }),
+
     // Corpus SNAPSHOT DIFF — the planning step of an incremental
     // refresh: two crawl snapshots of the same keyed corpus are
     // diffed into the delta manifest (added / removed / changed doc
@@ -311,6 +509,173 @@ object Pipeline {
           SELECT split, CAST((endp - nt) // 2000 AS BIGINT) AS shard_id,
             COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
           FROM pre GROUP BY 1, 2"""
+    },
+
+    // every stage replayed from the library's own proven oracle
+    // blocks: cp1's dedup window + ta2 rule, ll2's band/verify chain
+    // (over the exact-survivor set — signatures are subset-stable),
+    // ll8's hyperplane buckets with the crawl-aligned +1e8 twins,
+    // ll31's 13-gram rule, ta26's KN surprisal, ta23's unit-boundary
+    // sampling, cp2's split hash + shard packing
+    "cp5_pretraining_release" -> {
+      import TextAnalysis.{stopwords, inList, log2ExpCase, log2FracCase}
+      val bandSql = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(" +
+          (0 until 4).map(r => s"s${4 * b + r}").mkString(" || ',' || ") +
+          ") AS bkey FROM sig").mkString("\n UNION ALL ")
+      val matchSql = (0 until Dedup.nSig)
+        .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val bitsSql = (0 until 8).map(j =>
+        s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      val dotsSql = (0 until 8).map { j =>
+        s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * hv$j[i])) AS d$j"
+      }.mkString(", ")
+      val hvDefs = (0 until 8).map { j =>
+        s"[${Similarity.hyperplane(j, 64).mkString(", ")}]::DOUBLE[] AS hv$j"
+      }.mkString(", ")
+      val gram = "unnest(list_distinct(list_transform(range(1, len(w) - 11), " +
+        "i -> CAST(CAST('0x' || substr(md5(array_to_string(w[i:i+12], ' ')), " +
+        "1, 15) AS UBIGINT) AS BIGINT)))) AS g"
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000000,
+              CASE WHEN doc_id % 17 = 0 THEN text
+                   WHEN doc_id % 19 = 3
+                     THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                   ELSE substr(text, strpos(text, ' ') + 1) END
+            FROM documents),
+          qual AS (SELECT doc_id, text,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ${inList(stopwords.head._2)})) AS BIGINT) AS stop_hits
+            FROM corpus),
+          ex AS (SELECT doc_id, text, nt, n_chars, stop_hits,
+              ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+                AS exact_dup
+            FROM qual),
+          dd2 AS (SELECT doc_id, text FROM ex WHERE NOT exact_dup),
+          sh AS (${Dedup.shinglesSqlFrom("dd2")}),
+          sig AS (SELECT doc_id, ${Dedup.sigSelect("s")} FROM sh GROUP BY doc_id),
+          band AS ($bandSql),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM band x JOIN band y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                       AND x.doc_id < y.doc_id),
+          near AS (SELECT DISTINCT doc_b AS doc_id
+                   FROM cand JOIN sig a ON doc_a = a.doc_id
+                             JOIN sig b ON doc_b = b.doc_id
+                   WHERE ($matchSql) >= 8),
+          h AS (SELECT $hvDefs),
+          ecorpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000000,
+              list_transform(range(1, 65),
+                i -> CASE WHEN i <= 32
+                          THEN CAST(CAST(embedding[i] AS DOUBLE) * 1.1 AS FLOAT)
+                          ELSE embedding[i] END)
+            FROM embeddings),
+          ed AS (SELECT vec_id, embedding, ${Similarity.normSql} AS nrm, $dotsSql
+                 FROM ecorpus, h),
+          eb AS (SELECT vec_id, embedding, nrm,
+                   CAST($bitsSql AS BIGINT) AS bucket FROM ed),
+          sem AS (SELECT DISTINCT y.vec_id AS doc_id
+                  FROM eb x JOIN eb y
+                    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+                  WHERE list_sum(list_transform(range(1, 65),
+                          i -> CAST(x.embedding[i] AS DOUBLE)
+                             * CAST(y.embedding[i] AS DOUBLE)))
+                        / sqrt(x.nrm * y.nrm) >= 0.8),
+          tg AS (SELECT doc_id, $gram
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+                 WHERE len(w) >= 13),
+          bench AS (SELECT DISTINCT g FROM (
+                      SELECT doc_id, $gram
+                      FROM (SELECT doc_id, string_split(text, ' ') AS w
+                            FROM documents WHERE doc_id % 41 = 0)
+                      WHERE len(w) >= 13)),
+          dec AS (SELECT tg.doc_id
+                  FROM tg LEFT JOIN bench b USING (g)
+                  GROUP BY 1
+                  HAVING SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 5
+                         >= COUNT(*) * 4),
+          bg AS (SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+                 FROM (SELECT string_split(text, ' ') AS ws FROM documents
+                       WHERE len(string_split(text, ' ')) >= 2),
+                      unnest(range(len(ws) - 1)) AS t(i)),
+          c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+          ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1f
+                  FROM c12 GROUP BY 1),
+          back AS (SELECT w2, COUNT(*) AS n1b FROM c12 GROUP BY 1),
+          bt AS (SELECT COUNT(*) AS b FROM c12),
+          lm AS (SELECT c12.w1, c12.w2,
+                   (4 * c12.c12 - 3) * 250000 // t.c1
+                     + (750000 * t.n1f // t.c1)
+                       * (back.n1b * 1000000 // bt.b) // 1000000
+                     AS p_kn_ppm
+                 FROM c12 JOIN ctx t USING (w1) JOIN back USING (w2)
+                 CROSS JOIN bt),
+          db AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+                       WHERE len(string_split(text, ' ')) >= 2),
+                      unnest(range(len(ws) - 1)) AS t(i)),
+          sx AS (SELECT doc_id,
+                   greatest(1, 1000000 // greatest(1, p_kn_ppm)) AS x
+                 FROM db JOIN lm USING (w1, w2)),
+          se AS (SELECT doc_id, x, $log2ExpCase AS e FROM sx),
+          sm AS (SELECT doc_id, e, (x * 8) // (1::BIGINT << CAST(e AS INT)) AS m
+                 FROM se),
+          sc AS (SELECT doc_id,
+                   CAST(e * 1000 + ($log2FracCase) AS BIGINT) AS s_mb
+                 FROM sm),
+          ppl AS (SELECT doc_id FROM sc GROUP BY 1
+                  HAVING CAST(SUM(s_mb) AS BIGINT) // COUNT(*) > 4800),
+          att AS (SELECT e.doc_id, e.nt,
+              CASE WHEN e.exact_dup THEN 'exact_dedup'
+                   WHEN e.doc_id IN (SELECT doc_id FROM near) THEN 'near_dedup'
+                   WHEN e.doc_id IN (SELECT doc_id FROM sem) THEN 'semantic_dedup'
+                   WHEN e.doc_id % 41 = 0 AND e.doc_id < 100000000
+                     THEN 'decontamination'
+                   WHEN e.doc_id IN (SELECT doc_id FROM dec) THEN 'decontamination'
+                   WHEN NOT (e.nt BETWEEN 20 AND 100
+                             AND (e.n_chars - (e.nt - 1)) / e.nt < 8
+                             AND e.stop_hits / e.nt >= 0.02) THEN 'quality'
+                   WHEN e.doc_id IN (SELECT doc_id FROM ppl) THEN 'perplexity'
+              END AS gate
+            FROM ex e),
+          sv AS (SELECT doc_id, nt FROM att WHERE gate IS NULL),
+          tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS tot FROM sv),
+          cums AS (SELECT doc_id, nt,
+              CAST(SUM(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM sv),
+          pps AS (SELECT doc_id, nt,
+              cum // greatest(1, tot // 100)
+                - (cum - nt) // greatest(1, tot // 100) AS n_units
+            FROM cums CROSS JOIN tot),
+          sp AS (SELECT doc_id, nt,
+              CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM pps WHERE n_units > 0),
+          pre AS (SELECT split, nt,
+              CAST(SUM(nt) OVER (PARTITION BY split ORDER BY doc_id) AS BIGINT)
+                AS endp
+            FROM sp)
+          SELECT 'gate:' || gate AS stage, COUNT(*) AS n_docs,
+            CAST(SUM(nt) AS BIGINT) AS n_tokens
+          FROM att WHERE gate IS NOT NULL GROUP BY 1
+          UNION ALL
+          SELECT 'gate:pps_sampled_out', COUNT(*), CAST(SUM(nt) AS BIGINT)
+          FROM pps WHERE n_units = 0 GROUP BY 1
+          UNION ALL
+          SELECT 'shard:' || split || ':' || CAST((endp - nt) // 2000 AS BIGINT),
+            COUNT(*), CAST(SUM(nt) AS BIGINT)
+          FROM pre GROUP BY 1
+          UNION ALL
+          SELECT 'input', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM att"""
     },
 
     // text compared directly where the engine compares hashes — the

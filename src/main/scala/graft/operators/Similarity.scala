@@ -40,10 +40,10 @@ object Similarity {
     * unchanged. Registration is guaranteed by Tables.load (the
     * query-path choke point) / GraftExtensions (production).
     */
-  private def dotExpr(a: String, b: String) =
+  private[operators] def dotExpr(a: String, b: String) =
     expr(s"dot_native($a, $b)")
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private[operators] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", expr("dot_native(embedding, embedding)"))
 
   /** Deterministic {-1,+1} hyperplane component: +1 iff the first hex
@@ -811,7 +811,7 @@ object Similarity {
     })
   )
 
-  private val normSql =
+  private[operators] val normSql =
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
   private def annOracle(cellFilter: String): String =

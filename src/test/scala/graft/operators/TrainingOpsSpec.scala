@@ -192,4 +192,30 @@ class TrainingOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
     assert(got === expected, "delta manifest must match the slice rules; unchanged docs never appear")
   }
+
+  test("cp5 release: tokens are conserved across the attrition ledger, every gate fires") {
+    val rows = run("cp5_pretraining_release").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val input = rows.filter(_._1 == "input")
+    assert(input.length === 1)
+    val rest = rows.filterNot(_._1 == "input")
+    // CONSERVATION: every input doc and token is either in a shard or
+    // attributed to exactly one gate — nothing vanishes, nothing
+    // double-counts
+    assert(rest.map(_._2).sum === input.head._2, "docs must be conserved")
+    assert(rest.map(_._3).sum === input.head._3, "tokens must be conserved")
+    // no hollow arms: each curation gate must actually drop documents
+    // on the mixed-crawl fixture (identical re-crawls for exact,
+    // drifted twins for MinHash, reordered templates for semantic,
+    // the bench holdout for decon)
+    val gates = rest.filter(_._1.startsWith("gate:")).map(r => r._1 -> r._2).toMap
+    for (g <- Seq("gate:exact_dedup", "gate:near_dedup", "gate:semantic_dedup",
+        "gate:decontamination", "gate:quality", "gate:perplexity"))
+      assert(gates.getOrElse(g, 0L) > 0L, s"$g dropped nothing — hollow gate")
+    // the release itself is non-empty and split across train/val/test
+    val shards = rest.filter(_._1.startsWith("shard:"))
+    assert(shards.nonEmpty && shards.map(_._3).sum > 0L)
+    assert(shards.map(_._1.split(":")(1)).distinct.length === 3,
+      "all three splits must receive shards")
+  }
 }
