@@ -131,6 +131,19 @@ object BenchScale {
         case c => col(c)
       }.toSeq: _*)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // nt1 reads orders (its %40 job board stays fixed — the flat-probe
+    // expectation), prof16 scans lineitem; both fact tables replicate
+    // on their order key so per-key multiplicities grow with K
+    for ((table, key) <- Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")) {
+      val t = spark.read.parquet(s"$src/$table.parquet")
+      t.crossJoin(broadcast(reps))
+        .select(t.columns.map {
+          case c if c == key => (col(key) * k + col("rep")).as(key)
+          case c => col(c)
+        }.toSeq: _*)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
   }
 
   /** Time a query with shuffle parallelism proportional to the data
@@ -146,6 +159,13 @@ object BenchScale {
                         partitions: Int): Double = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
     def once(): Double = {
+      // every invocation builds NEW DataFrames, so a query's persist()
+      // calls accumulate cache entries the session never releases —
+      // across 26 queries x 2 scales the late probes otherwise run
+      // under tens of GB of dead cache (a2d read 1.07 in-session vs
+      // 0.35 isolated before this). Clearing makes every measurement
+      // equally cold and the probes order-independent.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9

@@ -325,6 +325,34 @@ object EventStream {
   }
 
   /** End-to-end slice: stream → preprocess → tracks → MERGE sink. */
+  /** Streaming sibling of jd2 (jobsdb read-excluded partitions): every
+    * micro-batch RE-RESOLVES the current exclusion set from the ledger
+    * — the reference's in-memory blocklist is mutated by add/remove
+    * calls BETWEEN read queries, so each read sees the set as of its
+    * own start (jobsdb_get.go:436-445), which in streaming terms is
+    * per-micro-batch resolution. An exclusion added mid-stream takes
+    * effect on the next batch; a removal re-opens the partition with
+    * no restart. The set is metadata-grain, so the filter is a
+    * broadcast anti-join per batch — the stream never shuffles for it.
+    */
+  def readExcludedStream(events: DataFrame, ledgerDir: String,
+                         outDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val ex = graft.sinks.Sinks.readExcludedPartitionIDs(s, ledgerDir)
+        val kept =
+          if (ex.isEmpty) batch
+          else {
+            import s.implicits._
+            batch.join(broadcast(ex.toDF("partition_id")),
+              Seq("partition_id"), "left_anti")
+          }
+        kept.write.mode("append").parquet(outDir)
+      }
+      .start()
+
   def startTracksPipeline(events: DataFrame, tablePath: String,
                           checkpointDir: String): StreamingQuery =
     toTracks(preprocess(events))

@@ -1293,4 +1293,33 @@ class StreamingSpec extends SparkSpec {
       assert(latest()(1L)._2 === 0L)
     } finally q.stop()
   }
+  test("jd2 streaming: exclusions added mid-stream gate the next micro-batch, removals re-open") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val base = Files.createTempDirectory("jd2s").toString
+    val (ledger, out) = (s"$base/ledger", s"$base/out")
+    val q = graft.streaming.EventStream.readExcludedStream(
+      input.toDF().toDF("partition_id", "event_id"), ledger, out)
+    def landed() = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    try {
+      // batch 1: empty ledger, everything lands
+      input.addData("ws0-1" -> 1L, "ws0-2" -> 2L)
+      q.processAllAvailable()
+      assert(landed() === Set("ws0-1" -> 1L, "ws0-2" -> 2L))
+      // exclusion added BETWEEN batches gates the next one
+      graft.sinks.Sinks.addReadExcludedPartitionIDs(spark, ledger, Seq("ws0-1"))
+      input.addData("ws0-1" -> 3L, "ws0-2" -> 4L)
+      q.processAllAvailable()
+      assert(landed() === Set("ws0-1" -> 1L, "ws0-2" -> 2L, "ws0-2" -> 4L),
+        "the excluded partition's mid-stream rows must be skipped")
+      // removal re-opens the partition without a restart
+      graft.sinks.Sinks.removeReadExcludedPartitionIDs(spark, ledger, Seq("ws0-1"))
+      input.addData("ws0-1" -> 5L)
+      q.processAllAvailable()
+      assert(landed().contains("ws0-1" -> 5L))
+    } finally q.stop()
+  }
 }
