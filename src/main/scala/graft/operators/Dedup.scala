@@ -397,7 +397,7 @@ object Dedup {
     * the corpus, not the corpus); a 100 TB deployment keeps the
     * parquet and drops the persist.
     */
-  private def materializedTable(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+  private[operators] def materializedTable(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
                                 s: SparkSession, dir: String, name: String)
                                (build: => DataFrame): DataFrame = {
     val key = s.sparkContext.applicationId + "|" + dir

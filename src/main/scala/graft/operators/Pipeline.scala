@@ -199,7 +199,7 @@ object Pipeline {
         .select(col("doc_id")).withColumn("decon_drop", lit(true))
       // gate 6: ta26's surprisal over the two-crawl corpus, LM on the
       // base crawl
-      val lm = TextAnalysis.knBigramLm(s, dir)
+      val lm = TextAnalysis.knBigramLmTable(s, dir)
         .select(col("w1"), col("w2"), col("p_kn_ppm"))
       val pplDrop = cor
         .select(col("doc_id"), split(col("text"), " ").as("ws"))

@@ -103,6 +103,18 @@ object TextAnalysis {
         expr("term1_ppm + lambda_ppm * pcont_ppm DIV 1000000L"))
   }
 
+  /** The MAINTAINED full KN bigram LM — the same
+    * build-once-read-everywhere storage story as the shingle /
+    * signature tables: a reference LM is a trained artifact, not
+    * something every consumer re-estimates, so the full-context model
+    * materializes once per (session, sfDir) and ta26's gate, cp5's
+    * perplexity stage, and any future scorer read one parquet scan.
+    */
+  private val knLmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private[operators] def knBigramLmTable(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Dedup.materializedTable(knLmCache, s, dir, "knlm")(knBigramLm(s, dir))
+
   /** Exact-integer floor(log2) in MILLI-BITS of a column named `x`
     * (1 <= x < 2^20): the exponent is a 20-arm CASE over power-of-two
     * literals, the fraction an 8-arm CASE over the 3-bit mantissa
@@ -750,7 +762,7 @@ object TextAnalysis {
     // scale-free-threshold rule), and both engines compare the same
     // exact integer so the gate can never flake at the boundary.
     "ta26_perplexity_filter" -> ((s, dir) => {
-      val lm = knBigramLm(s, dir).select(col("w1"), col("w2"), col("p_kn_ppm"))
+      val lm = knBigramLmTable(s, dir).select(col("w1"), col("w2"), col("p_kn_ppm"))
       val bg = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
@@ -881,6 +893,43 @@ object TextAnalysis {
         .withColumn("quota", when(col("lang") === "en", lit(2L)).otherwise(lit(1L)))
         .filter(col("bucket") < col("quota"))
         .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
+    // TA30: MIXTURE-WEIGHT DESIGN — the step BEFORE ta9's fixed-rate
+    // sampler: temperature reweighting (τ = 0.5, the mBERT/XLM-R
+    // multilingual recipe: p_s ∝ share_s^τ) computes the per-stratum
+    // sampling design from the corpus' own token shares, flattening
+    // the head (en downsamples) and lifting the tail (zh oversamples).
+    // All exact integers: shares in ppm via DECIMAL-promoted DIV
+    // (token counts at 100 TB overflow a LONG when scaled), share^0.5
+    // via a Newton-guarded integer sqrt (a bare floor(sqrt(double))
+    // can flip at perfect-square boundaries across engines), weights
+    // renormalized in ppm, and rate_ppm = target/share — the
+    // over/undersampling factor a dataloader applies. Plan: one
+    // corpus aggregate + two 1-row scalar broadcasts; the design
+    // table is strata-sized at any corpus size.
+    "ta30_mixture_weights" -> ((s, dir) => {
+      val byLang = Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val tot = byLang.agg(sum(col("n_tokens")).as("tot"))
+      val shared = byLang.crossJoin(broadcast(tot)) // 1-row scalar, rule (b)
+        .withColumn("share_ppm",
+          expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV tot AS BIGINT)"))
+        .withColumn("r0",
+          expr("CAST(floor(sqrt(CAST(share_ppm AS DOUBLE))) AS BIGINT)"))
+        .withColumn("w", expr(
+          "CASE WHEN (r0 + 1) * (r0 + 1) <= share_ppm THEN r0 + 1 " +
+            "WHEN r0 * r0 > share_ppm THEN r0 - 1 ELSE r0 END"))
+      val wsum = shared.agg(sum(col("w")).as("wsum"))
+      shared.crossJoin(broadcast(wsum))
+        .withColumn("target_ppm", expr("w * 1000000L DIV greatest(1L, wsum)"))
+        .withColumn("rate_ppm",
+          expr("target_ppm * 1000000L DIV greatest(1L, share_ppm)"))
+        .withColumn("oversampled", col("rate_ppm") > 1000000L)
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("share_ppm"),
+          col("target_ppm"), col("rate_ppm"), col("oversampled"))
     }),
 
     // Model-based quality classification — fastText-shaped inference
@@ -2040,6 +2089,30 @@ object TextAnalysis {
              CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS quota
            FROM documents)
          WHERE bucket < quota""",
+    // the same Newton-guarded integer sqrt; shares via HUGEINT //
+    "ta30_mixture_weights" ->
+      """WITH by_lang AS (SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM by_lang),
+          sh AS (SELECT lang, n_docs, n_tokens,
+              CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tot AS BIGINT)
+                AS share_ppm
+            FROM by_lang CROSS JOIN tot),
+          r AS (SELECT *, CAST(floor(sqrt(CAST(share_ppm AS DOUBLE))) AS BIGINT)
+                  AS r0 FROM sh),
+          wt AS (SELECT lang, n_docs, n_tokens, share_ppm,
+              CASE WHEN (r0 + 1) * (r0 + 1) <= share_ppm THEN r0 + 1
+                   WHEN r0 * r0 > share_ppm THEN r0 - 1 ELSE r0 END AS w
+            FROM r),
+          ws AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM wt)
+          SELECT lang, n_docs, n_tokens, share_ppm,
+            w * 1000000 // greatest(1, wsum) AS target_ppm,
+            (w * 1000000 // greatest(1, wsum)) * 1000000
+              // greatest(1, share_ppm) AS rate_ppm,
+            (w * 1000000 // greatest(1, wsum)) * 1000000
+              // greatest(1, share_ppm) > 1000000 AS oversampled
+          FROM wt CROSS JOIN ws""",
     "ta6_shard_pack" ->
       """SELECT doc_id, n_tokens,
            CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
