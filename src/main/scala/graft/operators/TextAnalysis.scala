@@ -895,6 +895,54 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("bucket"))
     }),
 
+    // TA31: CODE-SWITCHING DETECTOR — the multilingual-curation gate
+    // ta1 can't express: ta1 picks ONE language per document; this
+    // flags documents whose stopword evidence is split across TWO
+    // language families (mixed-language web pages — boilerplate
+    // chrome in one language around content in another — which
+    // multilingual pipelines route to a separate bucket or drop).
+    // Rule: secondary-family hits >= 3 AND >= 30% of the primary
+    // family's (integer cross-multiplication, no division). Like
+    // ta7's planted PII, the fixture plants the condition: doc_id %
+    // 23 = 4 gains a German boilerplate tail, % 29 = 11 a French one
+    // (the generated corpus is monolingual-ish by construction).
+    // Pure narrow map — zero exchanges before the final ledger.
+    "ta31_code_switch" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 23 === 4,
+            lit(" der die das und der die das und")).otherwise(lit("")),
+          when(col("doc_id") % 29 === 11,
+            lit(" le et le et la le et")).otherwise(lit(""))))
+        .withColumn("ws", split(col("txt"), " "))
+      val scored = stopwords.foldLeft(d) { case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang",
+          expr(s"CAST(size(filter(ws, w -> w IN ${inList(words)})) AS BIGINT)"))
+      }
+      val langs = stopwords.map(_._1)
+      val best = greatest(langs.map(l => col(s"s_$l")): _*)
+      val primary = langs.reverse.foldLeft(lit("unknown")) { case (acc, l) =>
+        when(best > 0 && col(s"s_$l") === best, lit(l)).otherwise(acc)
+      }
+      val second = langs.map(l =>
+        when(col("primary") =!= l, col(s"s_$l")).otherwise(lit(0L)))
+        .reduce((a, b) => greatest(a, b))
+      scored
+        .withColumn("primary", primary)
+        .withColumn("sec_hits", second)
+        .withColumn("secondary", langs.reverse.foldLeft(lit("none")) {
+          case (acc, l) =>
+            when(col("sec_hits") > 0 && col("primary") =!= l &&
+              col(s"s_$l") === col("sec_hits"), lit(l)).otherwise(acc)
+        })
+        .withColumn("mixed",
+          col("sec_hits") >= 3L && col("sec_hits") * 10L >= best * 3L)
+        .filter(col("mixed"))
+        .select(col("doc_id"), col("primary").as("primary_lang"),
+          col("secondary").as("secondary_lang"),
+          best.as("primary_hits"), col("sec_hits"))
+    }),
+
     // TA30: MIXTURE-WEIGHT DESIGN — the step BEFORE ta9's fixed-rate
     // sampler: temperature reweighting (τ = 0.5, the mBERT/XLM-R
     // multilingual recipe: p_s ∝ share_s^τ) computes the per-stratum
@@ -2089,6 +2137,36 @@ object TextAnalysis {
              CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS quota
            FROM documents)
          WHERE bucket < quota""",
+    // same plant, same score lists, same first-match-wins tie-breaks
+    "ta31_code_switch" -> {
+      val scoreSql = stopwords.map { case (l, ws) =>
+        s"CAST(len(list_filter(string_split(txt, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      val langs = stopwords.map(_._1)
+      val bestSql = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+      val primSql = "CASE " + langs.map(l =>
+        s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ") +
+        " ELSE 'unknown' END"
+      val secHitsSql = "greatest(" + langs.map(l =>
+        s"(CASE WHEN prim <> '$l' THEN s_$l ELSE 0 END)").mkString(", ") + ")"
+      val secSql = "CASE " + langs.map(l =>
+        s"WHEN sec_hits > 0 AND prim <> '$l' AND s_$l = sec_hits THEN '$l'")
+        .mkString(" ") + " ELSE 'none' END"
+      s"""WITH d AS (SELECT doc_id,
+            text || CASE WHEN doc_id % 23 = 4
+                         THEN ' der die das und der die das und' ELSE '' END
+                 || CASE WHEN doc_id % 29 = 11
+                         THEN ' le et le et la le et' ELSE '' END AS txt
+          FROM documents),
+          sc AS (SELECT doc_id, $scoreSql FROM d),
+          p AS (SELECT *, $bestSql AS best FROM sc),
+          pr AS (SELECT *, $primSql AS prim FROM p),
+          sec AS (SELECT *, $secHitsSql AS sec_hits FROM pr)
+          SELECT doc_id, prim AS primary_lang, $secSql AS secondary_lang,
+            best AS primary_hits, sec_hits
+          FROM sec
+          WHERE sec_hits >= 3 AND sec_hits * 10 >= best * 3"""
+    },
     // the same Newton-guarded integer sqrt; shares via HUGEINT //
     "ta30_mixture_weights" ->
       """WITH by_lang AS (SELECT lang, COUNT(*) AS n_docs,
