@@ -404,4 +404,32 @@ class CurationOpsSpec extends SparkSpec {
       "salted heavy key must fit the per-partition budget")
     assert(rows("user_day")._4 === 1L, "fine-grain keys need no salt")
   }
+
+  test("ta30 mixture design: weights sum to ~1e6, rates invert shares, isqrt is exact at boundaries") {
+    val sess = spark
+    import sess.implicits._
+    // the Newton-guarded integer sqrt must be exact AT perfect-square
+    // boundaries — the regime where floor(sqrt(double)) can flip
+    // across engines: isqrt(x*x) = x and isqrt(x*x - 1) = x - 1
+    val probe = Seq(1L, 2L, 699L, 700L, 31622L, 31623L)
+      .flatMap(x => Seq(x * x -> x, x * x - 1 -> (x - 1)))
+      .toDF("share_ppm", "expect")
+      .withColumn("r0", expr("CAST(floor(sqrt(CAST(share_ppm AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        "CASE WHEN (r0 + 1) * (r0 + 1) <= share_ppm THEN r0 + 1 " +
+          "WHEN r0 * r0 > share_ppm THEN r0 - 1 ELSE r0 END"))
+    assert(probe.filter(col("w") =!= col("expect")).count() === 0L,
+      "guarded isqrt must be exact around perfect squares")
+    val rows = run("ta30_mixture_weights").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // targets renormalize to ~1 (ppm truncation loses < strata ppm)
+    val tsum = rows.map(_._3).sum
+    assert(tsum > 1000000L - rows.length && tsum <= 1000000L,
+      s"targets must sum to ~1e6 ppm, got $tsum")
+    // temperature < 1 flattens: the largest-share stratum downsamples,
+    // the smallest oversamples
+    val byShare = rows.sortBy(_._2)
+    assert(byShare.last._4 < 1000000L, "head stratum must downsample")
+    assert(byShare.head._4 > 1000000L, "tail stratum must oversample")
+  }
 }
