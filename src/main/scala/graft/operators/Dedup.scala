@@ -511,8 +511,7 @@ object Dedup {
     */
   private[operators] def simhashPairsOf(sh: DataFrame,
                                         bigBucket: Long = 4096L,
-                                        censusSampleRate: Double = 0.01,
-                                        censusSample: Option[DataFrame] = None)
+                                        censusSampleRate: Double = 0.01)
   : DataFrame = {
     val bands = simhashBandRows(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds sizes + both join sides
@@ -522,13 +521,14 @@ object Dedup {
         col("y.sim_lo").as("lb"), col("y.sim_hi").as("hb"))
     // sampled census: estimated max bucket ≈ sampledMax / rate. A
     // doc-level sample is the same statistic as a band-row sample (a
-    // B-member bucket shows ~B·rate sampled members either way), so
-    // callers that own the raw corpus pass `censusSample` — the 1%
-    // sampled BELOW their fingerprint projection — and the census
-    // never touches the full band table; generic callers fall back
-    // to sampling the (columnar, already-computed) sh frame.
-    val censusDocs = censusSample.getOrElse(
-      sh.sample(withReplacement = false, censusSampleRate, seed = 7L))
+    // B-member bucket shows ~B·rate sampled members either way).
+    // Every caller hands `sh` as the MAINTAINED fingerprint table
+    // (simhashTable) — an already-computed three-long-column parquet
+    // scan — so sampling it carries none of the md5 projection cost
+    // the census used to pay, and no cheaper corpus-level sample
+    // exists to plumb through.
+    val censusDocs =
+      sh.sample(withReplacement = false, censusSampleRate, seed = 7L)
     val sampledMax = simhashBandRows(censusDocs)
       .groupBy(col("combo"), col("ckey"))
       .agg(count(lit(1)).as("cnt")).agg(max(col("cnt"))).head match {

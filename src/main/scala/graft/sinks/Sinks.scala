@@ -727,7 +727,13 @@ object Sinks {
     val fs = new Path(ledgerDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(ledgerDir))) Seq.empty
     else {
-      val wLatest = Window.partitionBy(col("partition_id")).orderBy(col("seq").desc)
+      // seq ties (possible only if two writers raced the read-modify-
+      // write in appendExclusionOps) break on op: "add" < "remove", so
+      // a tied add/remove pair reconstructs as EXCLUDED — deterministic
+      // and conservative (a skipped partition is re-openable; a read of
+      // a meant-to-be-excluded one is not)
+      val wLatest = Window.partitionBy(col("partition_id"))
+        .orderBy(col("seq").desc, col("op").asc)
       spark.read.parquet(ledgerDir)
         .withColumn("rn", row_number().over(wLatest)).filter(col("rn") === 1)
         .filter(col("op") === "add")
@@ -736,6 +742,15 @@ object Sinks {
     }
   }
 
+  /** Single-writer by contract, like the reference: jobsdb serializes
+    * exclusion mutations through one owner process (the table writes
+    * ride its connection), and this ledger likewise assumes one
+    * mutator at a time — seq0 = max(seq)+1 is a read-modify-write, so
+    * two RACING writers could append ops with equal seq. Readers stay
+    * deterministic anyway: reconstruction breaks seq ties on op (add
+    * wins — see readExcludedPartitionIDs), so a race degrades to a
+    * conservative extra exclusion, never to nondeterminism.
+    */
   private def appendExclusionOps(spark: SparkSession, ledgerDir: String,
                                  op: String, ids: Seq[String]): Long = {
     if (ids.isEmpty) 0L

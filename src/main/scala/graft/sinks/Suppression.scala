@@ -60,35 +60,35 @@ object Suppression {
     try out.write(s"$tok\n".getBytes("UTF-8")) finally out.close()
   }
 
-  /** Token-paged sync (syncer.go Sync): pull pages of `pageSize`
-    * regulations with seq above the stored token, append each page
-    * with its token update (the crash window is one page — a resumed
-    * sync re-pulls at most the un-tokened page, and appends are
-    * idempotent at the entry grain because seq is the key), converge
-    * when a page comes back short. Returns rows synced.
+  /** Token sync (syncer.go Sync): append every regulation with seq
+    * above the stored token, then advance the token to the delta's
+    * max seq. The reference loops `pageSize`d pulls because its feed
+    * is a remote HTTP pager; here the feed is already a DataFrame, so
+    * the whole delta is ONE distributed pass — a sync of P reference-
+    * pages used to cost P TakeOrdered scans over the remaining feed
+    * (O(P × feed)); now it costs one filtered append plus one
+    * delta-grain aggregate, at any P. `pageSize` survives only as the
+    * reference's API shape (its value no longer changes the plan —
+    * the distributed write's tasks are the "pages").
+    *
+    * Crash contract, unchanged in kind: the token commits AFTER the
+    * data, so a crash between them re-pulls the un-tokened delta on
+    * resume — re-pulled rows are byte-identical (seq is the key) and
+    * the effective set reads latest-per-seq, so the re-append is
+    * idempotent at the entry grain. The window widened from one page
+    * to one sync's delta; the reference accepts the same idempotent
+    * re-pull on its own page boundary. Returns rows synced.
     */
   def sync(spark: SparkSession, storeDir: String, feed: DataFrame,
            pageSize: Int): Long = {
     require(pageSize > 0, s"pageSize $pageSize must be positive")
-    var tok = token(spark, storeDir)
-    var synced = 0L
-    var done = false
-    while (!done) {
-      val page = feed.filter(col("seq") > tok)
-        .orderBy(col("seq")).limit(pageSize)
-        .collect() // ≤ pageSize regulation entries — the reference holds a page in memory too
-      if (page.nonEmpty) {
-        val sess = spark
-        import sess.implicits._
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(page.toIndexedSeq, 1),
-            feed.schema)
-          .write.mode("append").parquet(storeDir)
-        tok = page.map(_.getAs[Long]("seq")).max
-        writeToken(spark, storeDir, tok)
-        synced += page.length
-      }
-      done = page.length < pageSize
+    val tok = token(spark, storeDir)
+    val delta = feed.filter(col("seq") > tok)
+    val agg = delta.agg(count(lit(1)).as("n"), max(col("seq")).as("hi")).first()
+    val synced = agg.getLong(0)
+    if (synced > 0) {
+      delta.write.mode("append").parquet(storeDir)
+      writeToken(spark, storeDir, agg.getLong(1))
     }
     synced
   }

@@ -324,7 +324,6 @@ object EventStream {
     }
   }
 
-  /** End-to-end slice: stream → preprocess → tracks → MERGE sink. */
   /** Streaming sibling of jd2 (jobsdb read-excluded partitions): every
     * micro-batch RE-RESOLVES the current exclusion set from the ledger
     * — the reference's in-memory blocklist is mutated by add/remove
@@ -353,6 +352,7 @@ object EventStream {
       }
       .start()
 
+  /** End-to-end slice: stream → preprocess → tracks → MERGE sink. */
   def startTracksPipeline(events: DataFrame, tablePath: String,
                           checkpointDir: String): StreamingQuery =
     toTracks(preprocess(events))
