@@ -84,7 +84,8 @@ object Tables {
     * 100 TB layout. Same cache discipline as [[maxIdStat]].
     */
   def countStat(spark: SparkSession, dir: String, table: String): Long = {
-    val key = Seq(spark.sparkContext.applicationId, dir, table, "#count").mkString("|")
+    val key = Seq(spark.sparkContext.applicationId, dir, table, "#count",
+      snapshotVersion(spark, dir, table)).mkString("|")
     statCache.computeIfAbsent(key, _ =>
       java.lang.Long.valueOf(loader(table)(spark, dir).count()))
   }
@@ -94,7 +95,8 @@ object Tables {
     * [[maxIdStat]]; null (empty table) yields 0.
     */
   def sumStat(spark: SparkSession, dir: String, table: String, exprSql: String): Long = {
-    val key = Seq(spark.sparkContext.applicationId, dir, table, "#sum", exprSql).mkString("|")
+    val key = Seq(spark.sparkContext.applicationId, dir, table, "#sum", exprSql,
+      snapshotVersion(spark, dir, table)).mkString("|")
     statCache.computeIfAbsent(key, _ => {
       val row = loader(table)(spark, dir)
         .agg(org.apache.spark.sql.functions.sum(
@@ -104,7 +106,8 @@ object Tables {
   }
 
   def maxIdStat(spark: SparkSession, dir: String, table: String, idCol: String): Long = {
-    val key = Seq(spark.sparkContext.applicationId, dir, table, idCol).mkString("|")
+    val key = Seq(spark.sparkContext.applicationId, dir, table, idCol,
+      snapshotVersion(spark, dir, table)).mkString("|")
     statCache.computeIfAbsent(key, _ => {
       // route through the canonical loader so timestamp stats (e.g.
       // dbg1's "now") see normalized types whatever the file encoding
@@ -113,5 +116,36 @@ object Tables {
           org.apache.spark.sql.functions.col(idCol).cast("long"))).first()
       java.lang.Long.valueOf(if (row.isNullAt(0)) 0L else row.getLong(0))
     })
+  }
+
+  /** CONTENT WATERMARK of a table at `dir`: an MD5 over the sorted
+    * (path, length, mtime) listing of `$dir/$table.parquet`. Pure
+    * driver-side filesystem METADATA — no data scan — so it is cheap
+    * enough to evaluate on every memoized-artifact lookup, and it
+    * changes whenever the table gains, loses, or rewrites a file
+    * (append, compaction, in-place re-crawl — exactly the mutations
+    * cd1/jd2/ll14 model). Every session-memoized artifact (the
+    * maintained index tables, the planner statistics) keys on it, so
+    * a corpus updated mid-session can never serve a stale index: the
+    * next lookup sees a new version and rebuilds (or, for the
+    * per-doc index tables, splices the delta — Dedup.refreshIncrementally).
+    * On a real deployment this is the table format's snapshot id
+    * (Delta/Iceberg version); the file-listing fingerprint is the
+    * plain-parquet equivalent.
+    */
+  def snapshotVersion(spark: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath.toUri.getPath}|${st.getLen}|${st.getModificationTime}"
+      }
+      entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 }

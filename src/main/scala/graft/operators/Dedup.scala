@@ -47,8 +47,15 @@ object Dedup {
     * dedup input); `perturb=true` drops the first word of each copy
     * (near-dup input). Mirrored verbatim in the oracle SQL.
     */
-  private[operators] def corpus(s: SparkSession, dir: String, perturb: Boolean): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+  private[operators] def corpus(s: SparkSession, dir: String, perturb: Boolean): DataFrame =
+    corpusOf(Tables.documents(s, dir).select(col("doc_id"), col("text")), perturb)
+
+  /** The two-crawl transform over an arbitrary (doc_id, text) frame —
+    * factored from [[corpus]] so the incremental index refresh can
+    * push DELTA documents through the exact same per-doc derivation
+    * the full build used.
+    */
+  private[operators] def corpusOf(d: DataFrame, perturb: Boolean): DataFrame = {
     // the second-crawl ids live at +100000000; a base corpus reaching that
     // id would collide silently IN BOTH ENGINES (the oracles use the
     // same constant, so the differential gate could not catch it) —
@@ -396,23 +403,105 @@ object Dedup {
     * per scan. These tables are index-sized (shingles/signatures of
     * the corpus, not the corpus); a 100 TB deployment keeps the
     * parquet and drops the persist.
+    *
+    * STALENESS CONTRACT: the memo key includes the content watermark
+    * of every source table the artifact derives from
+    * (Tables.snapshotVersion — a metadata-only file-listing
+    * fingerprint). A corpus mutated at `dir` mid-session therefore
+    * can never serve a stale index: the next lookup sees a new
+    * version, unpersists the superseded frame, and rebuilds — or
+    * reads the spliced table a prior [[refreshIncrementally]] already
+    * registered under the new version.
     */
-  private[operators] def materializedTable(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
-                                s: SparkSession, dir: String, name: String)
-                               (build: => DataFrame): DataFrame = {
-    val key = s.sparkContext.applicationId + "|" + dir
-    cache.computeIfAbsent(key, _ => {
-      // MD5 of the full key, not a 32-bit hashCode: two (session,
-      // sfDir) keys colliding would overwrite each other's artifact
-      val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        s"/graft-$name-" + java.security.MessageDigest.getInstance("MD5")
-          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      build.write.mode("overwrite").parquet(p)
-      s.read.parquet(p).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+  private[graft] final case class Materialized(version: String, path: String, df: DataFrame)
+
+  // MD5 of the full key + version, not a 32-bit hashCode: two
+  // (session, sfDir) keys colliding would overwrite each other's
+  // artifact, and the version keeps a rebuild from overwriting a
+  // file the superseded frame may still lazily read
+  private def scratchPath(name: String, key: String, ver: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft-$name-" + java.security.MessageDigest.getInstance("MD5")
+        .digest((key + "|" + ver).getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def writeAndRegister(s: SparkSession, name: String, key: String,
+                               ver: String, df: DataFrame): Materialized = {
+    val p = scratchPath(name, key, ver)
+    df.write.mode("overwrite").parquet(p)
+    Materialized(ver, p,
+      s.read.parquet(p).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[operators] def materializedTable(cache: java.util.concurrent.ConcurrentHashMap[String, Materialized],
+                                s: SparkSession, dir: String, name: String,
+                                watermarkTables: Seq[String] = Seq("documents"))
+                               (build: => DataFrame): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + dir + "|" + name
+    val ver = watermarkTables.map(Tables.snapshotVersion(s, dir, _)).mkString("|")
+    cache.compute(key, (_, old) => {
+      if (old != null && old.version == ver) old
+      else {
+        if (old != null) old.df.unpersist() // superseded snapshot: release its blocks
+        writeAndRegister(s, name, key, ver, build)
+      }
+    }).df
+  }
+
+  /** INCREMENTAL refresh of the per-doc maintained index tables
+    * (shingles, MinHash signatures, SimHash fingerprints) from a
+    * cd1-shaped delta manifest: (doc_id, status ∈ added|changed|
+    * removed) describing how the corpus at `dir` moved from the
+    * snapshot the cached tables were built on to its CURRENT state.
+    * Texts for added∪changed rows are read from the current corpus —
+    * the manifest carries only ids, exactly what cd1 emits.
+    *
+    * Every one of these tables is a pure per-doc derivation, so the
+    * splice is exact: retire the changed∪removed ids (both crawls —
+    * the +100000000 twins derive from the same base doc), push the
+    * added∪changed docs through the SAME corpusOf transform the full
+    * build used, and union. Cost is O(index + delta-docs-derivation):
+    * one anti-join over the old index (delta ids broadcast) plus the
+    * per-doc work on delta texts only — at 100 TB that is the
+    * difference between re-shingling the corpus and re-shingling a
+    * day's crawl. The spliced table registers under the corpus's NEW
+    * content watermark, so subsequent queries read it directly
+    * instead of triggering a full rebuild; tables nobody built yet
+    * are skipped (their first touch builds from current truth
+    * anyway). MaintainedTableSpec pins splice ≡ full rebuild
+    * differentially.
+    */
+  private[graft] def refreshIncrementally(s: SparkSession, dir: String, delta: DataFrame): Int = {
+    val ver = Tables.snapshotVersion(s, dir, "documents")
+    val retireBase = delta.filter(col("status").isin("changed", "removed"))
+      .select(col("doc_id"))
+    val retire = retireBase.unionByName(
+      retireBase.select((col("doc_id") + 100000000L).as("doc_id")))
+    val freshDocs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .join(broadcast(delta.filter(col("status").isin("added", "changed"))
+        .select(col("doc_id"))), "doc_id")
+    val freshCorpus = corpusOf(freshDocs, perturb = true)
+    var splicedCount = 0
+    def splice(cache: java.util.concurrent.ConcurrentHashMap[String, Materialized],
+               name: String, build: DataFrame => DataFrame): Unit = {
+      val key = s.sparkContext.applicationId + "|" + dir + "|" + name
+      cache.computeIfPresent(key, (_, old) =>
+        if (old.version == ver) old // already current: nothing to splice
+        else {
+          val spliced = old.df.join(broadcast(retire), Seq("doc_id"), "left_anti")
+            .unionByName(build(freshCorpus))
+          val out = writeAndRegister(s, name, key, ver, spliced)
+          old.df.unpersist()
+          splicedCount += 1
+          out
+        })
+    }
+    splice(shCache, "shtable", shingles)
+    splice(simCache, "simtable", simhash)
+    splice(sigCache, "sigtable", c => minhashSignatures(shingles(c)))
+    splicedCount
+  }
+
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, Materialized]()
   private[operators] def signatureTable(s: SparkSession, dir: String): DataFrame =
     materializedTable(sigCache, s, dir, "sigtable")(minhashSignatures(shingleTable(s, dir)))
 
@@ -422,7 +511,7 @@ object Dedup {
     * session-materialized shingling instead of re-splitting the
     * corpus text per query.
     */
-  private val shCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val shCache = new java.util.concurrent.ConcurrentHashMap[String, Materialized]()
   private[operators] def shingleTable(s: SparkSession, dir: String): DataFrame =
     materializedTable(shCache, s, dir, "shtable")(shingles(corpus(s, dir, perturb = true)))
 
@@ -447,7 +536,7 @@ object Dedup {
     * becomes a trivial scan of three long columns instead of a
     * corpus-text pass (the r14 verdict's ll5 census-constant item).
     */
-  private val simCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val simCache = new java.util.concurrent.ConcurrentHashMap[String, Materialized]()
   private[operators] def simhashTable(s: SparkSession, dir: String): DataFrame =
     materializedTable(simCache, s, dir, "simtable")(simhash(corpus(s, dir, perturb = true)))
 
@@ -1241,11 +1330,11 @@ object Dedup {
     * shingleTable/signatureTable, for the LSH-arm consumers (ll6b)
     * whose adaptive pipeline touches the shingle frame four times.
     */
-  private val leShCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val leShCache = new java.util.concurrent.ConcurrentHashMap[String, Materialized]()
   private[operators] def lowEntropyShingleTable(s: SparkSession, dir: String): DataFrame =
     materializedTable(leShCache, s, dir, "leshtable")(lowEntropyShingles(s, dir))
 
-  private val leSigCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val leSigCache = new java.util.concurrent.ConcurrentHashMap[String, Materialized]()
   private[operators] def lowEntropySignatureTable(s: SparkSession, dir: String): DataFrame =
     materializedTable(leSigCache, s, dir, "lesigtable")(
       minhashSignatures(lowEntropyShingleTable(s, dir)))

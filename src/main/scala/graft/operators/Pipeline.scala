@@ -20,6 +20,134 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  private val cp5AttCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
+
+  /** cp5's per-doc gate attribution — gates 1-6 of the pretraining
+    * release over the mixed two-crawl corpus, first-gate-wins. Output:
+    * (doc_id, nt, gate) with gate NULL for survivors. Factored out of
+    * the query body so it can ride the maintained-table pattern (the
+    * verdicts are deterministic per corpus snapshot); see the query's
+    * header comment for the gate-by-gate design.
+    *
+    * The second crawl is realistically mixed: stable pages re-crawl
+    * IDENTICAL (doc_id % 17 = 0 — the exact-dedup gate's prey),
+    * template re-renders keep the bag of words but reorder it
+    * (% 19 = 3 — 3-gram Jaccard ≈ 0, invisible to MinHash, but the
+    * re-embedding is near-identical, so ONLY the semantic gate catches
+    * these), everything else drifts by the standard first-word
+    * perturbation (the near-dedup gate's prey).
+    */
+  private def cp5Attribution(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val twins = base.select((col("doc_id") + 100000000L).as("doc_id"),
+      when(col("doc_id") % 17 === 0, col("text"))
+        .when(col("doc_id") % 19 === 3,
+          concat_ws(" ", reverse(split(col("text"), " "))))
+        .otherwise(expr("substring(text, instr(text, ' ') + 1)")).as("text"))
+    val cor = base.unionByName(twins)
+    // gates 1 + 5 ride the same scan: content-hash window + ta2 row flags
+    val wEx = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val flagged = TextAnalysis.withQualityVerdict(
+        cor.withColumn("h", md5(col("text")))
+          .withColumn("ws", split(col("text"), " ")))
+      .withColumn("exact_dup", row_number().over(wEx) > 1)
+      .select(col("doc_id"), col("n_words").as("nt"), col("verdict"),
+        col("exact_dup"))
+    // gate 2: near-dup among exact survivors (signatures built over
+    // THIS corpus — the custom twin mix isn't the maintained
+    // index's; per-doc signatures depend only on the doc itself)
+    val surv1 = flagged.filter(!col("exact_dup")).select(col("doc_id"))
+    val sigs1 = Dedup.minhashSignatures(
+      Dedup.shingles(cor.join(surv1, "doc_id")))
+    val nearDrop = Dedup.verifyPairs(Dedup.bandCandidates(sigs1), sigs1)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    // gate 3: embedding near-dup, crawl-aligned ids. The bucketed
+    // frame feeds both sides of the self-join un-persisted: the
+    // identical child subplans shuffle on the same bucket key, so
+    // ReuseExchange computes them once — and this whole build runs
+    // once per corpus snapshot anyway.
+    val embBase = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val embTwin = embBase.select((col("vec_id") + 100000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(i < 32, CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT), x))")
+        .as("embedding"))
+    val emb = (0 until 8).foldLeft(
+        Similarity.withNorm(embBase.unionByName(embTwin))) { (df, j) =>
+      df.withColumn(s"d$j", Similarity.dotExpr("embedding",
+        s"array(${Similarity.hyperplane(j, 64).mkString(",")})"))
+    }
+    val bucketed = emb
+      .withColumn("bucket", (0 until 8).map(j =>
+        when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+    val semDrop = bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim",
+        Similarity.dotExpr("x.embedding", "y.embedding") /
+          sqrt(col("x.nrm") * col("y.nrm")))
+      .filter(col("sim") >= 0.8)
+      .select(col("y.vec_id").as("doc_id")).distinct()
+      .withColumn("sem_dup", lit(true))
+    // gate 4: ll31's 13-gram rule, 'drop' verdict only
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 13)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws) - 13), i -> " +
+          "CAST(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, 13))), 1, 15), " +
+          "16, 10) AS BIGINT))"))).as("g"))
+    val benchG = grams(Tables.documents(s, dir)
+        .filter(col("doc_id") % 41 === 0).select(col("doc_id"), col("text")))
+      .select(col("g")).distinct()
+    val deconDrop = grams(cor)
+      .join(broadcast(benchG.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .filter(col("n_contaminated") * 5 >= col("n_grams") * 4)
+      .select(col("doc_id")).withColumn("decon_drop", lit(true))
+    // gate 6: ta26's surprisal over the two-crawl corpus, LM on the
+    // base crawl
+    val lm = TextAnalysis.knBigramLmTable(s, dir)
+      .select(col("w1"), col("w2"), col("p_kn_ppm"))
+    val pplDrop = cor
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .join(lm, Seq("w1", "w2"))
+      .withColumn("x",
+        expr("greatest(1L, 1000000 DIV greatest(1L, p_kn_ppm))"))
+      .withColumn("e", expr(TextAnalysis.log2ExpCase))
+      .withColumn("m", expr("(x * 8) DIV shiftleft(1L, CAST(e AS INT))"))
+      .withColumn("s_mb", expr(
+        s"CAST(e * 1000 + (${TextAnalysis.log2FracCase}) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_mb")).as("surprisal_mb"))
+      .filter(expr("surprisal_mb DIV n_bigrams") > 4800L)
+      .select(col("doc_id")).withColumn("ppl_drop", lit(true))
+    // attribution: first gate wins
+    flagged
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(semDrop, Seq("doc_id"), "left")
+      .join(broadcast(deconDrop), Seq("doc_id"), "left")
+      .join(pplDrop, Seq("doc_id"), "left")
+      .withColumn("gate",
+        when(col("exact_dup"), "exact_dedup")
+          .when(col("near_dup"), "near_dedup")
+          .when(col("sem_dup"), "semantic_dedup")
+          .when(col("doc_id") % 41 === 0 && col("doc_id") < 100000000L,
+            "decontamination") // the benchmark holdout itself
+          .when(col("decon_drop"), "decontamination")
+          .when(col("verdict") =!= "keep", "quality")
+          .when(col("ppl_drop"), "perplexity"))
+      .select(col("doc_id"), col("nt"), col("gate"))
+  }
+
   val defs: Map[String, Q] = Map(
     "cp1_corpus_intake" -> ((s, dir) => {
       val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
@@ -125,117 +253,16 @@ object Pipeline {
     // maintained signature index, and the only ordered structures are
     // the two sqrt-bucketed prefix sums (PPS cumsum + shard packing).
     "cp5_pretraining_release" -> ((s, dir) => {
-      // the second crawl is realistically mixed: stable pages
-      // re-crawl IDENTICAL (doc_id % 17 = 0 — the exact-dedup gate's
-      // prey), template re-renders keep the bag of words but reorder
-      // it (% 19 = 3 — 3-gram Jaccard ≈ 0, invisible to MinHash, but
-      // the re-embedding is near-identical, so ONLY the semantic gate
-      // catches these), everything else drifts by the standard
-      // first-word perturbation (the near-dedup gate's prey)
-      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val twins = base.select((col("doc_id") + 100000000L).as("doc_id"),
-        when(col("doc_id") % 17 === 0, col("text"))
-          .when(col("doc_id") % 19 === 3,
-            concat_ws(" ", reverse(split(col("text"), " "))))
-          .otherwise(expr("substring(text, instr(text, ' ') + 1)")).as("text"))
-      val cor = base.unionByName(twins)
-      // gates 1 + 5 ride the same scan: content-hash window + ta2 row flags
-      val wEx = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-      val flagged = TextAnalysis.withQualityVerdict(
-          cor.withColumn("h", md5(col("text")))
-            .withColumn("ws", split(col("text"), " ")))
-        .withColumn("exact_dup", row_number().over(wEx) > 1)
-        .select(col("doc_id"), col("n_words").as("nt"), col("verdict"),
-          col("exact_dup"))
-      // gate 2: near-dup among exact survivors (signatures built over
-      // THIS corpus — the custom twin mix isn't the maintained
-      // index's; per-doc signatures depend only on the doc itself)
-      val surv1 = flagged.filter(!col("exact_dup")).select(col("doc_id"))
-      val sigs1 = Dedup.minhashSignatures(
-        Dedup.shingles(cor.join(surv1, "doc_id")))
-      val nearDrop = Dedup.verifyPairs(Dedup.bandCandidates(sigs1), sigs1)
-        .select(col("doc_b").as("doc_id")).distinct()
-        .withColumn("near_dup", lit(true))
-      // gate 3: embedding near-dup, crawl-aligned ids
-      val embBase = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val embTwin = embBase.select((col("vec_id") + 100000000L).as("vec_id"),
-        expr("transform(embedding, (x, i) -> IF(i < 32, CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT), x))")
-          .as("embedding"))
-      val emb = (0 until 8).foldLeft(
-          Similarity.withNorm(embBase.unionByName(embTwin))) { (df, j) =>
-        df.withColumn(s"d$j", Similarity.dotExpr("embedding",
-          s"array(${Similarity.hyperplane(j, 64).mkString(",")})"))
-      }
-      val bucketed = emb
-        .withColumn("bucket", (0 until 8).map(j =>
-          when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val semDrop = bucketed.as("x").join(bucketed.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-        .withColumn("sim",
-          Similarity.dotExpr("x.embedding", "y.embedding") /
-            sqrt(col("x.nrm") * col("y.nrm")))
-        .filter(col("sim") >= 0.8)
-        .select(col("y.vec_id").as("doc_id")).distinct()
-        .withColumn("sem_dup", lit(true))
-      // gate 4: ll31's 13-gram rule, 'drop' verdict only
-      def grams(df: org.apache.spark.sql.DataFrame) = df
-        .withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 13)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(0, size(ws) - 13), i -> " +
-            "CAST(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, 13))), 1, 15), " +
-            "16, 10) AS BIGINT))"))).as("g"))
-      val benchG = grams(Tables.documents(s, dir)
-          .filter(col("doc_id") % 41 === 0).select(col("doc_id"), col("text")))
-        .select(col("g")).distinct()
-      val deconDrop = grams(cor)
-        .join(broadcast(benchG.withColumn("hit", lit(1L))), Seq("g"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
-        .filter(col("n_contaminated") * 5 >= col("n_grams") * 4)
-        .select(col("doc_id")).withColumn("decon_drop", lit(true))
-      // gate 6: ta26's surprisal over the two-crawl corpus, LM on the
-      // base crawl
-      val lm = TextAnalysis.knBigramLmTable(s, dir)
-        .select(col("w1"), col("w2"), col("p_kn_ppm"))
-      val pplDrop = cor
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 2), " +
-            "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
-        .select(col("doc_id"), col("b.w1"), col("b.w2"))
-        .join(lm, Seq("w1", "w2"))
-        .withColumn("x",
-          expr("greatest(1L, 1000000 DIV greatest(1L, p_kn_ppm))"))
-        .withColumn("e", expr(TextAnalysis.log2ExpCase))
-        .withColumn("m", expr("(x * 8) DIV shiftleft(1L, CAST(e AS INT))"))
-        .withColumn("s_mb", expr(
-          s"CAST(e * 1000 + (${TextAnalysis.log2FracCase}) AS BIGINT)"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("s_mb")).as("surprisal_mb"))
-        .filter(expr("surprisal_mb DIV n_bigrams") > 4800L)
-        .select(col("doc_id")).withColumn("ppl_drop", lit(true))
-      // attribution: first gate wins
-      val att = flagged
-        .join(nearDrop, Seq("doc_id"), "left")
-        .join(semDrop, Seq("doc_id"), "left")
-        .join(broadcast(deconDrop), Seq("doc_id"), "left")
-        .join(pplDrop, Seq("doc_id"), "left")
-        .withColumn("gate",
-          when(col("exact_dup"), "exact_dedup")
-            .when(col("near_dup"), "near_dedup")
-            .when(col("sem_dup"), "semantic_dedup")
-            .when(col("doc_id") % 41 === 0 && col("doc_id") < 100000000L,
-              "decontamination") // the benchmark holdout itself
-            .when(col("decon_drop"), "decontamination")
-            .when(col("verdict") =!= "keep", "quality")
-            .when(col("ppl_drop"), "perplexity"))
-        .select(col("doc_id"), col("nt"), col("gate"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds ledger + survivors
+      // The attributed per-doc gate verdicts (att) are deterministic
+      // given the corpus snapshot, so they ride the maintained-table
+      // pattern instead of session persists: built once per (session,
+      // dir, content watermark), written to scratch parquet, and every
+      // consumer below (ledger, survivors, conservation row) plus
+      // every later invocation (bench pass 2) reads one columnar scan.
+      // This replaced two MEMORY_AND_DISK persists that were never
+      // unpersisted — repeated invocations accumulated dead cache.
+      val att = Dedup.materializedTable(cp5AttCache, s, dir, "cp5att",
+        Seq("documents", "embeddings"))(cp5Attribution(s, dir))
       // gate 7: PPS to 100 units over the survivors (ta23's two-level
       // sqrt-bucketed cumsum; the unit step is an in-plan scalar)
       val surv = att.filter(col("gate").isNull).select(col("doc_id"), col("nt"))

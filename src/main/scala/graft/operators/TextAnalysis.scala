@@ -111,7 +111,7 @@ object TextAnalysis {
     * perplexity stage, and any future scorer read one parquet scan.
     */
   private val knLmCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
   private[operators] def knBigramLmTable(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Dedup.materializedTable(knLmCache, s, dir, "knlm")(knBigramLm(s, dir))
 
