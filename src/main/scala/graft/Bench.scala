@@ -76,16 +76,26 @@ object Bench {
     // directory (the repo — the judge reads it from there), and the
     // printed contract line stays compact: total + the slowest queries
     // + all errors, sized to survive the capture window.
-    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","passes":2,"agg":"min_of_2","queries":$qs,"spread":$spreads,"rows":$rowCounts,"errors":$errors,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","passes":2,"agg":"min_of_2","queries":$qs,"spread":$spreads,"rows":$rowCounts,"errors":$errors,"sf":"$sfDir"${only.map(f => s""","filter":"${f.toSeq.sorted.mkString(",")}"""").getOrElse("")}}"""
+    // Artifact stability (r15 verdict): a FILTERED run must never
+    // clobber the full board, and a round close can stamp an immutable
+    // copy — BENCH_FULL.json stays the rolling latest-full-run file the
+    // judge reads, BENCH_FULL_PARTIAL.json takes filtered runs, and
+    // SPARK_GRAFT_ROUND=N adds BENCH_FULL_r{N}.json that later runs
+    // (including the driver's own post-close pass) won't overwrite.
+    val fullTargets =
+      (if (only.isDefined) Seq("BENCH_FULL_PARTIAL.json") else Seq("BENCH_FULL.json")) ++
+        sys.env.get("SPARK_GRAFT_ROUND").map(r => s"BENCH_FULL_r$r.json")
     val fullWritten =
       try {
-        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-          (full + "\n").getBytes("UTF-8"))
+        fullTargets.foreach(t =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(t),
+            (full + "\n").getBytes("UTF-8")))
         true
       } catch { case NonFatal(_) => println(full); false } // unwritable cwd: at least log it
     val slowest = results.sortBy(-_._2).take(25)
       .map { case (k, v, _, _, _) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","passes":2,"agg":"min_of_2","n_queries":${results.size},"n_errors":${results.count(_._5.isDefined)},"queries":$slowest,"errors":$errors,"full":"BENCH_FULL.json","full_written":$fullWritten,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","passes":2,"agg":"min_of_2","n_queries":${results.size},"n_errors":${results.count(_._5.isDefined)},"queries":$slowest,"errors":$errors,"full":"${fullTargets.mkString(";")}","full_written":$fullWritten,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
