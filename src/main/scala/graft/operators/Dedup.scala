@@ -655,6 +655,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** The 64-token planted passage for ll33's exact-substring dedup:
+    * longer than the 50-token threshold so every occurrence is a
+    * maximal run of 15 duplicated anchors, and built from 64 DISTINCT
+    * synthetic words so no 50-gram repeats inside the passage (which
+    * would manufacture extra self-anchors) and none collides with
+    * natural corpus text. Interpolated verbatim into the oracle SQL.
+    */
+  private[operators] val leePassage: String =
+    (1 to 64).map(i => f"clause$i%02d").mkString(" ")
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: content-hash groupBy. The canonical 100 TB dedup —
@@ -986,6 +996,54 @@ object Dedup {
           when(col("doc_id") % 7 === 2, lit(passage + " ")).otherwise(lit("")),
           col("text"),
           when(col("doc_id") % 5 === 1, lit(" " + passage)).otherwise(lit("")))))
+    }),
+
+    // EXACT SUBSTRING DEDUP at the 50-token threshold — the full
+    // removal contract of Lee et al. ACL 2022 (ExactSubstr: drop every
+    // MAXIMAL duplicated substring of >= 50 tokens), where ll15 only
+    // DETECTS covered spans at window grain. Anchors are 50-token
+    // window hashes; consecutive duplicated anchor positions merge
+    // into maximal runs (gaps-and-islands, q16's shape — a run p..q
+    // is a duplicated substring of tokens p..q+49, so two overlapping
+    // 50-token matches correctly fuse into one longer cut); output is
+    // the CUT LIST — one row per (doc, span_start, span_end) — plus
+    // the doc-grain reassembly pinned by md5 of the kept tokens, i.e.
+    // the text the training set would actually keep. The planted
+    // 64-token passage lands appended (doc_id%5==1: the run extends
+    // LEFT of its last anchor), prepended (%7==2: extends RIGHT of
+    // its first anchor), and mid-document (%11==3: extends BOTH ways
+    // and the reassembly must stitch head to tail). Scale shape is
+    // ll15's: windows are linear in corpus tokens carrying (doc, pos,
+    // hash); one map-side-combined count, one join back, one per-doc
+    // sort for the merge; the cut join back to text touches only docs
+    // that have cuts. No pairwise comparison anywhere.
+    "ll33_substring_dedup" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir)
+        .withColumn("text", concat(
+          when(col("doc_id") % 7 === 2, lit(leePassage + " ")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 3 && instr(col("text"), " ") > 0,
+            concat(expr("substring(text, 1, instr(text, ' ') - 1)"),
+              lit(" " + leePassage + " "),
+              expr("substring(text, instr(text, ' ') + 1)")))
+            .otherwise(col("text")),
+          when(col("doc_id") % 5 === 1, lit(" " + leePassage)).otherwise(lit(""))))
+        .select(col("doc_id"), col("text"))
+      val spans = duplicatedSpans(aug, w = 50)
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+            .as("cuts"),
+          count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start") + 1).as("n_tokens_cut"))
+      val clean = aug.join(perDoc, "doc_id")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("clean_md5", md5(concat_ws(" ", expr(
+          "filter(ws, (t, i) -> NOT exists(cuts, c -> " +
+            "i >= c.span_start AND i <= c.span_end))"))))
+        .select(col("doc_id"), col("n_spans"), col("n_tokens_cut"), col("clean_md5"))
+      spans.select(col("doc_id"), col("span_start"), col("span_end"))
+        .join(clean, "doc_id")
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_spans"), col("n_tokens_cut"), col("clean_md5"))
     }),
 
     // Content-defined chunking dedup (the Rabin/gear CDC family, as
@@ -1692,6 +1750,57 @@ object Dedup {
          SELECT doc_id, MIN(pos) AS span_start, MAX(fin) AS span_end,
                 COUNT(*) AS n_windows
          FROM g GROUP BY doc_id, grp""",
+    // Lee et al. removal contract replayed: same 50-token anchors,
+    // same island merge as ll15's CTE chain, then the cut list joins
+    // doc-grain reassembly — kept tokens via a zipped unnest filtered
+    // by NOT EXISTS against the spans, re-joined in position order.
+    "ll33_substring_dedup" ->
+      s"""WITH aug AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 7 = 2 THEN '$leePassage ' ELSE '' END)
+             || (CASE WHEN doc_id % 11 = 3 AND strpos(text, ' ') > 0
+                 THEN substr(text, 1, strpos(text, ' ') - 1) || ' $leePassage '
+                      || substr(text, strpos(text, ' ') + 1)
+                 ELSE text END)
+             || (CASE WHEN doc_id % 5 = 1 THEN ' $leePassage' ELSE '' END)
+             AS txt
+           FROM documents),
+         w AS (SELECT doc_id, string_split(txt, ' ') AS ws FROM aug),
+         win AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  md5(array_to_string(ws[i:i + 49], ' ')) AS whash
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 48)) AS i
+                 FROM w WHERE len(ws) >= 50)),
+         freq AS (SELECT whash, COUNT(*) AS cnt FROM win GROUP BY 1),
+         dup AS (SELECT doc_id, pos, pos + 49 AS fin
+                 FROM win JOIN freq USING (whash) WHERE cnt >= 2),
+         m AS (SELECT doc_id, pos, fin,
+                      MAX(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+               FROM dup),
+         b AS (SELECT *, CASE WHEN prev_max IS NULL OR pos > prev_max + 1 THEN 1 ELSE 0 END AS brk
+               FROM m),
+         g AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS grp
+               FROM b),
+         spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(fin) AS span_end
+                   FROM g GROUP BY doc_id, grp),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                        CAST(SUM(span_end - span_start + 1) AS BIGINT) AS n_tokens_cut
+                 FROM spans GROUP BY 1),
+         toks AS (SELECT doc_id, UNNEST(ws) AS t, UNNEST(range(len(ws))) AS i
+                  FROM w WHERE doc_id IN (SELECT doc_id FROM spans)),
+         kept AS (SELECT k.doc_id, k.t, k.i FROM toks k
+                  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = k.doc_id
+                      AND k.i BETWEEN s.span_start AND s.span_end)),
+         cleanm AS (SELECT doc_id, md5(string_agg(t, ' ' ORDER BY i)) AS clean_md5
+                    FROM kept GROUP BY 1)
+         SELECT s.doc_id, s.span_start, s.span_end, a.n_spans, a.n_tokens_cut,
+                COALESCE(c.clean_md5, md5('')) AS clean_md5
+         FROM spans s
+         JOIN agg a ON s.doc_id = a.doc_id
+         LEFT JOIN cleanm c ON s.doc_id = c.doc_id""",
     "ll13_url_dedup" ->
       """SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS keep_id
          FROM (

@@ -389,4 +389,40 @@ class DedupSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)),
       "the wide scheme must catch it")
   }
+
+  test("ll33 semantics: overlapping 50-token matches fuse into ONE maximal cut, " +
+    "and reassembly restores the un-planted text") {
+    import org.apache.spark.sql.functions.{col, md5, lit}
+    // a 60-token shared passage: occurrences are maximal duplicated
+    // substrings LONGER than the 50-token window, so detection must
+    // extend anchors in both directions (two overlapping 50-token
+    // matches are one 60-token duplicate, the r15 verdict's case)
+    val passage = (1 to 60).map(i => f"p$i%02d").mkString(" ")
+    val headA = (1 to 12).map(i => f"a$i%02d").mkString(" ")
+    val tailA = (1 to 12).map(i => f"z$i%02d").mkString(" ")
+    // ids chosen OUTSIDE the query's own plant classes (%5==1 append,
+    // %7==2 prepend, %11==3 mid-insert), so the fixture passage is the
+    // only duplicate in this corpus
+    val docs = Seq(
+      4L -> s"$headA $passage $tailA", // mid-document occurrence
+      13L -> s"${(1 to 9).map(i => f"b$i%02d").mkString(" ")} $passage") // tail occurrence
+    val dir = java.nio.file.Files.createTempDirectory("graft-ll33").toString
+    docsDf(docs).coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("ll33_substring_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).sortBy(_._1)
+    assert(out.length === 2, s"one maximal cut per doc, got ${out.toSeq}")
+    // doc 4: passage occupies tokens 12..71 — a single fused span
+    assert(out(0)._1 === 4L && out(0)._2 === 12L && out(0)._3 === 71L)
+    assert(out(0)._4 === 1L && out(0)._5 === 60L)
+    // doc 13: tokens 9..68
+    assert(out(1)._1 === 13L && out(1)._2 === 9L && out(1)._3 === 68L)
+    // reassembly: cutting the span restores exactly the un-planted text
+    val sess = spark
+    import sess.implicits._
+    val expect1 = Seq(s"$headA $tailA").toDF("t")
+      .select(md5(col("t"))).head.getString(0)
+    assert(out(0)._6 === expect1,
+      "mid-document cut must stitch head to tail byte-exactly")
+  }
 }
