@@ -103,6 +103,32 @@ object Relational {
         latestNonNull(col("trait_purchase_value")).as("trait_purchase_value"))
   }
 
+  /** q11's construction at realistic users-table WIDTH: the reference's
+    * users table carries hundreds of trait columns (one per distinct
+    * identify key ever seen), so the latest-non-null-per-column
+    * aggregate must not degrade with width. `nTraits` derived columns
+    * (trait i = value when event_id % nTraits == i) run through the
+    * SAME per-column max_by groupBy as the 3-column q11 — ONE
+    * user_id shuffle with map-side partial agg regardless of width,
+    * no per-column window pass, and the events scan still prunes to
+    * the 4 source columns (props/event_type never read). PlanSpec pins
+    * all three properties at width 300; RelationalSpec pins the
+    * per-column latest-non-null values.
+    */
+  private[graft] def usersWideOf(df: org.apache.spark.sql.DataFrame,
+                                 nTraits: Int): org.apache.spark.sql.DataFrame = {
+    def latestNonNull(c: Column): Column =
+      max_by(c, when(c.isNotNull, struct(col("ts"), col("event_id"))))
+    val names = (0 until nTraits).map(i => f"trait_w$i%03d")
+    val traits = (0 until nTraits).map(i =>
+      when(pmod(col("event_id"), lit(nTraits.toLong)) === i, col("value"))
+        .as(names(i)))
+    val aggs = names.map(n => latestNonNull(col(n)).as(n))
+    df.select(Seq(col("user_id"), col("ts"), col("event_id")) ++ traits: _*)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Minute-bucket metrics aggregation — reference

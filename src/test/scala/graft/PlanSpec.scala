@@ -116,6 +116,21 @@ class PlanSpec extends SparkSpec {
       "the native exec streams the merge — no window materialization")
   }
 
+  test("L7 at realistic width: 300 trait columns stay ONE shuffle with a pruned scan") {
+    assume(new java.io.File(sfDir).exists())
+    val df = graft.operators.Relational.usersWideOf(Tables.events(spark, sfDir), 300)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"the 300-column latest-trait aggregate must stay ONE user_id shuffle " +
+        s"(map-side partial max_by per column), found $exchanges")
+    assert(!plan.contains("Window"),
+      "width must not smuggle in a per-column window pass")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"the scan must prune to the 4 source columns at any output width: $readSchema")
+  }
+
   test("q25 interval join: bucketization yields an equi-join, never a range cross product") {
     val plan = planOf("q25_interval_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
