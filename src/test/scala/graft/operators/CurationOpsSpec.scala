@@ -432,4 +432,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(byShare.last._4 < 1000000L, "head stratum must downsample")
     assert(byShare.head._4 > 1000000L, "tail stratum must oversample")
   }
+
+  test("ta30 at realistic skew: a Zipfian 30-language corpus keeps every tail " +
+    "rate finite and the downsample monotone in share") {
+    val sess = spark
+    import sess.implicits._
+    // web-crawl reality: token mass ~ Zipf over languages, en >> tail.
+    // lang k (rank k) carries floor(60000 / k) tokens — a ~25x
+    // head-to-tail ratio across 30 strata
+    val docs = (1 to 30).map { k =>
+      (k.toLong, Seq.fill(60000 / k)("tok").mkString(" "), f"lang$k%02d")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    docs.toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("ta30_mixture_weights")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex("share_ppm")),
+        r.getLong(r.fieldIndex("target_ppm")), r.getLong(r.fieldIndex("rate_ppm")),
+        r.getBoolean(r.fieldIndex("oversampled"))))
+    assert(rows.length === 30)
+    // every tail language's rate stays finite and positive — the
+    // share_ppm=0-guard (DIV by greatest(1, share)) must never NULL or
+    // zero a stratum out, however thin
+    assert(rows.forall(r => r._4 > 0L),
+      s"every rate_ppm must be finite and positive: ${rows.filter(_._4 <= 0L).toSeq}")
+    // tau = 0.5 flattening is MONOTONE: strictly more share never earns
+    // a strictly higher sampling rate (rate ~ share^-0.5; Zipf rank
+    // gaps dwarf the +-1 integer-floor error at ppm scale)
+    val byShare = rows.sortBy(_._2)
+    byShare.sliding(2).foreach { pair =>
+      val (lo, hi) = (pair(0), pair(1))
+      assert(hi._4 <= lo._4,
+        s"downsample must be monotone in share: $lo vs $hi")
+    }
+    // the head (en-analog) downsamples, the whole tail half oversamples
+    assert(!byShare.last._5 && byShare.last._4 < 1000000L,
+      "the Zipf head must downsample")
+    assert(byShare.take(15).forall(_._5),
+      "the tail half must oversample under tau=0.5")
+    // design stays a proper distribution at 30 strata
+    val tsum = rows.map(_._3).sum
+    assert(tsum > 1000000L - 30 && tsum <= 1000000L,
+      s"targets must renormalize to ~1e6 ppm at 30 strata, got $tsum")
+  }
 }
