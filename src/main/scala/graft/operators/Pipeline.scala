@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,96 +24,93 @@ object Pipeline {
   private val cp5AttCache =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
 
-  /** cp5's per-doc gate attribution — gates 1-6 of the pretraining
-    * release over the mixed two-crawl corpus, first-gate-wins. Output:
-    * (doc_id, nt, gate) with gate NULL for survivors. Factored out of
-    * the query body so it can ride the maintained-table pattern (the
-    * verdicts are deterministic per corpus snapshot); see the query's
-    * header comment for the gate-by-gate design.
-    *
-    * The second crawl is realistically mixed: stable pages re-crawl
-    * IDENTICAL (doc_id % 17 = 0 — the exact-dedup gate's prey),
-    * template re-renders keep the bag of words but reorder it
-    * (% 19 = 3 — 3-gram Jaccard ≈ 0, invisible to MinHash, but the
-    * re-embedding is near-identical, so ONLY the semantic gate catches
-    * these), everything else drifts by the standard first-word
-    * perturbation (the near-dedup gate's prey).
+  /** cp5's mixed second crawl — stable pages re-crawl IDENTICAL
+    * (doc_id % 17 = 0, the exact-dedup gate's prey), template
+    * re-renders keep the bag of words but reorder it (% 19 = 3 —
+    * 3-gram Jaccard ≈ 0, invisible to MinHash, but the re-embedding
+    * is near-identical, so ONLY the semantic gate catches these),
+    * everything else drifts by the standard first-word perturbation
+    * (the near-dedup gate's prey). Exposed so the streaming sibling
+    * can feed the SAME corpus through the fold.
     */
-  private def cp5Attribution(s: org.apache.spark.sql.SparkSession,
-                             dir: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def cp5TwinCorpus(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val twins = base.select((col("doc_id") + 100000000L).as("doc_id"),
       when(col("doc_id") % 17 === 0, col("text"))
         .when(col("doc_id") % 19 === 3,
           concat_ws(" ", reverse(split(col("text"), " "))))
         .otherwise(expr("substring(text, instr(text, ' ') + 1)")).as("text"))
-    val cor = base.unionByName(twins)
-    // gates 1 + 5 ride the same scan: content-hash window + ta2 row flags
-    val wEx = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-    val flagged = TextAnalysis.withQualityVerdict(
-        cor.withColumn("h", md5(col("text")))
-          .withColumn("ws", split(col("text"), " ")))
-      .withColumn("exact_dup", row_number().over(wEx) > 1)
-      .select(col("doc_id"), col("n_words").as("nt"), col("verdict"),
-        col("exact_dup"))
-    // gate 2: near-dup among exact survivors (signatures built over
-    // THIS corpus — the custom twin mix isn't the maintained
-    // index's; per-doc signatures depend only on the doc itself)
-    val surv1 = flagged.filter(!col("exact_dup")).select(col("doc_id"))
-    val sigs1 = Dedup.minhashSignatures(
-      Dedup.shingles(cor.join(surv1, "doc_id")))
-    val nearDrop = Dedup.verifyPairs(Dedup.bandCandidates(sigs1), sigs1)
-      .select(col("doc_b").as("doc_id")).distinct()
-      .withColumn("near_dup", lit(true))
-    // gate 3: embedding near-dup, crawl-aligned ids. The bucketed
-    // frame feeds both sides of the self-join un-persisted: the
-    // identical child subplans shuffle on the same bucket key, so
-    // ReuseExchange computes them once — and this whole build runs
-    // once per corpus snapshot anyway.
+    base.unionByName(twins)
+  }
+
+  /** The crawl-aligned embedding snapshots (the second crawl's
+    * re-embeddings are the +1e8-id perturbed twins).
+    */
+  private[graft] def cp5TwinVecs(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
     val embBase = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val embTwin = embBase.select((col("vec_id") + 100000000L).as("vec_id"),
       expr("transform(embedding, (x, i) -> IF(i < 32, CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT), x))")
         .as("embedding"))
-    val emb = (0 until 8).foldLeft(
-        Similarity.withNorm(embBase.unionByName(embTwin))) { (df, j) =>
+    embBase.unionByName(embTwin)
+  }
+
+  /** Hyperplane-bucketed vectors for the semantic gate:
+    * (vec_id, embedding, nrm, bucket) with an 8-bit sign bucket.
+    */
+  private[graft] def cp5BucketedVecs(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = (0 until 8).foldLeft(Similarity.withNorm(emb)) { (df, j) =>
       df.withColumn(s"d$j", Similarity.dotExpr("embedding",
         s"array(${Similarity.hyperplane(j, 64).mkString(",")})"))
     }
-    val bucketed = emb
-      .withColumn("bucket", (0 until 8).map(j =>
+    d.withColumn("bucket", (0 until 8).map(j =>
         when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
-    val semDrop = bucketed.as("x").join(bucketed.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("sim",
-        Similarity.dotExpr("x.embedding", "y.embedding") /
-          sqrt(col("x.nrm") * col("y.nrm")))
-      .filter(col("sim") >= 0.8)
-      .select(col("y.vec_id").as("doc_id")).distinct()
-      .withColumn("sem_dup", lit(true))
-    // gate 4: ll31's 13-gram rule, 'drop' verdict only
-    def grams(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 13)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(ws) - 13), i -> " +
-          "CAST(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, 13))), 1, 15), " +
-          "16, 10) AS BIGINT))"))).as("g"))
-    val benchG = grams(Tables.documents(s, dir)
+  }
+
+  /** Cosine similarity of two aliased bucketed-vec sides. */
+  private[graft] def cp5CosSim: Column =
+    Similarity.dotExpr("x.embedding", "y.embedding") /
+      sqrt(col("x.nrm") * col("y.nrm"))
+
+  /** ll31's 13-gram projection (gate 4's feature space). */
+  private[graft] def cp5Grams(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+    .withColumn("ws", split(col("text"), " "))
+    .filter(size(col("ws")) >= 13)
+    .select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(0, size(ws) - 13), i -> " +
+        "CAST(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, 13))), 1, 15), " +
+        "16, 10) AS BIGINT))"))).as("g"))
+
+  /** Gate 4 over an arbitrary (doc_id, text) frame: ll31's exact
+    * 13-gram GPT-3 rule against the static benchmark holdout
+    * (doc_id % 41 = 0 of the base crawl) — 'drop' verdict only
+    * (>= 80% of the doc's grams contaminated).
+    */
+  private[graft] def cp5DeconDrop(s: org.apache.spark.sql.SparkSession, dir: String,
+                                  cor: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val benchG = cp5Grams(Tables.documents(s, dir)
         .filter(col("doc_id") % 41 === 0).select(col("doc_id"), col("text")))
       .select(col("g")).distinct()
-    val deconDrop = grams(cor)
+    cp5Grams(cor)
       .join(broadcast(benchG.withColumn("hit", lit(1L))), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
       .filter(col("n_contaminated") * 5 >= col("n_grams") * 4)
       .select(col("doc_id")).withColumn("decon_drop", lit(true))
-    // gate 6: ta26's surprisal over the two-crawl corpus, LM on the
-    // base crawl
+  }
+
+  /** Gate 6 over an arbitrary (doc_id, text) frame: ta26's surprisal
+    * against the maintained KN bigram LM trained on the base crawl
+    * (a trained artifact — STATIC under streaming, like the holdout).
+    */
+  private[graft] def cp5PplDrop(s: org.apache.spark.sql.SparkSession, dir: String,
+                                cor: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val lm = TextAnalysis.knBigramLmTable(s, dir)
       .select(col("w1"), col("w2"), col("p_kn_ppm"))
-    val pplDrop = cor
+    cor
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -130,22 +128,138 @@ object Pipeline {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s_mb")).as("surprisal_mb"))
       .filter(expr("surprisal_mb DIV n_bigrams") > 4800L)
       .select(col("doc_id")).withColumn("ppl_drop", lit(true))
+  }
+
+  /** First-gate-wins attribution CASE over the joined flag columns. */
+  private[graft] def cp5GateCol: Column =
+    when(col("exact_dup"), "exact_dedup")
+      .when(col("near_dup"), "near_dedup")
+      .when(col("sem_dup"), "semantic_dedup")
+      .when(col("doc_id") % 41 === 0 && col("doc_id") < 100000000L,
+        "decontamination") // the benchmark holdout itself
+      .when(col("decon_drop"), "decontamination")
+      .when(col("verdict") =!= "keep", "quality")
+      .when(col("ppl_drop"), "perplexity")
+
+  /** cp5's per-doc gate attribution — gates 1-6 of the pretraining
+    * release over an arbitrary (corpus, embeddings) pair,
+    * first-gate-wins. Output: (doc_id, nt, gate) with gate NULL for
+    * survivors. Parameterized over the input frames so the streaming
+    * sibling's equivalence spec can run it on arrival PREFIXES; the
+    * batch query passes the full twin corpus. See the query's header
+    * comment for the gate-by-gate design.
+    */
+  private[graft] def cp5AttributionOf(s: org.apache.spark.sql.SparkSession, dir: String,
+                                      cor: org.apache.spark.sql.DataFrame,
+                                      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // gates 1 + 5 ride the same scan: content-hash window + ta2 row flags
+    val wEx = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val flagged = TextAnalysis.withQualityVerdict(
+        cor.withColumn("h", md5(col("text")))
+          .withColumn("ws", split(col("text"), " ")))
+      .withColumn("exact_dup", row_number().over(wEx) > 1)
+      .select(col("doc_id"), col("n_words").as("nt"), col("verdict"),
+        col("exact_dup"))
+    // gate 2: near-dup among exact survivors (signatures built over
+    // THIS corpus — the custom twin mix isn't the maintained
+    // index's; per-doc signatures depend only on the doc itself)
+    val surv1 = flagged.filter(!col("exact_dup")).select(col("doc_id"))
+    val sigs1 = Dedup.minhashSignatures(
+      Dedup.shingles(cor.join(surv1, "doc_id")))
+    val nearDrop = Dedup.verifyPairs(Dedup.bandCandidates(sigs1), sigs1)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    // gate 3: embedding near-dup. The bucketed frame feeds both sides
+    // of the self-join un-persisted: the identical child subplans
+    // shuffle on the same bucket key, so ReuseExchange computes them
+    // once — and this whole build runs once per corpus snapshot anyway.
+    val bucketed = cp5BucketedVecs(emb)
+    val semDrop = bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim", cp5CosSim)
+      .filter(col("sim") >= 0.8)
+      .select(col("y.vec_id").as("doc_id")).distinct()
+      .withColumn("sem_dup", lit(true))
+    val deconDrop = cp5DeconDrop(s, dir, cor)
+    val pplDrop = cp5PplDrop(s, dir, cor)
     // attribution: first gate wins
     flagged
       .join(nearDrop, Seq("doc_id"), "left")
       .join(semDrop, Seq("doc_id"), "left")
       .join(broadcast(deconDrop), Seq("doc_id"), "left")
       .join(pplDrop, Seq("doc_id"), "left")
-      .withColumn("gate",
-        when(col("exact_dup"), "exact_dedup")
-          .when(col("near_dup"), "near_dedup")
-          .when(col("sem_dup"), "semantic_dedup")
-          .when(col("doc_id") % 41 === 0 && col("doc_id") < 100000000L,
-            "decontamination") // the benchmark holdout itself
-          .when(col("decon_drop"), "decontamination")
-          .when(col("verdict") =!= "keep", "quality")
-          .when(col("ppl_drop"), "perplexity"))
+      .withColumn("gate", cp5GateCol)
       .select(col("doc_id"), col("nt"), col("gate"))
+  }
+
+  private def cp5Attribution(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame =
+    cp5AttributionOf(s, dir, cp5TwinCorpus(s, dir), cp5TwinVecs(s, dir))
+
+  /** The release DESIGN over an attribution table — gates 7+8 plus
+    * the conservation ledger: PPS token sampling to a 100-unit
+    * budget, deterministic 80/10/10 splits, 2000-token shard packing,
+    * per-gate attrition rows and the conservation-visible input row.
+    * A pure function of `att` (plus the static sqrt-bucket layout
+    * knob from dir), so the streaming fold recomputes it per batch
+    * boundary from the ACCUMULATED attribution — the design is
+    * att-sized (ids + token counts), never corpus-text-sized.
+    */
+  private[graft] def cp5ReleaseOf(s: org.apache.spark.sql.SparkSession, dir: String,
+                                  att: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // gate 7: PPS to 100 units over the survivors (ta23's two-level
+    // sqrt-bucketed cumsum; the unit step is an in-plan scalar)
+    val surv = att.filter(col("gate").isNull).select(col("doc_id"), col("nt"))
+    val maxId = Tables.maxIdStat(s, dir, "documents", "doc_id")
+    val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
+    val d7 = surv.withColumn("bucket", expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val local = d7.withColumn("cum_local", sum(col("nt")).over(wLocal))
+    val wPrefix = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = d7.groupBy(col("bucket")).agg(sum(col("nt")).as("btot"))
+      .withColumn("prefix", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
+      .select(col("bucket"), col("prefix"))
+    val tot = surv.agg(sum(col("nt")).as("tot"))
+    val pps = local.join(prefix, "bucket")
+      .withColumn("cum", col("prefix") + col("cum_local"))
+      .crossJoin(broadcast(tot)) // 1-row scalar, rule (b)
+      .withColumn("n_units", expr(
+        "cum DIV greatest(1L, tot DIV 100) - (cum - nt) DIV greatest(1L, tot DIV 100)"))
+    // gate 8: splits + shard packing over the sampled release
+    val bucket100 = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(100L))
+    val sp = pps.filter(col("n_units") > 0L)
+      .withColumn("split",
+        when(bucket100 < 80, "train").when(bucket100 < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), col("nt"),
+        expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)").as("bucket"))
+    val wL2 = Window.partitionBy(col("split"), col("bucket")).orderBy(col("doc_id"))
+    val local2 = sp.withColumn("cum_local", sum(col("nt")).over(wL2))
+    val wP2 = Window.partitionBy(col("split")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix2 = sp.groupBy(col("split"), col("bucket")).agg(sum(col("nt")).as("btot"))
+      .withColumn("prefix", coalesce(sum(col("btot")).over(wP2), lit(0L)))
+      .select(col("split"), col("bucket"), col("prefix"))
+    val shards = local2.join(prefix2, Seq("split", "bucket"))
+      .withColumn("shard_id",
+        expr("CAST((prefix + cum_local - nt) DIV 2000 AS BIGINT)"))
+      .groupBy(col("split"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(concat(lit("shard:"), col("split"), lit(":"), col("shard_id")).as("stage"),
+        col("n_docs"), col("n_tokens"))
+    // the ledger + manifest + the conservation-visible input row
+    val gates = att.filter(col("gate").isNotNull)
+      .groupBy(col("gate"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(concat(lit("gate:"), col("gate")).as("stage"),
+        col("n_docs"), col("n_tokens"))
+    val ppsOut = pps.filter(col("n_units") === 0L)
+      .groupBy(lit("gate:pps_sampled_out").as("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val input = att.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(lit("input").as("stage"), col("n_docs"), col("n_tokens"))
+    gates.unionByName(ppsOut).unionByName(shards).unionByName(input)
   }
 
   val defs: Map[String, Q] = Map(
@@ -263,59 +377,7 @@ object Pipeline {
       // unpersisted — repeated invocations accumulated dead cache.
       val att = Dedup.materializedTable(cp5AttCache, s, dir, "cp5att",
         Seq("documents", "embeddings"))(cp5Attribution(s, dir))
-      // gate 7: PPS to 100 units over the survivors (ta23's two-level
-      // sqrt-bucketed cumsum; the unit step is an in-plan scalar)
-      val surv = att.filter(col("gate").isNull).select(col("doc_id"), col("nt"))
-      val maxId = Tables.maxIdStat(s, dir, "documents", "doc_id")
-      val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
-      val d7 = surv.withColumn("bucket", expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)"))
-      val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      val local = d7.withColumn("cum_local", sum(col("nt")).over(wLocal))
-      val wPrefix = Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val prefix = d7.groupBy(col("bucket")).agg(sum(col("nt")).as("btot"))
-        .withColumn("prefix", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
-        .select(col("bucket"), col("prefix"))
-      val tot = surv.agg(sum(col("nt")).as("tot"))
-      val pps = local.join(prefix, "bucket")
-        .withColumn("cum", col("prefix") + col("cum_local"))
-        .crossJoin(broadcast(tot)) // 1-row scalar, rule (b)
-        .withColumn("n_units", expr(
-          "cum DIV greatest(1L, tot DIV 100) - (cum - nt) DIV greatest(1L, tot DIV 100)"))
-      // gate 8: splits + shard packing over the sampled release
-      val bucket100 = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"), lit(100L))
-      val sp = pps.filter(col("n_units") > 0L)
-        .withColumn("split",
-          when(bucket100 < 80, "train").when(bucket100 < 90, "val").otherwise("test"))
-        .select(col("doc_id"), col("split"), col("nt"),
-          expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)").as("bucket"))
-      val wL2 = Window.partitionBy(col("split"), col("bucket")).orderBy(col("doc_id"))
-      val local2 = sp.withColumn("cum_local", sum(col("nt")).over(wL2))
-      val wP2 = Window.partitionBy(col("split")).orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val prefix2 = sp.groupBy(col("split"), col("bucket")).agg(sum(col("nt")).as("btot"))
-        .withColumn("prefix", coalesce(sum(col("btot")).over(wP2), lit(0L)))
-        .select(col("split"), col("bucket"), col("prefix"))
-      val shards = local2.join(prefix2, Seq("split", "bucket"))
-        .withColumn("shard_id",
-          expr("CAST((prefix + cum_local - nt) DIV 2000 AS BIGINT)"))
-        .groupBy(col("split"), col("shard_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-        .select(concat(lit("shard:"), col("split"), lit(":"), col("shard_id")).as("stage"),
-          col("n_docs"), col("n_tokens"))
-      // the ledger + manifest + the conservation-visible input row
-      val gates = att.filter(col("gate").isNotNull)
-        .groupBy(col("gate"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-        .select(concat(lit("gate:"), col("gate")).as("stage"),
-          col("n_docs"), col("n_tokens"))
-      val ppsOut = pps.filter(col("n_units") === 0L)
-        .groupBy(lit("gate:pps_sampled_out").as("stage"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-      val input = att.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-        .select(lit("input").as("stage"), col("n_docs"), col("n_tokens"))
-      gates.unionByName(ppsOut).unionByName(shards).unionByName(input)
+      cp5ReleaseOf(s, dir, att)
     }),
 
     // Corpus SNAPSHOT DIFF — the planning step of an incremental

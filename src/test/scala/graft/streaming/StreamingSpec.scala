@@ -1322,4 +1322,99 @@ class StreamingSpec extends SparkSpec {
       assert(landed().contains("ws0-1" -> 5L))
     } finally q.stop()
   }
+
+  private val releaseSfDir = "/root/testdata/sf0.001"
+
+  /** cp5's twin corpus joined to its crawl-aligned embeddings, as the
+    * (doc_id, text, embedding) rows the release stream consumes,
+    * sorted by doc_id — the crawl-frontier contract.
+    */
+  private def releaseRows(): Array[(Long, String, Seq[Float])] = {
+    val cor = graft.operators.Pipeline.cp5TwinCorpus(spark, releaseSfDir)
+    val vecs = graft.operators.Pipeline.cp5TwinVecs(spark, releaseSfDir)
+      .withColumnRenamed("vec_id", "doc_id")
+    cor.join(vecs, "doc_id").orderBy(col("doc_id"))
+      .collect() // test-grain: sf0.001 is 1000 twin-corpus rows
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+  }
+
+  private def releaseSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("streaming pretraining release: the fold equals batch cp5 at EVERY batch boundary") {
+    assume(new java.io.File(releaseSfDir).exists())
+    val rows = releaseRows()
+    val slices = Seq(rows.slice(0, 333), rows.slice(333, 666), rows.slice(666, rows.length))
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Seq[Float])]
+    val base = Files.createTempDirectory("release_stream").toString
+    val state = s"$base/state"
+    val q = ReleaseStream.start(
+      input.toDF().toDF("doc_id", "text", "embedding"),
+      releaseSfDir, state, s"$base/ckpt")
+    try {
+      var hi = 0L
+      slices.foreach { slice =>
+        input.addData(slice.toIndexedSeq)
+        q.processAllAvailable()
+        hi = slice.last._1
+        val got = releaseSet(ReleaseStream.readRelease(spark, state))
+        // the batch pipeline on the union of everything arrived so far
+        val prefixCor = graft.operators.Pipeline.cp5TwinCorpus(spark, releaseSfDir)
+          .filter(col("doc_id") <= hi)
+        val prefixVecs = graft.operators.Pipeline.cp5TwinVecs(spark, releaseSfDir)
+          .filter(col("vec_id") <= hi)
+        val want = releaseSet(graft.operators.Pipeline.cp5ReleaseOf(spark, releaseSfDir,
+          graft.operators.Pipeline.cp5AttributionOf(
+            spark, releaseSfDir, prefixCor, prefixVecs)))
+        assert(got === want,
+          s"stream fold diverged from batch-on-union at boundary id<=$hi: " +
+            s"stream-only=${(got -- want).take(5)} batch-only=${(want -- got).take(5)}")
+        // cumulative TOKEN CONSERVATION at this boundary: input =
+        // every gate + the sampled-out bucket + every shard
+        val input_ = got.find(_._1 == "input").get
+        val parts = got.filter(_._1 != "input")
+        assert(parts.toSeq.map(_._2).sum === input_._2 &&
+          parts.toSeq.map(_._3).sum === input_._3,
+          s"attrition must conserve docs and tokens at boundary id<=$hi")
+      }
+      // the final boundary IS the batch cp5 release on the full corpus
+      val cp5 = releaseSet(
+        graft.SparkEntry.queries("cp5_pretraining_release")(spark, releaseSfDir))
+      assert(releaseSet(ReleaseStream.readRelease(spark, state)) === cp5,
+        "after the full crawl, the stream's release must equal the cp5 query")
+    } finally q.stop()
+  }
+
+  test("release stream replay is idempotent: crash re-delivery and late re-delivery change nothing") {
+    assume(new java.io.File(releaseSfDir).exists())
+    val rows = releaseRows()
+    val sess = spark
+    import sess.implicits._
+    val b1 = rows.slice(0, 400).toIndexedSeq.toDF("doc_id", "text", "embedding")
+    val b2 = rows.slice(400, 700).toIndexedSeq.toDF("doc_id", "text", "embedding")
+    val base = Files.createTempDirectory("release_replay").toString
+    val state = s"$base/state"
+    ReleaseStream.processBatch(spark, b1, releaseSfDir, state, 0L)
+    ReleaseStream.processBatch(spark, b2, releaseSfDir, state, 1L)
+    val release = releaseSet(ReleaseStream.readRelease(spark, state))
+    val att = ReleaseStream.readAttrition(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    // crash window: batch 1 re-delivered under the SAME id (foreachBatch
+    // at-least-once) — every output overwrites its own partition
+    ReleaseStream.processBatch(spark, b2, releaseSfDir, state, 1L)
+    assert(releaseSet(ReleaseStream.readRelease(spark, state)) === release)
+    assert(ReleaseStream.readAttrition(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet === att,
+      "same-batch replay must not duplicate or re-gate attrition rows")
+    // source-level re-delivery in a LATER batch: first-write-wins
+    ReleaseStream.processBatch(spark, b2, releaseSfDir, state, 2L)
+    assert(releaseSet(ReleaseStream.readRelease(spark, state)) === release,
+      "a late re-delivered batch must not change the release design")
+    assert(ReleaseStream.readAttrition(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet === att,
+      "a late re-delivered batch must not re-attribute any document")
+  }
 }
