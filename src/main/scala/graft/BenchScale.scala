@@ -67,6 +67,14 @@ object BenchScale {
   // broadcast — must probe linear) and cp5 (the composed release:
   // every gate family in one plan — the exponent of the whole
   // pipeline, not just its pieces).
+  // Round-16 additions (the r15 verdict's #4): t1c (the suppression
+  // backup lifecycle — regulation-grain control plane whose three
+  // legs share one events pass, should probe ~FLAT like sj1/nt1) and
+  // jd2 (read-excluded partitions — ONE broadcast anti-join over the
+  // events scan, must probe ~linear); ll33 (this round's maximal-
+  // substring dedup: windows are corpus-token-linear and the island
+  // merge is a per-doc sort — the probe checks nothing in the
+  // reassembly join picked up a pair term).
   private val heavy = Seq(
     "ll6_ngram_jaccard", "ll2_minhash_neardup", "ll5_simhash_neardup",
     "ll12_boilerplate_dedup", "ll18_cdc_dedup", "ll19_containment",
@@ -76,7 +84,8 @@ object BenchScale {
     "ts5_more_like_this", "ta24_kneser_ney", "ev9_auc",
     "prof13_mad_outliers", "q50_rfm_migration", "ev10_lift_gain",
     "ev12_bleu_precision", "sj1_source_jobs", "a2d_flusher_agg",
-    "nt1_notifier_queue", "prof16_correlation", "cp5_pretraining_release")
+    "nt1_notifier_queue", "prof16_correlation", "cp5_pretraining_release",
+    "t1c_suppression_backup", "jd2_read_excluded", "ll33_substring_dedup")
 
   /** Write a K-fold replica of the tables the heavy set reads. */
   private[graft] def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
