@@ -87,7 +87,11 @@ object Suppression {
     val agg = delta.agg(count(lit(1)).as("n"), max(col("seq")).as("hi")).first()
     val synced = agg.getLong(0)
     if (synced > 0) {
-      delta.write.mode("append").parquet(storeDir)
+      // one file per sync: a regulation delta is control-plane grain
+      // at any corpus size, and an un-coalesced write scatters it
+      // over every shuffle partition — the store then pays a
+      // small-file tax on every effective-set read
+      delta.coalesce(1).write.mode("append").parquet(storeDir)
       writeToken(spark, storeDir, agg.getLong(1))
     }
     synced
