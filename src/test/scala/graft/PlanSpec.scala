@@ -131,6 +131,17 @@ class PlanSpec extends SparkSpec {
       s"the scan must prune to the 4 source columns at any output width: $readSchema")
   }
 
+  test("ll33 substring dedup: anchor counting is an equi-join on the window hash, never pairwise") {
+    val plan = planOf("ll33_substring_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "maximal-substring detection must stay anchor-count + join-back; " +
+        "any nested-loop pairing means the corpus is being compared " +
+        "against itself")
+    assert(plan.contains("hashpartitioning(whash") || plan.contains("hashpartitioning(doc_id"),
+      "the occurrence count must shuffle on the window hash (map-side " +
+        "combinable), the island merge on doc_id")
+  }
+
   test("q25 interval join: bucketization yields an equi-join, never a range cross product") {
     val plan = planOf("q25_interval_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
