@@ -115,6 +115,65 @@ object TextAnalysis {
   private[operators] def knBigramLmTable(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Dedup.materializedTable(knLmCache, s, dir, "knlm")(knBigramLm(s, dir))
 
+  /** ta32's trainer: `iters` rounds of integer batch gradient descent
+    * for a linear quality probe over `k` hashed unigram buckets. See
+    * the query's header comment for the math and scale contract.
+    * Driver state is the k-long weight vector per round (the
+    * ll4b/lloydRefine model-sized-collect contract); the per-round
+    * plans read one persisted feature table.
+    */
+  private[graft] def trainQualityProbe(s: SparkSession, dir: String,
+                                       k: Int = 64, iters: Int = 3): DataFrame = {
+    require(iters == 3, "the output schema (w1..w3, sae1..sae3) is three-round")
+    val docs = withQualityVerdict(
+        Tables.documents(s, dir).withColumn("ws", split(col("text"), " ")))
+      .select(col("doc_id"),
+        when(col("verdict") === "keep", 1000L).otherwise(0L).as("y"), col("ws"))
+    val feats = docs.select(col("doc_id"), col("y"),
+        explode(array_distinct(expr(
+          s"transform(ws, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $k)")))
+          .as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfMap = feats.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // k-bounded model state
+      // Lipschitz-safe diagonal step: a doc's prediction sums up to B
+      // bucket weights, so the loss curvature row-sum for bucket j is
+      // bounded by df_j * B — stepping grad_j DIV (2 * df_j * B) stays
+      // inside the convergent region (grad_j / df_j alone overshoots
+      // by a factor of B and DIVERGES: sae tripled per round when the
+      // first cut of this trainer used it)
+      val bMax = feats.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).first().getLong(0)
+      val w = Array.fill(k)(0L)
+      val hist = Array.ofDim[Long](iters, k)
+      val saes = new Array[Long](iters)
+      for (t <- 0 until iters) {
+        val wExpr = expr(
+          s"element_at(array(${w.map(_ + "L").mkString(",")}), CAST(bucket AS INT) + 1)")
+        val errs = feats.withColumn("wj", wExpr)
+          .groupBy(col("doc_id"), col("y")).agg(sum(col("wj")).as("pred"))
+          .select(col("doc_id"), (col("pred") - col("y")).as("err"))
+        saes(t) = errs.agg(sum(abs(col("err")))).first().getLong(0)
+        feats.join(errs, "doc_id")
+          .groupBy(col("bucket")).agg(sum(col("err")).as("g"))
+          .collect() // k-bounded gradient
+          .foreach { r =>
+            val b = r.getLong(0)
+            // toward-zero truncation on both sides: Scala / == DuckDB //
+            w(b.toInt) = w(b.toInt) - r.getLong(1) / (2L * dfMap(b) * bMax)
+          }
+        hist(t) = w.clone()
+      }
+      val sess = s
+      import sess.implicits._
+      dfMap.toSeq.sortBy(_._1).map { case (b, d) =>
+        (b, d, hist(0)(b.toInt), hist(1)(b.toInt), hist(2)(b.toInt),
+          saes(0), saes(1), saes(2))
+      }.toDF("bucket", "df", "w1", "w2", "w3", "sae1", "sae2", "sae3")
+    } finally feats.unpersist()
+  }
+
   /** Exact-integer floor(log2) in MILLI-BITS of a column named `x`
     * (1 <= x < 2^20): the exponent is a 20-arm CASE over power-of-two
     * literals, the fraction an 8-arm CASE over the 3-bit mantissa
@@ -894,6 +953,32 @@ object TextAnalysis {
         .filter(col("bucket") < col("quota"))
         .select(col("doc_id"), col("lang"), col("bucket"))
     }),
+
+    // TA32: QUALITY-CLASSIFIER TRAINING — the library could INFER
+    // with a model (ta10's fixed weight table), score with a trained
+    // LM (ta26), and train k-means / IVF / PQ / BPE, but not train
+    // the quality scorer itself. This is distributed batch gradient
+    // descent for a LINEAR probe on hashed unigram features (k = 64
+    // buckets), squared loss against ta2's rule verdict as the label
+    // (y = 1000 keep / 0 flag, milli-units), diagonal-preconditioned
+    // integer updates: per iteration, pred_i = Σ_{j∈doc} w_j,
+    // grad_j = Σ_{i∋j} (pred_i − y_i),
+    // w_j ← w_j − grad_j DIV (2·df_j·B) where B = max distinct
+    // buckets per doc (the Lipschitz-safe step — see the helper)
+    // — all exact int64, truncation toward zero in BOTH engines
+    // (Scala `/` and DuckDB `//`; verified on negatives, the a10
+    // convention). Scale shape is lloydRefine's trainer contract:
+    // the feature table builds once (one corpus scan, persisted for
+    // the 3 iterations, released after), each iteration is one
+    // doc-grain shuffle (pred) + one bucket-bounded aggregate
+    // (grad), and driver state is k longs — model-sized at any
+    // corpus size. Output: per bucket df + the weight TRAJECTORY
+    // (w1..w3) + per-iteration pre-update total absolute error
+    // (sae1..sae3, conservation-style convergence evidence the
+    // oracle checks bit-for-bit). The oracle unrolls all three
+    // iterations in SQL — iteration 1 simplifies (w0 = 0 ⇒
+    // err = −y), 2 and 3 replay the joins.
+    "ta32_quality_trainer" -> ((s, dir) => trainQualityProbe(s, dir)),
 
     // TA31: CODE-SWITCHING DETECTOR — the multilingual-curation gate
     // ta1 can't express: ta1 picks ONE language per document; this
@@ -2138,6 +2223,63 @@ object TextAnalysis {
            FROM documents)
          WHERE bucket < quota""",
     // same plant, same score lists, same first-match-wins tie-breaks
+    // the three GD rounds unrolled: iteration 1 simplifies under
+    // w0 = 0 (pred = 0, err = -y); 2 and 3 replay the
+    // broadcast-weights pred join + doc-grain err + bucket-grain
+    // grad. `//` and Scala `/` both truncate toward zero, so the
+    // driver-side updates replay bit-for-bit.
+    "ta32_quality_trainer" ->
+      s"""WITH q AS (SELECT doc_id,
+             CASE WHEN n_words BETWEEN 20 AND 100
+                   AND (n_chars - (n_words - 1)) / n_words < 8
+                   AND stop_hits / n_words >= 0.02
+                  THEN 1000 ELSE 0 END AS y
+           FROM (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     w -> w IN ${inList(stopwords.head._2)})) AS BIGINT) AS stop_hits
+                 FROM documents)),
+         f0 AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(string_split(text, ' '),
+                    t -> CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % 64 AS BIGINT))))
+                    AS bucket
+                FROM documents),
+         feats AS (SELECT f0.doc_id, q.y, f0.bucket FROM f0 JOIN q USING (doc_id)),
+         dfb AS (SELECT bucket, COUNT(*) AS df FROM feats GROUP BY 1),
+         bmax AS (SELECT CAST(MAX(c) AS BIGINT) AS b FROM
+                    (SELECT COUNT(*) AS c FROM feats GROUP BY doc_id)),
+         e1 AS (SELECT doc_id, CAST(0 - y AS BIGINT) AS err
+                FROM (SELECT DISTINCT doc_id, y FROM feats)),
+         s1 AS (SELECT CAST(SUM(ABS(err)) AS BIGINT) AS sae FROM e1),
+         g1 AS (SELECT bucket, CAST(SUM(err) AS BIGINT) AS g
+                FROM feats JOIN e1 USING (doc_id) GROUP BY bucket),
+         w1 AS (SELECT dfb.bucket,
+                  CAST(0 - g1.g // (2 * dfb.df * (SELECT b FROM bmax)) AS BIGINT) AS w
+                FROM dfb JOIN g1 USING (bucket)),
+         p2 AS (SELECT f.doc_id, f.y, CAST(SUM(w1.w) AS BIGINT) AS pred
+                FROM feats f JOIN w1 USING (bucket) GROUP BY 1, 2),
+         e2 AS (SELECT doc_id, pred - y AS err FROM p2),
+         s2 AS (SELECT CAST(SUM(ABS(err)) AS BIGINT) AS sae FROM e2),
+         g2 AS (SELECT bucket, CAST(SUM(err) AS BIGINT) AS g
+                FROM feats JOIN e2 USING (doc_id) GROUP BY bucket),
+         w2 AS (SELECT w1.bucket,
+                  CAST(w1.w - g2.g // (2 * dfb.df * (SELECT b FROM bmax)) AS BIGINT) AS w
+                FROM w1 JOIN g2 USING (bucket) JOIN dfb USING (bucket)),
+         p3 AS (SELECT f.doc_id, f.y, CAST(SUM(w2.w) AS BIGINT) AS pred
+                FROM feats f JOIN w2 USING (bucket) GROUP BY 1, 2),
+         e3 AS (SELECT doc_id, pred - y AS err FROM p3),
+         s3 AS (SELECT CAST(SUM(ABS(err)) AS BIGINT) AS sae FROM e3),
+         g3 AS (SELECT bucket, CAST(SUM(err) AS BIGINT) AS g
+                FROM feats JOIN e3 USING (doc_id) GROUP BY bucket),
+         w3 AS (SELECT w2.bucket,
+                  CAST(w2.w - g3.g // (2 * dfb.df * (SELECT b FROM bmax)) AS BIGINT) AS w
+                FROM w2 JOIN g3 USING (bucket) JOIN dfb USING (bucket))
+         SELECT dfb.bucket, dfb.df, w1.w AS w1, w2.w AS w2, w3.w AS w3,
+           (SELECT sae FROM s1) AS sae1, (SELECT sae FROM s2) AS sae2,
+           (SELECT sae FROM s3) AS sae3
+         FROM dfb
+         JOIN w1 USING (bucket) JOIN w2 USING (bucket) JOIN w3 USING (bucket)""",
     "ta31_code_switch" -> {
       val scoreSql = stopwords.map { case (l, ws) =>
         s"CAST(len(list_filter(string_split(txt, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS s_$l"

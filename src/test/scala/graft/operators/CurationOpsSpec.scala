@@ -476,4 +476,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(tsum > 1000000L - 30 && tsum <= 1000000L,
       s"targets must renormalize to ~1e6 ppm at 30 strata, got $tsum")
   }
+
+  private def bucketOf(word: String, k: Int = 64): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(word.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % k
+  }
+
+  test("ta32 trainer LEARNS: keep-only buckets end above flag-only buckets, " +
+    "and the loss decreases every round on the gate corpus") {
+    val sess = spark
+    import sess.implicits._
+    // keep docs: 25 words incl. a stopword (passes ta2's keep rule),
+    // all sharing marker word 'qualitymarker'; flag docs: 5 words
+    // (too short -> flag), all sharing 'junkmarker'. The two vocabs
+    // are disjoint; verify their BUCKETS are too, so the separation
+    // assertion can't be washed out by hash collisions.
+    val keepWords = Seq("the", "qualitymarker") ++ (1 to 23).map(i => f"kw$i%02d")
+    val keepBuckets = keepWords.map(bucketOf(_)).toSet
+    // pick flag words deterministically from a candidate stream,
+    // skipping any whose bucket collides with the keep vocab's — the
+    // separation assertion must not be washed out by hash collisions
+    val flagWords = ("junkmarker" +: (1 to 200).map(i => f"fw$i%03d"))
+      .filter(w => !keepBuckets.contains(bucketOf(w)))
+      .take(5)
+    val flagMarker = flagWords.head
+    assert(flagWords.size == 5,
+      s"candidate stream must yield a collision-free flag vocab: $flagWords")
+    val docs = ((1 to 10).map(i => (i.toLong, keepWords.mkString(" "))) ++
+      (11 to 20).map(i => (i.toLong, flagWords.mkString(" "))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ta32").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.trainQualityProbe(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap // bucket -> w3
+    val wKeep = out(bucketOf("qualitymarker"))
+    val wFlag = out(bucketOf(flagMarker))
+    assert(wKeep > wFlag && wFlag <= 0L,
+      s"keep-only feature must earn a higher weight: keep=$wKeep flag=$wFlag")
+    assert(wKeep > 0L, "keep-only features must move toward the 1000-milli label")
+    // and on the real gate corpus the pre-update loss shrinks each round
+    assume(new java.io.File(sfDir).exists())
+    val sae = run("ta32_quality_trainer").select("sae1", "sae2", "sae3")
+      .head()
+    assert(sae.getLong(0) > sae.getLong(1) && sae.getLong(1) > sae.getLong(2),
+      s"GD must descend: ${sae.toSeq}")
+  }
 }
