@@ -174,6 +174,57 @@ object TextAnalysis {
     } finally feats.unpersist()
   }
 
+  /** Streaming input row / state for [[miniBatchGdStream]]. */
+  case class ProbeDoc(doc_id: Long, y: Long, buckets: Seq[Long])
+  case class ProbeState(ver: Long, n: Seq[Long], w: Seq[Long])
+
+  /** ONLINE quality-probe training — the third scale regime of the
+    * trainer family, mirroring k-means' triple exactly:
+    * [[trainQualityProbe]] is the full-corpus batch trainer (one scan
+    * per iteration), ta10 consumes a finished model, and THIS
+    * maintains the linear probe as labeled documents ARRIVE, no
+    * rescan ever. Per document (folded in doc_id order within a
+    * batch): pred = Σ w_j over its b distinct buckets, err = pred − y,
+    * then each touched bucket takes the Robbins-Monro step
+    * n_j += 1; w_j −= err DIV (2·n_j·b) — the per-coordinate 1/n rate
+    * mini-batch k-means uses, with the same 1/b prediction-fan-in
+    * guard as the batch trainer's 1/B. State is 2k longs in ONE
+    * state-store group (updates are inherently sequential, the
+    * miniBatchKmeansStream argument); all arithmetic exact truncating
+    * int64. Emits a per-batch (version, bucket, n, w) snapshot — the
+    * latest version IS the live model. StreamingSpec pins exact
+    * equality against an independent driver-side fold on a split
+    * feed, plus the learning direction on a planted keep/flag vocab.
+    */
+  def miniBatchGdStream(docs: org.apache.spark.sql.Dataset[ProbeDoc], k: Int)
+    : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, it: Iterator[ProbeDoc], state: GroupState[ProbeState]) => {
+          val st = state.getOption.getOrElse(
+            ProbeState(0L, Seq.fill(k)(0L), Seq.fill(k)(0L)))
+          val n = st.n.toArray
+          val w = st.w.toArray
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            val bs = d.buckets.distinct
+            val b = math.max(bs.length.toLong, 1L)
+            var pred = 0L
+            bs.foreach(j => pred += w(j.toInt))
+            val err = pred - d.y // fixed before the per-bucket updates
+            bs.foreach { jj =>
+              val j = jj.toInt
+              n(j) += 1L
+              w(j) -= err / (2L * n(j) * b)
+            }
+          }
+          val next = ProbeState(st.ver + 1L, n.toSeq, w.toSeq)
+          state.update(next)
+          (0 until k).iterator.map(j => (next.ver, j.toLong, n(j), w(j)))
+        })
+  }
+
   /** Exact-integer floor(log2) in MILLI-BITS of a column named `x`
     * (1 <= x < 2^20): the exponent is a 20-arm CASE over power-of-two
     * literals, the fraction an 8-arm CASE over the 3-bit mantissa

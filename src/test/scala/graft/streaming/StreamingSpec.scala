@@ -1417,4 +1417,53 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet === att,
       "a late re-delivered batch must not re-attribute any document")
   }
+
+  test("online quality-probe training: the stream fold equals an independent " +
+    "driver reference and learns the planted keep/flag separation") {
+    import graft.operators.TextAnalysis.{ProbeDoc, miniBatchGdStream}
+    val k = 16
+    // planted vocab: bucket 3 appears only in keep docs (y=1000),
+    // bucket 7 only in flag docs (y=0); buckets 0-2 are shared noise
+    def doc(id: Long, y: Long, marker: Long) =
+      ProbeDoc(id, y, Seq(0L, 1L, 2L, marker))
+    val feed = (1L to 12L).map(i =>
+      if (i % 2 == 0) doc(i, 1000L, 3L) else doc(i, 0L, 7L))
+    // independent driver-side reference of the SAME sequential rule
+    val n = Array.fill(k)(0L)
+    val w = Array.fill(k)(0L)
+    feed.sortBy(_.doc_id).foreach { d =>
+      val bs = d.buckets.distinct
+      val b = bs.length.toLong
+      var pred = 0L; bs.foreach(j => pred += w(j.toInt))
+      val err = pred - d.y
+      bs.foreach { jj => val j = jj.toInt; n(j) += 1; w(j) -= err / (2L * n(j) * b) }
+    }
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[ProbeDoc]
+    val outDir = Files.createTempDirectory("gd_stream").toString
+    val q = miniBatchGdStream(input.toDS(), k).toDF("ver", "bucket", "n", "w")
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/out")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
+    try {
+      // split the feed across two micro-batches: state carries over
+      input.addData(feed.take(5))
+      q.processAllAvailable()
+      input.addData(feed.drop(5))
+      q.processAllAvailable()
+      val snaps = spark.read.parquet(s"$outDir/out")
+      val lastVer = snaps.agg(max(col("ver"))).head.getLong(0)
+      val got = snaps.filter(col("ver") === lastVer)
+        .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+      (0 until k).foreach { j =>
+        assert(got(j.toLong) === ((n(j), w(j))),
+          s"bucket $j diverged from the driver reference fold")
+      }
+      assert(w(3) > w(7) && w(3) > 0L,
+        s"keep-only bucket must out-weigh flag-only: w3=${w(3)} w7=${w(7)}")
+    } finally q.stop()
+  }
 }
