@@ -74,7 +74,9 @@ object BenchScale {
   // events scan, must probe ~linear); ll33 (this round's maximal-
   // substring dedup: windows are corpus-token-linear and the island
   // merge is a per-doc sort — the probe checks nothing in the
-  // reassembly join picked up a pair term).
+  // reassembly join picked up a pair term); ta32 (the GD trainer:
+  // three feature-table scans + doc-grain shuffles per run, driver
+  // state k longs — must probe ~linear like ll26's Lloyd).
   private val heavy = Seq(
     "ll6_ngram_jaccard", "ll2_minhash_neardup", "ll5_simhash_neardup",
     "ll12_boilerplate_dedup", "ll18_cdc_dedup", "ll19_containment",
@@ -85,7 +87,8 @@ object BenchScale {
     "prof13_mad_outliers", "q50_rfm_migration", "ev10_lift_gain",
     "ev12_bleu_precision", "sj1_source_jobs", "a2d_flusher_agg",
     "nt1_notifier_queue", "prof16_correlation", "cp5_pretraining_release",
-    "t1c_suppression_backup", "jd2_read_excluded", "ll33_substring_dedup")
+    "t1c_suppression_backup", "jd2_read_excluded", "ll33_substring_dedup",
+    "ta32_quality_trainer")
 
   /** Write a K-fold replica of the tables the heavy set reads. */
   private[graft] def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
