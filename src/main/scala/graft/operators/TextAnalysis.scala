@@ -174,6 +174,62 @@ object TextAnalysis {
     } finally feats.unpersist()
   }
 
+  /** ta32's training chain as a DuckDB WITH-clause fragment, shared
+    * by the trainer's own oracle and ev14's scoring oracle (the
+    * simhashBruteCtes convention): label rule → hashed features →
+    * df/bmax statistics → three unrolled GD rounds producing w1..w3
+    * and the per-round pre-update losses s1..s3.
+    */
+  // lazy: references `stopwords`, which is declared further down the
+  // object — an eager val here NPEs the object initializer
+  private[operators] lazy val ta32Ctes: String =
+    s"""q AS (SELECT doc_id,
+             CASE WHEN n_words BETWEEN 20 AND 100
+                   AND (n_chars - (n_words - 1)) / n_words < 8
+                   AND stop_hits / n_words >= 0.02
+                  THEN 1000 ELSE 0 END AS y
+           FROM (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     w -> w IN ${inList(stopwords.head._2)})) AS BIGINT) AS stop_hits
+                 FROM documents)),
+         f0 AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(string_split(text, ' '),
+                    t -> CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % 64 AS BIGINT))))
+                    AS bucket
+                FROM documents),
+         feats AS (SELECT f0.doc_id, q.y, f0.bucket FROM f0 JOIN q USING (doc_id)),
+         dfb AS (SELECT bucket, COUNT(*) AS df FROM feats GROUP BY 1),
+         bmax AS (SELECT CAST(MAX(c) AS BIGINT) AS b FROM
+                    (SELECT COUNT(*) AS c FROM feats GROUP BY doc_id)),
+         e1 AS (SELECT doc_id, CAST(0 - y AS BIGINT) AS err
+                FROM (SELECT DISTINCT doc_id, y FROM feats)),
+         s1 AS (SELECT CAST(SUM(ABS(err)) AS BIGINT) AS sae FROM e1),
+         g1 AS (SELECT bucket, CAST(SUM(err) AS BIGINT) AS g
+                FROM feats JOIN e1 USING (doc_id) GROUP BY bucket),
+         w1 AS (SELECT dfb.bucket,
+                  CAST(0 - g1.g // (2 * dfb.df * (SELECT b FROM bmax)) AS BIGINT) AS w
+                FROM dfb JOIN g1 USING (bucket)),
+         p2 AS (SELECT f.doc_id, f.y, CAST(SUM(w1.w) AS BIGINT) AS pred
+                FROM feats f JOIN w1 USING (bucket) GROUP BY 1, 2),
+         e2 AS (SELECT doc_id, pred - y AS err FROM p2),
+         s2 AS (SELECT CAST(SUM(ABS(err)) AS BIGINT) AS sae FROM e2),
+         g2 AS (SELECT bucket, CAST(SUM(err) AS BIGINT) AS g
+                FROM feats JOIN e2 USING (doc_id) GROUP BY bucket),
+         w2 AS (SELECT w1.bucket,
+                  CAST(w1.w - g2.g // (2 * dfb.df * (SELECT b FROM bmax)) AS BIGINT) AS w
+                FROM w1 JOIN g2 USING (bucket) JOIN dfb USING (bucket)),
+         p3 AS (SELECT f.doc_id, f.y, CAST(SUM(w2.w) AS BIGINT) AS pred
+                FROM feats f JOIN w2 USING (bucket) GROUP BY 1, 2),
+         e3 AS (SELECT doc_id, pred - y AS err FROM p3),
+         s3 AS (SELECT CAST(SUM(ABS(err)) AS BIGINT) AS sae FROM e3),
+         g3 AS (SELECT bucket, CAST(SUM(err) AS BIGINT) AS g
+                FROM feats JOIN e3 USING (doc_id) GROUP BY bucket),
+         w3 AS (SELECT w2.bucket,
+                  CAST(w2.w - g3.g // (2 * dfb.df * (SELECT b FROM bmax)) AS BIGINT) AS w
+                FROM w2 JOIN g3 USING (bucket) JOIN dfb USING (bucket))"""
+
   /** Streaming input row / state for [[miniBatchGdStream]]. */
   case class ProbeDoc(doc_id: Long, y: Long, buckets: Seq[Long])
   case class ProbeState(ver: Long, n: Seq[Long], w: Seq[Long])
@@ -1030,6 +1086,38 @@ object TextAnalysis {
     // iterations in SQL — iteration 1 simplifies (w0 = 0 ⇒
     // err = −y), 2 and 3 replay the joins.
     "ta32_quality_trainer" -> ((s, dir) => trainQualityProbe(s, dir)),
+
+    // EV14: TRAINED-PROBE EVALUATION — closes the loop ta32 opens:
+    // the trained w3 scores every document (ta10's broadcast-model
+    // inference shape, but with the model the library TRAINED rather
+    // than a fixed table), the verdict thresholds at y/2 = 500
+    // milli-units, and the confusion rollup scores it against the
+    // ta2 rule it was fit to. One corpus feature scan + a 64-row
+    // broadcast join + a doc-grain aggregate + a 1-row rollup;
+    // accuracy in exact integer permille. The oracle replays ta32's
+    // whole training chain (shared CTE constant) before scoring.
+    "ev14_probe_eval" -> ((s, dir) => {
+      val model = broadcast(trainQualityProbe(s, dir)
+        .select(col("bucket"), col("w3")))
+      val feats = withQualityVerdict(
+          Tables.documents(s, dir).withColumn("ws", split(col("text"), " ")))
+        .select(col("doc_id"),
+          when(col("verdict") === "keep", 1L).otherwise(0L).as("is_keep"),
+          explode(array_distinct(expr(
+            "transform(ws, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 64)")))
+            .as("bucket"))
+      feats.join(model, "bucket")
+        .groupBy(col("doc_id"), col("is_keep"))
+        .agg(sum(col("w3")).as("score"))
+        .withColumn("pred_keep", when(col("score") > 500L, 1L).otherwise(0L))
+        .agg(
+          sum(col("pred_keep") * col("is_keep")).as("tp"),
+          sum(col("pred_keep") * (lit(1L) - col("is_keep"))).as("fp"),
+          sum((lit(1L) - col("pred_keep")) * col("is_keep")).as("fn"),
+          sum((lit(1L) - col("pred_keep")) * (lit(1L) - col("is_keep"))).as("tn"),
+          expr("CAST(SUM(CASE WHEN pred_keep = is_keep THEN 1 ELSE 0 END) * 1000 " +
+            "DIV COUNT(*) AS BIGINT)").as("accuracy_permille"))
+    }),
 
     // TA31: CODE-SWITCHING DETECTOR — the multilingual-curation gate
     // ta1 can't express: ta1 picks ONE language per document; this
@@ -2278,59 +2366,33 @@ object TextAnalysis {
     // w0 = 0 (pred = 0, err = -y); 2 and 3 replay the
     // broadcast-weights pred join + doc-grain err + bucket-grain
     // grad. `//` and Scala `/` both truncate toward zero, so the
-    // driver-side updates replay bit-for-bit.
+    // driver-side updates replay bit-for-bit. (CTE chain shared with
+    // ev14, which scores the trained w3.)
     "ta32_quality_trainer" ->
-      s"""WITH q AS (SELECT doc_id,
-             CASE WHEN n_words BETWEEN 20 AND 100
-                   AND (n_chars - (n_words - 1)) / n_words < 8
-                   AND stop_hits / n_words >= 0.02
-                  THEN 1000 ELSE 0 END AS y
-           FROM (SELECT doc_id,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(len(list_filter(string_split(text, ' '),
-                     w -> w IN ${inList(stopwords.head._2)})) AS BIGINT) AS stop_hits
-                 FROM documents)),
-         f0 AS (SELECT doc_id,
-                  unnest(list_distinct(list_transform(string_split(text, ' '),
-                    t -> CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % 64 AS BIGINT))))
-                    AS bucket
-                FROM documents),
-         feats AS (SELECT f0.doc_id, q.y, f0.bucket FROM f0 JOIN q USING (doc_id)),
-         dfb AS (SELECT bucket, COUNT(*) AS df FROM feats GROUP BY 1),
-         bmax AS (SELECT CAST(MAX(c) AS BIGINT) AS b FROM
-                    (SELECT COUNT(*) AS c FROM feats GROUP BY doc_id)),
-         e1 AS (SELECT doc_id, CAST(0 - y AS BIGINT) AS err
-                FROM (SELECT DISTINCT doc_id, y FROM feats)),
-         s1 AS (SELECT CAST(SUM(ABS(err)) AS BIGINT) AS sae FROM e1),
-         g1 AS (SELECT bucket, CAST(SUM(err) AS BIGINT) AS g
-                FROM feats JOIN e1 USING (doc_id) GROUP BY bucket),
-         w1 AS (SELECT dfb.bucket,
-                  CAST(0 - g1.g // (2 * dfb.df * (SELECT b FROM bmax)) AS BIGINT) AS w
-                FROM dfb JOIN g1 USING (bucket)),
-         p2 AS (SELECT f.doc_id, f.y, CAST(SUM(w1.w) AS BIGINT) AS pred
-                FROM feats f JOIN w1 USING (bucket) GROUP BY 1, 2),
-         e2 AS (SELECT doc_id, pred - y AS err FROM p2),
-         s2 AS (SELECT CAST(SUM(ABS(err)) AS BIGINT) AS sae FROM e2),
-         g2 AS (SELECT bucket, CAST(SUM(err) AS BIGINT) AS g
-                FROM feats JOIN e2 USING (doc_id) GROUP BY bucket),
-         w2 AS (SELECT w1.bucket,
-                  CAST(w1.w - g2.g // (2 * dfb.df * (SELECT b FROM bmax)) AS BIGINT) AS w
-                FROM w1 JOIN g2 USING (bucket) JOIN dfb USING (bucket)),
-         p3 AS (SELECT f.doc_id, f.y, CAST(SUM(w2.w) AS BIGINT) AS pred
-                FROM feats f JOIN w2 USING (bucket) GROUP BY 1, 2),
-         e3 AS (SELECT doc_id, pred - y AS err FROM p3),
-         s3 AS (SELECT CAST(SUM(ABS(err)) AS BIGINT) AS sae FROM e3),
-         g3 AS (SELECT bucket, CAST(SUM(err) AS BIGINT) AS g
-                FROM feats JOIN e3 USING (doc_id) GROUP BY bucket),
-         w3 AS (SELECT w2.bucket,
-                  CAST(w2.w - g3.g // (2 * dfb.df * (SELECT b FROM bmax)) AS BIGINT) AS w
-                FROM w2 JOIN g3 USING (bucket) JOIN dfb USING (bucket))
+      s"""WITH $ta32Ctes
          SELECT dfb.bucket, dfb.df, w1.w AS w1, w2.w AS w2, w3.w AS w3,
            (SELECT sae FROM s1) AS sae1, (SELECT sae FROM s2) AS sae2,
            (SELECT sae FROM s3) AS sae3
          FROM dfb
          JOIN w1 USING (bucket) JOIN w2 USING (bucket) JOIN w3 USING (bucket)""",
+    // ta32's training replayed, then the trained w3 scores every doc
+    // and the verdict thresholds at y/2 — the confusion rollup closes
+    // the loop between the trainer and the rule it was fit to
+    "ev14_probe_eval" ->
+      s"""WITH $ta32Ctes,
+         sc AS (SELECT f.doc_id, f.y, CAST(SUM(w3.w) AS BIGINT) AS score
+                FROM feats f JOIN w3 USING (bucket) GROUP BY 1, 2),
+         cls AS (SELECT doc_id,
+                   CASE WHEN score > 500 THEN 1 ELSE 0 END AS pred_keep,
+                   CASE WHEN y = 1000 THEN 1 ELSE 0 END AS is_keep
+                 FROM sc)
+         SELECT CAST(SUM(pred_keep * is_keep) AS BIGINT) AS tp,
+           CAST(SUM(pred_keep * (1 - is_keep)) AS BIGINT) AS fp,
+           CAST(SUM((1 - pred_keep) * is_keep) AS BIGINT) AS fn,
+           CAST(SUM((1 - pred_keep) * (1 - is_keep)) AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN pred_keep = is_keep THEN 1 ELSE 0 END) * 1000
+             // COUNT(*) AS BIGINT) AS accuracy_permille
+         FROM cls""",
     "ta31_code_switch" -> {
       val scoreSql = stopwords.map { case (l, ws) =>
         s"CAST(len(list_filter(string_split(txt, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS s_$l"

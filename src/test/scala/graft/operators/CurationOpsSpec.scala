@@ -521,5 +521,12 @@ class CurationOpsSpec extends SparkSpec {
       .head()
     assert(sae.getLong(0) > sae.getLong(1) && sae.getLong(1) > sae.getLong(2),
       s"GD must descend: ${sae.toSeq}")
+    // and the trained probe beats chance as a classifier of the rule
+    // it was fit to (ev14's rollup must not be degenerate)
+    val ev = run("ev14_probe_eval").head()
+    val acc = ev.getLong(ev.fieldIndex("accuracy_permille"))
+    assert(acc > 500L, s"trained probe must beat chance, got $acc permille")
+    assert(ev.getLong(ev.fieldIndex("tp")) > 0L && ev.getLong(ev.fieldIndex("tn")) > 0L,
+      "the confusion matrix must have mass on both classes")
   }
 }
