@@ -230,6 +230,18 @@ object TextAnalysis {
                   CAST(w2.w - g3.g // (2 * dfb.df * (SELECT b FROM bmax)) AS BIGINT) AS w
                 FROM w2 JOIN g3 USING (bucket) JOIN dfb USING (bucket))"""
 
+  /** The MAINTAINED trained probe — the knBigramLm convention applied
+    * to ta32's model: a trained artifact is stored, not re-estimated
+    * per consumer, so ev14 (and any future scorer) reads one 64-row
+    * parquet scan, watermark-keyed like every maintained table. ta32
+    * itself stays the RAW trainer so its bench/probe cost measures
+    * real training work.
+    */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
+  private[operators] def probeModelTable(s: SparkSession, dir: String): DataFrame =
+    Dedup.materializedTable(probeCache, s, dir, "probemodel")(trainQualityProbe(s, dir))
+
   /** Streaming input row / state for [[miniBatchGdStream]]. */
   case class ProbeDoc(doc_id: Long, y: Long, buckets: Seq[Long])
   case class ProbeState(ver: Long, n: Seq[Long], w: Seq[Long])
@@ -1097,7 +1109,7 @@ object TextAnalysis {
     // accuracy in exact integer permille. The oracle replays ta32's
     // whole training chain (shared CTE constant) before scoring.
     "ev14_probe_eval" -> ((s, dir) => {
-      val model = broadcast(trainQualityProbe(s, dir)
+      val model = broadcast(probeModelTable(s, dir)
         .select(col("bucket"), col("w3")))
       val feats = withQualityVerdict(
           Tables.documents(s, dir).withColumn("ws", split(col("text"), " ")))
