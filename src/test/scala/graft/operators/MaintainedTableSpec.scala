@@ -131,6 +131,36 @@ class MaintainedTableSpec extends SparkSpec {
       "spliced simhash table diverged from a full rebuild")
   }
 
+  test("cp5's maintained attribution follows the watermark: a re-crawled corpus re-gates") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-cp5att").toString
+    // needs embeddings too: cp5att watermarks on documents AND embeddings
+    val dim = 64
+    def writeVecs(ids: Seq[Long]): Unit =
+      ids.map(i => (i, Seq.tabulate(dim)(d => (((i * 31 + d) % 7).toFloat - 3f))))
+        .toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    writeDocs(dir, baseDocs)
+    writeVecs(baseDocs.map(_._1))
+    val before = rowSet(graft.SparkEntry.queries("cp5_pretraining_release")(spark, dir))
+    // the corpus re-crawls: one doc's text changes entirely
+    writeDocs(dir, baseDocs.map {
+      case (2L, _) => 2L -> "a completely different page replaces the old one here today now truly"
+      case other => other
+    })
+    val after = rowSet(graft.SparkEntry.queries("cp5_pretraining_release")(spark, dir))
+    assert(after != before,
+      "cp5 must re-attribute after the corpus moves — a stale cp5att means " +
+        "the release ships gate verdicts for text that no longer exists")
+    // and the fresh run equals a cold rebuild over the current corpus
+    val cold = rowSet(graft.operators.Pipeline.cp5ReleaseOf(spark, dir,
+      graft.operators.Pipeline.cp5AttributionOf(spark, dir,
+        graft.operators.Pipeline.cp5TwinCorpus(spark, dir),
+        graft.operators.Pipeline.cp5TwinVecs(spark, dir))))
+    assert(after == cold, "the watermark rebuild must equal a cold attribution")
+  }
+
   test("refreshIncrementally on an untouched corpus is a no-op; unbuilt tables stay unbuilt") {
     val dir = Files.createTempDirectory("graft-noop").toString
     writeDocs(dir, baseDocs)
