@@ -83,9 +83,16 @@ object Bench {
     // judge reads, BENCH_FULL_PARTIAL.json takes filtered runs, and
     // SPARK_GRAFT_ROUND=N adds BENCH_FULL_r{N}.json that later runs
     // (including the driver's own post-close pass) won't overwrite.
+    // r16 ADVICE: the round artifact is (a) full-board only — a filtered
+    // run must never stamp a partial board as the round's record — and
+    // (b) write-once — if a close already wrote it, later runs with the
+    // same SPARK_GRAFT_ROUND leave it untouched.
     val fullTargets =
       (if (only.isDefined) Seq("BENCH_FULL_PARTIAL.json") else Seq("BENCH_FULL.json")) ++
-        sys.env.get("SPARK_GRAFT_ROUND").map(r => s"BENCH_FULL_r$r.json")
+        (if (only.isEmpty)
+          sys.env.get("SPARK_GRAFT_ROUND").map(r => s"BENCH_FULL_r$r.json")
+            .filterNot(t => java.nio.file.Files.exists(java.nio.file.Paths.get(t)))
+        else None)
     val fullWritten =
       try {
         fullTargets.foreach(t =>

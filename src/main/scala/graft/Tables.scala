@@ -77,6 +77,24 @@ object Tables {
     */
   private val statCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Memo-with-eviction: one live entry per (app, dir, table, stat)
+    * — a superseded snapshot's entry is dropped when the stat is first
+    * requested under a newer content watermark, so a long session over
+    * a frequently-mutating corpus holds O(stats), not O(stats ×
+    * versions), driver memory (r16 ADVICE).
+    */
+  private def memoStat(prefix: String, ver: String)(compute: => Long): Long = {
+    val key = prefix + "|" + ver
+    if (!statCache.containsKey(key)) {
+      val it = statCache.keySet.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith(prefix + "|") && k != key) it.remove()
+      }
+    }
+    statCache.computeIfAbsent(key, _ => java.lang.Long.valueOf(compute))
+  }
+
   /** Memoized planner statistic: row count of a table. The sampling
     * rate ll4b's trainer needs must come from the COUNT, not the max
     * id — id-keyed stepping silently undersamples any table whose id
@@ -84,10 +102,9 @@ object Tables {
     * 100 TB layout. Same cache discipline as [[maxIdStat]].
     */
   def countStat(spark: SparkSession, dir: String, table: String): Long = {
-    val key = Seq(spark.sparkContext.applicationId, dir, table, "#count",
-      snapshotVersion(spark, dir, table)).mkString("|")
-    statCache.computeIfAbsent(key, _ =>
-      java.lang.Long.valueOf(loader(table)(spark, dir).count()))
+    val prefix = Seq(spark.sparkContext.applicationId, dir, table, "#count").mkString("|")
+    memoStat(prefix, snapshotVersion(spark, dir, table))(
+      loader(table)(spark, dir).count())
   }
 
   /** Memoized planner statistic: sum of a row expression over a table
@@ -95,27 +112,25 @@ object Tables {
     * [[maxIdStat]]; null (empty table) yields 0.
     */
   def sumStat(spark: SparkSession, dir: String, table: String, exprSql: String): Long = {
-    val key = Seq(spark.sparkContext.applicationId, dir, table, "#sum", exprSql,
-      snapshotVersion(spark, dir, table)).mkString("|")
-    statCache.computeIfAbsent(key, _ => {
+    val prefix = Seq(spark.sparkContext.applicationId, dir, table, "#sum", exprSql).mkString("|")
+    memoStat(prefix, snapshotVersion(spark, dir, table)) {
       val row = loader(table)(spark, dir)
         .agg(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.expr(exprSql).cast("long"))).first()
-      java.lang.Long.valueOf(if (row.isNullAt(0)) 0L else row.getLong(0))
-    })
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
   }
 
   def maxIdStat(spark: SparkSession, dir: String, table: String, idCol: String): Long = {
-    val key = Seq(spark.sparkContext.applicationId, dir, table, idCol,
-      snapshotVersion(spark, dir, table)).mkString("|")
-    statCache.computeIfAbsent(key, _ => {
+    val prefix = Seq(spark.sparkContext.applicationId, dir, table, idCol).mkString("|")
+    memoStat(prefix, snapshotVersion(spark, dir, table)) {
       // route through the canonical loader so timestamp stats (e.g.
       // dbg1's "now") see normalized types whatever the file encoding
       val row = loader(table)(spark, dir)
         .agg(org.apache.spark.sql.functions.max(
           org.apache.spark.sql.functions.col(idCol).cast("long"))).first()
-      java.lang.Long.valueOf(if (row.isNullAt(0)) 0L else row.getLong(0))
-    })
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
   }
 
   /** CONTENT WATERMARK of a table at `dir`: an MD5 over the sorted

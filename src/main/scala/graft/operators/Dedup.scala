@@ -432,6 +432,21 @@ object Dedup {
       s.read.parquet(p).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Reclaim a superseded snapshot's scratch parquet. Called only
+    * AFTER the replacement version is fully written and registered
+    * (writeAndRegister materializes before returning), so nothing in
+    * the cache can still plan against the path; a long session over a
+    * frequently-mutating corpus otherwise grows tmp without bound
+    * (r16 ADVICE). Best-effort: a failed delete costs disk, not
+    * correctness.
+    */
+  private def dropScratch(s: SparkSession, path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private[operators] def materializedTable(cache: java.util.concurrent.ConcurrentHashMap[String, Materialized],
                                 s: SparkSession, dir: String, name: String,
                                 watermarkTables: Seq[String] = Seq("documents"))
@@ -441,8 +456,12 @@ object Dedup {
     cache.compute(key, (_, old) => {
       if (old != null && old.version == ver) old
       else {
-        if (old != null) old.df.unpersist() // superseded snapshot: release its blocks
-        writeAndRegister(s, name, key, ver, build)
+        val out = writeAndRegister(s, name, key, ver, build)
+        if (old != null) { // superseded snapshot: release blocks + scratch
+          old.df.unpersist()
+          dropScratch(s, old.path)
+        }
+        out
       }
     }).df
   }
@@ -489,8 +508,11 @@ object Dedup {
         else {
           val spliced = old.df.join(broadcast(retire), Seq("doc_id"), "left_anti")
             .unionByName(build(freshCorpus))
+          // writeAndRegister materializes the splice (which READS
+          // old.df's parquet) before the old snapshot is reclaimed
           val out = writeAndRegister(s, name, key, ver, spliced)
           old.df.unpersist()
+          dropScratch(s, old.path)
           splicedCount += 1
           out
         })
@@ -539,6 +561,22 @@ object Dedup {
   private val simCache = new java.util.concurrent.ConcurrentHashMap[String, Materialized]()
   private[operators] def simhashTable(s: SparkSession, dir: String): DataFrame =
     materializedTable(simCache, s, dir, "simtable")(simhash(corpus(s, dir, perturb = true)))
+
+  /** Test hook: the scratch parquet path currently registered for a
+    * maintained index table, if built — lets MaintainedTableSpec pin
+    * the reclaim contract (superseded path deleted, live path present)
+    * without exposing the cache itself.
+    */
+  private[graft] def registeredScratchPath(s: SparkSession, dir: String,
+                                           name: String): Option[String] = {
+    val cache = name match {
+      case "shtable" => shCache
+      case "sigtable" => sigCache
+      case "simtable" => simCache
+      case _ => return None
+    }
+    Option(cache.get(s.sparkContext.applicationId + "|" + dir + "|" + name)).map(_.path)
+  }
 
   private[operators] def simhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairsOf(simhashTable(s, dir))
@@ -1034,11 +1072,26 @@ object Dedup {
             .as("cuts"),
           count(lit(1)).as("n_spans"),
           sum(col("span_end") - col("span_start") + 1).as("n_tokens_cut"))
+      // Reassembly is an INTERVAL WALK over the sorted cut list: the
+      // fold carries the next-uncut position and appends the kept
+      // slice before each cut, then the tail — O(tokens + cuts) per
+      // doc. (A per-token `exists(cuts, …)` scan is O(tokens × cuts),
+      // quadratic on the operator's real target: boilerplate-heavy
+      // crawl docs carry hundreds of cuts — r16 verdict item #4.)
+      // Sound because merged runs are disjoint and sorted: a new run
+      // starts strictly past the previous run's end (+1 gap), so every
+      // slice length is >= 0.
       val clean = aug.join(perDoc, "doc_id")
         .withColumn("ws", split(col("text"), " "))
         .withColumn("clean_md5", md5(concat_ws(" ", expr(
-          "filter(ws, (t, i) -> NOT exists(cuts, c -> " +
-            "i >= c.span_start AND i <= c.span_end))"))))
+          "aggregate(cuts, " +
+            "named_struct('nxt', 0L, 'acc', cast(array() as array<string>)), " +
+            "(st, c) -> named_struct(" +
+              "'nxt', c.span_end + 1L, " +
+              "'acc', concat(st.acc, slice(ws, cast(st.nxt as int) + 1, " +
+                "cast(c.span_start - st.nxt as int)))), " +
+            "st -> concat(st.acc, slice(ws, cast(st.nxt as int) + 1, " +
+              "cast(size(ws) - st.nxt as int))))"))))
         .select(col("doc_id"), col("n_spans"), col("n_tokens_cut"), col("clean_md5"))
       spans.select(col("doc_id"), col("span_start"), col("span_end"))
         .join(clean, "doc_id")

@@ -83,18 +83,28 @@ object Suppression {
            pageSize: Int): Long = {
     require(pageSize > 0, s"pageSize $pageSize must be positive")
     val tok = token(spark, storeDir)
-    val delta = feed.filter(col("seq") > tok)
-    val agg = delta.agg(count(lit(1)).as("n"), max(col("seq")).as("hi")).first()
-    val synced = agg.getLong(0)
-    if (synced > 0) {
-      // one file per sync: a regulation delta is control-plane grain
-      // at any corpus size, and an un-coalesced write scatters it
-      // over every shuffle partition — the store then pays a
-      // small-file tax on every effective-set read
-      delta.coalesce(1).write.mode("append").parquet(storeDir)
-      writeToken(spark, storeDir, agg.getLong(1))
-    }
-    synced
+    // localCheckpoint pins the delta's ROWS before anything reads them:
+    // the token-advance agg and the store append below consume the same
+    // materialized snapshot, so a non-deterministic or shrinking feed
+    // can never advance the token past a row that wasn't persisted
+    // (the reference's page loop had the same single-collection
+    // property — each page was pulled once and both stored and
+    // tokened from that pull). Delta is control-plane grain, so the
+    // eager materialization is cheap.
+    val delta = feed.filter(col("seq") > tok).localCheckpoint(true)
+    try {
+      val agg = delta.agg(count(lit(1)).as("n"), max(col("seq")).as("hi")).first()
+      val synced = agg.getLong(0)
+      if (synced > 0) {
+        // one file per sync: a regulation delta is control-plane grain
+        // at any corpus size, and an un-coalesced write scatters it
+        // over every shuffle partition — the store then pays a
+        // small-file tax on every effective-set read
+        delta.coalesce(1).write.mode("append").parquet(storeDir)
+        writeToken(spark, storeDir, agg.getLong(1))
+      }
+      synced
+    } finally delta.unpersist()
   }
 
   /** Full export: the whole store plus its token — what

@@ -425,4 +425,40 @@ class DedupSpec extends SparkSpec {
     assert(out(0)._6 === expect1,
       "mid-document cut must stitch head to tail byte-exactly")
   }
+
+  test("ll33 reassembly at cut-heavy grain: 50 disjoint cuts per doc walk in one " +
+    "O(tokens + cuts) fold (the boilerplate-laden crawl shape)") {
+    import org.apache.spark.sql.functions.{col, md5}
+    // 50 DISTINCT 50-token passages shared between two docs, each
+    // followed by a one-token per-doc separator: every passage is a
+    // maximal duplicated run, so each doc carries 50 separate cuts and
+    // reassembly must keep exactly the 50 separators, in order
+    val passages = (1 to 50).map(k => (1 to 50).map(i => f"p$k%02d_$i%02d").mkString(" "))
+    def docText(tag: String): String =
+      passages.zipWithIndex.map { case (p, k) => s"$p sep${tag}_$k" }.mkString(" ")
+    // ids outside the query's plant classes (%5==1, %7==2, %11==3)
+    val docs = Seq(4L -> docText("a"), 24L -> docText("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ll33heavy").toString
+    docsDf(docs).coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("ll33_substring_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(out.length === 100, s"50 maximal cuts per doc, got ${out.length}")
+    val byDoc = out.groupBy(_._1)
+    for ((id, tag) <- Seq(4L -> "a", 24L -> "b")) {
+      val rows = byDoc(id).sortBy(_._2)
+      assert(rows.forall(r => r._4 === 50L && r._5 === 2500L),
+        s"doc $id must attribute 50 spans / 2500 cut tokens")
+      // cut k covers tokens [51k, 51k+49]; token 51k+50 is the kept separator
+      assert(rows.map(r => (r._2, r._3)).toSeq ===
+        (0 until 50).map(k => (51L * k, 51L * k + 49L)),
+        s"doc $id cut list must be the 50 disjoint passage spans")
+      val sess = spark
+      import sess.implicits._
+      val expect = Seq((0 until 50).map(k => s"sep${tag}_$k").mkString(" ")).toDF("t")
+        .select(md5(col("t"))).head.getString(0)
+      assert(rows.head._6 === expect,
+        s"doc $id reassembly must keep exactly the 50 separators in order")
+    }
+  }
 }

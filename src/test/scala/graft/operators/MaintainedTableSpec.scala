@@ -161,6 +161,30 @@ class MaintainedTableSpec extends SparkSpec {
     assert(after == cold, "the watermark rebuild must equal a cold attribution")
   }
 
+  test("a superseded snapshot's scratch parquet is reclaimed; the live one stays") {
+    val dir = Files.createTempDirectory("graft-reclaim").toString
+    writeDocs(dir, baseDocs)
+    def exists(p: String): Boolean = Files.exists(java.nio.file.Paths.get(p))
+    Dedup.shingleTable(spark, dir).count()
+    val p1 = Dedup.registeredScratchPath(spark, dir, "shtable").get
+    assert(exists(p1), "the registered scratch path must exist after a build")
+    // mutation 1: full rebuild path (materializedTable's version miss)
+    writeDocs(dir, baseDocs :+ (6L -> "bright vixens jump dozy fowl quack and run away fast"))
+    Dedup.shingleTable(spark, dir).count()
+    val p2 = Dedup.registeredScratchPath(spark, dir, "shtable").get
+    assert(p2 != p1 && exists(p2), "a rebuild registers a fresh versioned path")
+    assert(!exists(p1), "the superseded scratch parquet must be deleted (r16 ADVICE)")
+    // mutation 2: the splice path (refreshIncrementally) reclaims too
+    writeDocs(dir, baseDocs :+ (6L -> "bright vixens jump dozy fowl quack and run away fast")
+      :+ (7L -> "jinxed wizards pluck ivy from the big quilt at noon"))
+    val s = spark
+    import s.implicits._
+    Dedup.refreshIncrementally(spark, dir, Seq((7L, "added")).toDF("doc_id", "status"))
+    val p3 = Dedup.registeredScratchPath(spark, dir, "shtable").get
+    assert(p3 != p2 && exists(p3), "a splice registers a fresh versioned path")
+    assert(!exists(p2), "the spliced-over scratch parquet must be deleted (r16 ADVICE)")
+  }
+
   test("refreshIncrementally on an untouched corpus is a no-op; unbuilt tables stay unbuilt") {
     val dir = Files.createTempDirectory("graft-noop").toString
     writeDocs(dir, baseDocs)
