@@ -529,4 +529,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(ev.getLong(ev.fieldIndex("tp")) > 0L && ev.getLong(ev.fieldIndex("tn")) > 0L,
       "the confusion matrix must have mass on both classes")
   }
+
+  test("ta32 depth is an argument: a 5-round run keeps descending, its prefix " +
+    "equals the 3-round trajectory, and the pivot reproduces ta32's schema") {
+    assume(new java.io.File(sfDir).exists())
+    val t5 = TextAnalysis.trainQualityProbeTrajectory(spark, sfDir, iters = 5)
+    val saes = t5.select("round", "sae").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(saes.map(_._1).toSeq === (1L to 5L),
+      "one sae per round, rounds 1..5")
+    assert(saes.sliding(2).forall { case Array(a, b) => b._2 < a._2 },
+      s"GD must keep descending past round 3: ${saes.toSeq}")
+    // deterministic prefix: deeper training extends, never rewrites
+    val t3 = TextAnalysis.trainQualityProbeTrajectory(spark, sfDir, iters = 3)
+    assert(t5.filter(org.apache.spark.sql.functions.col("round") <= 3)
+        .collect().toSet === t3.collect().toSet,
+      "rounds 1..3 of the 5-round run must equal the 3-round run")
+    // the pivot at depth 3 is exactly the ta32 query's schema
+    assert(TextAnalysis.trainQualityProbe(spark, sfDir).columns.toSeq ===
+      Seq("bucket", "df", "w1", "w2", "w3", "sae1", "sae2", "sae3"))
+    assert(TextAnalysis.trainQualityProbe(spark, sfDir, iters = 5).columns.toSeq ===
+      Seq("bucket", "df") ++ (1 to 5).map(t => s"w$t") ++ (1 to 5).map(t => s"sae$t"))
+  }
 }
