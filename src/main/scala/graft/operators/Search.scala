@@ -290,6 +290,68 @@ object Search {
           col("sugg_cnt").desc, col("misspelled").asc)).cast("long"))
         .select(col("rank"), col("misspelled"), col("suggestion"),
           col("sugg_cnt"))
+    }),
+
+    // TS8: HYBRID RETRIEVAL FUSION — the standard RAG read the search
+    // family composes from its two retrieval modalities: each query
+    // (the ann query ids < 10; the documents/embeddings id domains are
+    // crawl-aligned) retrieves once LEXICALLY and once SEMANTICALLY,
+    // and reciprocal-rank fusion merges the rankings at 1/(60 + rank)
+    // (Cormack/Clarke/Buettcher's RRF, k=60), held in exact integer
+    // ppm (1000000 DIV (60 + rank)) so the fused order is reduction-
+    // order-free and the oracle bit-exact. Lexical leg = ts3's BM25
+    // scoring generalized per query: the query's terms are its own
+    // document's vocabulary under ts5's df-cap (2 <= df <= 32 — the
+    // posting-list bound is part of the CONTRACT, the oracle applies
+    // it too), top-20 per query. Semantic leg = ll4's cell-pruned
+    // cosine top-5 verbatim (the fusion embeds the same code path).
+    // A doc ranked by only one leg keeps that leg's contribution —
+    // the standard RRF convention, which is exactly why the hybrid
+    // recovers a twin that each leg alone ranks second (SearchDriftSpec
+    // plants that case). Scale shape: the query-term table (10 queries
+    // x df-capped vocab) BROADCASTS against ts1's pre-shuffled
+    // matching-token stream — corpus text never moves; both legs are
+    // bounded-candidate; the fusion full-outer join and rank windows
+    // run at query-set x k grain.
+    "ts8_hybrid_rrf" -> ((s, dir) => {
+      val nDocs = Tables.countStat(s, dir, "documents")
+      val totTok = Tables.sumStat(s, dir, "documents", "size(split(text, ' '))")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 32)
+        .withColumn("idfq", expr(s"CAST((${nDocs}L * 1000000L) DIV (df + 1) AS BIGINT)"))
+      val qterms = toks.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("w")).distinct()
+        .join(dft, "w")
+      val cand = tf.join(broadcast(qterms), "w")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dl, "doc_id")
+        .withColumn("c", expr(
+          "floor(CAST(idfq AS DOUBLE) * ((CAST(tf AS DOUBLE) * 2.2D) / " +
+            "(CAST(tf AS DOUBLE) + (1.2D * (0.25D + (0.75D * " +
+            s"((CAST(dl AS DOUBLE) * CAST(${nDocs}L AS DOUBLE)) / CAST(${totTok}L AS DOUBLE))))))))"))
+      val wq = Window.partitionBy(col("query_id"))
+      val textLeg = cand.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).as("score"))
+        .withColumn("t_rank", row_number().over(
+          wq.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("t_rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("t_rank"))
+      val vecLeg = Similarity.annTopK(s, dir, sameCell = true)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("v_rank"))
+      textLeg.join(vecLeg, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_ppm",
+          coalesce(expr("1000000L DIV (60 + t_rank)"), lit(0L)) +
+            coalesce(expr("1000000L DIV (60 + v_rank)"), lit(0L)))
+        .withColumn("rank", row_number().over(
+          wq.orderBy(col("rrf_ppm").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_ppm"),
+          col("t_rank"), col("v_rank"))
     })
   )
 
@@ -453,6 +515,45 @@ object Search {
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY sugg_cnt DESC,
               misspelled ASC) AS BIGINT) AS rank,
             misspelled, suggestion, sugg_cnt
-          FROM top"""
+          FROM top""",
+    // ts3's pinned contrib tree per query (query terms = the query
+    // doc's vocabulary under ts5's df cap), ll4's oracle embedded
+    // verbatim as the semantic leg, RRF in exact integer ppm
+    "ts8_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+          tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+          dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+                  HAVING COUNT(*) BETWEEN 2 AND 32),
+          n AS (SELECT COUNT(*) AS n FROM documents),
+          tt AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot FROM documents),
+          qt AS (SELECT DISTINCT doc_id AS query_id, w FROM tok WHERE doc_id < 10),
+          c AS (SELECT qt.query_id, tf.doc_id,
+                  CAST(floor(CAST((n.n * 1000000) // (df + 1) AS DOUBLE) *
+                    ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+                     (CAST(tf AS DOUBLE) + (CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                       (CAST(0.75 AS DOUBLE) *
+                        ((CAST(dl AS DOUBLE) * CAST(n.n AS DOUBLE)) / CAST(tt.tot AS DOUBLE)))))))) AS BIGINT) AS c
+                FROM tf JOIN dft USING (w) JOIN qt USING (w) JOIN dl USING (doc_id)
+                CROSS JOIN n CROSS JOIN tt
+                WHERE tf.doc_id <> qt.query_id),
+          sc AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score
+                 FROM c GROUP BY 1, 2),
+          tr AS (SELECT query_id, doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS BIGINT) AS t_rank
+                 FROM sc QUALIFY t_rank <= 20),
+          vr AS (SELECT query_id, neighbor_id AS doc_id, rank AS v_rank
+                 FROM (${Similarity.annOracleIvf})),
+          f AS (SELECT query_id, doc_id,
+                  CAST(COALESCE(1000000 // (60 + t_rank), 0)
+                     + COALESCE(1000000 // (60 + v_rank), 0) AS BIGINT) AS rrf_ppm,
+                  t_rank, v_rank
+                FROM tr FULL OUTER JOIN vr USING (query_id, doc_id))
+          SELECT query_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rank,
+            doc_id, rrf_ppm, t_rank, v_rank
+          FROM f QUALIFY rank <= 10"""
   )
 }

@@ -61,7 +61,7 @@ object Similarity {
     * (sameCell=false, the ll3 oracle anchor) or IVF cell-pruned
     * (sameCell=true, the scale path).
     */
-  private def annTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[operators] def annTopK(s: org.apache.spark.sql.SparkSession, dir: String,
                       sameCell: Boolean): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), col("label")))
@@ -813,6 +813,10 @@ object Similarity {
 
   private[operators] val normSql =
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  /** The ll4 (cell-pruned) oracle body, exposed so ts8's hybrid
+    * fusion oracle embeds the SAME semantic-leg SQL it fuses. */
+  private[operators] def annOracleIvf: String = annOracle("AND label = q_label")
 
   private def annOracle(cellFilter: String): String =
     s"""WITH e AS (SELECT vec_id, embedding, label, $normSql AS nrm FROM embeddings),

@@ -96,4 +96,58 @@ class SearchDriftSpec extends SparkSpec {
       assert(drifted === (contribQ >= 1000L))
     }
   }
+
+  test("ts8 hybrid fusion BEATS each leg alone on planted relevance: the twin " +
+    "each leg ranks second fuses to rank one") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts8").toString
+    // query doc 0; relevant twin 100 shares TWO rare terms AND a close
+    // embedding (second in both legs); lexical distractor 200 shares
+    // THREE rare terms but its vector is orthogonal (text rank 1, off
+    // the vec top-5); semantic distractor 300 has the closest vector
+    // but no shared vocabulary (vec rank 1, off the text ranking);
+    // fillers 301-303 pad the vec top-5 so 200 stays out of it
+    val docs = Seq(
+      0L -> "alpha beta gamma delta eps q01 q02 q03 q04 q05",
+      100L -> "alpha beta r01 r02 r03 r04 r05 r06 r07 r08",
+      200L -> "gamma delta eps d01 d02 d03 d04 d05 d06 d07",
+      300L -> "v01 v02 v03 v04 v05 v06 v07 v08 v09 v10",
+      301L -> "f11 f12 f13 f14 f15 f16 f17 f18 f19 f20",
+      302L -> "g11 g12 g13 g14 g15 g16 g17 g18 g19 g20",
+      303L -> "h11 h12 h13 h14 h15 h16 h17 h18 h19 h20")
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def v(xs: Float*): Seq[Float] = xs.toSeq
+    val vecs = Seq(
+      (0L, v(1f, 0f, 0f, 0f)),
+      (100L, v(10f, 3f, 0f, 0f)), // cos ≈ 0.958 — second
+      (200L, v(0f, 0f, 1f, 0f)),  // cos 0 — off the top-5
+      (300L, v(10f, 1f, 0f, 0f)), // cos ≈ 0.995 — first
+      (301L, v(10f, 4f, 0f, 0f)), // ≈ 0.928
+      (302L, v(10f, 5f, 0f, 0f)), // ≈ 0.894
+      (303L, v(10f, 6f, 0f, 0f))) // ≈ 0.857
+    vecs.map { case (id, e) => (id, e, 1) }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("ts8_hybrid_rrf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(out.forall(_._1 === 0L), "only doc 0 is in the query id range")
+    val byDoc = out.map(r => r._3 -> r).toMap
+    // each leg alone puts its own distractor first…
+    assert(byDoc(200L)._5 === Some(1L) && byDoc(200L)._6 === None,
+      "lexical leg alone must rank the vocabulary distractor first")
+    assert(byDoc(300L)._6 === Some(1L) && byDoc(300L)._5 === None,
+      "semantic leg alone must rank the embedding distractor first")
+    assert(byDoc(100L)._5 === Some(2L) && byDoc(100L)._6 === Some(2L),
+      "the planted twin is second in BOTH legs")
+    // …and the fusion recovers the twin: recall@1 goes 0/0 -> 1
+    val first = out.find(_._2 === 1L).get
+    assert(first._3 === 100L,
+      s"hybrid rank 1 must be the planted twin, got doc ${first._3}")
+    // 2/62nds beat 1/61st exactly as RRF intends
+    assert(first._4 === 2L * (1000000L / 62L) &&
+      byDoc(200L)._4 === 1000000L / 61L && byDoc(300L)._4 === 1000000L / 61L)
+  }
 }
