@@ -234,20 +234,7 @@ object Pipeline {
         when(bucket100 < 80, "train").when(bucket100 < 90, "val").otherwise("test"))
       .select(col("doc_id"), col("split"), col("nt"),
         expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)").as("bucket"))
-    val wL2 = Window.partitionBy(col("split"), col("bucket")).orderBy(col("doc_id"))
-    val local2 = sp.withColumn("cum_local", sum(col("nt")).over(wL2))
-    val wP2 = Window.partitionBy(col("split")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefix2 = sp.groupBy(col("split"), col("bucket")).agg(sum(col("nt")).as("btot"))
-      .withColumn("prefix", coalesce(sum(col("btot")).over(wP2), lit(0L)))
-      .select(col("split"), col("bucket"), col("prefix"))
-    val shards = local2.join(prefix2, Seq("split", "bucket"))
-      .withColumn("shard_id",
-        expr("CAST((prefix + cum_local - nt) DIV 2000 AS BIGINT)"))
-      .groupBy(col("split"), col("shard_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-      .select(concat(lit("shard:"), col("split"), lit(":"), col("shard_id")).as("stage"),
-        col("n_docs"), col("n_tokens"))
+    val shards = cp5ShardsOf(sp)
     // the ledger + manifest + the conservation-visible input row
     val gates = att.filter(col("gate").isNotNull)
       .groupBy(col("gate"))
@@ -260,6 +247,32 @@ object Pipeline {
     val input = att.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
       .select(lit("input").as("stage"), col("n_docs"), col("n_tokens"))
     gates.unionByName(ppsOut).unionByName(shards).unionByName(input)
+  }
+
+  /** Shard packing over the PPS-sampled release — gate 8's second
+    * half, factored out so the batch release and ReleaseStream's
+    * incremental fold share the EXACT code path (their equivalence
+    * contract then reduces to agreeing on the sampled set). Input is
+    * (doc_id, split, nt, bucket); output the per-(split, shard)
+    * manifest rows. ta6's two-level prefix per split: local cumsums
+    * partition on (split, bucket), the per-split bucket-prefix window
+    * input is the row-collapsed bucket-total table.
+    */
+  private[graft] def cp5ShardsOf(sp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wL2 = Window.partitionBy(col("split"), col("bucket")).orderBy(col("doc_id"))
+    val local2 = sp.withColumn("cum_local", sum(col("nt")).over(wL2))
+    val wP2 = Window.partitionBy(col("split")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix2 = sp.groupBy(col("split"), col("bucket")).agg(sum(col("nt")).as("btot"))
+      .withColumn("prefix", coalesce(sum(col("btot")).over(wP2), lit(0L)))
+      .select(col("split"), col("bucket"), col("prefix"))
+    local2.join(prefix2, Seq("split", "bucket"))
+      .withColumn("shard_id",
+        expr("CAST((prefix + cum_local - nt) DIV 2000 AS BIGINT)"))
+      .groupBy(col("split"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(concat(lit("shard:"), col("split"), lit(":"), col("shard_id")).as("stage"),
+        col("n_docs"), col("n_tokens"))
   }
 
   val defs: Map[String, Q] = Map(

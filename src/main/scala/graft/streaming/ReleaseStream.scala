@@ -18,10 +18,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * KN LM (a trained artifact — static under streaming, like the
   * holdout). Per-doc verdicts append to the attrition ledger, and the
   * RELEASE DESIGN (PPS sampling → splits → shard packing → per-gate
-  * attrition + the conservation input row) is recomputed per batch
-  * boundary from the ACCUMULATED attribution — the design is att-sized
-  * (ids + token counts), never corpus-text-sized, so the per-batch
-  * cost is the batch's own text work plus an index-grain aggregate.
+  * attrition + the conservation input row) is FOLDED per batch
+  * boundary, never recomputed from the whole corpus:
+  *
+  *   - per-gate and input totals ride an additive ROLLUP store
+  *     (gate-grain rows per batch, summed at read);
+  *   - the PPS cumulative-token order rides a FRONTIER store: each
+  *     survivor's (doc_id, nt, cum, bucket) where cum is the global
+  *     prefix sum — exact under the monotone-id contract because every
+  *     new survivor extends the frontier's tail, so a committed cum
+  *     never changes — plus bucket-grain totals (BSTATS) that carry
+  *     ta6's two-level-prefix bucket rollups across batches;
+  *   - at a boundary the design touches only the ~(tot DIV step) ≤ 199
+  *     unit-boundary positions: each maps into exactly one bucket
+  *     (bucket cum-ranges tile the frontier), the bucket table is
+  *     O(√corpus) rows, and the frontier scan PRUNES to the candidate
+  *     buckets' partitions — per-boundary cost is O(batch + √corpus +
+  *     boundaries·bucketload), not O(total corpus docs) (the r16
+  *     verdict's one remaining scale cliff). Shard packing and splits
+  *     then run on the ≤ ~200 sampled docs through the SAME
+  *     Pipeline.cp5ShardsOf code path the batch release uses.
   *
   * EQUIVALENCE CONTRACT (StreamingSpec pins it at every batch
   * boundary): when doc_ids arrive MONOTONICALLY (each batch's ids
@@ -30,20 +46,49 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the batch pipeline run on the union of everything arrived:
   * duplicate attribution in the batch plan is id-ordered
   * (row_number / doc_b-drops by id), so "arrived earlier" and
-  * "smaller id" pick the same survivor.
+  * "smaller id" pick the same survivor — and the frontier's carried
+  * cum equals the batch plan's global cumsum for the same reason.
+  * The contract is now ASSERTED per batch (r16 ADVICE): a fresh
+  * (not-previously-attributed) doc below the ledger's max id fails
+  * the batch loudly instead of silently diverging from the batch
+  * pipeline. Re-delivered old docs are exempt — the first-write-wins
+  * anti-join drops them before the check.
   *
-  * Crash contract: all five outputs (hashes, sigs, vecs, att, release)
-  * land in per-batch `batch_id=N` directories written with overwrite
-  * mode, so at-least-once foreachBatch replay is idempotent — the
-  * IntakeStream/CorpusStream contract, here covering a FIVE-output
-  * batch. On replay each index read excludes the batch's own
-  * previously-committed partition, and a doc re-delivered in a LATER
-  * batch is skipped entirely (first-write-wins, keyed on the attrition
-  * ledger).
+  * The corpus tables behind `dir` (the bucket-size statistic, holdout,
+  * KN LM) are static for the stream's lifetime — the same
+  * trained-artifact contract the perplexity gate already rides.
+  *
+  * Crash contract: all outputs (hashes, sigs, vecs, att, release,
+  * frontier, bstats, rollup) land in per-batch `batch_id=N`
+  * directories written with overwrite mode, so at-least-once
+  * foreachBatch replay is idempotent — the IntakeStream/CorpusStream
+  * contract, here covering an EIGHT-output batch. On replay each
+  * index read excludes the batch's own previously-committed
+  * partition, and a doc re-delivered in a LATER batch is skipped
+  * entirely (first-write-wins, keyed on the attrition ledger).
+  *
+  * COMPACTION (r16 verdict item #2): every store appends one
+  * `batch_id=N` partition per micro-batch, so a long stream pays a
+  * small-file tax plus an O(batches) listing per boundary.
+  * [[compactState]] folds each store's committed partitions into
+  * `batch_id=-1` (a sentinel no real batch uses, so replay exclusion
+  * still works; a replayed pre-compaction batch simply anti-joins to
+  * a no-op), crash-atomically via the staged-swap protocol; `start`
+  * triggers it every `compactEvery` batches. The release store keeps
+  * only its LATEST boundary — earlier designs are superseded by
+  * definition.
   */
 object ReleaseStream {
 
   private val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** All per-batch state stores under a stateDir, in one place so
+    * compaction and specs cannot drift from the writer. `frontier` is
+    * additionally partitioned by `bucket` inside each batch partition
+    * — the release fold's pruning key.
+    */
+  private[graft] val stores: Seq[String] =
+    Seq("hashes", "sigs", "vecs", "att", "release", "frontier", "bstats", "rollup")
 
   private def readState(spark: SparkSession, dir: String,
                         batchId: Long): Option[DataFrame] = {
@@ -56,9 +101,9 @@ object ReleaseStream {
   }
 
   /** One micro-batch of (doc_id, text, embedding): gate vs the
-    * accumulated indexes, append the attrition rows, re-emit the
-    * cumulative release design. Every write is idempotent under
-    * replay of `batchId`.
+    * accumulated indexes, append the attrition rows, fold the
+    * cumulative release design forward. Every write is idempotent
+    * under replay of `batchId`.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, dir: String,
                    stateDir: String, batchId: Long): Unit = {
@@ -67,6 +112,9 @@ object ReleaseStream {
     val vecsDir = s"$stateDir/vecs"
     val attDir = s"$stateDir/att"
     val releaseDir = s"$stateDir/release"
+    val frontierDir = s"$stateDir/frontier"
+    val bstatsDir = s"$stateDir/bstats"
+    val rollupDir = s"$stateDir/rollup"
     // every frame persisted for this batch is released in finally — a
     // foreachBatch that leaks persists accumulates dead cache across
     // the life of the stream
@@ -76,10 +124,32 @@ object ReleaseStream {
     val sigIdx = readState(spark, sigsDir, batchId).map(hot)
     val vecIdx = readState(spark, vecsDir, batchId).map(hot)
     val attIdx = readState(spark, attDir, batchId)
+    val bstatsIdx = readState(spark, bstatsDir, batchId)
+    val rollupIdx = readState(spark, rollupDir, batchId)
     // first-write-wins: a doc re-delivered in a LATER batch is skipped
     val fresh = hot(attIdx.fold(batch)(idx =>
       batch.join(idx.select(col("doc_id")), Seq("doc_id"), "left_anti")))
     try {
+      // monotone-arrival contract check (r16 ADVICE): the fold's cum
+      // carry and the batch plan's id-ordered dedup agree ONLY when
+      // fresh ids extend the frontier — assert it per batch instead of
+      // silently diverging. Both sides are cheap: fresh is persisted
+      // and batch-sized, the ledger max rides the rollup store.
+      val priorMax = rollupIdx.flatMap(r =>
+        Option(r.filter(col("stage") === "_max")
+          .agg(max(col("n_docs"))).first().get(0)).map(_.asInstanceOf[Long]))
+      val freshMin = Option(fresh.agg(min(col("doc_id"))).first().get(0))
+        .map(_.asInstanceOf[Long])
+      (priorMax, freshMin) match {
+        case (Some(pm), Some(fm)) if fm <= pm =>
+          throw new IllegalStateException(
+            s"out-of-order crawl: batch $batchId delivers fresh doc_id $fm " +
+              s"<= attributed max $pm — the stream fold would silently " +
+              "diverge from the batch release (an already-released doc " +
+              "can never be retro-gated); re-order the source or replay " +
+              "from a checkpoint before the gap")
+        case _ => ()
+      }
       val cor = fresh.select(col("doc_id"), col("text"))
       // gates 1 + 5: content hash vs index + within-batch window, ta2 flags
       val wEx = Window.partitionBy(col("h")).orderBy(col("doc_id"))
@@ -141,37 +211,200 @@ object ReleaseStream {
       // gates 4 + 6: static artifacts (benchmark holdout, KN LM)
       val deconDrop = Pipeline.cp5DeconDrop(spark, dir, cor)
       val pplDrop = Pipeline.cp5PplDrop(spark, dir, cor)
-      val att = flagged
+      val att = hot(flagged
         .join(nearDrop, Seq("doc_id"), "left")
         .join(semDrop, Seq("doc_id"), "left")
         .join(broadcast(deconDrop), Seq("doc_id"), "left")
         .join(pplDrop, Seq("doc_id"), "left")
         .withColumn("gate", Pipeline.cp5GateCol)
-        .select(col("doc_id"), col("nt"), col("gate"))
-      // commit the index + ledger partitions (idempotent overwrite)
+        .select(col("doc_id"), col("nt"), col("gate")))
+      // ---- the incremental release-design fold ----
+      // batch survivors extend the PPS frontier: cum = prior total +
+      // the batch's two-level (bucket-local + bucket-prefix) cumsum.
+      // Monotone ids make the carried cum exactly the batch plan's
+      // global prefix sum; bucketSize is the SAME static documents
+      // statistic the batch release uses.
+      val maxId = graft.Tables.maxIdStat(spark, dir, "documents", "doc_id")
+      val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
+      val prevTot = bstatsIdx.fold(0L)(b =>
+        Option(b.agg(sum(col("btot"))).first().get(0))
+          .fold(0L)(_.asInstanceOf[Long]))
+      val surv = att.filter(col("gate").isNull)
+        .select(col("doc_id"), col("nt"))
+        .withColumn("bucket", expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)"))
+      val bt = hot(surv.groupBy(col("bucket"))
+        .agg(sum(col("nt")).as("btot"), count(lit(1)).as("bdocs")))
+      val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val wPrefix = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bprefix = bt
+        .withColumn("bprefix", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
+        .select(col("bucket"), col("bprefix"))
+      val batchFrontier = hot(surv
+        .withColumn("cum_local", sum(col("nt")).over(wLocal))
+        .join(bprefix, "bucket")
+        .withColumn("cum", lit(prevTot) + col("bprefix") + col("cum_local"))
+        .select(col("doc_id"), col("nt"), col("cum"), col("bucket")))
+      // additive rollups: per-gate totals, the input row, and the
+      // ledger max id (the monotone check's carry) — gate-grain rows
+      val batchRollup = hot(att.filter(col("gate").isNotNull)
+        .groupBy(col("gate"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .select(concat(lit("gate:"), col("gate")).as("stage"),
+          col("n_docs"), col("n_tokens"))
+        .unionByName(att.agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("n_tokens"))
+          .select(lit("input").as("stage"), col("n_docs"), col("n_tokens")))
+        .unionByName(att.agg(coalesce(max(col("doc_id")), lit(-1L)).as("n_docs"))
+          .select(lit("_max").as("stage"), col("n_docs"),
+            lit(0L).as("n_tokens"))))
+      // commit the index + ledger + fold partitions (idempotent overwrite)
       flagged.select(col("doc_id"), col("h"))
         .write.mode("overwrite").parquet(s"$hashesDir/batch_id=$batchId")
       batchSigs.write.mode("overwrite").parquet(s"$sigsDir/batch_id=$batchId")
       bb.write.mode("overwrite").parquet(s"$vecsDir/batch_id=$batchId")
       att.write.mode("overwrite").parquet(s"$attDir/batch_id=$batchId")
-      // the cumulative release design at this boundary: gates 7+8 over
-      // EVERYTHING attributed so far — att-sized, no text
-      Pipeline.cp5ReleaseOf(spark, dir,
-          spark.read.parquet(attDir).drop("batch_id"))
+      batchFrontier.write.partitionBy("bucket")
+        .mode("overwrite").parquet(s"$frontierDir/batch_id=$batchId")
+      bt.write.mode("overwrite").parquet(s"$bstatsDir/batch_id=$batchId")
+      batchRollup.write.mode("overwrite").parquet(s"$rollupDir/batch_id=$batchId")
+      // the cumulative release design at this boundary, folded from
+      // the carried state — O(batch + √corpus), never O(corpus)
+      val frontierAll = readState(spark, frontierDir, batchId)
+        .map(f => f.withColumn("bucket", col("bucket").cast("long"))
+          .select(col("doc_id"), col("nt"), col("cum"), col("bucket"))
+          .unionByName(batchFrontier))
+        .getOrElse(batchFrontier)
+      val bstatsAll = bstatsIdx.map(_.unionByName(bt)).getOrElse(bt)
+      val rollupAll = rollupIdx.map(_.unionByName(batchRollup)).getOrElse(batchRollup)
+      releaseOf(spark, frontierAll, bstatsAll, rollupAll)._1
         .write.mode("overwrite").parquet(s"$releaseDir/batch_id=$batchId")
     } finally persisted.foreach(_.unpersist())
   }
 
+  /** The release design folded from carried state: additive rollups
+    * give the gate/input rows; the PPS sample is recovered by mapping
+    * each of the ≤ ~199 unit boundaries into its bucket (bucket
+    * cum-ranges tile the frontier) and scanning ONLY those buckets'
+    * frontier partitions; splits + shard packing then run on the
+    * sampled ≤ ~200 docs through the same cp5ShardsOf path as the
+    * batch release. Returns (design, prunedFrontier) — the second
+    * element is the diagnostic the scale spec counts; production
+    * ignores it (it shares the design's plan, nothing extra runs).
+    */
+  private[graft] def releaseOf(spark: SparkSession, frontierAll: DataFrame,
+                               bstatsAll: DataFrame,
+                               rollupAll: DataFrame): (DataFrame, DataFrame) = {
+    val roll = rollupAll.filter(col("stage") =!= "_max")
+      .groupBy(col("stage"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val sAgg = bstatsAll.agg(
+      coalesce(sum(col("bdocs")), lit(0L)), coalesce(sum(col("btot")), lit(0L))).first()
+    val (survDocs, tot) = (sAgg.getLong(0), sAgg.getLong(1))
+    val emptyFrontier = frontierAll.limit(0)
+    if (survDocs == 0L) return (roll, emptyFrontier)
+    val step = math.max(1L, tot / 100L)
+    val nBounds = tot / step // ≤ 199 for any tot (worst case tot = 2·step − 1)
+    // boundary m·step lives in the unique bucket whose cum-range
+    // (bprefix, bprefix + btot] contains it; the bucket table is
+    // O(√corpus) rows, the boundary side ≤ 199 — broadcast it
+    val bucketTable = bstatsAll.groupBy(col("bucket"))
+      .agg(sum(col("btot")).as("btot"))
+      .withColumn("bprefix", coalesce(sum(col("btot")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val bounds = spark.range(1L, nBounds + 1L)
+      .select((col("id") * step).as("v"))
+    // candidate buckets: ≤ nBounds values — a bounded driver-side
+    // list, which turns the frontier read into a partition-pruned
+    // scan of ~boundaries·bucketload rows instead of the whole corpus
+    val cands = bucketTable.join(broadcast(bounds),
+        col("bprefix") < col("v") && col("v") <= col("bprefix") + col("btot"))
+      .select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val pruned =
+      if (cands.isEmpty) emptyFrontier
+      else frontierAll.filter(col("bucket").isin(cands: _*))
+    val sampled = pruned
+      .withColumn("n_units",
+        expr(s"cum DIV ${step}L - (cum - nt) DIV ${step}L"))
+      .filter(col("n_units") > 0L)
+    val spAgg = sampled.agg(count(lit(1)),
+      coalesce(sum(col("nt")), lit(0L))).first()
+    val (sampledDocs, sampledTokens) = (spAgg.getLong(0), spAgg.getLong(1))
+    val bucket100 = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(100L))
+    val sp = sampled
+      .withColumn("split",
+        when(bucket100 < 80, "train").when(bucket100 < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), col("nt"), col("bucket"))
+    val shards = Pipeline.cp5ShardsOf(sp)
+    val sess = spark
+    import sess.implicits._
+    val design =
+      if (survDocs - sampledDocs > 0L)
+        roll.unionByName(Seq(("gate:pps_sampled_out",
+            survDocs - sampledDocs, tot - sampledTokens))
+          .toDF("stage", "n_docs", "n_tokens"))
+          .unionByName(shards)
+      else roll.unionByName(shards)
+    (design, pruned)
+  }
+
+  /** Fold every state store's committed partitions into a single
+    * `batch_id=-1` partition (the release store keeps only its latest
+    * boundary). -1 is a sentinel no real foreachBatch id takes, so
+    * replay exclusion still works; a replayed pre-compaction batch
+    * finds its docs already in the compacted ledger and anti-joins to
+    * a no-op. Crash-atomic per store via the staged-swap protocol.
+    * `targetFiles` bounds the compacted file count per store.
+    */
+  def compactState(spark: SparkSession, stateDir: String,
+                   targetFiles: Int = 4): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    stores.foreach { name =>
+      val path = s"$stateDir/$name"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      graft.sinks.Sinks.recoverSwap(spark, path)
+      if (fs.exists(p)) {
+        val all = spark.read.parquet(path)
+        val kept = name match {
+          case "release" =>
+            val latest = all.agg(max(col("batch_id").cast("long"))).head.getLong(0)
+            all.filter(col("batch_id").cast("long") === latest)
+          case _ => all
+        }
+        val base = kept.drop("batch_id").withColumn("batch_id", lit(-1L))
+        val compacted = name match {
+          // frontier: co-partition by the pruning key so each bucket
+          // directory lands as ~one file, not targetFiles shards
+          case "frontier" => base.repartition(targetFiles, col("bucket"))
+          case _ => base.repartition(targetFiles)
+        }
+        graft.sinks.Sinks.atomicSwap(spark, path) { staging =>
+          // frontier keeps its bucket partitioning — the fold's pruning key
+          val w = compacted.write.mode("overwrite")
+          (if (name == "frontier") w.partitionBy("batch_id", "bucket")
+           else w.partitionBy("batch_id")).parquet(staging)
+        }
+      }
+    }
+  }
+
   /** The streaming entry: (doc_id, text, embedding) crawl stream →
     * accumulated gate indexes + attrition ledger + per-boundary
-    * cumulative release design.
+    * cumulative release design, with the state stores compacted every
+    * `compactEvery` batches (0 disables).
     */
   def start(docs: DataFrame, dir: String, stateDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String, compactEvery: Int = 64): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, dir, stateDir, batchId)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          compactState(batch.sparkSession, stateDir)
         ()
       }
       .start()
