@@ -171,19 +171,27 @@ object Dedup {
     * map-side-combined count on the window hash, one hash join back,
     * one per-doc sort for the interval merge — never pairwise.
     */
-  private[operators] def duplicatedSpans(
-      docs: DataFrame, w: Int = 15, minCount: Long = 2L): DataFrame = {
-    val wins = docs
+  /** The (doc_id, pos, whash) w-token rolling window hashes of a
+    * corpus — the anchor stream ll15/ll33 count and the per-batch
+    * delta SubstrStream folds into its maintained window index.
+    */
+  private[graft] def windowHashes(docs: DataFrame, w: Int): DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= w)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(ws) - $w), i -> md5(concat_ws(' ', slice(ws, i + 1, $w))))"))
         .as(Seq("pos", "whash")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("whash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds the freq aggregate AND the probe join
-    val freq = wins.groupBy(col("whash")).agg(count(lit(1)).as("cnt"))
-    val dup = wins.join(freq, "whash").filter(col("cnt") >= minCount)
-      .select(col("doc_id"), col("pos"), (col("pos") + (w - 1)).as("fin"))
+
+  /** Gaps-and-islands merge of duplicated window POSITIONS into
+    * maximal per-doc spans (q16's shape): input (doc_id, pos, fin),
+    * output (doc_id, span_start, span_end, n_windows). Shared by the
+    * batch detectors and SubstrStream's per-boundary re-merge — their
+    * equivalence contract then reduces to agreeing on the duplicated
+    * position set.
+    */
+  private[graft] def spansOfDupPositions(dup: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dup
       .withColumn("prev_max",
@@ -196,6 +204,16 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"), max(col("fin")).as("span_end"),
         count(lit(1)).as("n_windows"))
       .drop("grp")
+  }
+
+  private[graft] def duplicatedSpans(
+      docs: DataFrame, w: Int = 15, minCount: Long = 2L): DataFrame = {
+    val wins = windowHashes(docs, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds the freq aggregate AND the probe join
+    val freq = wins.groupBy(col("whash")).agg(count(lit(1)).as("cnt"))
+    val dup = wins.join(freq, "whash").filter(col("cnt") >= minCount)
+      .select(col("doc_id"), col("pos"), (col("pos") + (w - 1)).as("fin"))
+    spansOfDupPositions(dup)
   }
 
   /** Exact Jaccard >= t pairs from a (doc_id, sh) table via the

@@ -1,0 +1,186 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming EXACT-SUBSTRING DEDUP — ll33's incremental sibling (r16
+  * verdict item #8), closing the one dedup family member without a
+  * streaming twin: as crawl batches arrive, each document's 50-token
+  * windows are hashed against a MAINTAINED window index, and every
+  * document's maximal duplicated-substring CUT LIST (Lee et al. ACL
+  * 2022's removal contract, ll33's exact semantics) is kept current.
+  *
+  * Unlike the keep-min dedup folds, substring dedup is RETROACTIVE by
+  * definition: when a later crawl repeats a passage first seen in an
+  * earlier document, BOTH occurrences become cuts — so a batch can
+  * re-cut documents that arrived long before it. The fold bounds that
+  * work by the delta: only hashes CROSSING the duplication threshold
+  * this batch (a subset of the batch's own hash set) can affect prior
+  * documents, and only the prior holders of those hashes re-merge.
+  * Because the duplicated-position set of a document is
+  * arrival-order-independent (occurrence counting is symmetric — no
+  * id-ordered survivor rule anywhere), the fold equals the batch
+  * operator on the union of everything arrived WITHOUT a monotone-id
+  * contract; re-delivered documents are dropped by first-write-wins
+  * on the doc ledger.
+  *
+  * Per-batch cost: the batch's own windowing, ONE hash-probe of the
+  * accumulated window index (CorpusStream's probe shape — the index
+  * side is (doc_id, pos, 32-char hash), linear in corpus TOKENS but
+  * never corpus TEXT), and a gaps-and-islands re-merge over batch
+  * docs plus the retro-affected holders only — through the SAME
+  * Dedup.spansOfDupPositions path the batch detector uses.
+  *
+  * State stores (per-batch `batch_id=N` partitions, overwrite mode —
+  * the at-least-once replay contract of the other streams):
+  *   wins (doc_id, pos, whash)  the maintained window index
+  *   docs (doc_id)              the first-write-wins ledger
+  *   dups (whash)               hashes known duplicated (cnt >= 2)
+  *   cuts (doc_id, span_start, span_end, n_windows) — VERSIONED: a
+  *        later batch's rows for a doc supersede earlier ones;
+  *        [[readCuts]] resolves latest-per-doc.
+  * [[compactState]] folds committed partitions into `batch_id=-1`
+  * (cuts keep only each doc's latest version), crash-atomic via the
+  * staged-swap protocol; `start` triggers it every `compactEvery`
+  * batches.
+  */
+object SubstrStream {
+
+  private val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** The window width — ll33's 50-token Lee et al. threshold. */
+  val W = 50
+
+  private[graft] val stores: Seq[String] = Seq("wins", "docs", "dups", "cuts")
+
+  private def readState(spark: SparkSession, dir: String,
+                        batchId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(dir)
+      .filter(col("batch_id") =!= batchId) // replay: skip own first attempt
+      .drop("batch_id"))
+  }
+
+  /** One micro-batch of (doc_id, text): probe the window index, mark
+    * newly-crossed duplicate hashes, re-merge the cut lists of batch
+    * docs and retro-affected prior docs. Idempotent under replay.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
+                   batchId: Long, w: Int = W): Unit = {
+    val winsDir = s"$stateDir/wins"
+    val docsDir = s"$stateDir/docs"
+    val dupsDir = s"$stateDir/dups"
+    val cutsDir = s"$stateDir/cuts"
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def hot(df: DataFrame): DataFrame = { persisted += df.persist(store); df }
+    val winsIdx = readState(spark, winsDir, batchId).map(hot)
+    val docsIdx = readState(spark, docsDir, batchId)
+    val dupsIdx = readState(spark, dupsDir, batchId).map(hot)
+    // first-write-wins: a doc re-delivered in a later batch is skipped
+    val fresh = hot(docsIdx.fold(batch)(d =>
+      batch.join(d, Seq("doc_id"), "left_anti")))
+    try {
+      val wB = hot(Dedup.windowHashes(fresh.select(col("doc_id"), col("text")), w))
+      val batchCnt = wB.groupBy(col("whash")).agg(count(lit(1)).as("bcnt"))
+      // ONE probe of the accumulated index: prior occurrences of the
+      // batch's hashes — feeds both the crossing counts and the
+      // retro-affected doc set
+      val priorHits = winsIdx.map(idx =>
+        hot(idx.join(batchCnt.select(col("whash")), "whash")))
+      val totals = priorHits.fold(batchCnt.withColumn("pcnt", lit(0L))) { ph =>
+        batchCnt.join(ph.groupBy(col("whash")).agg(count(lit(1)).as("pcnt")),
+            Seq("whash"), "left")
+          .na.fill(0L, Seq("pcnt"))
+      }
+      // hashes crossing the >=2 occurrence threshold THIS batch —
+      // bounded by the batch's own hash set, the retro-work budget
+      val crossed = hot(totals.filter(col("bcnt") + col("pcnt") >= 2L)
+        .select(col("whash"))
+        .join(dupsIdx.getOrElse(wB.limit(0).select(col("whash"))),
+          Seq("whash"), "left_anti"))
+      val dupsAll = dupsIdx.fold(crossed)(_.unionByName(crossed))
+      // duplicated positions: batch docs against the full dup set…
+      val dupPosBatch = wB.join(dupsAll, "whash")
+        .select(col("doc_id"), col("pos"), (col("pos") + (w - 1)).as("fin"))
+      // …plus the retro-affected prior holders of newly-crossed
+      // hashes, re-merged from their FULL window set
+      val dupPosPrior = (priorHits, winsIdx) match {
+        case (Some(ph), Some(idx)) =>
+          val affected = ph.join(crossed, "whash").select(col("doc_id")).distinct()
+          idx.join(affected, "doc_id").join(dupsAll, "whash")
+            .select(col("doc_id"), col("pos"), (col("pos") + (w - 1)).as("fin"))
+        case _ => dupPosBatch.limit(0)
+      }
+      val cutsNew = Dedup.spansOfDupPositions(dupPosBatch.unionByName(dupPosPrior))
+      // commit (idempotent overwrite per batch partition)
+      wB.write.mode("overwrite").parquet(s"$winsDir/batch_id=$batchId")
+      fresh.select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$docsDir/batch_id=$batchId")
+      crossed.write.mode("overwrite").parquet(s"$dupsDir/batch_id=$batchId")
+      cutsNew.write.mode("overwrite").parquet(s"$cutsDir/batch_id=$batchId")
+    } finally persisted.foreach(_.unpersist())
+  }
+
+  /** The current cut list: each doc's rows from its LATEST version
+    * (a retro re-cut supersedes the doc's earlier rows). Matches
+    * ll33's duplicatedSpans(union, w) output columns.
+    */
+  def readCuts(spark: SparkSession, stateDir: String): DataFrame = {
+    val all = spark.read.parquet(s"$stateDir/cuts")
+    val byDoc = Window.partitionBy(col("doc_id"))
+    all.withColumn("mx", max(col("batch_id").cast("long")).over(byDoc))
+      .filter(col("batch_id").cast("long") === col("mx"))
+      .drop("batch_id", "mx")
+  }
+
+  /** Fold the committed partitions of every store into `batch_id=-1`
+    * (cuts keep only each doc's latest version first — the versioning
+    * semantics survive compaction). Crash-atomic per store.
+    */
+  def compactState(spark: SparkSession, stateDir: String,
+                   targetFiles: Int = 4): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    stores.foreach { name =>
+      val path = s"$stateDir/$name"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      graft.sinks.Sinks.recoverSwap(spark, path)
+      if (fs.exists(p)) {
+        val all = spark.read.parquet(path)
+        val kept = name match {
+          case "cuts" =>
+            val byDoc = Window.partitionBy(col("doc_id"))
+            all.withColumn("mx", max(col("batch_id").cast("long")).over(byDoc))
+              .filter(col("batch_id").cast("long") === col("mx")).drop("mx")
+          case _ => all
+        }
+        val compacted = kept.drop("batch_id").withColumn("batch_id", lit(-1L))
+          .repartition(targetFiles)
+        graft.sinks.Sinks.atomicSwap(spark, path) { staging =>
+          compacted.write.mode("overwrite").partitionBy("batch_id").parquet(staging)
+        }
+      }
+    }
+  }
+
+  /** The streaming entry: a (doc_id, text) crawl stream → maintained
+    * window index + per-doc cut lists, compacted every `compactEvery`
+    * batches (0 disables).
+    */
+  def start(docs: DataFrame, stateDir: String, checkpointDir: String,
+            compactEvery: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, stateDir, batchId)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          compactState(batch.sparkSession, stateDir)
+        ()
+      }
+      .start()
+}

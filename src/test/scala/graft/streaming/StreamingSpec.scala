@@ -1418,6 +1418,211 @@ class StreamingSpec extends SparkSpec {
       "a late re-delivered batch must not re-attribute any document")
   }
 
+  test("release-stream state compaction: readers see identical state through fewer " +
+    "files, the fold continues correctly, and pre-compaction replay is a no-op") {
+    assume(new java.io.File(releaseSfDir).exists())
+    val rows = releaseRows()
+    val sess = spark
+    import sess.implicits._
+    val b1 = rows.slice(0, 333).toIndexedSeq.toDF("doc_id", "text", "embedding")
+    val b2 = rows.slice(333, 666).toIndexedSeq.toDF("doc_id", "text", "embedding")
+    val b3 = rows.slice(666, rows.length).toIndexedSeq.toDF("doc_id", "text", "embedding")
+    val base = Files.createTempDirectory("release_compact").toString
+    val state = s"$base/state"
+    ReleaseStream.processBatch(spark, b1, releaseSfDir, state, 0L)
+    ReleaseStream.processBatch(spark, b2, releaseSfDir, state, 1L)
+    def attSet() = ReleaseStream.readAttrition(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    def partFiles(store: String): Int = {
+      val d = new java.io.File(s"$state/$store")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).count(_.getName.endsWith(".parquet"))
+    }
+    val release = releaseSet(ReleaseStream.readRelease(spark, state))
+    val att = attSet()
+    val filesBefore = ReleaseStream.stores.map(s => s -> partFiles(s)).toMap
+    ReleaseStream.compactState(spark, state, targetFiles = 1)
+    // the compacted state is byte-equivalent to every reader…
+    assert(releaseSet(ReleaseStream.readRelease(spark, state)) === release,
+      "compaction must not change the latest release design")
+    assert(attSet() === att, "compaction must not change the attrition ledger")
+    // …through a BOUNDED file count (the small-file tax is the point)
+    ReleaseStream.stores.foreach { s =>
+      assert(partFiles(s) <= math.max(2, filesBefore(s)),
+        s"store $s must not gain files under compaction")
+    }
+    assert(partFiles("att") <= 2 && partFiles("rollup") <= 2,
+      s"2-batch stores must compact to ~1 file, got att=${partFiles("att")} " +
+        s"rollup=${partFiles("rollup")}")
+    // the fold continues over compacted state: the next boundary still
+    // equals the batch release on the union of everything arrived
+    ReleaseStream.processBatch(spark, b3, releaseSfDir, state, 2L)
+    val want = releaseSet(graft.SparkEntry.queries("cp5_pretraining_release")(
+      spark, releaseSfDir))
+    assert(releaseSet(ReleaseStream.readRelease(spark, state)) === want,
+      "post-compaction fold diverged from the batch release")
+    // a replay of a PRE-compaction batch finds its docs in the
+    // compacted ledger and anti-joins to a no-op
+    val afterB3 = attSet()
+    ReleaseStream.processBatch(spark, b2, releaseSfDir, state, 1L)
+    assert(attSet() === afterB3 &&
+      releaseSet(ReleaseStream.readRelease(spark, state)) === want,
+      "replaying a compacted batch must be a no-op")
+  }
+
+  test("release stream FAILS LOUDLY on an out-of-order crawl: a fresh doc below " +
+    "the ledger max breaks the fold contract") {
+    assume(new java.io.File(releaseSfDir).exists())
+    val rows = releaseRows()
+    val sess = spark
+    import sess.implicits._
+    // deliver everything except one mid-range doc, then deliver it late
+    val holdOut = rows(200)
+    val b1 = rows.slice(0, 400).filterNot(_._1 == holdOut._1)
+      .toIndexedSeq.toDF("doc_id", "text", "embedding")
+    val late = Seq(holdOut).toDF("doc_id", "text", "embedding")
+    val state = Files.createTempDirectory("release_ooo").toString + "/state"
+    ReleaseStream.processBatch(spark, b1, releaseSfDir, state, 0L)
+    val ex = intercept[IllegalStateException] {
+      ReleaseStream.processBatch(spark, late, releaseSfDir, state, 1L)
+    }
+    assert(ex.getMessage.contains("out-of-order"),
+      s"the failure must name the broken contract: ${ex.getMessage}")
+  }
+
+  // ---- SubstrStream: ll33's incremental sibling ----
+
+  private def substrDocs: Map[String, (Long, String)] = {
+    val p = (1 to 60).map(i => f"p$i%02d").mkString(" ") // the shared passage
+    val p2 = (1 to 50).map(i => f"q$i%02d").mkString(" ") // the within-doc repeat
+    Map(
+      "a" -> (1L, s"${(1 to 10).map(i => f"a$i%02d").mkString(" ")} $p"),
+      "b" -> (2L, (1 to 60).map(i => f"b$i%02d").mkString(" ")),
+      "d" -> (4L, s"$p2 ${(1 to 5).map(i => f"d$i%02d").mkString(" ")} $p2"),
+      "e" -> (5L, (1 to 60).map(i => f"e$i%02d").mkString(" ")),
+      "c" -> (6L, s"$p ${(1 to 10).map(i => f"c$i%02d").mkString(" ")}"))
+  }
+
+  private def cutSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  private def batchCuts(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+    val sess = spark
+    import sess.implicits._
+    cutSet(graft.operators.Dedup.duplicatedSpans(
+      docs.toDF("doc_id", "text"), w = SubstrStream.W))
+  }
+
+  test("streaming substring dedup: the fold equals batch ll33 spans at every " +
+    "boundary, INCLUDING the retroactive re-cut of an earlier document") {
+    val d = substrDocs
+    // batch 1: a + b (no dups yet); batch 2: d (within-doc repeat) + e;
+    // batch 3: c repeats a's passage -> BOTH a and c must carry cuts
+    val slices = Seq(Seq(d("a"), d("b")), Seq(d("d"), d("e")), Seq(d("c")))
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("substr_stream").toString
+    val state = s"$base/state"
+    val q = SubstrStream.start(input.toDF().toDF("doc_id", "text"),
+      state, s"$base/ckpt")
+    try {
+      var arrived = Seq.empty[(Long, String)]
+      slices.foreach { slice =>
+        input.addData(slice.toIndexedSeq)
+        q.processAllAvailable()
+        arrived ++= slice
+        assert(cutSet(SubstrStream.readCuts(spark, state)) === batchCuts(arrived),
+          s"fold diverged from batch-on-union after ${arrived.map(_._1)}")
+      }
+      // the retro case actually fired: doc 1 (batch 1) carries a cut
+      // that only exists because doc 6 (batch 3) repeated its passage
+      val finalCuts = cutSet(SubstrStream.readCuts(spark, state))
+      assert(finalCuts.exists(_._1 == 1L) && finalCuts.exists(_._1 == 6L),
+        s"both passage holders must be cut: $finalCuts")
+      assert(finalCuts.exists(_._1 == 4L), "the within-doc repeat must be cut")
+      assert(!finalCuts.exists(c => c._1 == 2L || c._1 == 5L),
+        "unique docs must carry no cuts")
+    } finally q.stop()
+  }
+
+  test("substring-dedup stream replay is idempotent and compaction preserves " +
+    "the versioned cut store") {
+    val d = substrDocs
+    val sess = spark
+    import sess.implicits._
+    val b1 = Seq(d("a"), d("b")).toDF("doc_id", "text")
+    val b2 = Seq(d("d"), d("e")).toDF("doc_id", "text")
+    val b3 = Seq(d("c")).toDF("doc_id", "text")
+    val state = Files.createTempDirectory("substr_replay").toString + "/state"
+    SubstrStream.processBatch(spark, b1, state, 0L)
+    SubstrStream.processBatch(spark, b2, state, 1L)
+    val cuts2 = cutSet(SubstrStream.readCuts(spark, state))
+    // crash re-delivery under the SAME id: overwrite-idempotent
+    SubstrStream.processBatch(spark, b2, state, 1L)
+    assert(cutSet(SubstrStream.readCuts(spark, state)) === cuts2)
+    // late re-delivery in a NEW batch: first-write-wins no-op
+    SubstrStream.processBatch(spark, b1, state, 2L)
+    assert(cutSet(SubstrStream.readCuts(spark, state)) === cuts2,
+      "re-delivered docs must not re-cut or double-count window hashes")
+    // compaction folds the stores; the fold then continues correctly
+    // through the RETRO case (doc a's re-cut reads the compacted index)
+    SubstrStream.compactState(spark, state, targetFiles = 1)
+    assert(cutSet(SubstrStream.readCuts(spark, state)) === cuts2,
+      "compaction must not change the visible cut state")
+    SubstrStream.processBatch(spark, b3, state, 3L)
+    assert(cutSet(SubstrStream.readCuts(spark, state)) ===
+      batchCuts(Seq(d("a"), d("b"), d("d"), d("e"), d("c"))),
+      "the post-compaction fold must still retro-cut the earlier holder")
+  }
+
+  test("release fold SCALE probe: the boundary's frontier scan is pruned to " +
+    "candidate buckets — sublinear in the accumulated corpus") {
+    val sess = spark
+    import sess.implicits._
+    // synthetic accumulated state: N survivors of 1 token each, dense
+    // ids, sqrt-sized buckets — the shape the fold maintains. The
+    // design's cost driver is the pruned frontier read; count it.
+    def stateOf(n: Long, bsize: Long) = {
+      val frontier = spark.range(n).select(col("id").as("doc_id"),
+        lit(1L).as("nt"), (col("id") + 1L).as("cum"),
+        expr(s"CAST(id DIV $bsize AS BIGINT)").as("bucket"))
+      val bstats = spark.range(n / bsize).select(col("id").as("bucket"),
+        lit(bsize).as("btot"), lit(bsize).as("bdocs"))
+      val rollup = Seq(("input", n, n), ("_max", n - 1L, 0L))
+        .toDF("stage", "n_docs", "n_tokens")
+      (frontier, bstats, rollup)
+    }
+    def probe(n: Long, bsize: Long): (Long, Set[(String, Long, Long)]) = {
+      val (f, b, r) = stateOf(n, bsize)
+      val (design, pruned) = ReleaseStream.releaseOf(spark, f, b, r)
+      (pruned.count(), releaseSet(design))
+    }
+    val (prunedA, designA) = probe(250000L, 500L)
+    val (prunedB, designB) = probe(4000000L, 2000L) // 16x the corpus
+    // correctness at both scales: conservation holds and the sample is
+    // the ~100 unit-boundary docs
+    Seq((designA, 250000L), (designB, 4000000L)).foreach { case (d, n) =>
+      val input = d.find(_._1 == "input").get
+      assert(input === (("input", n, n)))
+      val rest = d.filter(_._1 != "input")
+      assert(rest.toSeq.map(_._2).sum === n && rest.toSeq.map(_._3).sum === n,
+        s"conservation must hold at n=$n")
+      assert(d.find(_._1 == "gate:pps_sampled_out").get._2 === n - 100L,
+        s"exactly the 100 unit-boundary docs sample in at n=$n")
+    }
+    // the scale claim: 16x the corpus, ≤ ~4x the scanned rows (the
+    // pruned read is boundaries x bucketload = O(√corpus))
+    assert(prunedA <= 100L * 500L && prunedB <= 100L * 2000L,
+      s"pruning must bound the scan to candidate buckets: $prunedA / $prunedB")
+    assert(prunedB <= 5L * prunedA,
+      s"16x corpus must cost ≤ ~4x (sqrt) scanned rows: $prunedA -> $prunedB")
+    assert(prunedA < 250000L / 2L,
+      s"the pruned scan must be well under the corpus: $prunedA")
+  }
+
   test("online quality-probe training: the stream fold equals an independent " +
     "driver reference and learns the planted keep/flag separation") {
     import graft.operators.TextAnalysis.{ProbeDoc, miniBatchGdStream}
