@@ -70,13 +70,6 @@ object Percentiles {
     val (keyed, joinKeys) =
       if (partKeys.isEmpty) (df.withColumn("__gk", lit(0L)), Seq("__gk"))
       else (df, partKeys)
-    exactKeyed(keyed, joinKeys, partKeys.map(col), valueCol, qs, bucketWidth)
-  }
-
-  private def exactKeyed(df0: DataFrame, partKeys: Seq[String],
-                         outKeys: Seq[org.apache.spark.sql.Column],
-                         valueCol: String, qs: Seq[(String, Double)],
-                         bucketWidth: Long): DataFrame = {
     // percentile() skips NULL inputs; without this filter a null value
     // would form its own histogram row (sorting first under the
     // coarse/fine window order), inflating n_rows and shifting every
@@ -85,14 +78,51 @@ object Percentiles {
     // the null case). NOTE: a group whose values are ALL null then
     // vanishes entirely, same as percentile()'s null result dropping
     // out of a dense-group join.
-    val df = df0.filter(col(valueCol).isNotNull)
+    val hist = keyed.filter(col(valueCol).isNotNull)
+      .groupBy((joinKeys.map(col) :+ col(valueCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    exactKeyed(hist, joinKeys, partKeys.map(col), qs, bucketWidth)
+  }
+
+  /** [[exact]] over a PRE-AGGREGATED value histogram: `histDf` is
+    * (partKeys…, valueCol, countCol) — one row per (group, value) with
+    * its occurrence count, null values already excluded. The row-grain
+    * scan+groupBy is the only corpus-sized stage of the machinery, so
+    * a caller that already HAS the histogram (or derives a second
+    * percentile's values from the first's histogram, prof13's
+    * median→MAD chain) skips the corpus entirely. Duplicate value rows
+    * are merged here, so value transforms that collide (|dev|) need no
+    * pre-grouping.
+    */
+  def exactWeighted(histDf: DataFrame, partKeys: Seq[String], valueCol: String,
+                    countCol: String, qs: Seq[(String, Double)],
+                    bucketWidth: Long = 4096L, merged: Boolean = false): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
+    val (keyed, joinKeys) =
+      if (partKeys.isEmpty) (histDf.withColumn("__gk", lit(0L)), Seq("__gk"))
+      else (histDf, partKeys)
+    val filtered = keyed.filter(col(valueCol).isNotNull)
+    // merged=true: the caller GUARANTEES one row per (group, value) —
+    // e.g. the input is itself a groupBy on exactly these keys — and
+    // the merging exchange is skipped
+    val hist =
+      if (merged) filtered.select((joinKeys.map(col) :+
+        col(valueCol).as("__v") :+ col(countCol).cast("long").as("__c")): _*)
+      else filtered
+        .groupBy((joinKeys.map(col) :+ col(valueCol).as("__v")): _*)
+        .agg(sum(col(countCol)).as("__c"))
+    exactKeyed(hist, joinKeys, partKeys.map(col), qs, bucketWidth)
+  }
+
+  private def exactKeyed(hist0: DataFrame, partKeys: Seq[String],
+                         outKeys: Seq[org.apache.spark.sql.Column],
+                         qs: Seq[(String, Double)],
+                         bucketWidth: Long): DataFrame = {
     val pk = partKeys.map(col)
 
-    // 1. distributed value histogram (≤ range rows, cluster-spread)
-    val hist = df
-      .groupBy((pk :+ col(valueCol).as("__v")): _*)
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__b", expr(s"__v DIV ${bucketWidth}L"))
+    // 1. the distributed value histogram (≤ range rows, cluster-
+    //    spread), built by the public entry points; bucketed here
+    val hist = hist0.withColumn("__b", expr(s"__v DIV ${bucketWidth}L"))
 
     // 2. coarse bucket totals + running counts (≤ range/width rows/key)
     val wCum = Window.partitionBy(pk: _*).orderBy(col("__b"))

@@ -691,25 +691,47 @@ object Profile {
     // the 3·MAD fence compares 2·dev2 > 3·round(2·mad2) — all-integer
     // arithmetic both engines reproduce bit-for-bit. The nation-keyed
     // joins broadcast a 25-row model table back over the scan.
+    // The median→MAD chain is broken at NATION-GRAIN MODEL TABLES:
+    // each percentile pass lands as a 25-row driver-side collect
+    // (the centroid/mmdb model-sized-collect precedent) re-emitted as
+    // a literal broadcast, because feeding one percentile pipeline's
+    // OUTPUT into another as a plan subtree re-expands the inner
+    // pipeline ~5x inside the outer's machinery (the executed plan hit
+    // 40 parquet scans of a 15k-row table — the r16 board's slowest
+    // query). Downstream of the collects everything is value-grain:
+    // the median reads the (nation, cents) histogram, the deviation
+    // histogram derives from it per-value (dev2 = |2·cents −
+    // round(2·med)|, counts re-merge), the MAD reads that, and the
+    // outlier rollup weighs histogram counts — ONE corpus scan per
+    // executed action instead of three, bit-identical output (same
+    // oracle; doubles survive the collect round-trip exactly).
     "prof13_mad_outliers" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
+      val sess = s
+      import sess.implicits._
+      val hist = Tables.customer(s, dir)
         .select(col("c_nationkey").cast("long").as("nation"),
           expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
-      val med = Percentiles.exact(c, Seq("nation"), "cents", Seq("medc" -> 0.5))
+        .groupBy(col("nation"), col("cents")).agg(count(lit(1)).as("cnt"))
+      val med = Percentiles.exactWeighted(hist, Seq("nation"), "cents", "cnt",
+          Seq("medc" -> 0.5), merged = true) // hist IS the (nation, cents) groupBy
         .select(col("nation"), col("medc"))
-      val dev = c.join(broadcast(med), "nation")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq // 25 rows
+        .toDF("nation", "medc")
+      val devHist = hist.join(broadcast(med), "nation")
         .withColumn("dev2",
           abs(col("cents") * 2 - expr("CAST(round(medc * 2) AS BIGINT)")))
-      val mad = Percentiles.exact(dev.select(col("nation"), col("dev2")),
-          Seq("nation"), "dev2", Seq("mad2" -> 0.5))
+      val mad = Percentiles.exactWeighted(devHist, Seq("nation"), "dev2", "cnt",
+          Seq("mad2" -> 0.5))
         .select(col("nation"), col("mad2"))
-      dev.join(broadcast(mad), "nation")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq // 25 rows
+        .toDF("nation", "mad2")
+      devHist.join(broadcast(mad), "nation")
         .groupBy(col("nation"))
-        .agg(count(lit(1)).as("n_customers"),
+        .agg(sum(col("cnt")).as("n_customers"),
           (max(col("medc")) / lit(100.0)).as("median_bal"),
           (max(col("mad2")) / lit(200.0)).as("mad"),
           sum(when(col("dev2") * 2 > expr("CAST(round(mad2 * 2) AS BIGINT)") * 3,
-            1L).otherwise(0L)).as("n_outliers"))
+            col("cnt")).otherwise(0L)).as("n_outliers"))
     }),
 
     // PROF14: φ² INDEPENDENCE AUDIT (normalized chi-squared) — are
