@@ -88,7 +88,12 @@ object BenchScale {
     "ev12_bleu_precision", "sj1_source_jobs", "a2d_flusher_agg",
     "nt1_notifier_queue", "prof16_correlation", "cp5_pretraining_release",
     "t1c_suppression_backup", "jd2_read_excluded", "ll33_substring_dedup",
-    "ta32_quality_trainer")
+    "ta32_quality_trainer",
+    // Round-17 addition: ts8 (hybrid RRF — the lexical leg's
+    // query-term join scans corpus tokens like ts5, so the probe
+    // checks the df-cap keeps the candidate side bounded while the
+    // fusion stays query-set x k grain)
+    "ts8_hybrid_rrf")
 
   /** Write a K-fold replica of the tables the heavy set reads. */
   private[graft] def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {

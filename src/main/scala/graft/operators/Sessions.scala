@@ -1334,21 +1334,30 @@ object Sessions {
         .withColumn("era",
           when(col("d") < col("mid"), lit("a")).otherwise(lit("b")))
         .groupBy(col("era"), col("user_id")).agg(sum(col("cents")).as("cents"))
+      // the tercile cuts land as a 2-row ERA-GRAIN model collect
+      // re-emitted as a literal broadcast (prof13's plan-nesting
+      // lesson: a percentile pipeline fed the eras AGGREGATE as its
+      // input, and every downstream reference re-expanded it ~5x —
+      // the collect caps the eras subtree at one execution per action)
+      val sess2 = s
+      import sess2.implicits._
       val cuts = Percentiles.exact(eras, Seq("era"), "cents",
           Seq("c33" -> 0.33, "c67" -> 0.67))
         .select(col("era"), col("c33"), col("c67"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq.toDF("era", "c33", "c67")
       val seg = eras.join(broadcast(cuts), "era")
         .withColumn("seg", expr(
           "CASE WHEN cents * 2 > CAST(round(c67 * 2) AS BIGINT) THEN 2L " +
             "WHEN cents * 2 > CAST(round(c33 * 2) AS BIGINT) THEN 1L " +
             "ELSE 0L END"))
-      val a = seg.filter(col("era") === "a")
-        .select(col("user_id"), col("seg").as("seg_a"))
-      val b = seg.filter(col("era") === "b")
-        .select(col("user_id"), col("seg").as("seg_b"))
-      val m = a.join(b, Seq("user_id"), "full_outer")
-        .select(coalesce(col("seg_a"), lit(-1L)).as("seg_a"),
-          coalesce(col("seg_b"), lit(-1L)).as("seg_b"))
+      // the era-a/era-b alignment is a PIVOT over one pass of seg (a
+      // user has at most one row per era), not a filtered self-join —
+      // the full-outer's null side is the missing-era case, which the
+      // pivot's null aggregate reproduces
+      val m = seg.groupBy(col("user_id"))
+        .agg(coalesce(max(when(col("era") === "a", col("seg"))), lit(-1L)).as("seg_a"),
+          coalesce(max(when(col("era") === "b", col("seg"))), lit(-1L)).as("seg_b"))
         .groupBy(col("seg_a"), col("seg_b")).agg(count(lit(1)).as("n_users"))
       val rowTot = m.groupBy(col("seg_a")).agg(sum(col("n_users")).as("row_n"))
       m.join(broadcast(rowTot), "seg_a")
