@@ -260,11 +260,19 @@ object Profile {
     // value exceeds, one codegen'd comparison chain. At 100 TB: two
     // bounded-state scans, no sort, no distinct.
     "prof12_equidepth" -> ((s, dir) => {
+      val sess12 = s
+      import sess12.implicits._
       val qs = (1 to 7).map(i => (s"q$i", i / 8.0))
       val c = Tables.events(s, dir)
         .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      // 7-double model collect (prof13's plan-nesting lesson): keeps
+      // the header's two-scan claim true in the EXECUTED plan — the
+      // percentile machinery otherwise re-reads the scan ~5x
       val cuts = Percentiles.exact(c, Nil, "cents", qs)
         .select(qs.map { case (a, _) => col(a) }: _*)
+        .collect().map(r => Tuple7(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+        .toDF(qs.map(_._1): _*)
       c.crossJoin(broadcast(cuts))
         .withColumn("bucket",
           qs.map { case (a, _) =>

@@ -415,11 +415,18 @@ object Sessions {
     // user-count-sized map on ONE reducer (r10 verdict finding #1);
     // the histogram path's state is bounded by the cent RANGE instead.
     "q38_value_concentration" -> ((s, dir) => {
+      val sess38 = s
+      import sess38.implicits._
       val per = Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("cents"))
+      // 1-row model collect (prof13's plan-nesting lesson): the
+      // percentile pipeline's input is the per-user AGGREGATE, which
+      // its machinery re-expands ~5x as a subtree — collected, the
+      // aggregate runs once per action instead
       val cut = Percentiles.exact(per, Nil, "cents", Seq("p90" -> 0.9))
         .select(col("p90"))
+        .collect().map(_.getDouble(0)).toSeq.toDF("p90")
       per.crossJoin(broadcast(cut))
         .agg(count(lit(1)).as("n_users"),
           sum(when(col("cents") > col("p90"), 1L).otherwise(0L)).as("n_top"),
@@ -543,10 +550,17 @@ object Sessions {
     // assignment is pure per-row comparison, and the closing per-bin
     // rollup bounds the output at 4 rows.
     "q26_quantile_bin" -> ((s, dir) => {
+      val sess26 = s
+      import sess26.implicits._
       val ev = Tables.events(s, dir).select(col("value"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      // 1-row model collect (prof13's plan-nesting lesson): without
+      // it the assignment scan re-reads the cut machinery's expanded
+      // input subtree ~5x
       val cuts = Percentiles.exact(ev, Nil, "cents",
-        Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75)).drop("n_rows")
+          Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75)).drop("n_rows")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq.toDF("q1", "q2", "q3")
       ev.crossJoin(broadcast(cuts))
         .withColumn("bin",
           when(col("cents") < col("q1"), 0L)

@@ -105,6 +105,18 @@ class PlanSpec extends SparkSpec {
         "global Sort here would range-shuffle every scored document")
   }
 
+  test("ts8 hybrid fusion: the query-term table broadcasts onto the token stream " +
+    "and no cartesian appears anywhere in the fused plan") {
+    val plan = planOf("ts8_hybrid_rrf")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the (10 queries x df-capped vocab) term table must broadcast onto " +
+        "the matching-token tf aggregate — a shuffle join here re-keys the corpus")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "every fusion stage is an equi-join; a nested-loop means a join " +
+        "condition degraded")
+  }
+
   test("q17b native as-of join: custom exec plans one exchange per side and prunes columns") {
     val plan = planOf("q17b_asof_native")
     assert(plan.contains("AsOfJoin"),
