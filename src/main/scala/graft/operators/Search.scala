@@ -369,6 +369,82 @@ object Search {
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_ppm"),
           col("t_rank"), col("v_rank"))
+    }),
+
+    // EV15: HYBRID-RETRIEVAL EVALUATION ON PLANTED TRUTH — closes
+    // ts8's loop the way ev14 closed ta32's: the cross-crawl twin
+    // corpus (cp5's +1e8 twins — identical %17, token-REORDERED %19,
+    // first-word-dropped otherwise; embeddings re-embedded with the
+    // 32-dim drift) gives every query a known relevant document, so
+    // the fusion can be SCORED, not just computed. Per query (the ann
+    // ids < 10, querying with its own base text/embedding against the
+    // two-crawl corpus): the twin's rank in the BM25 leg, in the
+    // brute-cosine leg, and in the RRF-fused ordering — nulls where a
+    // leg misses it entirely. The reordered twins are the designed
+    // separation: bag-of-words BM25 scores them identically to the
+    // base (rank ~1) while fixed-dim reading of a reordered page
+    // still embeds nearby — and pages where one leg slips, the other
+    // anchors, which is the number an operator reads to justify
+    // running both legs. Corpus-scale work is one twin-corpus
+    // tokenize + one vec pass; everything after the leg top-ks is
+    // query-set × k grain.
+    "ev15_hybrid_retrieval_eval" -> ((s, dir) => {
+      val cor = Pipeline.cp5TwinCorpus(s, dir)
+      val nDocs = 2L * Tables.countStat(s, dir, "documents")
+      // twin-corpus token total: a 1-row scalar action (ts1's corpus-
+      // size precedent); the raw-table sumStat can't serve a derived corpus
+      val totTok = cor.agg(sum(size(split(col("text"), " ")))).first().getLong(0)
+      val toks = cor.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      // the eval leg runs UNCAPPED (df >= 2 only): ts8's production
+      // df-cap is a posting-list cost bound, but on a template-heavy
+      // vocabulary it excludes every term and the leg under test
+      // would measure nothing — the eval must rank the planted truth
+      // with full BM25, and its cost is query-vocab x posting-length,
+      // the price any uncapped BM25 serve pays
+      val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .withColumn("idfq", expr(s"CAST((${nDocs}L * 1000000L) DIV (df + 1) AS BIGINT)"))
+      val qterms = tf.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("w"))
+        .join(dft, "w")
+      val cand = tf.join(broadcast(qterms), "w")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dl, "doc_id")
+        .withColumn("c", expr(
+          "floor(CAST(idfq AS DOUBLE) * ((CAST(tf AS DOUBLE) * 2.2D) / " +
+            "(CAST(tf AS DOUBLE) + (1.2D * (0.25D + (0.75D * " +
+            s"((CAST(dl AS DOUBLE) * CAST(${nDocs}L AS DOUBLE)) / CAST(${totTok}L AS DOUBLE))))))))"))
+      val wq = Window.partitionBy(col("query_id"))
+      val textLeg = cand.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).as("score"))
+        .withColumn("t_rank", row_number().over(
+          wq.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("t_rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("t_rank"))
+      val e = Pipeline.cp5TwinVecs(s, dir)
+        .withColumn("nrm", expr("dot_native(embedding, embedding)"))
+      val qv = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val vecLeg = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+        .withColumn("sim",
+          expr("dot_native(q_emb, embedding)") / sqrt(col("q_nrm") * col("nrm")))
+        .withColumn("v_rank", row_number().over(
+          wq.orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("v_rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("v_rank"))
+      val fused = textLeg.join(vecLeg, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_ppm",
+          coalesce(expr("1000000L DIV (60 + t_rank)"), lit(0L)) +
+            coalesce(expr("1000000L DIV (60 + v_rank)"), lit(0L)))
+        .withColumn("fused_rank", row_number().over(
+          wq.orderBy(col("rrf_ppm").desc, col("doc_id").asc)).cast("long"))
+      val twinRanks = fused
+        .filter(col("doc_id") === col("query_id") + 100000000L)
+        .select(col("query_id"), col("t_rank"), col("v_rank"), col("fused_rank"))
+      qv.select(col("query_id")).join(twinRanks, Seq("query_id"), "left")
     })
   )
 
@@ -571,6 +647,76 @@ object Search {
             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rank,
             doc_id, rrf_ppm, t_rank, v_rank
-          FROM f QUALIFY rank <= 10"""
+          FROM f QUALIFY rank <= 10""",
+    // the cp5 twin-corpus CTEs verbatim, ts8's pinned ranking trees
+    // over them, and the twin's rank per method via one filtered join
+    "ev15_hybrid_retrieval_eval" ->
+      s"""WITH cor AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000000,
+              CASE WHEN doc_id % 17 = 0 THEN text
+                   WHEN doc_id % 19 = 3
+                     THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                   ELSE substr(text, strpos(text, ' ') + 1) END
+            FROM documents),
+          ecorpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000000,
+              list_transform(range(1, 65),
+                i -> CASE WHEN i <= 32
+                          THEN CAST(CAST(embedding[i] AS DOUBLE) * 1.1 AS FLOAT)
+                          ELSE embedding[i] END)
+            FROM embeddings),
+          tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM cor),
+          dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+          tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+          dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+                  HAVING COUNT(*) >= 2),
+          n AS (SELECT 2 * COUNT(*) AS n FROM documents),
+          tt AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot FROM cor),
+          qt AS (SELECT doc_id AS query_id, w FROM tf WHERE doc_id < 10),
+          c AS (SELECT qt.query_id, tf.doc_id,
+                  CAST(floor(CAST((n.n * 1000000) // (df + 1) AS DOUBLE) *
+                    ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+                     (CAST(tf AS DOUBLE) + (CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                       (CAST(0.75 AS DOUBLE) *
+                        ((CAST(dl AS DOUBLE) * CAST(n.n AS DOUBLE)) / CAST(tt.tot AS DOUBLE)))))))) AS BIGINT) AS c
+                FROM tf JOIN dft USING (w) JOIN qt USING (w) JOIN dl USING (doc_id)
+                CROSS JOIN n CROSS JOIN tt
+                WHERE tf.doc_id <> qt.query_id),
+          sc AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score
+                 FROM c GROUP BY 1, 2),
+          tr AS (SELECT query_id, doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS BIGINT) AS t_rank
+                 FROM sc QUALIFY t_rank <= 20),
+          e AS (SELECT vec_id, embedding, ${Similarity.normSql} AS nrm FROM ecorpus),
+          qv AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+                 FROM e WHERE vec_id < 10),
+          pv AS (SELECT query_id, vec_id,
+                   list_sum(list_transform(range(1, 65),
+                     i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS dot,
+                   q_nrm, nrm
+                 FROM qv, e WHERE vec_id <> query_id),
+          vr AS (SELECT query_id, vec_id AS doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot / sqrt(q_nrm * nrm) DESC, vec_id) AS BIGINT) AS v_rank
+                 FROM pv QUALIFY v_rank <= 5),
+          f AS (SELECT query_id, doc_id,
+                  CAST(COALESCE(1000000 // (60 + t_rank), 0)
+                     + COALESCE(1000000 // (60 + v_rank), 0) AS BIGINT) AS rrf_ppm,
+                  t_rank, v_rank
+                FROM tr FULL OUTER JOIN vr USING (query_id, doc_id)),
+          fr AS (SELECT query_id, doc_id, t_rank, v_rank,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS fused_rank
+                 FROM f),
+          tw AS (SELECT query_id, t_rank, v_rank, fused_rank
+                 FROM fr WHERE doc_id = query_id + 100000000)
+          SELECT q.query_id, tw.t_rank, tw.v_rank, tw.fused_rank
+          FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+          LEFT JOIN tw USING (query_id)"""
   )
 }

@@ -97,6 +97,36 @@ class SearchDriftSpec extends SparkSpec {
     }
   }
 
+  test("ev15 scores the fusion on planted truth: fused coverage is the UNION of " +
+    "the legs' and the fused MRR dominates the lossy text leg") {
+    assume(new java.io.File(sfDir).exists())
+    val rows = run("ev15_hybrid_retrieval_eval").collect().map(r => (
+      r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.map(_._1).sorted.toSeq === (0L to 9L), "one row per ann query")
+    // structural RRF property: a twin found by EITHER leg has a fused
+    // rank, so fused coverage ≥ each leg's
+    rows.foreach { case (q, t, v, f) =>
+      assert((t.isDefined || v.isDefined) === f.isDefined,
+        s"query $q: fused coverage must be the union of the legs'")
+    }
+    // on the gate corpus: BM25 misses/demotes some reordered or
+    // first-word-dropped twins, the embedding leg anchors them, and
+    // the fused ranking stays at the top — the number that justifies
+    // running both legs
+    def mrr(ranks: Seq[Option[Long]]): Long =
+      ranks.map(_.fold(0L)(r => 1000000L / r)).sum / ranks.size
+    val (ts, vs, fs) = (rows.map(_._2).toSeq, rows.map(_._3).toSeq, rows.map(_._4).toSeq)
+    assert(fs.forall(_.exists(_ <= 3L)),
+      s"every planted twin must fuse into the top-3, got $fs")
+    assert(mrr(fs) > mrr(ts),
+      s"fused MRR must dominate the lossy text leg: fused=${mrr(fs)} text=${mrr(ts)}")
+    assert(vs.forall(_.contains(1L)),
+      "the crawl-aligned embedding twin is each query's nearest vector")
+  }
+
   test("ts8 hybrid fusion BEATS each leg alone on planted relevance: the twin " +
     "each leg ranks second fuses to rank one") {
     val sess = spark
