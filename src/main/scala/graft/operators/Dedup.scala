@@ -511,21 +511,25 @@ object Dedup {
     val ver = Tables.snapshotVersion(s, dir, "documents")
     val retireBase = delta.filter(col("status").isin("changed", "removed"))
       .select(col("doc_id"))
-    val retire = retireBase.unionByName(
+    val retireTwins = retireBase.unionByName(
       retireBase.select((col("doc_id") + 100000000L).as("doc_id")))
     val freshDocs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .join(broadcast(delta.filter(col("status").isin("added", "changed"))
         .select(col("doc_id"))), "doc_id")
     val freshCorpus = corpusOf(freshDocs, perturb = true)
     var splicedCount = 0
+    // `fresh`/`retire` are per-table: the dedup indexes derive from
+    // the TWO-CRAWL corpus (twins retire with their base), while the
+    // postings index derives from the raw documents table
     def splice(cache: java.util.concurrent.ConcurrentHashMap[String, Materialized],
-               name: String, build: DataFrame => DataFrame): Unit = {
+               name: String, fresh: DataFrame, retire: DataFrame,
+               build: DataFrame => DataFrame): Unit = {
       val key = s.sparkContext.applicationId + "|" + dir + "|" + name
       cache.computeIfPresent(key, (_, old) =>
         if (old.version == ver) old // already current: nothing to splice
         else {
           val spliced = old.df.join(broadcast(retire), Seq("doc_id"), "left_anti")
-            .unionByName(build(freshCorpus))
+            .unionByName(build(fresh))
           // writeAndRegister materializes the splice (which READS
           // old.df's parquet) before the old snapshot is reclaimed
           val out = writeAndRegister(s, name, key, ver, spliced)
@@ -535,9 +539,12 @@ object Dedup {
           out
         })
     }
-    splice(shCache, "shtable", shingles)
-    splice(simCache, "simtable", simhash)
-    splice(sigCache, "sigtable", c => minhashSignatures(shingles(c)))
+    splice(shCache, "shtable", freshCorpus, retireTwins, shingles)
+    splice(simCache, "simtable", freshCorpus, retireTwins, simhash)
+    splice(sigCache, "sigtable", freshCorpus, retireTwins,
+      c => minhashSignatures(shingles(c)))
+    splice(Search.postingsCache, "postings", freshDocs, retireBase,
+      Search.postingsOf)
     splicedCount
   }
 
@@ -591,6 +598,7 @@ object Dedup {
       case "shtable" => shCache
       case "sigtable" => sigCache
       case "simtable" => simCache
+      case "postings" => Search.postingsCache
       case _ => return None
     }
     Option(cache.get(s.sparkContext.applicationId + "|" + dir + "|" + name)).map(_.path)

@@ -47,14 +47,21 @@ object Search {
     * positions and characters are different artifacts (a positional /
     * suffix index), not this table.
     */
-  private val postingsCache =
+  /** The per-doc postings derivation over an arbitrary (doc_id, text)
+    * frame — factored like Dedup.corpusOf so the incremental index
+    * refresh pushes DELTA documents through the exact transform the
+    * full build used.
+    */
+  private[operators] def postingsOf(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+
+  private[operators] val postingsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
   private[operators] def postingsTable(s: org.apache.spark.sql.SparkSession,
                                        dir: String): org.apache.spark.sql.DataFrame =
     Dedup.materializedTable(postingsCache, s, dir, "postings")(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
+      postingsOf(Tables.documents(s, dir)))
 
   /** (doc_id, dl) doc lengths off the postings index — index-grain. */
   private def dlOf(postings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =

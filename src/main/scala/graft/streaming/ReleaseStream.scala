@@ -360,37 +360,14 @@ object ReleaseStream {
     * `targetFiles` bounds the compacted file count per store.
     */
   def compactState(spark: SparkSession, stateDir: String,
-                   targetFiles: Int = 4): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
+                   targetFiles: Int = 4): Unit =
     stores.foreach { name =>
-      val path = s"$stateDir/$name"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      graft.sinks.Sinks.recoverSwap(spark, path)
-      if (fs.exists(p)) {
-        val all = spark.read.parquet(path)
-        val kept = name match {
-          case "release" =>
-            val latest = all.agg(max(col("batch_id").cast("long"))).head.getLong(0)
-            all.filter(col("batch_id").cast("long") === latest)
-          case _ => all
-        }
-        val base = kept.drop("batch_id").withColumn("batch_id", lit(-1L))
-        val compacted = name match {
-          // frontier: co-partition by the pruning key so each bucket
-          // directory lands as ~one file, not targetFiles shards
-          case "frontier" => base.repartition(targetFiles, col("bucket"))
-          case _ => base.repartition(targetFiles)
-        }
-        graft.sinks.Sinks.atomicSwap(spark, path) { staging =>
-          // frontier keeps its bucket partitioning — the fold's pruning key
-          val w = compacted.write.mode("overwrite")
-          (if (name == "frontier") w.partitionBy("batch_id", "bucket")
-           else w.partitionBy("batch_id")).parquet(staging)
-        }
-      }
+      StateCompaction.compactStore(spark, s"$stateDir/$name", targetFiles,
+        // earlier release boundaries are superseded wholesale; the
+        // frontier keeps its bucket partitioning — the fold's pruning key
+        keep = if (name == "release") StateCompaction.latestBoundary else identity,
+        bucketCol = if (name == "frontier") Some("bucket") else None)
     }
-  }
 
   /** The streaming entry: (doc_id, text, embedding) crawl stream →
     * accumulated gate indexes + attrition ledger + per-boundary

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared per-batch state-store compaction (r16 verdict item #2) for
+  * the foreachBatch streams (ReleaseStream, SubstrStream,
+  * CorpusStream): every micro-batch appends one `batch_id=N`
+  * partition per store, so a long stream pays a small-file tax plus
+  * an O(batches) listing per boundary. Compaction folds a store's
+  * committed partitions into a single `batch_id=-1` partition — a
+  * sentinel no real foreachBatch id takes, so the streams' replay
+  * exclusion (`batch_id =!= batchId`) still works, and a replayed
+  * pre-compaction batch finds its rows already in the compacted
+  * state and anti-joins to a no-op. Crash-atomic per store via the
+  * staged-swap protocol (the write lands in a staging dir; the live
+  * dir is swapped in two renames with self-healing recovery).
+  */
+private[streaming] object StateCompaction {
+
+  /** Fold `path`'s batch partitions into `batch_id=-1`. `keep`
+    * filters the surviving rows (identity for append-only stores;
+    * latest-per-key for versioned ones); `bucketCol` preserves an
+    * extra partition column for stores read with partition pruning.
+    * `targetFiles` bounds the compacted file count (per bucket, when
+    * bucketed). A missing store is a no-op.
+    */
+  def compactStore(spark: SparkSession, path: String, targetFiles: Int,
+                   keep: DataFrame => DataFrame = identity,
+                   bucketCol: Option[String] = None): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.Sinks.recoverSwap(spark, path)
+    if (fs.exists(p)) {
+      val base = keep(spark.read.parquet(path))
+        .drop("batch_id").withColumn("batch_id", lit(-1L))
+      val compacted = bucketCol match {
+        // co-partition by the pruning key so each bucket directory
+        // lands as ~one file, not targetFiles shards
+        case Some(c) => base.repartition(targetFiles, col(c))
+        case None => base.repartition(targetFiles)
+      }
+      graft.sinks.Sinks.atomicSwap(spark, path) { staging =>
+        compacted.write.mode("overwrite")
+          .partitionBy("batch_id" +: bucketCol.toSeq: _*).parquet(staging)
+      }
+    }
+  }
+
+  /** keep-rule: only each doc's LATEST batch version survives (the
+    * versioned-store semantics — a later re-cut supersedes). */
+  def latestPerDoc(all: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    all.withColumn("mx", max(col("batch_id").cast("long")).over(byDoc))
+      .filter(col("batch_id").cast("long") === col("mx")).drop("mx")
+  }
+
+  /** keep-rule: only the LATEST batch boundary survives (stores whose
+    * earlier partitions are superseded wholesale). */
+  def latestBoundary(all: DataFrame): DataFrame = {
+    val latest = all.agg(max(col("batch_id").cast("long"))).head.getLong(0)
+    all.filter(col("batch_id").cast("long") === latest)
+  }
+}

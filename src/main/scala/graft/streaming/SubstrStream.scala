@@ -143,30 +143,12 @@ object SubstrStream {
     * semantics survive compaction). Crash-atomic per store.
     */
   def compactState(spark: SparkSession, stateDir: String,
-                   targetFiles: Int = 4): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
+                   targetFiles: Int = 4): Unit =
     stores.foreach { name =>
-      val path = s"$stateDir/$name"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      graft.sinks.Sinks.recoverSwap(spark, path)
-      if (fs.exists(p)) {
-        val all = spark.read.parquet(path)
-        val kept = name match {
-          case "cuts" =>
-            val byDoc = Window.partitionBy(col("doc_id"))
-            all.withColumn("mx", max(col("batch_id").cast("long")).over(byDoc))
-              .filter(col("batch_id").cast("long") === col("mx")).drop("mx")
-          case _ => all
-        }
-        val compacted = kept.drop("batch_id").withColumn("batch_id", lit(-1L))
-          .repartition(targetFiles)
-        graft.sinks.Sinks.atomicSwap(spark, path) { staging =>
-          compacted.write.mode("overwrite").partitionBy("batch_id").parquet(staging)
-        }
-      }
+      StateCompaction.compactStore(spark, s"$stateDir/$name", targetFiles,
+        // a later batch's cut rows supersede a doc's earlier ones
+        keep = if (name == "cuts") StateCompaction.latestPerDoc else identity)
     }
-  }
 
   /** The streaming entry: a (doc_id, text) crawl stream → maintained
     * window index + per-doc cut lists, compacted every `compactEvery`

@@ -227,6 +227,33 @@ class StreamingSpec extends SparkSpec {
     assert(after.length === 4, "replay must not duplicate pair rows")
     assert(spark.read.parquet(idx).count() === 6,
       "index keeps exactly one signature row per document")
+    // ---- state compaction (r16 item #2 at this stream's grain) ----
+    def pairSet() = CorpusStream.readPairs(spark, pairs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def files(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val (pairsBefore, idxFiles) = (pairSet(), files(idx))
+    CorpusStream.compactState(spark, idx, pairs, targetFiles = 1)
+    assert(pairSet() === pairsBefore, "compaction must preserve every pair row")
+    assert(spark.read.parquet(idx).count() === 6,
+      "compaction must preserve every index row")
+    assert(files(idx) <= math.min(2, idxFiles),
+      s"3 batch partitions must fold to ~1 file, got ${files(idx)}")
+    // a replayed PRE-compaction batch anti-joins to a no-op against
+    // the sentinel partition (its rows are already indexed there)
+    CorpusStream.processBatch(spark,
+      Seq(0L -> a, 4L -> c).toDF("doc_id", "text"), idx, pairs, 2L)
+    assert(pairSet() === pairsBefore && spark.read.parquet(idx).count() === 6,
+      "replay of a compacted batch must change nothing")
+    // and the next real batch still pairs against the compacted index
+    CorpusStream.processBatch(spark,
+      Seq(9L -> a).toDF("doc_id", "text"), idx, pairs, 3L)
+    assert(pairSet() === pairsBefore ++ Set((0L, 9L), (1L, 9L), (3L, 9L)),
+      "the post-compaction probe must still see the whole index")
   }
 
   test("streaming intake: quality gate feeds the dedup index, ledger records both sides") {
