@@ -456,7 +456,11 @@ object Dedup {
     * the cache can still plan against the path; a long session over a
     * frequently-mutating corpus otherwise grows tmp without bound
     * (r16 ADVICE). Best-effort: a failed delete costs disk, not
-    * correctness.
+    * correctness. CONSUMER CONTRACT: a DataFrame handed out BEFORE the
+    * corpus mutated must be re-fetched after it — the staleness
+    * contract already says its contents are obsolete, and executing it
+    * now fails loudly (scan of a deleted path) instead of silently
+    * serving the old snapshot.
     */
   private def dropScratch(s: SparkSession, path: String): Unit =
     try {

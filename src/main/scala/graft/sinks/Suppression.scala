@@ -91,20 +91,23 @@ object Suppression {
     // property — each page was pulled once and both stored and
     // tokened from that pull). Delta is control-plane grain, so the
     // eager materialization is cheap.
+    // NOTE: the checkpoint's blocks live at the RDD layer, below the
+    // cache manager, so Dataset.unpersist cannot free them; they are
+    // reclaimed by the ContextCleaner once `delta` becomes
+    // unreachable — every entry point enables referenceTracking, and
+    // the blocks are control-plane-sized.
     val delta = feed.filter(col("seq") > tok).localCheckpoint(true)
-    try {
-      val agg = delta.agg(count(lit(1)).as("n"), max(col("seq")).as("hi")).first()
-      val synced = agg.getLong(0)
-      if (synced > 0) {
-        // one file per sync: a regulation delta is control-plane grain
-        // at any corpus size, and an un-coalesced write scatters it
-        // over every shuffle partition — the store then pays a
-        // small-file tax on every effective-set read
-        delta.coalesce(1).write.mode("append").parquet(storeDir)
-        writeToken(spark, storeDir, agg.getLong(1))
-      }
-      synced
-    } finally delta.unpersist()
+    val agg = delta.agg(count(lit(1)).as("n"), max(col("seq")).as("hi")).first()
+    val synced = agg.getLong(0)
+    if (synced > 0) {
+      // one file per sync: a regulation delta is control-plane grain
+      // at any corpus size, and an un-coalesced write scatters it
+      // over every shuffle partition — the store then pays a
+      // small-file tax on every effective-set read
+      delta.coalesce(1).write.mode("append").parquet(storeDir)
+      writeToken(spark, storeDir, agg.getLong(1))
+    }
+    synced
   }
 
   /** Full export: the whole store plus its token — what

@@ -38,15 +38,12 @@ object CorpusStream {
   def processBatch(spark: SparkSession, docs: DataFrame, indexDir: String,
                    pairsDir: String, batchId: Long): Unit = {
     val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val indexSigs =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(indexDir))) None
-      else Some(spark.read.parquet(indexDir)
-        .filter(col("batch_id") =!= batchId) // replay: skip own first attempt
-        .drop("batch_id")
-        // feeds the band probe AND both verify joins — one index scan
-        .persist(store))
+    // shared swap-healing, replay-excluding, fileless-tolerant read;
+    // heal the write-only pairs store too before its dir is recreated
+    StateCompaction.heal(spark, Seq(indexDir, pairsDir))
+    val indexSigs = StateCompaction.readState(spark, indexDir, batchId)
+      // feeds the band probe AND both verify joins — one index scan
+      .map(_.persist(store))
     val batchSigs = {
       val sigs = Dedup.minhashSignatures(Dedup.shingles(docs))
       // first-write-wins: drop batch docs whose id is already indexed
@@ -114,7 +111,18 @@ object CorpusStream {
       }
       .start()
 
-  /** All pairs emitted so far (batch_id retained for provenance). */
-  def readPairs(spark: SparkSession, pairsDir: String): DataFrame =
-    spark.read.parquet(pairsDir)
+  /** All pairs emitted so far (batch_id retained for provenance on
+    * uncompacted history). A pair-free compacted store is a fileless
+    * dir (zero rows through a dynamic-partition write) — surfaced as
+    * the typed empty pair set, not an AnalysisException.
+    */
+  def readPairs(spark: SparkSession, pairsDir: String): DataFrame = {
+    graft.sinks.Sinks.recoverSwap(spark, pairsDir)
+    if (!StateCompaction.hasDataFiles(spark, pairsDir)) {
+      val sess = spark
+      import sess.implicits._
+      Seq.empty[(Long, Long, Long, Double, Long)]
+        .toDF("doc_a", "doc_b", "n_match", "est_sim", "batch_id")
+    } else spark.read.parquet(pairsDir)
+  }
 }

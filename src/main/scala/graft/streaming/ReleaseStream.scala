@@ -90,15 +90,10 @@ object ReleaseStream {
   private[graft] val stores: Seq[String] =
     Seq("hashes", "sigs", "vecs", "att", "release", "frontier", "bstats", "rollup")
 
+  // the shared swap-healing, replay-excluding, fileless-tolerant read
   private def readState(spark: SparkSession, dir: String,
-                        batchId: Long): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(dir)
-      .filter(col("batch_id") =!= batchId) // replay: skip own first attempt
-      .drop("batch_id"))
-  }
+                        batchId: Long): Option[DataFrame] =
+    StateCompaction.readState(spark, dir, batchId)
 
   /** One micro-batch of (doc_id, text, embedding): gate vs the
     * accumulated indexes, append the attrition rows, fold the
@@ -115,6 +110,10 @@ object ReleaseStream {
     val frontierDir = s"$stateDir/frontier"
     val bstatsDir = s"$stateDir/bstats"
     val rollupDir = s"$stateDir/rollup"
+    // self-heal crashed swaps on EVERY store before anything reads or
+    // writes — write-only stores (release) would otherwise recreate
+    // their dir and strand the committed state at __old forever
+    StateCompaction.heal(spark, stores.map(n => s"$stateDir/$n"))
     // every frame persisted for this batch is released in finally — a
     // foreachBatch that leaks persists accumulates dead cache across
     // the life of the stream
@@ -388,6 +387,7 @@ object ReleaseStream {
 
   /** The release design as of the LATEST completed batch boundary. */
   def readRelease(spark: SparkSession, stateDir: String): DataFrame = {
+    graft.sinks.Sinks.recoverSwap(spark, s"$stateDir/release")
     val all = spark.read.parquet(s"$stateDir/release")
     // the inferred partition-column type is INT; cast before unboxing
     val latest = all.agg(max(col("batch_id").cast("long"))).head.getLong(0)
@@ -395,6 +395,8 @@ object ReleaseStream {
   }
 
   /** The accumulated attrition ledger (batch_id kept for provenance). */
-  def readAttrition(spark: SparkSession, stateDir: String): DataFrame =
+  def readAttrition(spark: SparkSession, stateDir: String): DataFrame = {
+    graft.sinks.Sinks.recoverSwap(spark, s"$stateDir/att")
     spark.read.parquet(s"$stateDir/att")
+  }
 }

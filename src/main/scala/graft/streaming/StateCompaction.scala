@@ -18,20 +18,66 @@ import org.apache.spark.sql.functions._
   */
 private[streaming] object StateCompaction {
 
+  /** True iff a parquet DATA file exists anywhere under `path`. Two
+    * callers need it: a store that exists but holds no data files is
+    * unreadable (schema inference fails), and a store can legally get
+    * into that state — a dynamic-partition (`partitionBy`) write of
+    * ZERO rows creates only `_SUCCESS` (ReleaseStream's frontier on an
+    * all-gated batch; any store's compaction when nothing has accrued
+    * yet), unlike a plain write whose empty file still carries schema.
+    */
+  private[streaming] def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
+  /** The ONE per-batch state-read idiom every foreachBatch stream
+    * uses: self-heal a crashed swap first (the Sinks contract — every
+    * reader/writer of a swapped table calls recoverSwap, else a crash
+    * between compaction's two renames strands the committed state at
+    * `<path>__old` and the stream silently restarts from empty), then
+    * read the store excluding the batch's own previously-committed
+    * partition (at-least-once replay). None when the store has no
+    * data yet — including the fileless-directory states above.
+    */
+  def readState(spark: SparkSession, dir: String,
+                excludeBatchId: Long): Option[DataFrame] = {
+    graft.sinks.Sinks.recoverSwap(spark, dir)
+    if (!hasDataFiles(spark, dir)) None
+    else Some(spark.read.parquet(dir)
+      .filter(col("batch_id") =!= excludeBatchId)
+      .drop("batch_id"))
+  }
+
+  /** Heal a crashed swap on every listed store — processBatch calls
+    * this up front so stores it only WRITES this batch (pairs,
+    * release, cuts) recover too before their dirs are recreated,
+    * which would otherwise break recoverSwap's `!exists(target)`
+    * precondition forever.
+    */
+  def heal(spark: SparkSession, paths: Seq[String]): Unit =
+    paths.foreach(graft.sinks.Sinks.recoverSwap(spark, _))
+
   /** Fold `path`'s batch partitions into `batch_id=-1`. `keep`
     * filters the surviving rows (identity for append-only stores;
     * latest-per-key for versioned ones); `bucketCol` preserves an
     * extra partition column for stores read with partition pruning.
     * `targetFiles` bounds the compacted file count (per bucket, when
-    * bucketed). A missing store is a no-op.
+    * bucketed). A missing or still-empty store is a no-op.
     */
   def compactStore(spark: SparkSession, path: String, targetFiles: Int,
                    keep: DataFrame => DataFrame = identity,
                    bucketCol: Option[String] = None): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sinks.Sinks.recoverSwap(spark, path)
-    if (fs.exists(p)) {
+    if (hasDataFiles(spark, path)) {
       val base = keep(spark.read.parquet(path))
         .drop("batch_id").withColumn("batch_id", lit(-1L))
       val compacted = bucketCol match {

@@ -56,15 +56,10 @@ object SubstrStream {
 
   private[graft] val stores: Seq[String] = Seq("wins", "docs", "dups", "cuts")
 
+  // the shared swap-healing, replay-excluding, fileless-tolerant read
   private def readState(spark: SparkSession, dir: String,
-                        batchId: Long): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(dir)
-      .filter(col("batch_id") =!= batchId) // replay: skip own first attempt
-      .drop("batch_id"))
-  }
+                        batchId: Long): Option[DataFrame] =
+    StateCompaction.readState(spark, dir, batchId)
 
   /** One micro-batch of (doc_id, text): probe the window index, mark
     * newly-crossed duplicate hashes, re-merge the cut lists of batch
@@ -76,6 +71,9 @@ object SubstrStream {
     val docsDir = s"$stateDir/docs"
     val dupsDir = s"$stateDir/dups"
     val cutsDir = s"$stateDir/cuts"
+    // self-heal crashed swaps on every store before reads or writes
+    // (cuts is write-only in a batch; see StateCompaction.heal)
+    StateCompaction.heal(spark, stores.map(n => s"$stateDir/$n"))
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def hot(df: DataFrame): DataFrame = { persisted += df.persist(store); df }
     val winsIdx = readState(spark, winsDir, batchId).map(hot)
@@ -131,11 +129,19 @@ object SubstrStream {
     * ll33's duplicatedSpans(union, w) output columns.
     */
   def readCuts(spark: SparkSession, stateDir: String): DataFrame = {
-    val all = spark.read.parquet(s"$stateDir/cuts")
-    val byDoc = Window.partitionBy(col("doc_id"))
-    all.withColumn("mx", max(col("batch_id").cast("long")).over(byDoc))
-      .filter(col("batch_id").cast("long") === col("mx"))
-      .drop("batch_id", "mx")
+    graft.sinks.Sinks.recoverSwap(spark, s"$stateDir/cuts")
+    // a compacted duplicate-free store is a legitimately EMPTY state
+    // (zero rows through a dynamic-partition write = a fileless dir
+    // schema inference cannot read) — surface it as the typed empty
+    // cut list, not an AnalysisException
+    if (!StateCompaction.hasDataFiles(spark, s"$stateDir/cuts")) {
+      val sess = spark
+      import sess.implicits._
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("doc_id", "span_start", "span_end", "n_windows")
+    } else
+      StateCompaction.latestPerDoc(spark.read.parquet(s"$stateDir/cuts"))
+        .drop("batch_id")
   }
 
   /** Fold the committed partitions of every store into `batch_id=-1`

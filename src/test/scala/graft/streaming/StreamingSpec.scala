@@ -256,6 +256,77 @@ class StreamingSpec extends SparkSpec {
       "the post-compaction probe must still see the whole index")
   }
 
+  test("crash INSIDE compaction's swap window self-heals: state strands at __old " +
+    "and the next batch recovers it instead of restarting from empty") {
+    val sess = spark
+    import sess.implicits._
+    val base = Files.createTempDirectory("corpus_swapcrash").toString
+    val (idx, pairs) = (s"$base/index", s"$base/pairs")
+    val a = "the quick brown fox jumps over the lazy dog again"
+    CorpusStream.processBatch(spark, Seq(1L -> a).toDF("doc_id", "text"),
+      idx, pairs, 0L)
+    // simulate atomicSwap dying between its two renames: the committed
+    // store exists ONLY at <path>__old (Sinks.scala's one non-atomic window)
+    java.nio.file.Files.move(java.nio.file.Paths.get(idx),
+      java.nio.file.Paths.get(idx + "__old"))
+    // the next batch must HEAL first — with the pre-r17 readers this
+    // saw "no index", skipped first-write-wins, and the dir recreation
+    // stranded the committed signatures at __old forever
+    CorpusStream.processBatch(spark, Seq(2L -> a).toDF("doc_id", "text"),
+      idx, pairs, 1L)
+    assert(CorpusStream.readPairs(spark, pairs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)),
+      "doc 2 must pair against the RECOVERED index, not an empty one")
+    assert(spark.read.parquet(idx).count() === 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx + "__old")),
+      "healing must consume the stranded __old copy")
+  }
+
+  test("fileless store states are survivable: an all-gated release batch and a " +
+    "duplicate-free substring compaction leave readable state") {
+    val sess = spark
+    import sess.implicits._
+    assume(new java.io.File(releaseSfDir).exists())
+    // (a) ReleaseStream: batch 0's docs all fail the quality gate ->
+    // ZERO survivors -> the frontier's dynamic-partition write creates
+    // a dir with no data files; batch 1 must still fold correctly
+    val relState = Files.createTempDirectory("release_fileless").toString + "/state"
+    // the synthetic batch bypasses Tables.load, the usual choke point
+    // that registers the native vector kernels the gate chain uses
+    graft.functions.VectorExprs.register(spark)
+    // ids 0/1 keep the crawl frontier monotone vs the follow-up slice
+    val gated = Seq((0L, "tiny doc", Seq.fill(64)(0.5f)),
+      (1L, "also tiny", Seq.fill(64)(0.25f)))
+      .toDF("doc_id", "text", "embedding")
+    ReleaseStream.processBatch(spark, gated, releaseSfDir, relState, 0L)
+    val follow = releaseRows().filter(_._1 > 1L).take(200)
+      .toIndexedSeq.toDF("doc_id", "text", "embedding")
+    ReleaseStream.processBatch(spark, follow, releaseSfDir, relState, 1L)
+    val rel = releaseSet(ReleaseStream.readRelease(spark, relState))
+    val input = rel.find(_._1 == "input").get
+    assert(input._2 === 202L, s"all four + 198 docs attributed, got $input")
+    assert(rel.filter(_._1 != "input").toSeq.map(_._2).sum === input._2,
+      "doc conservation must hold across the fileless-frontier boundary")
+    // (b) SubstrStream: a corpus with NO duplicated windows compacts
+    // dups/cuts to zero rows (fileless dirs); the stream must keep
+    // folding and detect a duplicate arriving afterwards
+    val subState = Files.createTempDirectory("substr_fileless").toString + "/state"
+    val p = (1 to 60).map(i => f"p$i%02d").mkString(" ")
+    SubstrStream.processBatch(spark,
+      Seq(1L -> s"${(1 to 10).map(i => f"a$i%02d").mkString(" ")} $p").toDF("doc_id", "text"),
+      subState, 0L)
+    SubstrStream.compactState(spark, subState, targetFiles = 1)
+    assert(cutSet(SubstrStream.readCuts(spark, subState)) === Set.empty,
+      "a duplicate-free compacted store must read as empty, not throw")
+    SubstrStream.processBatch(spark,
+      Seq(6L -> s"$p ${(1 to 10).map(i => f"c$i%02d").mkString(" ")}").toDF("doc_id", "text"),
+      subState, 1L)
+    val cuts = cutSet(SubstrStream.readCuts(spark, subState))
+    assert(cuts.exists(_._1 == 1L) && cuts.exists(_._1 == 6L),
+      s"the post-compaction arrival must retro-cut both holders: $cuts")
+  }
+
   test("streaming intake: quality gate feeds the dedup index, ledger records both sides") {
     val sess = spark
     import sess.implicits._
