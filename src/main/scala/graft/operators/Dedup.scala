@@ -435,8 +435,11 @@ object Dedup {
 
   // MD5 of the full key + version, not a 32-bit hashCode: two
   // (session, sfDir) keys colliding would overwrite each other's
-  // artifact, and the version keeps a rebuild from overwriting a
-  // file the superseded frame may still lazily read
+  // artifact. The version in the path keeps a REBUILD from landing on
+  // the superseded snapshot's path mid-write; once the replacement is
+  // registered, dropScratch deletes the old path outright — a stale
+  // pre-mutation DataFrame then fails loudly on execution (the
+  // consumer contract below) instead of silently reading old data.
   private def scratchPath(name: String, key: String, ver: String): String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") +
       s"/graft-$name-" + java.security.MessageDigest.getInstance("MD5")

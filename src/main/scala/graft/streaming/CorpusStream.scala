@@ -91,9 +91,11 @@ object CorpusStream {
     * bounded files; every row is preserved. Crash-atomic per store.
     */
   def compactState(spark: SparkSession, indexDir: String, pairsDir: String,
-                   targetFiles: Int = 4): Unit =
+                   targetFiles: Int = 4,
+                   excludeBatchId: Long = Long.MinValue): Unit =
     Seq(indexDir, pairsDir).foreach(
-      StateCompaction.compactStore(spark, _, targetFiles))
+      StateCompaction.compactStore(spark, _, targetFiles,
+        excludeBatchId = excludeBatchId))
 
   /** The streaming entry: (doc_id, text) stream → growing signature
     * index + per-batch near-dup pair output, compacted every
@@ -106,7 +108,11 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, indexDir, pairsDir, batchId)
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
-          compactState(batch.sparkSession, indexDir, pairsDir)
+          // the boundary batch is still in flight (not checkpoint-
+          // committed): carry its partitions through uncompacted so a
+          // crash between store swaps leaves every store replay-consistent
+          compactState(batch.sparkSession, indexDir, pairsDir,
+            excludeBatchId = batchId)
         ()
       }
       .start()
@@ -124,5 +130,8 @@ object CorpusStream {
       Seq.empty[(Long, Long, Long, Double, Long)]
         .toDF("doc_a", "doc_b", "n_match", "est_sim", "batch_id")
     } else spark.read.parquet(pairsDir)
+      // partition discovery infers batch_id as INT; pin it to the
+      // typed-empty branch's LONG so the two states union/compare
+      .withColumn("batch_id", col("batch_id").cast("long"))
   }
 }

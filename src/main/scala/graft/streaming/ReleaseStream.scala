@@ -359,13 +359,15 @@ object ReleaseStream {
     * `targetFiles` bounds the compacted file count per store.
     */
   def compactState(spark: SparkSession, stateDir: String,
-                   targetFiles: Int = 4): Unit =
+                   targetFiles: Int = 4,
+                   excludeBatchId: Long = Long.MinValue): Unit =
     stores.foreach { name =>
       StateCompaction.compactStore(spark, s"$stateDir/$name", targetFiles,
         // earlier release boundaries are superseded wholesale; the
         // frontier keeps its bucket partitioning — the fold's pruning key
         keep = if (name == "release") StateCompaction.latestBoundary else identity,
-        bucketCol = if (name == "frontier") Some("bucket") else None)
+        bucketCol = if (name == "frontier") Some("bucket") else None,
+        excludeBatchId = excludeBatchId)
     }
 
   /** The streaming entry: (doc_id, text, embedding) crawl stream →
@@ -380,7 +382,10 @@ object ReleaseStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, dir, stateDir, batchId)
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
-          compactState(batch.sparkSession, stateDir)
+          // the boundary batch is still in flight (not checkpoint-
+          // committed): carry its partitions through uncompacted so a
+          // crash between store swaps leaves every store replay-consistent
+          compactState(batch.sparkSession, stateDir, excludeBatchId = batchId)
         ()
       }
       .start()

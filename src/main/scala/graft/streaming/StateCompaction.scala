@@ -66,19 +66,43 @@ private[streaming] object StateCompaction {
   def heal(spark: SparkSession, paths: Seq[String]): Unit =
     paths.foreach(graft.sinks.Sinks.recoverSwap(spark, _))
 
-  /** Fold `path`'s batch partitions into `batch_id=-1`. `keep`
-    * filters the surviving rows (identity for append-only stores;
-    * latest-per-key for versioned ones); `bucketCol` preserves an
-    * extra partition column for stores read with partition pruning.
+  /** Fold `path`'s COMMITTED batch partitions into `batch_id=-1`.
+    * `keep` filters the surviving rows (identity for append-only
+    * stores; latest-per-key for versioned ones); `bucketCol` preserves
+    * an extra partition column for stores read with partition pruning.
     * `targetFiles` bounds the compacted file count (per bucket, when
     * bucketed). A missing or still-empty store is a no-op.
+    *
+    * `excludeBatchId` is the IN-FLIGHT batch: compaction runs inside
+    * the foreachBatch callback, BEFORE the checkpoint commits the
+    * batch, and the swap is atomic per store but not across a
+    * stream's store set. Folding the in-flight batch's partition into
+    * the sentinel would let a crash between two stores' swaps corrupt
+    * the replay: already-compacted stores expose the batch's own rows
+    * as "prior" state (the `batch_id =!= batchId` replay exclusion no
+    * longer filters them — a replayed doc gates as a dup of itself,
+    * window hashes double-count), while a not-yet-compacted OUTPUT
+    * store gets its partition overwritten by the now-no-op replay and
+    * loses the rows forever. So the in-flight partition is carried
+    * through the swap VERBATIM under its own batch_id: every store
+    * then reads identically pre- and post-compaction under the
+    * replay exclusion, whichever subset of stores the crash left
+    * compacted. The partition folds on the NEXT cycle, when its batch
+    * is checkpoint-committed and can never replay again.
     */
   def compactStore(spark: SparkSession, path: String, targetFiles: Int,
                    keep: DataFrame => DataFrame = identity,
-                   bucketCol: Option[String] = None): Unit = {
+                   bucketCol: Option[String] = None,
+                   excludeBatchId: Long = Long.MinValue): Unit = {
     graft.sinks.Sinks.recoverSwap(spark, path)
     if (hasDataFiles(spark, path)) {
-      val base = keep(spark.read.parquet(path))
+      val all = spark.read.parquet(path)
+      // the in-flight batch's rows pass through untouched — same
+      // partition id, exempt from the keep rule (a versioned store's
+      // replayed batch must re-find the exact pre-crash layout)
+      val inFlight = all.filter(col("batch_id").cast("long") === excludeBatchId)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      val base = keep(all.filter(col("batch_id").cast("long") =!= excludeBatchId))
         .drop("batch_id").withColumn("batch_id", lit(-1L))
       val compacted = bucketCol match {
         // co-partition by the pruning key so each bucket directory
@@ -87,7 +111,7 @@ private[streaming] object StateCompaction {
         case None => base.repartition(targetFiles)
       }
       graft.sinks.Sinks.atomicSwap(spark, path) { staging =>
-        compacted.write.mode("overwrite")
+        compacted.unionByName(inFlight).write.mode("overwrite")
           .partitionBy("batch_id" +: bucketCol.toSeq: _*).parquet(staging)
       }
     }
@@ -102,9 +126,11 @@ private[streaming] object StateCompaction {
   }
 
   /** keep-rule: only the LATEST batch boundary survives (stores whose
-    * earlier partitions are superseded wholesale). */
+    * earlier partitions are superseded wholesale). Empty input (every
+    * row belongs to the excluded in-flight batch) stays empty. */
   def latestBoundary(all: DataFrame): DataFrame = {
-    val latest = all.agg(max(col("batch_id").cast("long"))).head.getLong(0)
-    all.filter(col("batch_id").cast("long") === latest)
+    val latest = all.agg(max(col("batch_id").cast("long"))).head.get(0)
+    if (latest == null) all.limit(0)
+    else all.filter(col("batch_id").cast("long") === latest.asInstanceOf[Long])
   }
 }

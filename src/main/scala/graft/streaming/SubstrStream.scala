@@ -146,14 +146,18 @@ object SubstrStream {
 
   /** Fold the committed partitions of every store into `batch_id=-1`
     * (cuts keep only each doc's latest version first — the versioning
-    * semantics survive compaction). Crash-atomic per store.
+    * semantics survive compaction). Crash-atomic per store; the
+    * in-flight batch's partitions ride through verbatim (see
+    * StateCompaction.compactStore's cross-store crash contract).
     */
   def compactState(spark: SparkSession, stateDir: String,
-                   targetFiles: Int = 4): Unit =
+                   targetFiles: Int = 4,
+                   excludeBatchId: Long = Long.MinValue): Unit =
     stores.foreach { name =>
       StateCompaction.compactStore(spark, s"$stateDir/$name", targetFiles,
         // a later batch's cut rows supersede a doc's earlier ones
-        keep = if (name == "cuts") StateCompaction.latestPerDoc else identity)
+        keep = if (name == "cuts") StateCompaction.latestPerDoc else identity,
+        excludeBatchId = excludeBatchId)
     }
 
   /** The streaming entry: a (doc_id, text) crawl stream → maintained
@@ -167,7 +171,10 @@ object SubstrStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, stateDir, batchId)
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
-          compactState(batch.sparkSession, stateDir)
+          // the boundary batch is still in flight (not checkpoint-
+          // committed): carry its partitions through uncompacted so a
+          // crash between store swaps leaves every store replay-consistent
+          compactState(batch.sparkSession, stateDir, excludeBatchId = batchId)
         ()
       }
       .start()

@@ -1676,6 +1676,64 @@ class StreamingSpec extends SparkSpec {
       "the post-compaction fold must still retro-cut the earlier holder")
   }
 
+  test("compaction crash BETWEEN stores is replay-consistent: the in-flight " +
+    "batch's partitions ride through every store's fold uncompacted") {
+    val d = substrDocs
+    val sess = spark
+    import sess.implicits._
+    val b1 = Seq(d("a"), d("b")).toDF("doc_id", "text")
+    val b2 = Seq(d("c")).toDF("doc_id", "text") // repeats a's passage -> retro-cut
+    // reference: the same feed with no compaction at all
+    val ref = Files.createTempDirectory("substr_crashref").toString + "/state"
+    SubstrStream.processBatch(spark, b1, ref, 0L)
+    SubstrStream.processBatch(spark, b2, ref, 1L)
+    val want = cutSet(SubstrStream.readCuts(spark, ref))
+    assert(want.exists(_._1 == 1L) && want.exists(_._1 == 6L))
+    // crash path: batch 1 is a compaction boundary and the compactor
+    // dies AFTER swapping wins+docs but BEFORE dups+cuts; the batch
+    // (not yet checkpoint-committed) then replays against the
+    // half-compacted store set. Pre-exclusion, the wins sentinel
+    // exposed the batch's own window hashes as "prior" occurrences
+    // and the docs sentinel swallowed the batch under first-write-wins,
+    // so the replay overwrote the cuts partition with EMPTY — silent
+    // permanent loss of both holders' cuts.
+    val state = Files.createTempDirectory("substr_crash").toString + "/state"
+    SubstrStream.processBatch(spark, b1, state, 0L)
+    SubstrStream.processBatch(spark, b2, state, 1L)
+    Seq("wins", "docs").foreach { n =>
+      StateCompaction.compactStore(spark, s"$state/$n", 1, excludeBatchId = 1L)
+    }
+    SubstrStream.processBatch(spark, b2, state, 1L) // at-least-once replay
+    assert(cutSet(SubstrStream.readCuts(spark, state)) === want,
+      "half-compacted state + replay must not double-count windows or lose cuts")
+    // the interrupted boundary compaction re-runs in full and another
+    // replay of the same batch still converges
+    SubstrStream.compactState(spark, state, targetFiles = 1, excludeBatchId = 1L)
+    SubstrStream.processBatch(spark, b2, state, 1L)
+    assert(cutSet(SubstrStream.readCuts(spark, state)) === want,
+      "completed compaction + replay must stay at the reference cuts")
+    // CorpusStream variant — the OUTPUT-store loss path: index
+    // compacted, pairs not; pre-exclusion the replayed batch was
+    // swallowed by first-write-wins against the index sentinel and
+    // overwrote its own pairs partition with the empty no-op result.
+    val a = "the quick brown fox jumps over the lazy dog again"
+    val cbase = Files.createTempDirectory("corpus_crash").toString
+    val (idx, pairs) = (s"$cbase/index", s"$cbase/pairs")
+    CorpusStream.processBatch(spark, Seq(1L -> a).toDF("doc_id", "text"), idx, pairs, 0L)
+    CorpusStream.processBatch(spark, Seq(2L -> a).toDF("doc_id", "text"), idx, pairs, 1L)
+    def pairSet() = CorpusStream.readPairs(spark, pairs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet() === Set((1L, 2L)))
+    StateCompaction.compactStore(spark, idx, 1, excludeBatchId = 1L) // crash before pairs
+    CorpusStream.processBatch(spark, Seq(2L -> a).toDF("doc_id", "text"), idx, pairs, 1L)
+    assert(pairSet() === Set((1L, 2L)),
+      "the replayed batch must re-emit (not erase) its pairs against the half-compacted index")
+    CorpusStream.compactState(spark, idx, pairs, 1, excludeBatchId = 1L)
+    assert(pairSet() === Set((1L, 2L)) && spark.read.parquet(idx).count() === 2,
+      "the completed compaction preserves pairs and keeps one signature row per doc")
+  }
+
   test("release fold SCALE probe: the boundary's frontier scan is pruned to " +
     "candidate buckets — sublinear in the accumulated corpus") {
     val sess = spark
