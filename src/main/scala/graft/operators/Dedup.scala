@@ -174,13 +174,23 @@ object Dedup {
   /** The (doc_id, pos, whash) w-token rolling window hashes of a
     * corpus — the anchor stream ll15/ll33 count and the per-batch
     * delta SubstrStream folds into its maintained window index.
+    * whash is a 60-BIT LONG (15-hex-char md5 prefix, ll31's gram-key
+    * pattern), not the 32-char hex string: the window index is
+    * one row PER CORPUS TOKEN, so at index scale the key IS the
+    * store — 8 bytes/key keeps SubstrStream's maintained wins/dups
+    * stores token-scale instead of larger than the text they index,
+    * and the count/probe shuffles move ~4x fewer key bytes. Both
+    * engines compute the same truncation, so the differential checks
+    * stay hash-exact.
     */
   private[graft] def windowHashes(docs: DataFrame, w: Int): DataFrame =
     docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= w)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(ws) - $w), i -> md5(concat_ws(' ', slice(ws, i + 1, $w))))"))
+        s"transform(sequence(0, size(ws) - $w), i -> " +
+          s"CAST(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, $w))), 1, 15), " +
+          "16, 10) AS BIGINT))"))
         .as(Seq("pos", "whash")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("whash"))
 
@@ -1055,7 +1065,7 @@ object Dedup {
     // A shared license passage is injected (appended on doc_id%5==1,
     // prepended on doc_id%7==2) so spans land at both text edges.
     // Scale shape: windows ~= corpus token count, but each carries only
-    // (doc_id, pos, 32-char hash); one map-side-combined aggregate on
+    // (doc_id, pos, 60-bit hash); one map-side-combined aggregate on
     // the window hash, one hash join back, then the interval merge is
     // a single (doc_id)-partitioned sort — no pairwise comparison at
     // any point, so cost is linear in corpus tokens at 100 TB.
@@ -1818,7 +1828,8 @@ object Dedup {
          w AS (SELECT doc_id, string_split(txt, ' ') AS ws FROM aug),
          win AS (
            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-                  md5(array_to_string(ws[i:i + 14], ' ')) AS whash
+                  CAST(CAST('0x' || substr(md5(array_to_string(ws[i:i + 14], ' ')),
+                    1, 15) AS UBIGINT) AS BIGINT) AS whash
            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 13)) AS i
                  FROM w WHERE len(ws) >= 15)),
          freq AS (SELECT whash, COUNT(*) AS cnt FROM win GROUP BY 1),
@@ -1854,7 +1865,8 @@ object Dedup {
          w AS (SELECT doc_id, string_split(txt, ' ') AS ws FROM aug),
          win AS (
            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-                  md5(array_to_string(ws[i:i + 49], ' ')) AS whash
+                  CAST(CAST('0x' || substr(md5(array_to_string(ws[i:i + 49], ' ')),
+                    1, 15) AS UBIGINT) AS BIGINT) AS whash
            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 48)) AS i
                  FROM w WHERE len(ws) >= 50)),
          freq AS (SELECT whash, COUNT(*) AS cnt FROM win GROUP BY 1),

@@ -29,10 +29,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Per-batch cost: the batch's own windowing, ONE hash-probe of the
   * accumulated window index (CorpusStream's probe shape — the index
-  * side is (doc_id, pos, 32-char hash), linear in corpus TOKENS but
-  * never corpus TEXT), and a gaps-and-islands re-merge over batch
-  * docs plus the retro-affected holders only — through the SAME
-  * Dedup.spansOfDupPositions path the batch detector uses.
+  * side is (doc_id, pos, 60-bit long hash): one ~24-byte row per
+  * corpus TOKEN, never corpus TEXT — the hex-string keys this store
+  * carried before were larger than the text they indexed), and a
+  * gaps-and-islands re-merge over batch docs plus the retro-affected
+  * holders only — through the SAME Dedup.spansOfDupPositions path the
+  * batch detector uses.
   *
   * State stores (per-batch `batch_id=N` partitions, overwrite mode —
   * the at-least-once replay contract of the other streams):

@@ -1676,6 +1676,33 @@ class StreamingSpec extends SparkSpec {
       "the post-compaction fold must still retro-cut the earlier holder")
   }
 
+  test("the maintained window index is token-scale: long-keyed wins rows " +
+    "stay under a fixed byte budget per corpus token") {
+    val sess = spark
+    import sess.implicits._
+    // enough rows to amortize parquet footers: 400 docs x 60 tokens
+    // -> 11 windows each (W=50), all hashes distinct
+    val docs = (0 until 400).map(i =>
+      (i.toLong, (1 to 60).map(t => f"w$i%03d_$t%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val state = Files.createTempDirectory("substr_bytes").toString + "/state"
+    SubstrStream.processBatch(spark, docs, state, 0L)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    }
+    val rows = spark.read.parquet(s"$state/wins").count()
+    assert(rows === 400L * 11L)
+    val perRow = bytes(s"$state/wins").toDouble / rows
+    // 8B incompressible hash + delta-coded pos + RLE doc_id + format
+    // overhead; the 32-char hex keys this store used to carry sat at
+    // ~35-40 B/row — larger than the ~7 B/token of the indexed text
+    assert(perRow <= 20.0,
+      f"wins store must be token-scale (~8B key/row), got $perRow%.1f B/row")
+  }
+
   test("compaction crash BETWEEN stores is replay-consistent: the in-flight " +
     "batch's partitions ride through every store's fold uncompacted") {
     val d = substrDocs
