@@ -23,6 +23,41 @@ object Pipeline {
 
   private val cp5AttCache =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
+  private val cp6AttCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
+
+  /** cp6's substring window width. 15 tokens (ll15's threshold), NOT
+    * ll33's 50: this corpus's quality gate caps survivors at 100
+    * words, so a >= 50-token shared passage is also a MinHash near-dup
+    * (J > 0.5) and the near-dedup gate would eat the substring stage's
+    * prey before it runs — at this doc-length profile the right
+    * operating point is the smaller published threshold.
+    */
+  private[graft] val cp6W = 15
+
+  /** The 24-token planted passage for cp6's substring stage: longer
+    * than cp6W so occurrences merge into one maximal run, short enough
+    * that two planted ~100-word survivors share only ~22 of ~120
+    * shingles (J ~ 0.18, far below the near-dup gate) — the passage
+    * reaches the substring stage instead of being doc-deduped away.
+    * 24 distinct synthetic words; interpolated verbatim into the
+    * oracle SQL.
+    */
+  private[graft] val cp6Passage: String =
+    (1 to 24).map(i => f"boiler$i%02d").mkString(" ")
+
+  /** cp6's corpus: cp5's two-crawl twin mix plus the planted
+    * boilerplate passage appended to docs that stay inside the quality
+    * gate's length band after the plant (the deterministic rule is
+    * mirrored in the oracle). Models template/license boilerplate
+    * repeated across otherwise-distinct crawl pages — exactly what
+    * substring dedup exists to cut and doc-level dedup cannot see.
+    */
+  private[graft] def cp6Corpus(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame =
+    cp5TwinCorpus(s, dir).withColumn("text",
+      when(col("doc_id") % 5 === 1 && size(split(col("text"), " ")) <= 76,
+        concat(col("text"), lit(" " + cp6Passage))).otherwise(col("text")))
 
   /** cp5's mixed second crawl — stable pages re-crawl IDENTICAL
     * (doc_id % 17 = 0, the exact-dedup gate's prey), template
@@ -196,6 +231,31 @@ object Pipeline {
                              dir: String): org.apache.spark.sql.DataFrame =
     cp5AttributionOf(s, dir, cp5TwinCorpus(s, dir), cp5TwinVecs(s, dir))
 
+  /** cp6's attribution: cp5's six doc-level gates, then the substring
+    * stage computed over the SURVIVOR corpus only — the Lee et al.
+    * pipeline order (ExactSubstr runs on the doc-deduped corpus: on
+    * the raw two-crawl mix every exact twin's full text would count
+    * its own windows as duplicated and the stage would shred documents
+    * the doc-level gates already handle). Output adds `cut` (tokens
+    * covered by duplicated >= cp6W-token windows; 0 for gated docs and
+    * clean survivors), via the SAME Dedup.duplicatedSpans path
+    * ll15/ll33 use. Parameterized over the input frames so the
+    * streaming sibling's equivalence spec can run it on arrival
+    * prefixes.
+    */
+  private[graft] def cp6AttributionOf(s: org.apache.spark.sql.SparkSession, dir: String,
+                                      cor: org.apache.spark.sql.DataFrame,
+                                      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val att = cp5AttributionOf(s, dir, cor, emb)
+    val survCor = cor.join(
+      att.filter(col("gate").isNull).select(col("doc_id")), "doc_id")
+    val cuts = Dedup.duplicatedSpans(survCor, w = cp6W)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("cut"))
+    att.join(cuts, Seq("doc_id"), "left")
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+  }
+
   /** The release DESIGN over an attribution table — gates 7+8 plus
     * the conservation ledger: PPS token sampling to a 100-unit
     * budget, deterministic 80/10/10 splits, 2000-token shard packing,
@@ -204,12 +264,27 @@ object Pipeline {
     * knob from dir), so the streaming fold recomputes it per batch
     * boundary from the ACCUMULATED attribution — the design is
     * att-sized (ids + token counts), never corpus-text-sized.
+    *
+    * With `withCut = true` (cp6), `att` carries a `cut` column: tokens
+    * removed from each SURVIVOR by the substring-dedup rewrite. The
+    * rewrite changes what flows downstream — PPS sampling, splits and
+    * shard packing all run on the POST-CUT token counts — and the
+    * ledger gains the `cut:substr` attribution row (docs touched,
+    * tokens removed). Conservation then reads: input tokens = Σ gate
+    * rows + cut:substr + pps_sampled_out + Σ shards; input DOCS
+    * conserve over the same rows MINUS cut:substr (a cut doc still
+    * ships — the row attributes its removed tokens, not the doc).
     */
   private[graft] def cp5ReleaseOf(s: org.apache.spark.sql.SparkSession, dir: String,
-                                  att: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+                                  att: org.apache.spark.sql.DataFrame,
+                                  withCut: Boolean = false): org.apache.spark.sql.DataFrame = {
     // gate 7: PPS to 100 units over the survivors (ta23's two-level
-    // sqrt-bucketed cumsum; the unit step is an in-plan scalar)
-    val surv = att.filter(col("gate").isNull).select(col("doc_id"), col("nt"))
+    // sqrt-bucketed cumsum; the unit step is an in-plan scalar).
+    // Survivor token counts are post-rewrite when cuts are in play.
+    val surv =
+      if (withCut) att.filter(col("gate").isNull)
+        .select(col("doc_id"), (col("nt") - col("cut")).as("nt"))
+      else att.filter(col("gate").isNull).select(col("doc_id"), col("nt"))
     val maxId = Tables.maxIdStat(s, dir, "documents", "doc_id")
     val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
     val d7 = surv.withColumn("bucket", expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)"))
@@ -246,7 +321,15 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
     val input = att.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
       .select(lit("input").as("stage"), col("n_docs"), col("n_tokens"))
-    gates.unionByName(ppsOut).unionByName(shards).unionByName(input)
+    val base = gates.unionByName(ppsOut).unionByName(shards).unionByName(input)
+    if (!withCut) base
+    else base.unionByName(
+      // the rewrite's attribution row: docs touched + tokens removed
+      // (always present — a zero row keeps the ledger schema stable)
+      att.filter(col("gate").isNull && col("cut") > 0L)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("cut")), lit(0L)).as("n_tokens"))
+        .select(lit("cut:substr").as("stage"), col("n_docs"), col("n_tokens")))
   }
 
   /** Shard packing over the PPS-sampled release — gate 8's second
@@ -391,6 +474,28 @@ object Pipeline {
       val att = Dedup.materializedTable(cp5AttCache, s, dir, "cp5att",
         Seq("documents", "embeddings"))(cp5Attribution(s, dir))
       cp5ReleaseOf(s, dir, att)
+    }),
+
+    // CP6: the release pipeline with a CONTENT-REWRITING stage — cp5
+    // gates whole documents but never edits one; real curation also
+    // CUTS duplicated substrings (template/license boilerplate repeated
+    // across otherwise-distinct pages) from the documents it ships.
+    // Corpus = cp5's two-crawl mix + a planted 24-token boilerplate
+    // passage (cp6Corpus). After cp5's six doc-level gates, the
+    // substring stage (Lee et al. ExactSubstr at the cp6W=15 threshold,
+    // ll15's operating point — see cp6W's note on why not 50 here)
+    // computes each survivor's duplicated-window cut list; the removed
+    // tokens then FLOW DOWNSTREAM: PPS sampling, splits and shard
+    // packing all run on post-cut token counts, and the conservation
+    // ledger gains the cut:substr attribution row. Scale shape: cp5's
+    // stages + ll15's (one window pass over survivor text, one
+    // map-side-combined hash count, one join back, per-doc interval
+    // merge — linear in survivor tokens, never pairwise).
+    "cp6_release_substr" -> ((s, dir) => {
+      val att = Dedup.materializedTable(cp6AttCache, s, dir, "cp6att",
+        Seq("documents", "embeddings"))(
+        cp6AttributionOf(s, dir, cp6Corpus(s, dir), cp5TwinVecs(s, dir)))
+      cp5ReleaseOf(s, dir, att, withCut = true)
     }),
 
     // Corpus SNAPSHOT DIFF — the planning step of an incremental
@@ -619,7 +724,93 @@ object Pipeline {
     // ll8's hyperplane buckets with the crawl-aligned +1e8 twins,
     // ll31's 13-gram rule, ta26's KN surprisal, ta23's unit-boundary
     // sampling, cp2's split hash + shard packing
-    "cp5_pretraining_release" -> {
+    "cp5_pretraining_release" -> cp5ReleaseOracle(
+      "corpus AS (" + cp5TwinCorpusSql + ")",
+      cp5ReleaseTail),
+
+    // cp6: the SAME gate replay over the boilerplate-planted corpus,
+    // then ll15's substring CTE chain (60-bit window hashes, >= 2
+    // occurrence rule, gaps-and-islands merge) restricted to the
+    // survivor set, with the release tail running on POST-CUT token
+    // counts and the cut:substr attribution row appended
+    "cp6_release_substr" -> cp5ReleaseOracle(
+      s"""corpus0 AS ($cp5TwinCorpusSql),
+          corpus AS (SELECT doc_id,
+              CASE WHEN doc_id % 5 = 1 AND len(string_split(text, ' ')) <= 76
+                   THEN text || ' $cp6Passage' ELSE text END AS text
+            FROM corpus0)""",
+      cp6ReleaseTail),
+
+
+    // text compared directly where the engine compares hashes — the
+    // decision (equal vs not) is identical modulo hash collisions
+    "cd1_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 7),
+          neu AS (SELECT doc_id,
+                    CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text
+                  FROM documents WHERE doc_id % 13 <> 5)
+          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+            CASE WHEN o.doc_id IS NULL THEN 'added'
+                 WHEN n.doc_id IS NULL THEN 'removed'
+                 ELSE 'changed' END AS status
+          FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+          WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text""",
+
+    // quarter-bit floor-log2 replayed with TextAnalysis.q4Duck's
+    // normalize-then-4th-power form; all arithmetic integer
+    "cd3_value_drift" -> {
+      def q4(x: String): String = {
+        val s = s"GREATEST(0, length(bin($x)) - 15)"
+        val m = s"(($x) >> ($s))"
+        s"(length(bin($m * $m * $m * $m)) - 1 + 4 * ($s))"
+      }
+      s"""WITH ev AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
+          rng AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM ev),
+          h AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                  CASE WHEN ts_us * 2 <= lo + hi THEN 'a' ELSE 'b' END AS half
+                FROM ev CROSS JOIN rng),
+          bins AS (SELECT bin,
+                     CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                     CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                   FROM h GROUP BY bin),
+          tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                    COUNT(*) AS nbins FROM bins),
+          j AS (SELECT bin, ca, cb,
+                  (ca + 1) * 1000000 // (na + nbins) AS pa_ppm,
+                  (cb + 1) * 1000000 // (nb + nbins) AS pb_ppm,
+                  CAST((${q4("(ca + 1)")} - ${q4("(cb + 1)")})
+                     + (${q4("(nb + nbins)")} - ${q4("(na + nbins)")}) AS BIGINT) AS delta_qb
+                FROM bins CROSS JOIN tot)
+          SELECT bin, ca, cb, pa_ppm, pb_ppm, delta_qb,
+            (pa_ppm - pb_ppm) * delta_qb AS contrib_q,
+            (pa_ppm - pb_ppm) * delta_qb >= 1000 AS drifted
+          FROM j"""
+    }
+  )
+
+  /** cp5's two-crawl corpus (the body of its oracle's `corpus` CTE),
+    * shared with cp6's boilerplate-planted variant. */
+  private def cp5TwinCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000000,
+              CASE WHEN doc_id % 17 = 0 THEN text
+                   WHEN doc_id % 19 = 3
+                     THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                   ELSE substr(text, strpos(text, ' ') + 1) END
+            FROM documents"""
+
+  /** The shared cp5/cp6 release-oracle frame: `corpusCtes` supplies
+    * the corpus CTE(s) (cp5: the twin mix; cp6: the twin mix + the
+    * planted boilerplate), the qual -> att chain replays gates 1-6
+    * from the library's own proven oracle blocks (cp1's dedup window
+    * + ta2 rule, ll2's band/verify chain over the exact-survivor set,
+    * ll8's hyperplane buckets with the crawl-aligned +1e8 twins,
+    * ll31's 13-gram rule, ta26's KN surprisal), and `tail` finishes
+    * the release design (ta23's unit-boundary sampling, cp2's split
+    * hash + shard packing) plus the ledger rows.
+    */
+  private def cp5ReleaseOracle(corpusCtes: String, tail: String): String = {
       import TextAnalysis.{stopwords, inList, log2ExpCase, log2FracCase}
       val bandSql = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, md5(" +
@@ -638,15 +829,7 @@ object Pipeline {
       val gram = "unnest(list_distinct(list_transform(range(1, len(w) - 11), " +
         "i -> CAST(CAST('0x' || substr(md5(array_to_string(w[i:i+12], ' ')), " +
         "1, 15) AS UBIGINT) AS BIGINT)))) AS g"
-      s"""WITH corpus AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL
-            SELECT doc_id + 100000000,
-              CASE WHEN doc_id % 17 = 0 THEN text
-                   WHEN doc_id % 19 = 3
-                     THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
-                   ELSE substr(text, strpos(text, ' ') + 1) END
-            FROM documents),
+    s"""WITH $corpusCtes,
           qual AS (SELECT doc_id, text,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
               CAST(length(text) AS BIGINT) AS n_chars,
@@ -747,7 +930,13 @@ object Pipeline {
                    WHEN e.doc_id IN (SELECT doc_id FROM ppl) THEN 'perplexity'
               END AS gate
             FROM ex e),
-          sv AS (SELECT doc_id, nt FROM att WHERE gate IS NULL),
+$tail"""
+  }
+
+  /** cp5's release tail: PPS + splits + shards over the survivors'
+    * ORIGINAL token counts. */
+  private def cp5ReleaseTail: String =
+    """          sv AS (SELECT doc_id, nt FROM att WHERE gate IS NULL),
           tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS tot FROM sv),
           cums AS (SELECT doc_id, nt,
               CAST(SUM(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM sv),
@@ -778,51 +967,74 @@ object Pipeline {
           FROM pre GROUP BY 1
           UNION ALL
           SELECT 'input', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM att"""
-    },
 
-    // text compared directly where the engine compares hashes — the
-    // decision (equal vs not) is identical modulo hash collisions
-    "cd1_snapshot_diff" ->
-      """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 7),
-          neu AS (SELECT doc_id,
-                    CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text
-                  FROM documents WHERE doc_id % 13 <> 5)
-          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-            CASE WHEN o.doc_id IS NULL THEN 'added'
-                 WHEN n.doc_id IS NULL THEN 'removed'
-                 ELSE 'changed' END AS status
-          FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
-          WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text""",
-
-    // quarter-bit floor-log2 replayed with TextAnalysis.q4Duck's
-    // normalize-then-4th-power form; all arithmetic integer
-    "cd3_value_drift" -> {
-      def q4(x: String): String = {
-        val s = s"GREATEST(0, length(bin($x)) - 15)"
-        val m = s"(($x) >> ($s))"
-        s"(length(bin($m * $m * $m * $m)) - 1 + 4 * ($s))"
-      }
-      s"""WITH ev AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
-          rng AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM ev),
-          h AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
-                  CASE WHEN ts_us * 2 <= lo + hi THEN 'a' ELSE 'b' END AS half
-                FROM ev CROSS JOIN rng),
-          bins AS (SELECT bin,
-                     CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-                     CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-                   FROM h GROUP BY bin),
-          tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
-                    COUNT(*) AS nbins FROM bins),
-          j AS (SELECT bin, ca, cb,
-                  (ca + 1) * 1000000 // (na + nbins) AS pa_ppm,
-                  (cb + 1) * 1000000 // (nb + nbins) AS pb_ppm,
-                  CAST((${q4("(ca + 1)")} - ${q4("(cb + 1)")})
-                     + (${q4("(nb + nbins)")} - ${q4("(na + nbins)")}) AS BIGINT) AS delta_qb
-                FROM bins CROSS JOIN tot)
-          SELECT bin, ca, cb, pa_ppm, pb_ppm, delta_qb,
-            (pa_ppm - pb_ppm) * delta_qb AS contrib_q,
-            (pa_ppm - pb_ppm) * delta_qb >= 1000 AS drifted
-          FROM j"""
-    }
-  )
+  /** cp6's release tail: ll15's substring CTE chain (60-bit window
+    * hashes, >= 2 occurrences corpus-wide, gaps-and-islands merge)
+    * over the survivor set, then the same PPS/split/shard design on
+    * POST-CUT token counts, plus the cut:substr attribution row.
+    * Doc conservation excludes cut:substr (a cut doc still ships);
+    * token conservation includes it.
+    */
+  private def cp6ReleaseTail: String =
+    s"""sv AS (SELECT doc_id, nt FROM att WHERE gate IS NULL),
+          svt AS (SELECT c.doc_id, string_split(c.text, ' ') AS ws
+                  FROM corpus c JOIN sv USING (doc_id)),
+          win2 AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   CAST(CAST('0x' || substr(md5(array_to_string(ws[i:i + ${cp6W - 1}], ' ')),
+                     1, 15) AS UBIGINT) AS BIGINT) AS whash
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${cp6W - 2})) AS i
+                  FROM svt WHERE len(ws) >= $cp6W)),
+          freq2 AS (SELECT whash, COUNT(*) AS cnt FROM win2 GROUP BY 1),
+          dup2 AS (SELECT doc_id, pos, pos + ${cp6W - 1} AS fin
+                   FROM win2 JOIN freq2 USING (whash) WHERE cnt >= 2),
+          m2 AS (SELECT doc_id, pos, fin,
+                        MAX(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                 FROM dup2),
+          b2 AS (SELECT *, CASE WHEN prev_max IS NULL OR pos > prev_max + 1 THEN 1 ELSE 0 END AS brk
+                 FROM m2),
+          g2 AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS grp
+                 FROM b2),
+          spans2 AS (SELECT doc_id, MIN(pos) AS span_start, MAX(fin) AS span_end
+                     FROM g2 GROUP BY doc_id, grp),
+          cutagg AS (SELECT doc_id, CAST(SUM(span_end - span_start + 1) AS BIGINT) AS cut
+                     FROM spans2 GROUP BY 1),
+          sv2 AS (SELECT sv.doc_id, sv.nt - COALESCE(cut, 0) AS nt,
+                         COALESCE(cut, 0) AS cut
+                  FROM sv LEFT JOIN cutagg USING (doc_id)),
+          tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS tot FROM sv2),
+          cums AS (SELECT doc_id, nt,
+              CAST(SUM(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM sv2),
+          pps AS (SELECT doc_id, nt,
+              cum // greatest(1, tot // 100)
+                - (cum - nt) // greatest(1, tot // 100) AS n_units
+            FROM cums CROSS JOIN tot),
+          sp AS (SELECT doc_id, nt,
+              CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM pps WHERE n_units > 0),
+          pre AS (SELECT split, nt,
+              CAST(SUM(nt) OVER (PARTITION BY split ORDER BY doc_id) AS BIGINT)
+                AS endp
+            FROM sp)
+          SELECT 'gate:' || gate AS stage, COUNT(*) AS n_docs,
+            CAST(SUM(nt) AS BIGINT) AS n_tokens
+          FROM att WHERE gate IS NOT NULL GROUP BY 1
+          UNION ALL
+          SELECT 'cut:substr', COUNT(*), CAST(COALESCE(SUM(cut), 0) AS BIGINT)
+          FROM sv2 WHERE cut > 0
+          UNION ALL
+          SELECT 'gate:pps_sampled_out', COUNT(*), CAST(SUM(nt) AS BIGINT)
+          FROM pps WHERE n_units = 0 GROUP BY 1
+          UNION ALL
+          SELECT 'shard:' || split || ':' || CAST((endp - nt) // 2000 AS BIGINT),
+            COUNT(*), CAST(SUM(nt) AS BIGINT)
+          FROM pre GROUP BY 1
+          UNION ALL
+          SELECT 'input', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM att"""
 }

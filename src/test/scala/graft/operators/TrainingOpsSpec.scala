@@ -218,4 +218,43 @@ class TrainingOpsSpec extends SparkSpec {
     assert(shards.map(_._1.split(":")(1)).distinct.length === 3,
       "all three splits must receive shards")
   }
+
+  test("cp6 release: the substring rewrite cuts tokens that flow through " +
+    "sampling and packing, and conservation holds with the cut row") {
+    val rows = run("cp6_release_substr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val input = rows.filter(_._1 == "input")
+    assert(input.length === 1)
+    val cut = rows.filter(_._1 == "cut:substr")
+    assert(cut.length === 1)
+    // the rewrite actually fired: the planted boilerplate passage is
+    // shared by multiple gate SURVIVORS, each losing exactly its
+    // 24-token occurrence (doc-level gates cannot see these)
+    assert(cut.head._2 >= 2L, s"at least two planted survivors must be cut: $cut")
+    // every planted survivor loses at least its 24-token occurrence;
+    // naturally-duplicated >= 15-grams in the corpus may add more
+    assert(cut.head._3 >= cut.head._2 * 24L,
+      s"each cut survivor loses at least the 24-token passage: $cut")
+    // TOKEN conservation includes the cut row (removed tokens are
+    // attributed, not vanished); DOC conservation excludes it (a cut
+    // doc still ships through sampling/packing)
+    val rest = rows.filterNot(r => r._1 == "input" || r._1 == "cut:substr")
+    assert(rest.map(_._3).sum + cut.head._3 === input.head._3,
+      "tokens must conserve: gates + cut + sampled_out + shards = input")
+    assert(rest.map(_._2).sum === input.head._2,
+      "docs must conserve over gates + sampled_out + shards (cut row excluded)")
+    // downstream stages really run on POST-CUT counts: the same corpus
+    // released WITHOUT the rewrite ships more tokens
+    val cp5Like = graft.operators.Pipeline.cp5ReleaseOf(spark, sfDir,
+        graft.operators.Pipeline.cp6AttributionOf(spark, sfDir,
+          graft.operators.Pipeline.cp6Corpus(spark, sfDir),
+          graft.operators.Pipeline.cp5TwinVecs(spark, sfDir)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val shippedWith = rows.filter(r =>
+      r._1.startsWith("shard:") || r._1 == "gate:pps_sampled_out").map(_._3).sum
+    val shippedWithout = cp5Like.filter(r =>
+      r._1.startsWith("shard:") || r._1 == "gate:pps_sampled_out").map(_._3).sum
+    assert(shippedWith === shippedWithout - cut.head._3,
+      "survivor tokens downstream of the rewrite must drop by exactly the cut total")
+  }
 }
