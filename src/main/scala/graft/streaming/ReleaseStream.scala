@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Streaming PRETRAINING RELEASE — cp5's capstone pipeline lifted into
+/** Streaming PRETRAINING RELEASE — cp6's capstone pipeline lifted into
   * Structured Streaming: that is exactly how a 100 TB crawl actually
   * arrives. Each micro-batch of (doc_id, text, embedding) flows through
   * the SAME gate chain as the batch release — exact dedup vs the
@@ -16,10 +16,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * decontamination against the static benchmark holdout, the ta2
   * quality gate, and the ta26 perplexity gate against the maintained
   * KN LM (a trained artifact — static under streaming, like the
-  * holdout). Per-doc verdicts append to the attrition ledger, and the
-  * RELEASE DESIGN (PPS sampling → splits → shard packing → per-gate
-  * attrition + the conservation input row) is FOLDED per batch
-  * boundary, never recomputed from the whole corpus:
+  * holdout) — then the SUBSTRING-DEDUP REWRITE (cp6's stage, via
+  * SubstrStream's maintained-window-index shape): batch survivors'
+  * windows probe the accumulated survivor-window index, newly-crossed
+  * duplicate hashes cut the batch's docs AND retro-re-cut earlier
+  * survivors that hold them. Per-doc verdicts append to the attrition
+  * ledger, and the RELEASE DESIGN (PPS sampling → splits → shard
+  * packing → per-gate attrition + the cut:substr row + the
+  * conservation input row) is FOLDED per batch boundary, never
+  * recomputed from the whole corpus:
   *
   *   - per-gate and input totals ride an additive ROLLUP store
   *     (gate-grain rows per batch, summed at read);
@@ -37,7 +42,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     boundaries·bucketload), not O(total corpus docs) (the r16
   *     verdict's one remaining scale cliff). Shard packing and splits
   *     then run on the ≤ ~200 sampled docs through the SAME
-  *     Pipeline.cp5ShardsOf code path the batch release uses.
+  *     Pipeline.cp5ShardsOf code path the batch release uses;
+  *   - RETRO RE-CUTS ride an ADJUSTMENT store instead of rewriting
+  *     committed frontier rows: a later batch that re-cuts an earlier
+  *     survivor appends (doc_id, delta, bucket), and the boundary fold
+  *     corrects bucket totals, each pruned row's nt, and its cum (by a
+  *     prefix sum of deltas ordered by doc_id — delta-set-sized, the
+  *     same grain as the bucket-prefix window). The committed cum
+  *     therefore stays immutable AND the adjusted design equals the
+  *     batch pipeline's final token counts — the "frozen past" rule
+  *     considered instead (ignore retro cuts once a doc is past a
+  *     release boundary) was rejected because it silently diverges
+  *     from batch-on-union. A doc's GATE verdict is still frozen at
+  *     arrival: cuts change a shipped doc's token count, never
+  *     retro-gate it.
   *
   * EQUIVALENCE CONTRACT (StreamingSpec pins it at every batch
   * boundary): when doc_ids arrive MONOTONICALLY (each batch's ids
@@ -59,13 +77,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * trained-artifact contract the perplexity gate already rides.
   *
   * Crash contract: all outputs (hashes, sigs, vecs, att, release,
-  * frontier, bstats, rollup) land in per-batch `batch_id=N`
-  * directories written with overwrite mode, so at-least-once
-  * foreachBatch replay is idempotent — the IntakeStream/CorpusStream
-  * contract, here covering an EIGHT-output batch. On replay each
-  * index read excludes the batch's own previously-committed
-  * partition, and a doc re-delivered in a LATER batch is skipped
-  * entirely (first-write-wins, keyed on the attrition ledger).
+  * frontier, bstats, rollup, wins, dups, cuts, adj) land in per-batch
+  * `batch_id=N` directories written with overwrite mode, so
+  * at-least-once foreachBatch replay is idempotent — the
+  * IntakeStream/CorpusStream contract, here covering a TWELVE-output
+  * batch. On replay each index read excludes the batch's own
+  * previously-committed partition, and a doc re-delivered in a LATER
+  * batch is skipped entirely (first-write-wins, keyed on the
+  * attrition ledger).
   *
   * COMPACTION (r16 verdict item #2): every store appends one
   * `batch_id=N` partition per micro-batch, so a long stream pays a
@@ -85,10 +104,15 @@ object ReleaseStream {
   /** All per-batch state stores under a stateDir, in one place so
     * compaction and specs cannot drift from the writer. `frontier` is
     * additionally partitioned by `bucket` inside each batch partition
-    * — the release fold's pruning key.
+    * — the release fold's pruning key. The cp6 substring stage adds:
+    * `wins` (survivor window index), `dups` (hashes known duplicated),
+    * `cuts` (per-doc cut totals, VERSIONED latest-per-doc — a retro
+    * re-cut supersedes), `adj` (retro deltas against committed
+    * frontier rows).
     */
   private[graft] val stores: Seq[String] =
-    Seq("hashes", "sigs", "vecs", "att", "release", "frontier", "bstats", "rollup")
+    Seq("hashes", "sigs", "vecs", "att", "release", "frontier", "bstats",
+      "rollup", "wins", "dups", "cuts", "adj")
 
   // the shared swap-healing, replay-excluding, fileless-tolerant read
   private def readState(spark: SparkSession, dir: String,
@@ -110,6 +134,10 @@ object ReleaseStream {
     val frontierDir = s"$stateDir/frontier"
     val bstatsDir = s"$stateDir/bstats"
     val rollupDir = s"$stateDir/rollup"
+    val winsDir = s"$stateDir/wins"
+    val dupsDir = s"$stateDir/dups"
+    val cutsDir = s"$stateDir/cuts"
+    val adjDir = s"$stateDir/adj"
     // self-heal crashed swaps on EVERY store before anything reads or
     // writes — write-only stores (release) would otherwise recreate
     // their dir and strand the committed state at __old forever
@@ -217,19 +245,92 @@ object ReleaseStream {
         .join(pplDrop, Seq("doc_id"), "left")
         .withColumn("gate", Pipeline.cp5GateCol)
         .select(col("doc_id"), col("nt"), col("gate")))
-      // ---- the incremental release-design fold ----
-      // batch survivors extend the PPS frontier: cum = prior total +
-      // the batch's two-level (bucket-local + bucket-prefix) cumsum.
-      // Monotone ids make the carried cum exactly the batch plan's
-      // global prefix sum; bucketSize is the SAME static documents
-      // statistic the batch release uses.
       val maxId = graft.Tables.maxIdStat(spark, dir, "documents", "doc_id")
       val bucketSize = math.max(1L, math.sqrt(maxId.toDouble).toLong)
+      // ---- cp6's substring-dedup rewrite (SubstrStream's fold shape,
+      // over SURVIVOR windows only — the batch stage's corpus) ----
+      val survIds = att.filter(col("gate").isNull).select(col("doc_id"))
+      val wB = hot(Dedup.windowHashes(
+        cor.join(survIds, "doc_id"), Pipeline.cp6W))
+      val winsIdx = readState(spark, winsDir, batchId).map(hot)
+      val dupsIdx = readState(spark, dupsDir, batchId).map(hot)
+      val batchCnt = wB.groupBy(col("whash")).agg(count(lit(1)).as("bcnt"))
+      // ONE probe of the accumulated survivor-window index
+      val priorHits = winsIdx.map(idx =>
+        hot(idx.join(batchCnt.select(col("whash")), "whash")))
+      val totals = priorHits.fold(batchCnt.withColumn("pcnt", lit(0L))) { ph =>
+        batchCnt.join(ph.groupBy(col("whash")).agg(count(lit(1)).as("pcnt")),
+            Seq("whash"), "left")
+          .na.fill(0L, Seq("pcnt"))
+      }
+      // hashes crossing the >= 2 threshold THIS batch — the retro-work
+      // budget is bounded by the batch's own hash set
+      val crossed = hot(totals.filter(col("bcnt") + col("pcnt") >= 2L)
+        .select(col("whash"))
+        .join(dupsIdx.getOrElse(wB.limit(0).select(col("whash"))),
+          Seq("whash"), "left_anti"))
+      val dupsAll = dupsIdx.fold(crossed)(_.unionByName(crossed))
+      val w1 = Pipeline.cp6W - 1
+      val dupPosBatch = wB.join(dupsAll, "whash")
+        .select(col("doc_id"), col("pos"), (col("pos") + w1).as("fin"))
+      val dupPosPrior = (priorHits, winsIdx) match {
+        case (Some(ph), Some(idx)) =>
+          val affected = ph.join(crossed, "whash").select(col("doc_id")).distinct()
+          idx.join(affected, "doc_id").join(dupsAll, "whash")
+            .select(col("doc_id"), col("pos"), (col("pos") + w1).as("fin"))
+        case _ => dupPosBatch.limit(0)
+      }
+      // per-doc cut TOTALS, span-merged through the SAME path the
+      // batch stage uses — batch survivors AND retro-affected holders.
+      // localCheckpoint (not persist) BREAKS THE PLAN LINEAGE here:
+      // every downstream consumer (cutBatch/cutPrior/adj/frontier/
+      // design) would otherwise nest the whole window-probe chain —
+      // itself a chain of cached frames each referenced 2-3x — and the
+      // per-batch plan STRING expands that shared DAG exponentially
+      // (the prof13 plan-nesting failure, resurfacing at streaming
+      // grain: the fold OOMed generating explain strings before any
+      // data moved). Cut totals are doc-grain rows — eager
+      // materialization is cheap; blocks are reclaimed by the
+      // ContextCleaner (every entry point enables referenceTracking).
+      val cutTotals = Dedup.spansOfDupPositions(
+          dupPosBatch.unionByName(dupPosPrior))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start") + 1).as("cut"))
+        .localCheckpoint(true)
+      val cutBatch = hot(cutTotals.join(survIds, "doc_id"))
+      // retro docs: new total vs the versioned cuts store -> delta
+      val prevCuts = {
+        graft.sinks.Sinks.recoverSwap(spark, cutsDir)
+        if (!StateCompaction.hasDataFiles(spark, cutsDir)) None
+        else Some(StateCompaction.latestPerDoc(
+            spark.read.parquet(cutsDir)
+              .filter(col("batch_id").cast("long") =!= batchId))
+          .drop("batch_id").withColumnRenamed("cut", "prev_cut"))
+      }
+      val cutPrior = hot(cutTotals.join(survIds, Seq("doc_id"), "left_anti")
+        .join(prevCuts.getOrElse(
+            cutTotals.select(col("doc_id"), col("cut").as("prev_cut")).limit(0)),
+          Seq("doc_id"), "left")
+        .withColumn("prev_cut", coalesce(col("prev_cut"), lit(0L)))
+        .withColumn("delta", col("cut") - col("prev_cut")))
+      val adjRows = cutPrior.filter(col("delta") =!= 0L)
+        .withColumn("bucket", expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)"))
+        .select(col("doc_id"), col("delta"), col("bucket"))
+      // ---- the incremental release-design fold ----
+      // batch survivors extend the PPS frontier with POST-CUT counts:
+      // cum = prior RAW total + the batch's two-level (bucket-local +
+      // bucket-prefix) cumsum. Committed cums are never rewritten —
+      // retro deltas land in adj and correct reads. Monotone ids make
+      // the carried cum exactly the batch plan's global prefix sum;
+      // bucketSize is the SAME static documents statistic the batch
+      // release uses.
       val prevTot = bstatsIdx.fold(0L)(b =>
         Option(b.agg(sum(col("btot"))).first().get(0))
           .fold(0L)(_.asInstanceOf[Long]))
       val surv = att.filter(col("gate").isNull)
-        .select(col("doc_id"), col("nt"))
+        .join(cutBatch, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("nt") - coalesce(col("cut"), lit(0L))).as("nt"))
         .withColumn("bucket", expr(s"CAST(doc_id DIV $bucketSize AS BIGINT)"))
       val bt = hot(surv.groupBy(col("bucket"))
         .agg(sum(col("nt")).as("btot"), count(lit(1)).as("bdocs")))
@@ -244,8 +345,11 @@ object ReleaseStream {
         .join(bprefix, "bucket")
         .withColumn("cum", lit(prevTot) + col("bprefix") + col("cum_local"))
         .select(col("doc_id"), col("nt"), col("cum"), col("bucket")))
-      // additive rollups: per-gate totals, the input row, and the
-      // ledger max id (the monotone check's carry) — gate-grain rows
+      // additive rollups: per-gate totals, the input row, the
+      // cut:substr row (tokens cut this batch = arrival cuts + retro
+      // deltas; docs NEWLY acquiring a cut — each cut doc counts once,
+      // at its first cut, so the sum equals the batch stage's final
+      // count), and the ledger max id (the monotone check's carry)
       val batchRollup = hot(att.filter(col("gate").isNotNull)
         .groupBy(col("gate"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
@@ -254,6 +358,16 @@ object ReleaseStream {
         .unionByName(att.agg(count(lit(1)).as("n_docs"),
             sum(col("nt")).as("n_tokens"))
           .select(lit("input").as("stage"), col("n_docs"), col("n_tokens")))
+        .unionByName(
+          cutBatch.select(col("cut").as("v"),
+              when(col("cut") > 0L, 1L).otherwise(0L).as("nd"))
+            .unionByName(cutPrior.select(col("delta").as("v"),
+              when(col("prev_cut") === 0L && col("cut") > 0L, 1L)
+                .otherwise(0L).as("nd")))
+            .agg(coalesce(sum(col("nd")), lit(0L)).as("n_docs"),
+              coalesce(sum(col("v")), lit(0L)).as("n_tokens"))
+            .select(lit("cut:substr").as("stage"),
+              col("n_docs"), col("n_tokens")))
         .unionByName(att.agg(coalesce(max(col("doc_id")), lit(-1L)).as("n_docs"))
           .select(lit("_max").as("stage"), col("n_docs"),
             lit(0L).as("n_tokens"))))
@@ -263,12 +377,18 @@ object ReleaseStream {
       batchSigs.write.mode("overwrite").parquet(s"$sigsDir/batch_id=$batchId")
       bb.write.mode("overwrite").parquet(s"$vecsDir/batch_id=$batchId")
       att.write.mode("overwrite").parquet(s"$attDir/batch_id=$batchId")
+      wB.write.mode("overwrite").parquet(s"$winsDir/batch_id=$batchId")
+      crossed.write.mode("overwrite").parquet(s"$dupsDir/batch_id=$batchId")
+      cutBatch.unionByName(cutPrior.select(col("doc_id"), col("cut")))
+        .write.mode("overwrite").parquet(s"$cutsDir/batch_id=$batchId")
+      adjRows.write.mode("overwrite").parquet(s"$adjDir/batch_id=$batchId")
       batchFrontier.write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$frontierDir/batch_id=$batchId")
       bt.write.mode("overwrite").parquet(s"$bstatsDir/batch_id=$batchId")
       batchRollup.write.mode("overwrite").parquet(s"$rollupDir/batch_id=$batchId")
       // the cumulative release design at this boundary, folded from
-      // the carried state — O(batch + √corpus), never O(corpus)
+      // the carried state — O(batch + √corpus + retro deltas), never
+      // O(corpus)
       val frontierAll = readState(spark, frontierDir, batchId)
         .map(f => f.withColumn("bucket", col("bucket").cast("long"))
           .select(col("doc_id"), col("nt"), col("cum"), col("bucket"))
@@ -276,39 +396,54 @@ object ReleaseStream {
         .getOrElse(batchFrontier)
       val bstatsAll = bstatsIdx.map(_.unionByName(bt)).getOrElse(bt)
       val rollupAll = rollupIdx.map(_.unionByName(batchRollup)).getOrElse(batchRollup)
-      releaseOf(spark, frontierAll, bstatsAll, rollupAll)._1
+      val adjAll = readState(spark, adjDir, batchId)
+        .map(_.select(col("doc_id"), col("delta"), col("bucket"))
+          .unionByName(adjRows))
+        .getOrElse(adjRows)
+      releaseOf(spark, frontierAll, bstatsAll, rollupAll, adjAll)._1
         .write.mode("overwrite").parquet(s"$releaseDir/batch_id=$batchId")
     } finally persisted.foreach(_.unpersist())
   }
 
   /** The release design folded from carried state: additive rollups
-    * give the gate/input rows; the PPS sample is recovered by mapping
-    * each of the ≤ ~199 unit boundaries into its bucket (bucket
-    * cum-ranges tile the frontier) and scanning ONLY those buckets'
-    * frontier partitions; splits + shard packing then run on the
-    * sampled ≤ ~200 docs through the same cp5ShardsOf path as the
-    * batch release. Returns (design, prunedFrontier) — the second
-    * element is the diagnostic the scale spec counts; production
-    * ignores it (it shares the design's plan, nothing extra runs).
+    * give the gate/cut/input rows; the PPS sample is recovered by
+    * mapping each of the ≤ ~199 unit boundaries into its bucket
+    * (ADJUSTED bucket cum-ranges tile the frontier) and scanning ONLY
+    * those buckets' frontier partitions; retro-cut deltas from `adjAll`
+    * then correct each pruned row's nt (its own deltas) and cum (a
+    * prefix sum of all deltas at ids ≤ its own — ONE ordered window
+    * over pruned ∪ adj rows, the same bounded grain as the
+    * bucket-prefix window); splits + shard packing run on the sampled
+    * ≤ ~200 docs through the same cp5ShardsOf path as the batch
+    * release. Returns (design, prunedFrontier) — the second element is
+    * the diagnostic the scale spec counts; production ignores it (it
+    * shares the design's plan, nothing extra runs).
     */
   private[graft] def releaseOf(spark: SparkSession, frontierAll: DataFrame,
-                               bstatsAll: DataFrame,
-                               rollupAll: DataFrame): (DataFrame, DataFrame) = {
+                               bstatsAll: DataFrame, rollupAll: DataFrame,
+                               adjAll: DataFrame): (DataFrame, DataFrame) = {
     val roll = rollupAll.filter(col("stage") =!= "_max")
       .groupBy(col("stage"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     val sAgg = bstatsAll.agg(
       coalesce(sum(col("bdocs")), lit(0L)), coalesce(sum(col("btot")), lit(0L))).first()
-    val (survDocs, tot) = (sAgg.getLong(0), sAgg.getLong(1))
+    // delta-set-sized aggregate: bounded by the docs ever retro-cut
+    // between compactions, never the corpus
+    val adjTot = Option(adjAll.agg(sum(col("delta"))).first().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    val (survDocs, tot) = (sAgg.getLong(0), sAgg.getLong(1) - adjTot)
     val emptyFrontier = frontierAll.limit(0)
     if (survDocs == 0L) return (roll, emptyFrontier)
     val step = math.max(1L, tot / 100L)
     val nBounds = tot / step // ≤ 199 for any tot (worst case tot = 2·step − 1)
-    // boundary m·step lives in the unique bucket whose cum-range
-    // (bprefix, bprefix + btot] contains it; the bucket table is
-    // O(√corpus) rows, the boundary side ≤ 199 — broadcast it
+    // boundary m·step lives in the unique bucket whose ADJUSTED
+    // cum-range (bprefix, bprefix + btot] contains it; the bucket
+    // table is O(√corpus) rows, the boundary side ≤ 199 — broadcast it
+    val bucketAdj = adjAll.groupBy(col("bucket")).agg(sum(col("delta")).as("bdelta"))
     val bucketTable = bstatsAll.groupBy(col("bucket"))
-      .agg(sum(col("btot")).as("btot"))
+      .agg(sum(col("btot")).as("braw"))
+      .join(bucketAdj, Seq("bucket"), "left")
+      .withColumn("btot", col("braw") - coalesce(col("bdelta"), lit(0L)))
       .withColumn("bprefix", coalesce(sum(col("btot")).over(
         Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
@@ -324,7 +459,29 @@ object ReleaseStream {
     val pruned =
       if (cands.isEmpty) emptyFrontier
       else frontierAll.filter(col("bucket").isin(cands: _*))
-    val sampled = pruned
+    // correct the pruned rows by the retro deltas: own delta by an
+    // equi-join on doc_id (adj is delta-set-sized -> broadcast); the
+    // cum prefix by one window over pruned ∪ adj ordered by (doc_id,
+    // is_frontier) so a doc's own delta lands inside its prefix —
+    // exactly Σ{delta_d : d ≤ x}, the batch plan's final cumsum
+    val ownAdj = adjAll.groupBy(col("doc_id")).agg(sum(col("delta")).as("odelta"))
+    val pr = pruned.select(col("doc_id"), col("nt"), col("cum"), col("bucket"))
+      .withColumn("delta", lit(0L)).withColumn("is_f", lit(1))
+    val ad = adjAll.select(col("doc_id"), col("delta"))
+      .withColumn("nt", lit(0L)).withColumn("cum", lit(0L))
+      .withColumn("bucket", lit(-1L)).withColumn("is_f", lit(0))
+      .select(col("doc_id"), col("nt"), col("cum"), col("bucket"),
+        col("delta"), col("is_f"))
+    val wAdj = Window.orderBy(col("doc_id"), col("is_f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val adjusted = pr.unionByName(ad)
+      .withColumn("pdelta", sum(col("delta")).over(wAdj))
+      .filter(col("is_f") === 1)
+      .join(broadcast(ownAdj), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("nt") - coalesce(col("odelta"), lit(0L))).as("nt"),
+        (col("cum") - col("pdelta")).as("cum"), col("bucket"))
+    val sampled = adjusted
       .withColumn("n_units",
         expr(s"cum DIV ${step}L - (cum - nt) DIV ${step}L"))
       .filter(col("n_units") > 0L)
@@ -363,9 +520,13 @@ object ReleaseStream {
                    excludeBatchId: Long = Long.MinValue): Unit =
     stores.foreach { name =>
       StateCompaction.compactStore(spark, s"$stateDir/$name", targetFiles,
-        // earlier release boundaries are superseded wholesale; the
+        // earlier release boundaries are superseded wholesale; a doc's
+        // earlier cut versions are superseded by its latest; the
         // frontier keeps its bucket partitioning — the fold's pruning key
-        keep = if (name == "release") StateCompaction.latestBoundary else identity,
+        keep =
+          if (name == "release") StateCompaction.latestBoundary
+          else if (name == "cuts") StateCompaction.latestPerDoc
+          else identity,
         bucketCol = if (name == "frontier") Some("bucket") else None,
         excludeBatchId = excludeBatchId)
     }

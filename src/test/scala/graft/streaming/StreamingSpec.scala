@@ -306,7 +306,8 @@ class StreamingSpec extends SparkSpec {
     val rel = releaseSet(ReleaseStream.readRelease(spark, relState))
     val input = rel.find(_._1 == "input").get
     assert(input._2 === 202L, s"all four + 198 docs attributed, got $input")
-    assert(rel.filter(_._1 != "input").toSeq.map(_._2).sum === input._2,
+    assert(rel.filter(r => r._1 != "input" && r._1 != "cut:substr")
+        .toSeq.map(_._2).sum === input._2,
       "doc conservation must hold across the fileless-frontier boundary")
     // (b) SubstrStream: a corpus with NO duplicated windows compacts
     // dups/cuts to zero rows (fileless dirs); the stream must keep
@@ -1423,12 +1424,12 @@ class StreamingSpec extends SparkSpec {
 
   private val releaseSfDir = "/root/testdata/sf0.001"
 
-  /** cp5's twin corpus joined to its crawl-aligned embeddings, as the
-    * (doc_id, text, embedding) rows the release stream consumes,
-    * sorted by doc_id — the crawl-frontier contract.
+  /** cp6's planted twin corpus joined to its crawl-aligned embeddings,
+    * as the (doc_id, text, embedding) rows the release stream
+    * consumes, sorted by doc_id — the crawl-frontier contract.
     */
   private def releaseRows(): Array[(Long, String, Seq[Float])] = {
-    val cor = graft.operators.Pipeline.cp5TwinCorpus(spark, releaseSfDir)
+    val cor = graft.operators.Pipeline.cp6Corpus(spark, releaseSfDir)
     val vecs = graft.operators.Pipeline.cp5TwinVecs(spark, releaseSfDir)
       .withColumnRenamed("vec_id", "doc_id")
     cor.join(vecs, "doc_id").orderBy(col("doc_id"))
@@ -1439,7 +1440,21 @@ class StreamingSpec extends SparkSpec {
   private def releaseSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
     df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
 
-  test("streaming pretraining release: the fold equals batch cp5 at EVERY batch boundary") {
+  /** cp6's conservation shape: tokens conserve over gates + cut +
+    * sampled_out + shards; docs conserve over the same MINUS the cut
+    * row (a cut doc still ships — see cp5ReleaseOf's withCut note). */
+  private def assertReleaseConservation(got: Set[(String, Long, Long)],
+                                        ctx: String): Unit = {
+    val input_ = got.find(_._1 == "input").get
+    val parts = got.filter(_._1 != "input")
+    assert(parts.toSeq.map(_._3).sum === input_._3,
+      s"tokens must conserve (gates + cut + sampled_out + shards) $ctx")
+    assert(parts.filterNot(_._1 == "cut:substr").toSeq.map(_._2).sum === input_._2,
+      s"docs must conserve (cut:substr excluded) $ctx")
+  }
+
+  test("streaming pretraining release: the fold equals batch cp6 at EVERY batch " +
+    "boundary, including retro re-cuts across release boundaries") {
     assume(new java.io.File(releaseSfDir).exists())
     val rows = releaseRows()
     val slices = Seq(rows.slice(0, 333), rows.slice(333, 666), rows.slice(666, rows.length))
@@ -1460,29 +1475,36 @@ class StreamingSpec extends SparkSpec {
         hi = slice.last._1
         val got = releaseSet(ReleaseStream.readRelease(spark, state))
         // the batch pipeline on the union of everything arrived so far
-        val prefixCor = graft.operators.Pipeline.cp5TwinCorpus(spark, releaseSfDir)
+        val prefixCor = graft.operators.Pipeline.cp6Corpus(spark, releaseSfDir)
           .filter(col("doc_id") <= hi)
         val prefixVecs = graft.operators.Pipeline.cp5TwinVecs(spark, releaseSfDir)
           .filter(col("vec_id") <= hi)
         val want = releaseSet(graft.operators.Pipeline.cp5ReleaseOf(spark, releaseSfDir,
-          graft.operators.Pipeline.cp5AttributionOf(
-            spark, releaseSfDir, prefixCor, prefixVecs)))
+          graft.operators.Pipeline.cp6AttributionOf(
+            spark, releaseSfDir, prefixCor, prefixVecs), withCut = true))
         assert(got === want,
           s"stream fold diverged from batch-on-union at boundary id<=$hi: " +
             s"stream-only=${(got -- want).take(5)} batch-only=${(want -- got).take(5)}")
-        // cumulative TOKEN CONSERVATION at this boundary: input =
-        // every gate + the sampled-out bucket + every shard
-        val input_ = got.find(_._1 == "input").get
-        val parts = got.filter(_._1 != "input")
-        assert(parts.toSeq.map(_._2).sum === input_._2 &&
-          parts.toSeq.map(_._3).sum === input_._3,
-          s"attrition must conserve docs and tokens at boundary id<=$hi")
+        assert(got.exists(_._1 == "cut:substr"), "the cut row must be present")
+        assertReleaseConservation(got, s"at boundary id<=$hi")
       }
-      // the final boundary IS the batch cp5 release on the full corpus
-      val cp5 = releaseSet(
-        graft.SparkEntry.queries("cp5_pretraining_release")(spark, releaseSfDir))
-      assert(releaseSet(ReleaseStream.readRelease(spark, state)) === cp5,
-        "after the full crawl, the stream's release must equal the cp5 query")
+      // the retro case actually crossed a release boundary: some doc
+      // that arrived (and was designed into a release) in an EARLIER
+      // batch gained a cut version in a LATER batch — the planted
+      // passage holders straddle the slice boundaries
+      val cutVersions = spark.read.parquet(s"$state/cuts")
+        .select(col("doc_id"), col("batch_id").cast("long").as("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val arrivalBatch = slices.zipWithIndex.flatMap { case (sl, i) =>
+        sl.map(r => r._1 -> i.toLong)
+      }.toMap
+      assert(cutVersions.exists { case (d, b) => arrivalBatch(d) < b },
+        "a retro re-cut must have crossed at least one release boundary")
+      // the final boundary IS the batch cp6 release on the full corpus
+      val cp6 = releaseSet(
+        graft.SparkEntry.queries("cp6_release_substr")(spark, releaseSfDir))
+      assert(releaseSet(ReleaseStream.readRelease(spark, state)) === cp6,
+        "after the full crawl, the stream's release must equal the cp6 query")
     } finally q.stop()
   }
 
@@ -1556,7 +1578,7 @@ class StreamingSpec extends SparkSpec {
     // the fold continues over compacted state: the next boundary still
     // equals the batch release on the union of everything arrived
     ReleaseStream.processBatch(spark, b3, releaseSfDir, state, 2L)
-    val want = releaseSet(graft.SparkEntry.queries("cp5_pretraining_release")(
+    val want = releaseSet(graft.SparkEntry.queries("cp6_release_substr")(
       spark, releaseSfDir))
     assert(releaseSet(ReleaseStream.readRelease(spark, state)) === want,
       "post-compaction fold diverged from the batch release")
@@ -1778,9 +1800,11 @@ class StreamingSpec extends SparkSpec {
         .toDF("stage", "n_docs", "n_tokens")
       (frontier, bstats, rollup)
     }
+    def emptyAdj = spark.range(0).select(col("id").as("doc_id"),
+      col("id").as("delta"), col("id").as("bucket"))
     def probe(n: Long, bsize: Long): (Long, Set[(String, Long, Long)]) = {
       val (f, b, r) = stateOf(n, bsize)
-      val (design, pruned) = ReleaseStream.releaseOf(spark, f, b, r)
+      val (design, pruned) = ReleaseStream.releaseOf(spark, f, b, r, emptyAdj)
       (pruned.count(), releaseSet(design))
     }
     val (prunedA, designA) = probe(250000L, 500L)
@@ -1804,6 +1828,22 @@ class StreamingSpec extends SparkSpec {
       s"16x corpus must cost ≤ ~4x (sqrt) scanned rows: $prunedA -> $prunedB")
     assert(prunedA < 250000L / 2L,
       s"the pruned scan must be well under the corpus: $prunedA")
+    // retro-adjustment path: deltas against committed rows shift the
+    // adjusted totals without touching the frontier — the design's
+    // token total drops by exactly the delta sum and sampling follows
+    // the ADJUSTED cums (a zeroed doc can never be sampled)
+    val (f3, b3, r3) = stateOf(250000L, 500L)
+    val adj3 = spark.range(100L).select((col("id") * 2500L).as("doc_id"),
+      lit(1L).as("delta"), expr("CAST(id * 2500 DIV 500 AS BIGINT)").as("bucket"))
+    val (design3, _) = ReleaseStream.releaseOf(spark, f3, b3, r3, adj3)
+    val d3 = releaseSet(design3)
+    val shipped3 = d3.filter(r => r._1.startsWith("shard:") ||
+      r._1 == "gate:pps_sampled_out").toSeq.map(_._3).sum
+    assert(shipped3 === 250000L - 100L,
+      s"adjusted totals must drop by the delta sum: $shipped3")
+    val sampled3 = d3.filter(_._1.startsWith("shard:")).toSeq.map(_._2).sum
+    assert(sampled3 >= 95L && sampled3 <= 100L,
+      s"sampling must still pick ~100 unit-boundary docs on adjusted cums: $sampled3")
   }
 
   test("online quality-probe training: the stream fold equals an independent " +
