@@ -1698,6 +1698,44 @@ class StreamingSpec extends SparkSpec {
       "the post-compaction fold must still retro-cut the earlier holder")
   }
 
+  test("substring-stream RETRO-WORK scale probe: a batch's re-cut work scales " +
+    "with its own hash set, not the accumulated corpus") {
+    val sess = spark
+    import sess.implicits._
+    // prior corpus: n docs, each carrying a DISTINCT 50-token passage
+    // (no duplicates anywhere -> batch 0 writes zero cuts); the probe
+    // batch then repeats the passages of exactly K prior docs, so the
+    // retro-affected set is K regardless of n. Re-cut work = the rows
+    // the fold re-merges and re-versions — the cuts partition the
+    // probe batch writes.
+    val k = 4
+    def passage(i: Long) = (1 to 50).map(t => f"x$i%05d_$t%02d").mkString(" ")
+    def runProbe(n: Long): (Long, Long) = {
+      val state = Files.createTempDirectory(s"substr_retro_$n").toString + "/state"
+      val prior = (0L until n).map(i => (i, s"head$i ${passage(i)} tail$i"))
+        .toDF("doc_id", "text")
+      SubstrStream.processBatch(spark, prior, state, 0L)
+      assert(cutSet(SubstrStream.readCuts(spark, state)).isEmpty,
+        "the prior corpus must be duplicate-free")
+      // the probe: one doc repeating the passages of prior docs 0..k-1
+      val probe = Seq((n, (0L until k).map(passage).mkString(" ")))
+        .toDF("doc_id", "text")
+      SubstrStream.processBatch(spark, probe, state, 1L)
+      val batch1Cuts = spark.read.parquet(s"$state/cuts")
+        .filter(col("batch_id").cast("long") === 1L)
+      (batch1Cuts.filter(col("doc_id") < n).select(col("doc_id")).distinct().count(),
+        batch1Cuts.count())
+    }
+    val (retroA, rowsA) = runProbe(400L)
+    val (retroB, rowsB) = runProbe(1600L) // 4x the accumulated corpus
+    assert(retroA === k && retroB === k,
+      s"exactly the K planted holders re-cut at both scales: $retroA / $retroB")
+    assert(rowsA === rowsB,
+      s"re-cut row count must be corpus-size-independent: $rowsA vs $rowsB")
+    assert(rowsA <= (k + 1L) * 2L,
+      s"re-cut rows must be ~K holder spans + the probe doc's own: $rowsA")
+  }
+
   test("the maintained window index is token-scale: long-keyed wins rows " +
     "stay under a fixed byte budget per corpus token") {
     val sess = spark
