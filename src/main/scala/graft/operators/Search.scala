@@ -52,7 +52,7 @@ object Search {
     * refresh pushes DELTA documents through the exact transform the
     * full build used.
     */
-  private[operators] def postingsOf(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def postingsOf(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
 

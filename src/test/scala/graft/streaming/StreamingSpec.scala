@@ -1698,6 +1698,72 @@ class StreamingSpec extends SparkSpec {
       "the post-compaction fold must still retro-cut the earlier holder")
   }
 
+  // ---- SearchStream: the postings index's incremental fold ----
+
+  test("streaming postings maintenance: fold equals full rebuild at every " +
+    "boundary, through replay, re-delivery, compaction, and a half-compacted crash") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      1L -> "spark merge vector spark",
+      2L -> "the quick brown fox",
+      3L -> "merge column join merge merge",
+      4L -> "vector spark",
+      5L -> "join column")
+    val slices = Seq(docs.take(2), docs.slice(2, 4), docs.drop(4))
+    val state = Files.createTempDirectory("search_stream").toString + "/state"
+    def postingsSet() = SearchStream.readPostings(spark, state).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def dfSet() = SearchStream.readDf(spark, state).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def rebuild(arrived: Seq[(Long, String)]) = {
+      val p = graft.operators.Search.postingsOf(arrived.toDF("doc_id", "text"))
+      (p.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet,
+        p.groupBy(col("w")).agg(count(lit(1)).as("df")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet)
+    }
+    def assertEqRebuild(arrived: Seq[(Long, String)], ctx: String): Unit = {
+      val (wantP, wantDf) = rebuild(arrived)
+      assert(postingsSet() === wantP, s"postings fold != rebuild $ctx")
+      assert(dfSet() === wantDf, s"df fold != rebuild $ctx")
+      assert(SearchStream.readDocCount(spark, state) === arrived.length.toLong,
+        s"doc count != arrived $ctx")
+    }
+    var arrived = Seq.empty[(Long, String)]
+    slices.zipWithIndex.foreach { case (s, i) =>
+      SearchStream.processBatch(spark, s.toDF("doc_id", "text"), state, i.toLong)
+      arrived ++= s
+      assertEqRebuild(arrived, s"at boundary $i")
+    }
+    // at-least-once replay of the last batch: overwrite-idempotent
+    SearchStream.processBatch(spark, docs.drop(4).toDF("doc_id", "text"), state, 2L)
+    assertEqRebuild(arrived, "after same-batch replay")
+    // source-level re-delivery in a NEW batch: first-write-wins no-op
+    SearchStream.processBatch(spark, docs.take(2).toDF("doc_id", "text"), state, 3L)
+    assertEqRebuild(arrived, "after late re-delivery")
+    // compaction: identical reads, df deltas re-summed to term grain
+    SearchStream.compactState(spark, state, targetFiles = 1)
+    assertEqRebuild(arrived, "after compaction")
+    assert(spark.read.parquet(s"$state/dfd").count() === dfSet().size.toLong,
+      "compaction must re-sum df deltas to one row per term")
+    // the fold continues over compacted state
+    SearchStream.processBatch(spark,
+      Seq(6L -> "spark spark").toDF("doc_id", "text"), state, 4L)
+    arrived :+= (6L -> "spark spark")
+    assertEqRebuild(arrived, "after post-compaction batch")
+    // crash between stores at a boundary: postings+docs compacted with
+    // the in-flight batch excluded, dfd not — the replayed batch must
+    // converge, not double-count df or drop its postings
+    Seq("postings", "docs").foreach { n =>
+      StateCompaction.compactStore(spark, s"$state/$n", 1, excludeBatchId = 4L)
+    }
+    SearchStream.processBatch(spark,
+      Seq(6L -> "spark spark").toDF("doc_id", "text"), state, 4L)
+    assertEqRebuild(arrived, "after half-compacted crash replay")
+    SearchStream.compactState(spark, state, targetFiles = 1, excludeBatchId = 4L)
+    assertEqRebuild(arrived, "after the re-run compaction completes")
+  }
+
   test("substring-stream RETRO-WORK scale probe: a batch's re-cut work scales " +
     "with its own hash set, not the accumulated corpus") {
     val sess = spark
