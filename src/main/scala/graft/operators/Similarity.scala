@@ -104,28 +104,34 @@ object Similarity {
     * lowest cell id; centroid update truncates sum/count toward zero;
     * empty cells keep their centroid.
     */
-  private[operators] def trainCells(qe: DataFrame, k: Int, iters: Int, dim: Int,
-                                    sampleStep: Long): DataFrame = {
-    def assign(cents: Array[Array[Long]]): DataFrame = {
-      val dists = cents.zipWithIndex.map { case (c, j) =>
-        expr(s"sqdist_native(q, array(${c.mkString(",")}))").as(s"dist$j")
-      }
-      val distList = (0 until k).map(j => s"dist$j").mkString(",")
-      qe.select(col("vec_id") +: col("q") +: dists: _*)
-        .withColumn("cell",
-          (expr(s"array_position(array($distList), array_min(array($distList)))") - 1).cast("long"))
-        .select(col("vec_id"), col("q"), col("cell"))
-    }
-    // hash-mod sampling, NOT id-stepping: `vec_id % step` silently
-    // undersamples sparse id spaces (sharded/offset ids — the K-fold
-    // scale replica caught this with 1 sample from 8x the data); the
-    // md5 residue is uniform regardless of id layout, so ~n/step
-    // vectors are drawn from any corpus with the same determinism
-    val sample: Array[Array[Long]] = qe.filter(
+  /** The bounded deterministic training sample: vectors whose
+    * md5(vec_id) residue mod `sampleStep` is 0, in vec_id order —
+    * hash-mod sampling, NOT id-stepping: `vec_id % step` silently
+    * undersamples sparse id spaces (sharded/offset ids — the K-fold
+    * scale replica caught this with 1 sample from 8x the data); the
+    * md5 residue is uniform regardless of id layout, so ~n/step
+    * vectors are drawn from any corpus with the same determinism.
+    * Shared by every sampled trainer (IVF cells, PQ codebooks,
+    * IVF-PQ residuals).
+    */
+  private[operators] def sampleQuantized(qe: DataFrame,
+                                         sampleStep: Long): Array[Array[Long]] =
+    qe.filter(
         conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % sampleStep === 0)
       .orderBy(col("vec_id"))
       .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+
+  /** The sampled deterministic Lloyd loop itself — [[trainCells]]'
+    * driver-side trainer, exposed so composed indexes (IVF-PQ) can
+    * reuse the trained CENTROIDS for residual coding. Same arithmetic
+    * contract as everywhere in this file: init = the k lowest sampled
+    * ids' vectors, strict-< tie-break, truncating centroid division,
+    * empty cells keep their centroid.
+    */
+  private[operators] def trainCellCentroids(qe: DataFrame, k: Int, iters: Int,
+                                            dim: Int, sampleStep: Long): Array[Array[Long]] = {
+    val sample = sampleQuantized(qe, sampleStep)
     require(sample.length >= k,
       s"k-means needs >= $k sampled vectors; found ${sample.length} " +
         s"(sampleStep=$sampleStep)")
@@ -151,8 +157,13 @@ object Similarity {
         else Array.tabulate(dim)(i => sums(j)(i) / counts(j)) // Long / truncates toward zero
       }
     }
-    assign(cents).select(col("vec_id"), col("cell"))
+    cents
   }
+
+  private[operators] def trainCells(qe: DataFrame, k: Int, iters: Int, dim: Int,
+                                    sampleStep: Long): DataFrame =
+    assignCells(qe, trainCellCentroids(qe, k, iters, dim, sampleStep))
+      .select(col("vec_id"), col("cell"))
 
   /** Assignment of quantized vectors to the nearest of `cents`
     * (literal-embedded centroids — model-sized, so the comparison is
@@ -534,11 +545,7 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sample collect + encode scan
       val n = Tables.countStat(s, dir, "embeddings")
       val step = math.max(1L, (n + 1023L) / 1024L) // ceil(n/1024): ~1024 samples
-      val sample: Array[Array[Long]] = qe.filter(
-          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % step === 0)
-        .orderBy(col("vec_id"))
-        .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+      val sample = sampleQuantized(qe, step)
       val cb = trainPqCodebooks(sample, m, sd, k, 1)
       // encode: per subspace, nearest codebook entry by exact integer
       // squared distance (ties to the lowest code — array_position
@@ -583,6 +590,105 @@ object Similarity {
         .select(col("query_id"), col("vec_id"))
       val e = withNorm(base)
       val scored = top20
+        .join(e, "vec_id")
+        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm")), "query_id")
+        .withColumn("dot", dotExpr("q_emb", "embedding"))
+        .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+      topK(scored, 5)
+    }),
+
+    // IVF-PQ COMPOSED ANN — the production faiss index shape
+    // (IVFADC, Jegou et al. TPAMI 2011 §IV): ll4b's trained coarse
+    // quantizer prunes the scan to the query's cell, and ll24's
+    // product quantizer codes each vector's RESIDUAL to its assigned
+    // centroid (residuals are smaller and better-centered than raw
+    // vectors, so the same codebook budget spends its precision where
+    // the data actually varies). Train: 8 coarse cells on the bounded
+    // ~1024-vector hash-mod sample (2 Lloyd iterations), then 8x16
+    // residual codebooks on the SAME sample's coarse residuals (1
+    // iteration) — all driver-side, corpus-independent. Index: one
+    // distributed pass assigns cells, subtracts the cell centroid,
+    // and encodes 8 nibble codes/vector. Search: ADC inside the
+    // query's cell only (cell pruning x 64x code shrink — at 100 TB
+    // the scan touches ~1/8 of a ~1.6 TB code table), integer
+    // reconstructed dots rank candidates, top-50 rerank with the
+    // exact double cosine. Every stage is the file's exact integer /
+    // element-order double discipline, so the oracle replays the
+    // coarse trainer + residual PQ trainer + encoder + pruned
+    // two-stage search bit-for-bit.
+    "ll34_ivfpq_ann" -> ((s, dir) => {
+      val dim = 64; val m = 8; val sd = dim / m; val kpq = 16; val kc = 8
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qe = base.withColumn("q",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .select(col("vec_id"), col("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sample collect + assign/encode scan
+      val n = Tables.countStat(s, dir, "embeddings")
+      val step = math.max(1L, (n + 1023L) / 1024L) // ceil(n/1024): ~1024 samples
+      val cents = trainCellCentroids(qe, kc, 2, dim, step)
+      // residual codebooks from the SAME sample, coarse-assigned and
+      // centered driver-side (sample and model are both bounded)
+      val resSample = sampleQuantized(qe, step).map { v =>
+        var best = 0; var bestD = Long.MaxValue
+        var j = 0
+        while (j < kc) {
+          var d = 0L; var i = 0
+          while (i < dim) { val t = v(i) - cents(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j } // strict < : ties keep lowest j
+          j += 1
+        }
+        Array.tabulate(dim)(i => v(i) - cents(best)(i))
+      }
+      val cb = trainPqCodebooks(resSample, m, sd, kpq, 1)
+      val centArrays = cents.map(c => s"array(${c.mkString(",")})").mkString(",")
+      // one distributed pass: coarse cell + residual + nibble codes
+      val withRes = assignCells(qe, cents)
+        .withColumn("rq", expr(
+          s"zip_with(q, array($centArrays)[CAST(cell AS INT)], (x, c) -> x - c)"))
+      val dists = for (s2 <- 0 until m; j <- 0 until kpq) yield
+        expr(s"aggregate(zip_with(slice(rq, ${s2 * sd + 1}, $sd), " +
+          s"array(${cb(s2)(j).mkString(",")}), (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"d${s2}_$j")
+      val wd = withRes.select(col("vec_id") +: col("q") +: col("cell") +: dists: _*)
+      val codes = (0 until m).map { s2 =>
+        val dl = (0 until kpq).map(j => s"d${s2}_$j").mkString(",")
+        (expr(s"array_position(array($dl), array_min(array($dl)))") - 1)
+          .cast("int").as(s"code$s2")
+      }
+      val coded = wd.select(col("vec_id") +: col("q") +: col("cell") +: codes: _*)
+      // reconstruct = cell centroid slice + decoded residual, per subspace
+      val dqSub = (0 until m).map { s2 =>
+        val entries = (0 until kpq).map(j => s"array(${cb(s2)(j).mkString(",")})").mkString(",")
+        expr(s"zip_with(slice(array($centArrays)[CAST(cell AS INT)], ${s2 * sd + 1}, $sd), " +
+          s"array($entries)[code$s2], (c, r) -> c + r)")
+      }
+      val dqed = coded
+        .withColumn("dq", concat(dqSub: _*))
+        .withColumn("dqn",
+          expr("aggregate(transform(dq, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .select(col("vec_id"), col("q"), col("cell"), col("dq"), col("dqn"))
+      // queries keep their exact quantized vector and probe their own
+      // coarse cell (nprobe=1 — ll4b's pruning joined to ll24's ADC)
+      val probes = dqed
+        .withColumn("qn",
+          expr("aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn"),
+          col("cell").as("q_cell"))
+        .filter(col("query_id") < 10)
+      val cand = dqed.join(broadcast(probes),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+        .withColumn("approx",
+          expr("aggregate(zip_with(qq, dq, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)") /
+            sqrt(col("qn").cast("double") * col("dqn").cast("double")))
+      val wApprox = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("vec_id").asc)
+      val top50 = cand.withColumn("arank", row_number().over(wApprox))
+        .filter(col("arank") <= 50)
+        .select(col("query_id"), col("vec_id"))
+      val e = withNorm(base)
+      val scored = top50
         .join(e, "vec_id")
         .join(e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm")), "query_id")
@@ -1175,6 +1281,109 @@ object Similarity {
                          i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))
                          / sqrt(qv.nrm * cv.nrm) AS sim
                      FROM t20 t
+                     JOIN e cv ON cv.vec_id = t.vec_id
+                     JOIN e qv ON qv.vec_id = t.query_id)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+          FROM (SELECT query_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rank
+                FROM scored)
+          WHERE rank <= 5""",
+
+    // Full IVF-PQ replay: ll4b's sampled coarse trainer (c0..c2 +
+    // full assignment af), residuals vs the assigned centroid, ll24's
+    // per-subspace PQ trainer over the SAMPLE's residuals (p0/pa0/p1),
+    // nibble encoding of corpus residuals, centroid+codebook
+    // reconstruction, cell-PRUNED asymmetric coarse ranking (top-50),
+    // exact-cosine rerank (top-5) — bit-for-bit the plan ll34 runs.
+    "ll34_ivfpq_ann" ->
+      s"""WITH qe AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM embeddings),
+          st AS (SELECT GREATEST(1, CAST((COUNT(*) + 1023) // 1024 AS BIGINT)) AS step
+                 FROM embeddings),
+          qs AS (SELECT qe.* FROM qe
+                 WHERE CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                     AS UBIGINT) % (SELECT step FROM st) AS BIGINT) = 0),
+          c0 AS (SELECT vec_id AS cid, q AS c FROM qs ORDER BY vec_id LIMIT 8),
+          ${kmAssignSql("qs", "c0", "a0")},
+          ${kmUpdateSql("a0", "c0", "c1")},
+          ${kmAssignSql("qs", "c1", "a1")},
+          ${kmUpdateSql("a1", "c1", "c2")},
+          ${kmAssignSql("qe", "c2", "af")},
+          ${kmAssignSql("qs", "c2", "sa")},
+          sres AS (SELECT sa.vec_id,
+                     list_transform(range(1, 65), i -> sa.q[i] - cv.c[i]) AS q
+                   FROM sa JOIN c2 cv ON sa.cell = cv.cid),
+          sub AS (SELECT unnest(range(0, 8)) AS s),
+          smp AS (SELECT vec_id, sub.s AS s,
+                    list_transform(range(1, 9), i -> q[CAST(sub.s * 8 AS BIGINT) + i]) AS v
+                  FROM sres, sub),
+          p0 AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+                        v AS c
+                 FROM smp
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) <= 16),
+          pa0 AS (SELECT vec_id, s, v, cid AS cell FROM (
+                    SELECT e.vec_id, e.s, e.v, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.s ORDER BY
+                        list_sum(list_transform(range(1, 9),
+                          i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cid) AS rn
+                    FROM smp e JOIN p0 c ON e.s = c.s) WHERE rn = 1),
+          pu_s AS (SELECT s, cell, dim.i AS dim, SUM(v[dim.i]) AS sm, COUNT(*) AS n
+                   FROM pa0, (SELECT unnest(range(1, 9)) AS i) dim
+                   GROUP BY s, cell, dim.i),
+          p1 AS (SELECT p.s, p.cid, COALESCE(u.c, p.c) AS c
+                 FROM p0 p LEFT JOIN (
+                   SELECT s, cell AS cid,
+                     list(CAST(CASE WHEN sm >= 0 THEN sm // n
+                               ELSE -((-sm) // n) END AS BIGINT) ORDER BY dim) AS c
+                   FROM pu_s GROUP BY s, cell) u ON p.s = u.s AND p.cid = u.cid),
+          ares AS (SELECT af.vec_id,
+                     list_transform(range(1, 65), i -> af.q[i] - cv.c[i]) AS rq
+                   FROM af JOIN c2 cv ON af.cell = cv.cid),
+          alls AS (SELECT vec_id, sub.s AS s,
+                     list_transform(range(1, 9), i -> rq[CAST(sub.s * 8 AS BIGINT) + i]) AS v
+                   FROM ares, sub),
+          afpq AS (SELECT vec_id, s, cid AS cell FROM (
+                     SELECT e.vec_id, e.s, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.s ORDER BY
+                         list_sum(list_transform(range(1, 9),
+                           i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cid) AS rn
+                     FROM alls e JOIN p1 c ON e.s = c.s) WHERE rn = 1),
+          dqsub AS (SELECT p.vec_id, p.s,
+                      list_transform(range(1, 9),
+                        i -> cv.c[CAST(p.s * 8 AS BIGINT) + i] + pc.c[i]) AS part
+                    FROM afpq p
+                    JOIN af a ON p.vec_id = a.vec_id
+                    JOIN c2 cv ON a.cell = cv.cid
+                    JOIN p1 pc ON p.s = pc.s AND p.cell = pc.cid),
+          dq AS (SELECT vec_id, flatten(list(part ORDER BY s)) AS dq
+                 FROM dqsub GROUP BY vec_id),
+          dqn AS (SELECT d.vec_id, a.cell, d.dq,
+                    list_sum(list_transform(d.dq, x -> x * x)) AS dqn
+                  FROM dq d JOIN af a ON d.vec_id = a.vec_id),
+          qn AS (SELECT vec_id, q, cell,
+                   list_sum(list_transform(q, x -> x * x)) AS qn FROM af),
+          probes AS (SELECT vec_id AS query_id, q AS qq, qn, cell AS q_cell
+                     FROM qn WHERE vec_id < 10),
+          cand AS (SELECT query_id, d.vec_id,
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> qq[i] * d.dq[i])) AS DOUBLE)
+                     / sqrt(CAST(p.qn AS DOUBLE) * CAST(d.dqn AS DOUBLE)) AS approx
+                   FROM probes p, dqn d
+                   WHERE d.vec_id <> p.query_id AND d.cell = p.q_cell),
+          t50 AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY approx DESC, vec_id) AS arank
+                    FROM cand) WHERE arank <= 50),
+          e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+          scored AS (SELECT t.query_id, t.vec_id,
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))
+                         / sqrt(qv.nrm * cv.nrm) AS sim
+                     FROM t50 t
                      JOIN e cv ON cv.vec_id = t.vec_id
                      JOIN e qv ON qv.vec_id = t.query_id)
           SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
