@@ -80,15 +80,15 @@ object CorpusStream {
   }
 
   /** Fold the index's (and the pairs output's) per-batch partitions
-    * into the `batch_id=-1` sentinel (r16 verdict item #2): the index
-    * is re-listed and re-read EVERY batch, so thousands of batches pay
+    * into LSM range sentinels (StateCompaction): the index is
+    * re-listed and re-read EVERY batch, so thousands of batches pay
     * a small-file tax plus an O(batches) listing per probe. The pairs
     * output compacts too — not for read cost (it is a sink, never
     * probed) but because a replayed pre-compaction batch overwrites
     * its own pairs partition with the empty no-op result, and the
-    * original rows must already live in the sentinel by then.
+    * original rows must already live in a sentinel by then.
     * Compaction trades per-batch provenance on compacted history for
-    * bounded files; every row is preserved. Crash-atomic per store.
+    * bounded files; every row is preserved.
     */
   def compactState(spark: SparkSession, indexDir: String, pairsDir: String,
                    targetFiles: Int = 4,
@@ -122,16 +122,15 @@ object CorpusStream {
     * dir (zero rows through a dynamic-partition write) — surfaced as
     * the typed empty pair set, not an AnalysisException.
     */
-  def readPairs(spark: SparkSession, pairsDir: String): DataFrame = {
-    graft.sinks.Sinks.recoverSwap(spark, pairsDir)
-    if (!StateCompaction.hasDataFiles(spark, pairsDir)) {
-      val sess = spark
-      import sess.implicits._
-      Seq.empty[(Long, Long, Long, Double, Long)]
-        .toDF("doc_a", "doc_b", "n_match", "est_sim", "batch_id")
-    } else spark.read.parquet(pairsDir)
+  def readPairs(spark: SparkSession, pairsDir: String): DataFrame =
+    StateCompaction.readVisible(spark, pairsDir)
       // partition discovery infers batch_id as INT; pin it to the
       // typed-empty branch's LONG so the two states union/compare
-      .withColumn("batch_id", col("batch_id").cast("long"))
-  }
+      .map(_.withColumn("batch_id", col("batch_id").cast("long")))
+      .getOrElse {
+        val sess = spark
+        import sess.implicits._
+        Seq.empty[(Long, Long, Long, Double, Long)]
+          .toDF("doc_a", "doc_b", "n_match", "est_sim", "batch_id")
+      }
 }

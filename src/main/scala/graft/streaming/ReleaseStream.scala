@@ -86,13 +86,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * batch is skipped entirely (first-write-wins, keyed on the
   * attrition ledger).
   *
-  * COMPACTION (r16 verdict item #2): every store appends one
-  * `batch_id=N` partition per micro-batch, so a long stream pays a
-  * small-file tax plus an O(batches) listing per boundary.
-  * [[compactState]] folds each store's committed partitions into
-  * `batch_id=-1` (a sentinel no real batch uses, so replay exclusion
-  * still works; a replayed pre-compaction batch simply anti-joins to
-  * a no-op), crash-atomically via the staged-swap protocol; `start`
+  * COMPACTION: every store appends one `batch_id=N` partition per
+  * micro-batch, so a long stream pays a small-file tax plus an
+  * O(batches) listing per boundary. [[compactState]] folds each
+  * store's committed partitions into LSM range sentinels (see
+  * StateCompaction — folds never rewrite earlier sentinels; tiers
+  * merge geometrically; replay exclusion still works because no
+  * sentinel ever covers the in-flight batch, and a replayed
+  * pre-compaction batch simply anti-joins to a no-op); `start`
   * triggers it every `compactEvery` batches. The release store keeps
   * only its LATEST boundary — earlier designs are superseded by
   * definition.
@@ -299,14 +300,10 @@ object ReleaseStream {
         .localCheckpoint(true)
       val cutBatch = hot(cutTotals.join(survIds, "doc_id"))
       // retro docs: new total vs the versioned cuts store -> delta
-      val prevCuts = {
-        graft.sinks.Sinks.recoverSwap(spark, cutsDir)
-        if (!StateCompaction.hasDataFiles(spark, cutsDir)) None
-        else Some(StateCompaction.latestPerDoc(
-            spark.read.parquet(cutsDir)
-              .filter(col("batch_id").cast("long") =!= batchId))
+      val prevCuts = StateCompaction.readVisible(spark, cutsDir).map(all =>
+        StateCompaction.latestPerDoc(
+            all.filter(col("batch_id").cast("long") =!= batchId))
           .drop("batch_id").withColumnRenamed("cut", "prev_cut"))
-      }
       val cutPrior = hot(cutTotals.join(survIds, Seq("doc_id"), "left_anti")
         .join(prevCuts.getOrElse(
             cutTotals.select(col("doc_id"), col("cut").as("prev_cut")).limit(0)),
@@ -507,13 +504,13 @@ object ReleaseStream {
     (design, pruned)
   }
 
-  /** Fold every state store's committed partitions into a single
-    * `batch_id=-1` partition (the release store keeps only its latest
-    * boundary). -1 is a sentinel no real foreachBatch id takes, so
-    * replay exclusion still works; a replayed pre-compaction batch
-    * finds its docs already in the compacted ledger and anti-joins to
-    * a no-op. Crash-atomic per store via the staged-swap protocol.
-    * `targetFiles` bounds the compacted file count per store.
+  /** Fold every state store's committed partitions into LSM range
+    * sentinels (the release store keeps only its latest boundary; a
+    * doc's cut versions keep only the newest). Replay exclusion still
+    * works — no sentinel covers the in-flight batch — and a replayed
+    * pre-compaction batch finds its docs already in the compacted
+    * ledger and anti-joins to a no-op. `targetFiles` bounds the file
+    * count per sentinel.
     */
   def compactState(spark: SparkSession, stateDir: String,
                    targetFiles: Int = 4,
@@ -551,18 +548,20 @@ object ReleaseStream {
       }
       .start()
 
-  /** The release design as of the LATEST completed batch boundary. */
-  def readRelease(spark: SparkSession, stateDir: String): DataFrame = {
-    graft.sinks.Sinks.recoverSwap(spark, s"$stateDir/release")
-    val all = spark.read.parquet(s"$stateDir/release")
-    // the inferred partition-column type is INT; cast before unboxing
-    val latest = all.agg(max(col("batch_id").cast("long"))).head.getLong(0)
-    all.filter(col("batch_id").cast("long") === latest).drop("batch_id")
-  }
+  /** The release design as of the LATEST completed batch boundary
+    * (coverage-end order — a compacted sentinel never outranks a
+    * newer per-batch boundary). */
+  def readRelease(spark: SparkSession, stateDir: String): DataFrame =
+    StateCompaction.latestBoundary(
+        StateCompaction.readVisible(spark, s"$stateDir/release")
+          .getOrElse(throw new IllegalStateException(
+            s"no release design committed under $stateDir/release")))
+      .drop("batch_id")
 
-  /** The accumulated attrition ledger (batch_id kept for provenance). */
-  def readAttrition(spark: SparkSession, stateDir: String): DataFrame = {
-    graft.sinks.Sinks.recoverSwap(spark, s"$stateDir/att")
-    spark.read.parquet(s"$stateDir/att")
-  }
+  /** The accumulated attrition ledger (batch_id kept for provenance
+    * on uncompacted history). */
+  def readAttrition(spark: SparkSession, stateDir: String): DataFrame =
+    StateCompaction.readVisible(spark, s"$stateDir/att")
+      .getOrElse(throw new IllegalStateException(
+        s"no attrition ledger committed under $stateDir/att"))
 }

@@ -30,10 +30,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   postings (doc_id, w, tf)   the inverted index
   *   dfd      (w, dfd)          per-batch document-frequency deltas
   *   docs     (doc_id)          the first-write-wins ledger
-  * [[compactState]] folds committed partitions into `batch_id=-1`
-  * (df deltas re-sum to one row per term — the read-equivalence is
-  * what StreamingSpec pins), crash-atomic via the staged-swap
-  * protocol with the in-flight batch carried through verbatim.
+  * [[compactState]] folds committed partitions into LSM range
+  * sentinels (df deltas re-sum to one row per term — the
+  * read-equivalence is what StreamingSpec pins), with the in-flight
+  * batch left out so it keeps its own partition until committed.
   */
 object SearchStream {
 
@@ -67,11 +67,8 @@ object SearchStream {
     } finally fresh.unpersist()
   }
 
-  private def readAll(spark: SparkSession, dir: String): Option[DataFrame] = {
-    graft.sinks.Sinks.recoverSwap(spark, dir)
-    if (!StateCompaction.hasDataFiles(spark, dir)) None
-    else Some(spark.read.parquet(dir).drop("batch_id"))
-  }
+  private def readAll(spark: SparkSession, dir: String): Option[DataFrame] =
+    StateCompaction.readVisible(spark, dir).map(_.drop("batch_id"))
 
   /** The accumulated (doc_id, w, tf) index — ts1/ts3's scan shape. */
   def readPostings(spark: SparkSession, stateDir: String): DataFrame =
@@ -95,9 +92,9 @@ object SearchStream {
   def readDocCount(spark: SparkSession, stateDir: String): Long =
     readAll(spark, s"$stateDir/docs").fold(0L)(_.count())
 
-  /** Fold committed partitions into `batch_id=-1`; df deltas re-sum to
-    * one row per term. Crash-atomic per store; the in-flight batch
-    * rides through verbatim (the cross-store crash contract).
+  /** Fold committed partitions into LSM range sentinels; df deltas
+    * re-sum to one row per term. The in-flight batch is left out (the
+    * cross-store crash contract).
     */
   def compactState(spark: SparkSession, stateDir: String,
                    targetFiles: Int = 4,

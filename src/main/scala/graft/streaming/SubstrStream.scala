@@ -44,10 +44,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   cuts (doc_id, span_start, span_end, n_windows) — VERSIONED: a
   *        later batch's rows for a doc supersede earlier ones;
   *        [[readCuts]] resolves latest-per-doc.
-  * [[compactState]] folds committed partitions into `batch_id=-1`
-  * (cuts keep only each doc's latest version), crash-atomic via the
-  * staged-swap protocol; `start` triggers it every `compactEvery`
-  * batches.
+  * [[compactState]] folds committed partitions into LSM range
+  * sentinels (cuts keep only each doc's latest version); `start`
+  * triggers it every `compactEvery` batches.
   */
 object SubstrStream {
 
@@ -130,26 +129,23 @@ object SubstrStream {
     * (a retro re-cut supersedes the doc's earlier rows). Matches
     * ll33's duplicatedSpans(union, w) output columns.
     */
-  def readCuts(spark: SparkSession, stateDir: String): DataFrame = {
-    graft.sinks.Sinks.recoverSwap(spark, s"$stateDir/cuts")
-    // a compacted duplicate-free store is a legitimately EMPTY state
-    // (zero rows through a dynamic-partition write = a fileless dir
-    // schema inference cannot read) — surface it as the typed empty
-    // cut list, not an AnalysisException
-    if (!StateCompaction.hasDataFiles(spark, s"$stateDir/cuts")) {
-      val sess = spark
-      import sess.implicits._
-      Seq.empty[(Long, Long, Long, Long)]
-        .toDF("doc_id", "span_start", "span_end", "n_windows")
-    } else
-      StateCompaction.latestPerDoc(spark.read.parquet(s"$stateDir/cuts"))
-        .drop("batch_id")
-  }
+  def readCuts(spark: SparkSession, stateDir: String): DataFrame =
+    StateCompaction.readVisible(spark, s"$stateDir/cuts")
+      .map(all => StateCompaction.latestPerDoc(all).drop("batch_id"))
+      .getOrElse {
+        // a compacted duplicate-free store is a legitimately EMPTY
+        // state — surface it as the typed empty cut list, not an
+        // AnalysisException
+        val sess = spark
+        import sess.implicits._
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("doc_id", "span_start", "span_end", "n_windows")
+      }
 
-  /** Fold the committed partitions of every store into `batch_id=-1`
-    * (cuts keep only each doc's latest version first — the versioning
-    * semantics survive compaction). Crash-atomic per store; the
-    * in-flight batch's partitions ride through verbatim (see
+  /** Fold the committed partitions of every store into LSM range
+    * sentinels (cuts keep only each doc's latest version first — the
+    * versioning semantics survive compaction via coverage-end order).
+    * The in-flight batch's partitions are left out (see
     * StateCompaction.compactStore's cross-store crash contract).
     */
   def compactState(spark: SparkSession, stateDir: String,

@@ -1698,6 +1698,74 @@ class StreamingSpec extends SparkSpec {
       "the post-compaction fold must still retro-cut the earlier holder")
   }
 
+  test("LSM state compaction: folds rewrite ~1x the corpus over 16 batches at " +
+    "compactEvery=4 (o(B^2)), sentinels merge geometrically, reads stay equivalent") {
+    val sess = spark
+    import sess.implicits._
+    val state = Files.createTempDirectory("lsm_bound").toString + "/state"
+    def sentinelSizes(): Map[String, Long] = {
+      val d = new java.io.File(s"$state/postings")
+      if (!d.exists()) Map.empty
+      else d.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id=-"))
+        .map { dir =>
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+          dir.getName -> walk(dir)
+        }.toMap
+    }
+    var rewritten = 0L
+    var seen = Set.empty[String]
+    var arrived = Seq.empty[(Long, String)]
+    def batchDocs(b: Int): Seq[(Long, String)] = (0 until 25).map(i =>
+      ((b * 25 + i).toLong, s"w${b}_$i token alpha beta gamma delta"))
+    for (b <- 0 until 16) {
+      val docs = batchDocs(b)
+      arrived ++= docs
+      SearchStream.processBatch(spark, docs.toDF("doc_id", "text"), state, b.toLong)
+      if (b % 4 == 3) {
+        SearchStream.compactState(spark, state, targetFiles = 1,
+          excludeBatchId = b.toLong)
+        val now = sentinelSizes()
+        rewritten += now.collect { case (k, v) if !seen(k) => v }.sum
+        seen ++= now.keySet
+      }
+    }
+    // read equivalence through every fold
+    val wantP = graft.operators.Search.postingsOf(arrived.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(SearchStream.readPostings(spark, state).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === wantP)
+    // the o(B^2) bound: every row landed in a sentinel ~once — the old
+    // whole-store refold paid 3+7+11+15 = 36 batch-units of rewrite
+    // over these 16 batches (~2.4x the corpus); the LSM fold pays ≤ 16
+    // units (nothing has merged yet at this horizon)
+    val storeBytes = sentinelSizes().values.sum
+    assert(rewritten <= (storeBytes * 3) / 2,
+      s"compaction rewrote $rewritten B for a ${storeBytes}B store — " +
+        "sentinels are being refolded")
+    // geometric merging: per-batch compaction accumulates tier-0
+    // singles that must cascade into higher tiers, bounding the
+    // partition count logarithmically
+    var arrived2 = arrived
+    for (b <- 16 until 28) {
+      val docs = batchDocs(b)
+      arrived2 ++= docs
+      SearchStream.processBatch(spark, docs.toDF("doc_id", "text"), state, b.toLong)
+      SearchStream.compactState(spark, state, targetFiles = 1,
+        excludeBatchId = b.toLong)
+    }
+    val sentinels = sentinelSizes().keySet
+    assert(sentinels.size <= 6,
+      s"28 batches must collapse to O(log B) sentinels, got $sentinels")
+    val wantP2 = graft.operators.Search.postingsOf(arrived2.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(SearchStream.readPostings(spark, state).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === wantP2,
+      "reads must stay equivalent through tier merges")
+    assert(SearchStream.readDocCount(spark, state) === arrived2.length.toLong)
+  }
+
   // ---- SearchStream: the postings index's incremental fold ----
 
   test("streaming postings maintenance: fold equals full rebuild at every " +
