@@ -93,7 +93,12 @@ object BenchScale {
     // query-term join scans corpus tokens like ts5, so the probe
     // checks the df-cap keeps the candidate side bounded while the
     // fusion stays query-set x k grain)
-    "ts8_hybrid_rrf")
+    "ts8_hybrid_rrf",
+    // Round-18 additions: ll34 (IVF-PQ — trainer cost must stay
+    // corpus-independent and the ADC scan cell-pruned) and cp6 (the
+    // release pipeline with the substring stage — ll15's window pass
+    // rides on cp5's gates, both corpus-linear)
+    "ll34_ivfpq_ann", "cp6_release_substr")
 
   /** Write a K-fold replica of the tables the heavy set reads. */
   private[graft] def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
