@@ -43,7 +43,7 @@ object Similarity {
   private[operators] def dotExpr(a: String, b: String) =
     expr(s"dot_native($a, $b)")
 
-  private[operators] def withNorm(df: DataFrame): DataFrame =
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", expr("dot_native(embedding, embedding)"))
 
   /** Deterministic {-1,+1} hyperplane component: +1 iff the first hex
@@ -173,7 +173,7 @@ object Similarity {
     * the same contract as [[trainCells]]'s driver-side loop and the
     * kmAssignSql oracle replay.
     */
-  private[operators] def assignCells(qe: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+  private[graft] def assignCells(qe: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     val k = cents.length
     val dists = cents.zipWithIndex.map { case (c, j) =>
       expr(s"sqdist_native(q, array(${c.mkString(",")}))").as(s"dist$j")
@@ -323,6 +323,86 @@ object Similarity {
       }
       cents
     }
+  }
+
+  /** The trained IVF-PQ model: coarse centroids + per-subspace
+    * residual codebooks — ~10 KB of driver state at any corpus size.
+    */
+  private[graft] final case class IvfPqModel(cents: Array[Array[Long]],
+                                             cb: Array[Array[Array[Long]]]) {
+    val kc: Int = cents.length
+    val m: Int = cb.length
+    val kpq: Int = cb(0).length
+    val dim: Int = cents(0).length
+    val sd: Int = dim / m
+    private[operators] def centArrays: String =
+      cents.map(c => s"array(${c.mkString(",")})").mkString(",")
+  }
+
+  /** Train the composed IVF-PQ model (ll34's trainer, shared with the
+    * streaming index): 8 coarse cells by the bounded-sample Lloyd
+    * loop, then 8x16 residual codebooks on the SAME sample's coarse
+    * residuals — all driver-side, corpus-independent cost.
+    */
+  private[graft] def trainIvfPq(qe: DataFrame, n: Long,
+                                kc: Int = 8, m: Int = 8, kpq: Int = 16,
+                                dim: Int = 64): IvfPqModel = {
+    val step = math.max(1L, (n + 1023L) / 1024L) // ceil(n/1024): ~1024 samples
+    val cents = trainCellCentroids(qe, kc, 2, dim, step)
+    // residual codebooks from the SAME sample, coarse-assigned and
+    // centered driver-side (sample and model are both bounded)
+    val resSample = sampleQuantized(qe, step).map { v =>
+      var best = 0; var bestD = Long.MaxValue
+      var j = 0
+      while (j < kc) {
+        var d = 0L; var i = 0
+        while (i < dim) { val t = v(i) - cents(j)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = j } // strict < : ties keep lowest j
+        j += 1
+      }
+      Array.tabulate(dim)(i => v(i) - cents(best)(i))
+    }
+    IvfPqModel(cents, trainPqCodebooks(resSample, m, dim / m, kpq, 1))
+  }
+
+  /** Encode quantized vectors against a trained model: coarse cell +
+    * residual + one nibble code per subspace — (vec_id, q, cell,
+    * code0..code{m-1}), the index's stored form (codes + cell are
+    * ~9 bytes/vector vs 512 for the raw floats). One codegen'd pass.
+    */
+  private[graft] def ivfPqEncode(qe: DataFrame, md: IvfPqModel): DataFrame = {
+    val withRes = assignCells(qe, md.cents)
+      .withColumn("rq", expr(
+        s"zip_with(q, array(${md.centArrays})[CAST(cell AS INT)], (x, c) -> x - c)"))
+    val dists = for (s2 <- 0 until md.m; j <- 0 until md.kpq) yield
+      expr(s"aggregate(zip_with(slice(rq, ${s2 * md.sd + 1}, ${md.sd}), " +
+        s"array(${md.cb(s2)(j).mkString(",")}), (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"d${s2}_$j")
+    val wd = withRes.select(col("vec_id") +: col("q") +: col("cell") +: dists: _*)
+    val codes = (0 until md.m).map { s2 =>
+      val dl = (0 until md.kpq).map(j => s"d${s2}_$j").mkString(",")
+      (expr(s"array_position(array($dl), array_min(array($dl)))") - 1)
+        .cast("int").as(s"code$s2")
+    }
+    wd.select(col("vec_id") +: col("q") +: col("cell") +: codes: _*)
+  }
+
+  /** Reconstruct coded rows for the ADC scan: dq = cell centroid slice
+    * + decoded residual per subspace, with its integer norm.
+    */
+  private[graft] def ivfPqReconstruct(coded: DataFrame, md: IvfPqModel): DataFrame = {
+    val dqSub = (0 until md.m).map { s2 =>
+      val entries = (0 until md.kpq).map(j =>
+        s"array(${md.cb(s2)(j).mkString(",")})").mkString(",")
+      expr(s"zip_with(slice(array(${md.centArrays})[CAST(cell AS INT)], " +
+        s"${s2 * md.sd + 1}, ${md.sd}), " +
+        s"array($entries)[code$s2], (c, r) -> c + r)")
+    }
+    coded
+      .withColumn("dq", concat(dqSub: _*))
+      .withColumn("dqn",
+        expr("aggregate(transform(dq, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .drop((0 until md.m).map(s2 => s"code$s2"): _*)
   }
 
   val defs: Map[String, Q] = Map(
@@ -618,56 +698,15 @@ object Similarity {
     // coarse trainer + residual PQ trainer + encoder + pruned
     // two-stage search bit-for-bit.
     "ll34_ivfpq_ann" -> ((s, dir) => {
-      val dim = 64; val m = 8; val sd = dim / m; val kpq = 16; val kc = 8
       val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val qe = base.withColumn("q",
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
         .select(col("vec_id"), col("q"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sample collect + assign/encode scan
-      val n = Tables.countStat(s, dir, "embeddings")
-      val step = math.max(1L, (n + 1023L) / 1024L) // ceil(n/1024): ~1024 samples
-      val cents = trainCellCentroids(qe, kc, 2, dim, step)
-      // residual codebooks from the SAME sample, coarse-assigned and
-      // centered driver-side (sample and model are both bounded)
-      val resSample = sampleQuantized(qe, step).map { v =>
-        var best = 0; var bestD = Long.MaxValue
-        var j = 0
-        while (j < kc) {
-          var d = 0L; var i = 0
-          while (i < dim) { val t = v(i) - cents(j)(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = j } // strict < : ties keep lowest j
-          j += 1
-        }
-        Array.tabulate(dim)(i => v(i) - cents(best)(i))
-      }
-      val cb = trainPqCodebooks(resSample, m, sd, kpq, 1)
-      val centArrays = cents.map(c => s"array(${c.mkString(",")})").mkString(",")
-      // one distributed pass: coarse cell + residual + nibble codes
-      val withRes = assignCells(qe, cents)
-        .withColumn("rq", expr(
-          s"zip_with(q, array($centArrays)[CAST(cell AS INT)], (x, c) -> x - c)"))
-      val dists = for (s2 <- 0 until m; j <- 0 until kpq) yield
-        expr(s"aggregate(zip_with(slice(rq, ${s2 * sd + 1}, $sd), " +
-          s"array(${cb(s2)(j).mkString(",")}), (x, y) -> (x - y) * (x - y)), " +
-          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"d${s2}_$j")
-      val wd = withRes.select(col("vec_id") +: col("q") +: col("cell") +: dists: _*)
-      val codes = (0 until m).map { s2 =>
-        val dl = (0 until kpq).map(j => s"d${s2}_$j").mkString(",")
-        (expr(s"array_position(array($dl), array_min(array($dl)))") - 1)
-          .cast("int").as(s"code$s2")
-      }
-      val coded = wd.select(col("vec_id") +: col("q") +: col("cell") +: codes: _*)
-      // reconstruct = cell centroid slice + decoded residual, per subspace
-      val dqSub = (0 until m).map { s2 =>
-        val entries = (0 until kpq).map(j => s"array(${cb(s2)(j).mkString(",")})").mkString(",")
-        expr(s"zip_with(slice(array($centArrays)[CAST(cell AS INT)], ${s2 * sd + 1}, $sd), " +
-          s"array($entries)[code$s2], (c, r) -> c + r)")
-      }
-      val dqed = coded
-        .withColumn("dq", concat(dqSub: _*))
-        .withColumn("dqn",
-          expr("aggregate(transform(dq, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .select(col("vec_id"), col("q"), col("cell"), col("dq"), col("dqn"))
+      val model = trainIvfPq(qe, Tables.countStat(s, dir, "embeddings"))
+      // one distributed pass: coarse cell + residual + nibble codes,
+      // then reconstruction for the ADC scan
+      val dqed = ivfPqReconstruct(ivfPqEncode(qe, model), model)
       // queries keep their exact quantized vector and probe their own
       // coarse cell (nprobe=1 — ll4b's pruning joined to ll24's ADC)
       val probes = dqed

@@ -1766,6 +1766,71 @@ class StreamingSpec extends SparkSpec {
     assert(SearchStream.readDocCount(spark, state) === arrived2.length.toLong)
   }
 
+  // ---- VectorStream: the coded ANN index's incremental fold ----
+
+  test("streaming ANN-index maintenance: the coded store equals a batch encode " +
+    "of the union at every boundary, and pruned searches match the batch plan") {
+    assume(new java.io.File(releaseSfDir).exists())
+    val sess = spark
+    import sess.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val base = graft.Tables.embeddings(spark, releaseSfDir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val model = graft.operators.Similarity.trainIvfPq(
+      base.toSeq.toDF("vec_id", "embedding").withColumn("q",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .select(col("vec_id"), col("q")),
+      base.length.toLong)
+    val slices = Seq(base.slice(0, 40), base.slice(40, 75), base.drop(75))
+    val state = Files.createTempDirectory("vec_stream").toString + "/state"
+    val queries = base.take(5).toSeq.toDF("query_id", "embedding")
+    def codedSet() = VectorStream.readCoded(spark, state).get.collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cell")))).toSet
+    def encodeUnion(arrived: Seq[(Long, Seq[Float])]) =
+      graft.operators.Similarity.ivfPqEncode(
+          arrived.toDF("vec_id", "embedding").withColumn("q",
+              expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+            .select(col("vec_id"), col("q")), model)
+        .drop("q")
+    def searchSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    var arrived = Seq.empty[(Long, Seq[Float])]
+    slices.zipWithIndex.foreach { case (s, i) =>
+      VectorStream.processBatch(spark, s.toSeq.toDF("vec_id", "embedding"),
+        state, model, i.toLong)
+      arrived ++= s
+      // the maintained coded index IS the batch encode of the union
+      assert(codedSet() === encodeUnion(arrived).collect()
+        .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cell")))).toSet,
+        s"coded fold != batch encode at boundary $i")
+      // a pruned search over the stores equals the batch search plan
+      // run over union-derived frames (the shared searchFrames core)
+      val got = searchSet(VectorStream.search(spark, state, model, queries))
+      val want = searchSet(VectorStream.searchFrames(
+        encodeUnion(arrived), arrived.toSeq.toDF("vec_id", "embedding"),
+        model, queries, 5))
+      assert(got === want, s"pruned search != batch search at boundary $i")
+    }
+    assert(VectorStream.readCount(spark, state) === arrived.length.toLong)
+    // replay + late re-delivery are no-ops
+    val before = codedSet()
+    VectorStream.processBatch(spark, slices.last.toSeq.toDF("vec_id", "embedding"),
+      state, model, 2L)
+    assert(codedSet() === before, "same-batch replay must not change the index")
+    VectorStream.processBatch(spark, slices.head.toSeq.toDF("vec_id", "embedding"),
+      state, model, 3L)
+    assert(codedSet() === before, "late re-delivery must not re-index")
+    // compaction: identical reads through the cell-partitioned fold
+    val searchBefore = searchSet(VectorStream.search(spark, state, model, queries))
+    VectorStream.compactState(spark, state, targetFiles = 1)
+    assert(codedSet() === before && VectorStream.readCount(spark, state) === arrived.length.toLong,
+      "compaction must preserve the coded index and the ledger")
+    assert(searchSet(VectorStream.search(spark, state, model, queries)) === searchBefore,
+      "compaction must not change search results")
+  }
+
   // ---- SearchStream: the postings index's incremental fold ----
 
   test("streaming postings maintenance: fold equals full rebuild at every " +
