@@ -425,7 +425,7 @@ object ReleaseStream {
     val sAgg = bstatsAll.agg(
       coalesce(sum(col("bdocs")), lit(0L)), coalesce(sum(col("btot")), lit(0L))).first()
     // delta-set-sized aggregate: bounded by the docs ever retro-cut
-    // between compactions, never the corpus
+    // (compaction sums a doc's deltas to one row), never the corpus
     val adjTot = Option(adjAll.agg(sum(col("delta"))).first().get(0))
       .fold(0L)(_.asInstanceOf[Long])
     val (survDocs, tot) = (sAgg.getLong(0), sAgg.getLong(1) - adjTot)
@@ -506,11 +506,11 @@ object ReleaseStream {
 
   /** Fold every state store's committed partitions into LSM range
     * sentinels (the release store keeps only its latest boundary; a
-    * doc's cut versions keep only the newest). Replay exclusion still
-    * works — no sentinel covers the in-flight batch — and a replayed
-    * pre-compaction batch finds its docs already in the compacted
-    * ledger and anti-joins to a no-op. `targetFiles` bounds the file
-    * count per sentinel.
+    * doc's cut versions keep only the newest; retro deltas collapse
+    * to one row per doc). Replay exclusion still works — no sentinel
+    * covers the in-flight batch — and a replayed pre-compaction batch
+    * finds its docs already in the compacted ledger and anti-joins to
+    * a no-op. `targetFiles` bounds the file count per sentinel.
     */
   def compactState(spark: SparkSession, stateDir: String,
                    targetFiles: Int = 4,
@@ -518,11 +518,18 @@ object ReleaseStream {
     stores.foreach { name =>
       StateCompaction.compactStore(spark, s"$stateDir/$name", targetFiles,
         // earlier release boundaries are superseded wholesale; a doc's
-        // earlier cut versions are superseded by its latest; the
+        // earlier cut versions are superseded by its latest; adj rows
+        // are ADDITIVE per doc, so the fold sums them — the store is
+        // then bounded by docs EVER retro-cut, not retro-cut events
+        // (a boilerplate-heavy doc can re-cut many times); the
         // frontier keeps its bucket partitioning — the fold's pruning key
         keep =
           if (name == "release") StateCompaction.latestBoundary
           else if (name == "cuts") StateCompaction.latestPerDoc
+          else if (name == "adj")
+            (df => df.groupBy(col("doc_id"), col("bucket"))
+              .agg(sum(col("delta")).as("delta"))
+              .select(col("doc_id"), col("delta"), col("bucket")))
           else identity,
         bucketCol = if (name == "frontier") Some("bucket") else None,
         excludeBatchId = excludeBatchId)

@@ -1575,6 +1575,11 @@ class StreamingSpec extends SparkSpec {
     assert(partFiles("att") <= 2 && partFiles("rollup") <= 2,
       s"2-batch stores must compact to ~1 file, got att=${partFiles("att")} " +
         s"rollup=${partFiles("rollup")}")
+    // retro deltas collapse to one row per doc under the fold — the
+    // adj store is bounded by docs ever retro-cut, not retro events
+    val adjRows = spark.read.parquet(s"$state/adj")
+    assert(adjRows.count() === adjRows.select("doc_id").distinct().count(),
+      "compaction must sum a doc's retro deltas to one row")
     // the fold continues over compacted state: the next boundary still
     // equals the batch release on the union of everything arrived
     ReleaseStream.processBatch(spark, b3, releaseSfDir, state, 2L)
