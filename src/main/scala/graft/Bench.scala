@@ -100,6 +100,17 @@ object Bench {
             (full + "\n").getBytes("UTF-8")))
         true
       } catch { case NonFatal(_) => println(full); false } // unwritable cwd: at least log it
+    // Maintained-table build ledger (r18 verdict #2): attribute the
+    // fleet's scratch-parquet build cost per table for this run.
+    val ledger = {
+      import scala.jdk.CollectionConverters._
+      graft.operators.Dedup.buildLedger.asScala.toSeq.sortBy(_._1)
+        .map { case (n, (c, t)) => "\"" + n + "\":{\"builds\":" + c + ",\"secs\":" + ms(t) + "}" }
+        .mkString("{", ",", "}")
+    }
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_TABLE_LEDGER.json"),
+      (ledger + "\n").getBytes("UTF-8"))
+    catch { case NonFatal(_) => () }
     val slowest = results.sortBy(-_._2).take(25)
       .map { case (k, v, _, _, _) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","passes":2,"agg":"min_of_2","n_queries":${results.size},"n_errors":${results.count(_._5.isDefined)},"queries":$slowest,"errors":$errors,"full":"${fullTargets.mkString(";")}","full_written":$fullWritten,"sf":"$sfDir"}""")

@@ -455,10 +455,24 @@ object Dedup {
       s"/graft-$name-" + java.security.MessageDigest.getInstance("MD5")
         .digest((key + "|" + ver).getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Per-build wall-time ledger (name -> (builds, total seconds)):
+    * the maintained-table fleet's build+write cost is a real per-
+    * session tax that lands on whichever query first touches each
+    * table — the ledger makes it attributable instead of reading as
+    * unexplained drift on artifact-heavy queries. Bench dumps it.
+    */
+  private[graft] val buildLedger =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
+
   private def writeAndRegister(s: SparkSession, name: String, key: String,
                                ver: String, df: DataFrame): Materialized = {
     val p = scratchPath(name, key, ver)
+    val t0 = System.nanoTime()
     df.write.mode("overwrite").parquet(p)
+    val secs = (System.nanoTime() - t0) / 1e9
+    buildLedger.merge(name, (1L, secs),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
+    Console.err.println(f"[graft-ledger] materialized $name ver_len=${ver.length} build_s=$secs%.3f")
     Materialized(ver, p,
       s.read.parquet(p).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }

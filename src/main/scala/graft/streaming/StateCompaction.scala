@@ -58,9 +58,13 @@ private[streaming] object StateCompaction {
     if (id >= 0) (id, id)
     else { val v = -id - 2; (v / RangeBase, v % RangeBase) }
 
-  private def tierOf(id: Long): Int = {
+  private[streaming] def tierOf(id: Long): Int = {
     val (a, b) = coverage(id)
-    (math.log(math.max(1L, b - a + 1).toDouble) / math.log(4.0)).toInt
+    val len = math.max(1L, b - a + 1)
+    // floor(log4(len)) in integer arithmetic — floating-point log can
+    // round an exact power of 4 (len=64, 256, …) to just below the
+    // integer and mis-tier a sentinel by one
+    (63 - java.lang.Long.numberOfLeadingZeros(len)) / 2
   }
 
   /** SQL column for a partition's coverage end — the cross-partition
@@ -86,11 +90,18 @@ private[streaming] object StateCompaction {
         s.getPath.getName.stripPrefix("batch_id=").toLong -> s.getPath).toOption)
   }
 
-  /** Visible = not strictly contained in another partition's range. */
+  /** Visible = not contained in another partition's range. Containment
+    * is strict between sentinels (two sentinels can't share a range —
+    * the dir name is the id), but a SENTINEL covers a per-batch
+    * partition with an EQUAL range too: a single-partition fold writes
+    * sentinel [a,a], and a crash between its rename and the covered-dir
+    * delete must not leave batch a double-counted (both readable) and
+    * unreclaimable.
+    */
   private[streaming] def visibleIds(ids: Seq[Long]): Seq[Long] = {
     def containedIn(i: Long, j: Long): Boolean = {
       val ((ai, bi), (aj, bj)) = (coverage(i), coverage(j))
-      aj <= ai && bi <= bj && (aj < ai || bi < bj)
+      aj <= ai && bi <= bj && (aj < ai || bi < bj || (i >= 0 && j < 0))
     }
     ids.filterNot(i => ids.exists(j => j != i && containedIn(i, j)))
   }
@@ -250,15 +261,18 @@ private[streaming] object StateCompaction {
     }
   }
 
-  /** keep-rule: only each doc's LATEST version survives (the
-    * versioned-store semantics — a later re-cut supersedes). Version
+  /** keep-rule: only each key's LATEST version survives (the
+    * versioned-store semantics — a later row supersedes). Version
     * order is coverage end, so sentinel tiers compare correctly. */
-  def latestPerDoc(all: DataFrame): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+  def latestPerKey(all: DataFrame, key: String): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
     all.withColumn("ce", coverEnd)
-      .withColumn("mx", max(col("ce")).over(byDoc))
+      .withColumn("mx", max(col("ce")).over(byKey))
       .filter(col("ce") === col("mx")).drop("mx", "ce")
   }
+
+  /** [[latestPerKey]] at the doc grain (the dedup stores' shape). */
+  def latestPerDoc(all: DataFrame): DataFrame = latestPerKey(all, "doc_id")
 
   /** keep-rule: only the LATEST batch boundary survives (stores whose
     * earlier partitions are superseded wholesale). Empty input (every

@@ -141,10 +141,14 @@ object VectorStream {
              k: Int = 5): DataFrame = {
     val sess = spark
     import sess.implicits._
-    val coded = readCoded(spark, stateDir).getOrElse(
-      return Seq.empty[(Long, Long, Long)].toDF("query_id", "rank", "neighbor_id"))
-    val vecs = readVecs(spark, stateDir).get
-    searchFrames(coded, vecs, model, queries, k)
+    def empty = Seq.empty[(Long, Long, Long)].toDF("query_id", "rank", "neighbor_id")
+    // both stores must be readable: a crash between processBatch's
+    // coded write and vecs write (first batch) leaves coded present
+    // with vecs absent — the typed empty result, not an exception
+    (readCoded(spark, stateDir), readVecs(spark, stateDir)) match {
+      case (Some(coded), Some(vecs)) => searchFrames(coded, vecs, model, queries, k)
+      case _ => empty
+    }
   }
 
   /** Fold committed partitions into LSM range sentinels; coded keeps
