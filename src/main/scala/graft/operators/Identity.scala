@@ -380,6 +380,43 @@ object Identity {
     // oracle runs the FULL closure over surviving edges, so the
     // differential gate proves incremental == full recompute, splits
     // included.
+    // L8E: STREAMING identity resolution — the maintained mappings
+    // store's incremental fold (IdentityStream), the merge-rule-stream
+    // shape of the reference's applyRule loop (identity.go:79-262).
+    // The l8d chain-island graph arrives as three INTERLEAVED batches
+    // (users by pos % 3), so almost every island is assembled ACROSS
+    // batch boundaries — each fold re-labels previously-resolved
+    // components (the retroactive merge case), writing only the
+    // touched neighborhood's delta rows. State then compacts through
+    // the LSM tiers before the read. The oracle is the full transitive
+    // closure over the UNION of all batches — proving the stream fold
+    // equals a from-scratch CC, retro merges and compaction included.
+    "l8e_identity_stream" -> ((s, dir) => {
+      val u = Tables.events(s, dir).select(col("user_id")).distinct()
+        .withColumn("island", expr("user_id DIV 25"))
+        .withColumn("pos", expr("user_id % 25"))
+      def edgesOf(b: Int) = {
+        val sel = col("pos") % 3 === b
+        u.filter(sel).select((col("user_id") + 100000L).as("src"),
+            (col("island") * 1000L + col("pos")).as("dst"))
+          .union(u.filter(sel && col("pos") < 24L)
+            .select((col("user_id") + 100000L).as("src"),
+              (col("island") * 1000L + col("pos") + 1L).as("dst")))
+          .distinct()
+      }
+      val state = java.nio.file.Files.createTempDirectory("graft_l8e").toString + "/state"
+      (0 to 2).foreach { b =>
+        graft.streaming.IdentityStream.processBatch(s, edgesOf(b), state, b.toLong)
+      }
+      // compacted exactly as the runtime would inside batch 2's
+      // callback: the in-flight batch stays uncovered
+      graft.streaming.IdentityStream.compactState(s, state,
+        targetFiles = 1, excludeBatchId = 2L)
+      graft.streaming.IdentityStream.readMappings(s, state)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+    }),
+
     "l8d_identity_unmerge" -> ((s, dir) => {
       val u = Tables.events(s, dir).select(col("user_id")).distinct()
         .withColumn("island", expr("user_id DIV 25"))
@@ -464,6 +501,28 @@ object Identity {
          labels AS (
            SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
          SELECT comp AS rudder_id, COUNT(*) AS n_properties, MAX(node) AS max_property
+         FROM labels GROUP BY comp""",
+    // full closure over the UNION of the three merge-rule batches —
+    // the stream fold must land exactly here
+    "l8e_identity_stream" ->
+      """WITH RECURSIVE
+         u AS (SELECT DISTINCT user_id, user_id // 25 AS island,
+                 user_id % 25 AS pos
+               FROM events),
+         base_edges AS (
+           SELECT user_id + 100000 AS src, island * 1000 + pos AS dst FROM u
+           UNION
+           SELECT user_id + 100000 AS src, island * 1000 + pos + 1 AS dst
+           FROM u WHERE pos < 24),
+         sym AS (SELECT src AS a, dst AS b FROM base_edges
+                 UNION SELECT dst AS a, src AS b FROM base_edges),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         labels AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+         SELECT comp, COUNT(*) AS n_nodes, MAX(node) AS max_node
          FROM labels GROUP BY comp""",
     // the oracle is the FULL closure over surviving edges — proving
     // the engine's carry/recompute split equals a full recompute; the

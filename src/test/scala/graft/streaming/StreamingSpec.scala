@@ -2136,4 +2136,125 @@ class StreamingSpec extends SparkSpec {
         s"keep-only bucket must out-weigh flag-only: w3=${w(3)} w7=${w(7)}")
     } finally q.stop()
   }
+
+  // ---- IdentityStream: the maintained mappings table's incremental fold ----
+
+  test("streaming identity resolution: the mappings store equals batch CC over " +
+    "the union at every boundary, through a cross-boundary component merge, " +
+    "replay, and compaction") {
+    val sess = spark
+    import sess.implicits._
+    def mapSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "comp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ccUnion(edges: Seq[(Long, Long)]) =
+      mapSet(graft.operators.Identity.connectedComponents(
+        edges.toDF("src", "dst")).toDF("node", "comp"))
+    val b0 = Seq(10L -> 11L, 20L -> 21L)
+    val b1 = Seq(12L -> 13L, 22L -> 23L)
+    val b2 = Seq(11L -> 12L, 30L -> 31L) // 11-12 GLUES two prior comps
+    val b3 = Seq(13L -> 21L)             // glues the merged comp with the 20s
+    val state = Files.createTempDirectory("id_stream").toString + "/state"
+    IdentityStream.processBatch(spark, b0.toDF("src", "dst"), state, 0L)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) === ccUnion(b0))
+    IdentityStream.processBatch(spark, b1.toDF("src", "dst"), state, 1L)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) === ccUnion(b0 ++ b1))
+    // before the retro merge: 13 sits in comp 12
+    assert(mapSet(IdentityStream.readMappings(spark, state)).contains(13L -> 12L))
+    IdentityStream.processBatch(spark, b2.toDF("src", "dst"), state, 2L)
+    val after2 = mapSet(IdentityStream.readMappings(spark, state))
+    assert(after2 === ccUnion(b0 ++ b1 ++ b2),
+      "the cross-boundary merge must re-label both prior components")
+    assert(after2.contains(13L -> 10L),
+      "node 13's mapping must move from comp 12 to the merged comp 10")
+    // sequential addRules over the same batches lands identically
+    val viaAddRules = Seq(b1, b2).foldLeft(
+      graft.operators.Identity.connectedComponents(b0.toDF("src", "dst"))
+        .toDF("node", "comp")) { (m, b) =>
+      graft.operators.Identity.addRules(m, b.toDF("src", "dst"))
+    }
+    assert(after2 === mapSet(viaAddRules),
+      "the stream fold must equal sequential batch addRules")
+    // at-least-once replay of the last batch is a no-op
+    IdentityStream.processBatch(spark, b2.toDF("src", "dst"), state, 2L)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) === after2)
+    // compaction (in-flight batch excluded) preserves the read and the
+    // fold continues correctly over the compacted store
+    IdentityStream.compactState(spark, state, targetFiles = 1, excludeBatchId = 2L)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) === after2,
+      "compaction must not change the mappings read")
+    IdentityStream.processBatch(spark, b2.toDF("src", "dst"), state, 2L) // replay post-compaction
+    assert(mapSet(IdentityStream.readMappings(spark, state)) === after2)
+    IdentityStream.processBatch(spark, b3.toDF("src", "dst"), state, 3L)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) ===
+      ccUnion(b0 ++ b1 ++ b2 ++ b3),
+      "the post-compaction fold must still retro-merge across the sentinel")
+    IdentityStream.compactState(spark, state, targetFiles = 1)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) ===
+      ccUnion(b0 ++ b1 ++ b2 ++ b3))
+  }
+
+  test("single-partition fold crash window: a sentinel [a,a] covers per-batch a " +
+    "(equal range), so readers never double-count and reclaim succeeds") {
+    val sess = spark
+    import sess.implicits._
+    // visibility rule directly: equal-range sentinel covers per-batch
+    val s00 = StateCompaction.sentinelId(0, 0)
+    assert(StateCompaction.visibleIds(Seq(0L, s00)) === Seq(s00),
+      "per-batch 0 must be invisible next to sentinel [0,0]")
+    // sentinels of equal tier but different ranges both stay visible
+    val s11 = StateCompaction.sentinelId(1, 1)
+    assert(StateCompaction.visibleIds(Seq(s00, s11)).toSet === Set(s00, s11))
+    // integer tiering at exact powers of 4 (float log4 rounds below)
+    assert(StateCompaction.tierOf(StateCompaction.sentinelId(0, 0)) === 0)
+    assert(StateCompaction.tierOf(StateCompaction.sentinelId(0, 3)) === 1)   // len 4
+    assert(StateCompaction.tierOf(StateCompaction.sentinelId(0, 62)) === 2)  // len 63
+    assert(StateCompaction.tierOf(StateCompaction.sentinelId(0, 63)) === 3)  // len 64 exact
+    assert(StateCompaction.tierOf(StateCompaction.sentinelId(0, 254)) === 3) // len 255
+    assert(StateCompaction.tierOf(StateCompaction.sentinelId(0, 255)) === 4) // len 256 exact
+    // end-to-end crash sim: ONE committed partition folds to [0,0];
+    // a crash between the stage rename and the covered-dir delete
+    // leaves BOTH dirs — the read must count batch 0's rows once and
+    // the next compaction must reclaim the leftover
+    val store = Files.createTempDirectory("single_fold").toString + "/st"
+    val rows = Seq(1L -> 10L, 2L -> 20L).toDF("doc_id", "v")
+    rows.write.parquet(s"$store/batch_id=0")
+    StateCompaction.compactStore(spark, store, 1, excludeBatchId = 1L)
+    // re-create the covered per-batch dir = the crash leftover
+    rows.write.parquet(s"$store/batch_id=0")
+    val visible = StateCompaction.readVisible(spark, store).get
+    assert(visible.count() === 2L,
+      "crash leftover of a single-partition fold must not double-count")
+    StateCompaction.compactStore(spark, store, 1, excludeBatchId = 1L)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store, "batch_id=0")),
+      "the next compaction must reclaim the covered per-batch dir")
+    assert(StateCompaction.readVisible(spark, store).get.count() === 2L)
+  }
+
+  test("ANN search over a half-written first batch (coded present, vecs absent) " +
+    "returns the typed empty result, not an exception") {
+    assume(new java.io.File(releaseSfDir).exists())
+    val sess = spark
+    import sess.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val emb = graft.Tables.embeddings(spark, releaseSfDir)
+      .select(col("vec_id"), col("embedding")).limit(32)
+    val model = graft.operators.Similarity.trainIvfPq(
+      emb.withColumn("q",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .select(col("vec_id"), col("q")),
+      32L)
+    val state = Files.createTempDirectory("vec_crash").toString + "/state"
+    VectorStream.processBatch(spark, emb.toDF(), state, model, 0L)
+    // simulate the crash: vecs store never got its first write
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/vecs"), true)
+    val queries = emb.limit(2).select(col("vec_id").as("query_id"), col("embedding"))
+    val res = VectorStream.search(spark, state, model, queries.toDF())
+    assert(res.columns.toSeq === Seq("query_id", "rank", "neighbor_id"))
+    assert(res.count() === 0L, "half-written index must read as empty, not throw")
+  }
 }
