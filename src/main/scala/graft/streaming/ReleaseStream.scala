@@ -47,8 +47,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     committed frontier rows: a later batch that re-cuts an earlier
   *     survivor appends (doc_id, delta, bucket), and the boundary fold
   *     corrects bucket totals, each pruned row's nt, and its cum (by a
-  *     prefix sum of deltas ordered by doc_id — delta-set-sized, the
-  *     same grain as the bucket-prefix window). The committed cum
+  *     two-level prefix of deltas — bucket-partitioned window plus a
+  *     broadcast bucket prefix, delta-set-sized). The committed cum
   *     therefore stays immutable AND the adjusted design equals the
   *     batch pipeline's final token counts — the "frozen past" rule
   *     considered instead (ignore retro cuts once a doc is past a
@@ -408,9 +408,10 @@ object ReleaseStream {
     * (ADJUSTED bucket cum-ranges tile the frontier) and scanning ONLY
     * those buckets' frontier partitions; retro-cut deltas from `adjAll`
     * then correct each pruned row's nt (its own deltas) and cum (a
-    * prefix sum of all deltas at ids ≤ its own — ONE ordered window
-    * over pruned ∪ adj rows, the same bounded grain as the
-    * bucket-prefix window); splits + shard packing run on the sampled
+    * prefix sum of all deltas at ids ≤ its own — ta6's two-level
+    * form: a bucket-partitioned window over pruned ∪ candidate-bucket
+    * adj rows plus a broadcast theta-join bucket prefix, so no global
+    * ordered window survives); splits + shard packing run on the sampled
     * ≤ ~200 docs through the same cp5ShardsOf path as the batch
     * release. Returns (design, prunedFrontier) — the second element is
     * the diagnostic the scale spec counts; production ignores it (it
@@ -458,26 +459,49 @@ object ReleaseStream {
       else frontierAll.filter(col("bucket").isin(cands: _*))
     // correct the pruned rows by the retro deltas: own delta by an
     // equi-join on doc_id (adj is delta-set-sized -> broadcast); the
-    // cum prefix by one window over pruned ∪ adj ordered by (doc_id,
-    // is_frontier) so a doc's own delta lands inside its prefix —
-    // exactly Σ{delta_d : d ≤ x}, the batch plan's final cumsum
+    // cum prefix Σ{delta_d : d ≤ x} by ta6's TWO-LEVEL decomposition
+    // (bucket = doc_id DIV bucketSize, so bucket order IS doc order):
+    //   - CROSS-bucket part: per candidate bucket, the sum of adj
+    //     deltas in strictly-SMALLER buckets — a theta-join of the
+    //     ≤ ~199 candidate buckets against the delta-bucket rollup
+    //     (both bounded, broadcast), no ordered window at all;
+    //   - WITHIN-bucket part: a bucket-PARTITIONED window over pruned
+    //     ∪ (adj rows of candidate buckets, co-located via their real
+    //     bucket), ordered (doc_id, is_f) so a doc's own delta lands
+    //     inside its prefix.
+    // The previous form ran ONE global-orderBy window over all pruned
+    // ∪ adj rows — tens of millions of rows through a single task at
+    // a 10¹¹-doc boundary; both parts now run at bounded or
+    // per-bucket-parallel grain.
+    val sess = spark
+    import sess.implicits._
     val ownAdj = adjAll.groupBy(col("doc_id")).agg(sum(col("delta")).as("odelta"))
+    val adjPrefix = cands.toSeq.toDF("bucket")
+      .join(broadcast(bucketAdj.select(col("bucket").as("ab"), col("bdelta"))),
+        col("ab") < col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("bdelta")), lit(0L)).as("adj_bprefix"))
     val pr = pruned.select(col("doc_id"), col("nt"), col("cum"), col("bucket"))
       .withColumn("delta", lit(0L)).withColumn("is_f", lit(1))
-    val ad = adjAll.select(col("doc_id"), col("delta"))
+    val ad = (if (cands.isEmpty) adjAll.limit(0)
+              else adjAll.filter(col("bucket").isin(cands: _*)))
+      .select(col("doc_id"), col("delta"), col("bucket"))
       .withColumn("nt", lit(0L)).withColumn("cum", lit(0L))
-      .withColumn("bucket", lit(-1L)).withColumn("is_f", lit(0))
+      .withColumn("is_f", lit(0))
       .select(col("doc_id"), col("nt"), col("cum"), col("bucket"),
         col("delta"), col("is_f"))
-    val wAdj = Window.orderBy(col("doc_id"), col("is_f"))
+    val wAdj = Window.partitionBy(col("bucket"))
+      .orderBy(col("doc_id"), col("is_f"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val adjusted = pr.unionByName(ad)
-      .withColumn("pdelta", sum(col("delta")).over(wAdj))
+      .withColumn("ldelta", sum(col("delta")).over(wAdj))
       .filter(col("is_f") === 1)
+      .join(broadcast(adjPrefix), Seq("bucket"), "left")
       .join(broadcast(ownAdj), Seq("doc_id"), "left")
       .select(col("doc_id"),
         (col("nt") - coalesce(col("odelta"), lit(0L))).as("nt"),
-        (col("cum") - col("pdelta")).as("cum"), col("bucket"))
+        (col("cum") - col("ldelta") - coalesce(col("adj_bprefix"), lit(0L))).as("cum"),
+        col("bucket"))
     val sampled = adjusted
       .withColumn("n_units",
         expr(s"cum DIV ${step}L - (cum - nt) DIV ${step}L"))
@@ -492,8 +516,6 @@ object ReleaseStream {
         when(bucket100 < 80, "train").when(bucket100 < 90, "val").otherwise("test"))
       .select(col("doc_id"), col("split"), col("nt"), col("bucket"))
     val shards = Pipeline.cp5ShardsOf(sp)
-    val sess = spark
-    import sess.implicits._
     val design =
       if (survDocs - sampledDocs > 0L)
         roll.unionByName(Seq(("gate:pps_sampled_out",
