@@ -405,6 +405,107 @@ object Similarity {
       .drop((0 until md.m).map(s2 => s"code$s2"): _*)
   }
 
+  /** EV16's shared body — the frozen-index REBUILD DECISION (r18
+    * verdict: VectorStream documents "cd2's drift monitor is the
+    * signal" but nothing composed the reading into a verdict). The
+    * scenario is faiss's deployment contract: the IVF-PQ model trains
+    * ONCE on the base corpus and is frozen; when the corpus is
+    * RE-EMBEDDED (`driftRule`, cd2's perturbation by default), the
+    * drifted vectors are encoded against the stale codebooks and
+    * drifted queries probe stale cells. Two readings compose into the
+    * verdict:
+    *   - DRIFT: cd2's per-dimension moved count between the base and
+    *     re-embedded quantized vectors → n_drifted_dims;
+    *   - RECALL: each planted query's frozen-index ANN top-5 (ll34's
+    *     two-stage search over the re-encoded corpus) scored against
+    *     the exact brute-force top-5 on the same drifted corpus →
+    *     per-query n_hit and the index-level mean;
+    * rebuild = n_drifted_dims ≥ threshold ∨ mean recall < floor.
+    * Scale shape: one trainer (bounded sample), one encode pass, the
+    * cell-pruned search, and a 64-row drift aggregate — brute truth is
+    * query-set-bounded (10 queries × corpus scan, the price of any
+    * recall eval). TrainingOpsSpec pins the verdict flip between the
+    * identity re-embedding and the planted drift.
+    */
+  private[graft] def ivfPqRebuildCheckOf(s: org.apache.spark.sql.SparkSession,
+                                         dir: String, driftRule: Option[String],
+                                         recallFloorPpm: Long = 600000L,
+                                         driftDimThreshold: Long = 16L): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cur = driftRule.fold(base)(r =>
+      base.withColumn("embedding", expr(s"transform(embedding, (x, i) -> $r)")))
+    def quant(df: DataFrame) = df.withColumn("q",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .select(col("vec_id"), col("q"))
+    val qeBase = quant(base)
+    val model = trainIvfPq(qeBase, Tables.countStat(s, dir, "embeddings")) // FROZEN
+    val qeCur = quant(cur)
+    val dqed = ivfPqReconstruct(ivfPqEncode(qeCur, model), model)
+    // frozen-index ANN top-5 over the re-encoded corpus (ll34's shape)
+    val probes = dqed
+      .withColumn("qn",
+        expr("aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn"),
+        col("cell").as("q_cell"))
+      .filter(col("query_id") < 10)
+    val cand = dqed.join(broadcast(probes),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("approx",
+        expr("aggregate(zip_with(qq, dq, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)") /
+          sqrt(col("qn").cast("double") * col("dqn").cast("double")))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val top50 = cand.withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= 50)
+      .select(col("query_id"), col("vec_id"))
+    val e = withNorm(cur)
+    val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val ann = top50.join(e, "vec_id").join(qv, "query_id")
+      .withColumn("sim",
+        dotExpr("q_emb", "embedding") / sqrt(col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // exact brute-force truth on the SAME drifted corpus
+    val ex = e.join(broadcast(qv.filter(col("query_id") < 10)),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        dotExpr("q_emb", "embedding") / sqrt(col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val rec = ex.join(ann.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    // cd2's drift monitor between the two quantized snapshots
+    val drift = qeBase.select(col("vec_id"), col("q").as("qo"))
+      .join(qeCur.select(col("vec_id"), col("q").as("qd")), "vec_id")
+      .select(explode(expr(
+        "transform(sequence(1, 64), i -> named_struct(" +
+          "'dim', CAST(i AS BIGINT), 'd', abs(qd[i-1] - qo[i-1])))")).as("x"))
+      .groupBy(col("x.dim"))
+      .agg(sum(when(col("x.d") =!= 0L, 1L).otherwise(0L)).as("n_moved"))
+      .agg(sum(when(col("n_moved") > 0L, 1L).otherwise(0L)).as("n_drifted_dims"))
+    val tot = rec.agg(expr(
+      "CAST(sum(n_hit) * 1000000L DIV (count(1) * 5) AS BIGINT)").as("mean_recall_ppm"))
+    rec.crossJoin(broadcast(drift)).crossJoin(broadcast(tot))
+      .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+        expr("CAST(n_hit * 1000000L DIV 5 AS BIGINT)").as("recall_ppm"),
+        col("n_drifted_dims"), col("mean_recall_ppm"),
+        (col("n_drifted_dims") >= driftDimThreshold ||
+          col("mean_recall_ppm") < recallFloorPpm).as("rebuild"))
+  }
+
+  /** cd2's re-embedding rule as a Spark transform lambda body (0-based
+    * i); the SQL twin lives in ev16's oracle (1-based range). */
+  private[graft] val cd2DriftRule: String =
+    "IF(vec_id % 7 = 2 AND i < 32, CAST(CAST(x AS DOUBLE) * 1.1 AS FLOAT), x)"
+
   // maintained coded-table memos (the signature-table convention):
   // one build per (session, dir, embeddings content watermark)
   private val ll24Cache =
@@ -755,6 +856,16 @@ object Similarity {
         .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
       topK(scored, 5)
     }),
+
+    // EV16: the frozen IVF-PQ index's REBUILD DECISION under cd2's
+    // planted re-embedding drift — see ivfPqRebuildCheckOf. The
+    // verdict composes the drift monitor (32 of 64 dims moved >= the
+    // 16-dim threshold -> rebuild fires here) with the recall floor
+    // (mean frozen-index recall@5 vs exact brute on the drifted
+    // corpus); TrainingOpsSpec pins that the identity re-embedding
+    // reads rebuild=false on the same plan.
+    "ev16_index_rebuild_check" -> ((s, dir) =>
+      ivfPqRebuildCheckOf(s, dir, Some(cd2DriftRule))),
 
     // SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     // arXiv:2303.09540): cluster the corpus (here the deterministic
@@ -1355,11 +1466,22 @@ object Similarity {
     // nibble encoding of corpus residuals, centroid+codebook
     // reconstruction, cell-PRUNED asymmetric coarse ranking (top-50),
     // exact-cosine rerank (top-5) — bit-for-bit the plan ll34 runs.
-    "ll34_ivfpq_ann" ->
+    "ll34_ivfpq_ann" -> ivfPqAnnSql("", "qe", "embeddings")) ++ oraclesTail
+
+  /** The full IVF-PQ oracle replay, parameterized so ev16 (and ts9's
+    * fusion) can reuse it: the TRAINER always reads the base
+    * `embeddings` sample (the frozen-model contract), while `corpus`
+    * names the quantized CTE the full assignment/encode/search runs
+    * over, `rerankSrc` the exact-embedding table for the final cosine
+    * rerank, and `prelude` injects extra CTEs (e.g. a drifted
+    * re-embedding) right after the base quantization.
+    */
+  private[operators] def ivfPqAnnSql(prelude: String, corpus: String,
+                                     rerankSrc: String): String =
       s"""WITH qe AS (SELECT vec_id,
               list_transform(embedding,
                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-            FROM embeddings),
+            FROM embeddings),$prelude
           st AS (SELECT GREATEST(1, CAST((COUNT(*) + 1023) // 1024 AS BIGINT)) AS step
                  FROM embeddings),
           qs AS (SELECT qe.* FROM qe
@@ -1370,7 +1492,7 @@ object Similarity {
           ${kmUpdateSql("a0", "c0", "c1")},
           ${kmAssignSql("qs", "c1", "a1")},
           ${kmUpdateSql("a1", "c1", "c2")},
-          ${kmAssignSql("qe", "c2", "af")},
+          ${kmAssignSql(corpus, "c2", "af")},
           ${kmAssignSql("qs", "c2", "sa")},
           sres AS (SELECT sa.vec_id,
                      list_transform(range(1, 65), i -> sa.q[i] - cv.c[i]) AS q
@@ -1437,7 +1559,7 @@ object Similarity {
                       ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY approx DESC, vec_id) AS arank
                     FROM cand) WHERE arank <= 50),
-          e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+          e AS (SELECT vec_id, embedding, $normSql AS nrm FROM $rerankSrc),
           scored AS (SELECT t.query_id, t.vec_id,
                        list_sum(list_transform(range(1, 65),
                          i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))
@@ -1450,8 +1572,70 @@ object Similarity {
                   ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, vec_id) AS rank
                 FROM scored)
-          WHERE rank <= 5""",
+          WHERE rank <= 5"""
 
+  private def oraclesTail: Map[String, String] = Map(
+    // ev16: the parameterized IVF-PQ replay with the trainer on BASE
+    // embeddings and the encode/search on the cd2-DRIFTED re-embedding
+    // (the frozen-model contract), scored against an exact brute-force
+    // top-5 on the same drifted corpus; cd2's per-dim moved count and
+    // the ppm recall compose into the rebuild verdict
+    "ev16_index_rebuild_check" -> {
+      val drifted = "CASE WHEN vec_id % 7 = 2 AND i <= 32 " +
+        "THEN CAST(CAST(embedding[i] AS DOUBLE) * 1.1 AS FLOAT) " +
+        "ELSE embedding[i] END"
+      val prelude = s"""
+          cur AS (SELECT vec_id,
+              list_transform(range(1, 65), i -> $drifted) AS embedding
+            FROM embeddings),
+          qecur AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM cur),"""
+      s"""WITH ann AS (SELECT * FROM (${ivfPqAnnSql(prelude, "qecur", "cur")})),
+          cur2 AS (SELECT vec_id,
+              list_transform(range(1, 65), i -> $drifted) AS embedding
+            FROM embeddings),
+          qb AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM embeddings),
+          qd AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM cur2),
+          e AS (SELECT vec_id, embedding, $normSql AS nrm FROM cur2),
+          qv AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+                 FROM e WHERE vec_id < 10),
+          p AS (SELECT query_id, vec_id,
+                  list_sum(list_transform(range(1, 65),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS dot,
+                  q_nrm, nrm
+                FROM qv, e WHERE vec_id <> query_id),
+          ex AS (SELECT query_id, vec_id AS neighbor_id FROM (
+                   SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dot / sqrt(q_nrm * nrm) DESC, vec_id) AS rank
+                   FROM p) WHERE rank <= 5),
+          rec AS (SELECT ex.query_id,
+                    CAST(SUM(CASE WHEN ann.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                  FROM ex LEFT JOIN ann
+                    ON ex.query_id = ann.query_id
+                   AND ex.neighbor_id = ann.neighbor_id
+                  GROUP BY ex.query_id),
+          drift AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_drifted_dims FROM (
+                      SELECT d.i FROM qb b JOIN qd c USING (vec_id),
+                        (SELECT unnest(range(1, 65)) AS i) d
+                      GROUP BY d.i
+                      HAVING SUM(CASE WHEN b.q[d.i] <> c.q[d.i]
+                                 THEN 1 ELSE 0 END) > 0)),
+          tot AS (SELECT CAST(SUM(n_hit) * 1000000 // (COUNT(*) * 5) AS BIGINT)
+                    AS mean_recall_ppm FROM rec)
+          SELECT query_id, n_hit,
+            CAST(n_hit * 1000000 // 5 AS BIGINT) AS recall_ppm,
+            n_drifted_dims, mean_recall_ppm,
+            (n_drifted_dims >= 16 OR mean_recall_ppm < 600000) AS rebuild
+          FROM rec CROSS JOIN drift CROSS JOIN tot"""
+    },
     // Mirrors ll17: same two-crawl corpus and hyperplane buckets as
     // ll8's oracle, lowest-member representative per bucket, exact
     // cosine vs the representative decides the keep verdict.

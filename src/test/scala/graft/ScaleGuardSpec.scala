@@ -117,7 +117,9 @@ class ScaleGuardSpec extends SparkSpec {
     "zo3_zonemap_skip" ->
       "zone-map probe: corpus/file-stats side × a BROADCAST 8-row derived predicate set (s.range(8) + 1-row min/max scalar); cost 8·n",
     "ev15_hybrid_retrieval_eval" ->
-      "eval's semantic leg is ll3's brute-force k×n anchor over the twin vecs; broadcast query side bounded to <10 rows by filter")
+      "eval's semantic leg is ll3's brute-force k×n anchor over the twin vecs; broadcast query side bounded to <10 rows by filter",
+    "ev16_index_rebuild_check" ->
+      "the recall eval's GROUND TRUTH is ll3's brute-force k×n anchor over the drifted corpus (the index under test is the cell-pruned path); broadcast query side bounded to <10 rows by filter")
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(flatten)

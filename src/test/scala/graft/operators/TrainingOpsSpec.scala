@@ -278,4 +278,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(shippedWith === shippedWithout - cut.head._3,
       "survivor tokens downstream of the rewrite must drop by exactly the cut total")
   }
+
+  test("ev16 rebuild verdict FLIPS on the planted drift: identity re-embedding " +
+    "reads rebuild=false, cd2's drift fires the dim leg, a raised floor fires " +
+    "the recall leg alone") {
+    assume(new java.io.File(sfDir).exists())
+    // identity re-embedding: nothing moved, the frozen index serves its
+    // own corpus — no rebuild
+    val same = Similarity.ivfPqRebuildCheckOf(spark, sfDir, None).collect()
+    assert(same.forall(!_.getAs[Boolean]("rebuild")),
+      "identity re-embedding must not demand a rebuild")
+    assert(same.forall(_.getAs[Long]("n_drifted_dims") == 0L))
+    val sameRecall = same.head.getAs[Long]("mean_recall_ppm")
+    assert(sameRecall >= 600000L,
+      s"undrifted frozen-index recall must clear the floor: $sameRecall")
+    // cd2's planted drift: 32 of 64 dims move -> the dim leg fires
+    // regardless of recall
+    val drifted = SparkEntry.queries("ev16_index_rebuild_check")(spark, sfDir).collect()
+    assert(drifted.forall(_.getAs[Boolean]("rebuild")),
+      "the planted 32-dim drift must demand a rebuild")
+    assert(drifted.forall(_.getAs[Long]("n_drifted_dims") == 32L))
+    // recall leg alone: same corpus, floor raised above any achievable
+    // recall — the OR's second arm must flip the verdict by itself
+    val floored = Similarity.ivfPqRebuildCheckOf(spark, sfDir, None,
+      recallFloorPpm = 1000001L).collect()
+    assert(floored.forall(_.getAs[Boolean]("rebuild")),
+      "a recall floor above 1.0 must flip the verdict via the recall leg")
+    assert(floored.forall(_.getAs[Long]("n_drifted_dims") == 0L))
+  }
 }
