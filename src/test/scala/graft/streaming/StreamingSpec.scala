@@ -2137,6 +2137,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hybrid retrieval read (ts9's shape) over the STREAMED postings + coded " +
+    "stores equals the batch derivation at every boundary and through compaction") {
+    assume(new java.io.File(releaseSfDir).exists())
+    val sess = spark
+    import sess.implicits._
+    graft.functions.VectorExprs.register(spark)
+    def quant(df: org.apache.spark.sql.DataFrame) = df.withColumn("q",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .select(col("vec_id"), col("q"))
+    val docsAll = graft.Tables.documents(spark, releaseSfDir)
+      .select(col("doc_id"), col("text"))
+    val embAll = graft.Tables.embeddings(spark, releaseSfDir)
+      .select(col("vec_id"), col("embedding"))
+    val model = graft.operators.Similarity.trainIvfPq(quant(embAll), embAll.count())
+    val state = Files.createTempDirectory("ts9_stream").toString + "/state"
+    def streamedRead() = {
+      val tf = SearchStream.readPostings(spark, s"$state/search")
+      val n = SearchStream.readDocCount(spark, s"$state/search")
+      val tt = tf.agg(sum(col("tf"))).first().getLong(0)
+      val q = VectorStream.readVecs(spark, s"$state/vector").get
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val vl = VectorStream.search(spark, s"$state/vector", model, q)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("v_rank"))
+      graft.operators.Search.hybridRrfOf(tf, n, tt, vl)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    def batchRead(b: Int) = {
+      val dArr = docsAll.filter(col("doc_id") % 3 <= b)
+      val eArr = embAll.filter(col("vec_id") % 3 <= b)
+      val tf = graft.operators.Search.postingsOf(dArr)
+      val n = dArr.count()
+      val tt = tf.agg(sum(col("tf"))).first().getLong(0)
+      val coded = graft.operators.Similarity.ivfPqEncode(quant(eArr), model).drop("q")
+      val q = eArr.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val vl = VectorStream.searchFrames(coded, eArr, model, q, 5)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("v_rank"))
+      graft.operators.Search.hybridRrfOf(tf, n, tt, vl)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    (0 to 2).foreach { b =>
+      SearchStream.processBatch(spark,
+        docsAll.filter(col("doc_id") % 3 === b), s"$state/search", b.toLong)
+      VectorStream.processBatch(spark,
+        embAll.filter(col("vec_id") % 3 === b), s"$state/vector", model, b.toLong)
+      assert(streamedRead() === batchRead(b),
+        s"streamed hybrid read diverged from the batch derivation at boundary $b")
+    }
+    SearchStream.compactState(spark, s"$state/search", targetFiles = 1)
+    VectorStream.compactState(spark, s"$state/vector", targetFiles = 1)
+    assert(streamedRead() === batchRead(2),
+      "the hybrid read must be unchanged through LSM compaction")
+  }
+
   // ---- IdentityStream: the maintained mappings table's incremental fold ----
 
   test("streaming identity resolution: the mappings store equals batch CC over " +
