@@ -417,6 +417,45 @@ object Identity {
         .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
     }),
 
+    // L8F: STREAMING identity UNMERGE — the regulation direction of
+    // the maintained-mappings stream (IdentityStream.processUnmerge,
+    // l8d's contract at stream grain): the chain-island graph arrives
+    // as two interleaved merge batches, then a regulation batch erases
+    // the %97 users — their islands recompute from SURVIVING ledger
+    // edges (splitting where the erased user was the chain's glue),
+    // the regulated nodes and any orphaned devices tombstone out, and
+    // untouched islands carry over. State LSM-compacts (physically
+    // purging erased-incident ledger edges) before the read. Oracle =
+    // the full closure over surviving edges — the fold's carry/split/
+    // tombstone decomposition must land exactly on a from-scratch
+    // recompute.
+    "l8f_identity_unmerge_stream" -> ((s, dir) => {
+      val u = Tables.events(s, dir).select(col("user_id")).distinct()
+        .withColumn("island", expr("user_id DIV 25"))
+        .withColumn("pos", expr("user_id % 25"))
+      def edgesOf(b: Int) = {
+        val sel = col("pos") % 2 === b
+        u.filter(sel).select((col("user_id") + 100000L).as("src"),
+            (col("island") * 1000L + col("pos")).as("dst"))
+          .union(u.filter(sel && col("pos") < 24L)
+            .select((col("user_id") + 100000L).as("src"),
+              (col("island") * 1000L + col("pos") + 1L).as("dst")))
+          .distinct()
+      }
+      val state = java.nio.file.Files.createTempDirectory("graft_l8f").toString + "/state"
+      (0 to 1).foreach { b =>
+        graft.streaming.IdentityStream.processBatch(s, edgesOf(b), state, b.toLong)
+      }
+      val reg = u.filter(col("user_id") % 97 === 0)
+        .select((col("user_id") + 100000L).as("node"))
+      graft.streaming.IdentityStream.processUnmerge(s, reg, state, 2L)
+      graft.streaming.IdentityStream.compactState(s, state,
+        targetFiles = 1, excludeBatchId = 2L)
+      graft.streaming.IdentityStream.readMappings(s, state)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+    }),
+
     "l8d_identity_unmerge" -> ((s, dir) => {
       val u = Tables.events(s, dir).select(col("user_id")).distinct()
         .withColumn("island", expr("user_id DIV 25"))
@@ -516,6 +555,29 @@ object Identity {
            FROM u WHERE pos < 24),
          sym AS (SELECT src AS a, dst AS b FROM base_edges
                  UNION SELECT dst AS a, src AS b FROM base_edges),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         labels AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+         SELECT comp, COUNT(*) AS n_nodes, MAX(node) AS max_node
+         FROM labels GROUP BY comp""",
+    // full closure over the edges SURVIVING the erasure — the streamed
+    // carry/split/tombstone fold must land exactly here
+    "l8f_identity_unmerge_stream" ->
+      """WITH RECURSIVE
+         u AS (SELECT DISTINCT user_id, user_id // 25 AS island,
+                 user_id % 25 AS pos
+               FROM events),
+         base_edges AS (
+           SELECT user_id + 100000 AS src, island * 1000 + pos AS dst FROM u
+           UNION
+           SELECT user_id + 100000 AS src, island * 1000 + pos + 1 AS dst
+           FROM u WHERE pos < 24),
+         kept AS (SELECT * FROM base_edges WHERE (src - 100000) % 97 <> 0),
+         sym AS (SELECT src AS a, dst AS b FROM kept
+                 UNION SELECT dst AS a, src AS b FROM kept),
          reach(a, b) AS (
            SELECT a, b FROM sym
            UNION

@@ -17,113 +17,223 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Unlike those append-only/first-write-wins stores, mappings are
   * VERSIONED per node: a later merge rule can RE-LABEL existing nodes
   * (two components glued by a new edge — the retroactive case, same
-  * shape as SubstrStream's retro re-cut). So the store holds per-batch
-  * DELTA rows (node, comp) and every read takes the LATEST row per
-  * node by the LSM coverage order ([[StateCompaction.latestPerKey]]).
+  * shape as SubstrStream's retro re-cut), and an ERASURE batch can
+  * SPLIT a component or tombstone nodes outright (the l8d unmerge
+  * contract at stream grain). So the store holds per-batch DELTA rows
+  * (node, comp, dead) and every read takes the LATEST row per node by
+  * the LSM coverage order ([[StateCompaction.latestPerKey]]), dropping
+  * tombstones.
   *
   * Per-batch cost scales with the batch's NEIGHBORHOOD, never the
-  * graph: the fold prunes the store to members of TOUCHED components
-  * before running CC —
+  * graph. The merge fold prunes the store to members of TOUCHED
+  * components before running CC:
   *   1. the batch's endpoint nodes (batch-sized, broadcast) semi-join
-  *      the store; latest-per-node over that slice yields the touched
-  *      component ids C (≤ batch nodes);
-  *   2. rows with comp ∈ C (broadcast) are the affected members. This
-  *      is sound under the merge-only invariant (labels only ever
-  *      decrease, and a merge moves a component WHOLE): a stale row
-  *      with comp ∈ C implies the node's current comp ∈ C too, so
-  *      latest-per-node over the caught slice is exactly the current
-  *      mapping of every affected member;
+  *      the store; TRUE latest-per-node over that slice (live rows)
+  *      yields the touched component ids C (≤ batch nodes);
+  *   2. rows with comp ∈ C (broadcast) nominate CANDIDATE nodes; a
+  *      second bounded semi-join re-reads every candidate's full
+  *      version history and keeps only nodes whose TRUE latest, live
+  *      comp ∈ C. The two-step form matters once unmerge exists:
+  *      labels no longer only decrease, so a node's STALE row can
+  *      carry a comp it has since split away from — star-edging it
+  *      back would silently re-glue the split. Candidates are bounded
+  *      by the touched comps' historical membership, never the store;
   *   3. CC runs over (batch edges ∪ star edges member→comp) — the
   *      [[Identity.addRules]] delta contract — and ONLY those rows are
   *      written as the batch's partition.
-  * At 100 TB the two window scans run over affected members, not the
-  * mappings table, and the full-store pass happens only inside LSM
-  * compaction folds (O(log batches) rewrites per row).
   *
-  * State store (per-batch `batch_id=N` partitions, overwrite mode —
+  * The UNMERGE fold ([[processUnmerge]]) is the reference's regulation
+  * path (l8d's batch contract): the regulated nodes' components
+  * recompute from their SURVIVING edges (the maintained edge ledger,
+  * minus anything incident to an erased node); members absent from the
+  * recomputation — the regulated nodes and anyone orphaned by the
+  * erasure — get TOMBSTONE rows; every other component carries over
+  * untouched. Erasure is durable: the erased ledger suppresses the
+  * nodes from all future merge batches, edge reads filter
+  * erased-incident rows, and compaction PHYSICALLY purges them from
+  * the edge store (the L9 retention-rides-the-rewrite precedent).
+  *
+  * State stores (per-batch `batch_id=N` partitions, overwrite mode —
   * the shared at-least-once replay contract):
-  *   maps (node, comp)   versioned delta rows; read = latest per node
+  *   maps   (node, comp, dead)  versioned deltas; read = latest live
+  *   edges  (src, dst)          the merge-rule ledger (unmerge input)
+  *   erased (node)              the regulation suppression list
   * [[compactState]] folds committed partitions into LSM range
-  * sentinels keeping each node's latest row (sound per fold because
-  * coverage ranges nest); the in-flight batch is left out (the
-  * cross-store crash contract — single store here, but replay still
-  * requires its partition uncovered).
+  * sentinels (maps keeps each node's latest row — sound per fold
+  * because coverage ranges nest; edges dedup + purge erased-incident
+  * rows; erased dedups), with the in-flight batch left out (the
+  * cross-store crash contract).
   */
 object IdentityStream {
 
-  private[graft] val stores: Seq[String] = Seq("maps")
+  private[graft] val stores: Seq[String] = Seq("maps", "edges", "erased")
 
   private def mapsDir(stateDir: String) = s"$stateDir/maps"
+  private def edgesDir(stateDir: String) = s"$stateDir/edges"
+  private def erasedDir(stateDir: String) = s"$stateDir/erased"
 
-  /** Latest (node, comp) per node over the visible store, optionally
-    * excluding one batch partition (the replay exclusion).
-    */
-  private def readLatest(spark: SparkSession, stateDir: String,
-                         excludeBatchId: Long): Option[DataFrame] =
-    StateCompaction.readVisible(spark, mapsDir(stateDir)).map { all =>
-      val live = all.filter(col("batch_id").cast("long") =!= excludeBatchId)
-      StateCompaction.latestPerKey(live, "node").drop("batch_id")
-    }
+  private def visibleExcluding(spark: SparkSession, dir: String,
+                               excludeBatchId: Long): Option[DataFrame] =
+    StateCompaction.readVisible(spark, dir)
+      .map(_.filter(col("batch_id").cast("long") =!= excludeBatchId))
+
+  /** The erased-node suppression list (regulation grain — broadcast). */
+  private def readErasedSet(spark: SparkSession, stateDir: String,
+                            excludeBatchId: Long): Option[DataFrame] =
+    visibleExcluding(spark, erasedDir(stateDir), excludeBatchId)
+      .map(_.select(col("node")).distinct())
 
   /** The maintained mappings table (node, comp) — what l8's consumers
-    * scan; comp = min member of the node's component.
+    * scan; comp = min live member of the node's component. Tombstoned
+    * nodes (erased, or orphaned by an erasure) are absent.
     */
   def readMappings(spark: SparkSession, stateDir: String): DataFrame =
-    readLatest(spark, stateDir, Long.MinValue).getOrElse {
-      val sess = spark
-      import sess.implicits._
-      Seq.empty[(Long, Long)].toDF("node", "comp")
-    }
+    visibleExcluding(spark, mapsDir(stateDir), Long.MinValue)
+      .map(all => StateCompaction.latestPerKey(all, "node")
+        .filter(!col("dead")).select(col("node"), col("comp")))
+      .getOrElse {
+        val sess = spark
+        import sess.implicits._
+        Seq.empty[(Long, Long)].toDF("node", "comp")
+      }
 
-  /** One micro-batch of merge-rule edges (src, dst): resolve the
-    * batch's neighborhood and append the re-labeled delta rows.
-    * Idempotent under replay of `batchId`.
+  /** One micro-batch of merge-rule edges (src, dst): suppress erased
+    * nodes, resolve the batch's neighborhood, append the re-labeled
+    * delta rows, and ledger the surviving edges. Idempotent under
+    * replay of `batchId`.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                    batchId: Long): Unit = {
     StateCompaction.heal(spark, stores.map(n => s"$stateDir/$n"))
-    val e = batch.toDF("src", "dst")
-    val store = StateCompaction.readVisible(spark, mapsDir(stateDir))
-      .map(_.filter(col("batch_id").cast("long") =!= batchId))
+    val erased = readErasedSet(spark, stateDir, batchId)
+    // durable erasure: a post-regulation rule naming an erased node is
+    // dropped (the suppression-list contract, T1's shape)
+    val e = erased.foldLeft(batch.toDF("src", "dst"))((b, er) =>
+      b.join(broadcast(er.withColumnRenamed("node", "src")), Seq("src"), "left_anti")
+        .join(broadcast(er.withColumnRenamed("node", "dst")), Seq("dst"), "left_anti"))
+    val store = visibleExcluding(spark, mapsDir(stateDir), batchId)
     val delta = store match {
       case None =>
         Identity.connectedComponents(e).toDF("node", "comp")
       case Some(all) =>
         val touched = e.select(col("src").as("node"))
           .union(e.select(col("dst").as("node"))).distinct()
-        // latest rows of the touched nodes -> their CURRENT comps
+        // TRUE latest rows of the touched nodes -> their current comps
+        // (dead rows contribute nothing: a tombstoned node re-linked
+        // by a new rule re-enters as a fresh node)
         val touchedRows = all.join(broadcast(touched), "node")
         val comps = StateCompaction.latestPerKey(touchedRows, "node")
+          .filter(!col("dead"))
           .select(col("comp")).distinct()
-        // affected members: every row labeled with a touched comp —
-        // under merge-only labels the latest-per-node over this slice
-        // is the current mapping of exactly the affected membership
-        val caught = all.join(broadcast(comps), "comp")
-        val members = StateCompaction.latestPerKey(caught, "node")
+        // candidate members by ANY historical label in C, then the
+        // bounded second pass keeps only true-latest live members —
+        // see the class note on why one pass is unsound under splits
+        val candNodes = all.join(broadcast(comps), "comp")
+          .select(col("node")).distinct()
+        val members = StateCompaction.latestPerKey(
+            all.join(broadcast(candNodes), "node"), "node")
+          .filter(!col("dead"))
+          .join(broadcast(comps), "comp")
           .select(col("node"), col("comp"))
         val starEdges = members
           .select(col("node").as("src"), col("comp").as("dst"))
         Identity.connectedComponents(e.union(starEdges)).toDF("node", "comp")
     }
-    delta.write.mode("overwrite")
+    delta.withColumn("dead", lit(false)).write.mode("overwrite")
       .parquet(s"${mapsDir(stateDir)}/batch_id=$batchId")
+    e.write.mode("overwrite")
+      .parquet(s"${edgesDir(stateDir)}/batch_id=$batchId")
   }
 
-  /** Fold committed partitions into LSM range sentinels, keeping each
-    * node's latest mapping; the in-flight batch is left out.
+  /** One REGULATION batch (node): erase the given nodes — their
+    * components recompute from surviving ledger edges (splitting where
+    * the regulated nodes were the glue), the regulated nodes and
+    * anyone orphaned by the erasure tombstone out, and the erased
+    * ledger suppresses them from all future rules. Untouched
+    * components never enter the plan. Idempotent under replay.
+    */
+  def processUnmerge(spark: SparkSession, regulated: DataFrame,
+                     stateDir: String, batchId: Long): Unit = {
+    StateCompaction.heal(spark, stores.map(n => s"$stateDir/$n"))
+    val sess = spark
+    import sess.implicits._
+    val reg = regulated.toDF("node")
+    val store = visibleExcluding(spark, mapsDir(stateDir), batchId)
+    val delta = store match {
+      case None => Seq.empty[(Long, Long)].toDF("node", "comp")
+      case Some(all) =>
+        val regRows = all.join(broadcast(reg), "node")
+        val comps = StateCompaction.latestPerKey(regRows, "node")
+          .filter(!col("dead"))
+          .select(col("comp")).distinct()
+        val candNodes = all.join(broadcast(comps), "comp")
+          .select(col("node")).distinct()
+        val members = StateCompaction.latestPerKey(
+            all.join(broadcast(candNodes), "node"), "node")
+          .filter(!col("dead"))
+          .join(broadcast(comps), "comp")
+          .select(col("node"))
+        // surviving edges of the affected components: the ledger
+        // filtered to member sources (components are closed under
+        // their own edges), minus anything incident to an erased or
+        // newly-regulated node
+        val erasedNow = readErasedSet(spark, stateDir, batchId)
+          .fold(reg)(_.unionByName(reg)).distinct()
+        val edges = visibleExcluding(spark, edgesDir(stateDir), batchId)
+          .map(_.select(col("src"), col("dst")))
+          .getOrElse(Seq.empty[(Long, Long)].toDF("src", "dst"))
+        val surviving = edges
+          .join(broadcast(members.withColumnRenamed("node", "src")), "src")
+          .join(broadcast(erasedNow.withColumnRenamed("node", "src")),
+            Seq("src"), "left_anti")
+          .join(broadcast(erasedNow.withColumnRenamed("node", "dst")),
+            Seq("dst"), "left_anti")
+        val recomputed = Identity.connectedComponents(surviving)
+          .toDF("node", "comp")
+        // tombstones: affected members that no surviving edge reaches —
+        // the regulated nodes and the erasure's orphans
+        val tomb = members
+          .join(recomputed.select(col("node")), Seq("node"), "left_anti")
+          .select(col("node"), lit(null).cast("long").as("comp"))
+        recomputed.withColumn("dead", lit(false))
+          .unionByName(tomb.withColumn("dead", lit(true)))
+    }
+    val outDelta =
+      if (delta.columns.contains("dead")) delta
+      else delta.withColumn("dead", lit(false))
+    outDelta.write.mode("overwrite")
+      .parquet(s"${mapsDir(stateDir)}/batch_id=$batchId")
+    reg.write.mode("overwrite")
+      .parquet(s"${erasedDir(stateDir)}/batch_id=$batchId")
+  }
+
+  /** Fold committed partitions into LSM range sentinels: maps keeps
+    * each node's latest row, the edge ledger dedups and PHYSICALLY
+    * purges erased-incident rows (retention riding the rewrite), the
+    * erased list dedups. The in-flight batch is left out.
     */
   def compactState(spark: SparkSession, stateDir: String,
                    targetFiles: Int = 4,
-                   excludeBatchId: Long = Long.MinValue): Unit =
-    stores.foreach { name =>
-      StateCompaction.compactStore(spark, s"$stateDir/$name", targetFiles,
-        keep = df => StateCompaction.latestPerKey(df, "node"),
-        excludeBatchId = excludeBatchId)
-    }
+                   excludeBatchId: Long = Long.MinValue): Unit = {
+    val erased = readErasedSet(spark, stateDir, excludeBatchId)
+    def purge(df: DataFrame): DataFrame = erased.fold(df)(er =>
+      df.join(broadcast(er.withColumnRenamed("node", "src")), Seq("src"), "left_anti")
+        .join(broadcast(er.withColumnRenamed("node", "dst")), Seq("dst"), "left_anti"))
+    StateCompaction.compactStore(spark, mapsDir(stateDir), targetFiles,
+      keep = df => StateCompaction.latestPerKey(df, "node"),
+      excludeBatchId = excludeBatchId)
+    StateCompaction.compactStore(spark, edgesDir(stateDir), targetFiles,
+      keep = df => purge(df.dropDuplicates("src", "dst")),
+      excludeBatchId = excludeBatchId)
+    StateCompaction.compactStore(spark, erasedDir(stateDir), targetFiles,
+      keep = _.dropDuplicates("node"),
+      excludeBatchId = excludeBatchId)
+  }
 
   /** The streaming entry: a (src, dst) merge-rule stream → maintained
     * mappings store, compacted every `compactEvery` batches (0
-    * disables).
+    * disables). Regulation batches arrive through [[processUnmerge]]
+    * (a control-plane side input, not this stream).
     */
   def start(rules: DataFrame, stateDir: String, checkpointDir: String,
             compactEvery: Int = 64): StreamingQuery =

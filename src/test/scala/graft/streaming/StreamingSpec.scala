@@ -2251,6 +2251,57 @@ class StreamingSpec extends SparkSpec {
       ccUnion(b0 ++ b1 ++ b2 ++ b3))
   }
 
+  test("streaming identity UNMERGE: an erasure batch splits the glued chain, " +
+    "tombstones orphans, suppresses future rules naming erased nodes, prunes to " +
+    "the affected components, and compaction purges the erased ledger edges") {
+    val sess = spark
+    import sess.implicits._
+    def mapSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "comp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val state = Files.createTempDirectory("id_unmerge").toString + "/state"
+    // b0: a chain 1-2-3-4 glued through node 3, plus an untouched pair
+    IdentityStream.processBatch(spark,
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 50L -> 51L).toDF("src", "dst"), state, 0L)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) ===
+      Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 50L -> 50L, 51L -> 50L))
+    // b1: regulation erases node 3 — the chain SPLITS: {1,2} survives on
+    // its direct edge, 4 is orphaned (its only edge was through 3), the
+    // untouched pair carries over without entering the plan
+    IdentityStream.processUnmerge(spark, Seq(Tuple1(3L)).toDF("node"), state, 1L)
+    val afterErase = Set(1L -> 1L, 2L -> 1L, 50L -> 50L, 51L -> 50L)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) === afterErase,
+      "erasing the glue node must split the chain and drop the orphan + regulated")
+    // the unmerge delta touched ONLY the affected component's nodes
+    val deltaNodes = spark.read.parquet(s"$state/maps/batch_id=1")
+      .select("node").collect().map(_.getLong(0)).toSet
+    assert(deltaNodes === Set(1L, 2L, 3L, 4L),
+      s"the unmerge must not rewrite untouched components: $deltaNodes")
+    // replay of the regulation batch is a no-op
+    IdentityStream.processUnmerge(spark, Seq(Tuple1(3L)).toDF("node"), state, 1L)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) === afterErase)
+    // b2: a later rule re-links the ORPHAN (4 was tombstoned, not
+    // erased) into the untouched pair — it re-enters as a fresh node
+    IdentityStream.processBatch(spark, Seq(4L -> 51L).toDF("src", "dst"), state, 2L)
+    val afterRelink = Set(1L -> 1L, 2L -> 1L, 4L -> 4L, 50L -> 4L, 51L -> 4L)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) === afterRelink,
+      "a tombstoned orphan must be re-linkable as a fresh node")
+    // b3: a rule naming the ERASED node is suppressed outright
+    IdentityStream.processBatch(spark, Seq(3L -> 1L).toDF("src", "dst"), state, 3L)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) === afterRelink,
+      "rules naming an erased node must be suppressed (durable erasure)")
+    // compaction preserves the read and PHYSICALLY purges the erased
+    // node's ledger edges
+    IdentityStream.compactState(spark, state, targetFiles = 1, excludeBatchId = 3L)
+    assert(mapSet(IdentityStream.readMappings(spark, state)) === afterRelink)
+    val ledger = StateCompaction.readVisible(spark, s"$state/edges").get
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!ledger.exists(e => e._1 == 3L || e._2 == 3L),
+      s"compaction must purge erased-incident ledger edges: $ledger")
+    assert(ledger === Set(1L -> 2L, 50L -> 51L, 4L -> 51L))
+  }
+
   test("single-partition fold crash window: a sentinel [a,a] covers per-batch a " +
     "(equal range), so readers never double-count and reclaim succeeds") {
     val sess = spark
