@@ -19,7 +19,9 @@ for f in BENCH_FULL.json BENCH_TABLE_LEDGER.json LEAKCHECK.json \
          BENCH_FULL_PARTIAL.json COPYCHECK.json \
          "BENCH_r$N.json" "CORRECTNESS_r$N.json" "BENCH_FULL_r$N.json" \
          "BENCH_ADJUDICATION_r$N.json" BENCH_SCALE*.json; do
-  if [ -f "$f" ]; then git add "$f"; staged=$((staged + 1)); fi
+  if [ -f "$f" ] && ! git check-ignore -q "$f"; then
+    git add "$f"; staged=$((staged + 1))
+  fi
 done
 echo "staged $staged artifact files; tree status:"
 git status --short
