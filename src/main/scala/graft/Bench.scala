@@ -101,14 +101,19 @@ object Bench {
         true
       } catch { case NonFatal(_) => println(full); false } // unwritable cwd: at least log it
     // Maintained-table build ledger (r18 verdict #2): attribute the
-    // fleet's scratch-parquet build cost per table for this run.
+    // fleet's scratch-parquet build cost per table for this run. Same
+    // artifact-stability rule as BENCH_FULL above: a FILTERED run only
+    // builds the tables its few queries touch and must not clobber the
+    // full run's attribution record.
     val ledger = {
       import scala.jdk.CollectionConverters._
       graft.operators.Dedup.buildLedger.asScala.toSeq.sortBy(_._1)
         .map { case (n, (c, t)) => "\"" + n + "\":{\"builds\":" + c + ",\"secs\":" + ms(t) + "}" }
         .mkString("{", ",", "}")
     }
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_TABLE_LEDGER.json"),
+    val ledgerTarget =
+      if (only.isDefined) "BENCH_TABLE_LEDGER_PARTIAL.json" else "BENCH_TABLE_LEDGER.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(ledgerTarget),
       (ledger + "\n").getBytes("UTF-8"))
     catch { case NonFatal(_) => () }
     val slowest = results.sortBy(-_._2).take(25)

@@ -291,9 +291,16 @@ object BenchScale {
     // run can never masquerade as the default K=8 record
     val fname = only match {
       case Some(f) =>
+        // human-readable prefix tag + a hash of the FULL filter set —
+        // the prefix alone is lossy (take(4) of shared ll*/ts* stems),
+        // and two distinct filters mapping to one name would recreate
+        // the overwrite this stamping exists to prevent
+        val full = f.toSeq.sorted.mkString(",")
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(full.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
         val tag = f.toSeq.sorted.map(_.takeWhile(_ != '_')).distinct
           .take(4).mkString("-")
-        s"BENCH_SCALE_K${k}_$tag.json"
+        s"BENCH_SCALE_K${k}_${tag}_$h.json"
       case None => s"BENCH_SCALE_K$k.json"
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(fname),

@@ -449,8 +449,10 @@ object Identity {
       val reg = u.filter(col("user_id") % 97 === 0)
         .select((col("user_id") + 100000L).as("node"))
       graft.streaming.IdentityStream.processUnmerge(s, reg, state, 2L)
-      graft.streaming.IdentityStream.compactState(s, state,
-        targetFiles = 1, excludeBatchId = 2L)
+      // every batch is complete here (driver-driven, nothing in
+      // flight), so compact WITHOUT an exclusion: the erased ledger is
+      // visible to the fold and the physical edge purge actually runs
+      graft.streaming.IdentityStream.compactState(s, state, targetFiles = 1)
       graft.streaming.IdentityStream.readMappings(s, state)
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))

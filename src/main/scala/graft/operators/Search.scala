@@ -125,6 +125,7 @@ object Search {
                                      dir: String): (String, Similarity.IvfPqModel) = {
     val key = s.sparkContext.applicationId + "|" + dir
     streamedStateCache.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
       val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
         "/graft-ts9-" + java.security.MessageDigest.getInstance("MD5")
           .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -148,6 +149,11 @@ object Search {
         targetFiles = 1, excludeBatchId = 2L)
       graft.streaming.VectorStream.compactState(s, s"$base/vector",
         targetFiles = 1, excludeBatchId = 2L)
+      // this is the most expensive per-session maintained build (one
+      // trainer + 6 stream folds + 2 compactions) — ledger it like the
+      // materialized tables, or its first-touch cost reads as drift
+      Dedup.buildLedger.merge("ts9state", (1L, (System.nanoTime() - t0) / 1e9),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
       (base, model)
     })
   }
@@ -449,7 +455,11 @@ object Search {
       val (state, model) = streamedRetrievalState(s, dir)
       val tf = graft.streaming.SearchStream.readPostings(s, s"$state/search")
       val nDocs = graft.streaming.SearchStream.readDocCount(s, s"$state/search")
-      val totTok = tf.agg(sum(col("tf"))).first().getLong(0)
+      // sum over zero rows is SQL NULL — an empty maintained store must
+      // read as the typed empty result, not throw (VectorStream.search's
+      // crash-window contract)
+      val totTok = Option(tf.agg(sum(col("tf"))).first().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
       val queries = graft.streaming.VectorStream.readVecs(s, s"$state/vector")
         .map(_.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding")))

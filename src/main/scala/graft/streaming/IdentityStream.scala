@@ -160,7 +160,10 @@ object IdentityStream {
     val reg = regulated.toDF("node")
     val store = visibleExcluding(spark, mapsDir(stateDir), batchId)
     val delta = store match {
-      case None => Seq.empty[(Long, Long)].toDF("node", "comp")
+      case None =>
+        // an erasure before any merge batch: nothing mapped, nothing
+        // to split — only the suppression-list write below matters
+        Seq.empty[(Long, Option[Long], Boolean)].toDF("node", "comp", "dead")
       case Some(all) =>
         val regRows = all.join(broadcast(reg), "node")
         val comps = StateCompaction.latestPerKey(regRows, "node")
@@ -198,10 +201,7 @@ object IdentityStream {
         recomputed.withColumn("dead", lit(false))
           .unionByName(tomb.withColumn("dead", lit(true)))
     }
-    val outDelta =
-      if (delta.columns.contains("dead")) delta
-      else delta.withColumn("dead", lit(false))
-    outDelta.write.mode("overwrite")
+    delta.write.mode("overwrite")
       .parquet(s"${mapsDir(stateDir)}/batch_id=$batchId")
     reg.write.mode("overwrite")
       .parquet(s"${erasedDir(stateDir)}/batch_id=$batchId")

@@ -19,8 +19,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * already ride: it trains ONCE (Similarity.trainIvfPq over the base
   * corpus) and is static for the stream's lifetime — faiss's own
   * deployment shape, where the quantizer trains offline and the index
-  * only ever ADDs. Re-training is a rebuild decision, not a fold;
-  * cd2's embedding-drift monitor is the signal that makes it.
+  * only ever ADDs. Re-training is a rebuild decision, not a fold —
+  * ev16 (Similarity.ivfPqRebuildCheckOf) COMPOSES that decision:
+  * cd2's drift monitor ∨ a recall floor against exact brute truth on
+  * the re-embedded corpus emits the verdict.
   *
   * Per-batch cost is the batch's own encode (one codegen'd pass
   * against ~10 KB of literals) plus three batch-sized writes — the
