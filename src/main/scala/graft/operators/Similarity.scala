@@ -513,6 +513,48 @@ object Similarity {
   private val ll34Cache =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
 
+  // the frozen IVF-PQ model, memoized per (session, dir, embeddings
+  // watermark): the trainer is bounded-sample + driver-side, but its
+  // collect is not free and every consumer of the shared coded table
+  // (ll34's nprobe=1 read, ll35's multi-cell probe) needs the SAME
+  // centroids for query-side cell ranking
+  private val ivfPqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPqModel]()
+  private[operators] def ivfPqModelOf(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): IvfPqModel =
+    ivfPqModelCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir + "|" +
+        Tables.snapshotVersion(s, dir, "embeddings"), _ => {
+        val qe = Tables.embeddings(s, dir)
+          .withColumn("q",
+            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+          .select(col("vec_id"), col("q"))
+        trainIvfPq(qe, Tables.countStat(s, dir, "embeddings"))
+      })
+
+  /** The MAINTAINED coded table (the signature-table / postings
+    * convention): trainer + encode + reconstruction run once per
+    * (session, dir, content watermark) and every later query reads one
+    * columnar scan — a deployment maintains its ANN index, it does not
+    * re-train per search (VectorStream is the streaming form of the
+    * same contract). No persists inside the build: it runs once, and
+    * the scans it repeats are cheap next to the one-time codegen of
+    * the 128-expr encode.
+    */
+  private def ll34Coded(s: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame =
+    Dedup.materializedTable(ll34Cache, s, dir, "ll34coded",
+      Seq("embeddings")) {
+      val qe = Tables.embeddings(s, dir)
+        .withColumn("q",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .select(col("vec_id"), col("q"))
+      val model = ivfPqModelOf(s, dir)
+      // one distributed pass: coarse cell + residual + nibble codes,
+      // then reconstruction for the ADC scan
+      ivfPqReconstruct(ivfPqEncode(qe, model), model)
+    }
+
   val defs: Map[String, Q] = Map(
 
     // Brute-force cosine top-5 for queries vec_id < 10. Exact baseline.
@@ -810,24 +852,7 @@ object Similarity {
     // two-stage search bit-for-bit.
     "ll34_ivfpq_ann" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      // the CODED TABLE is a maintained index (the signature-table /
-      // postings convention): trainer + encode + reconstruction run
-      // once per (session, dir, content watermark) and every later
-      // query reads one columnar scan — a deployment maintains its
-      // ANN index, it does not re-train per search (VectorStream is
-      // the streaming form of the same contract). No persists inside
-      // the build: it runs once, and the scans it repeats are cheap
-      // next to the one-time codegen of the 128-expr encode.
-      val dqed = Dedup.materializedTable(ll34Cache, s, dir, "ll34coded",
-        Seq("embeddings")) {
-        val qe = base.withColumn("q",
-          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
-          .select(col("vec_id"), col("q"))
-        val model = trainIvfPq(qe, Tables.countStat(s, dir, "embeddings"))
-        // one distributed pass: coarse cell + residual + nibble codes,
-        // then reconstruction for the ADC scan
-        ivfPqReconstruct(ivfPqEncode(qe, model), model)
-      }
+      val dqed = ll34Coded(s, dir)
       // queries keep their exact quantized vector and probe their own
       // coarse cell (nprobe=1 — ll4b's pruning joined to ll24's ADC)
       val probes = dqed
@@ -838,6 +863,66 @@ object Similarity {
         .filter(col("query_id") < 10)
       val cand = dqed.join(broadcast(probes),
           col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+        .withColumn("approx",
+          expr("aggregate(zip_with(qq, dq, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)") /
+            sqrt(col("qn").cast("double") * col("dqn").cast("double")))
+      val wApprox = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("vec_id").asc)
+      val top50 = cand.withColumn("arank", row_number().over(wApprox))
+        .filter(col("arank") <= 50)
+        .select(col("query_id"), col("vec_id"))
+      val e = withNorm(base)
+      val scored = top50
+        .join(e, "vec_id")
+        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm")), "query_id")
+        .withColumn("dot", dotExpr("q_emb", "embedding"))
+        .withColumn("sim", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+      topK(scored, 5)
+    }),
+
+    // LL35: IVF-PQ with MULTI-CELL PROBING (nprobe=2 — faiss's recall
+    // knob, Jegou et al. TPAMI 2011 §V.C): nprobe=1 loses every true
+    // neighbor whose vector quantized into a DIFFERENT coarse cell
+    // than the query (the dominant recall loss at small k_c); probing
+    // the nprobe nearest cells recovers them for nprobe/k_c of the
+    // scan cost — at 100 TB, 2/8ths of a ~1.6 TB code table instead
+    // of 1/8th, still never the corpus. Reads the SAME maintained
+    // coded table and frozen model as ll34 (one index, many read
+    // policies); per query the 8 centroid distances rank driver-free
+    // via an array_sort of (dist, cell) structs — exact integer
+    // distances, ties to the lower cell id, the trainer's own order.
+    // TrainingOpsSpec pins recall@5 monotone vs ll34's nprobe=1 read.
+    "ll35_ivfpq_nprobe" -> ((s, dir) => {
+      val nprobe = 2
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val dqed = ll34Coded(s, dir)
+      val md = ivfPqModelOf(s, dir)
+      val cellDists = (0 until md.kc).map(j =>
+        expr(s"aggregate(zip_with(q, array(${md.cents(j).mkString(",")}), " +
+          "(x, c) -> (x - c) * (x - c)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as(s"cd$j"))
+      val structs = (0 until md.kc)
+        .map(j => s"struct(cd$j AS d, CAST($j AS BIGINT) AS c)").mkString(",")
+      val probes = dqed.filter(col("vec_id") < 10)
+        .select(col("vec_id") +: col("q") +: cellDists: _*)
+        .withColumn("pcells",
+          expr(s"transform(slice(array_sort(array($structs)), 1, $nprobe), x -> x.c)"))
+        .withColumn("qn",
+          expr("aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn"),
+          col("pcells"))
+      // the probed (query, cell) pairs EXPLODE to an equi-join key —
+      // a hash join against the cell-keyed coded scan, never a
+      // nested-loop; each coded vector has ONE cell so no candidate
+      // duplicates across probes
+      val qcells = probes
+        .select(col("query_id"), explode(col("pcells")).as("pcell"))
+      val cand = dqed
+        .join(broadcast(qcells), col("cell").cast("long") === col("pcell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(probes.drop("pcells")), "query_id")
         .withColumn("approx",
           expr("aggregate(zip_with(qq, dq, (a, b) -> a * b), " +
             "CAST(0 AS BIGINT), (acc, v) -> acc + v)") /
@@ -1466,18 +1551,26 @@ object Similarity {
     // nibble encoding of corpus residuals, centroid+codebook
     // reconstruction, cell-PRUNED asymmetric coarse ranking (top-50),
     // exact-cosine rerank (top-5) — bit-for-bit the plan ll34 runs.
-    "ll34_ivfpq_ann" -> ivfPqAnnSql("", "qe", "embeddings")) ++ oraclesTail
+    "ll34_ivfpq_ann" -> ivfPqAnnSql("", "qe", "embeddings"),
+    // same replay with the pruned scan widened to the query's 2
+    // nearest coarse cells (the ROW_NUMBER cell ranking mirrors
+    // Spark's (dist, cell) struct sort exactly)
+    "ll35_ivfpq_nprobe" -> ivfPqAnnSql("", "qe", "embeddings", nprobe = 2)) ++ oraclesTail
 
-  /** The full IVF-PQ oracle replay, parameterized so ev16 (and ts9's
-    * fusion) can reuse it: the TRAINER always reads the base
+  /** The full IVF-PQ oracle replay, parameterized so ev16, ts9's
+    * fusion, and ll35 can reuse it: the TRAINER always reads the base
     * `embeddings` sample (the frozen-model contract), while `corpus`
     * names the quantized CTE the full assignment/encode/search runs
     * over, `rerankSrc` the exact-embedding table for the final cosine
-    * rerank, and `prelude` injects extra CTEs (e.g. a drifted
-    * re-embedding) right after the base quantization.
+    * rerank, `prelude` injects extra CTEs (e.g. a drifted
+    * re-embedding) right after the base quantization, and `nprobe`
+    * widens the pruned scan to the query's n nearest coarse cells
+    * (exact integer centroid distances, ties to the lower cell id —
+    * the same order Spark's (dist, cell) struct sort yields).
     */
   private[operators] def ivfPqAnnSql(prelude: String, corpus: String,
-                                     rerankSrc: String): String =
+                                     rerankSrc: String,
+                                     nprobe: Int = 1): String =
       s"""WITH qe AS (SELECT vec_id,
               list_transform(embedding,
                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -1546,14 +1639,31 @@ object Similarity {
                   FROM dq d JOIN af a ON d.vec_id = a.vec_id),
           qn AS (SELECT vec_id, q, cell,
                    list_sum(list_transform(q, x -> x * x)) AS qn FROM af),
-          probes AS (SELECT vec_id AS query_id, q AS qq, qn, cell AS q_cell
+          ${if (nprobe <= 1)
+      """probes AS (SELECT vec_id AS query_id, q AS qq, qn, cell AS q_cell
                      FROM qn WHERE vec_id < 10),
           cand AS (SELECT query_id, d.vec_id,
                      CAST(list_sum(list_transform(range(1, 65),
                        i -> qq[i] * d.dq[i])) AS DOUBLE)
                      / sqrt(CAST(p.qn AS DOUBLE) * CAST(d.dqn AS DOUBLE)) AS approx
                    FROM probes p, dqn d
-                   WHERE d.vec_id <> p.query_id AND d.cell = p.q_cell),
+                   WHERE d.vec_id <> p.query_id AND d.cell = p.q_cell),"""
+    else
+      s"""probes AS (SELECT vec_id AS query_id, q AS qq, qn
+                     FROM qn WHERE vec_id < 10),
+          qcells AS (SELECT query_id, cell FROM (
+                       SELECT p.query_id, c.cid AS cell,
+                         ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                           list_sum(list_transform(range(1, 65),
+                             i -> (p.qq[i] - c.c[i]) * (p.qq[i] - c.c[i]))), c.cid) AS rn
+                       FROM probes p, c2 c) WHERE rn <= $nprobe),
+          cand AS (SELECT p.query_id, d.vec_id,
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> qq[i] * d.dq[i])) AS DOUBLE)
+                     / sqrt(CAST(p.qn AS DOUBLE) * CAST(d.dqn AS DOUBLE)) AS approx
+                   FROM probes p, qcells pc, dqn d
+                   WHERE pc.query_id = p.query_id
+                     AND d.vec_id <> p.query_id AND d.cell = pc.cell),"""}
           t50 AS (SELECT query_id, vec_id FROM (
                     SELECT query_id, vec_id,
                       ROW_NUMBER() OVER (PARTITION BY query_id

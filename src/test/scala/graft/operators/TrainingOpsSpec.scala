@@ -137,6 +137,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(ivfpq.size === exact.size)
   }
 
+  test("ll35 nprobe=2: widening the probed cells is recall-MONOTONE over " +
+    "ll34's nprobe=1 read of the same maintained index") {
+    val exact = run("ll3_ann_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val np1 = run("ll34_ivfpq_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val np2 = run("ll35_ivfpq_nprobe").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val r1 = (exact & np1).size.toDouble / exact.size
+    val r2 = (exact & np2).size.toDouble / exact.size
+    // the second-nearest cell recovers neighbors the coarse quantizer
+    // put across the boundary. (Not a theorem — the ADC top-50 cut
+    // sees more candidates under nprobe=2 and could in principle
+    // displace a true neighbor past 50 — but the pipeline is fully
+    // deterministic, so this pin is stable on the gate corpus and a
+    // failure after an algorithm change is a real recall question.)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 must be >= nprobe=1 recall $r1")
+    assert(r2 >= 0.5, s"recall@5 vs brute = $r2")
+    assert(np2.size === exact.size)
+  }
+
   test("ll24 PQ ANN: useful recall@5 against the exact brute-force baseline") {
     val exact = run("ll3_ann_topk").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
