@@ -105,6 +105,7 @@ class MaintainedTableSpec extends SparkSpec {
     Dedup.signatureTable(spark, dir).count()
     Dedup.simhashTable(spark, dir).count()
     Search.postingsTable(spark, dir).count()
+    Dedup.cdcChunkTable(spark, dir).count()
     // snapshot B: doc 2 changed, doc 5 removed, docs 6+7 added
     val movedDocs = Seq(
       1L -> "the quick brown fox jumps over the lazy dog tonight",
@@ -119,8 +120,8 @@ class MaintainedTableSpec extends SparkSpec {
     import s.implicits._
     val delta = Seq((2L, "changed"), (5L, "removed"), (6L, "added"), (7L, "added"))
       .toDF("doc_id", "status")
-    assert(Dedup.refreshIncrementally(spark, dir, delta) == 4,
-      "all four cached index tables must take the splice path (not a rebuild)")
+    assert(Dedup.refreshIncrementally(spark, dir, delta) == 5,
+      "all five cached index tables must take the splice path (not a rebuild)")
     // the spliced tables must be row-for-row the full rebuild over B
     val corB = Dedup.corpus(spark, dir, perturb = true)
     assert(rowSet(Dedup.shingleTable(spark, dir)) == rowSet(Dedup.shingles(corB)),
@@ -130,10 +131,13 @@ class MaintainedTableSpec extends SparkSpec {
       "spliced signature table diverged from a full rebuild")
     assert(rowSet(Dedup.simhashTable(spark, dir)) == rowSet(Dedup.simhash(corB)),
       "spliced simhash table diverged from a full rebuild")
-    // the postings index splices from RAW documents (no twins)
+    // the postings and CDC chunk indexes splice from RAW documents (no twins)
     assert(rowSet(Search.postingsTable(spark, dir)) ==
       rowSet(Search.postingsOf(Tables.documents(spark, dir))),
       "spliced postings table diverged from a full rebuild")
+    assert(rowSet(Dedup.cdcChunkTable(spark, dir)) ==
+      rowSet(Dedup.cdcChunks(Tables.documents(spark, dir))),
+      "spliced CDC chunk table diverged from a full rebuild")
   }
 
   test("cp5's maintained attribution follows the watermark: a re-crawled corpus re-gates") {
