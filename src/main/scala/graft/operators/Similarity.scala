@@ -555,6 +555,40 @@ object Similarity {
       ivfPqReconstruct(ivfPqEncode(qe, model), model)
     }
 
+  /** The MAINTAINED kNN graph (vec_id, rank, neighbor_id) — every
+    * vector's top-3 cosine neighbors from ll28's LSH-bucketed build,
+    * under the signature-table convention: the corpus-sized
+    * construction (the bucket self-join + per-vector window) runs once
+    * per (session, dir, embeddings watermark); ll28 serves the graph
+    * and ll36's beam search walks it per query.
+    */
+  private val knnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
+  private[operators] def knnGraphTable(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): DataFrame =
+    Dedup.materializedTable(knnCache, s, dir, "knngraph", Seq("embeddings")) {
+      val e = withNorm(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")))
+      val dims = 64
+      val withDots = (0 until 8).foldLeft(e) { (df, j) =>
+        df.withColumn(s"d$j", dotExpr("embedding", s"array(${hyperplane(j, dims).mkString(",")})"))
+      }
+      val bucketed = withDots
+        .withColumn("bucket",
+          (0 until 8).map(j =>
+            when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+      val nb = bucketed.select(col("bucket").as("nb_bucket"), col("vec_id").as("nb_id"),
+        col("embedding").as("nb_emb"), col("nrm").as("nb_nrm"))
+      val scored = bucketed.join(nb,
+          col("bucket") === col("nb_bucket") && col("vec_id") =!= col("nb_id"))
+        .withColumn("sim", dotExpr("embedding", "nb_emb") / sqrt(col("nrm") * col("nb_nrm")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("rank"), col("nb_id").as("neighbor_id"))
+    }
+
   val defs: Map[String, Q] = Map(
 
     // Brute-force cosine top-5 for queries vec_id < 10. Exact baseline.
@@ -999,28 +1033,73 @@ object Similarity {
     // ll8's 8-hyperplane LSH buckets (expected corpus/256 per
     // bucket), so the pair volume is the banded-join budget and the
     // per-vector top-3 is one high-NDV-keyed window. Rank ties break
-    // (sim DESC, neighbor ASC), mirrored in the oracle.
-    "ll28_knn_graph" -> ((s, dir) => {
+    // (sim DESC, neighbor ASC), mirrored in the oracle. The graph is
+    // a MAINTAINED index (knnGraphTable): built once per corpus
+    // snapshot, served as one columnar scan here and walked by ll36.
+    "ll28_knn_graph" -> ((s, dir) => knnGraphTable(s, dir)),
+
+    // GRAPH-WALK ANN — the HNSW/NSG family (Malkov & Yashunin
+    // TPAMI'18, reduced to one deterministic layer): greedy BEAM
+    // SEARCH over the maintained kNN graph instead of scanning a cell
+    // (IVF, ll4/ll34) or a bucket union (LSH, ll7). From a fixed
+    // entry point (the corpus's min vec_id), each hop expands the
+    // current beam's symmetrized graph neighbors, scores every
+    // candidate by EXACT cosine against the query, and keeps the
+    // top-4 beam (ties to the lower id); the union with the previous
+    // beam makes the walk monotone, so after 3 hops the beam holds
+    // the best nodes seen and its top-3 (self excluded) are the
+    // answer. The frontier is queries × beam rows — COLLECTED per hop
+    // (≤ 40 rows, model-sized, never corpus-sized), which both drives
+    // the sequential hops and starts each hop's plan from literals
+    // instead of nesting the previous hop's plan twice (the union +
+    // join would double the executed plan per hop). At 100 TB the
+    // per-hop cost is |beam| graph probes + |candidates| vector
+    // lookups — independent of corpus size, the property that makes
+    // graph ANN the serving default; the corpus-sized work is the
+    // maintained table's one-time build. Recall is bounded by the
+    // entry point's graph component (the classic single-layer
+    // limitation HNSW's upper layers exist to fix); the oracle
+    // replays the identical walk, hop by hop.
+    "ll36_graph_ann" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
       val e = withNorm(Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding")))
-      val dims = 64
-      val withDots = (0 until 8).foldLeft(e) { (df, j) =>
-        df.withColumn(s"d$j", dotExpr("embedding", s"array(${hyperplane(j, dims).mkString(",")})"))
+          .select(col("vec_id"), col("embedding")))
+        .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
+      val g = knnGraphTable(s, dir)
+      val sym = g.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .unionByName(g.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
+        .distinct()
+      val q = withNorm(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")))
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      // entry point + query ids: scalar / ≤10-row collects
+      val entry = e.agg(min(col("node"))).first().getLong(0)
+      val qIds = q.select(col("query_id")).collect().map(_.getLong(0)).toSeq
+      def score(f: DataFrame): DataFrame = f
+        .join(e, "node")
+        .join(broadcast(q), "query_id")
+        .withColumn("sim", dotExpr("q_emb", "embedding") / sqrt(col("q_nrm") * col("nrm")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
+      var beam: Seq[(Long, Long)] = qIds.map(id => (id, entry))
+      for (_ <- 1 to 3) {
+        val f = beam.toDF("query_id", "node")
+        val cand = f.unionByName(
+            f.join(sym, col("node") === col("src"))
+              .select(col("query_id"), col("dst").as("node")))
+          .distinct()
+        beam = score(cand)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+          .select(col("query_id"), col("node"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // ≤ 40 rows
       }
-      val bucketed = withDots
-        .withColumn("bucket",
-          (0 until 8).map(j =>
-            when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
-      val nb = bucketed.select(col("bucket").as("nb_bucket"), col("vec_id").as("nb_id"),
-        col("embedding").as("nb_emb"), col("nrm").as("nb_nrm"))
-      val scored = bucketed.join(nb,
-          col("bucket") === col("nb_bucket") && col("vec_id") =!= col("nb_id"))
-        .withColumn("sim", dotExpr("embedding", "nb_emb") / sqrt(col("nrm") * col("nb_nrm")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb_id").asc)
-      scored.withColumn("rank", row_number().over(w).cast("long"))
+      score(beam.toDF("query_id", "node"))
+        .filter(col("node") =!= col("query_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
-        .select(col("vec_id"), col("rank"), col("nb_id").as("neighbor_id"))
+        .select(col("query_id"), col("rank"), col("node").as("neighbor_id"))
     }),
 
     // DIVERSITY COVERAGE SAMPLE (k-center-style coreset): one medoid
@@ -1227,6 +1306,38 @@ object Similarity {
                   ORDER BY dim) AS c
            FROM ${out}_s GROUP BY cell) u ON p.cid = u.cid)"""
 
+  /** The kNN-graph build as a reusable CTE chain ending in
+    * `knng(vec_id, rank, neighbor_id)` — ll28's oracle body, shared
+    * with ll36 so the walk replays the identical maintained graph.
+    */
+  private val knnGraphCtes: String = {
+    val bitsSql = (0 until 8).map(j =>
+      s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val dotsSql = (0 until 8).map { j =>
+      s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * hv$j[i])) AS d$j"
+    }.mkString(", ")
+    val hvDefs = (0 until 8).map { j =>
+      s"[${hyperplane(j, 64).mkString(", ")}]::DOUBLE[] AS hv$j"
+    }.mkString(", ")
+    s"""h AS (SELECT $hvDefs),
+          d AS (SELECT vec_id, embedding, $normSql AS nrm, $dotsSql
+                FROM embeddings, h),
+          b AS (SELECT vec_id, embedding, nrm,
+                  CAST($bitsSql AS BIGINT) AS bucket FROM d),
+          kscored AS (SELECT m.vec_id, n.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(m.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+                       / sqrt(m.nrm * n.nrm) AS sim
+                     FROM b m JOIN b n
+                       ON m.bucket = n.bucket AND m.vec_id <> n.vec_id),
+          knng AS (SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+                   FROM (SELECT vec_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, neighbor_id) AS rank
+                         FROM kscored)
+                   WHERE rank <= 3)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "ll3_ann_topk" -> annOracle(""),
     // both rankings as CTE'd subqueries of the shared oracle body
@@ -1243,33 +1354,47 @@ object Similarity {
     "ll21_hard_negatives" -> annOracle("AND label <> q_label"),
     "ll4_ann_ivf" -> annOracle("AND label = q_label"),
     // ll28: the ll8/ll17 hyperplane-bucket CTEs + per-vector top-3
-    // window with the same (sim DESC, neighbor ASC) tie order
-    "ll28_knn_graph" -> {
-      val bitsSql = (0 until 8).map(j =>
-        s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      val dotsSql = (0 until 8).map { j =>
-        s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * hv$j[i])) AS d$j"
-      }.mkString(", ")
-      val hvDefs = (0 until 8).map { j =>
-        s"[${hyperplane(j, 64).mkString(", ")}]::DOUBLE[] AS hv$j"
-      }.mkString(", ")
-      s"""WITH h AS (SELECT $hvDefs),
-          d AS (SELECT vec_id, embedding, $normSql AS nrm, $dotsSql
-                FROM embeddings, h),
-          b AS (SELECT vec_id, embedding, nrm,
-                  CAST($bitsSql AS BIGINT) AS bucket FROM d),
-          scored AS (SELECT m.vec_id, n.vec_id AS neighbor_id,
-                       list_sum(list_transform(range(1, 65),
-                         i -> CAST(m.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
-                       / sqrt(m.nrm * n.nrm) AS sim
-                     FROM b m JOIN b n
-                       ON m.bucket = n.bucket AND m.vec_id <> n.vec_id)
-          SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id
-          FROM (SELECT vec_id, neighbor_id,
-                  ROW_NUMBER() OVER (PARTITION BY vec_id
-                    ORDER BY sim DESC, neighbor_id) AS rank
-                FROM scored)
-          WHERE rank <= 3"""
+    // window with the same (sim DESC, neighbor ASC) tie order — the
+    // shared fragment, so ll36's walk replays the identical graph
+    "ll28_knn_graph" ->
+      s"""WITH $knnGraphCtes
+          SELECT vec_id, rank, neighbor_id FROM knng""",
+    // ll36: the 3-hop beam walk unrolled hop by hop — each hop's
+    // candidate set (previous beam UNION its symmetrized neighbors),
+    // exact-cosine scoring, and the top-4 beam window mirror the
+    // Spark fold exactly; the final top-3 excludes the query itself
+    "ll36_graph_ann" -> {
+      val simSql = "list_sum(list_transform(range(1, 65), " +
+        "i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) " +
+        "/ sqrt(q.q_nrm * e.nrm)"
+      val hops = (1 to 3).map { i =>
+        s"""c$i AS (SELECT query_id, node FROM f${i - 1} UNION
+                 SELECT f.query_id, s.dst AS node FROM f${i - 1} f
+                 JOIN sym s ON f.node = s.src),
+          s$i AS (SELECT c.query_id, c.node, $simSql AS sim
+                  FROM c$i c JOIN ev e ON c.node = e.node
+                  JOIN qv q ON c.query_id = q.query_id),
+          f$i AS (SELECT query_id, node FROM (
+                    SELECT query_id, node, ROW_NUMBER() OVER (
+                      PARTITION BY query_id ORDER BY sim DESC, node) AS rn
+                    FROM s$i) WHERE rn <= 4)"""
+      }.mkString(",\n          ")
+      s"""WITH $knnGraphCtes,
+          sym AS (SELECT vec_id AS src, neighbor_id AS dst FROM knng
+                  UNION
+                  SELECT neighbor_id AS src, vec_id AS dst FROM knng),
+          ev AS (SELECT vec_id AS node, embedding, $normSql AS nrm FROM embeddings),
+          qv AS (SELECT vec_id AS query_id, embedding AS q_emb, $normSql AS q_nrm
+                 FROM embeddings WHERE vec_id < 10),
+          f0 AS (SELECT query_id, (SELECT MIN(vec_id) FROM embeddings) AS node
+                 FROM qv),
+          $hops
+          SELECT query_id, CAST(rn AS BIGINT) AS rank, node AS neighbor_id
+          FROM (SELECT query_id, node, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, node) AS rn
+                FROM s3 JOIN f3 USING (query_id, node)
+                WHERE node <> query_id)
+          WHERE rn <= 3"""
     },
     // ll29: the ll26 Lloyd replay, then one medoid per cell via
     // ROW_NUMBER over (distance, vec_id)

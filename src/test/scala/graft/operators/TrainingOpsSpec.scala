@@ -327,4 +327,39 @@ class TrainingOpsSpec extends SparkSpec {
       "a recall floor above 1.0 must flip the verdict via the recall leg")
     assert(floored.forall(_.getAs[Long]("n_drifted_dims") == 0L))
   }
+
+  test("ll36 graph-walk ANN equals an independent driver-side beam replay, " +
+    "and the walk actually improves on the entry point") {
+    assume(new java.io.File(sfDir).exists())
+    val out = run("ll36_graph_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val edges = run("ll28_knn_graph").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val sym = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // same accumulation as dot_native: Σ double(a_i)·double(b_i), in order
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def sim(q: Long, n: Long): Double =
+      dot(emb(q), emb(n)) / math.sqrt(dot(emb(q), emb(q)) * dot(emb(n), emb(n)))
+    val entry = emb.keys.min
+    var improved = false
+    for (q <- emb.keys.filter(_ < 10).toSeq.sorted) {
+      var beam = Seq(entry)
+      for (_ <- 1 to 3) {
+        val cand = (beam ++ beam.flatMap(n => sym.getOrElse(n, Set.empty[Long]))).distinct
+        beam = cand.map(n => (n, sim(q, n)))
+          .sortBy { case (n, sm) => (-sm, n) }.take(4).map(_._1)
+      }
+      val expect = beam.filter(_ != q).map(n => (n, sim(q, n)))
+        .sortBy { case (n, sm) => (-sm, n) }.take(3).map(_._1)
+      val got = out.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      assert(got == expect, s"walk diverged from the driver replay for query $q")
+      if (got.nonEmpty && q != entry && sim(q, got.head) > sim(q, entry)) improved = true
+    }
+    assert(improved,
+      "at least one query's top hit must beat the entry point — otherwise the walk never moved")
+  }
 }
