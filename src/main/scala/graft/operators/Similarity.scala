@@ -1083,19 +1083,25 @@ object Similarity {
         .join(broadcast(q), "query_id")
         .withColumn("sim", dotExpr("q_emb", "embedding") / sqrt(col("q_nrm") * col("nrm")))
       val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
-      var beam: Seq[(Long, Long)] = qIds.map(id => (id, entry))
-      for (_ <- 1 to 3) {
+      def candOf(beam: Seq[(Long, Long)]): DataFrame = {
         val f = beam.toDF("query_id", "node")
-        val cand = f.unionByName(
+        f.unionByName(
             f.join(sym, col("node") === col("src"))
               .select(col("query_id"), col("dst").as("node")))
           .distinct()
-        beam = score(cand)
+      }
+      var beam: Seq[(Long, Long)] = qIds.map(id => (id, entry))
+      for (_ <- 1 to 2) {
+        beam = score(candOf(beam))
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
           .select(col("query_id"), col("node"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // ≤ 40 rows
       }
-      score(beam.toDF("query_id", "node"))
+      // hop 3 fused with the answer: the final top-3 comes from inside
+      // the last beam (top-4 incl. a possible self), so one plan ranks
+      // the beam, drops self, and re-ranks — no third collect
+      score(candOf(beam))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
         .filter(col("node") =!= col("query_id"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
