@@ -111,7 +111,11 @@ object BenchScale {
     // rebuild check — one trainer + one encode pass + a 10-query
     // brute truth, all corpus-linear)
     "ev3_simhash_eval", "l8e_identity_stream", "ts9_hybrid_maintained",
-    "ev16_index_rebuild_check")
+    "ev16_index_rebuild_check",
+    // ll36 (graph-walk ANN): the walk's per-hop work is beam-bounded
+    // graph/vector probes — the probe checks the read path stays
+    // ~flat once the maintained graph build is billed to first touch
+    "ll36_graph_ann")
 
   /** Write a K-fold replica of the tables the heavy set reads. */
   private[graft] def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
