@@ -107,10 +107,15 @@ object IdentityStream {
     StateCompaction.heal(spark, stores.map(n => s"$stateDir/$n"))
     val erased = readErasedSet(spark, stateDir, batchId)
     // durable erasure: a post-regulation rule naming an erased node is
-    // dropped (the suppression-list contract, T1's shape)
+    // dropped (the suppression-list contract, T1's shape). The batch
+    // plan (typically an upstream scan + distinct) is persisted for
+    // the fold's duration: it feeds the touched-neighborhood broadcast
+    // chain, the CC input AND the ledger write — each a separate
+    // action that would otherwise re-execute it from the source.
     val e = erased.foldLeft(batch.toDF("src", "dst"))((b, er) =>
       b.join(broadcast(er.withColumnRenamed("node", "src")), Seq("src"), "left_anti")
         .join(broadcast(er.withColumnRenamed("node", "dst")), Seq("dst"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val store = visibleExcluding(spark, mapsDir(stateDir), batchId)
     val delta = store match {
       case None =>
@@ -143,6 +148,8 @@ object IdentityStream {
       .parquet(s"${mapsDir(stateDir)}/batch_id=$batchId")
     e.write.mode("overwrite")
       .parquet(s"${edgesDir(stateDir)}/batch_id=$batchId")
+    e.unpersist()
+    ()
   }
 
   /** One REGULATION batch (node): erase the given nodes — their
@@ -159,6 +166,7 @@ object IdentityStream {
     import sess.implicits._
     val reg = regulated.toDF("node")
     val store = visibleExcluding(spark, mapsDir(stateDir), batchId)
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val delta = store match {
       case None =>
         // an erasure before any merge batch: nothing mapped, nothing
@@ -171,11 +179,16 @@ object IdentityStream {
           .select(col("comp")).distinct()
         val candNodes = all.join(broadcast(comps), "comp")
           .select(col("node")).distinct()
+        // bounded by the affected components; persisted because it
+        // feeds both the surviving-edge broadcast (built during the
+        // eager CC) and the tombstone anti-join (executed at write)
         val members = StateCompaction.latestPerKey(
             all.join(broadcast(candNodes), "node"), "node")
           .filter(!col("dead"))
           .join(broadcast(comps), "comp")
           .select(col("node"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += members
         // surviving edges of the affected components: the ledger
         // filtered to member sources (components are closed under
         // their own edges), minus anything incident to an erased or
@@ -205,6 +218,7 @@ object IdentityStream {
       .parquet(s"${mapsDir(stateDir)}/batch_id=$batchId")
     reg.write.mode("overwrite")
       .parquet(s"${erasedDir(stateDir)}/batch_id=$batchId")
+    pinned.foreach(_.unpersist())
   }
 
   /** Fold committed partitions into LSM range sentinels: maps keeps
