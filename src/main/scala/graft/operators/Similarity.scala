@@ -566,28 +566,92 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
   private[operators] def knnGraphTable(s: org.apache.spark.sql.SparkSession,
                                        dir: String): DataFrame =
-    Dedup.materializedTable(knnCache, s, dir, "knngraph", Seq("embeddings")) {
-      val e = withNorm(Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding")))
-      val dims = 64
-      val withDots = (0 until 8).foldLeft(e) { (df, j) =>
-        df.withColumn(s"d$j", dotExpr("embedding", s"array(${hyperplane(j, dims).mkString(",")})"))
-      }
-      val bucketed = withDots
-        .withColumn("bucket",
-          (0 until 8).map(j =>
-            when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
-      val nb = bucketed.select(col("bucket").as("nb_bucket"), col("vec_id").as("nb_id"),
-        col("embedding").as("nb_emb"), col("nrm").as("nb_nrm"))
-      val scored = bucketed.join(nb,
-          col("bucket") === col("nb_bucket") && col("vec_id") =!= col("nb_id"))
-        .withColumn("sim", dotExpr("embedding", "nb_emb") / sqrt(col("nrm") * col("nb_nrm")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb_id").asc)
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("vec_id"), col("rank"), col("nb_id").as("neighbor_id"))
+    Dedup.materializedTable(knnCache, s, dir, "knngraph", Seq("embeddings"))(
+      bucketTop3(lshBucketed(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")))))
+
+  /** The 8-hyperplane LSH bucketing — (vec_id, embedding, nrm,
+    * bucket). ONE place: the batch graph build and GraphStream's
+    * incremental fold must bucket identically or the fold drifts from
+    * the rebuild.
+    */
+  private[graft] def lshBucketed(vecs: DataFrame): DataFrame = {
+    val dims = 64
+    val withDots = (0 until 8).foldLeft(withNorm(vecs)) { (df, j) =>
+      df.withColumn(s"d$j", dotExpr("embedding", s"array(${hyperplane(j, dims).mkString(",")})"))
     }
+    withDots
+      .withColumn("bucket",
+        (0 until 8).map(j =>
+          when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+  }
+
+  /** The graph's defining rule — top-3 cosine neighbors WITHIN each
+    * bucket of a (vec_id, embedding, nrm, bucket) frame, ties to the
+    * lower id. Bucket-local by construction, which is what makes the
+    * streaming fold exact: a node's edges depend only on its bucket's
+    * membership, and an add-only stream only ever grows buckets.
+    */
+  private[graft] def bucketTop3(members: DataFrame): DataFrame = {
+    val nb = members.select(col("bucket").as("nb_bucket"), col("vec_id").as("nb_id"),
+      col("embedding").as("nb_emb"), col("nrm").as("nb_nrm"))
+    val scored = members.join(nb,
+        col("bucket") === col("nb_bucket") && col("vec_id") =!= col("nb_id"))
+      .withColumn("sim", dotExpr("embedding", "nb_emb") / sqrt(col("nrm") * col("nb_nrm")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("rank"), col("nb_id").as("neighbor_id"))
+  }
+
+  /** ll36's beam walk over ARBITRARY graph + vector frames — shared by
+    * the batch query (maintained knngraph) and GraphStream.search (the
+    * streamed stores), so the two read paths cannot drift. `e` is
+    * (node, embedding, nrm), `g` is (vec_id, rank, neighbor_id), `q`
+    * is (query_id, q_emb, q_nrm); returns (query_id, rank,
+    * neighbor_id). Beams collect per hop — queries × beam rows,
+    * model-sized at any corpus.
+    */
+  private[graft] def graphWalk(e: DataFrame, g: DataFrame, q: DataFrame,
+                               hops: Int = 3, beamWidth: Int = 4,
+                               k: Int = 3): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val sym = g.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .unionByName(g.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
+      .distinct()
+    val entry = e.agg(min(col("node"))).first().getLong(0)
+    val qIds = q.select(col("query_id")).collect().map(_.getLong(0)).toSeq
+    def score(f: DataFrame): DataFrame = f
+      .join(e, "node")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", dotExpr("q_emb", "embedding") / sqrt(col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
+    def candOf(beam: Seq[(Long, Long)]): DataFrame = {
+      val f = beam.toDF("query_id", "node")
+      f.unionByName(
+          f.join(sym, col("node") === col("src"))
+            .select(col("query_id"), col("dst").as("node")))
+        .distinct()
+    }
+    var beam: Seq[(Long, Long)] = qIds.map(id => (id, entry))
+    for (_ <- 1 until hops) {
+      beam = score(candOf(beam))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= beamWidth)
+        .select(col("query_id"), col("node"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // ≤ |q| × beam rows
+    }
+    // last hop fused with the answer: the final top-k comes from inside
+    // the last beam (top-beamWidth incl. a possible self), so one plan
+    // ranks the beam, drops self, and re-ranks — no extra collect
+    score(candOf(beam))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= beamWidth)
+      .filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"))
+  }
 
   val defs: Map[String, Q] = Map(
 
@@ -1061,51 +1125,39 @@ object Similarity {
     // limitation HNSW's upper layers exist to fix); the oracle
     // replays the identical walk, hop by hop.
     "ll36_graph_ann" -> ((s, dir) => {
-      val sess = s
-      import sess.implicits._
       val e = withNorm(Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding")))
         .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
-      val g = knnGraphTable(s, dir)
-      val sym = g.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-        .unionByName(g.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
-        .distinct()
       val q = withNorm(Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding")))
         .filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"))
-      // entry point + query ids: scalar / ≤10-row collects
-      val entry = e.agg(min(col("node"))).first().getLong(0)
-      val qIds = q.select(col("query_id")).collect().map(_.getLong(0)).toSeq
-      def score(f: DataFrame): DataFrame = f
-        .join(e, "node")
-        .join(broadcast(q), "query_id")
-        .withColumn("sim", dotExpr("q_emb", "embedding") / sqrt(col("q_nrm") * col("nrm")))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("node").asc)
-      def candOf(beam: Seq[(Long, Long)]): DataFrame = {
-        val f = beam.toDF("query_id", "node")
-        f.unionByName(
-            f.join(sym, col("node") === col("src"))
-              .select(col("query_id"), col("dst").as("node")))
-          .distinct()
+      graphWalk(e, knnGraphTable(s, dir), q)
+    }),
+
+    // ll37: the SAME walk served from GraphStream's STREAMED stores —
+    // the corpus arrives as three interleaved vector batches, the
+    // maintained graph folds incrementally (later batches re-edging
+    // earlier nodes — the retroactive case), state LSM-compacts, and
+    // graphWalk reads the streamed graph + vecs. The oracle is ll36's
+    // verbatim: fold ≡ rebuild and one shared read path mean the
+    // batch-built and stream-maintained indexes must answer
+    // identically — the differential gate proves both at once.
+    "ll37_graph_ann_streamed" -> ((s, dir) => {
+      val state = java.nio.file.Files.createTempDirectory("graft_ll37").toString + "/state"
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      (0 to 2).foreach { b =>
+        graft.streaming.GraphStream.processBatch(s,
+          base.filter(col("vec_id") % 3 === b), state, b.toLong)
       }
-      var beam: Seq[(Long, Long)] = qIds.map(id => (id, entry))
-      for (_ <- 1 to 2) {
-        beam = score(candOf(beam))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
-          .select(col("query_id"), col("node"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // ≤ 40 rows
-      }
-      // hop 3 fused with the answer: the final top-3 comes from inside
-      // the last beam (top-4 incl. a possible self), so one plan ranks
-      // the beam, drops self, and re-ranks — no third collect
-      score(candOf(beam))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
-        .filter(col("node") =!= col("query_id"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("node").as("neighbor_id"))
+      // compacted as the runtime would inside batch 2's callback: the
+      // in-flight batch stays uncovered
+      graft.streaming.GraphStream.compactState(s, state, targetFiles = 1,
+        excludeBatchId = 2L)
+      graft.streaming.GraphStream.search(s, state,
+        base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")))
     }),
 
     // DIVERSITY COVERAGE SAMPLE (k-center-style coreset): one medoid
@@ -1344,6 +1396,45 @@ object Similarity {
                    WHERE rank <= 3)"""
   }
 
+  /** The ll36/ll37 oracle: the 3-hop beam walk over the shared graph
+    * CTEs, unrolled hop by hop. One string for both queries — ll37
+    * reads GraphStream's streamed stores, and fold ≡ rebuild means
+    * the walk's answer is identical.
+    */
+  private val graphWalkOracle: String = {
+    val simSql = "list_sum(list_transform(range(1, 65), " +
+      "i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) " +
+      "/ sqrt(q.q_nrm * e.nrm)"
+    val hops = (1 to 3).map { i =>
+      s"""c$i AS (SELECT query_id, node FROM f${i - 1} UNION
+               SELECT f.query_id, s.dst AS node FROM f${i - 1} f
+               JOIN sym s ON f.node = s.src),
+        s$i AS (SELECT c.query_id, c.node, $simSql AS sim
+                FROM c$i c JOIN ev e ON c.node = e.node
+                JOIN qv q ON c.query_id = q.query_id),
+        f$i AS (SELECT query_id, node FROM (
+                  SELECT query_id, node, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, node) AS rn
+                  FROM s$i) WHERE rn <= 4)"""
+    }.mkString(",\n        ")
+    s"""WITH $knnGraphCtes,
+        sym AS (SELECT vec_id AS src, neighbor_id AS dst FROM knng
+                UNION
+                SELECT neighbor_id AS src, vec_id AS dst FROM knng),
+        ev AS (SELECT vec_id AS node, embedding, $normSql AS nrm FROM embeddings),
+        qv AS (SELECT vec_id AS query_id, embedding AS q_emb, $normSql AS q_nrm
+               FROM embeddings WHERE vec_id < 10),
+        f0 AS (SELECT query_id, (SELECT MIN(vec_id) FROM embeddings) AS node
+               FROM qv),
+        $hops
+        SELECT query_id, CAST(rn AS BIGINT) AS rank, node AS neighbor_id
+        FROM (SELECT query_id, node, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, node) AS rn
+              FROM s3 JOIN f3 USING (query_id, node)
+              WHERE node <> query_id)
+        WHERE rn <= 3"""
+  }
+
   val oracles: Map[String, String] = Map(
     "ll3_ann_topk" -> annOracle(""),
     // both rankings as CTE'd subqueries of the shared oracle body
@@ -1369,39 +1460,11 @@ object Similarity {
     // candidate set (previous beam UNION its symmetrized neighbors),
     // exact-cosine scoring, and the top-4 beam window mirror the
     // Spark fold exactly; the final top-3 excludes the query itself
-    "ll36_graph_ann" -> {
-      val simSql = "list_sum(list_transform(range(1, 65), " +
-        "i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) " +
-        "/ sqrt(q.q_nrm * e.nrm)"
-      val hops = (1 to 3).map { i =>
-        s"""c$i AS (SELECT query_id, node FROM f${i - 1} UNION
-                 SELECT f.query_id, s.dst AS node FROM f${i - 1} f
-                 JOIN sym s ON f.node = s.src),
-          s$i AS (SELECT c.query_id, c.node, $simSql AS sim
-                  FROM c$i c JOIN ev e ON c.node = e.node
-                  JOIN qv q ON c.query_id = q.query_id),
-          f$i AS (SELECT query_id, node FROM (
-                    SELECT query_id, node, ROW_NUMBER() OVER (
-                      PARTITION BY query_id ORDER BY sim DESC, node) AS rn
-                    FROM s$i) WHERE rn <= 4)"""
-      }.mkString(",\n          ")
-      s"""WITH $knnGraphCtes,
-          sym AS (SELECT vec_id AS src, neighbor_id AS dst FROM knng
-                  UNION
-                  SELECT neighbor_id AS src, vec_id AS dst FROM knng),
-          ev AS (SELECT vec_id AS node, embedding, $normSql AS nrm FROM embeddings),
-          qv AS (SELECT vec_id AS query_id, embedding AS q_emb, $normSql AS q_nrm
-                 FROM embeddings WHERE vec_id < 10),
-          f0 AS (SELECT query_id, (SELECT MIN(vec_id) FROM embeddings) AS node
-                 FROM qv),
-          $hops
-          SELECT query_id, CAST(rn AS BIGINT) AS rank, node AS neighbor_id
-          FROM (SELECT query_id, node, ROW_NUMBER() OVER (
-                  PARTITION BY query_id ORDER BY sim DESC, node) AS rn
-                FROM s3 JOIN f3 USING (query_id, node)
-                WHERE node <> query_id)
-          WHERE rn <= 3"""
-    },
+    "ll36_graph_ann" -> graphWalkOracle,
+    // ll37: the SAME oracle — GraphStream's fold must land the exact
+    // graph the batch build lands (fold ≡ rebuild), and graphWalk is
+    // one shared read path; the differential gate proves both at once
+    "ll37_graph_ann_streamed" -> graphWalkOracle,
     // ll29: the ll26 Lloyd replay, then one medoid per cell via
     // ROW_NUMBER over (distance, vec_id)
     "ll29_diverse_sample" ->

@@ -1836,6 +1836,81 @@ class StreamingSpec extends SparkSpec {
       "compaction must not change search results")
   }
 
+  // ---- GraphStream: the kNN graph's incremental fold ----
+
+  test("streaming kNN-graph maintenance: the graph equals a batch build over " +
+    "the union at every boundary, a later twin RE-EDGES an earlier node, and " +
+    "replay/compaction are no-ops") {
+    assume(new java.io.File(releaseSfDir).exists())
+    val sess = spark
+    import sess.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val base = graft.Tables.embeddings(spark, releaseSfDir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // interleave so buckets assemble ACROSS batches; the last batch
+    // plants exact ×2-scaled twins of five batch-0 vectors — doubling
+    // every float is exact, so every hyperplane dot doubles exactly
+    // and the twin is GUARANTEED to land in its original's bucket
+    // with cosine ~1: the retroactive re-edge case by construction
+    val slices = Seq(0, 1, 2).map(m =>
+      base.zipWithIndex.filter(_._2 % 3 == m).map(_._1).toSeq)
+    val twins = base.take(5).map { case (id, e) =>
+      (id + 100000L, e.map(x => x * 2)) }.toSeq
+    val state = Files.createTempDirectory("graph_stream").toString + "/state"
+    def graphSet() = GraphStream.readGraph(spark, state).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def rebuild(arrived: Seq[(Long, Seq[Float])]) =
+      graft.operators.Similarity.bucketTop3(
+          graft.operators.Similarity.lshBucketed(
+            arrived.toDF("vec_id", "embedding")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    var arrived = Seq.empty[(Long, Seq[Float])]
+    (slices :+ twins).zipWithIndex.foreach { case (s, i) =>
+      GraphStream.processBatch(spark, s.toDF("vec_id", "embedding"),
+        state, i.toLong)
+      arrived ++= s
+      assert(graphSet() === rebuild(arrived),
+        s"graph fold != batch build at boundary $i")
+    }
+    // the planted twins displaced their originals' rank-1 edges —
+    // proves the fold rewrote EXISTING nodes, not just the batch's
+    val g = graphSet()
+    twins.foreach { case (tid, _) =>
+      assert(g.contains((tid - 100000L, 1L, tid)),
+        s"node ${tid - 100000L} must re-edge to its twin $tid at rank 1")
+    }
+    // replay + late re-delivery are no-ops
+    GraphStream.processBatch(spark, twins.toDF("vec_id", "embedding"), state, 3L)
+    assert(graphSet() === g, "same-batch replay must not change the graph")
+    GraphStream.processBatch(spark, slices.head.toDF("vec_id", "embedding"),
+      state, 4L)
+    assert(graphSet() === g, "late re-delivery must not re-edge")
+    // the streamed-store search equals the shared walk over
+    // rebuild-derived frames, before and after compaction
+    val queries = base.take(5).toSeq.toDF("query_id", "embedding")
+    def searchSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = searchSet(GraphStream.search(spark, state, queries))
+    val eAll = graft.operators.Similarity.withNorm(
+        arrived.toDF("vec_id", "embedding"))
+      .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
+    val qAll = graft.operators.Similarity.withNorm(
+        queries.select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val want = searchSet(graft.operators.Similarity.graphWalk(eAll,
+      graft.operators.Similarity.bucketTop3(
+        graft.operators.Similarity.lshBucketed(
+          arrived.toDF("vec_id", "embedding"))), qAll))
+    assert(got === want, "streamed-store walk != batch walk")
+    GraphStream.compactState(spark, state, targetFiles = 1)
+    assert(graphSet() === g, "compaction must preserve the graph")
+    assert(searchSet(GraphStream.search(spark, state, queries)) === got,
+      "compaction must not change search results")
+  }
+
   // ---- SearchStream: the postings index's incremental fold ----
 
   test("streaming postings maintenance: fold equals full rebuild at every " +
