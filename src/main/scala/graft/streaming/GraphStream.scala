@@ -34,8 +34,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * State stores (per-batch `batch_id=N` partitions, overwrite mode —
   * the shared at-least-once replay contract):
   *   graph (vec_id, nbs)                 versioned; read = latest per node
-  *   vecs  (vec_id, embedding, nrm, bucket)  first-write-wins, bucket-
-  *         partitioned inside each batch partition (the pruning key)
+  *   vecs  (vec_id, embedding, nrm, bucket)  first-write-wins,
+  *         directory-partitioned by bgroup = bucket % [[BucketGroups]]
+  *         inside each batch partition — the pruned-read key. The
+  *         group count is a layout knob (EventStream.trackBuckets'
+  *         shape): 16 keeps the local dynamic-partition commit cheap;
+  *         a 100 TB deployment raises it toward one dir per bucket
   * [[compactState]] folds committed partitions into LSM range
   * sentinels (graph keeps each node's latest row; vecs keeps its
   * bucket partitioning), with the in-flight batch left out (the
@@ -44,6 +48,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object GraphStream {
 
   private[graft] val stores: Seq[String] = Seq("graph", "vecs")
+
+  /** Directory-group count for the vecs store's partition layout. */
+  private[graft] val BucketGroups = 16
 
   private def graphDir(stateDir: String) = s"$stateDir/graph"
   private def vecsDir(stateDir: String) = s"$stateDir/vecs"
@@ -54,7 +61,6 @@ object GraphStream {
   private def readVecsState(spark: SparkSession, stateDir: String,
                             excludeBatchId: Long): Option[DataFrame] =
     StateCompaction.readState(spark, vecsDir(stateDir), excludeBatchId)
-      .map(_.withColumn("bucket", col("bucket").cast("long")))
 
   /** One micro-batch of (vec_id, embedding): bucket the first-seen
     * vectors, recompute the touched buckets' top-3 edges over their
@@ -63,6 +69,11 @@ object GraphStream {
     */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                    batchId: Long): Unit = {
+    def prof[T](label: String)(f: => T): T =
+      if (sys.props.contains("graft.gs.profile")) {
+        val t0 = System.nanoTime(); val r = f
+        Console.err.println(f"[gsprof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      } else f
     StateCompaction.heal(spark, stores.map(n => s"$stateDir/$n"))
     val prior = readVecsState(spark, stateDir, batchId)
     // first-write-wins: a re-delivered vector is skipped (re-embedding
@@ -73,23 +84,34 @@ object GraphStream {
             .join(p.select(col("vec_id")), Seq("vec_id"), "left_anti")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      prof("batch")(())
       // the touched-bucket list is batch-bounded (≤ 256 under the
       // 8-hyperplane scheme) — a driver-side pruning list, the
       // VectorStream qCells precedent
-      val touched = fresh.select(col("bucket")).distinct()
-        .collect().map(_.getLong(0))
+      val touched = prof("touched")(fresh.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0)))
+      val touchedGroups = touched.map(_ % BucketGroups).distinct
       val members = prior
-        .map(_.filter(col("bucket").isin(touched: _*)).unionByName(fresh))
+        .map(_.filter(col("bgroup").isin(touchedGroups: _*) &&
+            col("bucket").isin(touched: _*))
+          .drop("bgroup")
+          .unionByName(fresh))
         .getOrElse(fresh.toDF())
       val delta = Similarity.bucketTop3(members)
         .groupBy(col("vec_id"))
         .agg(sort_array(collect_list(struct(col("rank"), col("neighbor_id"))))
           .as("rs"))
         .select(col("vec_id"), expr("transform(rs, r -> r.neighbor_id)").as("nbs"))
-      delta.write.mode("overwrite")
-        .parquet(s"${graphDir(stateDir)}/batch_id=$batchId")
-      fresh.write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"${vecsDir(stateDir)}/batch_id=$batchId")
+      prof("delta write")(delta.write.mode("overwrite")
+        .parquet(s"${graphDir(stateDir)}/batch_id=$batchId"))
+      // repartition on the partition column first (the d8 rule): a
+      // dynamic-partition write otherwise lands tasks × groups tiny
+      // files and every later pruned read pays the open() tax
+      prof("vecs write")(fresh
+        .withColumn("bgroup", col("bucket") % BucketGroups)
+        .repartition(col("bgroup"))
+        .write.partitionBy("bgroup").mode("overwrite")
+        .parquet(s"${vecsDir(stateDir)}/batch_id=$batchId"))
     } finally fresh.unpersist()
   }
 
@@ -118,19 +140,20 @@ object GraphStream {
     def empty = Seq.empty[(Long, Long, Long)].toDF("query_id", "rank", "neighbor_id")
     (readVecsState(spark, stateDir, Long.MinValue), readGraph(spark, stateDir)) match {
       case (Some(vecs), Some(g)) =>
+        val v = vecs.drop("bgroup")
         val q = Similarity.withNorm(
             queries.select(col("query_id").as("vec_id"), col("embedding")))
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
             col("nrm").as("q_nrm"))
         Similarity.graphWalk(
-          vecs.select(col("vec_id").as("node"), col("embedding"), col("nrm")),
+          v.select(col("vec_id").as("node"), col("embedding"), col("nrm")),
           g, q, k = k)
       case _ => empty
     }
   }
 
   /** Fold committed partitions into LSM range sentinels: graph keeps
-    * each node's latest version, vecs keeps its bucket partitioning
+    * each node's latest version, vecs keeps its bgroup partitioning
     * (the pruned read's key). The in-flight batch is left out.
     */
   def compactState(spark: SparkSession, stateDir: String,
@@ -141,7 +164,7 @@ object GraphStream {
       excludeBatchId = excludeBatchId)
     StateCompaction.compactStore(spark, vecsDir(stateDir), targetFiles,
       keep = _.dropDuplicates("vec_id"),
-      bucketCol = Some("bucket"),
+      bucketCol = Some("bgroup"),
       excludeBatchId = excludeBatchId)
   }
 
