@@ -115,7 +115,11 @@ object BenchScale {
     // ll36 (graph-walk ANN): the walk's per-hop work is beam-bounded
     // graph/vector probes — the probe checks the read path stays
     // ~flat once the maintained graph build is billed to first touch
-    "ll36_graph_ann")
+    "ll36_graph_ann",
+    // ll37 (streamed graph): same walk over GraphStream's stores —
+    // the probe measures the maintained-store read with the
+    // per-(session, dir) fold billed to first touch
+    "ll37_graph_ann_streamed")
 
   /** Write a K-fold replica of the tables the heavy set reads. */
   private[graft] def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
