@@ -605,15 +605,43 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("nb_id").as("neighbor_id"))
   }
 
+  /** Per-query ENTRY POINTS — the coarse-routing role HNSW's upper
+    * layers play, served by the structure the index already has: each
+    * query starts its walk at the lowest id in its own LSH bucket
+    * (`entries` is the bucket→entry route table, model-sized). A
+    * query whose bucket is absent from the corpus falls back to the
+    * global minimum entry. Returns (query_id, entry).
+    */
+  private[graft] def routeOf(entries: DataFrame, queries: DataFrame): DataFrame = {
+    val qb = lshBucketed(queries.select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val globalMin = entries.agg(min(col("entry"))).first().getLong(0)
+    qb.join(broadcast(entries), Seq("bucket"), "left")
+      .select(col("query_id"), coalesce(col("entry"), lit(globalMin)).as("entry"))
+  }
+
+  /** The maintained ROUTE TABLE (bucket, entry = min vec_id in the
+    * bucket) — ~256 rows, the graph index's "upper layer"; rebuilt
+    * with the graph on the embeddings watermark.
+    */
+  private val routeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
+  private[operators] def knnRouteTable(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): DataFrame =
+    Dedup.materializedTable(routeCache, s, dir, "knnroute", Seq("embeddings"))(
+      lshBucketed(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+        .groupBy(col("bucket")).agg(min(col("vec_id")).as("entry")))
+
   /** ll36's beam walk over ARBITRARY graph + vector frames — shared by
     * the batch query (maintained knngraph) and GraphStream.search (the
     * streamed stores), so the two read paths cannot drift. `e` is
     * (node, embedding, nrm), `g` is (vec_id, rank, neighbor_id), `q`
-    * is (query_id, q_emb, q_nrm); returns (query_id, rank,
-    * neighbor_id). Beams collect per hop — queries × beam rows,
-    * model-sized at any corpus.
+    * is (query_id, q_emb, q_nrm), `route` is (query_id, entry) from
+    * [[routeOf]]; returns (query_id, rank, neighbor_id). Beams collect
+    * per hop — queries × beam rows, model-sized at any corpus.
     */
   private[graft] def graphWalk(e: DataFrame, g: DataFrame, q: DataFrame,
+                               route: DataFrame,
                                hops: Int = 3, beamWidth: Int = 4,
                                k: Int = 3): DataFrame = {
     val sess = e.sparkSession
@@ -621,8 +649,6 @@ object Similarity {
     val sym = g.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .unionByName(g.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
       .distinct()
-    val entry = e.agg(min(col("node"))).first().getLong(0)
-    val qIds = q.select(col("query_id")).collect().map(_.getLong(0)).toSeq
     def score(f: DataFrame): DataFrame = f
       .join(e, "node")
       .join(broadcast(q), "query_id")
@@ -635,7 +661,8 @@ object Similarity {
             .select(col("query_id"), col("dst").as("node")))
         .distinct()
     }
-    var beam: Seq[(Long, Long)] = qIds.map(id => (id, entry))
+    var beam: Seq[(Long, Long)] = route.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq // queries × 1 rows
     for (_ <- 1 until hops) {
       beam = score(candOf(beam))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= beamWidth)
@@ -1137,27 +1164,31 @@ object Similarity {
     "ll28_knn_graph" -> ((s, dir) => knnGraphTable(s, dir)),
 
     // GRAPH-WALK ANN — the HNSW/NSG family (Malkov & Yashunin
-    // TPAMI'18, reduced to one deterministic layer): greedy BEAM
-    // SEARCH over the maintained kNN graph instead of scanning a cell
-    // (IVF, ll4/ll34) or a bucket union (LSH, ll7). From a fixed
-    // entry point (the corpus's min vec_id), each hop expands the
-    // current beam's symmetrized graph neighbors, scores every
-    // candidate by EXACT cosine against the query, and keeps the
-    // top-4 beam (ties to the lower id); the union with the previous
-    // beam makes the walk monotone, so after 3 hops the beam holds
-    // the best nodes seen and its top-3 (self excluded) are the
-    // answer. The frontier is queries × beam rows — COLLECTED per hop
-    // (≤ 40 rows, model-sized, never corpus-sized), which both drives
-    // the sequential hops and starts each hop's plan from literals
+    // TPAMI'18, reduced to one deterministic layer + a coarse
+    // router): greedy BEAM SEARCH over the maintained kNN graph
+    // instead of scanning a cell (IVF, ll4/ll34) or a bucket union
+    // (LSH, ll7). Each query ENTERS at the lowest id in its own LSH
+    // bucket (the maintained ~256-row route table — the role HNSW's
+    // upper layers play, served by structure the index already has;
+    // a single global entry cannot even retrieve a planted same-
+    // bucket twin — 3 beam-pruned hops don't cross a 2000-node
+    // graph — while the routed walk finds every twin at rank 1,
+    // TrainingOpsSpec's pin). Each hop expands the current beam's
+    // symmetrized graph neighbors, scores every candidate by EXACT
+    // cosine against the query, and keeps the top-4 beam (ties to
+    // the lower id); the union with the previous beam makes the walk
+    // monotone, so after 3 hops the beam holds the best nodes seen
+    // and its top-3 (self excluded) are the answer. The frontier is
+    // queries × beam rows — COLLECTED per hop (≤ 40 rows,
+    // model-sized, never corpus-sized), which both drives the
+    // sequential hops and starts each hop's plan from literals
     // instead of nesting the previous hop's plan twice (the union +
     // join would double the executed plan per hop). At 100 TB the
     // per-hop cost is |beam| graph probes + |candidates| vector
     // lookups — independent of corpus size, the property that makes
     // graph ANN the serving default; the corpus-sized work is the
-    // maintained table's one-time build. Recall is bounded by the
-    // entry point's graph component (the classic single-layer
-    // limitation HNSW's upper layers exist to fix); the oracle
-    // replays the identical walk, hop by hop.
+    // maintained table's one-time build. The oracle replays the
+    // identical routed walk, hop by hop.
     "ll36_graph_ann" -> ((s, dir) => {
       val e = withNorm(Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding")))
@@ -1167,7 +1198,8 @@ object Similarity {
         .filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"))
-      graphWalk(e, knnGraphTable(s, dir), q)
+      graphWalk(e, knnGraphTable(s, dir), q, routeOf(knnRouteTable(s, dir), q
+        .select(col("query_id"), col("q_emb").as("embedding"))))
     }),
 
     // ll37: the SAME walk served from GraphStream's STREAMED stores —
@@ -1186,6 +1218,60 @@ object Similarity {
       graft.streaming.GraphStream.search(s, state,
         Tables.embeddings(s, dir).filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding")))
+    }),
+
+    // ll38: the graph walk's QUALITY KNOB — beam width 8 instead of 4
+    // (HNSW's efSearch; ll35's nprobe is the same dial on the IVF
+    // arm). A wider beam explores a superset of candidates at every
+    // hop, so its best-seen similarities dominate the narrow walk's
+    // (TrainingOpsSpec pins the dominance and the recall gain on this
+    // corpus); cost stays beam-bounded — 2x the probes per hop,
+    // corpus-independent either way.
+    "ll38_graph_ann_beam8" -> ((s, dir) => {
+      val e = withNorm(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")))
+        .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
+      val q = withNorm(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")))
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      graphWalk(e, knnGraphTable(s, dir), q, routeOf(knnRouteTable(s, dir), q
+        .select(col("query_id"), col("q_emb").as("embedding"))), beamWidth = 8)
+    }),
+
+    // EV17: GRAPH-WALK RECALL — ev1's harness pointed at the graph
+    // arm: recall@3 of ll36's beam walk against the exact brute-force
+    // top-3 (ll3's plan), per query. The number an index owner reads
+    // when tuning hops/beam/entry — computed in the engine, where the
+    // graph lives, like every other eval leg. CALIBRATION: this
+    // synthetic corpus is near-orthogonal noise (max cosine ~0.37),
+    // where bucket-local edges carry no global signal — ev1's IVF
+    // recall reads ~0.1 on the same data and this reads ~0; the
+    // structure-present exhibit is TrainingOpsSpec's planted-twin
+    // pin (every twin retrieved at rank 1). The harness exists so an
+    // owner sees exactly that difference on their corpus.
+    "ev17_graph_recall" -> ((s, dir) => {
+      val exact = annTopK(s, dir, sameCell = false)
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val e = withNorm(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")))
+        .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
+      val q = withNorm(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")))
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val approx = graphWalk(e, knnGraphTable(s, dir), q,
+          routeOf(knnRouteTable(s, dir), q
+            .select(col("query_id"), col("q_emb").as("embedding"))))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall", col("n_hit") / col("k"))
     }),
 
     // DIVERSITY COVERAGE SAMPLE (k-center-style coreset): one medoid
@@ -1424,12 +1510,13 @@ object Similarity {
                    WHERE rank <= 3)"""
   }
 
-  /** The ll36/ll37 oracle: the 3-hop beam walk over the shared graph
-    * CTEs, unrolled hop by hop. One string for both queries — ll37
-    * reads GraphStream's streamed stores, and fold ≡ rebuild means
-    * the walk's answer is identical.
+  /** The ll36/ll37/ll38 oracle: the 3-hop beam walk over the shared
+    * graph CTEs, unrolled hop by hop with the given beam width. One
+    * body for all three — ll37 reads GraphStream's streamed stores
+    * (fold ≡ rebuild means the walk's answer is identical), ll38
+    * widens the beam.
     */
-  private val graphWalkOracle: String = {
+  private def graphWalkOracleOf(beam: Int): String = {
     val simSql = "list_sum(list_transform(range(1, 65), " +
       "i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) " +
       "/ sqrt(q.q_nrm * e.nrm)"
@@ -1443,7 +1530,7 @@ object Similarity {
         f$i AS (SELECT query_id, node FROM (
                   SELECT query_id, node, ROW_NUMBER() OVER (
                     PARTITION BY query_id ORDER BY sim DESC, node) AS rn
-                  FROM s$i) WHERE rn <= 4)"""
+                  FROM s$i) WHERE rn <= $beam)"""
     }.mkString(",\n        ")
     s"""WITH $knnGraphCtes,
         sym AS (SELECT vec_id AS src, neighbor_id AS dst FROM knng
@@ -1452,8 +1539,10 @@ object Similarity {
         ev AS (SELECT vec_id AS node, embedding, $normSql AS nrm FROM embeddings),
         qv AS (SELECT vec_id AS query_id, embedding AS q_emb, $normSql AS q_nrm
                FROM embeddings WHERE vec_id < 10),
-        f0 AS (SELECT query_id, (SELECT MIN(vec_id) FROM embeddings) AS node
-               FROM qv),
+        en AS (SELECT bucket, MIN(vec_id) AS entry FROM b GROUP BY bucket),
+        f0 AS (SELECT q.query_id, e2.entry AS node
+               FROM qv q JOIN b qb ON q.query_id = qb.vec_id
+               JOIN en e2 ON qb.bucket = e2.bucket),
         $hops
         SELECT query_id, CAST(rn AS BIGINT) AS rank, node AS neighbor_id
         FROM (SELECT query_id, node, ROW_NUMBER() OVER (
@@ -1462,6 +1551,7 @@ object Similarity {
               WHERE node <> query_id)
         WHERE rn <= 3"""
   }
+  private val graphWalkOracle: String = graphWalkOracleOf(4)
 
   val oracles: Map[String, String] = Map(
     "ll3_ann_topk" -> annOracle(""),
@@ -1493,6 +1583,20 @@ object Similarity {
     // graph the batch build lands (fold ≡ rebuild), and graphWalk is
     // one shared read path; the differential gate proves both at once
     "ll37_graph_ann_streamed" -> graphWalkOracle,
+    // ll38: the same unrolled walk at beam width 8
+    "ll38_graph_ann_beam8" -> graphWalkOracleOf(8),
+    // ev17: ev1's recall harness over the walk vs the brute top-3
+    "ev17_graph_recall" ->
+      s"""SELECT ex.query_id, COUNT(*) AS k,
+            CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit,
+            CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*) AS recall
+          FROM (SELECT query_id, neighbor_id FROM (${annOracle("")})
+                WHERE rank <= 3) ex
+          LEFT JOIN ($graphWalkOracle) ap
+            ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+          GROUP BY 1""",
     // ll29: the ll26 Lloyd replay, then one medoid per cell via
     // ROW_NUMBER over (distance, vec_id)
     "ll29_diverse_sample" ->

@@ -145,9 +145,13 @@ object GraphStream {
             queries.select(col("query_id").as("vec_id"), col("embedding")))
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
             col("nrm").as("q_nrm"))
+        // the route table (bucket → min id) comes straight off the
+        // bucketed store — the same coarse router the batch side
+        // maintains as knnroute
+        val entries = v.groupBy(col("bucket")).agg(min(col("vec_id")).as("entry"))
         Similarity.graphWalk(
           v.select(col("vec_id").as("node"), col("embedding"), col("nrm")),
-          g, q, k = k)
+          g, q, Similarity.routeOf(entries, queries), k = k)
       case _ => empty
     }
   }

@@ -119,7 +119,9 @@ class ScaleGuardSpec extends SparkSpec {
     "ev15_hybrid_retrieval_eval" ->
       "eval's semantic leg is ll3's brute-force k×n anchor over the twin vecs; broadcast query side bounded to <10 rows by filter",
     "ev16_index_rebuild_check" ->
-      "the recall eval's GROUND TRUTH is ll3's brute-force k×n anchor over the drifted corpus (the index under test is the cell-pruned path); broadcast query side bounded to <10 rows by filter")
+      "the recall eval's GROUND TRUTH is ll3's brute-force k×n anchor over the drifted corpus (the index under test is the cell-pruned path); broadcast query side bounded to <10 rows by filter",
+    "ev17_graph_recall" ->
+      "the recall eval's GROUND TRUTH is ll3's brute-force k×n anchor (the index under test is the beam walk, whose own per-hop cost is beam-bounded); broadcast query side bounded to <10 rows by filter")
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(flatten)

@@ -344,9 +344,19 @@ class TrainingOpsSpec extends SparkSpec {
       a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
     def sim(q: Long, n: Long): Double =
       dot(emb(q), emb(n)) / math.sqrt(dot(emb(q), emb(q)) * dot(emb(n), emb(n)))
-    val entry = emb.keys.min
-    var improved = false
+    // the coarse router, replayed independently: bucket = the 8
+    // hyperplane dot signs; entry = min id in the query's bucket
+    val planes = (0 until 8).map(j => Similarity.hyperplane(j, 64).map(_.toDouble))
+    def bucketOf(v: Array[Float]): Long =
+      (0 until 8).map { j =>
+        val d = v.indices.foldLeft(0.0)((s, i) => s + v(i).toDouble * planes(j)(i))
+        if (d >= 0) 1L << j else 0L
+      }.sum
+    val buckets = emb.map { case (id, v) => id -> bucketOf(v) }
+    val entryOf = buckets.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    var answered = 0
     for (q <- emb.keys.filter(_ < 10).toSeq.sorted) {
+      val entry = entryOf(buckets(q))
       var beam = Seq(entry)
       for (_ <- 1 to 3) {
         val cand = (beam ++ beam.flatMap(n => sym.getOrElse(n, Set.empty[Long]))).distinct
@@ -357,9 +367,81 @@ class TrainingOpsSpec extends SparkSpec {
         .sortBy { case (n, sm) => (-sm, n) }.take(3).map(_._1)
       val got = out.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
       assert(got == expect, s"walk diverged from the driver replay for query $q")
-      if (got.nonEmpty && q != entry && sim(q, got.head) > sim(q, entry)) improved = true
+      if (got.nonEmpty) answered += 1
     }
-    assert(improved,
-      "at least one query's top hit must beat the entry point — otherwise the walk never moved")
+    // non-vacuity only — on this tiny corpus a routed entry is often
+    // already its bucket's best; that the walk MOVES is pinned by the
+    // planted-twin test below
+    assert(answered > 0, "the walk must answer at least one query")
+  }
+
+  test("ll38 widened beam: per-query top-hit similarity and recall@3 vs brute " +
+    "never drop against the beam-4 walk on this corpus") {
+    assume(new java.io.File(sfDir).exists())
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def sim(q: Long, n: Long): Double =
+      dot(emb(q), emb(n)) / math.sqrt(dot(emb(q), emb(q)) * dot(emb(n), emb(n)))
+    def byQuery(name: String): Map[Long, Seq[Long]] =
+      run(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val b4 = byQuery("ll36_graph_ann")
+    val b8 = byQuery("ll38_graph_ann_beam8")
+    // exact top-3 per query (the brute truth)
+    val queries = emb.keys.filter(_ < 10).toSeq.sorted
+    val truth = queries.map(q => q -> emb.keys.filter(_ != q).toSeq
+      .map(n => (n, sim(q, n))).sortBy { case (n, s) => (-s, n) }
+      .take(3).map(_._1).toSet).toMap
+    var (hits4, hits8) = (0, 0)
+    for (q <- queries) {
+      val (n4, n8) = (b4.getOrElse(q, Seq.empty), b8.getOrElse(q, Seq.empty))
+      if (n4.nonEmpty && n8.nonEmpty)
+        assert(sim(q, n8.head) >= sim(q, n4.head),
+          s"query $q: the widened beam's top hit must not be worse")
+      hits4 += n4.count(truth(q)); hits8 += n8.count(truth(q))
+    }
+    assert(hits8 >= hits4,
+      s"recall@3 must not drop when the beam widens: beam8=$hits8 < beam4=$hits4")
+  }
+
+  test("the routed walk retrieves planted twins — graph ANN works when the " +
+    "data HAS structure (the raw corpus is near-orthogonal noise: ev1's IVF " +
+    "recall reads ~0.1 there too, so twins are the meaningful exhibit)") {
+    assume(new java.io.File(sfDir).exists())
+    val sess = spark
+    import sess.implicits._
+    // corpus = base ∪ exact ×2-scaled twins: doubling every float is
+    // exact, so a twin lands in its base's bucket deterministically
+    // with cosine ~1 — a planted nearest neighbor the walk MUST find
+    val base = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val twins = base.select((col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+    val corpus = base.unionByName(twins)
+    val g = Similarity.bucketTop3(Similarity.lshBucketed(corpus))
+    val e = Similarity.withNorm(corpus)
+      .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val q = Similarity.withNorm(
+        queries.select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val entries = Similarity.lshBucketed(corpus)
+      .groupBy(col("bucket")).agg(min(col("vec_id")).as("entry"))
+    val out = Similarity.graphWalk(e, g, q,
+        Similarity.routeOf(entries, queries)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nQueries = queries.count()
+    val found = out.count { case (qid, _, nb) => nb == qid + 100000L }
+    assert(found == nQueries,
+      s"every query's planted twin must surface in its top-3: $found/$nQueries")
+    out.filter { case (qid, _, nb) => nb == qid + 100000L }.foreach {
+      case (qid, rank, _) =>
+        assert(rank == 1L, s"query $qid: the twin (cosine ~1) must rank first")
+    }
   }
 }

@@ -1900,10 +1900,14 @@ class StreamingSpec extends SparkSpec {
         queries.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
+    val entriesAll = graft.operators.Similarity.lshBucketed(
+        arrived.toDF("vec_id", "embedding"))
+      .groupBy(col("bucket")).agg(min(col("vec_id")).as("entry"))
     val want = searchSet(graft.operators.Similarity.graphWalk(eAll,
       graft.operators.Similarity.bucketTop3(
         graft.operators.Similarity.lshBucketed(
-          arrived.toDF("vec_id", "embedding"))), qAll))
+          arrived.toDF("vec_id", "embedding"))), qAll,
+      graft.operators.Similarity.routeOf(entriesAll, queries)))
     assert(got === want, "streamed-store walk != batch walk")
     GraphStream.compactState(spark, state, targetFiles = 1)
     assert(graphSet() === g, "compaction must preserve the graph")
