@@ -634,6 +634,37 @@ object Dedup {
     materializedTable(cdcCache, s, dir, "cdctable")(
       cdcChunks(Tables.documents(s, dir)))
 
+  /** The MAINTAINED streamed CDC state ll18b reads (one build per
+    * session + dir + corpus watermark, the ts9/ll37 convention):
+    * documents fold through CdcStream as three interleaved batches,
+    * then LSM-compact with the last batch held in-flight. Ledgered so
+    * the first-touch cost never reads as drift.
+    */
+  private val cdcStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamedCdcState(s: SparkSession, dir: String): String = {
+    val key = s.sparkContext.applicationId + "|" + dir + "|" +
+      Tables.snapshotVersion(s, dir, "documents")
+    cdcStreamCache.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
+      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft-ll18b-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      (0 to 2).foreach { b =>
+        graft.streaming.CdcStream.processBatch(s,
+          docs.filter(col("doc_id") % 3 === b), base, b.toLong)
+      }
+      graft.streaming.CdcStream.compactState(s, base, targetFiles = 1,
+        excludeBatchId = 2L)
+      buildLedger.merge("ll18bstate", (1L, (System.nanoTime() - t0) / 1e9),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+      base
+    })
+  }
+
   /** Test hook: the scratch parquet path currently registered for a
     * maintained index table, if built — lets MaintainedTableSpec pin
     * the reclaim contract (superseded path deleted, live path present)
@@ -1196,6 +1227,16 @@ object Dedup {
           sum(when(col("cnt") >= 2, col("nw")).otherwise(0L)).as("n_dup_words"))
     }),
 
+    // ll18b: ll18's report served from CdcStream's STREAMED stores —
+    // the corpus arrives as three interleaved crawl batches, chunk
+    // occurrences and ADDITIVE count deltas fold incrementally, state
+    // LSM-compacts with the last batch in-flight, and the report
+    // joins one occurrence scan to the summed counts. Fold runs once
+    // per (session, dir) and is ledgered (the ts9/ll37 convention);
+    // the oracle is ll18's verbatim — fold ≡ rebuild, gate-proved.
+    "ll18b_cdc_streamed" -> ((s, dir) =>
+      graft.streaming.CdcStream.dedupReport(s, streamedCdcState(s, dir))),
+
     // Asymmetric CONTAINMENT over the verified near-dup pairs —
     // |sh(A) ∩ sh(B)| / |sh(A)| per direction. Jaccard under-scores a
     // short document quoted inside a long one (small union ratio);
@@ -1604,6 +1645,38 @@ object Dedup {
                 bit_count(xor(a.sim_hi, b.sim_hi)) <= 3)"""
   }
 
+  /** The ll18/ll18b oracle: the full CDC chunk replay over documents
+    * — shared so the streamed fold is checked against the identical
+    * batch semantics. */
+  private val cdcOracle: String =
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= 1),
+         c AS (
+           SELECT doc_id, ws,
+             list_filter(range(3, len(ws) + 1), i ->
+               CAST(CAST('0x' || substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]), 1, 8)
+                 AS UBIGINT) % 8 AS BIGINT) = 0) AS cuts
+           FROM d),
+         b AS (
+           SELECT doc_id, ws,
+             list_prepend(1, list_transform(cuts, x -> x + 1)) AS starts,
+             list_append(cuts, len(ws)) AS ends
+           FROM c),
+         occ AS (
+           SELECT doc_id,
+             md5(array_to_string(ws[starts[j]:ends[j]], ' ')) AS h,
+             CAST(ends[j] - starts[j] + 1 AS BIGINT) AS nw
+           FROM (SELECT doc_id, ws, starts, ends,
+                   unnest(range(1, len(starts) + 1)) AS j FROM b)
+           WHERE ends[j] >= starts[j]),
+         cnts AS (SELECT h, COUNT(*) AS cnt FROM occ GROUP BY h)
+         SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN nw ELSE 0 END) AS BIGINT) AS n_dup_words
+         FROM occ JOIN cnts USING (h)
+         GROUP BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "ll1_exact_dedup" ->
       s"""SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
@@ -1823,34 +1896,11 @@ object Dedup {
     // cuts are 1-based here (Spark side is 0-based): Spark cut c
     // (after 0-based word c) == DuckDB cut c+1; starts/ends shift
     // accordingly and the inclusive 1-based list slice lines up.
-    "ll18_cdc_dedup" ->
-      """WITH d AS (
-           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-           WHERE len(string_split(text, ' ')) >= 1),
-         c AS (
-           SELECT doc_id, ws,
-             list_filter(range(3, len(ws) + 1), i ->
-               CAST(CAST('0x' || substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]), 1, 8)
-                 AS UBIGINT) % 8 AS BIGINT) = 0) AS cuts
-           FROM d),
-         b AS (
-           SELECT doc_id, ws,
-             list_prepend(1, list_transform(cuts, x -> x + 1)) AS starts,
-             list_append(cuts, len(ws)) AS ends
-           FROM c),
-         occ AS (
-           SELECT doc_id,
-             md5(array_to_string(ws[starts[j]:ends[j]], ' ')) AS h,
-             CAST(ends[j] - starts[j] + 1 AS BIGINT) AS nw
-           FROM (SELECT doc_id, ws, starts, ends,
-                   unnest(range(1, len(starts) + 1)) AS j FROM b)
-           WHERE ends[j] >= starts[j]),
-         cnts AS (SELECT h, COUNT(*) AS cnt FROM occ GROUP BY h)
-         SELECT doc_id, COUNT(*) AS n_chunks,
-           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-           CAST(SUM(CASE WHEN cnt >= 2 THEN nw ELSE 0 END) AS BIGINT) AS n_dup_words
-         FROM occ JOIN cnts USING (h)
-         GROUP BY doc_id""",
+    "ll18_cdc_dedup" -> cdcOracle,
+    // ll18b: the SAME oracle — CdcStream's fold must land the exact
+    // occurrence/count state the batch chunk pass lands (fold ==
+    // rebuild); the differential gate proves it end to end
+    "ll18b_cdc_streamed" -> cdcOracle,
     "ll15_span_dedup" ->
       """WITH aug AS (
            SELECT doc_id,

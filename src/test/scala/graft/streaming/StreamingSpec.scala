@@ -1836,6 +1836,68 @@ class StreamingSpec extends SparkSpec {
       "compaction must not change search results")
   }
 
+  // ---- CdcStream: the chunk-occurrence index's incremental fold ----
+
+  test("streaming CDC-chunk maintenance: occurrences equal a batch chunk pass " +
+    "over the union at every boundary, additive counts survive compaction's " +
+    "re-sum, and replay is a no-op") {
+    assume(new java.io.File(releaseSfDir).exists())
+    val sess = spark
+    import sess.implicits._
+    val base = graft.Tables.documents(spark, releaseSfDir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val slices = Seq(0, 1, 2).map(m =>
+      base.zipWithIndex.filter(_._2 % 3 == m).map(_._1).toSeq)
+    val state = Files.createTempDirectory("cdc_stream").toString + "/state"
+    def occSet() = CdcStream.readChunks(spark, state).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    def cntMap() = CdcStream.readCounts(spark, state).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rebuild(arrived: Seq[(Long, String)]) =
+      graft.operators.Dedup.cdcChunks(arrived.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    var arrived = Seq.empty[(Long, String)]
+    slices.zipWithIndex.foreach { case (s, i) =>
+      CdcStream.processBatch(spark, s.toDF("doc_id", "text"), state, i.toLong)
+      arrived ++= s
+      val want = rebuild(arrived)
+      assert(occSet() === want.groupBy(identity).view.mapValues(_.length).toMap,
+        s"chunk fold != batch pass at boundary $i (multiset)")
+      // the additive count store sums to the occurrence counts
+      assert(cntMap() === want.groupBy(_._2).view.mapValues(_.length.toLong).toMap,
+        s"summed count deltas != occurrence counts at boundary $i")
+    }
+    // the report off the stores equals ll18's aggregation over a batch pass
+    val report = CdcStream.dedupReport(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val occ = rebuild(arrived)
+    val cnt = occ.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val wantReport = occ.groupBy(_._1).map { case (d, rows) =>
+      (d, rows.length.toLong,
+        rows.count(r => cnt(r._2) >= 2).toLong,
+        rows.filter(r => cnt(r._2) >= 2).map(_._3).sum)
+    }.toSet
+    assert(report === wantReport, "dedupReport != ll18's batch aggregation")
+    // replay + late re-delivery are no-ops
+    val (o0, c0) = (occSet(), cntMap())
+    CdcStream.processBatch(spark, slices.last.toDF("doc_id", "text"), state, 2L)
+    assert(occSet() === o0 && cntMap() === c0,
+      "same-batch replay must not change the index")
+    CdcStream.processBatch(spark, slices.head.toDF("doc_id", "text"), state, 3L)
+    assert(occSet() === o0 && cntMap() === c0,
+      "late re-delivery must not re-chunk")
+    // compaction: the count deltas RE-SUM — reads identical after
+    CdcStream.compactState(spark, state, targetFiles = 1)
+    assert(occSet() === o0 && cntMap() === c0,
+      "compaction must preserve occurrences and summed counts")
+    assert(CdcStream.dedupReport(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet === report,
+      "compaction must not change the report")
+  }
+
   // ---- GraphStream: the kNN graph's incremental fold ----
 
   test("streaming kNN-graph maintenance: the graph equals a batch build over " +
