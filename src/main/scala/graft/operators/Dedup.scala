@@ -634,24 +634,48 @@ object Dedup {
     materializedTable(cdcCache, s, dir, "cdctable")(
       cdcChunks(Tables.documents(s, dir)))
 
-  /** The MAINTAINED streamed CDC state ll18b reads (one build per
-    * session + dir + corpus watermark, the ts9/ll37 convention):
-    * documents fold through CdcStream as three interleaved batches,
-    * then LSM-compact with the last batch held in-flight. Ledgered so
-    * the first-touch cost never reads as drift.
+  /** Build-once STREAMED state under the ts9 convention, with
+    * [[materializedTable]]'s reclaim rule: one fold per (session,
+    * dir, source-table watermark), ledgered so the first-touch cost
+    * never reads as drift; a corpus moved mid-session rebuilds under
+    * the new watermark and the SUPERSEDED state dir is deleted (the
+    * r16 scratch-reclaim rule — the previous key's corpus-sized
+    * parquet otherwise accumulates in tmp for the session's life).
+    * Shared by ll18b (CdcStream) and ll37 (GraphStream).
+    */
+  private[operators] def streamedState(
+      cache: java.util.concurrent.ConcurrentHashMap[String, (String, String)],
+      s: SparkSession, dir: String, tag: String, watermarkTable: String)
+      (fold: String => Unit): String = {
+    val key = s.sparkContext.applicationId + "|" + dir + "|" + tag
+    val ver = Tables.snapshotVersion(s, dir, watermarkTable)
+    cache.compute(key, (_, old) => {
+      if (old != null && old._1 == ver) old
+      else {
+        val t0 = System.nanoTime()
+        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          s"/graft-$tag-" + java.security.MessageDigest.getInstance("MD5")
+            .digest((key + "|" + ver).getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        // a previous session's leftover state would double-fold
+        dropScratch(s, base)
+        fold(base)
+        buildLedger.merge(tag + "state", (1L, (System.nanoTime() - t0) / 1e9),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+        if (old != null) dropScratch(s, old._2) // superseded watermark
+        (ver, base)
+      }
+    })._2
+  }
+
+  /** The MAINTAINED streamed CDC state ll18b reads: documents fold
+    * through CdcStream as three interleaved batches, then LSM-compact
+    * with the last batch held in-flight.
     */
   private val cdcStreamCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def streamedCdcState(s: SparkSession, dir: String): String = {
-    val key = s.sparkContext.applicationId + "|" + dir + "|" +
-      Tables.snapshotVersion(s, dir, "documents")
-    cdcStreamCache.computeIfAbsent(key, _ => {
-      val t0 = System.nanoTime()
-      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-ll18b-" + java.security.MessageDigest.getInstance("MD5")
-          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def streamedCdcState(s: SparkSession, dir: String): String =
+    streamedState(cdcStreamCache, s, dir, "ll18b", "documents") { base =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       (0 to 2).foreach { b =>
         graft.streaming.CdcStream.processBatch(s,
@@ -659,11 +683,7 @@ object Dedup {
       }
       graft.streaming.CdcStream.compactState(s, base, targetFiles = 1,
         excludeBatchId = 2L)
-      buildLedger.merge("ll18bstate", (1L, (System.nanoTime() - t0) / 1e9),
-        (a, b) => (a._1 + b._1, a._2 + b._2))
-      base
-    })
-  }
+    }
 
   /** Test hook: the scratch parquet path currently registered for a
     * maintained index table, if built — lets MaintainedTableSpec pin

@@ -615,9 +615,15 @@ object Similarity {
   private[graft] def routeOf(entries: DataFrame, queries: DataFrame): DataFrame = {
     val qb = lshBucketed(queries.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"), col("bucket"))
-    val globalMin = entries.agg(min(col("entry"))).first().getLong(0)
+    // the global-min fallback rides the same plan as a broadcast
+    // scalar (no per-call driver action); an EMPTY route table —
+    // empty corpus — yields a null fallback, and the filter turns
+    // that into an empty route, i.e. the typed empty walk result
+    val fallback = entries.agg(min(col("entry")).as("fb"))
     qb.join(broadcast(entries), Seq("bucket"), "left")
-      .select(col("query_id"), coalesce(col("entry"), lit(globalMin)).as("entry"))
+      .crossJoin(broadcast(fallback))
+      .select(col("query_id"), coalesce(col("entry"), col("fb")).as("entry"))
+      .filter(col("entry").isNotNull)
   }
 
   /** The maintained ROUTE TABLE (bucket, entry = min vec_id in the
@@ -631,6 +637,25 @@ object Similarity {
     Dedup.materializedTable(routeCache, s, dir, "knnroute", Seq("embeddings"))(
       lshBucketed(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
         .groupBy(col("bucket")).agg(min(col("vec_id")).as("entry")))
+
+  /** The shared (corpus, queries, route) frames the ll36/ll38/ev17
+    * walks read — ONE place for the query convention (vec_id < 10)
+    * and the route construction.
+    */
+  private def walkInputs(s: org.apache.spark.sql.SparkSession,
+                         dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val e = withNorm(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
+    val q = withNorm(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val route = routeOf(knnRouteTable(s, dir),
+      q.select(col("query_id"), col("q_emb").as("embedding")))
+    (e, q, route)
+  }
 
   /** ll36's beam walk over ARBITRARY graph + vector frames — shared by
     * the batch query (maintained knngraph) and GraphStream.search (the
@@ -646,9 +671,11 @@ object Similarity {
                                k: Int = 3): DataFrame = {
     val sess = e.sparkSession
     import sess.implicits._
+    // no distinct here: candOf dedups (query_id, node) anyway, and a
+    // distinct over the symmetrized edge frame would re-shuffle the
+    // corpus-sized graph on EVERY hop action
     val sym = g.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .unionByName(g.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
-      .distinct()
     def score(f: DataFrame): DataFrame = f
       .join(e, "node")
       .join(broadcast(q), "query_id")
@@ -680,27 +707,18 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"))
   }
 
-  /** The MAINTAINED streamed graph state ll37 reads (one build per
-    * session + dir, the ts9 convention): embeddings fold through
-    * GraphStream as three interleaved batches, then LSM-compact with
-    * the last batch held in-flight — exactly the state a live
-    * embedding stream maintains. Ledgered like the materialized
-    * tables so the first-touch cost never reads as drift.
+  /** The MAINTAINED streamed graph state ll37 reads (the shared
+    * [[Dedup.streamedState]] harness — fold once per session + dir +
+    * embeddings watermark, ledgered, superseded dirs reclaimed):
+    * embeddings fold through GraphStream as three interleaved
+    * batches, then LSM-compact with the last batch held in-flight —
+    * exactly the state a live embedding stream maintains.
     */
   private val streamedGraphCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def streamedGraphState(s: org.apache.spark.sql.SparkSession,
-                                 dir: String): String = {
-    val key = s.sparkContext.applicationId + "|" + dir + "|" +
-      Tables.snapshotVersion(s, dir, "embeddings")
-    streamedGraphCache.computeIfAbsent(key, _ => {
-      val t0 = System.nanoTime()
-      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-ll37-" + java.security.MessageDigest.getInstance("MD5")
-          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      // a previous session's leftover state would double-fold
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+                                 dir: String): String =
+    Dedup.streamedState(streamedGraphCache, s, dir, "ll37", "embeddings") { base =>
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       (0 to 2).foreach { b =>
         graft.streaming.GraphStream.processBatch(s,
@@ -708,11 +726,7 @@ object Similarity {
       }
       graft.streaming.GraphStream.compactState(s, base, targetFiles = 1,
         excludeBatchId = 2L)
-      Dedup.buildLedger.merge("ll37state", (1L, (System.nanoTime() - t0) / 1e9),
-        (a, b) => (a._1 + b._1, a._2 + b._2))
-      base
-    })
-  }
+    }
 
   val defs: Map[String, Q] = Map(
 
@@ -1190,16 +1204,8 @@ object Similarity {
     // maintained table's one-time build. The oracle replays the
     // identical routed walk, hop by hop.
     "ll36_graph_ann" -> ((s, dir) => {
-      val e = withNorm(Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding")))
-        .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
-      val q = withNorm(Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding")))
-        .filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
-      graphWalk(e, knnGraphTable(s, dir), q, routeOf(knnRouteTable(s, dir), q
-        .select(col("query_id"), col("q_emb").as("embedding"))))
+      val (e, q, route) = walkInputs(s, dir)
+      graphWalk(e, knnGraphTable(s, dir), q, route)
     }),
 
     // ll37: the SAME walk served from GraphStream's STREAMED stores —
@@ -1222,22 +1228,15 @@ object Similarity {
 
     // ll38: the graph walk's QUALITY KNOB — beam width 8 instead of 4
     // (HNSW's efSearch; ll35's nprobe is the same dial on the IVF
-    // arm). A wider beam explores a superset of candidates at every
-    // hop, so its best-seen similarities dominate the narrow walk's
-    // (TrainingOpsSpec pins the dominance and the recall gain on this
-    // corpus); cost stays beam-bounded — 2x the probes per hop,
-    // corpus-independent either way.
+    // arm). Not a theorem — beam search is not monotone in width (a
+    // wider hop-1 beam can evict a node the narrow walk kept) — but
+    // the pipeline is fully deterministic, so TrainingOpsSpec pins
+    // the dominance and recall empirically on the gate corpus, ll35's
+    // caveat pattern. Cost stays beam-bounded — 2x the probes per
+    // hop, corpus-independent either way.
     "ll38_graph_ann_beam8" -> ((s, dir) => {
-      val e = withNorm(Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding")))
-        .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
-      val q = withNorm(Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding")))
-        .filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
-      graphWalk(e, knnGraphTable(s, dir), q, routeOf(knnRouteTable(s, dir), q
-        .select(col("query_id"), col("q_emb").as("embedding"))), beamWidth = 8)
+      val (e, q, route) = walkInputs(s, dir)
+      graphWalk(e, knnGraphTable(s, dir), q, route, beamWidth = 8)
     }),
 
     // EV17: GRAPH-WALK RECALL — ev1's harness pointed at the graph
@@ -1255,17 +1254,8 @@ object Similarity {
       val exact = annTopK(s, dir, sameCell = false)
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"))
-      val e = withNorm(Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding")))
-        .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
-      val q = withNorm(Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding")))
-        .filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
-      val approx = graphWalk(e, knnGraphTable(s, dir), q,
-          routeOf(knnRouteTable(s, dir), q
-            .select(col("query_id"), col("q_emb").as("embedding"))))
+      val (e, q, route) = walkInputs(s, dir)
+      val approx = graphWalk(e, knnGraphTable(s, dir), q, route)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))

@@ -84,7 +84,6 @@ object GraphStream {
             .join(p.select(col("vec_id")), Seq("vec_id"), "left_anti")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      prof("batch")(())
       // the touched-bucket list is batch-bounded (≤ 256 under the
       // 8-hyperplane scheme) — a driver-side pruning list, the
       // VectorStream qCells precedent

@@ -116,40 +116,40 @@ object IdentityStream {
       b.join(broadcast(er.withColumnRenamed("node", "src")), Seq("src"), "left_anti")
         .join(broadcast(er.withColumnRenamed("node", "dst")), Seq("dst"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val store = visibleExcluding(spark, mapsDir(stateDir), batchId)
-    val delta = store match {
-      case None =>
-        Identity.connectedComponents(e).toDF("node", "comp")
-      case Some(all) =>
-        val touched = e.select(col("src").as("node"))
-          .union(e.select(col("dst").as("node"))).distinct()
-        // TRUE latest rows of the touched nodes -> their current comps
-        // (dead rows contribute nothing: a tombstoned node re-linked
-        // by a new rule re-enters as a fresh node)
-        val touchedRows = all.join(broadcast(touched), "node")
-        val comps = StateCompaction.latestPerKey(touchedRows, "node")
-          .filter(!col("dead"))
-          .select(col("comp")).distinct()
-        // candidate members by ANY historical label in C, then the
-        // bounded second pass keeps only true-latest live members —
-        // see the class note on why one pass is unsound under splits
-        val candNodes = all.join(broadcast(comps), "comp")
-          .select(col("node")).distinct()
-        val members = StateCompaction.latestPerKey(
-            all.join(broadcast(candNodes), "node"), "node")
-          .filter(!col("dead"))
-          .join(broadcast(comps), "comp")
-          .select(col("node"), col("comp"))
-        val starEdges = members
-          .select(col("node").as("src"), col("comp").as("dst"))
-        Identity.connectedComponents(e.union(starEdges)).toDF("node", "comp")
-    }
-    delta.withColumn("dead", lit(false)).write.mode("overwrite")
-      .parquet(s"${mapsDir(stateDir)}/batch_id=$batchId")
-    e.write.mode("overwrite")
-      .parquet(s"${edgesDir(stateDir)}/batch_id=$batchId")
-    e.unpersist()
-    ()
+    try {
+      val store = visibleExcluding(spark, mapsDir(stateDir), batchId)
+      val delta = store match {
+        case None =>
+          Identity.connectedComponents(e).toDF("node", "comp")
+        case Some(all) =>
+          val touched = e.select(col("src").as("node"))
+            .union(e.select(col("dst").as("node"))).distinct()
+          // TRUE latest rows of the touched nodes -> their current
+          // comps (dead rows contribute nothing: a tombstoned node
+          // re-linked by a new rule re-enters as a fresh node)
+          val touchedRows = all.join(broadcast(touched), "node")
+          val comps = StateCompaction.latestPerKey(touchedRows, "node")
+            .filter(!col("dead"))
+            .select(col("comp")).distinct()
+          // candidate members by ANY historical label in C, then the
+          // bounded second pass keeps only true-latest live members —
+          // see the class note on why one pass is unsound under splits
+          val candNodes = all.join(broadcast(comps), "comp")
+            .select(col("node")).distinct()
+          val members = StateCompaction.latestPerKey(
+              all.join(broadcast(candNodes), "node"), "node")
+            .filter(!col("dead"))
+            .join(broadcast(comps), "comp")
+            .select(col("node"), col("comp"))
+          val starEdges = members
+            .select(col("node").as("src"), col("comp").as("dst"))
+          Identity.connectedComponents(e.union(starEdges)).toDF("node", "comp")
+      }
+      delta.withColumn("dead", lit(false)).write.mode("overwrite")
+        .parquet(s"${mapsDir(stateDir)}/batch_id=$batchId")
+      e.write.mode("overwrite")
+        .parquet(s"${edgesDir(stateDir)}/batch_id=$batchId")
+    } finally e.unpersist()
   }
 
   /** One REGULATION batch (node): erase the given nodes — their
@@ -167,58 +167,59 @@ object IdentityStream {
     val reg = regulated.toDF("node")
     val store = visibleExcluding(spark, mapsDir(stateDir), batchId)
     val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    val delta = store match {
-      case None =>
-        // an erasure before any merge batch: nothing mapped, nothing
-        // to split — only the suppression-list write below matters
-        Seq.empty[(Long, Option[Long], Boolean)].toDF("node", "comp", "dead")
-      case Some(all) =>
-        val regRows = all.join(broadcast(reg), "node")
-        val comps = StateCompaction.latestPerKey(regRows, "node")
-          .filter(!col("dead"))
-          .select(col("comp")).distinct()
-        val candNodes = all.join(broadcast(comps), "comp")
-          .select(col("node")).distinct()
-        // bounded by the affected components; persisted because it
-        // feeds both the surviving-edge broadcast (built during the
-        // eager CC) and the tombstone anti-join (executed at write)
-        val members = StateCompaction.latestPerKey(
-            all.join(broadcast(candNodes), "node"), "node")
-          .filter(!col("dead"))
-          .join(broadcast(comps), "comp")
-          .select(col("node"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pinned += members
-        // surviving edges of the affected components: the ledger
-        // filtered to member sources (components are closed under
-        // their own edges), minus anything incident to an erased or
-        // newly-regulated node
-        val erasedNow = readErasedSet(spark, stateDir, batchId)
-          .fold(reg)(_.unionByName(reg)).distinct()
-        val edges = visibleExcluding(spark, edgesDir(stateDir), batchId)
-          .map(_.select(col("src"), col("dst")))
-          .getOrElse(Seq.empty[(Long, Long)].toDF("src", "dst"))
-        val surviving = edges
-          .join(broadcast(members.withColumnRenamed("node", "src")), "src")
-          .join(broadcast(erasedNow.withColumnRenamed("node", "src")),
-            Seq("src"), "left_anti")
-          .join(broadcast(erasedNow.withColumnRenamed("node", "dst")),
-            Seq("dst"), "left_anti")
-        val recomputed = Identity.connectedComponents(surviving)
-          .toDF("node", "comp")
-        // tombstones: affected members that no surviving edge reaches —
-        // the regulated nodes and the erasure's orphans
-        val tomb = members
-          .join(recomputed.select(col("node")), Seq("node"), "left_anti")
-          .select(col("node"), lit(null).cast("long").as("comp"))
-        recomputed.withColumn("dead", lit(false))
-          .unionByName(tomb.withColumn("dead", lit(true)))
-    }
-    delta.write.mode("overwrite")
-      .parquet(s"${mapsDir(stateDir)}/batch_id=$batchId")
-    reg.write.mode("overwrite")
-      .parquet(s"${erasedDir(stateDir)}/batch_id=$batchId")
-    pinned.foreach(_.unpersist())
+    try {
+      val delta = store match {
+        case None =>
+          // an erasure before any merge batch: nothing mapped, nothing
+          // to split — only the suppression-list write below matters
+          Seq.empty[(Long, Option[Long], Boolean)].toDF("node", "comp", "dead")
+        case Some(all) =>
+          val regRows = all.join(broadcast(reg), "node")
+          val comps = StateCompaction.latestPerKey(regRows, "node")
+            .filter(!col("dead"))
+            .select(col("comp")).distinct()
+          val candNodes = all.join(broadcast(comps), "comp")
+            .select(col("node")).distinct()
+          // bounded by the affected components; persisted because it
+          // feeds both the surviving-edge broadcast (built during the
+          // eager CC) and the tombstone anti-join (executed at write)
+          val members = StateCompaction.latestPerKey(
+              all.join(broadcast(candNodes), "node"), "node")
+            .filter(!col("dead"))
+            .join(broadcast(comps), "comp")
+            .select(col("node"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pinned += members
+          // surviving edges of the affected components: the ledger
+          // filtered to member sources (components are closed under
+          // their own edges), minus anything incident to an erased or
+          // newly-regulated node
+          val erasedNow = readErasedSet(spark, stateDir, batchId)
+            .fold(reg)(_.unionByName(reg)).distinct()
+          val edges = visibleExcluding(spark, edgesDir(stateDir), batchId)
+            .map(_.select(col("src"), col("dst")))
+            .getOrElse(Seq.empty[(Long, Long)].toDF("src", "dst"))
+          val surviving = edges
+            .join(broadcast(members.withColumnRenamed("node", "src")), "src")
+            .join(broadcast(erasedNow.withColumnRenamed("node", "src")),
+              Seq("src"), "left_anti")
+            .join(broadcast(erasedNow.withColumnRenamed("node", "dst")),
+              Seq("dst"), "left_anti")
+          val recomputed = Identity.connectedComponents(surviving)
+            .toDF("node", "comp")
+          // tombstones: affected members that no surviving edge reaches —
+          // the regulated nodes and the erasure's orphans
+          val tomb = members
+            .join(recomputed.select(col("node")), Seq("node"), "left_anti")
+            .select(col("node"), lit(null).cast("long").as("comp"))
+          recomputed.withColumn("dead", lit(false))
+            .unionByName(tomb.withColumn("dead", lit(true)))
+      }
+      delta.write.mode("overwrite")
+        .parquet(s"${mapsDir(stateDir)}/batch_id=$batchId")
+      reg.write.mode("overwrite")
+        .parquet(s"${erasedDir(stateDir)}/batch_id=$batchId")
+    } finally pinned.foreach(_.unpersist())
   }
 
   /** Fold committed partitions into LSM range sentinels: maps keeps
