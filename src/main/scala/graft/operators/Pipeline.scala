@@ -55,7 +55,14 @@ object Pipeline {
     */
   private[graft] def cp6Corpus(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame =
-    cp5TwinCorpus(s, dir).withColumn("text",
+    cp6CorpusOf(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** cp6Corpus as a pure per-doc transform of the base (doc_id, text)
+    * crawl — the factored form the maintained window index's per-doc
+    * splice re-runs on fresh delta docs (Dedup.refreshIncrementally).
+    */
+  private[operators] def cp6CorpusOf(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cp5TwinCorpusOf(base).withColumn("text",
       when(col("doc_id") % 5 === 1 && size(split(col("text"), " ")) <= 76,
         concat(col("text"), lit(" " + cp6Passage))).otherwise(col("text")))
 
@@ -69,8 +76,10 @@ object Pipeline {
     * can feed the SAME corpus through the fold.
     */
   private[graft] def cp5TwinCorpus(s: org.apache.spark.sql.SparkSession,
-                                   dir: String): org.apache.spark.sql.DataFrame = {
-    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+                                   dir: String): org.apache.spark.sql.DataFrame =
+    cp5TwinCorpusOf(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private[operators] def cp5TwinCorpusOf(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val twins = base.select((col("doc_id") + 100000000L).as("doc_id"),
       when(col("doc_id") % 17 === 0, col("text"))
         .when(col("doc_id") % 19 === 3,
@@ -78,6 +87,20 @@ object Pipeline {
         .otherwise(expr("substring(text, instr(text, ' ') + 1)")).as("text"))
     base.unionByName(twins)
   }
+
+  /** The MAINTAINED cp6W-token window-hash index over cp6's corpus —
+    * the substrWinTable move at the release pipeline's operating
+    * point: the survivor-corpus window pass (the substring stage's
+    * dominant cost) becomes a pruned read of a per-doc-spliceable
+    * columnar index instead of a per-build re-hash of the twin-crawl
+    * text.
+    */
+  private[operators] val cp6WinCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.Materialized]()
+  private[graft] def cp6WinTable(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    Dedup.materializedTable(cp6WinCache, s, dir, "cp6wintable")(
+      Dedup.windowHashes(cp6Corpus(s, dir), cp6W))
 
   /** The crawl-aligned embedding snapshots (the second crawl's
     * re-embeddings are the +1e8-id perturbed twins).
@@ -245,11 +268,26 @@ object Pipeline {
     */
   private[graft] def cp6AttributionOf(s: org.apache.spark.sql.SparkSession, dir: String,
                                       cor: org.apache.spark.sql.DataFrame,
-                                      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+                                      emb: org.apache.spark.sql.DataFrame,
+                                      winTable: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
     val att = cp5AttributionOf(s, dir, cor, emb)
-    val survCor = cor.join(
-      att.filter(col("gate").isNull).select(col("doc_id")), "doc_id")
-    val cuts = Dedup.duplicatedSpans(survCor, w = cp6W)
+    val survIds = att.filter(col("gate").isNull).select(col("doc_id"))
+    val spans = winTable match {
+      case Some(wt) =>
+        // windows are a per-doc derivation, so the maintained
+        // full-corpus index filtered to survivors ≡ windowing the
+        // survivor corpus; the duplicate threshold then counts across
+        // survivors only — the Lee et al. pipeline-order contract the
+        // recompute path below implements directly
+        val wins = wt.join(survIds, "doc_id")
+        val freq = wins.groupBy(col("whash")).agg(count(lit(1)).as("cnt"))
+        Dedup.spansOfDupPositions(
+          wins.join(freq, "whash").filter(col("cnt") >= 2L)
+            .select(col("doc_id"), col("pos"), (col("pos") + (cp6W - 1)).as("fin")))
+      case None =>
+        Dedup.duplicatedSpans(cor.join(survIds, "doc_id"), w = cp6W)
+    }
+    val cuts = spans
       .groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start") + 1).as("cut"))
     att.join(cuts, Seq("doc_id"), "left")
@@ -494,7 +532,8 @@ object Pipeline {
     "cp6_release_substr" -> ((s, dir) => {
       val att = Dedup.materializedTable(cp6AttCache, s, dir, "cp6att",
         Seq("documents", "embeddings"))(
-        cp6AttributionOf(s, dir, cp6Corpus(s, dir), cp5TwinVecs(s, dir)))
+        cp6AttributionOf(s, dir, cp6Corpus(s, dir), cp5TwinVecs(s, dir),
+          winTable = Some(cp6WinTable(s, dir))))
       cp5ReleaseOf(s, dir, att, withCut = true)
     }),
 

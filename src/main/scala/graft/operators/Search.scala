@@ -120,42 +120,54 @@ object Search {
     * maintains. Returns (stateDir, model).
     */
   private val streamedStateCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Similarity.IvfPqModel)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Similarity.IvfPqModel)]()
   private def streamedRetrievalState(s: org.apache.spark.sql.SparkSession,
                                      dir: String): (String, Similarity.IvfPqModel) = {
     val key = s.sparkContext.applicationId + "|" + dir
-    streamedStateCache.computeIfAbsent(key, _ => {
-      val t0 = System.nanoTime()
-      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-ts9-" + java.security.MessageDigest.getInstance("MD5")
-          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      // a previous session's leftover state would double-fold
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val model = Similarity.trainIvfPq(
-        emb.withColumn("q",
-            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
-          .select(col("vec_id"), col("q")),
-        Tables.countStat(s, dir, "embeddings"))
-      (0 to 2).foreach { b =>
-        graft.streaming.SearchStream.processBatch(s,
-          docs.filter(col("doc_id") % 3 === b), s"$base/search", b.toLong)
-        graft.streaming.VectorStream.processBatch(s,
-          emb.filter(col("vec_id") % 3 === b), s"$base/vector", model, b.toLong)
+    // keyed on BOTH source tables' content watermarks (the
+    // Dedup.streamedState convention): a corpus mutated mid-session
+    // rebuilds the streamed stores under the new snapshot instead of
+    // serving stale hybrid results, and the superseded state dir is
+    // reclaimed (r19 ADVICE). The model rides the same entry — it is
+    // trained on the embeddings snapshot the vector store encodes.
+    val ver = Tables.snapshotVersion(s, dir, "documents") + "|" +
+      Tables.snapshotVersion(s, dir, "embeddings")
+    val entry = streamedStateCache.compute(key, (_, old) => {
+      if (old != null && old._1 == ver) old
+      else {
+        val t0 = System.nanoTime()
+        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft-ts9-" + java.security.MessageDigest.getInstance("MD5")
+            .digest((key + "|" + ver).getBytes("UTF-8")).map("%02x".format(_)).mkString
+        // a previous session's leftover state would double-fold
+        Dedup.dropScratch(s, base)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val model = Similarity.trainIvfPq(
+          emb.withColumn("q",
+              expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+            .select(col("vec_id"), col("q")),
+          Tables.countStat(s, dir, "embeddings"))
+        (0 to 2).foreach { b =>
+          graft.streaming.SearchStream.processBatch(s,
+            docs.filter(col("doc_id") % 3 === b), s"$base/search", b.toLong)
+          graft.streaming.VectorStream.processBatch(s,
+            emb.filter(col("vec_id") % 3 === b), s"$base/vector", model, b.toLong)
+        }
+        graft.streaming.SearchStream.compactState(s, s"$base/search",
+          targetFiles = 1, excludeBatchId = 2L)
+        graft.streaming.VectorStream.compactState(s, s"$base/vector",
+          targetFiles = 1, excludeBatchId = 2L)
+        // this is the most expensive per-session maintained build (one
+        // trainer + 6 stream folds + 2 compactions) — ledger it like the
+        // materialized tables, or its first-touch cost reads as drift
+        Dedup.buildLedger.merge("ts9state", (1L, (System.nanoTime() - t0) / 1e9),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+        if (old != null) Dedup.dropScratch(s, old._2) // superseded snapshot
+        (ver, base, model)
       }
-      graft.streaming.SearchStream.compactState(s, s"$base/search",
-        targetFiles = 1, excludeBatchId = 2L)
-      graft.streaming.VectorStream.compactState(s, s"$base/vector",
-        targetFiles = 1, excludeBatchId = 2L)
-      // this is the most expensive per-session maintained build (one
-      // trainer + 6 stream folds + 2 compactions) — ledger it like the
-      // materialized tables, or its first-touch cost reads as drift
-      Dedup.buildLedger.merge("ts9state", (1L, (System.nanoTime() - t0) / 1e9),
-        (a, b) => (a._1 + b._1, a._2 + b._2))
-      (base, model)
     })
+    (entry._2, entry._3)
   }
 
   val defs: Map[String, Q] = Map(

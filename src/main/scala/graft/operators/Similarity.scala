@@ -518,19 +518,28 @@ object Similarity {
   // collect is not free and every consumer of the shared coded table
   // (ll34's nprobe=1 read, ll35's multi-cell probe) needs the SAME
   // centroids for query-side cell ranking
+  // keyed on (appId, dir) with the embeddings watermark IN THE VALUE
+  // (the materializedTable replace-and-reclaim convention, r19
+  // ADVICE): a session over a mutating corpus replaces the superseded
+  // model instead of accumulating one trained IvfPqModel per snapshot
+  // in driver memory indefinitely
   private val ivfPqModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfPqModel]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, IvfPqModel)]()
   private[operators] def ivfPqModelOf(s: org.apache.spark.sql.SparkSession,
-                                      dir: String): IvfPqModel =
-    ivfPqModelCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + dir + "|" +
-        Tables.snapshotVersion(s, dir, "embeddings"), _ => {
+                                      dir: String): IvfPqModel = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val ver = Tables.snapshotVersion(s, dir, "embeddings")
+    ivfPqModelCache.compute(key, (_, old) => {
+      if (old != null && old._1 == ver) old
+      else {
         val qe = Tables.embeddings(s, dir)
           .withColumn("q",
             expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
           .select(col("vec_id"), col("q"))
-        trainIvfPq(qe, Tables.countStat(s, dir, "embeddings"))
-      })
+        (ver, trainIvfPq(qe, Tables.countStat(s, dir, "embeddings")))
+      }
+    })._2
+  }
 
   /** The MAINTAINED coded table (the signature-table / postings
     * convention): trainer + encode + reconstruction run once per
