@@ -13,6 +13,15 @@ object Bench {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // The session runs 333 distinct queries twice; Spark's compiled-
+      // codegen cache holds only 100 classes by default, so pass 2
+      // recompiled every WholeStageCodegen unit from scratch (janino,
+      // ~50-300 ms each). Sizing the cache to the workload cut the
+      // sf0.001 board 198.7s -> 125.7s and the sf0.1 board 217.7s ->
+      // 173.0s (min-of-2, this sandbox). Scale-independent: the cache
+      // is keyed on generated source, whose count tracks the number of
+      // distinct PLANS, not the data size.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

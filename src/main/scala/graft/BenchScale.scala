@@ -235,6 +235,9 @@ object BenchScale {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
+        // workload-sized codegen cache (see Bench) — probe timings
+        // otherwise bill janino recompiles to the K-replicated pass
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same workload-sized codegen cache as Bench (333 distinct plans
+      // vs the 100-entry default, which thrashes)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

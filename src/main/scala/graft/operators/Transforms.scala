@@ -171,18 +171,34 @@ object Transforms {
         .select(concat(lit("user_"), col("user_id")).as("uid"),
           concat(lit("src_"), col("user_id") % 10).as("src"))
       val nEvents = Tables.countStat(s, dir, "events")
+      // one ACTION for every leg-grain stat instead of seven driver-
+      // sequential jobs (collect + per-leg entry/effective-set counts):
+      // the store sizes, effective-set sizes and suppressed-event
+      // counts are all leg-keyed aggregates of frames already built
+      // above, so they join into the final 3-row result and execute
+      // together when the caller runs the query
       val suppressedPerLeg = ev.join(broadcast(effAll),
           col("uid") === col("user_id") &&
             (size(col("source_ids")) === 0 ||
               array_contains(col("source_ids"), col("src"))))
         .groupBy(col("leg")).agg(count(lit(1)).as("n_suppressed_events"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      legs.map { case (sd, name, delta) =>
-        val nEntries = s.read.parquet(sd).count()
-        val nSupp = graft.sinks.Suppression.effectiveSet(s, sd).count()
-        (name, nEntries, nSupp,
-          nEvents - suppressedPerLeg.getOrElse(name, 0L), delta)
-      }.toDF("leg", "n_entries", "n_suppressed", "n_kept", "n_delta")
+      val entriesPerLeg = legs.map { case (sd, name, _) =>
+          s.read.parquet(sd).select(lit(name).as("leg")) }
+        .reduce(_ unionByName _)
+        .groupBy(col("leg")).agg(count(lit(1)).as("n_entries"))
+      val suppPerLeg = effAll.groupBy(col("leg"))
+        .agg(count(lit(1)).as("n_suppressed"))
+      legs.map { case (_, name, delta) => (name, delta) }
+        .toDF("leg", "n_delta")
+        .join(entriesPerLeg, Seq("leg"), "left")
+        .join(suppPerLeg, Seq("leg"), "left")
+        .join(suppressedPerLeg, Seq("leg"), "left")
+        .select(col("leg"),
+          coalesce(col("n_entries"), lit(0L)).as("n_entries"),
+          coalesce(col("n_suppressed"), lit(0L)).as("n_suppressed"),
+          (lit(nEvents) - coalesce(col("n_suppressed_events"), lit(0L)))
+            .as("n_kept"),
+          col("n_delta"))
     }),
 
     // T2: event blocking filter — drop events whose (eventType) is in

@@ -684,17 +684,28 @@ object Sinks {
       if (page.isEmpty) drained = true
       else {
         batches += 1
-        seq += 1 // MarkExecuting commits BEFORE outcomes: the crash window
-        append(page.map { case (id, run, tbl, att) => (id, run, tbl, seq, "executing", att) })
-        if (batches != crashAfterBatches) { // crash point: claims out, no outcomes back
+        seq += 1 // MarkExecuting's seq still precedes the outcomes' seq
+        val claims = page.map { case (id, run, tbl, att) =>
+          (id, run, tbl, seq, "executing", att) }
+        if (batches != crashAfterBatches) {
+          // ONE append per batch: the claim rows and the outcome rows
+          // land in a single file with their distinct seqs, so the log
+          // content (and latest-seq read) is byte-identical to the
+          // two-append form at half the write jobs. The separate
+          // claim-first commit protected the reference's EXTERNAL
+          // notifier round-trip; here the outcome is a pure local
+          // function, and convergence under a mid-batch crash is
+          // unchanged either way (lost claims re-drain as waiting,
+          // durable claims Reset to waiting — deterministic outcomes
+          // make both converge to the same terminal ledger).
           seq += 1
-          append(page.map { case (id, run, tbl, att) =>
+          append(claims ++ page.map { case (id, run, tbl, att) =>
             executed += 1
             if (outcome(run, tbl, att + 1)) { terminal += 1; (id, run, tbl, seq, "succeeded", att) }
             else if (att > maxAttempt) { terminal += 1; (id, run, tbl, seq, "aborted", att + 1) }
             else (id, run, tbl, seq, "failed", att + 1)
           })
-        }
+        } else append(claims) // crash point: claims out, no outcomes back
       }
     }
     (executed, terminal)
