@@ -120,9 +120,9 @@ object Search {
     * maintains. Returns (stateDir, model).
     */
   private val streamedStateCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Similarity.IvfPqModel)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Similarity.IvfPqModel, Long, Long)]()
   private def streamedRetrievalState(s: org.apache.spark.sql.SparkSession,
-                                     dir: String): (String, Similarity.IvfPqModel) = {
+                                     dir: String): (String, Similarity.IvfPqModel, Long, Long) = {
     val key = s.sparkContext.applicationId + "|" + dir
     // keyed on BOTH source tables' content watermarks (the
     // Dedup.streamedState convention): a corpus mutated mid-session
@@ -143,11 +143,12 @@ object Search {
         Dedup.dropScratch(s, base)
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        val model = Similarity.trainIvfPq(
-          emb.withColumn("q",
-              expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
-            .select(col("vec_id"), col("q")),
-          Tables.countStat(s, dir, "embeddings"))
+        // identical deterministic training input to the session-
+        // memoized frozen model (same quantization, count, sample
+        // steps), so reuse it instead of running a second trainer
+        // inside this fold; the memo rebuilds on the same embeddings
+        // watermark this state is keyed on
+        val model = Similarity.ivfPqModelOf(s, dir)
         (0 to 2).foreach { b =>
           graft.streaming.SearchStream.processBatch(s,
             docs.filter(col("doc_id") % 3 === b), s"$base/search", b.toLong)
@@ -158,16 +159,25 @@ object Search {
           targetFiles = 1, excludeBatchId = 2L)
         graft.streaming.VectorStream.compactState(s, s"$base/vector",
           targetFiles = 1, excludeBatchId = 2L)
+        // the BM25 leg's two state-derived scalars (ledger doc count,
+        // index token total) are pure functions of the state just
+        // folded — compute them once here instead of two extra driver
+        // actions on every ts9 read
+        val nDocs = graft.streaming.SearchStream.readDocCount(s, s"$base/search")
+        val totTok = Option(graft.streaming.SearchStream
+            .readPostings(s, s"$base/search")
+            .agg(sum(col("tf"))).first().get(0))
+          .fold(0L)(_.asInstanceOf[Long])
         // this is the most expensive per-session maintained build (one
         // trainer + 6 stream folds + 2 compactions) — ledger it like the
         // materialized tables, or its first-touch cost reads as drift
         Dedup.buildLedger.merge("ts9state", (1L, (System.nanoTime() - t0) / 1e9),
           (a, b) => (a._1 + b._1, a._2 + b._2))
         if (old != null) Dedup.dropScratch(s, old._2) // superseded snapshot
-        (ver, base, model)
+        (ver, base, model, nDocs, totTok)
       }
     })
-    (entry._2, entry._3)
+    (entry._2, entry._3, entry._4, entry._5)
   }
 
   val defs: Map[String, Q] = Map(
@@ -464,14 +474,11 @@ object Search {
     // the full IVF-PQ trainer/encoder/search replay), proving the
     // streamed state serves exactly what a batch build would.
     "ts9_hybrid_maintained" -> ((s, dir) => {
-      val (state, model) = streamedRetrievalState(s, dir)
+      // nDocs/totTok ride the memoized state entry (computed once at
+      // fold time — they are state-derived scalars; the NULL-sum empty-
+      // store guard lives there too)
+      val (state, model, nDocs, totTok) = streamedRetrievalState(s, dir)
       val tf = graft.streaming.SearchStream.readPostings(s, s"$state/search")
-      val nDocs = graft.streaming.SearchStream.readDocCount(s, s"$state/search")
-      // sum over zero rows is SQL NULL — an empty maintained store must
-      // read as the typed empty result, not throw (VectorStream.search's
-      // crash-window contract)
-      val totTok = Option(tf.agg(sum(col("tf"))).first().get(0))
-        .fold(0L)(_.asInstanceOf[Long])
       val queries = graft.streaming.VectorStream.readVecs(s, s"$state/vector")
         .map(_.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding")))

@@ -438,7 +438,14 @@ object Similarity {
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
       .select(col("vec_id"), col("q"))
     val qeBase = quant(base)
-    val model = trainIvfPq(qeBase, Tables.countStat(s, dir, "embeddings")) // FROZEN
+    // the FROZEN model: identical training input (same quantization,
+    // same count, same deterministic bounded-sample Lloyd loop) as the
+    // session-memoized model every other frozen-index consumer shares,
+    // so reuse it instead of re-running the trainer's sample collects
+    // per invocation — bit-identical centroids/codebooks by
+    // determinism, and the memo already rebuilds on the embeddings
+    // content watermark
+    val model = ivfPqModelOf(s, dir)
     val qeCur = quant(cur)
     val dqed = ivfPqReconstruct(ivfPqEncode(qeCur, model), model)
     // frozen-index ANN top-5 over the re-encoded corpus (ll34's shape)
