@@ -258,7 +258,15 @@ object Identity {
           members.join(canon, "comp")
             .select(col("s").as("node"), col("comp_s").as("comp"))
         }
-      val out = prof("decode+ckpt")(decoded.checkpoint()) // reliable; materialize before freeing inputs
+      // reliable checkpoint, single compute: an eager checkpoint runs
+      // the job and then RE-iterates the RDD to write the checkpoint
+      // files — pinning the decode plan first serves that second pass
+      // from cached blocks instead of re-executing the whole decode
+      // (and, through it, the label join) per CC call; the pin is
+      // dropped as soon as the checkpoint files exist
+      val pinned = decoded.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = prof("decode+ckpt")(pinned.checkpoint())
+      pinned.unpersist()
       (out, i)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)

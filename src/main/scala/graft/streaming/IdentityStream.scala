@@ -116,12 +116,21 @@ object IdentityStream {
       b.join(broadcast(er.withColumnRenamed("node", "src")), Seq("src"), "left_anti")
         .join(broadcast(er.withColumnRenamed("node", "dst")), Seq("dst"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pinnedStore = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
       val store = visibleExcluding(spark, mapsDir(stateDir), batchId)
       val delta = store match {
         case None =>
           Identity.connectedComponents(e).toDF("node", "comp")
-        case Some(all) =>
+        case Some(all0) =>
+          // the neighborhood chain below reads the store THREE times
+          // (touched rows -> comps, historical candidates, true-latest
+          // members) inside one executed plan — pin the store scan for
+          // the fold's duration so each batch pays it once, not three
+          // times (at 100 TB the store scan is the per-batch term this
+          // fold exists to bound; the pin is dropped before the write)
+          val all = all0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pinnedStore += all
           val touched = e.select(col("src").as("node"))
             .union(e.select(col("dst").as("node"))).distinct()
           // TRUE latest rows of the touched nodes -> their current
@@ -143,13 +152,18 @@ object IdentityStream {
             .select(col("node"), col("comp"))
           val starEdges = members
             .select(col("node").as("src"), col("comp").as("dst"))
+          // CC materializes its input eagerly, so the pin is consumed
+          // by the time it returns
           Identity.connectedComponents(e.union(starEdges)).toDF("node", "comp")
       }
       delta.withColumn("dead", lit(false)).write.mode("overwrite")
         .parquet(s"${mapsDir(stateDir)}/batch_id=$batchId")
       e.write.mode("overwrite")
         .parquet(s"${edgesDir(stateDir)}/batch_id=$batchId")
-    } finally e.unpersist()
+    } finally {
+      pinnedStore.foreach(_.unpersist())
+      e.unpersist()
+    }
   }
 
   /** One REGULATION batch (node): erase the given nodes — their
@@ -173,7 +187,11 @@ object IdentityStream {
           // an erasure before any merge batch: nothing mapped, nothing
           // to split — only the suppression-list write below matters
           Seq.empty[(Long, Option[Long], Boolean)].toDF("node", "comp", "dead")
-        case Some(all) =>
+        case Some(all0) =>
+          // same three-pass store read as processBatch — pin it once
+          // for the fold (released with the other pins in finally)
+          val all = all0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pinned += all
           val regRows = all.join(broadcast(reg), "node")
           val comps = StateCompaction.latestPerKey(regRows, "node")
             .filter(!col("dead"))
