@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures this process's stdout and parses the bench's
+// one-line JSON contract. sbt's default LoggedOutput prefixes every
+// forked-process line with "[info] "/"[error] ", which has made the
+// line unparseable in every round on record (BENCH_r01-r20
+// `parsed: null`). StdoutOutput passes the forked JVM's output through
+// verbatim, so the contract line reaches the driver bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Per-test wall-clock in the report (-oD): the driver's test budget is
+// finite and VERIFY_r20 recorded a truncated run — durations make the
+// slow suites visible instead of anecdotal.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -199,7 +199,7 @@ object BenchScale {
     * away; AQE still coalesces stages that turn out tiny.
     */
   private def timeQuery(spark: SparkSession, name: String, dir: String,
-                        partitions: Int): Double = {
+                        partitions: Int): (Double, Seq[Double]) = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
     def once(): Double = {
       // every invocation builds NEW DataFrames, so a query's persist()
@@ -213,7 +213,15 @@ object BenchScale {
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    math.min(once(), once())
+    // min-of-3 (was min-of-2): the r19/r20 boards each needed manual
+    // stall adjudication (ll6 tk 196.9 s raw, a2d 40 s — session-level
+    // stalls spanning both passes of a min-of-2). Stalls only ever
+    // INFLATE a reading, so the min is the right estimator; the third
+    // pass gives a stall window one more chance to end, and the raw
+    // triple rides the artifact so an affected probe is visible in the
+    // record instead of requiring adjudication prose.
+    val raws = Seq(once(), once(), once())
+    (raws.min, raws)
   }
 
   private def rootCause(e: Throwable): String = {
@@ -273,10 +281,10 @@ object BenchScale {
     val results = probed.map { name =>
       val r =
         try {
-          val t1 = timeQuery(session(), name, d1, cpus.toInt)
-          val tk = timeQuery(session(), name, dk, cpus.toInt * k)
+          val (t1, raw1) = timeQuery(session(), name, d1, cpus.toInt)
+          val (tk, rawk) = timeQuery(session(), name, dk, cpus.toInt * k)
           val exp = math.log(tk / t1) / math.log(k.toDouble)
-          Right((t1, tk, exp))
+          Right((t1, tk, exp, raw1, rawk))
         } catch {
           case NonFatal(e) => Left(rootCause(e))
         }
@@ -285,15 +293,16 @@ object BenchScale {
 
     def ms(v: Double) = f"$v%.3f"
     val qjson = results.map {
-      case (n, Right((t1, tk, exp))) =>
-        s""""$n":{"t1":${ms(t1)},"tk":${ms(tk)},"ratio":${ms(tk / t1)},"exponent":${ms(exp)}}"""
+      case (n, Right((t1, tk, exp, raw1, rawk))) =>
+        s""""$n":{"t1":${ms(t1)},"tk":${ms(tk)},"ratio":${ms(tk / t1)},"exponent":${ms(exp)},""" +
+          s""""raw1":[${raw1.map(ms).mkString(",")}],"rawk":[${rawk.map(ms).mkString(",")}]}"""
       case (n, Left(err)) =>
         s""""$n":{"error":"${err.replace("\"", "'")}"}"""
     }.mkString("{", ",", "}")
-    val worst = results.collect { case (_, Right((_, _, e))) => e }.maxOption.getOrElse(-1.0)
+    val worst = results.collect { case (_, Right((_, _, e, _, _))) => e }.maxOption.getOrElse(-1.0)
     val filt = only.map(f => s""","filter":"${f.toSeq.sorted.mkString(",")}"""").getOrElse("")
     val json =
-      s"""{"metric":"scale_exponent_worst","value":${ms(worst)},"k":$k,"base":"$sfDir"$filt,"queries":$qjson}"""
+      s"""{"metric":"scale_exponent_worst","value":${ms(worst)},"k":$k,"passes":3,"agg":"min_of_3","base":"$sfDir"$filt,"queries":$qjson}"""
     // self-describing artifact: the filename carries the replica
     // factor, and a filtered run stamps the FILTER into the name (the
     // r18 judge recovered three successive probes from git history
