@@ -132,16 +132,36 @@ object Identity {
 
     // Canonical undirected form: (a, b) with a > b, self-loops dropped,
     // duplicates collapsed. Both star operations preserve this form.
-    var cur = prof("canonicalize")(materialize(
-      enc.filter(col("a") =!= col("b"))
-        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
-        .distinct(), "r0"))
+    val canonical = enc.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct()
+
+    // Small-graph probe: ONE bounded job (limit max+1, collect) both
+    // decides the engine AND — when the graph is small — already holds
+    // the complete canonical edge set for the in-driver union-find.
+    // This replaces the former unconditional parquet materialization +
+    // count + collect (three jobs and a scratch round-trip) that every
+    // CC call paid even for reference-sized graphs; the collect stays
+    // planner-bounded because limit caps it at smallGraphMax + 1 rows.
+    // The distributed path still materializes the canonical set first
+    // (rounds need the lineage cut) and re-counts from the parquet.
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (smallGraphMax > 0L && smallGraphMax < Int.MaxValue.toLong)
+        prof("probe")(canonical.limit(smallGraphMax.toInt + 1).collect())
+      else null
+    val small = probe != null && probe.length <= smallGraphMax
 
     // Size the per-round shuffles to the graph, not the session: a
     // 10k-edge graph over 32 session partitions runs ~100 near-empty
     // tasks per round; a 100 TB graph keeps full parallelism
     // (~500k edges per partition target).
-    val edgeCount = prof("edge count")(cur.count())
+    var cur: DataFrame = null
+    val edgeCount =
+      if (small) probe.length.toLong
+      else {
+        cur = prof("canonicalize")(materialize(canonical, "r0"))
+        prof("edge count")(cur.count())
+      }
     val parts = math.max(2, math.min(
       spark.sparkContext.defaultParallelism * 2,
       (edgeCount * 2 / 500000L).toInt + 1))
@@ -195,11 +215,10 @@ object Identity {
     // graph-sized shuffle-partitions setting or leak per-round scratch
     // parquet — restore/cleanup unconditionally.
     try {
-      val stars: DataFrame = if (edgeCount <= smallGraphMax) {
+      val stars: DataFrame = if (small) {
         // In-driver min-union-find over the canonical long edges —
-        // the reference's own engine shape. The collect is gated by
-        // the edge count above, so it is planner-statistic-bounded,
-        // not corpus-bounded.
+        // the reference's own engine shape. The edge rows are the
+        // probe's collect, already bounded by smallGraphMax + 1.
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -208,7 +227,7 @@ object Identity {
           while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
           r
         }
-        cur.collect().foreach { row =>
+        probe.foreach { row =>
           val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }

@@ -443,11 +443,18 @@ object Lifecycle {
           concat(lit("ws_"), col("upload") % 5) =!= "ws_2" && // degraded skip
           col("created_at") < lit("2024-01-20 00:00:00").cast("timestamp"))
         .select(col("upload")) // stays a DataFrame: the archiver pages it maxLimit at a time, never a full collect
+        // upload-grain (corpus/2000 rows) but derived from a full
+        // events scan+agg, and the two archiver passes re-evaluate it
+        // ~5x (count + page collects per call) — pin it for the
+        // lifecycle's duration, released before returning
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (nEligible, first) =
         Sinks.warehouseArchivePaged(s, live, archive, eligible, "wa1_job")
       val (_, resumed) =
         Sinks.warehouseArchivePaged(s, live, archive, eligible, "wa1_job")
-      val archived = (if (eligible.isEmpty) // nothing written: glob would throw
+      val noneEligible = eligible.isEmpty
+      eligible.unpersist()
+      val archived = (if (noneEligible) // nothing written: glob would throw
           s.emptyDataFrame
             .withColumn("staging_file_id", lit(0L)).withColumn("upload", lit(0L))
         else s.read

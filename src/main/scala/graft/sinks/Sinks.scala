@@ -39,7 +39,19 @@ object Sinks {
     * partitions.
     */
   def batchObjectSink(df: DataFrame, dir: String): Unit =
-    df.write.mode("append")
+    // Hash-cluster on the partition keys before the write: the input's
+    // partitioning is whatever the upstream scan produced (d8's pruned
+    // archive read is ~2 tasks), so without it a couple of tasks
+    // gzip-encode the whole batch single-threaded AND each task opens
+    // a file per (source, destination) dir it holds — the small-files
+    // trap. After: encode parallelism = min(distinct pairs, shuffle
+    // partitions) and each dir gets one well-sized file per batch
+    // (guide §6; same convention as datalakeWrite/d8's live write).
+    // A single enormous hot pair serializes into one encoder — if that
+    // regime ever appears, salt the repartition with a deterministic
+    // hash of the payload (guide §2.5) to bound per-file size.
+    df.repartition(col("source_id"), col("destination_id"))
+      .write.mode("append")
       .partitionBy("source_id", "destination_id")
       .option("compression", "gzip")
       .json(dir)

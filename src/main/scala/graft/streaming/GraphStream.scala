@@ -101,7 +101,15 @@ object GraphStream {
         .agg(sort_array(collect_list(struct(col("rank"), col("neighbor_id"))))
           .as("rs"))
         .select(col("vec_id"), expr("transform(rs, r -> r.neighbor_id)").as("nbs"))
-      prof("delta write")(delta.write.mode("overwrite")
+      // bound the partition's file count to the touched-group grain:
+      // the delta inherits the session's shuffle partitioning (32 near-
+      // empty files per batch for a touched-bucket-sized rewrite), and
+      // every later store read pays the listing/open tax per file —
+      // the same small-files rule as the vecs write below, sized by
+      // the batch's own touched groups rather than a constant
+      prof("delta write")(delta
+        .coalesce(math.max(1, touchedGroups.length))
+        .write.mode("overwrite")
         .parquet(s"${graphDir(stateDir)}/batch_id=$batchId"))
       // repartition on the partition column first (the d8 rule): a
       // dynamic-partition write otherwise lands tasks × groups tiny

@@ -127,6 +127,20 @@ private[streaming] object StateCompaction {
     fs.exists(p) && hasParquetUnder(fs, p)
   }
 
+  /** Memoized resolved store relations (the Tables.load discipline —
+    * §6 listing / driver work): `spark.read.parquet(paths…)` builds a
+    * fresh InMemoryFileIndex (driver re-listing of every path) and
+    * re-reads a parquet footer for the schema on EVERY call, and a
+    * walk-style consumer (ll37's hop collects, ts9's hybrid legs)
+    * issues several actions per query, each re-resolving both stores.
+    * One DataFrame per (application, store dir, content fingerprint) —
+    * the LOGICAL relation only, no rows cached; the fingerprint covers
+    * the visible file set (path|len|mtime), so a store mutated by the
+    * next batch fold re-resolves under its new version and the
+    * superseded entry is evicted.
+    */
+  private val relCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** The store read every consumer shares: self-heal a crashed legacy
     * swap (the Sinks contract), list the partition dirs, keep the
     * VISIBLE set, and read only those (with the partition columns) —
@@ -140,10 +154,38 @@ private[streaming] object StateCompaction {
     else {
       val fs = fsOf(spark, dir)
       val vis = visibleIds(parts.map(_._1)).toSet
-      val withData = parts.filter(p => vis(p._1) && hasParquetUnder(fs, p._2))
+      // one recursive listing pass per candidate partition yields BOTH
+      // the has-data decision and the content fingerprint the relation
+      // memo keys on — no second listing
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val withData = parts.filter(p => vis(p._1)).sortBy(_._2.toString).filter { p =>
+        val it = fs.listFiles(p._2, true)
+        var found = false
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) {
+            found = true
+            md.update(s"${st.getPath.toUri.getPath}|${st.getLen}|${st.getModificationTime}"
+              .getBytes("UTF-8"))
+          }
+        }
+        found
+      }
       if (withData.isEmpty) None
-      else Some(spark.read.option("basePath", dir)
-        .parquet(withData.map(_._2.toString): _*))
+      else {
+        val prefix = Seq(spark.sparkContext.applicationId, dir, "#state").mkString("|")
+        val key = prefix + "|" + md.digest().map("%02x".format(_)).mkString
+        if (!relCache.containsKey(key)) {
+          val it = relCache.keySet.iterator()
+          while (it.hasNext) {
+            val k = it.next()
+            if (k.startsWith(prefix + "|") && k != key) it.remove()
+          }
+        }
+        Some(relCache.computeIfAbsent(key, _ =>
+          spark.read.option("basePath", dir)
+            .parquet(withData.map(_._2.toString): _*)))
+      }
     }
   }
 
