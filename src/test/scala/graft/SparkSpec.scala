@@ -21,6 +21,12 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the suite executes every SparkEntry query plus hundreds of
+      // fixture plans in one JVM — the 100-entry default compiled-
+      // codegen cache thrashes exactly like the bench's two passes did
+      // (janino recompiles, ~50-300 ms each); same workload-sized
+      // setting as Bench/Verify/BenchScale
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
