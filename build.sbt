@@ -22,6 +22,35 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // finite and VERIFY_r20 recorded a truncated run — durations make the
 // slow suites visible instead of anecdotal.
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+// The driver's `sbt test` run exceeded its wall budget (VERIFY_r20
+// tests_ok: false, 23 min here at round-21 open). The suite is four
+// roughly-equal serial blocks with NO shared JVM state between them —
+// every scratch path (maintained tables, streamed state, checkpoints)
+// is applicationId-scoped — so run them as four forked JVMs in
+// parallel: StreamingSpec | the two full-plan sweeps | the three
+// ReleaseStream end-to-end pins | everything else. Isolation is
+// complete (each JVM builds its own SparkSession), so this changes
+// wall-clock only, never semantics or ordering within a suite.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val forkOpts = ForkOptions()
+    .withOutputStrategy((Test / outputStrategy).value)
+    .withWorkingDirectory(Option((Test / baseDirectory).value))
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  def groupOf(n: String): String =
+    if (n.endsWith("StreamingReleaseSpec")) "release"
+    else if (n.endsWith("StreamingSpec")) "streaming"
+    else if (n.endsWith("ScaleGuardSpec") || n.endsWith("QueriesSmokeSpec")) "plan-sweeps"
+    else "rest"
+  tests.groupBy(t => groupOf(t.name)).toSeq.map { case (g, ts) =>
+    Tests.Group(g, ts, Tests.SubProcess(forkOpts))
+  }
+}
+// sbt's default restrictions cap forked test groups at 1 — lift to the
+// four groups above (each is a local[4] session; 4 JVMs fit the box).
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(8),
+  Tags.limit(Tags.ForkedTestGroup, 4))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -716,6 +716,12 @@ object Profile {
     "prof13_mad_outliers" -> ((s, dir) => {
       val sess = s
       import sess.implicits._
+      // r21 measurement note: the (nation, cents) histogram feeds both
+      // percentile collects and the returned rollup (~5 subtree
+      // executions), but PINNING it measured +1.5 s per construction —
+      // the cache-manager re-planning tax on every dependent plan
+      // exceeds the rescan at this scale (the Identity CC code carries
+      // the same finding for eager checkpoints). Left unpinned.
       val hist = Tables.customer(s, dir)
         .select(col("c_nationkey").cast("long").as("nation"),
           expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))

@@ -374,11 +374,19 @@ object Similarity {
     val withRes = assignCells(qe, md.cents)
       .withColumn("rq", expr(
         s"zip_with(q, array(${md.centArrays})[CAST(cell AS INT)], (x, c) -> x - c)"))
+    // hoist each subspace's residual slice into ONE column the kpq
+    // distance aggregates reference, instead of re-inlining the slice
+    // per (subspace, code) — same integer math, m·(kpq−1) fewer slice
+    // subtrees in the plan (the Catalyst work on this expression tree
+    // was measurable: ev16's construct+plan phases, guide §7.3)
+    val withSlices = (0 until md.m).foldLeft(withRes) { (df, s2) =>
+      df.withColumn(s"rq$s2", expr(s"slice(rq, ${s2 * md.sd + 1}, ${md.sd})"))
+    }
     val dists = for (s2 <- 0 until md.m; j <- 0 until md.kpq) yield
-      expr(s"aggregate(zip_with(slice(rq, ${s2 * md.sd + 1}, ${md.sd}), " +
+      expr(s"aggregate(zip_with(rq$s2, " +
         s"array(${md.cb(s2)(j).mkString(",")}), (x, y) -> (x - y) * (x - y)), " +
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"d${s2}_$j")
-    val wd = withRes.select(col("vec_id") +: col("q") +: col("cell") +: dists: _*)
+    val wd = withSlices.select(col("vec_id") +: col("q") +: col("cell") +: dists: _*)
     val codes = (0 until md.m).map { s2 =>
       val dl = (0 until md.kpq).map(j => s"d${s2}_$j").mkString(",")
       (expr(s"array_position(array($dl), array_min(array($dl)))") - 1)
@@ -391,15 +399,22 @@ object Similarity {
     * + decoded residual per subspace, with its integer norm.
     */
   private[graft] def ivfPqReconstruct(coded: DataFrame, md: IvfPqModel): DataFrame = {
+    // hoist the cell-centroid lookup into ONE column: the per-subspace
+    // form re-embedded the FULL kc x dim centroid literal array m times
+    // (the single largest term in ev16's 245 KB formatted plan — the
+    // cost was Catalyst analysis/optimization time, guide §7.3), and
+    // element_at over a literal array is not CollapseProject-cheap, so
+    // the hoist survives optimization. Bit-identical integer math.
     val dqSub = (0 until md.m).map { s2 =>
       val entries = (0 until md.kpq).map(j =>
         s"array(${md.cb(s2)(j).mkString(",")})").mkString(",")
-      expr(s"zip_with(slice(array(${md.centArrays})[CAST(cell AS INT)], " +
-        s"${s2 * md.sd + 1}, ${md.sd}), " +
+      expr(s"zip_with(slice(__centv, ${s2 * md.sd + 1}, ${md.sd}), " +
         s"array($entries)[code$s2], (c, r) -> c + r)")
     }
     coded
+      .withColumn("__centv", expr(s"array(${md.centArrays})[CAST(cell AS INT)]"))
       .withColumn("dq", concat(dqSub: _*))
+      .drop("__centv")
       .withColumn("dqn",
         expr("aggregate(transform(dq, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
       .drop((0 until md.m).map(s2 => s"code$s2"): _*)

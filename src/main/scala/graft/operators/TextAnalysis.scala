@@ -141,16 +141,26 @@ object TextAnalysis {
           .as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dfMap = feats.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // k-bounded model state
+      // model statistics in ONE action (the t1c fusion rule): the
+      // k-bounded df table and the 1-row bmax scalar union into a
+      // single collected frame instead of two driver-sequential jobs
+      val statRows = feats.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
+        .select(col("bucket"), col("df"), lit(null).cast("long").as("bmax"))
+        .unionByName(feats.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("bmax"))
+          .select(lit(-1L).as("bucket"), lit(null).cast("long").as("df"),
+            col("bmax")))
+        .collect()
+      val dfMap = statRows.filter(!_.isNullAt(1))
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap // k-bounded model state
       // Lipschitz-safe diagonal step: a doc's prediction sums up to B
       // bucket weights, so the loss curvature row-sum for bucket j is
       // bounded by df_j * B — stepping grad_j DIV (2 * df_j * B) stays
       // inside the convergent region (grad_j / df_j alone overshoots
       // by a factor of B and DIVERGES: sae tripled per round when the
       // first cut of this trainer used it)
-      val bMax = feats.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).first().getLong(0)
+      val bMax = statRows.find(r => r.getLong(0) == -1L && !r.isNullAt(2))
+        .map(_.getLong(2)).getOrElse(0L)
       val w = Array.fill(k)(0L)
       val hist = Array.ofDim[Long](iters, k)
       val saes = new Array[Long](iters)
@@ -160,15 +170,23 @@ object TextAnalysis {
         val errs = feats.withColumn("wj", wExpr)
           .groupBy(col("doc_id"), col("y")).agg(sum(col("wj")).as("pred"))
           .select(col("doc_id"), (col("pred") - col("y")).as("err"))
-        saes(t) = errs.agg(sum(abs(col("err")))).first().getLong(0)
-        feats.join(errs, "doc_id")
+        // per-round: the k-bounded gradient AND the 1-row sae scalar in
+        // ONE collected frame (was two full-pipeline jobs per round);
+        // the values are the same sums, so the trajectory is unchanged
+        val roundRows = feats.join(errs, "doc_id")
           .groupBy(col("bucket")).agg(sum(col("err")).as("g"))
-          .collect() // k-bounded gradient
-          .foreach { r =>
-            val b = r.getLong(0)
-            // toward-zero truncation on both sides: Scala / == DuckDB //
-            w(b.toInt) = w(b.toInt) - r.getLong(1) / (2L * dfMap(b) * bMax)
-          }
+          .select(col("bucket"), col("g"), lit(null).cast("long").as("sae"))
+          .unionByName(errs.agg(sum(abs(col("err"))).as("sae"))
+            .select(lit(-1L).as("bucket"), lit(null).cast("long").as("g"),
+              col("sae")))
+          .collect()
+        saes(t) = roundRows.find(r => r.getLong(0) == -1L && !r.isNullAt(2))
+          .map(_.getLong(2)).getOrElse(0L)
+        roundRows.filter(!_.isNullAt(1)).foreach { r =>
+          val b = r.getLong(0)
+          // toward-zero truncation on both sides: Scala / == DuckDB //
+          w(b.toInt) = w(b.toInt) - r.getLong(1) / (2L * dfMap(b) * bMax)
+        }
         hist(t) = w.clone()
       }
       val sess = s

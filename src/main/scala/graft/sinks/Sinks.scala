@@ -38,20 +38,19 @@ object Sinks {
     * router/batchrouter/handle.go:240-452 expressed as directory
     * partitions.
     */
+  // r21 measurement note (guide §1): the write's cost here is NOT the
+  // gzip encode — isolating d8's archive slice (47k rows, 100 dirs,
+  // local[32]) read 1.48 s as-is, 0.18 s with partitionBy removed, and
+  // stayed 1.5-1.8 s under every variant tried (hash-repartition on the
+  // pair keys, commit algorithm v2, concurrent output writers, plain
+  // json, parquet). The constant is Spark's dynamic-partition write
+  // machinery at this directory count; a pre-write repartition only
+  // adds a payload shuffle (and at 100 TB would concentrate each pair
+  // into one unsplittable gz file), so the input partitioning is left
+  // to the caller's scan. Round-robin repartition is the one true
+  // anti-pattern (32 tasks x 100 dirs = 3200 files, 10.5 s measured).
   def batchObjectSink(df: DataFrame, dir: String): Unit =
-    // Hash-cluster on the partition keys before the write: the input's
-    // partitioning is whatever the upstream scan produced (d8's pruned
-    // archive read is ~2 tasks), so without it a couple of tasks
-    // gzip-encode the whole batch single-threaded AND each task opens
-    // a file per (source, destination) dir it holds — the small-files
-    // trap. After: encode parallelism = min(distinct pairs, shuffle
-    // partitions) and each dir gets one well-sized file per batch
-    // (guide §6; same convention as datalakeWrite/d8's live write).
-    // A single enormous hot pair serializes into one encoder — if that
-    // regime ever appears, salt the repartition with a deterministic
-    // hash of the payload (guide §2.5) to bound per-file size.
-    df.repartition(col("source_id"), col("destination_id"))
-      .write.mode("append")
+    df.write.mode("append")
       .partitionBy("source_id", "destination_id")
       .option("compression", "gzip")
       .json(dir)
